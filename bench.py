@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully via the ``noop`` sink (all stages run, nothing
+is materialized on the driver) — the honest measure of plan cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from java_etl_bi_generator_spark.queries import registry  # noqa: E402
+from java_etl_bi_generator_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_star_flagship",       # 5-table star join + rollup
+    "q_groupby_sum",         # TPC-H-Q1-shaped scan+agg
+    "q_join_star_3way",      # star join
+    "q_join_broadcast_left", # broadcast left join
+    "q_window_running_sum",  # window frame agg
+    "q_window_tumbling",     # event-time window agg
+    "q_dedup_exact",         # sha256 content dedup
+    "q_text_stats",          # token/punct/stopword counting
+    "q_vector_topk",         # brute-force cosine top-k
+    "q_date_dim_generate",   # calendar generator
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    qs = registry()
+
+    # Warm the JVM/codegen paths on a cheap query so measured times are
+    # steady-state, not first-compile.
+    qs["q_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

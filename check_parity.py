@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Local differential harness mirroring the driver's t2 check.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the same sf dir, then compares row count, column-name set, and an
+order-insensitive value hash (columns sorted by name, rows sorted by their
+canonical string form).  Usage:
+
+    python check_parity.py [sf_dir] [query ...]
+
+Exit code 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from java_etl_bi_generator_spark.catalog import TABLES
+from java_etl_bi_generator_spark.session import get_spark
+
+
+def canon_value(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # exact double identity: repr round-trips
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted(
+        "\x1f".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\x1e".join(canon_rows).encode()).hexdigest()[:16]
+    return len(rows), ",".join(sorted(cols)), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="check-parity")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            sp_cols = df.columns
+            sp_rows = [tuple(r) for r in df.collect()]
+        except Exception:
+            print(f"FAIL  {name:28s} spark error:")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name:28s} rows={len(sp_rows)} (rows-only, no oracle)"
+                  f"  [{time.time()-t0:.1f}s]")
+            if len(sp_rows) == 0:
+                print(f"      WARNING: zero rows")
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            du_cols = [d[0] for d in rel.description]
+            du_rows = rel.fetchall()
+        except Exception:
+            print(f"FAIL  {name:28s} duckdb error:")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        sn, sc, sh = frame_fingerprint(sp_cols, sp_rows)
+        dn, dc, dh = frame_fingerprint(du_cols, du_rows)
+        ok = (sn, sc, sh) == (dn, dc, dh)
+        status = "PASS" if ok else "FAIL"
+        print(f"{status}  {name:28s} rows={sn}/{dn} hash={sh}/{dh}"
+              f"  [{time.time()-t0:.1f}s]")
+        if not ok:
+            failures.append(name)
+            if sc != dc:
+                print(f"      cols spark={sc}")
+                print(f"      cols duck ={dc}")
+            elif sn == dn:
+                # find first differing row for debugging
+                order_s = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
+                order_d = sorted(range(len(du_cols)), key=lambda i: du_cols[i])
+                srt_s = sorted("\x1f".join(canon_value(r[i]) for i in order_s) for r in sp_rows)
+                srt_d = sorted("\x1f".join(canon_value(r[i]) for i in order_d) for r in du_rows)
+                for a, b in zip(srt_s, srt_d):
+                    if a != b:
+                        print(f"      spark row: {a[:200]}")
+                        print(f"      duck  row: {b[:200]}")
+                        break
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {' '.join(failures)}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

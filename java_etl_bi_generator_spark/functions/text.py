@@ -1,0 +1,94 @@
+"""Text-analysis expressions (north-star LLM-pipeline surface; BASELINE.json
+``north_star``) plus the reference's composite-key concat
+(FullETLGenerator.java:215-230 — ``buildGeracaoKey`` etc., a ``;``-join).
+
+Everything is array/higher-order-function built-ins — no Python UDFs — so
+token counting, shingling and quality scoring all run JVM-side at full
+codegen speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Small pinned stopword lists — deterministic across clusters.
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "from", "that", "this", "be",
+)
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def composite_key(*cols: Column | str, sep: str = ";") -> Column:
+    """``;``-joined composite key (reference buildXxxKey helpers)."""
+    return F.concat_ws(sep, *[_col(c) for c in cols])
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> [''] like split)."""
+    return F.split(F.trim(_col(c)), r"\s+")
+
+
+def token_count(c: Column | str) -> Column:
+    c = _col(c)
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Count of BPE-style pre-tokens (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(_col(c), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_count(c: Column | str) -> Column:
+    return F.length(F.regexp_replace(_col(c), r"[^.,!?;:]", ""))
+
+
+def stopword_count(c: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(
+        F.filter(tokens(c), lambda t: F.array_contains(stop_arr, F.lower(t)))
+    )
+
+
+def quality_score(c: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs with a
+    sane stopword ratio and low punctuation density (common pretraining
+    filter shape — cf. C4/Gopher-style rules, public recipes).  Returned
+    unrounded — every term is a fixed-order IEEE expression, so it is
+    bit-reproducible across engines."""
+    c = _col(c)
+    n_tok = token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    stop_ratio = F.when(n_tok > 0, stopword_count(c) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct_count(c) / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0)))
+    )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """n-word shingles as an array of strings (distinct not applied).
+
+    ``slice`` + ``transform`` over the token array — stays JVM-side; at
+    scale this feeds MinHash / Jaccard dedup via explode + shuffle-on-
+    shingle, the standard scalable near-dup layout.
+    """
+    t = tokens(c)
+    return F.when(
+        F.size(t) < n, F.array(F.concat_ws(" ", t))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )

@@ -1,0 +1,209 @@
+"""Deduplication family for large-scale training-data pipelines
+(north-star; BASELINE.json).  All variants are built from shuffle-on-key
+primitives that scale linearly with data volume — never pairwise over the
+full corpus.
+
+- exact        : content hash -> groupBy.  One shuffle on a 64-hex key.
+- minhash_lsh  : shingle -> minhash signature -> band buckets -> join
+                 within buckets (classic MinHash+LSH banding, cf. MMDS ch.3).
+                 Pure SQL expressions (md5-derived hash family), no Spark ML
+                 dependency, no UDF.
+- simhash      : 64-bit simhash fingerprint from token md5s; near-dups =
+                 fingerprints at small hamming distance within buckets.
+- ngram_jaccard: exact Jaccard over word shingles via explode + join on
+                 shingle — only candidate pairs sharing a shingle are ever
+                 materialized.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.rounding import pround
+from ..functions.text import word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct content hash: the kept id (min), dup count."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct text content."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def _portable_hash64(c, seed: int) -> F.Column:
+    """Deterministic 60-bit integer hash from md5 — portable across engines
+    (same value in DuckDB via the same md5/substr/hex-parse recipe)."""
+    h = F.md5(F.concat(F.lit(str(seed) + "|"), c))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: for each of ``num_hashes`` seeded hash
+    functions, the min hash over the doc's distinct shingles.
+
+    Layout: explode shingles (rows = docs x shingles), compute the hash
+    family per row, partial-aggregate min per doc — one shuffle on doc id,
+    map-side combined.  No pairwise work.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh"),
+    )
+    aggs = [
+        F.min(_portable_hash64(F.col("sh"), seed)).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: signature split into
+    ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any band
+    bucket become a candidate pair.  The join is an equi-join on
+    (band, bucket-hash) — shuffle-partitioned, broadcast-free, and skew
+    handled by AQE; only same-bucket pairs are generated."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band") == F.col(f"b.band"),
+                F.col(f"a.bucket") == F.col(f"b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Tokens -> md5 -> first 16 hex nibbles = 64 bits; per bit position the
+    weighted vote (+1 if set, -1 if not) is summed over tokens; the sign of
+    each vote becomes the fingerprint bit.  Expressed as explode(token) x
+    explode(bit position) + one groupBy — scales as docs x tokens x 64 with
+    map-side combine, no UDF.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    # bit (pos) of the 64-bit prefix of md5: nibble = hex digit pos/4,
+    # tested against mask 1 << (3 - pos%4)
+    bit_set = F.expr(
+        "(CAST(conv(substring(h, CAST(pos DIV 4 AS INT) + 1, 1), 16, 10) AS INT)"
+        " & shiftleft(1, 3 - CAST(pos % 4 AS INT))) > 0"
+    )
+    votes = (
+        toks.select(
+            id_col, F.explode(F.sequence(F.lit(0), F.lit(63))).alias("pos"), "h"
+        )
+        .withColumn("vote", F.when(bit_set, 1).otherwise(-1))
+        .groupBy(id_col, "pos")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"))
+            .otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+
+    explode -> self-equi-join on shingle -> count intersection -> Jaccard =
+    |A∩B| / (|A|+|B|-|A∩B|).  The join key is the shingle, so common
+    shingles are the skew risk at scale — AQE skew-join splitting plus an
+    optional document-frequency cap handle it (callers can pre-filter
+    stop-shingles).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            pround(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

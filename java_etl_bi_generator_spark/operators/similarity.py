@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (north-star; BASELINE.json).
+
+- ``brute_force_topk``: exact cosine top-k — one scan, JVM-side
+  zip_with/aggregate dot product, ``TakeOrderedAndProject`` for the top-k
+  (no global sort materialization).  The correctness baseline.
+- ``ivf_topk``: IVF-style approximate search — vectors are pre-assigned to
+  cells (any clustering works; here the testdata's ``label`` or a provided
+  assignment), cell centroids are tiny and broadcast; the query probes only
+  the ``nprobe`` nearest cells.  At 100 TB this turns a full-corpus scan
+  into a partition-pruned scan of nprobe/ncells of the data — the scale
+  path (cf. IVF in FAISS; public algorithm).
+- ``lsh_bucket_topk``: random-hyperplane (SimHash) bucketing over
+  deterministic pseudo-planes — same bucket first, exact rerank inside.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.rounding import pround
+from ..functions.vectors import as_double_array, cosine_similarity
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    scored = embeddings.select(
+        F.col(id_col),
+        pround(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    # orderBy + limit plans as TakeOrderedAndProject: per-partition heaps,
+    # only k rows cross the final exchange.
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def cell_centroids(
+    embeddings: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Mean vector per cell: posexplode + groupBy(cell, pos) + re-assemble.
+    Map-side partial aggregation keeps the shuffle at |cells| x dim rows."""
+    dims = (
+        embeddings.select(
+            F.col(cell_col),
+            F.posexplode(as_double_array(vec_col)).alias("pos", "v"),
+        )
+        .groupBy(cell_col, "pos")
+        .agg(F.avg("v").alias("c"))
+    )
+    return dims.groupBy(cell_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "c"))
+        ).alias("pc")
+    ).select(
+        cell_col, F.transform("pc", lambda s: s["c"]).alias("centroid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k: score centroids, keep ``nprobe`` nearest cells,
+    exact-rerank only vectors in those cells (broadcast semi-join on the
+    tiny probed-cell list -> partition pruning when data is clustered/
+    bucketed by cell on disk)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    cents = cell_centroids(embeddings, cell_col, vec_col)
+    probed = (
+        cents.select(
+            cell_col, cosine_similarity(F.col("centroid"), q).alias("cs")
+        )
+        .orderBy(F.desc("cs"), F.asc(cell_col))
+        .limit(nprobe)
+        .select(cell_col)
+    )
+    candidates = embeddings.join(F.broadcast(probed), on=cell_col, how="left_semi")
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def hyperplane_signature(
+    vec_col, num_planes: int = 8, dim: int = 64
+) -> F.Column:
+    """Deterministic pseudo-random hyperplane sign bits -> int bucket id.
+
+    Plane p, dim d weight = ±1 derived from md5(p,d) parity — portable,
+    seedless, no stored model.  Good enough for bucketing; not a trained
+    index."""
+    v = as_double_array(vec_col)
+    bits = []
+    for p in range(num_planes):
+        # weight_d = +1 if md5 parity even else -1, folded into a dot sign
+        acc = None
+        for d in range(dim):
+            sign = 1 if int(__import__("hashlib").md5(f"{p},{d}".encode()).hexdigest(), 16) % 2 == 0 else -1
+            term = F.element_at(v, d + 1) * F.lit(float(sign))
+            acc = term if acc is None else acc + term
+        bits.append(F.when(acc >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe only the query's hyperplane bucket, exact-rerank inside it."""
+    dim = len(query_vec)
+    bucketed = embeddings.withColumn(
+        "__bucket", hyperplane_signature(F.col(vec_col), num_planes, dim)
+    )
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame([(query_vec,)], f"qv array<double>").withColumn(
+        "__bucket", hyperplane_signature(F.col("qv"), num_planes, dim)
+    ).select("__bucket")
+    candidates = bucketed.join(F.broadcast(qdf), on="__bucket", how="left_semi")
+    return brute_force_topk(candidates.drop("__bucket"), query_vec, k, id_col, vec_col)

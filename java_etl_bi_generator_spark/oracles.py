@@ -1,0 +1,407 @@
+"""DuckDB oracle SQL for every hash-checkable declared query.
+
+Each statement mirrors its Spark twin in ``queries.py`` — same column
+names, same pinned float treatment (portable floor-rounding via
+``pround_sql``), types cast to match Spark's (DuckDB returns BIGINT for
+year()/row_number()/len() where Spark returns INT, HUGEINT for integer
+sums, DOUBLE for ceil — all cast explicitly).
+
+Notable DuckDB-vs-Spark divergences handled here:
+- ``regexp_replace`` needs the ``'g'`` flag (Spark replaces all matches);
+- ``dayofweek``: DuckDB Sunday=0, Spark Sunday=1 (lookup arrays shifted);
+- ``round()`` tie behavior differs -> never used; ``floor(x*10^n+0.5)``
+  everywhere a float must be pinned.
+
+Queries with no entry here (q_stream_watermark, q_dedup_near,
+q_dedup_simhash, q_vector_topk_ivf) are declared rows-only: streaming
+state / LSH banding / IVF probing are not ANSI-SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from .functions.rounding import pround_sql
+
+_PTBR_MONTHS = (
+    "['janeiro','fevereiro','março','abril','maio','junho','julho',"
+    "'agosto','setembro','outubro','novembro','dezembro']"
+)
+# Indexed by DuckDB dayofweek()+1 (Sunday=0 -> index 1)
+_PTBR_DOW = (
+    "['domingo','segunda-feira','terça-feira','quarta-feira',"
+    "'quinta-feira','sexta-feira','sábado']"
+)
+
+_STOP_EN = "['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this','be']"
+_STOP_PT = "['de','a','o','que','e','do','da','em','um','para']"
+_STOP_ES = "['de','la','que','el','en','y','a','los','se','del']"
+
+_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_N_TOKENS = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
+
+
+def _hits(stoplist: str) -> str:
+    return (
+        f"CAST(len(list_filter({_TOKENS}, t -> list_contains({stoplist}, lower(t)))) AS INT)"
+    )
+
+
+_QUALITY_EXPR = f"""
+    0.4 * least(CAST({_N_TOKENS} AS DOUBLE) / 100.0, 1.0)
+  + 0.4 * least(
+        (CASE WHEN {_N_TOKENS} > 0
+              THEN CAST({_hits(_STOP_EN)} AS DOUBLE) / CAST({_N_TOKENS} AS DOUBLE)
+              ELSE 0.0 END) * 4.0, 1.0)
+  + 0.2 * (1.0 - least(
+        (CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END) * 10.0, 1.0))
+"""
+
+_SHINGLES = """
+  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+  END
+"""
+
+ORACLES: dict[str, str] = {
+    # --- sources ---
+    "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    # --- projection / filter ---
+    "q_project": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem"
+    ),
+    "q_filter": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag "
+        "FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30"
+    ),
+    # --- dedup / surrogate keys ---
+    "q_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_surrogate_key": (
+        "SELECT CAST(row_number() OVER (ORDER BY o_orderpriority ASC NULLS FIRST) AS INT)"
+        " AS priority_id, o_orderpriority "
+        "FROM (SELECT DISTINCT o_orderpriority FROM orders) t"
+    ),
+    "q_dedup_first_row": (
+        "SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM customer "
+        "QUALIFY row_number() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_custkey ASC NULLS FIRST) = 1"
+    ),
+    # --- joins ---
+    "q_join_broadcast_left": (
+        "SELECT l_orderkey, l_linenumber, l_partkey, "
+        "coalesce(p_size, -1) AS p_size_or_missing "
+        "FROM lineitem LEFT JOIN (SELECT p_partkey, p_size FROM part "
+        "WHERE p_size >= 30) d ON l_partkey = d.p_partkey"
+    ),
+    "q_join_inner": (
+        "SELECT o_orderstatus, count(*) AS n_lines, "
+        f"{pround_sql('sum(l_extendedprice)', 2)} AS sum_price "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderstatus"
+    ),
+    "q_join_star_3way": (
+        "SELECT n_name, count(*) AS n_lines, "
+        f"{pround_sql('sum(l_extendedprice * (1.0 - l_discount))', 2)} AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+    "q_join_semi": (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS ("
+        "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)"
+    ),
+    "q_join_anti": (
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "q_join_range": (
+        "SELECT c_custkey, c_acctbal, tier FROM customer JOIN "
+        "(VALUES ('low', -100000.0, 0.0), ('mid', 0.0, 5000.0), "
+        "('high', 5000.0, 100000.0)) AS t(tier, lo, hi) "
+        "ON c_acctbal >= lo AND c_acctbal < hi"
+    ),
+    # --- aggregations ---
+    "q_minmax_date": (
+        "SELECT min(CAST(o_orderdate AS DATE)) AS min_orderdate, "
+        "max(CAST(o_orderdate AS DATE)) AS max_orderdate FROM orders"
+    ),
+    "q_groupby_sum": (
+        "SELECT l_returnflag, l_linestatus, "
+        f"{pround_sql('sum(l_quantity)', 2)} AS sum_qty, "
+        f"{pround_sql('sum(l_extendedprice)', 2)} AS sum_base_price, "
+        "count(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "q_groupby_multi_agg": (
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        f"{pround_sql('sum(o_totalprice)', 2)} AS sum_price, "
+        f"{pround_sql('avg(o_totalprice)', 2)} AS avg_price, "
+        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    "q_count_distinct": (
+        "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps, "
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem"
+    ),
+    "q_rollup": (
+        "SELECT l_returnflag, l_linestatus, "
+        f"{pround_sql('sum(l_quantity)', 2)} AS sum_qty, "
+        "count(*) AS n_rows, "
+        "CAST(grouping(l_returnflag) AS INT) AS g_flag, "
+        "CAST(grouping(l_linestatus) AS INT) AS g_status "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    "q_cube": (
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, "
+        "CAST(grouping(o_orderstatus) AS INT) AS g_status, "
+        "CAST(grouping(o_orderpriority) AS INT) AS g_prio "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+    "q_having": (
+        "SELECT l_orderkey, count(*) AS n_lines FROM lineitem "
+        "GROUP BY l_orderkey HAVING count(*) >= 5"
+    ),
+    # --- window functions ---
+    "q_window_rank": (
+        "SELECT c_custkey, c_nationkey, c_acctbal, "
+        "CAST(row_number() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn, "
+        "CAST(rank() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC) AS INT) AS rnk, "
+        "CAST(dense_rank() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC) AS INT) AS drnk "
+        "FROM customer"
+    ),
+    "q_window_lag": (
+        "SELECT o_orderkey, o_custkey, o_totalprice, "
+        "lag(o_totalprice) OVER w AS prev_price, "
+        "lead(o_totalprice) OVER w AS next_price "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey)"
+    ),
+    "q_window_running_sum": (
+        "SELECT o_orderkey, o_custkey, "
+        + pround_sql(
+            "sum(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+            2,
+        )
+        + " AS running_spend FROM orders"
+    ),
+    # --- generators ---
+    "q_date_dim_generate": f"""
+        WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+                          max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM b)
+        SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS "ChaveData",
+               strftime(d, '%Y-%m-%d') AS "DataCompleta",
+               CAST(year(d) AS INT) AS "Ano",
+               CAST(month(d) AS INT) AS "MesNumero",
+               ({_PTBR_MONTHS})[month(d)] AS "NomeMes",
+               CAST(day(d) AS INT) AS "Dia",
+               ({_PTBR_DOW})[dayofweek(d) + 1] AS "DiaDaSemana",
+               'T' || CAST(quarter(d) AS INT) AS "Trimestre"
+        FROM days
+    """,
+    "q_explode": (
+        "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos, "
+        "CAST(unnest(embedding) AS DOUBLE) AS val "
+        "FROM embeddings WHERE vec_id < 100"
+    ),
+    # --- scalar functions ---
+    "q_null_default": (
+        "SELECT c_custkey, CASE WHEN x IS NULL OR trim(x) = '' THEN 'N/A' "
+        "ELSE x END AS segment_or_na FROM (SELECT c_custkey, "
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END "
+        "AS x FROM customer) t"
+    ),
+    "q_locale_decimal_parse": (
+        "SELECT s, coalesce(try_cast(replace(replace(trim(s), '.', ''), ',', '.')"
+        " AS DOUBLE), 0.0) AS parsed FROM (VALUES "
+        "('1.234,56'), ('30000'), ('0,5'), ('1.000.000,99'), (''), (NULL), "
+        "('12a,3'), ('  7,25  '), ('-1.234,5')) AS v(s)"
+    ),
+    "q_date_parse": (
+        "SELECT s, CAST(try_strptime(substr(s, 1, 10), '%Y-%m-%d') AS DATE) AS d "
+        "FROM (VALUES ('2023-05-17'), ('2023-05-17 10:11:12'), "
+        "('1999-12-31T23:59'), ('2023-13-01'), ('2023'), (''), (NULL), "
+        "('garbage-xx')) AS v(s)"
+    ),
+    "q_date_key": (
+        "SELECT o_orderkey, coalesce(CAST(strftime(o_orderdate, '%Y%m%d') AS INT), 0)"
+        " AS dkey FROM orders"
+    ),
+    "q_date_parts": (
+        "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yy, "
+        "CAST(month(o_orderdate) AS INT) AS mm, "
+        "CAST(day(o_orderdate) AS INT) AS dd FROM orders"
+    ),
+    "q_quarter_label": (
+        "SELECT o_orderkey, 'T' || CAST(quarter(o_orderdate) AS INT) AS tri "
+        "FROM orders"
+    ),
+    "q_month_name_ptbr": (
+        f"SELECT o_orderkey, ({_PTBR_MONTHS})[month(o_orderdate)] AS nome_mes, "
+        f"({_PTBR_DOW})[dayofweek(o_orderdate) + 1] AS dia_semana FROM orders"
+    ),
+    "q_decimal_format": (
+        "SELECT CAST(x0 AS DOUBLE) AS x, "
+        "replace(printf('%.2f', CAST(x0 AS DOUBLE)), '.', ',') AS formatted "
+        "FROM (VALUES (1234.56), (0.5), (12.0), (1234567.89), (0.0), (-42.75))"
+        " AS v(x0)"
+    ),
+    "q_concat_ws": (
+        "SELECT p_partkey, concat_ws(';', p_brand, p_type) AS part_key FROM part"
+    ),
+    "q_string_funcs": (
+        "SELECT doc_id, upper(lang) AS lang_u, CAST(length(text) AS INT) AS n_len, "
+        "substr(text, 1, 20) AS prefix, "
+        "CAST(text LIKE '%data%' AS INT) AS has_data FROM documents"
+    ),
+    "q_math_funcs": (
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1.0 - l_discount) AS net_price, "
+        "abs(l_quantity - 25.0) AS qty_dev, "
+        "CAST(ceil(l_tax * 100.0) AS BIGINT) AS tax_pct_ceil FROM lineitem"
+    ),
+    # --- sorts / set ops ---
+    "q_orderby": (
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_totalprice "
+        "FROM orders ORDER BY odate, o_orderkey"
+    ),
+    "q_topk": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15"
+    ),
+    "q_union": (
+        "SELECT c_nationkey AS nk FROM customer "
+        "UNION ALL SELECT s_nationkey AS nk FROM supplier"
+    ),
+    "q_intersect": (
+        "SELECT c_nationkey AS nk FROM customer "
+        "INTERSECT SELECT s_nationkey AS nk FROM supplier"
+    ),
+    "q_except": (
+        "SELECT c_custkey AS k FROM customer "
+        "EXCEPT ALL SELECT o_custkey AS k FROM orders"
+    ),
+    # --- event-time windows (batch equivalents) ---
+    "q_window_tumbling": (
+        "SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start, "
+        "event_type, count(*) AS n_events, "
+        f"{pround_sql('sum(value)', 2)} AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "q_window_sliding": (
+        "SELECT win_start, count(*) AS n_events, "
+        f"{pround_sql('sum(value)', 2)} AS sum_value FROM ("
+        "  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start, value"
+        "  FROM events"
+        "  UNION ALL"
+        "  SELECT CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT), value"
+        "  FROM events"
+        ") GROUP BY win_start"
+    ),
+    "q_window_session": f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 300 SECOND
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, event_id, ts, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_no
+          FROM o
+        )
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+               count(*) AS n_events,
+               {pround_sql('sum(value)', 2)} AS sum_value
+        FROM s GROUP BY user_id, sess_no
+    """,
+    # --- LLM ops ---
+    "q_dedup_exact": (
+        "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, "
+        "count(*) AS dup_count FROM documents GROUP BY sha256(text)"
+    ),
+    "q_dedup_ngram_jaccard": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id % 10 = 0
+        ),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)} AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)} >= 0.2
+    """,
+    "q_vector_topk": f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                   WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 {pround_sql(
+                     'list_dot_product(CAST(embedding AS DOUBLE[]), qv) / '
+                     '(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), '
+                     'CAST(embedding AS DOUBLE[]))) * '
+                     'sqrt(list_dot_product(qv, qv)))', 6)} AS cosine
+          FROM embeddings, q
+        )
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    "q_text_stats": f"""
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars_calc,
+               CAST({_N_TOKENS} AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT)
+                    AS n_punct,
+               {_hits(_STOP_EN)} AS n_stopwords
+        FROM documents
+    """,
+    "q_text_quality": (
+        f"SELECT doc_id, {pround_sql(_QUALITY_EXPR, 4)} AS quality FROM documents"
+    ),
+    "q_lang_id": f"""
+        SELECT doc_id, en_hits, pt_hits, es_hits,
+               CASE WHEN en_hits >= pt_hits AND en_hits >= es_hits THEN 'en'
+                    WHEN pt_hits >= es_hits THEN 'pt'
+                    ELSE 'es' END AS lang_pred
+        FROM (
+          SELECT doc_id,
+                 {_hits(_STOP_EN)} AS en_hits,
+                 {_hits(_STOP_PT)} AS pt_hits,
+                 {_hits(_STOP_ES)} AS es_hits
+          FROM documents
+        ) t
+    """,
+    # --- flagship ---
+    "q_star_flagship": (
+        "SELECT r_name, n_name, CAST(year(o_orderdate) AS INT) AS order_year, "
+        "count(*) AS n_lines, "
+        f"{pround_sql('sum(l_extendedprice * (1.0 - l_discount))', 2)} AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name, order_year"
+    ),
+}

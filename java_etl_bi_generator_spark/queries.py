@@ -1,0 +1,739 @@
+"""Declared-query registry — the SURVEY.md §2 contract.
+
+Every entry takes ``(spark, sf_dir)`` and returns a DataFrame whose column
+names (and, where float, pinned values) match the DuckDB oracle in
+``oracles.py``.  Conventions for hash stability:
+
+- per-row arithmetic on doubles is emitted UNROUNDED (identical IEEE ops on
+  identical inputs are bitwise-equal across engines);
+- aggregated doubles (sums/avgs — summation order differs across engines)
+  are pinned with ``pround`` (portable floor-based rounding, see
+  functions/rounding.py);
+- timestamps are emitted as epoch-second bigints or ISO strings, never raw
+  timestamp columns;
+- every computed column is aliased, matching the oracle's ``AS`` name.
+
+Reference citations (``FullETLGenerator.java:NN``) mark reference-derived
+operators; the rest are north-star extensions (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .catalog import load_table
+from .functions.dates import (
+    date_key,
+    dow_name_ptbr,
+    month_name_ptbr,
+    parse_date_lenient,
+    quarter_label,
+)
+from .functions.locale_ptbr import (
+    format_ptbr_decimal,
+    null_or_empty_default,
+    parse_ptbr_decimal,
+)
+from .functions.rounding import pround
+from .functions.text import (
+    STOPWORDS_EN,
+    bpe_ish_token_count,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from .operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from .operators.similarity import brute_force_topk, ivf_topk
+from .operators.star import build_calendar_dim, build_dimension, dedup_first_row
+from .sources.csv_ref import read_reference_csv, write_reference_csv
+from .streaming.windows import (
+    session_agg,
+    sliding_agg,
+    streaming_tumbling_with_watermark,
+    tumbling_agg,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, QueryFn] = {}
+
+
+def q(name: str) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Sources / sinks
+# ---------------------------------------------------------------------------
+
+@q("q_csv_roundtrip")
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 (FullETLGenerator.java:20,31-38,61-66): write `;`-delimited
+    ISO-8859-1 CSV with header, read it back with an explicit schema."""
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/nation"
+    write_reference_csv(T(spark, sf_dir, "nation"), path)
+    return read_reference_csv(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projection / filter
+# ---------------------------------------------------------------------------
+
+@q("q_project")
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (FullETLGenerator.java:82-87): narrow projection — ReadSchema in
+    the parquet scan carries only these four columns."""
+    return T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@q("q_filter")
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3 (FullETLGenerator.java:80,125): predicate filter — pushed into
+    the scan (PushedFilters)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Dedup + surrogate keys
+# ---------------------------------------------------------------------------
+
+@q("q_distinct")
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 (FullETLGenerator.java:78-112): distinct on a composite key."""
+    return T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@q("q_surrogate_key")
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (FullETLGenerator.java:72-74,88): dense surrogate ids over the
+    distinct key set (deterministic natural-key order; see star.py)."""
+    return build_dimension(
+        T(spark, sf_dir, "orders"), ["o_orderpriority"], "priority_id"
+    )
+
+
+@q("q_dedup_first_row")
+def q_dedup_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (FullETLGenerator.java:114-122): one full row per natural key."""
+    cust = T(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_name", "c_acctbal"
+    )
+    return dedup_first_row(cust, ["c_nationkey"], ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Joins
+# ---------------------------------------------------------------------------
+
+@q("q_join_broadcast_left")
+def q_join_broadcast_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (FullETLGenerator.java:153-159,168-170): broadcast hash left join,
+    miss -> -1 — the reference's HashMap probe as a real join."""
+    li = T(spark, sf_dir, "lineitem")
+    dim = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 30)
+        .select("p_partkey", "p_size")
+    )
+    return li.join(F.broadcast(dim), li.l_partkey == dim.p_partkey, "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.coalesce(F.col("p_size"), F.lit(-1)).alias("p_size_or_missing"),
+    )
+
+
+@q("q_join_inner")
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: inner equi-join (AQE picks broadcast vs sort-merge)."""
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@q("q_join_star_3way")
+def q_join_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: multi-way star join — fact spine joined to broadcast dims."""
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    na = T(spark, sf_dir, "nation")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            pround(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@q("q_join_semi")
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4a: left-semi join (EXISTS)."""
+    od = T(spark, sf_dir, "orders")
+    big = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return od.join(
+        big, od.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@q("q_join_anti")
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4b: left-anti join (NOT EXISTS)."""
+    cu = T(spark, sf_dir, "customer")
+    od = T(spark, sf_dir, "orders")
+    return cu.join(
+        od, cu.c_custkey == od.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q("q_join_range")
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: banded theta join against a tiny literal bounds table
+    (BroadcastNestedLoopJoin — correct plan for a non-equi join with a
+    broadcast-size side)."""
+    tiers = spark.createDataFrame(
+        [("low", -100000.0, 0.0), ("mid", 0.0, 5000.0), ("high", 5000.0, 100000.0)],
+        "tier string, lo double, hi double",
+    )
+    cu = T(spark, sf_dir, "customer")
+    return cu.join(
+        F.broadcast(tiers),
+        (cu.c_acctbal >= tiers.lo) & (cu.c_acctbal < tiers.hi),
+    ).select("c_custkey", "c_acctbal", "tier")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Aggregations
+# ---------------------------------------------------------------------------
+
+@q("q_minmax_date")
+def q_minmax_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (FullETLGenerator.java:124-128): global min/max over dates."""
+    od = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return od.agg(
+        F.min(d).alias("min_orderdate"), F.max(d).alias("max_orderdate")
+    )
+
+
+@q("q_groupby_sum")
+def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 (readme.md:3, FullETLGenerator.java:149): TPC-H-Q1-shaped
+    grouped sums over the fact table."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q("q_groupby_multi_agg")
+def q_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: sum/avg/min/max/count in one hash aggregate."""
+    od = T(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@q("q_count_distinct")
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact distinct counts (expand + two-phase agg under the hood)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@q("q_rollup")
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: ROLLUP with grouping indicators."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+@q("q_cube")
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: CUBE over two dimensions."""
+    od = T(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+    )
+
+
+@q("q_having")
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: post-aggregation filter."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Window functions
+# ---------------------------------------------------------------------------
+
+@q("q_window_rank")
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ranking within partitions (rank/dense_rank keyed on values only,
+    row_number fully tie-broken)."""
+    cu = T(spark, sf_dir, "customer")
+    by_bal = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    by_bal_vals = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return cu.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(by_bal).alias("rn"),
+        F.rank().over(by_bal_vals).alias("rnk"),
+        F.dense_rank().over(by_bal_vals).alias("drnk"),
+    )
+
+
+@q("q_window_lag")
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead over a deterministic per-customer order."""
+    od = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@q("q_window_running_sum")
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: frame-spec running aggregate."""
+    od = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        pround(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Generators
+# ---------------------------------------------------------------------------
+
+@q("q_date_dim_generate")
+def q_date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 (FullETLGenerator.java:182-204): calendar dimension spanning the
+    orders date range — sequence+explode, zero driver loops."""
+    od = T(spark, sf_dir, "orders")
+    bounds = od.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    ).first()
+    return build_calendar_dim(spark, bounds["d0"], bounds["d1"])
+
+
+@q("q_explode")
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 superset: posexplode over the embedding arrays."""
+    em = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return em.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions
+# ---------------------------------------------------------------------------
+
+@q("q_null_default")
+def q_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (FullETLGenerator.java:206-209): null/empty -> 'N/A'."""
+    cu = T(spark, sf_dir, "customer")
+    nullable_seg = F.when(
+        F.col("c_mktsegment") == "BUILDING", F.lit(None).cast("string")
+    ).otherwise(F.col("c_mktsegment"))
+    return cu.select(
+        "c_custkey", null_or_empty_default(nullable_seg).alias("segment_or_na")
+    )
+
+
+@q("q_locale_decimal_parse")
+def q_locale_decimal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (FullETLGenerator.java:232-239): pt-BR decimal parse quirks."""
+    vals = [
+        ("1.234,56",), ("30000",), ("0,5",), ("1.000.000,99",),
+        ("",), (None,), ("12a,3",), ("  7,25  ",), ("-1.234,5",),
+    ]
+    df = spark.createDataFrame(vals, "s string")
+    return df.select("s", parse_ptbr_decimal("s").alias("parsed"))
+
+
+@q("q_date_parse")
+def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (FullETLGenerator.java:241-248): lenient ISO date parse."""
+    vals = [
+        ("2023-05-17",), ("2023-05-17 10:11:12",), ("1999-12-31T23:59",),
+        ("2023-13-01",), ("2023",), ("",), (None,), ("garbage-xx",),
+    ]
+    df = spark.createDataFrame(vals, "s string")
+    return df.select("s", parse_date_lenient("s").alias("d"))
+
+
+@q("q_date_key")
+def q_date_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (FullETLGenerator.java:250-254): yyyyMMdd int key, null -> 0."""
+    od = T(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey", date_key(F.col("o_orderdate")).alias("dkey")
+    )
+
+
+@q("q_date_parts")
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (FullETLGenerator.java:195-198): date part extraction."""
+    od = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return od.select(
+        "o_orderkey",
+        F.year(d).alias("yy"),
+        F.month(d).alias("mm"),
+        F.dayofmonth(d).alias("dd"),
+    )
+
+
+@q("q_quarter_label")
+def q_quarter_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (FullETLGenerator.java:190,200): 'T'+quarter label."""
+    od = T(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey", quarter_label(F.col("o_orderdate")).alias("tri")
+    )
+
+
+@q("q_month_name_ptbr")
+def q_month_name_ptbr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (FullETLGenerator.java:183,197,199): pt-BR month/day names via
+    pinned lookup tables (locale-independent, codegen-able)."""
+    od = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return od.select(
+        "o_orderkey",
+        month_name_ptbr(d).alias("nome_mes"),
+        dow_name_ptbr(d).alias("dia_semana"),
+    )
+
+
+@q("q_decimal_format")
+def q_decimal_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (FullETLGenerator.java:173-175): comma-decimal 2-dp rendering."""
+    vals = [(1234.56,), (0.5,), (12.0,), (1234567.89,), (0.0,), (-42.75,)]
+    df = spark.createDataFrame(vals, "x double")
+    return df.select("x", format_ptbr_decimal("x").alias("formatted"))
+
+
+@q("q_concat_ws")
+def q_concat_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 (FullETLGenerator.java:215-230): `;`-joined composite key."""
+    pt = T(spark, sf_dir, "part")
+    return pt.select(
+        "p_partkey", F.concat_ws(";", "p_brand", "p_type").alias("part_key")
+    )
+
+
+@q("q_string_funcs")
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star string surface over documents.text."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_u"),
+        F.length("text").alias("n_len"),
+        F.substring("text", 1, 20).alias("prefix"),
+        F.col("text").like("%data%").cast("int").alias("has_data"),
+    )
+
+
+@q("q_math_funcs")
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star math surface (per-row IEEE arithmetic — unrounded)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "net_price"
+        ),
+        F.abs(F.col("l_quantity") - F.lit(25.0)).alias("qty_dev"),
+        F.ceil(F.col("l_tax") * F.lit(100.0)).alias("tax_pct_ceil"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Sorts / §2.10 Set ops
+# ---------------------------------------------------------------------------
+
+@q("q_orderby")
+def q_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = T(spark, sf_dir, "orders")
+    return od.orderBy("o_orderdate", "o_orderkey").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("odate"), "o_totalprice"
+    )
+
+
+@q("q_topk")
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plans as TakeOrderedAndProject — per-partition heaps, no full sort."""
+    od = T(spark, sf_dir, "orders")
+    return (
+        od.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(15)
+    )
+
+
+@q("q_union")
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    su = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return cu.unionByName(su)
+
+
+@q("q_intersect")
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    su = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return cu.intersect(su)
+
+
+@q("q_except")
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    od = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return cu.exceptAll(od)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 Event-time windows (batch-checked) + streaming
+# ---------------------------------------------------------------------------
+
+@q("q_window_tumbling")
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(T(spark, sf_dir, "events"))
+
+
+@q("q_window_sliding")
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(T(spark, sf_dir, "events"))
+
+
+@q("q_window_session")
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(T(spark, sf_dir, "events"))
+
+
+@q("q_stream_watermark")
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (rows-only): Structured Streaming with watermark, availableNow."""
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    return streaming_tumbling_with_watermark(
+        spark, f"{sf_dir}/events.parquet", schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 LLM-pipeline operators
+# ---------------------------------------------------------------------------
+
+@q("q_dedup_exact")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup groups by sha-256 content hash."""
+    return exact_dedup_groups(T(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@q("q_dedup_near")
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (rows-only): MinHash+LSH candidate pairs."""
+    docs = T(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id")
+
+
+@q("q_dedup_ngram_jaccard")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-exact: n-gram Jaccard similarity pairs (subset for pair bound)."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+@q("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (rows-only): 64-bit SimHash fingerprints."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return simhash64(docs, "text", "doc_id")
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .first()
+    )
+    return list(row["e"])
+
+
+@q("q_vector_topk")
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: exact brute-force cosine top-k vs the vec_id=0 embedding."""
+    em = T(spark, sf_dir, "embeddings")
+    return brute_force_topk(em, _query_vector(spark, sf_dir), k=10)
+
+
+@q("q_vector_topk_ivf")
+def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (rows-only): IVF-style probe of nearest label-cells only."""
+    em = T(spark, sf_dir, "embeddings")
+    return ivf_topk(em, _query_vector(spark, sf_dir), k=10, nprobe=2)
+
+
+@q("q_text_stats")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: token/punct/stopword counts — all integer, exactly comparable."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        punct_count("text").alias("n_punct"),
+        stopword_count("text").alias("n_stopwords"),
+    )
+
+
+@q("q_text_quality")
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: heuristic quality score (fixed-order IEEE expression, pinned)."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", pround(quality_score("text"), 4).alias("quality")
+    )
+
+
+@q("q_lang_id")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: stopword-hit language heuristic with deterministic tie-break."""
+    docs = T(spark, sf_dir, "documents")
+    en = stopword_count("text", STOPWORDS_EN)
+    pt = stopword_count("text", ("de", "a", "o", "que", "e", "do", "da", "em", "um", "para"))
+    es = stopword_count("text", ("de", "la", "que", "el", "en", "y", "a", "los", "se", "del"))
+    return docs.select(
+        "doc_id",
+        en.alias("en_hits"),
+        pt.alias("pt_hits"),
+        es.alias("es_hits"),
+        F.when((en >= pt) & (en >= es), "en")
+        .when(pt >= es, "pt")
+        .otherwise("es")
+        .alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship star query (entry + declared)
+# ---------------------------------------------------------------------------
+
+@q("q_star_flagship")
+def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: revenue per region/nation/year — the reference's
+    BI target query shape (readme.md:3) over the TPC-H-ish star."""
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    na = T(spark, sf_dir, "nation")
+    re = T(spark, sf_dir, "region")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(
+            "r_name", "n_name", F.year("o_orderdate").alias("order_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            pround(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+The reference engine is a single JVM thread with in-heap HashMaps
+(FullETLGenerator.java:27-30, :39-55).  Here the session is configured for
+cluster-scale batch analytics: AQE on (runtime re-planning, skew-join
+splitting, dynamic coalescing of shuffle partitions), Arrow enabled for the
+few pandas-interop points, and parquet nanosecond timestamps readable (the
+driver testdata's ``events`` table is written as TIMESTAMP(NANOS)).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to apply to an externally provided
+# session at runtime — all of these are dynamic SQLConf entries.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS,false); Spark has no nanos type,
+    # so read as bigint nanos and convert (catalog.load_table does this).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-optimization: coalesce tiny shuffle partitions, split skewed
+    # ones, convert to broadcast joins when runtime stats allow.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply dynamic confs to a session we did not build (e.g. the driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-dynamic or restricted in this deployment: keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "java-etl-bi-generator-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or get) a configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and let spark-submit decide.  Shuffle partitions
+    default to the local core count — at 100 TB you would size this to
+    ~2-3x total executor cores (AQE coalescing trims the excess at runtime).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "Etc/UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

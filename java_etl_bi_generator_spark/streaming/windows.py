@@ -1,0 +1,129 @@
+"""Event-time window aggregations (SURVEY.md §2.11; reference is pure batch
+— FullETLGenerator.java has a single ``main`` and two finite file passes —
+so this whole surface is north-star).
+
+The same ``window()`` / ``session_window()`` expressions work identically
+on a batch DataFrame and a streaming one; batch versions are what the
+DuckDB oracle can check, the streaming wrapper adds watermarking.
+Window starts are returned as epoch seconds (bigint) — timezone-proof for
+cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.rounding import pround
+
+
+def tumbling_agg(
+    events: DataFrame, duration: str = "5 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """count + sum(value) per (tumbling window, event_type).  Single shuffle
+    on (window, type); partial aggregation map-side."""
+    return (
+        events.groupBy(F.window(ts_col, duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding windows: each event lands in duration/slide windows."""
+    return (
+        events.groupBy(F.window(ts_col, duration, slide))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "5 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-user session windows (gap-based).  ``session_window`` merges
+    rows whose gaps are < ``gap`` — stateful in streaming, a merge-agg in
+    batch."""
+    return (
+        events.groupBy(F.session_window(ts_col, gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("sess_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_tumbling_with_watermark(
+    spark,
+    events_path: str,
+    schema,
+    duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    query_name: str = "q_stream_watermark",
+) -> DataFrame:
+    """Structured Streaming variant: file source -> watermark -> tumbling
+    agg -> memory sink, run to completion with availableNow (finite
+    backfill).  Returns the materialized batch result.
+
+    On a real cluster this is the continuous pipeline: watermark bounds
+    state (late events beyond it are dropped), availableNow becomes a
+    real trigger, and the memory sink becomes kafka/delta.
+    """
+    import os
+
+    # Spark's streaming file source requires a directory; point it at the
+    # parent dir with a glob for the one table file.
+    base_dir, file_name = os.path.split(events_path.rstrip("/"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_name)
+        .parquet(base_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,62 @@
+"""Dedup + similarity operator behavior tests (beyond the oracle parity)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from java_etl_bi_generator_spark.catalog import load_table
+from java_etl_bi_generator_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from java_etl_bi_generator_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+
+from .conftest import SF_DIR
+
+
+def test_exact_dedup_removes_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    kept = exact_dedup(df, "text", "doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {1, 3}  # min id wins
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = " ".join(f"word{i}" for i in range(60))  # 58 distinct shingles
+    near = base.replace("word30", "changed")        # 3 shingles differ, j≈0.90
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_candidates(df, "text", "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.1).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_ivf_recall_against_brute_force(spark):
+    em = load_table(spark, SF_DIR, "embeddings")
+    q = em.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").cast("array<double>").alias("e")
+    ).first()["e"]
+    exact = [r["vec_id"] for r in brute_force_topk(em, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(em, q, k=10, nprobe=4).collect()]
+    assert exact[0] == 7  # self is nearest
+    # IVF with generous nprobe should recover most of the exact top-10
+    assert len(set(exact) & set(approx)) >= 6

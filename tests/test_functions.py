@@ -1,0 +1,133 @@
+"""Unit + property checks for the quirk expression library (SURVEY.md §5.2-3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from java_etl_bi_generator_spark.functions.dates import (
+    date_key,
+    dow_name_ptbr,
+    month_name_ptbr,
+    parse_date_lenient,
+    quarter_label,
+)
+from java_etl_bi_generator_spark.functions.locale_ptbr import (
+    format_ptbr_decimal,
+    null_or_empty_default,
+    parse_ptbr_decimal,
+)
+from java_etl_bi_generator_spark.functions.rounding import pround
+from java_etl_bi_generator_spark.functions.text import (
+    token_count,
+    word_shingles,
+)
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("1.234,56", 1234.56),
+        ("30000", 30000.0),
+        ("0,5", 0.5),
+        ("", 0.0),          # FullETLGenerator.java:233-234
+        (None, 0.0),
+        ("abc", 0.0),       # :236-238 silently swallowed
+        ("-1.234,5", -1234.5),
+    ],
+)
+def test_parse_ptbr_decimal(spark, raw, expected):
+    assert one(spark, parse_ptbr_decimal(F.lit(raw))) == expected
+
+
+@pytest.mark.parametrize(
+    "x,expected",
+    [(1234.56, "1234,56"), (0.5, "0,50"), (-42.75, "-42,75"), (0.0, "0,00")],
+)
+def test_format_ptbr_decimal(spark, x, expected):
+    assert one(spark, format_ptbr_decimal(F.lit(x))) == expected
+
+
+def test_parse_format_roundtrip(spark):
+    """parse(format(x)) == round(x, 2) — SURVEY §5.2(3)."""
+    df = spark.range(1000).select(
+        ((F.col("id") - 500) * F.lit(7.77)).alias("x")
+    )
+    bad = df.select(
+        (parse_ptbr_decimal(format_ptbr_decimal(F.col("x")))
+         - pround(F.col("x"), 2)).alias("diff")
+    ).filter(F.abs(F.col("diff")) > 1e-9)
+    assert bad.count() == 0
+
+
+@pytest.mark.parametrize(
+    "raw,expected_iso",
+    [
+        ("2023-05-17", "2023-05-17"),
+        ("2023-05-17 10:11:12", "2023-05-17"),  # substring(0,10), :244
+        ("2023", None),                          # too short -> null, :242
+        ("garbage-xx", None),
+        (None, None),
+    ],
+)
+def test_parse_date_lenient(spark, raw, expected_iso):
+    v = one(spark, parse_date_lenient(F.lit(raw).cast("string")))
+    assert (v.isoformat() if v else None) == expected_iso
+
+
+def test_date_key_null_is_zero(spark):
+    """Unparseable date -> 0, not null (FullETLGenerator.java:252)."""
+    assert one(spark, date_key(parse_date_lenient(F.lit("nope")))) == 0
+    assert one(spark, date_key(F.lit("2024-02-29").cast("date"))) == 20240229
+
+
+def test_ptbr_names_and_quarter(spark):
+    d = F.lit("2026-08-16").cast("date")  # a Sunday in August
+    assert one(spark, month_name_ptbr(d)) == "agosto"
+    assert one(spark, dow_name_ptbr(d)) == "domingo"
+    assert one(spark, quarter_label(d)) == "T3"
+
+
+def test_null_or_empty_default(spark):
+    assert one(spark, null_or_empty_default(F.lit(None).cast("string"))) == "N/A"
+    assert one(spark, null_or_empty_default(F.lit("  "))) == "N/A"
+    assert one(spark, null_or_empty_default(F.lit("Sim"))) == "Sim"
+
+
+def test_token_count_and_shingles(spark):
+    assert one(spark, token_count(F.lit("a b  c"))) == 3
+    assert one(spark, token_count(F.lit(""))) == 0
+    assert one(spark, word_shingles(F.lit("a b c d"), 3)) == ["a b c", "b c d"]
+    assert one(spark, word_shingles(F.lit("a b"), 3)) == ["a b"]
+
+
+def test_pround_cross_engine_tie():
+    """The motivating case: for 10.015 Spark round() (BigDecimal HALF_UP on
+    the shortest decimal rendering) and DuckDB round() (binary value) can
+    disagree — pround is one arithmetic expression both evaluate the same."""
+    import duckdb
+
+    du = duckdb.connect().execute(
+        "SELECT floor(10.015::DOUBLE * 100 + 0.5) / 100"
+    ).fetchone()[0]
+    assert du == 10.02  # 10.015 stored as 10.01500000000000057 -> up
+
+
+def test_pround_spark_matches_duckdb(spark):
+    import duckdb
+
+    vals = [10.015, 2.675, -1.005, 0.125, 123456.785]
+    sp = [
+        one(spark, pround(F.lit(v), 2)) for v in vals
+    ]
+    du = [
+        duckdb.connect().execute(
+            f"SELECT floor(({v!r}::DOUBLE) * 100 + 0.5) / 100"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert sp == du

@@ -1,0 +1,49 @@
+"""Differential tests against DuckDB — the same comparison the driver's t2
+harness performs (row count + column set + order-insensitive value hash),
+at sf0.001 for speed.  ``check_parity.py`` runs the identical logic
+standalone at any sf."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from check_parity import frame_fingerprint
+from java_etl_bi_generator_spark.catalog import TABLES
+from java_etl_bi_generator_spark.oracles import ORACLES
+from java_etl_bi_generator_spark.queries import registry
+
+from .conftest import SF_DIR
+
+# Slow rows-only queries exercised in their own tests / parity script.
+ROWS_ONLY = {"q_dedup_near", "q_dedup_simhash", "q_stream_watermark", "q_vector_topk_ivf"}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    fn = registry()[name]
+    df = fn(spark, sf_dir)
+    sp = frame_fingerprint(df.columns, [tuple(r) for r in df.collect()])
+    rel = duck.execute(ORACLES[name])
+    du = frame_fingerprint(
+        [d[0] for d in rel.description], rel.fetchall()
+    )
+    assert sp == du, f"{name}: spark {sp} != duckdb {du}"
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY - {"q_dedup_simhash"}))
+def test_rows_only_queries_produce_rows(name, spark, sf_dir):
+    df = registry()[name](spark, sf_dir)
+    assert df.count() > 0
