@@ -21,7 +21,9 @@ from .text import (
     punct_count,
     quality_score,
     stopword_count,
+    stopword_count_of,
     token_count,
+    token_count_of,
     tokens,
     word_shingles,
 )
@@ -40,7 +42,9 @@ __all__ = [
     "punct_count",
     "quality_score",
     "stopword_count",
+    "stopword_count_of",
     "token_count",
+    "token_count_of",
     "tokens",
     "word_shingles",
     "cosine_similarity",

@@ -36,6 +36,19 @@ def tokens(c: Column | str) -> Column:
     return F.split(F.trim(_col(c)), r"\s+")
 
 
+def token_count_of(toks: Column) -> Column:
+    """Token count given a precomputed ``tokens()`` column.
+
+    Prefer this in multi-metric queries: passing one shared tokens column
+    instead of re-deriving it per metric keeps the generated code small —
+    repeated split() subtrees inflate whole-stage codegen enough to add
+    tens of seconds of JIT time on first execution.
+    """
+    return F.when(
+        (F.size(toks) == 1) & (F.element_at(toks, 1) == ""), F.lit(0)
+    ).otherwise(F.size(toks))
+
+
 def token_count(c: Column | str) -> Column:
     c = _col(c)
     return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
@@ -50,23 +63,34 @@ def punct_count(c: Column | str) -> Column:
     return F.length(F.regexp_replace(_col(c), r"[^.,!?;:]", ""))
 
 
-def stopword_count(c: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+def stopword_count_of(
+    toks: Column, stopwords: tuple[str, ...] = STOPWORDS_EN
+) -> Column:
     stop_arr = F.array(*[F.lit(s) for s in stopwords])
     return F.size(
-        F.filter(tokens(c), lambda t: F.array_contains(stop_arr, F.lower(t)))
+        F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
     )
 
 
-def quality_score(c: Column | str) -> Column:
+def stopword_count(c: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    return stopword_count_of(tokens(c), stopwords)
+
+
+def quality_score(c: Column | str, toks: Column | None = None) -> Column:
     """Heuristic document quality in [0,1]: rewards mid-length docs with a
     sane stopword ratio and low punctuation density (common pretraining
     filter shape — cf. C4/Gopher-style rules, public recipes).  Returned
     unrounded — every term is a fixed-order IEEE expression, so it is
-    bit-reproducible across engines."""
+    bit-reproducible across engines.  Pass a precomputed ``tokens()``
+    column to keep codegen small (see ``token_count_of``)."""
     c = _col(c)
-    n_tok = token_count(c).cast("double")
+    if toks is None:
+        toks = tokens(c)
+    n_tok = token_count_of(toks).cast("double")
     n_chars = F.length(c).cast("double")
-    stop_ratio = F.when(n_tok > 0, stopword_count(c) / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stopword_count_of(toks) / n_tok).otherwise(
+        F.lit(0.0)
+    )
     punct_ratio = F.when(n_chars > 0, punct_count(c) / n_chars).otherwise(F.lit(0.0))
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     return (

@@ -44,8 +44,9 @@ from .functions.text import (
     bpe_ish_token_count,
     punct_count,
     quality_score,
-    stopword_count,
-    token_count,
+    stopword_count_of,
+    token_count_of,
+    tokens,
 )
 from .operators.dedup import (
     exact_dedup_groups,
@@ -669,33 +670,35 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_text_stats")
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: token/punct/stopword counts — all integer, exactly comparable."""
-    docs = T(spark, sf_dir, "documents")
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_calc"),
-        token_count("text").alias("n_tokens"),
+        token_count_of(F.col("__toks")).alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_tokens"),
         punct_count("text").alias("n_punct"),
-        stopword_count("text").alias("n_stopwords"),
+        stopword_count_of(F.col("__toks")).alias("n_stopwords"),
     )
 
 
 @q("q_text_quality")
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: heuristic quality score (fixed-order IEEE expression, pinned)."""
-    docs = T(spark, sf_dir, "documents")
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
     return docs.select(
-        "doc_id", pround(quality_score("text"), 4).alias("quality")
+        "doc_id",
+        pround(quality_score("text", F.col("__toks")), 4).alias("quality"),
     )
 
 
 @q("q_lang_id")
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: stopword-hit language heuristic with deterministic tie-break."""
-    docs = T(spark, sf_dir, "documents")
-    en = stopword_count("text", STOPWORDS_EN)
-    pt = stopword_count("text", ("de", "a", "o", "que", "e", "do", "da", "em", "um", "para"))
-    es = stopword_count("text", ("de", "la", "que", "el", "en", "y", "a", "los", "se", "del"))
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    toks = F.col("__toks")
+    en = stopword_count_of(toks, STOPWORDS_EN)
+    pt = stopword_count_of(toks, ("de", "a", "o", "que", "e", "do", "da", "em", "um", "para"))
+    es = stopword_count_of(toks, ("de", "la", "que", "el", "en", "y", "a", "los", "se", "del"))
     return docs.select(
         "doc_id",
         en.alias("en_hits"),
