@@ -44,30 +44,37 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def _portable_hash64(c, seed: int) -> F.Column:
-    """Deterministic 60-bit integer hash from md5 — portable across engines
-    (same value in DuckDB via the same md5/substr/hex-parse recipe)."""
-    h = F.md5(F.concat(F.lit(str(seed) + "|"), c))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
-
-
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature: for each of ``num_hashes`` seeded hash
-    functions, the min hash over the doc's distinct shingles.
+    """Per-doc MinHash signature: for each of ``num_hashes`` hash functions,
+    the min hash over the doc's distinct shingles.
 
-    Layout: explode shingles (rows = docs x shingles), compute the hash
-    family per row, partial-aggregate min per doc — one shuffle on doc id,
+    The hash family is Kirsch-Mitzenmacher double hashing (h1 + i*h2 over
+    two halves of ONE md5 per shingle — public technique from the Bloom
+    filter literature): one digest instead of ``num_hashes`` digests per
+    shingle, which is the dominant cost at corpus scale.
+
+    Layout: explode shingles (rows = docs x shingles), derive the family
+    per row, partial-aggregate min per doc — one shuffle on doc id,
     map-side combined.  No pairwise work.
     """
+    mask = (1 << 60) - 1  # keep everything positive in bigint arithmetic
+    # h1: 60 bits, h2: 48 bits — i*h2 + h1 stays far below 2^63 even for
+    # large hash families (ANSI mode makes long overflow an error).
     shingled = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(F.md5("sh"), 17, 12), 16, 10).cast("bigint").alias("h2"),
     )
     aggs = [
-        F.min(_portable_hash64(F.col("sh"), seed)).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
+        F.min(
+            (F.col("h1") + F.lit(i) * F.col("h2")).bitwiseAND(F.lit(mask))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
 
@@ -158,6 +165,40 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"))
             .otherwise(F.lit(0).cast("bigint"))
         ).alias("simhash")
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity — exact pairwise
+    scoring (the verification / small-candidate-set path).
+
+    At corpus scale the pairwise join is the wrong shape: bucket first
+    (``similarity.lsh_bucket_topk``'s hyperplane signature, or IVF cells)
+    and run this only within buckets.  Kept exact here so it can be
+    oracle-checked.
+    """
+    from ..functions.rounding import pround as _pr
+    from ..functions.vectors import as_double_array, cosine_similarity
+
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _pr(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 

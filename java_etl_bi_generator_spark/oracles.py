@@ -58,10 +58,11 @@ _QUALITY_EXPR = f"""
               ELSE 0.0 END) * 10.0, 1.0))
 """
 
+# 2-word shingles (mirrors word_shingles(text, 2) in queries.py)
 _SHINGLES = """
-  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-       ELSE list_transform(range(1, len(toks) - 1),
-                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])
   END
 """
 
@@ -349,7 +350,21 @@ ORACLES: dict[str, str] = {
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)} >= 0.2
+        WHERE {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)} >= 0.01
+    """,
+    "q_embed_neardup": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 300)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {pround_sql(
+                   'list_dot_product(a.v, b.v) / '
+                   '(sqrt(list_dot_product(a.v, a.v)) * '
+                   'sqrt(list_dot_product(b.v, b.v)))', 6)} AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {pround_sql(
+                   'list_dot_product(a.v, b.v) / '
+                   '(sqrt(list_dot_product(a.v, a.v)) * '
+                   'sqrt(list_dot_product(b.v, b.v)))', 6)} >= 0.3
     """,
     "q_vector_topk": f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

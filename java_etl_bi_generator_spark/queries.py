@@ -49,6 +49,7 @@ from .functions.text import (
     tokens,
 )
 from .operators.dedup import (
+    embedding_cosine_pairs,
     exact_dedup_groups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -631,9 +632,13 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_dedup_ngram_jaccard")
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-exact: n-gram Jaccard similarity pairs (subset for pair bound)."""
+    """L2-exact: n-gram Jaccard similarity pairs (subset for pair bound).
+
+    n=2 shingles and a low threshold so the word-salad testdata actually
+    yields scored pairs — the hash check then covers join + ratio math,
+    not just an empty result."""
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.01)
 
 
 @q("q_dedup_simhash")
@@ -641,6 +646,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (rows-only): 64-bit SimHash fingerprints."""
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return simhash64(docs, "text", "doc_id")
+
+
+@q("q_embed_neardup")
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: embedding-cosine near-dup pairs (exact pairwise on a bounded
+    subset; the corpus-scale path buckets first — see operators/dedup.py).
+    Threshold 0.3 is fixture-tuned: the synthetic embeddings are near-
+    orthogonal, so a production 0.9 would make the check vacuous."""
+    em = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return embedding_cosine_pairs(em, threshold=0.3)
+
+
+@q("q_stream_stateful")
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (rows-only): custom stateful operator via applyInPandasWithState."""
+    from .streaming.stateful import streaming_user_profiles
+
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    return streaming_user_profiles(spark, f"{sf_dir}/events.parquet", schema)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:

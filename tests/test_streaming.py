@@ -1,0 +1,40 @@
+"""Streaming correctness: with a finite availableNow backfill and no late
+data, the streaming results must equal their batch equivalents."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from java_etl_bi_generator_spark.catalog import load_table
+from java_etl_bi_generator_spark.functions.rounding import pround
+from java_etl_bi_generator_spark.queries import registry
+
+
+def test_stateful_profiles_match_batch(spark, sf_dir):
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in registry()["q_stream_stateful"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, s) in want.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - s) < 0.02
+
+
+def test_watermark_stream_matches_batch_tumbling(spark, sf_dir):
+    stream_rows = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in registry()["q_stream_watermark"](spark, sf_dir).collect()
+    }
+    batch_rows = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in registry()["q_window_tumbling"](spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
