@@ -25,3 +25,22 @@ def pround(c: Column, ndigits: int = 2) -> Column:
 def pround_sql(expr: str, ndigits: int = 2) -> str:
     scale = 10**ndigits
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def dsum(c: Column, scale: int = 2) -> Column:
+    """Exact sum of fixed-decimal values: cast to DECIMAL, sum in integer
+    arithmetic (order-independent — float summation order varies with
+    partitioning and differs between engines), cast back to double.
+
+    ``pround`` pins a float sum only while both engines feed it the *same*
+    double; a parallel sum does not guarantee that, and a group whose sum
+    lands near a rounding boundary then hashes differently (observed in
+    practice).  Decimal aggregation removes the problem at the source, and
+    is what a production pipeline should do with money anyway.
+    Requires inputs that are true fixed-decimal quantities at ``scale``.
+    """
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"

@@ -19,7 +19,7 @@ state / LSH banding / IVF probing are not ANSI-SQL-expressible.
 
 from __future__ import annotations
 
-from .functions.rounding import pround_sql
+from .functions.rounding import dsum_sql, pround_sql
 
 _PTBR_MONTHS = (
     "['janeiro','fevereiro','março','abril','maio','junho','julho',"
@@ -98,13 +98,13 @@ ORACLES: dict[str, str] = {
     ),
     "q_join_inner": (
         "SELECT o_orderstatus, count(*) AS n_lines, "
-        f"{pround_sql('sum(l_extendedprice)', 2)} AS sum_price "
+        f"{dsum_sql('l_extendedprice')} AS sum_price "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY o_orderstatus"
     ),
     "q_join_star_3way": (
         "SELECT n_name, count(*) AS n_lines, "
-        f"{pround_sql('sum(l_extendedprice * (1.0 - l_discount))', 2)} AS revenue "
+        f"{dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
@@ -131,15 +131,15 @@ ORACLES: dict[str, str] = {
     ),
     "q_groupby_sum": (
         "SELECT l_returnflag, l_linestatus, "
-        f"{pround_sql('sum(l_quantity)', 2)} AS sum_qty, "
-        f"{pround_sql('sum(l_extendedprice)', 2)} AS sum_base_price, "
+        f"{dsum_sql('l_quantity')} AS sum_qty, "
+        f"{dsum_sql('l_extendedprice')} AS sum_base_price, "
         "count(*) AS count_order "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
     "q_groupby_multi_agg": (
         "SELECT o_orderpriority, count(*) AS n_orders, "
-        f"{pround_sql('sum(o_totalprice)', 2)} AS sum_price, "
-        f"{pround_sql('avg(o_totalprice)', 2)} AS avg_price, "
+        f"{dsum_sql('o_totalprice')} AS sum_price, "
+        f"{pround_sql(dsum_sql('o_totalprice') + ' / count(*)', 2)} AS avg_price, "
         "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
         "FROM orders GROUP BY o_orderpriority"
     ),
@@ -150,7 +150,7 @@ ORACLES: dict[str, str] = {
     ),
     "q_rollup": (
         "SELECT l_returnflag, l_linestatus, "
-        f"{pround_sql('sum(l_quantity)', 2)} AS sum_qty, "
+        f"{dsum_sql('l_quantity')} AS sum_qty, "
         "count(*) AS n_rows, "
         "CAST(grouping(l_returnflag) AS INT) AS g_flag, "
         "CAST(grouping(l_linestatus) AS INT) AS g_status "
@@ -186,12 +186,9 @@ ORACLES: dict[str, str] = {
     ),
     "q_window_running_sum": (
         "SELECT o_orderkey, o_custkey, "
-        + pround_sql(
-            "sum(o_totalprice) OVER (PARTITION BY o_custkey "
-            "ORDER BY o_orderdate, o_orderkey "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
-            2,
-        )
+        + "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey "
+        + "ORDER BY o_orderdate, o_orderkey "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
         + " AS running_spend FROM orders"
     ),
     # --- generators ---
@@ -295,12 +292,12 @@ ORACLES: dict[str, str] = {
     "q_window_tumbling": (
         "SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start, "
         "event_type, count(*) AS n_events, "
-        f"{pround_sql('sum(value)', 2)} AS sum_value "
+        f"{dsum_sql('value')} AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
     "q_window_sliding": (
         "SELECT win_start, count(*) AS n_events, "
-        f"{pround_sql('sum(value)', 2)} AS sum_value FROM ("
+        f"{dsum_sql('value')} AS sum_value FROM ("
         "  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start, value"
         "  FROM events"
         "  UNION ALL"
@@ -324,10 +321,33 @@ ORACLES: dict[str, str] = {
         SELECT user_id,
                CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
                count(*) AS n_events,
-               {pround_sql('sum(value)', 2)} AS sum_value
+               {dsum_sql('value')} AS sum_value
         FROM s GROUP BY user_id, sess_no
     """,
     # --- LLM ops ---
+    "q_dedup_simhash": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        bits AS (
+          SELECT doc_id, md5(tok) AS h, unnest(range(0, 64)) AS pos FROM toks
+        ),
+        votes AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN (
+                     (strpos('0123456789abcdef',
+                             substr(h, CAST(pos // 4 AS INT) + 1, 1)) - 1)
+                     & (1 << (3 - CAST(pos % 4 AS INT)))
+                 ) > 0 THEN 1 ELSE -1 END) AS v
+          FROM bits GROUP BY doc_id, pos
+        )
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(pos AS INT)
+                        ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
     "q_dedup_exact": (
         "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, "
         "count(*) AS dup_count FROM documents GROUP BY sha256(text)"
@@ -412,7 +432,7 @@ ORACLES: dict[str, str] = {
     "q_star_flagship": (
         "SELECT r_name, n_name, CAST(year(o_orderdate) AS INT) AS order_year, "
         "count(*) AS n_lines, "
-        f"{pround_sql('sum(l_extendedprice * (1.0 - l_discount))', 2)} AS revenue "
+        f"{dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "

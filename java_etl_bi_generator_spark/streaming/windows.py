@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.rounding import pround
+from ..functions.rounding import dsum
 
 
 def tumbling_agg(
@@ -26,7 +26,7 @@ def tumbling_agg(
         events.groupBy(F.window(ts_col, duration), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            pround(F.sum("value"), 2).alias("sum_value"),
+            dsum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.unix_timestamp("window.start").alias("win_start"),
@@ -48,7 +48,7 @@ def sliding_agg(
         events.groupBy(F.window(ts_col, duration, slide))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            pround(F.sum("value"), 2).alias("sum_value"),
+            dsum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.unix_timestamp("window.start").alias("win_start"),
@@ -68,7 +68,7 @@ def session_agg(
         events.groupBy(F.session_window(ts_col, gap), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            pround(F.sum("value"), 2).alias("sum_value"),
+            dsum(F.col("value")).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -109,7 +109,7 @@ def streaming_tumbling_with_watermark(
         .groupBy(F.window("ts", duration), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            pround(F.sum("value"), 2).alias("sum_value"),
+            dsum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.unix_timestamp("window.start").alias("win_start"),

@@ -1,0 +1,42 @@
+"""Reference CSV dialect round-trips (FullETLGenerator.java:20,31-38,61-66):
+`;` delimiter, header, ISO-8859-1 encoding, whitespace trim."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+from java_etl_bi_generator_spark.sources.csv_ref import (
+    read_reference_csv,
+    write_reference_csv,
+)
+
+
+def test_latin1_accents_roundtrip(spark):
+    rows = [
+        ("UHE.1", "Usina São João", "Hídrica"),
+        ("EOL.2", "Parque Eólico Osório", "Eólica"),
+        ("UTE.3", "Térmica Açu", "Fóssil"),
+    ]
+    df = spark.createDataFrame(rows, ["cod", "nome", "origem"])
+    out = tempfile.mkdtemp(prefix="csv_dialect_") + "/t"
+    write_reference_csv(df, out)
+    back = read_reference_csv(spark, out, "cod string, nome string, origem string")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+    # bytes on disk really are ISO-8859-1 (ã = 0xE3, not UTF-8 0xC3 0xA3)
+    raw = b"".join(
+        open(p, "rb").read()
+        for p in glob.glob(out + "/part-*")
+        if not p.endswith(".crc")
+    )
+    assert b"S\xe3o Jo\xe3o" in raw
+    assert b"\xc3\xa3" not in raw
+
+
+def test_semicolon_delimiter_and_trim(spark):
+    src = tempfile.mkdtemp(prefix="csv_trim_") + "/in.csv"
+    with open(src, "w", encoding="ISO-8859-1") as f:
+        f.write("a;b\n  x  ; 1 \n")
+    df = read_reference_csv(spark, src, "a string, b string")
+    row = df.first()
+    assert row["a"] == "x" and row["b"] == "1"  # setTrim(true) equivalent

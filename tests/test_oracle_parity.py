@@ -15,8 +15,15 @@ from java_etl_bi_generator_spark.queries import registry
 
 from .conftest import SF_DIR
 
-# Slow rows-only queries exercised in their own tests / parity script.
-ROWS_ONLY = {"q_dedup_near", "q_dedup_simhash", "q_stream_watermark", "q_vector_topk_ivf"}
+# Rows-only queries (no oracle): streaming state, LSH banding, IVF probing,
+# HLL sketches.  Streaming ones are exercised in test_streaming.py.
+ROWS_ONLY = {
+    "q_dedup_near",
+    "q_stream_watermark",
+    "q_stream_stateful",
+    "q_vector_topk_ivf",
+    "q_approx_count_distinct",
+}
 
 
 @pytest.fixture(scope="module")
@@ -43,7 +50,9 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert sp == du, f"{name}: spark {sp} != duckdb {du}"
 
 
-@pytest.mark.parametrize("name", sorted(ROWS_ONLY - {"q_dedup_simhash"}))
+@pytest.mark.parametrize(
+    "name", sorted(ROWS_ONLY - {"q_stream_watermark", "q_stream_stateful"})
+)
 def test_rows_only_queries_produce_rows(name, spark, sf_dir):
     df = registry()[name](spark, sf_dir)
     assert df.count() > 0
