@@ -124,6 +124,39 @@ ORACLES: dict[str, str] = {
         "('high', 5000.0, 100000.0)) AS t(tier, lo, hi) "
         "ON c_acctbal >= lo AND c_acctbal < hi"
     ),
+    "q_join_asof": """
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, max(value) AS rv FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id,
+               CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+               l.value, r.rv AS last_purchase_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    "q_pivot": (
+        "SELECT l_returnflag, "
+        "count(*) FILTER (WHERE l_linestatus = 'F') AS n_f, "
+        "count(*) FILTER (WHERE l_linestatus = 'O') AS n_o "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "q_unpivot": (
+        "SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part "
+        "UNION ALL "
+        "SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part"
+    ),
+    "q_scalar_subquery": (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > "
+        f"(SELECT {dsum_sql('o_totalprice')} / count(*) FROM orders)"
+    ),
+    "q_percentile": (
+        "SELECT l_returnflag, "
+        f"{pround_sql('quantile_cont(l_quantity, 0.25)', 6)} AS p25_qty, "
+        f"{pround_sql('quantile_cont(l_quantity, 0.5)', 6)} AS p50_qty, "
+        f"{pround_sql('quantile_cont(l_quantity, 0.75)', 6)} AS p75_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
     # --- aggregations ---
     "q_minmax_date": (
         "SELECT min(CAST(o_orderdate AS DATE)) AS min_orderdate, "

@@ -248,6 +248,33 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_acctbal", "tier")
 
 
+@q("q_join_asof")
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks it; composed from union + window — see
+    operators/asof.py): each click event matched to the user's most recent
+    purchase at or before it.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rv"))
+    )
+    joined = asof_join(left, right, on="user_id", ts_col="ts",
+                       right_value_cols=["rv"], suffix="")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "value",
+        F.col("rv").alias("last_purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Aggregations
 # ---------------------------------------------------------------------------
@@ -341,6 +368,63 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_lines"))
         .filter(F.col("n_lines") >= 5)
+    )
+
+
+@q("q_pivot")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI pivot: line counts per returnflag x linestatus as columns.
+    Explicit pivot values keep the plan a single pass (no distinct-scan)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o"})
+    )
+
+
+@q("q_unpivot")
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt wide columns into (metric, val) rows."""
+    pt = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return pt.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@q("q_scalar_subquery")
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price (scalar subquery shape; the
+    scalar is a deterministic decimal-sum average, broadcast to the scan)."""
+    od = T(spark, sf_dir, "orders")
+    avg_df = od.agg(
+        (dsum(F.col("o_totalprice")) / F.count(F.lit(1))).alias("__avg")
+    )
+    return (
+        od.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@q("q_percentile")
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (A-family extension).
+    The 100 TB path is approx_percentile; exact is the oracle-checkable
+    baseline."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25_qty"),
+        pround(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        pround(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75_qty"),
     )
 
 
