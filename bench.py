@@ -43,9 +43,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = registry()
 
-    # Warm the JVM/codegen paths on a cheap query so measured times are
-    # steady-state, not first-compile.
-    qs["q_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Warm JVM/codegen on each headline plan at the smallest SF so measured
+    # times are steady-state execution, not first-compile JIT (a long-lived
+    # cluster session never pays that per query).  Data volume at sf0.001
+    # is negligible (~1k-6k rows/table).
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -448,6 +448,36 @@ ORACLES: dict[str, str] = {
     "q_text_quality": (
         f"SELECT doc_id, {pround_sql(_QUALITY_EXPR, 4)} AS quality FROM documents"
     ),
+    "q_text_clean": r"""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\s+', ' ', 'g')) AS clean_text,
+               CAST(length(trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\s+', ' ', 'g'))) AS INT) AS clean_len
+        FROM documents
+    """,
+    "q_corpus_filter": f"""
+        SELECT doc_id, lang, n_tokens, quality FROM (
+          SELECT doc_id, lang,
+                 CAST({_N_TOKENS} AS INT) AS n_tokens,
+                 {pround_sql(_QUALITY_EXPR, 4)} AS quality
+          FROM documents
+        ) t WHERE n_tokens >= 20 AND quality >= 0.35
+    """,
+    "q_vocab_topk": f"""
+        SELECT token, count(*) AS doc_freq FROM (
+          SELECT doc_id, unnest(list_distinct({_TOKENS})) AS token
+          FROM documents
+        ) t GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 30
+    """,
     "q_lang_id": f"""
         SELECT doc_id, en_hits, pt_hits, es_hits,
                CASE WHEN en_hits >= pt_hits AND en_hits >= es_hits THEN 'en'

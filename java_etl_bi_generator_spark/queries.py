@@ -816,6 +816,69 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_text_clean")
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: scrubbing pass — mask URLs and emails, collapse whitespace
+    (standard pretraining-corpus hygiene; pure regexp expressions)."""
+    docs = T(spark, sf_dir, "documents")
+    url = r"https?://\S+"
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col("text"), url, "<URL>"), email, "<EMAIL>"
+    )
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return docs.select(
+        "doc_id", cleaned.alias("clean_text"), F.length(cleaned).alias("clean_len")
+    )
+
+
+@q("q_corpus_filter")
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: end-to-end quality filter — the keep-set a pretraining pipeline
+    would emit (length band + quality floor), with the reasons columns."""
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    n_tok = token_count_of(F.col("__toks"))
+    qual = pround(quality_score("text", F.col("__toks")), 4)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            qual.alias("quality"),
+        )
+        .filter((F.col("n_tokens") >= 20) & (F.col("quality") >= 0.35))
+    )
+
+
+@q("q_vocab_topk")
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus vocabulary — top-30 tokens by document frequency.
+    The classic skew case (stopwords dominate): partial aggregation
+    absorbs the skew map-side before the shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens("text"))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(30)
+    )
+
+
+@q("q_dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (rows-only): near-dup candidate pairs -> connected components ->
+    cluster assignment (iterative label propagation; not SQL-expressible)."""
+    from .operators.graph import connected_components
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.05)
+    return connected_components(pairs)
+
+
 @q("q_lang_id")
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: stopword-hit language heuristic with deterministic tie-break."""

@@ -60,3 +60,25 @@ def test_ivf_recall_against_brute_force(spark):
     assert exact[0] == 7  # self is nearest
     # IVF with generous nprobe should recover most of the exact top-10
     assert len(set(exact) & set(approx)) >= 6
+
+
+def test_connected_components_clusters(spark):
+    from java_etl_bi_generator_spark.operators.graph import (
+        connected_components,
+        dedup_keep_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], ["id_a", "id_b"]
+    )
+    comps = {r["node"]: r["component"]
+             for r in connected_components(pairs).collect()}
+    # {1,2,3,8,9} chain through 9-1; {5,6} separate
+    assert comps[1] == comps[2] == comps[3] == comps[8] == comps[9] == 1
+    assert comps[5] == comps[6] == 5
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)],
+                                 ["doc_id", "text"])
+    kept = {r["doc_id"]
+            for r in dedup_keep_representatives(docs, pairs, "doc_id").collect()}
+    assert kept == {0, 1, 4, 5, 7}  # one representative per cluster
