@@ -289,6 +289,10 @@ ORACLES: dict[str, str] = {
     "q_concat_ws": (
         "SELECT p_partkey, concat_ws(';', p_brand, p_type) AS part_key FROM part"
     ),
+    "q_json_extract": (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS prop_k "
+        "FROM events"
+    ),
     "q_string_funcs": (
         "SELECT doc_id, upper(lang) AS lang_u, CAST(length(text) AS INT) AS n_len, "
         "substr(text, 1, 20) AS prefix, "

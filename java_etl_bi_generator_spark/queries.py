@@ -607,6 +607,17 @@ def q_concat_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_json_extract")
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: JSON field extraction from events.props
+    (get_json_object — JVM-side JSON path, no UDF)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
 @q("q_string_funcs")
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star string surface over documents.text."""
