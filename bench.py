@@ -23,7 +23,9 @@ from java_etl_bi_generator_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q_star_flagship",       # 5-table star join + rollup
-    "q_groupby_sum",         # TPC-H-Q1-shaped scan+agg
+    "q_tpch_q1",             # TPC-H Q1 pricing summary (full agg set)
+    "q_tpch_q5",             # TPC-H Q5 six-table local-supplier volume
+    "q_groupby_sum",         # grouped sums over the fact table
     "q_join_star_3way",      # star join
     "q_join_broadcast_left", # broadcast left join
     "q_window_running_sum",  # window frame agg

@@ -495,6 +495,131 @@ ORACLES: dict[str, str] = {
           FROM documents
         ) t
     """,
+    # --- TPC-H set (adapted where the synthetic schema lacks columns;
+    #     see tpch.py docstrings) ---
+    "q_tpch_q1": f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               {dsum_sql('l_extendedprice')} AS sum_base_price,
+               {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS sum_disc_price,
+               {dsum_sql('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 6)} AS sum_charge,
+               {pround_sql(dsum_sql('l_quantity') + ' / count(*)', 6)} AS avg_qty,
+               {pround_sql(dsum_sql('l_extendedprice') + ' / count(*)', 6)} AS avg_price,
+               {pround_sql(dsum_sql('l_discount') + ' / count(*)', 6)} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-30'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_tpch_q3": f"""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+               {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND CAST(o_orderdate AS DATE) < DATE '1998-06-30'
+          AND CAST(l_shipdate AS DATE) > DATE '1998-06-30'
+        GROUP BY l_orderkey, odate
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    "q_tpch_q5": f"""
+        SELECT n_name,
+               {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q_tpch_q6": f"""
+        SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "q_tpch_q7": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q_tpch_q8": f"""
+        WITH vol AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+        )
+        SELECT o_year,
+               {pround_sql(
+                   "CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume "
+                   "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) "
+                   "/ CAST(sum(volume) AS DOUBLE)", 6)} AS mkt_share
+        FROM vol GROUP BY o_year
+    """,
+    "q_tpch_q10": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    "q_tpch_q14": f"""
+        SELECT {pround_sql(
+            "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' "
+            "THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) "
+            "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / "
+            + dsum_sql('l_extendedprice * (1.0 - l_discount)', 4), 6)}
+            AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+    """,
+    "q_tpch_q18": f"""
+        WITH big AS (
+          SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING {dsum_sql('l_quantity')} > 220
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS odate, o_totalprice, total_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_tpch_q19": f"""
+        SELECT {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 40)
+    """,
     # --- flagship ---
     "q_star_flagship": (
         "SELECT r_name, n_name, CAST(year(o_orderdate) AS INT) AS order_year, "

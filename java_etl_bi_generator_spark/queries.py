@@ -950,3 +950,7 @@ def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+# Register the TPC-H query set (module imports back into this registry).
+from . import tpch  # noqa: E402,F401  (import side effect: @q registration)
