@@ -199,6 +199,51 @@ ORACLES: dict[str, str] = {
         "SELECT l_orderkey, count(*) AS n_lines FROM lineitem "
         "GROUP BY l_orderkey HAVING count(*) >= 5"
     ),
+    "q_merge_upsert": """
+        WITH updates AS (
+          SELECT c_custkey, upper(c_name) AS c_name, c_nationkey,
+                 CAST(0.0 AS DOUBLE) AS c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 'NEW_' || c_name, c_nationkey,
+                 c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 97 = 0
+        )
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        UNION ALL SELECT * FROM updates
+    """,
+    "q_profile": """
+        SELECT 'c_custkey' AS "column", count(*) AS n_rows,
+               count(*) FILTER (WHERE c_custkey IS NULL) AS n_nulls,
+               count(DISTINCT c_custkey) AS n_distinct,
+               CAST(min(c_custkey) AS VARCHAR) AS min_str,
+               CAST(max(c_custkey) AS VARCHAR) AS max_str FROM customer
+        UNION ALL
+        SELECT 'c_name', count(*),
+               count(*) FILTER (WHERE c_name IS NULL),
+               count(DISTINCT c_name),
+               CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', count(*),
+               count(*) FILTER (WHERE c_nationkey IS NULL),
+               count(DISTINCT c_nationkey),
+               CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'c_acctbal', count(*),
+               count(*) FILTER (WHERE c_acctbal IS NULL),
+               count(DISTINCT c_acctbal),
+               CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', count(*),
+               count(*) FILTER (WHERE c_mktsegment IS NULL),
+               count(DISTINCT c_mktsegment),
+               CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+        FROM customer
+    """,
     # --- window functions ---
     "q_window_rank": (
         "SELECT c_custkey, c_nationkey, c_acctbal, "

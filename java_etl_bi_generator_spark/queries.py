@@ -428,6 +428,51 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_merge_upsert")
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETL MERGE shape: updates replace matched keys, unmatched insert
+    (operators/upsert.py; the reference only full-rebuilds its dims)."""
+    from .operators.upsert import merge_upsert
+
+    cu = T(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    updated = (
+        cu.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    inserted = (
+        cu.filter(F.col("c_custkey") % 97 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )
+    return merge_upsert(
+        cu.select(*cols), updated.unionByName(inserted), "c_custkey"
+    )
+
+
+@q("q_profile")
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: one-pass per-column null/distinct/min/max stats
+    (operators/profile.py)."""
+    from .operators.profile import profile_table
+
+    return profile_table(
+        T(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 Window functions
 # ---------------------------------------------------------------------------

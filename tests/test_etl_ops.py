@@ -1,0 +1,95 @@
+"""Skew mitigation, upsert/SCD2, and profiling operator behavior."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from java_etl_bi_generator_spark.catalog import load_table
+from java_etl_bi_generator_spark.operators.profile import profile_table
+from java_etl_bi_generator_spark.operators.skew import salted_join, two_phase_agg
+from java_etl_bi_generator_spark.operators.upsert import merge_upsert, scd2_apply
+
+from .conftest import SF_DIR
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = li.join(od, "l_orderkey").groupBy("o_orderstatus").count()
+    salted = (
+        salted_join(li, od, "l_orderkey", salt_buckets=4)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_agg_matches_direct(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    direct = {
+        (r["event_type"]): (r["n"], round(r["s"], 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"]): (r["n"], round(r["s"], 2))
+        for r in two_phase_agg(
+            ev.withColumnsRenamed({"value": "s"}).withColumn("n", F.lit(1)),
+            "event_type",
+            {"n": "count", "s": "sum"},
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], ["k", "name", "v"]
+    )
+    got = {r["k"]: (r["name"], r["v"])
+           for r in merge_upsert(target, updates, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0),
+                   4: ("d", 40.0)}
+
+
+def test_scd2_closes_and_opens_versions(spark):
+    d = datetime.date
+    current = spark.createDataFrame(
+        [
+            (1, "addr_v1", d(2020, 1, 1), d(9999, 12, 31), 1),
+            (2, "addr_b", d(2021, 5, 1), d(9999, 12, 31), 1),
+            (1, "addr_v0", d(2018, 1, 1), d(2020, 1, 1), 0),
+        ],
+        ["k", "addr", "valid_from", "valid_to", "is_current"],
+    )
+    changes = spark.createDataFrame(
+        [(1, "addr_v2", d(2024, 3, 1))], ["k", "addr", "valid_from"]
+    )
+    out = scd2_apply(current, changes, "k").collect()
+    rows = {(r["k"], r["addr"]): (r["valid_to"], r["is_current"]) for r in out}
+    assert rows[(1, "addr_v1")] == (d(2024, 3, 1), 0)     # closed out
+    assert rows[(1, "addr_v2")] == (d(9999, 12, 31), 1)   # new current
+    assert rows[(2, "addr_b")] == (d(9999, 12, 31), 1)    # untouched
+    assert rows[(1, "addr_v0")] == (d(2020, 1, 1), 0)     # history intact
+    assert len(rows) == 4
+
+
+def test_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x")], ["id", "s"]
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 3
+    assert prof["id"]["n_nulls"] == 0
+    assert prof["id"]["n_distinct"] == 3
+    assert prof["s"]["n_nulls"] == 1
+    assert prof["s"]["n_distinct"] == 1
+    assert prof["s"]["min_str"] == "x"
