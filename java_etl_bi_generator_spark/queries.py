@@ -766,6 +766,22 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_stream_join")
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family (rows-only): watermarked stream-stream interval join."""
+    from .streaming.joins import streaming_interval_join
+
+    return streaming_interval_join(spark, f"{sf_dir}/events.parquet")
+
+
+@q("q_stream_dedup")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (rows-only): dropDuplicatesWithinWatermark stateful dedup."""
+    from .streaming.joins import streaming_dedup
+
+    return streaming_dedup(spark, f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # §2.12 LLM-pipeline operators
 # ---------------------------------------------------------------------------

@@ -1,0 +1,120 @@
+"""Stream-stream join and stateful dedup (SURVEY.md §2.11 T4/T5 family).
+
+Both use the Structured Streaming micro-batch engine with watermarks
+bounding state retention:
+
+- ``streaming_interval_join``: clicks x purchases per user within a time
+  interval — state on both sides is purged once the watermark passes the
+  join window (the canonical funnel/attribution join).
+- ``streaming_dedup``: ``dropDuplicatesWithinWatermark`` keeps one row per
+  id with state bounded by the watermark horizon (exactly-once-ish ingest
+  hygiene for at-least-once sources).
+
+Run with availableNow + memory sink for the finite testdata; on a real
+cluster the same code runs continuously against kafka/delta.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    base_dir, file_name = os.path.split(events_path.rstrip("/"))
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", file_name)
+        .parquet(base_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    interval: str = "30 minutes",
+    query_name: str = "q_stream_join",
+) -> DataFrame:
+    """Purchases within ``interval`` after a click, per user."""
+    clicks = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {interval}")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        "purchase_value",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "q_stream_dedup",
+) -> DataFrame:
+    """State-bounded exact dedup on (user_id, event_type) within the
+    watermark horizon — duplicates arriving later than the horizon are the
+    at-least-once residue a downstream exact dedup would catch."""
+    stream = (
+        _event_stream(spark, events_path)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -38,3 +38,39 @@ def test_watermark_stream_matches_batch_tumbling(spark, sf_dir):
         for r in registry()["q_window_tumbling"](spark, sf_dir).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    stream_rows = {
+        (r["click_id"], r["purchase_id"])
+        for r in registry()["q_stream_join"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_rows = {
+        (r["click_id"], r["purchase_id"])
+        for r in clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("interval 30 minutes")),
+        ).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_stream_dedup_one_row_per_key(spark, sf_dir):
+    out = registry()["q_stream_dedup"](spark, sf_dir).collect()
+    keys = [(r["user_id"], r["event_type"]) for r in out]
+    assert len(keys) == len(set(keys))
+    assert len(keys) > 0
