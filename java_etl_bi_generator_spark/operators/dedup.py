@@ -112,6 +112,10 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    # The self-join would otherwise recompute the whole shingle->signature
+    # pipeline for each side; materialize it once (at corpus scale you
+    # would write signatures to a table instead).
+    buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
