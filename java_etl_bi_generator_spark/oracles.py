@@ -665,6 +665,165 @@ ORACLES: dict[str, str] = {
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 40)
     """,
+    "q_tpch_q2": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        eu AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ),
+        cand AS (SELECT * FROM ps JOIN eu ON l_suppkey = s_suppkey),
+        mins AS (
+          SELECT l_partkey AS mp, min(s_acctbal) AS min_bal
+          FROM cand GROUP BY l_partkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM cand JOIN part ON l_partkey = p_partkey
+        JOIN mins ON mp = p_partkey AND s_acctbal = min_bal
+        WHERE p_type = 'PROMO' AND p_size <= 15
+        ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC LIMIT 100
+    """,
+    "q_tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+        GROUP BY o_orderpriority
+    """,
+    "q_tpch_q9": """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sum_profit
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    "q_tpch_q11": """
+        WITH j AS (
+          SELECT l_partkey,
+                 CAST(l_quantity * p_retailprice AS DECIMAL(18,2)) AS val
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+        ),
+        v AS (
+          SELECT l_partkey AS partkey, CAST(sum(val) AS DOUBLE) AS part_value
+          FROM j GROUP BY l_partkey
+        )
+        SELECT partkey, part_value FROM v
+        WHERE part_value > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM j)
+    """,
+    "q_tpch_q12": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+          AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        GROUP BY l_returnflag
+    """,
+    "q_tpch_q13": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+          GROUP BY c_custkey
+        ) t
+        GROUP BY c_count
+    """,
+    "q_tpch_q15": f"""
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)}
+                   AS total_revenue
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "q_tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q_tpch_q17": f"""
+        SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#2'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = part.p_partkey)
+    """,
+    "q_tpch_q20": f"""
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA' AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%widget%'
+            AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING {dsum_sql('l_quantity')} > 50)
+    """,
+    "q_tpch_q21": """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND CAST(l3.l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC LIMIT 100
+    """,
+    "q_tpch_q22": f"""
+        SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+               {dsum_sql('c_acctbal')} AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 2, 3, 13, 17)
+          AND c_acctbal > (
+            SELECT {dsum_sql('c_acctbal')} / count(*) FROM customer
+            WHERE c_acctbal > 0 AND c_nationkey IN (1, 2, 3, 13, 17))
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+    """,
     # --- flagship ---
     "q_star_flagship": (
         "SELECT r_name, n_name, CAST(year(o_orderdate) AS INT) AS order_year, "

@@ -4,10 +4,21 @@ Tableau as the reference's consumers; TPC-H is the canonical stand-in).
 
 Adaptations to the synthetic schema are per-query-documented: the testdata
 lacks partsupp, l_commitdate/l_receiptdate/l_shipmode, o_comment/
-o_shippriority and c_phone, so Q2/Q4/Q9/Q11/Q12/Q13/Q15-Q17/Q20-Q22 are
-not implementable verbatim; the ten below are faithful (TPC-H spec is
-public).  Float discipline follows queries.py: decimal sums (`dsum`),
-portable rounding for ratios (`pround`).
+o_shippriority and c_phone.  Ten queries (1/3/5/6/7/8/10/14/18/19) are
+faithful to the public TPC-H spec; the other twelve are *schema-adapted* —
+same relational shape (correlated subqueries, EXISTS / NOT EXISTS,
+distributions, min-cost lookups) with substituted predicates:
+
+- partsupp          -> SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+- "shipped late"    -> l_shipdate > o_orderdate  (no commit/receipt dates)
+- l_shipmode        -> l_returnflag as the grouping stand-in (Q12)
+- o_comment filter  -> o_orderpriority NOT LIKE '%URGENT%' (Q13)
+- c_phone country   -> c_nationkey as the country code (Q22)
+- supplier complaints -> s_acctbal < 2000 (Q16)
+
+Float discipline follows queries.py: decimal sums (`dsum`), portable
+rounding for ratios (`pround`); quantities are integral (1..50) so plain
+double avg(l_quantity) is order-independent and cross-engine exact.
 """
 
 from __future__ import annotations
@@ -247,6 +258,314 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("odate"),
             "o_totalprice",
             "total_qty",
+        )
+    )
+
+
+@q("q_tpch_q2")
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (adapted: partsupp := distinct lineitem
+    (part, supplier) pairs; ps_supplycost := s_acctbal; EUROPE, PROMO
+    parts of size <= 15).
+
+    Scale: the distinct-pair derivation is one shuffle on (partkey,
+    suppkey); nation/region and the filtered part side are broadcast.  The
+    min-per-part join-back reuses the partkey partitioning of the groupBy.
+    """
+    ps = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    na = T(spark, sf_dir, "nation")
+    re = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = ps.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+    mins = cand.groupBy(F.col("l_partkey").alias("mp")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    pt = T(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
+    )
+    return (
+        cand.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            mins,
+            (F.col("mp") == F.col("p_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@q("q_tpch_q4")
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking (adapted: "late" := a lineitem shipped
+    after the order date; no commit/receipt dates in the schema).  The
+    EXISTS becomes a left-semi join — no row duplication, map-side early
+    exit per key."""
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    late = od.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate").cast("date") > F.col("o_orderdate").cast("date")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@q("q_tpch_q9")
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit (adapted: supply cost := 0.5 * p_retailprice;
+    parts named like '%widget%'), by supplier nation and order year."""
+    li = T(spark, sf_dir, "lineitem")
+    pt = T(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    od = T(spark, sf_dir, "orders")
+    su = T(spark, sf_dir, "supplier")
+    na = T(spark, sf_dir, "nation")
+    amount = (
+        "CAST(l_extendedprice * (1.0 - l_discount) "
+        "- 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4))"
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(F.expr(amount)).cast("double").alias("sum_profit"))
+    )
+
+
+@q("q_tpch_q11")
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock (adapted: part value := sum of shipped
+    l_quantity * p_retailprice from ASIA-region suppliers; threshold 0.001
+    of the total).  The scalar total is an exact decimal sum so the
+    threshold comparison is cross-engine stable."""
+    li = T(spark, sf_dir, "lineitem")
+    pt = T(spark, sf_dir, "part")
+    su = T(spark, sf_dir, "supplier")
+    na = T(spark, sf_dir, "nation")
+    re = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    val = "CAST(l_quantity * p_retailprice AS DECIMAL(18,2))"
+    j = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    v = j.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.expr(val)).cast("double").alias("part_value")
+    )
+    tot = j.agg((F.sum(F.expr(val)).cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        v.join(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+    )
+
+
+@q("q_tpch_q12")
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-mode / order-priority (adapted: group by l_returnflag in
+    place of l_shipmode; "late" := l_shipdate > o_orderdate; 1996)."""
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    j = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        (F.col("l_shipdate").cast("date") > F.col("o_orderdate").cast("date"))
+        & (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@q("q_tpch_q13")
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution (adapted: the o_comment
+    exclusion becomes o_orderpriority NOT LIKE '%URGENT%').  Left outer
+    join keeps zero-order customers; the filter lives on the right side
+    *before* the join (= the ON-clause AND of the spec)."""
+    cu = T(spark, sf_dir, "customer")
+    od = T(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("%URGENT%")
+    )
+    per_cust = (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q("q_tpch_q15")
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier (1996 Q1 revenue; max-revenue supplier(s) via a
+    broadcast scalar of the exact decimal revenue)."""
+    li = T(spark, sf_dir, "lineitem")
+    su = T(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        su.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q("q_tpch_q16")
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship (adapted: partsupp := distinct
+    lineitem pairs; "complaint" suppliers := s_acctbal < 2000, excluded
+    with a broadcast anti-join)."""
+    ps = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .select("s_suppkey")
+    )
+    pt = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q("q_tpch_q17")
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue (Brand#2; the correlated
+    avg-quantity subquery becomes a per-part aggregate joined back).
+    Quantities are integral so the double avg is order-independent."""
+    li = T(spark, sf_dir, "lineitem")
+    pt = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@q("q_tpch_q20")
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion (adapted: AMERICA-region suppliers who
+    shipped more than 50 units of any '%widget%' part during 1996; the
+    IN-subquery becomes a left-semi join on the grouped-HAVING result)."""
+    li = T(spark, sf_dir, "lineitem")
+    pt = T(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    na = T(spark, sf_dir, "nation")
+    re = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    heavy = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@q("q_tpch_q21")
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting (adapted: "late" :=
+    l_shipdate > o_orderdate).  The EXISTS / NOT EXISTS pair becomes one
+    per-order aggregate (distinct suppliers, distinct *late* suppliers)
+    joined back — one shuffle instead of two correlated probes; a line
+    qualifies iff its supplier shipped late, the order has another
+    supplier, and no other supplier was late (n_late == 1).  (The spec's
+    supplier-nation filter is dropped: the synthetic data has ~1 supplier
+    per nation at small SF, which empties the result.)"""
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    su = T(spark, sf_dir, "supplier")
+    j = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        (F.col("l_shipdate").cast("date") > F.col("o_orderdate").cast("date")),
+    )
+    stats = j.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        j.filter(F.col("late"))
+        .join(stats, F.col("ok") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@q("q_tpch_q22")
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity (adapted: country code := c_nationkey;
+    "inactive" := no URGENT-priority orders — every synthetic customer has
+    orders, so the spec's no-orders anti-join would be vacuous).  The
+    average balance is an exact decimal sum over the code subset."""
+    codes = [1, 2, 3, 13, 17]
+    cu = T(spark, sf_dir, "customer")
+    od = T(spark, sf_dir, "orders")
+    in_codes = cu.filter(F.col("c_nationkey").isin(*codes))
+    avg_bal = in_codes.filter(F.col("c_acctbal") > 0).agg(
+        (dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    urgent = (
+        od.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        in_codes.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 
