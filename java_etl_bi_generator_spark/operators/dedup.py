@@ -13,6 +13,12 @@ full corpus.
 - ngram_jaccard: exact Jaccard over word shingles via explode + join on
                  shingle — only candidate pairs sharing a shingle are ever
                  materialized.
+- winnowing    : per-doc fingerprint selection (Schleimer, Wilkerson,
+                 Aiken, "Winnowing: Local Algorithms for Document
+                 Fingerprinting", SIGMOD 2003 — public): hash every
+                 shingle, keep the minimum of each sliding window of
+                 hashes.  Guarantees any sufficiently long match between
+                 two docs shares a fingerprint.
 """
 
 from __future__ import annotations
@@ -251,4 +257,45 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003).
+
+    Per document: hash every ``shingle_n``-word shingle (first 8 hex chars
+    of md5 -> 32-bit int, portable across engines), then keep the minimum
+    hash of each sliding ``window`` of consecutive shingle hashes.  The
+    distinct selected hashes are the document's fingerprints; any shared
+    run of ``window + shingle_n - 1`` words between two documents is
+    guaranteed to surface a common fingerprint.
+
+    Everything is array higher-order functions on one row per document —
+    no explode before the final fingerprint emission, no shuffle at all
+    until a consumer groups by fingerprint.  At corpus scale the output
+    (doc_id, fingerprint) is the inverted index to bucket-join on, exactly
+    like the LSH band table.
+    """
+    hashes = F.transform(
+        word_shingles(text_col, shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+    base = df.select(F.col(id_col), hashes.alias("hs"))
+    m = F.size(F.col("hs"))
+    wins = F.when(
+        m <= window, F.array(F.array_min(F.col("hs")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - window + 1),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, window)),
+        )
+    )
+    return base.select(
+        id_col, F.explode(F.array_distinct(wins)).alias("fingerprint")
     )

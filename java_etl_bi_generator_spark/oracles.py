@@ -430,6 +430,42 @@ ORACLES: dict[str, str] = {
                         ELSE 0 END) AS simhash
         FROM votes GROUP BY doc_id
     """,
+    "q_doc_fingerprint": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id % 10 = 0
+        ),
+        sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM docs),
+        h AS (
+          SELECT doc_id,
+                 list_transform(shingles, s ->
+                   CAST(list_sum(list_transform(range(0, 8), i ->
+                     (CAST(strpos('0123456789abcdef',
+                                  substr(md5(s), CAST(i AS INT) + 1, 1))
+                           AS BIGINT) - 1)
+                     * (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INT))
+                   )) AS BIGINT)) AS hs
+          FROM sh
+        ),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                      ELSE list_transform(range(1, len(hs) - 2),
+                             i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))
+                 END AS wins
+          FROM h
+        )
+        SELECT DISTINCT doc_id, fingerprint
+        FROM (SELECT doc_id, unnest(wins) AS fingerprint FROM w) t
+    """,
+    "q_heavy_hitters": f"""
+        WITH t AS (
+          SELECT unnest({_TOKENS}) AS token
+          FROM documents WHERE trim(text) <> ''
+        ),
+        c AS (SELECT token, count(*) AS freq FROM t GROUP BY token)
+        SELECT token, freq FROM c
+        WHERE freq * 1000 > (SELECT count(*) FROM t)
+    """,
     "q_dedup_exact": (
         "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, "
         "count(*) AS dup_count FROM documents GROUP BY sha256(text)"

@@ -54,6 +54,7 @@ from .operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash64,
+    winnow_fingerprints,
 )
 from .operators.similarity import brute_force_topk, ivf_topk
 from .operators.star import build_calendar_dim, build_dimension, dedup_first_row
@@ -949,6 +950,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.05)
     return connected_components(pairs)
+
+
+@q("q_doc_fingerprint")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: winnowing document fingerprints (rolling shingle hashes, sliding
+    window-min selection — Schleimer et al. SIGMOD 2003).  All array HOFs
+    on one row per doc; the (doc_id, fingerprint) output is the inverted
+    index a plagiarism/overlap join buckets on."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return winnow_fingerprints(docs, "text", "doc_id", shingle_n=2, window=4)
+
+
+@q("q_heavy_hitters")
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus heavy hitters — tokens with frequency > total/1000.
+    Exact two-phase plan: partial map-side counts absorb token skew before
+    the shuffle; the corpus total is a broadcast scalar.  (At 100 TB the
+    same shape runs on a Count-Min-Sketch/Misra-Gries per-partition
+    pre-filter; the exact pass stays as the verifier.)  Integer-only
+    arithmetic — no float pinning needed."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("freq") * 1000 > F.col("total"))
+        .select("token", "freq")
+    )
 
 
 @q("q_lang_id")
