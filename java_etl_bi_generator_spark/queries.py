@@ -973,7 +973,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    # total token count = sum over the (much smaller) counts table — not a
+    # second scan+explode of the corpus.
+    total = counts.agg(F.sum("freq").alias("total"))
     return (
         counts.join(F.broadcast(total))
         .filter(F.col("freq") * 1000 > F.col("total"))

@@ -24,7 +24,7 @@ double avg(l_quantity) is order-independent and cross-engine exact.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from .functions.rounding import dsum, pround
 from .queries import T, q
@@ -270,7 +270,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the distinct-pair derivation is one shuffle on (partkey,
     suppkey); nation/region and the filtered part side are broadcast.  The
-    min-per-part join-back reuses the partkey partitioning of the groupBy.
+    per-part minimum is a window min over the partkey partition — one
+    pass, no groupBy + join-back (which would scan the candidate subtree
+    twice: Spark DAGs recompute shared lineage unless persisted).
     """
     ps = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     na = T(spark, sf_dir, "nation")
@@ -282,19 +284,14 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cand = ps.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
-    mins = cand.groupBy(F.col("l_partkey").alias("mp")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    best = cand.withColumn(
+        "min_bal", F.min("s_acctbal").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("s_acctbal") == F.col("min_bal"))
     pt = T(spark, sf_dir, "part").filter(
         (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
     )
     return (
-        cand.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            mins,
-            (F.col("mp") == F.col("p_partkey"))
-            & (F.col("s_acctbal") == F.col("min_bal")),
-        )
+        best.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
         .limit(100)
@@ -365,14 +362,17 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    v = j.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(F.expr(val)).cast("double").alias("part_value")
+    # Keep the per-part sum DECIMAL so the grand total can be taken as an
+    # exact window sum over the (one-row-per-part) aggregate — no second
+    # scan of the join subtree, and still order-independent.
+    vdec = j.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.expr(val)).alias("dec_sum")
     )
-    tot = j.agg((F.sum(F.expr(val)).cast("double") * F.lit(0.001)).alias("threshold"))
+    tot = F.sum("dec_sum").over(Window.partitionBy())
     return (
-        v.join(F.broadcast(tot))
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select("partkey", "part_value")
+        vdec.withColumn("threshold", tot.cast("double") * F.lit(0.001))
+        .filter(F.col("dec_sum").cast("double") > F.col("threshold"))
+        .select("partkey", F.col("dec_sum").cast("double").alias("part_value"))
     )
 
 
@@ -426,12 +426,14 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("total_revenue"))
     )
-    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
-    return (
-        su.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
-        .join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .select("s_suppkey", "s_name", "total_revenue")
+    # Global max as a window over the per-supplier aggregate (skinny, one
+    # row per supplier) — avoids recomputing the lineitem scan for a
+    # scalar-subquery branch.
+    best = rev.withColumn(
+        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_revenue"))
+    return su.join(best, F.col("s_suppkey") == F.col("supplier_no")).select(
+        "s_suppkey", "s_name", "total_revenue"
     )
 
 
@@ -461,16 +463,21 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_tpch_q17")
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 small-quantity-order revenue (Brand#2; the correlated
-    avg-quantity subquery becomes a per-part aggregate joined back).
+    avg-quantity subquery becomes a window average over the part
+    partition of the already-filtered join — the broadcast part filter
+    drops non-Brand#2 lineitems first, so the window shuffle sees a
+    fraction of the fact table and no second full scan is needed; the
+    equi-join on partkey keeps every lineitem of a surviving part, so the
+    window average equals the spec's whole-table correlated average).
     Quantities are integral so the double avg is order-independent."""
     li = T(spark, sf_dir, "lineitem")
     pt = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
-    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.avg("l_quantity").alias("avg_qty")
-    )
     return (
         li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
-        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .withColumn(
+            "avg_qty",
+            F.avg("l_quantity").over(Window.partitionBy("l_partkey")),
+        )
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
@@ -510,10 +517,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_tpch_q21")
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 suppliers who kept orders waiting (adapted: "late" :=
-    l_shipdate > o_orderdate).  The EXISTS / NOT EXISTS pair becomes one
-    per-order aggregate (distinct suppliers, distinct *late* suppliers)
-    joined back — one shuffle instead of two correlated probes; a line
-    qualifies iff its supplier shipped late, the order has another
+    l_shipdate > o_orderdate).  The EXISTS / NOT EXISTS pair becomes two
+    window aggregates over the order partition (distinct suppliers,
+    distinct *late* suppliers) — ONE shuffle on orderkey, no groupBy +
+    join-back (which would recompute the join subtree for each side); a
+    line qualifies iff its supplier shipped late, the order has another
     supplier, and no other supplier was late (n_late == 1).  (The spec's
     supplier-nation filter is dropped: the synthetic data has ~1 supplier
     per nation at small SF, which empties the result.)"""
@@ -524,14 +532,18 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late",
         (F.col("l_shipdate").cast("date") > F.col("o_orderdate").cast("date")),
     )
-    stats = j.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        j.filter(F.col("late"))
-        .join(stats, F.col("ok") == F.col("l_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        j.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(su, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
