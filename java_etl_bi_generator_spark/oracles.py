@@ -66,6 +66,16 @@ _SHINGLES = """
   END
 """
 
+# Portable md5 bucket in [0,100): first 4 hex nibbles of md5(doc_id) as an
+# int, mod 100 — matches Spark's conv(substring(md5(...),1,4),16,10) % 100.
+_BUCKET = """
+  CAST(list_sum(list_transform(range(0, 4), i ->
+    (CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT) + 1, 1))
+          AS BIGINT) - 1)
+    * (CAST(1 AS BIGINT) << CAST(4 * (3 - i) AS INT)))) AS BIGINT) % 100
+"""
+
 ORACLES: dict[str, str] = {
     # --- sources ---
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -465,6 +475,18 @@ ORACLES: dict[str, str] = {
         c AS (SELECT token, count(*) AS freq FROM t GROUP BY token)
         SELECT token, freq FROM c
         WHERE freq * 1000 > (SELECT count(*) FROM t)
+    """,
+    "q_corpus_sample": f"""
+        SELECT doc_id, bucket FROM (
+          SELECT doc_id, {_BUCKET} AS bucket FROM documents
+        ) t WHERE bucket < 10
+    """,
+    "q_split_assign": f"""
+        SELECT doc_id,
+               CASE WHEN {_BUCKET} < 80 THEN 'train'
+                    WHEN {_BUCKET} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """,
     "q_dedup_exact": (
         "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, "

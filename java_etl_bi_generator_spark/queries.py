@@ -983,6 +983,44 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_corpus_sample")
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: reproducible 10% corpus sample — md5-derived bucket in [0,100)
+    per doc id, keep bucket < 10.  Unlike ``df.sample`` (seed + partition
+    dependent), the hash bucket is a pure function of the row key:
+    stable across engines, re-runs, repartitions, and appends — the
+    property a training-data pipeline needs for auditable subsets."""
+    docs = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 10)
+        .select("doc_id", "bucket")
+    )
+
+
+@q("q_split_assign")
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: deterministic train/val/test split (80/10/10) by hash bucket of
+    the doc id — same portable-bucket construction as q_corpus_sample, so
+    membership is stable under reshuffling and incremental appends."""
+    docs = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 @q("q_lang_id")
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: stopword-hit language heuristic with deterministic tie-break."""
