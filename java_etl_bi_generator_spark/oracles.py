@@ -476,6 +476,19 @@ ORACLES: dict[str, str] = {
         SELECT token, freq FROM c
         WHERE freq * 1000 > (SELECT count(*) FROM t)
     """,
+    "q_fuzzy_match": """
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 5
+    """,
+    "q_grouping_sets": f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity')} AS sum_qty, count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
     "q_corpus_sample": f"""
         SELECT doc_id, bucket FROM (
           SELECT doc_id, {_BUCKET} AS bucket FROM documents

@@ -983,6 +983,53 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_fuzzy_match")
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: fuzzy part-name matching via a *blocked*
+    edit-distance join — equi-join on the blocking key (p_brand) first, so
+    the quadratic levenshtein work runs only within blocks; the classic
+    record-linkage layout that survives table growth (pairwise-over-
+    everything does not)."""
+    pt = T(spark, sf_dir, "part")
+    a = pt.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+    )
+    b = pt.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("brand_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 5)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+@q("q_grouping_sets")
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: GROUPING SETS — the per-flag, per-status, and grand-total
+    aggregates in one pass (Expand + single shuffle, same physical shape
+    as rollup/cube)."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 @q("q_corpus_sample")
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: reproducible 10% corpus sample — md5-derived bucket in [0,100)
