@@ -973,11 +973,13 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    # total token count = sum over the (much smaller) counts table — not a
-    # second scan+explode of the corpus.
-    total = counts.agg(F.sum("freq").alias("total"))
+    # Corpus total as an empty-partition window over the (vocab-sized)
+    # counts table: one scan of the corpus, no agg+crossJoin branch that
+    # would re-run the scan+explode subtree (DataFrame lineage is not a
+    # CTE).  Integer sum — exact in any order.
+    total = F.sum("freq").over(Window.partitionBy())
     return (
-        counts.join(F.broadcast(total))
+        counts.withColumn("total", total)
         .filter(F.col("freq") * 1000 > F.col("total"))
         .select("token", "freq")
     )

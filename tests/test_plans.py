@@ -55,3 +55,40 @@ def test_whole_stage_codegen_covers_scan_agg(spark, sf_dir):
     # codegen mode reports generated subtrees even under AQE's lazy plan
     plan = _explain(registry()["q_groupby_sum"](spark, sf_dir), "codegen")
     assert "WholeStageCodegen subtree" in plan
+
+
+def test_tpch_q2_scans_lineitem_once(spark, sf_dir):
+    # The window-min decorrelation must not fall back to a groupBy +
+    # join-back (which duplicates the candidate subtree: two lineitem
+    # scans). One scan of the fact table, one Window, no SortMergeJoin.
+    plan = explain_simple(registry()["q_tpch_q2"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q21_scans_lineitem_once(spark, sf_dir):
+    plan = explain_simple(registry()["q_tpch_q21"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_tpch_q17_single_fact_scan_with_broadcast(spark, sf_dir):
+    plan = explain_simple(registry()["q_tpch_q17"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_scans_documents_once(spark, sf_dir):
+    # The corpus total is derived from the counts table, not a second
+    # scan + explode of the documents table.
+    plan = explain_simple(registry()["q_heavy_hitters"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+
+
+def test_fuzzy_match_blocks_before_distance(spark, sf_dir):
+    # The levenshtein join must be an equi-join on the blocking key, not a
+    # nested-loop over all pairs.
+    plan = explain_simple(registry()["q_fuzzy_match"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
