@@ -124,3 +124,100 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         rows, "media_id bigint, modality string, content binary, mime_type string"
     )
     return df.withColumn("byte_len", F.length("content").cast("long"))
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame_content", BinaryType(), True),
+    ]
+)
+
+
+def resize_images_real(content: bytes, width: int, height: int) -> bytes:
+    """Real resize would use PIL/libvips — not available in this container."""
+    raise NotImplementedError(
+        "media codecs not installed; use resize_images for plumbing tests"
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  batch_size: int = 256) -> DataFrame:
+    """Arrow-batched image resize over the media table (1 row in -> 1 row
+    out).  The pixel work is a deterministic FAKE (sha256-seeded bytes of
+    width*height/64 length — media codecs are not installed); the Spark
+    shape is the real one: bounded ``mapInPandas`` batches so a task never
+    holds more than ``batch_size`` payloads, and the output schema carries
+    the new dimensions as typed metadata."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_len = max(1, (width * height) // 64)
+        for pdf in batches:
+            content = [
+                bytes(c) if c is not None else b"" for c in pdf["content"]
+            ]
+            fake = [
+                (hashlib.sha256(c).digest() * (out_len // 32 + 1))[:out_len]
+                for c in content
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": fake,
+                    "width": [width] * len(fake),
+                    "height": [height] * len(fake),
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, num_frames: int = 4,
+                  frame_interval_ms: int = 1000,
+                  batch_size: int = 64) -> DataFrame:
+    """Frame sampling over video rows (1 row in -> ``num_frames`` rows out
+    — the table-producing ``mapInPandas`` shape).  The frame decode is a
+    deterministic FAKE (sha256 of payload + frame index); timestamps step
+    by ``frame_interval_ms``.  Batches are kept small because the output
+    is ``num_frames``x the input rows — the bound that matters for
+    executor memory at scale."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(c) if c is not None else b""
+                for k in range(num_frames):
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(k * frame_interval_ms)
+                    frames.append(
+                        hashlib.sha256(payload + k.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "frame_content": frames,
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.filter(F.col("modality") == "video").mapInPandas(
+        _sample, schema=FRAME_SCHEMA
+    )
