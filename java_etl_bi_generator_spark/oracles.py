@@ -613,6 +613,17 @@ ORACLES: dict[str, str] = {
     """,
     # --- TPC-H set (adapted where the synthetic schema lacks columns;
     #     see tpch.py docstrings) ---
+    "q_window_first_last": """
+        SELECT o_orderkey, o_custkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS last_price,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
     "q_tpch_q1": f"""
         SELECT l_returnflag, l_linestatus,
                {dsum_sql('l_quantity')} AS sum_qty,

@@ -511,6 +511,24 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_window_first_last")
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: first_value / last_value / ntile over a deterministic
+    per-customer order.  last_value uses an explicit unbounded frame (the
+    ANSI default frame ends at the current row, which would make it a
+    no-op)."""
+    od = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 @q("q_window_running_sum")
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: frame-spec running aggregate."""
