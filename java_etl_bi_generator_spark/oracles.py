@@ -613,6 +613,29 @@ ORACLES: dict[str, str] = {
     """,
     # --- TPC-H set (adapted where the synthetic schema lacks columns;
     #     see tpch.py docstrings) ---
+    "q_stats_moments": f"""
+        WITH s AS (
+          SELECT l_returnflag,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(22,4)))
+                 AS DOUBLE) AS sxx,
+            CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4)))
+                 AS DOUBLE) AS syy,
+            CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4)))
+                 AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               {pround_sql('sqrt((sxx - sx * sx / n) / (n - 1.0))', 9)}
+                 AS std_qty,
+               {pround_sql(
+                   '(n * sxy - sx * sy)'
+                   ' / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))', 9)}
+                 AS corr_qty_price
+        FROM s
+    """,
     "q_window_first_last": """
         SELECT o_orderkey, o_custkey,
                first_value(o_totalprice) OVER w AS first_price,

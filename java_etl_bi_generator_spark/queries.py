@@ -511,6 +511,46 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_stats_moments")
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 extension: sample stddev and Pearson correlation per return flag.
+
+    Mathematically identical to ``stddev_samp`` / ``corr`` but computed
+    from exact DECIMAL power sums (x, y are fixed-2dp, so x², y², xy are
+    exact 4dp) cast to double only at the final formula — making the
+    result bit-identical across engines where native float moment
+    aggregates drift with summation order.  This single-pass mergeable
+    power-sum layout is also exactly how a distributed engine computes
+    moments at scale.  (Outputs still go through ``pround``: DuckDB's
+    compiled ``a*b - c*d`` contracts to an FMA, a 1-ulp divergence the
+    JVM never produces.)"""
+    li = T(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(l_quantity * l_quantity AS DECIMAL(22,4))"))
+        .cast("double").alias("sxx"),
+        F.sum(F.expr("CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))"))
+        .cast("double").alias("syy"),
+        F.sum(F.expr("CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))"))
+        .cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        pround(
+            F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), 9
+        ).alias("std_qty"),
+        pround(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        ).alias("corr_qty_price"),
+    )
+
+
 @q("q_window_first_last")
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2: first_value / last_value / ntile over a deterministic
