@@ -416,6 +416,20 @@ ORACLES: dict[str, str] = {
                {dsum_sql('value')} AS sum_value
         FROM s GROUP BY user_id, sess_no
     """,
+    "q_retention_cohort": """
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        w AS (
+          SELECT user_id, d,
+                 min(d) OVER (PARTITION BY user_id) AS cohort
+          FROM ud
+        )
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', cohort, d) AS INT) AS day_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM w GROUP BY 1, 2
+    """,
     # --- LLM ops ---
     "q_dedup_simhash": r"""
         WITH toks AS (

@@ -813,6 +813,27 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(T(spark, sf_dir, "events"))
 
 
+@q("q_retention_cohort")
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the events table: users cohorted by first
+    active day, distinct actives per (cohort, day offset) — the standard
+    product-analytics rollup.  The cohort day is a window min over the
+    user partition of the deduped (user, day) table: one shuffle on
+    user_id, no groupBy + join-back."""
+    ud = (
+        T(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = ud.withColumn(
+        "cohort", F.min("d").over(Window.partitionBy("user_id"))
+    )
+    return w.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
 @q("q_stream_watermark")
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (rows-only): Structured Streaming with watermark, availableNow."""
