@@ -416,6 +416,33 @@ ORACLES: dict[str, str] = {
                {dsum_sql('value')} AS sum_value
         FROM s GROUP BY user_id, sess_no
     """,
+    "q_funnel": """
+        WITH v AS (
+          SELECT user_id, event_type, ts,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+          FROM events
+        ),
+        c AS (
+          SELECT user_id, event_type, ts, t_view,
+                 min(CASE WHEN event_type = 'click' AND ts > t_view
+                          THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_click
+          FROM v
+        ),
+        p AS (
+          SELECT user_id, t_view, t_click,
+                 min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                          THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_purchase
+          FROM c
+        ),
+        u AS (SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM p)
+        SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+               count(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_click,
+               count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase
+        FROM u
+    """,
     "q_retention_cohort": """
         WITH ud AS (
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events

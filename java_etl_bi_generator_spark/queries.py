@@ -834,6 +834,50 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.countDistinct("user_id").alias("n_users"))
 
 
+@q("q_funnel")
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over events: users who viewed, then clicked *after*
+    the first view, then purchased *after* that click.  Three chained
+    conditional window-minima over the same user partition — ONE shuffle
+    (Catalyst reuses the partitioning across the stacked windows), no
+    self-joins, which is what makes the shape viable on a 100 TB event
+    log."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    users = staged.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    return users.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click").isNotNull(), 1)).alias("n_click"),
+        F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias("n_purchase"),
+    )
+
+
 @q("q_stream_watermark")
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (rows-only): Structured Streaming with watermark, availableNow."""
