@@ -66,6 +66,44 @@ _SHINGLES = """
   END
 """
 
+# Winnowing fingerprint pipeline (Schleimer et al.) as a reusable CTE chain
+# ending in fps(doc_id, fingerprint) — mirrors operators/dedup.py
+# winnow_fingerprints (shingle_n=2, window=4, 8-nibble md5 hash).
+_WINNOW_CTE = """
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])
+          END AS shingles FROM docs),
+        h AS (
+          SELECT doc_id,
+                 list_transform(shingles, s ->
+                   CAST(list_sum(list_transform(range(0, 8), i ->
+                     (CAST(strpos('0123456789abcdef',
+                                  substr(md5(s), CAST(i AS INT) + 1, 1))
+                           AS BIGINT) - 1)
+                     * (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INT))
+                   )) AS BIGINT)) AS hs
+          FROM sh
+        ),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                      ELSE list_transform(range(1, len(hs) - 2),
+                             i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))
+                 END AS wins
+          FROM h
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, fingerprint
+          FROM (SELECT doc_id, unnest(wins) AS fingerprint FROM w) t
+        )
+"""
+
 # Portable md5 bucket in [0,100): first 4 hex nibbles of md5(doc_id) as an
 # int, mod 100 — matches Spark's conv(substring(md5(...),1,4),16,10) % 100.
 _BUCKET = """
@@ -482,31 +520,17 @@ ORACLES: dict[str, str] = {
         FROM votes GROUP BY doc_id
     """,
     "q_doc_fingerprint": f"""
-        WITH docs AS (
-          SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id % 10 = 0
-        ),
-        sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM docs),
-        h AS (
-          SELECT doc_id,
-                 list_transform(shingles, s ->
-                   CAST(list_sum(list_transform(range(0, 8), i ->
-                     (CAST(strpos('0123456789abcdef',
-                                  substr(md5(s), CAST(i AS INT) + 1, 1))
-                           AS BIGINT) - 1)
-                     * (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INT))
-                   )) AS BIGINT)) AS hs
-          FROM sh
-        ),
-        w AS (
-          SELECT doc_id,
-                 CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
-                      ELSE list_transform(range(1, len(hs) - 2),
-                             i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))
-                 END AS wins
-          FROM h
-        )
-        SELECT DISTINCT doc_id, fingerprint
-        FROM (SELECT doc_id, unnest(wins) AS fingerprint FROM w) t
+        {_WINNOW_CTE}
+        SELECT doc_id, fingerprint FROM fps
+    """,
+    "q_overlap_candidates": f"""
+        {_WINNOW_CTE}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS shared_fps
+        FROM fps a JOIN fps b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 3
     """,
     "q_heavy_hitters": f"""
         WITH t AS (

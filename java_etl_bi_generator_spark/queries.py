@@ -1085,6 +1085,28 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "text", "doc_id", shingle_n=2, window=4)
 
 
+@q("q_overlap_candidates")
+def q_overlap_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: document-overlap candidates from winnowing fingerprints — pairs
+    sharing >= 3 selected hashes (the winnowing guarantee makes this a
+    superset of pairs with long verbatim overlap).  Equi-join on the
+    fingerprint, never pairwise over the corpus; the fingerprint table is
+    persisted across the self-join (same rationale as the LSH bucket
+    table)."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    fps = winnow_fingerprints(docs, "text", "doc_id", shingle_n=2, window=4)
+    fps = fps.persist()
+    a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, ["fingerprint"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
 @q("q_heavy_hitters")
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: corpus heavy hitters — tokens with frequency > total/1000.
