@@ -12,9 +12,10 @@ Notable DuckDB-vs-Spark divergences handled here:
 - ``round()`` tie behavior differs -> never used; ``floor(x*10^n+0.5)``
   everywhere a float must be pinned.
 
-Queries with no entry here (q_stream_watermark, q_dedup_near,
-q_dedup_simhash, q_vector_topk_ivf) are declared rows-only: streaming
-state / LSH banding / IVF probing are not ANSI-SQL-expressible.
+Queries with no entry here (the q_stream_* set, q_dedup_near,
+q_vector_topk_ivf, q_approx_count_distinct) are declared rows-only:
+streaming state, LSH banding, IVF probing and HLL sketches are not
+ANSI-SQL-expressible in DuckDB.
 """
 
 from __future__ import annotations
@@ -589,6 +590,45 @@ ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)} >= 0.01
+    """,
+    # Iterative connected components IS ANSI-expressible after all: min-
+    # label propagation as a recursive CTE.  The comp < dst prune is safe:
+    # the component minimum m is smaller than every node, so its
+    # propagation path is never cut, and only min(comp) is kept.
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id % 10 = 0
+        ),
+        shd AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE {pround_sql(
+              'CAST(n_inter AS DOUBLE) '
+              '/ CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)} >= 0.05
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        cc AS (
+          SELECT DISTINCT src AS node, src AS comp FROM edges
+          UNION
+          SELECT e.dst AS node, cc.comp AS comp
+          FROM cc JOIN edges e ON e.src = cc.node
+          WHERE cc.comp < e.dst
+        )
+        SELECT node, min(comp) AS component FROM cc GROUP BY node
     """,
     "q_embed_neardup": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
