@@ -12,10 +12,9 @@ Notable DuckDB-vs-Spark divergences handled here:
 - ``round()`` tie behavior differs -> never used; ``floor(x*10^n+0.5)``
   everywhere a float must be pinned.
 
-Queries with no entry here (the q_stream_* set, q_dedup_near,
-q_vector_topk_ivf, q_approx_count_distinct) are declared rows-only:
-streaming state, LSH banding, IVF probing and HLL sketches are not
-ANSI-SQL-expressible in DuckDB.
+Queries with no entry here (the q_stream_* set, q_vector_topk_ivf,
+q_approx_count_distinct) are declared rows-only: streaming state, IVF
+probing and HLL sketches are not ANSI-SQL-expressible in DuckDB.
 """
 
 from __future__ import annotations
@@ -104,6 +103,19 @@ _WINNOW_CTE = """
           FROM (SELECT doc_id, unnest(wins) AS fingerprint FROM w) t
         )
 """
+
+def _hex_bigint(md5_expr: str, start: int, length: int) -> str:
+    """SQL for interpreting ``length`` hex chars of ``md5_expr`` starting at
+    1-based ``start`` as a BIGINT — DuckDB has no ``conv``; mirrors Spark's
+    ``conv(substring(md5(x), start, length), 16, 10)``."""
+    return (
+        f"CAST(list_sum(list_transform(range(0, {length}), i -> "
+        f"(CAST(strpos('0123456789abcdef', "
+        f"substr({md5_expr}, CAST(i AS INT) + {start}, 1)) AS BIGINT) - 1) "
+        f"* (CAST(1 AS BIGINT) << CAST(4 * ({length - 1} - i) AS INT)))) "
+        f"AS BIGINT)"
+    )
+
 
 # Portable md5 bucket in [0,100): first 4 hex nibbles of md5(doc_id) as an
 # int, mod 100 — matches Spark's conv(substring(md5(...),1,4),16,10) % 100.
@@ -590,6 +602,45 @@ ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)} >= 0.01
+    """,
+    # MinHash+LSH banding IS DuckDB-expressible after all: the md5-derived
+    # Kirsch-Mitzenmacher hash family and band buckets are deterministic.
+    # Mirrors operators/dedup.py minhash_lsh_candidates (16 hashes, 4
+    # bands, 3-word shingles, 60-bit mask).
+    "q_dedup_near": f"""
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh3 AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            END)) AS sh
+          FROM docs
+        ),
+        dg AS (SELECT doc_id, md5(sh) AS m FROM sh3),
+        hh AS (
+          SELECT doc_id,
+                 {_hex_bigint('m', 1, 15)} AS h1,
+                 {_hex_bigint('m', 17, 12)} AS h2
+          FROM dg
+        ),
+        mh AS (
+          SELECT doc_id, i,
+                 min((h1 + i * h2) & ((CAST(1 AS BIGINT) << 60) - 1)) AS mh
+          FROM hh, (SELECT unnest(range(0, 16)) AS i) idx
+          GROUP BY doc_id, i
+        ),
+        bands AS (
+          SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+          FROM mh GROUP BY doc_id, band
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     """,
     # Iterative connected components IS ANSI-expressible after all: min-
     # label propagation as a recursive CTE.  The comp < dst prune is safe:

@@ -15,10 +15,9 @@ from java_etl_bi_generator_spark.queries import registry
 
 from .conftest import SF_DIR
 
-# Rows-only queries (no oracle): streaming state, LSH banding, IVF probing,
-# HLL sketches.  Streaming ones are exercised in test_streaming.py.
+# Rows-only queries (no oracle): streaming state, IVF probing, HLL
+# sketches.  Streaming ones are exercised in test_streaming.py.
 ROWS_ONLY = {
-    "q_dedup_near",
     "q_stream_watermark",
     "q_stream_stateful",
     "q_vector_topk_ivf",
