@@ -494,6 +494,16 @@ ORACLES: dict[str, str] = {
                count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase
         FROM u
     """,
+    "q_join_full_outer": """
+        WITH cu AS (SELECT c_nationkey AS ck, count(*) AS n_cust
+                    FROM customer GROUP BY c_nationkey),
+        su AS (SELECT s_nationkey AS sk, count(*) AS n_supp
+               FROM supplier GROUP BY s_nationkey)
+        SELECT coalesce(ck, sk) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM cu FULL OUTER JOIN su ON ck = sk
+    """,
     "q_retention_cohort": """
         WITH ud AS (
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events

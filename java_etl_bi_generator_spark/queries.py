@@ -233,6 +233,28 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+@q("q_join_full_outer")
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4c: full-outer join — customer vs supplier presence per nation
+    (pre-aggregated sides, so the outer join runs on two skinny key
+    tables, never on the raw fact rows)."""
+    cu = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    su = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cu.join(su, F.col("ck") == F.col("sk"), "full_outer").select(
+        F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0).cast("bigint")).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0).cast("bigint")).alias("n_supp"),
+    )
+
+
 @q("q_join_range")
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: banded theta join against a tiny literal bounds table
