@@ -31,9 +31,13 @@ HEADLINE = [
     "q_window_running_sum",  # window frame agg
     "q_window_tumbling",     # event-time window agg
     "q_dedup_exact",         # sha256 content dedup
+    "q_dedup_near",          # MinHash+LSH banding candidates
     "q_text_stats",          # token/punct/stopword counting
+    "q_heavy_hitters",       # corpus token heavy hitters
     "q_vector_topk",         # brute-force cosine top-k
     "q_date_dim_generate",   # calendar generator
+    "q_tpch_q21",            # decorrelated EXISTS/NOT-EXISTS via windows
+    "q_funnel",              # stacked conditional window minima
 ]
 
 
