@@ -802,6 +802,36 @@ ORACLES: dict[str, str] = {
                  AS corr_qty_price
         FROM s
     """,
+    "q_topn_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        FROM orders
+        QUALIFY rn <= 3
+    """,
+    "q_moving_avg_range": f"""
+        WITH base AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) AS INT) AS day_no,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey, day_no,
+               {pround_sql(
+                   'CAST(sum(price_dec) OVER w AS DOUBLE) '
+                   '/ CAST(count(*) OVER w AS DOUBLE)', 6)} AS avg_7d
+        FROM base
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "q_percent_rank": """
+        SELECT c_custkey, c_nationkey,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
     "q_window_first_last": """
         SELECT o_orderkey, o_custkey,
                first_value(o_totalprice) OVER w AS first_price,

@@ -573,6 +573,67 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_topn_per_group")
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 application: top-3 orders by value per customer — row_number
+    over the partition, filtered; the rank never leaves the exchange, so
+    only 3 rows per key survive the stage."""
+    od = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@q("q_moving_avg_range")
+def q_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 variant: 7-day moving order-value average per customer — a RANGE
+    frame over days-since-epoch (value-based, handles gaps in the date
+    series, unlike a ROWS frame).  The frame sum is decimal-exact; the
+    average divides by the in-frame row count."""
+    od = T(spark, sf_dir, "orders")
+    base = od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("day_no"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-6, 0)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        pround(
+            F.sum("price_dec").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double"),
+            6,
+        ).alias("avg_7d"),
+    )
+
+
+@q("q_percent_rank")
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 variant: percent_rank and cume_dist — pure integer-ratio
+    window functions, cross-engine exact without pinning."""
+    cu = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cu.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 @q("q_window_first_last")
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2: first_value / last_value / ntile over a deterministic
