@@ -802,6 +802,37 @@ ORACLES: dict[str, str] = {
                  AS corr_qty_price
         FROM s
     """,
+    "q_string_advanced": """
+        SELECT c_custkey,
+               split_part(c_name, '#', 2) AS cust_num,
+               lpad(CAST(c_nationkey AS VARCHAR), 3, '0') AS nk_pad,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+               reverse(c_mktsegment) AS seg_rev,
+               CAST(strpos(c_name, '9') AS INT) AS pos_nine,
+               repeat('*', CAST(c_nationkey % 5 AS INT)) AS stars
+        FROM customer
+    """,
+    "q_date_arithmetic": """
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+                 AS next_month,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+                 AS quarter_start,
+               CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy
+        FROM orders
+    """,
+    "q_array_ops": f"""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               CAST(embedding AS DOUBLE[])[1] AS first_val,
+               list_min(CAST(embedding AS DOUBLE[])) AS min_val,
+               list_max(CAST(embedding AS DOUBLE[])) AS max_val,
+               {pround_sql(
+                   'sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), '
+                   'CAST(embedding AS DOUBLE[])))', 6)} AS l2
+        FROM embeddings
+    """,
     "q_topn_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice,
                CAST(row_number() OVER (PARTITION BY o_custkey

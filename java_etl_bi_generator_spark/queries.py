@@ -818,6 +818,56 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_string_advanced")
+def q_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star string surface, part 2: split_part / lpad / translate /
+    reverse / instr / repeat (all built-in, all codegen)."""
+    cu = T(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.lpad(F.col("c_nationkey").cast("string"), 3, "0").alias("nk_pad"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_tr"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.instr(F.col("c_name"), "9").alias("pos_nine"),
+        F.expr("repeat('*', CAST(c_nationkey % 5 AS INT))").alias("stars"),
+    )
+
+
+@q("q_date_arithmetic")
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star date surface, part 2: add_months (end-of-month clamped),
+    last_day, quarter truncation, day-of-year."""
+    od = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return od.select(
+        "o_orderkey",
+        F.add_months(d, 1).alias("next_month"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.dayofyear(d).alias("doy"),
+    )
+
+
+@q("q_array_ops")
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star array surface over embeddings: size / element access /
+    min / max / L2 norm (JVM higher-order fold; norm pinned with pround —
+    fold order is engine-internal)."""
+    from .functions.vectors import as_double_array, l2_norm
+
+    em = T(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at(v, 1).alias("first_val"),
+        F.array_min(v).alias("min_val"),
+        F.array_max(v).alias("max_val"),
+        pround(l2_norm(F.col("embedding")), 6).alias("l2"),
+    )
+
+
 @q("q_math_funcs")
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star math surface (per-row IEEE arithmetic — unrounded)."""
