@@ -1167,4 +1167,125 @@ ORACLES: dict[str, str] = {
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY r_name, n_name, order_year"
     ),
+    # --- event analytics / BI extensions ---
+    "q_sessionize": """
+        WITH e AS (
+          SELECT event_id, user_id, ts,
+                 lag(epoch_ms(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+          FROM events)
+        SELECT event_id, user_id,
+          CAST(sum(CASE WHEN prev_ms IS NULL
+                          OR epoch_ms(ts) - prev_ms > 1800000
+                        THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM e
+    """,
+    "q_string_agg": """
+        SELECT c_nationkey, count(*) AS n_customers,
+               string_agg(c_name, '|' ORDER BY c_name) AS names
+        FROM customer GROUP BY c_nationkey
+    """,
+    "q_mode_per_group": """
+        WITH c AS (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          FROM orders GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number() OVER
+            (PARTITION BY o_orderstatus
+             ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+          FROM c)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        FROM r WHERE rn = 1
+    """,
+    "q_histogram": f"""
+        SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS INT) AS bin_id,
+               count(*) AS n_orders, {dsum_sql('o_totalprice')} AS sum_price
+        FROM orders GROUP BY 1
+    """,
+    "q_join_null_aware_anti": """
+        SELECT o_orderkey FROM (
+          SELECT o_orderkey,
+                 CASE WHEN o_custkey % 100 = 0 THEN NULL
+                      ELSE o_custkey END AS probe_key
+          FROM orders) p
+        WHERE probe_key NOT IN
+          (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+    "q_tfidf": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) <> ''),
+        tfa AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+          GROUP BY 1, 2),
+        dfa AS (SELECT token, count(*) AS df_cnt FROM tfa GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM docs),
+        scored AS (
+          SELECT t.doc_id, t.token, t.tf, d.df_cnt, n.n_docs,
+                 (t.tf * 1000000) // d.df_cnt AS key
+          FROM tfa t JOIN dfa d USING (token) CROSS JOIN nd n),
+        r AS (
+          SELECT *, row_number() OVER
+            (PARTITION BY doc_id ORDER BY key DESC, token ASC) AS rn
+          FROM scored)
+        SELECT doc_id, token, tf,
+               {pround_sql('tf * ln(CAST(n_docs AS DOUBLE) / df_cnt)', 4)}
+                 AS tfidf
+        FROM r WHERE rn <= 5
+    """,
+    "q_pmi_bigrams": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) <> '' AND len({_TOKENS}) >= 2),
+        uni AS (
+          SELECT w, count(*) AS c_w
+          FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY w),
+        uni2 AS (SELECT w, c_w, (SELECT sum(c_w) FROM uni) AS n_uni FROM uni),
+        bi AS (
+          SELECT bigram, count(*) AS c_xy FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1]))
+                   AS bigram
+            FROM docs) GROUP BY bigram),
+        bi2 AS (
+          SELECT bigram, c_xy, (SELECT sum(c_xy) FROM bi) AS n_bi
+          FROM bi WHERE c_xy >= 5)
+        SELECT b.bigram, b.c_xy,
+          {pround_sql(
+              "ln((CAST(b.c_xy AS DOUBLE) / b.n_bi)"
+              " / ((CAST(x.c_w AS DOUBLE) / x.n_uni)"
+              "    * (CAST(y.c_w AS DOUBLE) / y.n_uni)))", 4)} AS pmi
+        FROM bi2 b
+        JOIN uni2 x ON x.w = string_split(b.bigram, ' ')[1]
+        JOIN uni2 y ON y.w = string_split(b.bigram, ' ')[2]
+    """,
+    "q_time_bucket_rollup": f"""
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_start,
+               event_type, count(*) AS n_events,
+               {dsum_sql('value')} AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_salted_groupby": f"""
+        SELECT event_type, count(*) AS n_events,
+               {dsum_sql('value')} AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "q_rfm": f"""
+        WITH base AS (
+          SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+                 count(*) AS frequency,
+                 {dsum_sql('o_totalprice')} AS monetary
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, last_order, frequency, monetary,
+          CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INT)
+            AS r_score,
+          CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+            AS f_score,
+          CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+            AS m_score
+        FROM base
+    """,
 }

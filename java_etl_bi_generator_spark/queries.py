@@ -47,6 +47,7 @@ from .functions.text import (
     stopword_count_of,
     token_count_of,
     tokens,
+    word_shingles,
 )
 from .operators.dedup import (
     embedding_cosine_pairs,
@@ -1365,6 +1366,286 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pt >= es, "pt")
         .otherwise("es")
         .alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics / BI extensions (BASELINE.json north_star)
+# ---------------------------------------------------------------------------
+
+@q("q_sessionize")
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment: a new session starts when a user's gap
+    since their previous event exceeds 30 minutes (gaps-and-islands).  One
+    shuffle on user_id serves both window passes; integer ms arithmetic
+    (``unix_millis`` vs DuckDB ``epoch_ms`` — both floor micros) keeps the
+    hash engine-stable.  At 100 TB this is the standard sessionization
+    layout: partition by user, sort within partition, no driver state."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    prev_ms = F.lag(ms).over(w)
+    is_new = F.when(
+        prev_ms.isNull() | ((ms - prev_ms) > 1800000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("__is_new", is_new)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("__is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("session_seq"),
+        )
+    )
+
+
+@q("q_string_agg")
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): per nation key, the ``|``-joined
+    sorted customer names.  ``array_sort(collect_list(...))`` pins the
+    concatenation order — a bare collect_list order is partition-dependent
+    and would never hash-match (or reproduce) on a real cluster."""
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias(
+                "names"
+            ),
+        )
+    )
+
+
+@q("q_mode_per_group")
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (most frequent o_orderpriority per order
+    status), deterministic tie-break by priority text.  Two-level agg: the
+    count collapses before the window rank, so the ranked input is
+    |statuses×priorities|, not |orders|."""
+    counts = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
+
+
+@q("q_histogram")
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram over o_totalprice (25k bins, clamped to
+    bin 19) — single hash aggregation, bin id from pure IEEE floor/divide so
+    both engines bucket identically.  The fixed-bound form needs no prior
+    min/max pass — the shape to prefer at scale when bounds are known."""
+    od = T(spark, sf_dir, "orders")
+    bin_id = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(25000.0)), F.lit(19)
+    ).cast("int")
+    return (
+        od.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@q("q_join_null_aware_anti")
+def q_join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti join (``NOT IN`` with a nullable probe key): rows
+    whose key is NULL must NOT qualify (three-valued logic), unlike
+    ``left_anti``.  Spark plans this as a null-aware broadcast hash join
+    (single-column NOT IN); the probe key is nullified for every 100th
+    customer to exercise the NULL path."""
+    probe = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 100 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("probe_key"),
+    )
+    probe.createOrReplaceTempView("__naaj_probe")
+    T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey"
+    ).createOrReplaceTempView("__naaj_build")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM __naaj_probe
+        WHERE probe_key NOT IN (SELECT c_custkey FROM __naaj_build)
+        """
+    )
+
+
+@q("q_tfidf")
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: top-5 distinctive terms per document by tf-idf.  The doc-term
+    table shuffles once on (doc_id, token); document frequency re-aggregates
+    the same table (vocab-sized); N arrives as a broadcast scalar.  Ranking
+    uses the integer key ``tf*1e6 div df`` — monotone in tf/df, immune to
+    the cross-engine last-ulp drift of ``ln`` — while the emitted score is
+    the standard ``tf*ln(N/df)`` pinned to 4dp."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__key", F.expr("tf * 1000000 DIV df_cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__key").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            pround(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_cnt")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+@q("q_pmi_bigrams")
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: pointwise mutual information of adjacent token pairs (collocation
+    mining) over docs with ≥2 tokens.  Unigram and bigram counts are two
+    aggregations of one tokenized scan; corpus totals ride along as
+    empty-partition window sums (no recomputing branches).  PMI =
+    ln((c_xy/N_bi) / ((c_x/N_uni)(c_y/N_uni))), pinned to 4dp."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .withColumn("__toks", tokens("text"))
+        .filter(F.size("__toks") >= 2)
+    )
+    uni = (
+        docs.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .withColumn("n_uni", F.sum("c_w").over(Window.partitionBy()))
+    )
+    bi = (
+        docs.select(F.explode(word_shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .withColumn("n_bi", F.sum("c_xy").over(Window.partitionBy()))
+        .filter(F.col("c_xy") >= 5)
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))
+    )
+    u1 = uni.select(
+        F.col("w").alias("w1"), F.col("c_w").alias("c_x"), "n_uni"
+    )
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))
+    pmi = F.log(
+        (F.col("c_xy") / F.col("n_bi"))
+        / ((F.col("c_x") / F.col("n_uni")) * (F.col("c_y") / F.col("n_uni")))
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .select("bigram", "c_xy", pround(pmi, 4).alias("pmi"))
+    )
+
+
+@q("q_time_bucket_rollup")
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical downsampling: hourly partials roll up
+    into daily aggregates — the daily pass reads |hours×types| rows, not
+    |events|, which is the continuous-aggregate maintenance pattern at
+    scale (store the hourly table; derive coarser grains from it).  Bucket
+    ids are integer epoch math; the value sum stays DECIMAL through both
+    levels so re-aggregation is order-exact."""
+    ev = T(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts") / 3600).cast("bigint") * 3600
+    hourly = ev.groupBy(
+        hour.alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    return (
+        hourly.groupBy(
+            ((F.col("hour_start") / 86400).cast("bigint") * 86400).alias(
+                "day_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@q("q_salted_groupby")
+def q_salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: the events table has only a handful of
+    event_type values (extreme key skew at scale), so the aggregate runs in
+    two phases — partial per (event_type, salt16) spreads the hot keys over
+    16 reducers, then a tiny final pass merges partials.  Output is
+    provably identical to the direct GROUP BY (the oracle IS the direct
+    form).  Salt from a deterministic hash; value sums stay DECIMAL across
+    phases so merge order cannot perturb the result."""
+    ev = T(spark, sf_dir, "events")
+    salt = F.pmod(F.hash("event_id"), F.lit(16))
+    partial = ev.groupBy("event_type", salt.alias("__salt")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("double").alias("sum_value"),
+    )
+
+
+@q("q_rfm")
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI segmentation: RFM (recency/frequency/monetary) quartile scores per
+    customer from the orders table — one aggregation, then three ntile
+    windows over the (customer-sized) aggregate.  Every ordering carries a
+    custkey tie-break so quartile boundaries are engine-deterministic;
+    monetary is an exact decimal sum."""
+    base = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
     )
 
 
