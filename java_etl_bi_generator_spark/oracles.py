@@ -1288,4 +1288,83 @@ ORACLES: dict[str, str] = {
             AS m_score
         FROM base
     """,
+    "q_attribution_last_touch": """
+        WITH e AS (
+          SELECT event_id, user_id, event_type, ts, epoch_ms(ts) AS ms,
+                 max(CASE WHEN event_type <> 'purchase'
+                          THEN epoch_ms(ts) * 1000000 + event_id END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_packed
+          FROM events)
+        SELECT event_id AS purchase_id, user_id,
+               CAST(last_packed % 1000000 AS BIGINT) AS touch_id
+        FROM e
+        WHERE event_type = 'purchase' AND last_packed IS NOT NULL
+          AND ms - last_packed // 1000000 <= 604800000
+    """,
+    "q_anomaly_zscore": f"""
+        WITH s AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))
+                          * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+          FROM events GROUP BY 1),
+        st AS (
+          SELECT event_type, sx / n AS mean,
+                 sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std
+          FROM s)
+        SELECT event_id, e.event_type, value,
+               {pround_sql('(value - mean) / std', 4)} AS z_score
+        FROM events e JOIN st ON e.event_type = st.event_type
+        WHERE abs((value - mean) / std) > 3.0
+    """,
+    "q_json_roundtrip": (
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    ),
+    "q_orc_roundtrip": "SELECT * FROM region",
+    "q_posexplode": """
+        SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+               CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, (SELECT unnest([1, 2, 3, 4]) AS i) t
+    """,
+    "q_grid_fill": f"""
+        WITH years AS (
+          SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS order_year
+          FROM orders),
+        rev AS (
+          SELECT n_regionkey AS rk, CAST(year(o_orderdate) AS INT) AS yr,
+                 {dsum_sql('o_totalprice')} AS rev
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+        SELECT r_name, order_year, coalesce(rev, 0.0) AS revenue
+        FROM region CROSS JOIN years
+        LEFT JOIN rev ON region.r_regionkey = rev.rk
+                     AND years.order_year = rev.yr
+    """,
+    "q_map_ops": """
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        SELECT user_id,
+          coalesce(max(CASE WHEN event_type = 'view' THEN cnt END), 0)
+            AS n_view,
+          coalesce(max(CASE WHEN event_type = 'purchase' THEN cnt END), 0)
+            AS n_purchase,
+          CAST(count(*) AS INT) AS n_types
+        FROM c GROUP BY user_id
+    """,
+    "q_char_ngrams": """
+        WITH docs AS (
+          SELECT lower(text) AS t FROM documents
+          WHERE length(lower(text)) >= 3),
+        tri AS (
+          SELECT unnest(list_transform(range(1, length(t) - 1),
+                                       i -> substr(t, i, 3))) AS trigram
+          FROM docs)
+        SELECT trigram, count(*) AS freq FROM tri GROUP BY 1
+        ORDER BY freq DESC, trigram ASC LIMIT 20
+    """,
 }

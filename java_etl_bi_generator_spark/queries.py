@@ -1649,6 +1649,198 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_attribution_last_touch")
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase credits the user's most recent
+    prior non-purchase event within 7 days.  One conditional window max per
+    user ordered by time — (ms, event_id) packed into a single bigint so
+    the arg-max needs no struct ordering (portable across engines; valid
+    while event_id < 1e6 — at production scale use a max_by/struct-max).
+    Single shuffle on user_id, no self-join."""
+    ev = T(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    packed = F.when(
+        F.col("event_type") != "purchase",
+        ms * F.lit(1000000) + F.col("event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn("__last", F.max(packed).over(w))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("__last").isNotNull()
+            & ((ms - F.expr("__last DIV 1000000")) <= 604800000)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            (F.col("__last") % 1000000).alias("touch_id"),
+        )
+    )
+
+
+@q("q_anomaly_zscore")
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers: events whose value deviates >3 sample
+    standard deviations from their type's mean.  Stats come from exact
+    decimal power sums (order-independent, engine-identical — the
+    q_stats_moments construction) broadcast back onto the stream; the
+    z expression itself is fixed-order IEEE arithmetic."""
+    ev = T(spark, sf_dir, "events")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("sxx"),
+        )
+        .select(
+            "event_type",
+            (F.col("sx") / F.col("n")).alias("mean"),
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - F.lit(1.0))
+            ).alias("std"),
+        )
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", pround(F.col("z"), 4).alias("z_score"))
+    )
+
+
+@q("q_json_roundtrip")
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip (spark.read/write.json) with an
+    explicit schema on re-read — no inference pass, which at 100 TB is a
+    full extra scan.  Oracle reads the base table: the check is that the
+    roundtrip is lossless."""
+    path = tempfile.mkdtemp(prefix="json_roundtrip_") + "/nation"
+    T(spark, sf_dir, "nation").write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).json(path)
+
+
+@q("q_orc_roundtrip")
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip — the other columnar format Spark ships
+    a vectorized reader for; schema preserved in-file."""
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/region"
+    T(spark, sf_dir, "region").write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@q("q_posexplode")
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 superset: positional explode (UNNEST WITH ORDINALITY) — first 4
+    embedding components to (vec_id, pos, val) rows.  Generator runs
+    inside codegen; no shuffle."""
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "__v"),
+    ).select("vec_id", "pos", F.col("__v").cast("double").alias("val"))
+
+
+@q("q_grid_fill")
+def q_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense BI grid: every (region × order-year) cell, zero-filled where no
+    revenue exists — cross join of two tiny dimension sides, left join onto
+    pre-aggregated facts (eager agg keeps the outer join probe small), the
+    standard sparse-to-dense report shape."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    na = T(spark, sf_dir, "nation")
+    re = T(spark, sf_dir, "region")
+    years = od.select(
+        F.year("o_orderdate").alias("order_year")
+    ).distinct()
+    grid = re.select("r_regionkey", "r_name").crossJoin(years)
+    rev = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("rk"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    return (
+        grid.join(
+            rev,
+            (grid.r_regionkey == rev.rk) & (grid.order_year == rev.yr),
+            "left",
+        )
+        .select(
+            "r_name",
+            "order_year",
+            F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+@q("q_map_ops")
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event-type counts materialized as a
+    map<string,bigint> (map_from_entries over a sorted entry list), then
+    scalar lookups out of the map.  The map is the Spark-native column
+    shape; the oracle checks the extracted scalars."""
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at("type_counts", "view"), F.lit(0)).alias("n_view"),
+        F.coalesce(F.element_at("type_counts", "purchase"), F.lit(0)).alias(
+            "n_purchase"
+        ),
+        F.size("type_counts").alias("n_types"),
+    )
+
+
+@q("q_char_ngrams")
+def q_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus character-trigram profile, top-20 by frequency — the
+    feature family under classic language-ID.  Trigrams via a sequence+
+    substr transform (pure codegen, no UDF); deterministic tie-break on the
+    trigram text."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select(F.lower(F.col("text")).alias("t"))
+        .filter(F.length("t") >= 3)
+    )
+    tri = docs.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 2), i -> substr(t, i, 3))")
+        ).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("trigram").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
