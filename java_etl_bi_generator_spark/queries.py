@@ -1494,17 +1494,24 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same table (vocab-sized); N arrives as a broadcast scalar.  Ranking
     uses the integer key ``tf*1e6 div df`` — monotone in tf/df, immune to
     the cross-engine last-ulp drift of ``ln`` — while the emitted score is
-    the standard ``tf*ln(N/df)`` pinned to 4dp."""
+    the standard ``tf*ln(N/df)`` pinned to 4dp.
+
+    Document frequency is a ``count over (partition by token)`` window on
+    the tf table, NOT a separate groupBy branch: DataFrame lineage is not a
+    CTE, and a second branch re-runs the scan+explode of the whole corpus
+    (verified via explain — test_plans asserts one Generate).  N stays a
+    broadcast scalar from a count-only scan (no explode)."""
     docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_cnt"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.withColumn(
+            "df_cnt", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn("__key", F.expr("tf * 1000000 DIV df_cnt"))
     )

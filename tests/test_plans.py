@@ -92,3 +92,34 @@ def test_fuzzy_match_blocks_before_distance(spark, sf_dir):
     plan = explain_simple(registry()["q_fuzzy_match"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_null_aware_anti_join_is_hash_not_nested_loop(spark, sf_dir):
+    # Single-column NOT IN must plan as a null-aware broadcast hash join;
+    # a BroadcastNestedLoopJoin here is quadratic at scale.
+    plan = explain_simple(registry()["q_join_null_aware_anti"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NAAJ" in plan or "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    # The 5-row stats side must broadcast; the events stream is never
+    # shuffled for the join.
+    plan = explain_simple(registry()["q_anomaly_zscore"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # Both window passes (lag + running sum) share one user_id partitioning:
+    # exactly one exchange in the plan.
+    plan = explain_simple(registry()["q_sessionize"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_tfidf_single_corpus_scan(spark, sf_dir):
+    # tf, df and N: df re-aggregates the tf table and N is a broadcast
+    # scalar from the raw docs scan — the explode runs once.
+    plan = explain_simple(registry()["q_tfidf"](spark, sf_dir))
+    assert plan.count("Generate explode") == 1
