@@ -1560,19 +1560,31 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
         .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))
     )
-    u1 = uni.select(
-        F.col("w").alias("w1"), F.col("c_w").alias("c_x"), "n_uni"
+    # Unpivot each bigram into (pos, word) rows so the unigram table joins
+    # ONCE — two join branches against `uni` would re-run its scan+explode
+    # subtree (DataFrame lineage is not a CTE), tripling corpus scans.
+    pairs = bi.select(
+        "bigram",
+        "c_xy",
+        "n_bi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("pos"), F.col("w1").alias("w")),
+                F.struct(F.lit(2).alias("pos"), F.col("w2").alias("w")),
+            )
+        ).alias("pw"),
+    ).select("bigram", "c_xy", "n_bi", F.col("pw.pos").alias("pos"), F.col("pw.w").alias("w"))
+    joined = pairs.join(uni, "w")
+    both = joined.groupBy("bigram", "c_xy", "n_bi").agg(
+        F.max(F.when(F.col("pos") == 1, F.col("c_w"))).alias("c_x"),
+        F.max(F.when(F.col("pos") == 2, F.col("c_w"))).alias("c_y"),
+        F.max("n_uni").alias("n_uni"),
     )
-    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))
     pmi = F.log(
         (F.col("c_xy") / F.col("n_bi"))
         / ((F.col("c_x") / F.col("n_uni")) * (F.col("c_y") / F.col("n_uni")))
     )
-    return (
-        bi.join(u1, "w1")
-        .join(u2, "w2")
-        .select("bigram", "c_xy", pround(pmi, 4).alias("pmi"))
-    )
+    return both.select("bigram", "c_xy", pround(pmi, 4).alias("pmi"))
 
 
 @q("q_time_bucket_rollup")
