@@ -38,6 +38,10 @@ HEADLINE = [
     "q_date_dim_generate",   # calendar generator
     "q_tpch_q21",            # decorrelated EXISTS/NOT-EXISTS via windows
     "q_funnel",              # stacked conditional window minima
+    "q_tfidf",               # single-explode tf-idf with window df
+    "q_sessionize",          # gaps-and-islands session assignment
+    "q_anomaly_zscore",      # broadcast-stats outlier scan
+    "q_rfm",                 # 3-way ntile segmentation
 ]
 
 
