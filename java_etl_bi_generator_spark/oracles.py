@@ -1356,6 +1356,48 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_cumulative_distinct": """
+        WITH f AS (
+          SELECT user_id,
+                 min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS day
+          FROM events GROUP BY 1),
+        d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        SELECT day, new_users,
+               CAST(sum(new_users) OVER
+                    (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_users
+        FROM d
+    """,
+    "q_gap_fill_ffill": f"""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                 {dsum_sql('value')} AS sv
+          FROM events GROUP BY 1, 2),
+        b AS (
+          SELECT event_type, min(hour) AS mn, max(hour) AS mx
+          FROM hourly GROUP BY 1),
+        grid AS (
+          SELECT event_type, unnest(range(mn, mx + 1)) AS hour FROM b),
+        f AS (
+          SELECT g.event_type, g.hour, h.sv
+          FROM grid g LEFT JOIN hourly h
+            ON g.event_type = h.event_type AND g.hour = h.hour)
+        SELECT event_type, hour,
+               last_value(sv IGNORE NULLS) OVER
+                 (PARTITION BY event_type ORDER BY hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sv_filled,
+               CASE WHEN sv IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM f
+    """,
+    "q_mask_pii": """
+        SELECT c_custkey,
+               regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_name,
+               substr(sha256(c_name), 1, 16) AS pseudonym,
+               CAST(floor(c_acctbal / 1000.0) * 1000 AS INT) AS acctbal_bucket
+        FROM customer
+    """,
     "q_char_ngrams": """
         WITH docs AS (
           SELECT lower(text) AS t FROM documents

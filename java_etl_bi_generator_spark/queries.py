@@ -1860,6 +1860,88 @@ def q_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_cumulative_distinct")
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth analytics: daily new users and the cumulative unique-user
+    curve.  A naive COUNT(DISTINCT) over an expanding window rescans per
+    day; instead each user collapses to their first-seen day (one shuffle
+    on user_id), daily counts aggregate that, and a running sum over the
+    (tiny) daily table finishes — the exact-cumulative-cardinality layout
+    that scales linearly."""
+    ev = T(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("bigint")
+    firsts = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum_users"),
+    )
+
+
+@q("q_gap_fill_ffill")
+def q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each event_type to its full hourly
+    range (explode over a per-type ``sequence``) and forward-fill missing
+    hourly sums with ``last(..., ignorenulls)``.  Two scans of events (the
+    hourly agg and its per-type bounds re-agg — a production pipeline
+    persists the hourly table and pays one); the fill itself runs on the
+    densified grid, partitioned by type."""
+    ev = T(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts") / 3600).cast("bigint")
+    hourly = ev.groupBy("event_type", hour.alias("hour")).agg(
+        dsum(F.col("value")).alias("sv")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hour"),
+    )
+    filled = grid.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.last("sv", ignorenulls=True).over(w).alias("sv_filled"),
+        F.when(F.col("sv").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+@q("q_mask_pii")
+def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance masking: digit redaction (suppression), a stable
+    sha-256-derived pseudonym (joinable across tables without exposing the
+    name), and numeric generalization of the account balance — all
+    built-in expressions, codegen-able over 100 TB."""
+    cu = T(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "*").alias("masked_name"),
+        F.substring(F.sha2(F.col("c_name"), 256), 1, 16).alias("pseudonym"),
+        (F.floor(F.col("c_acctbal") / 1000.0) * 1000).cast("int").alias(
+            "acctbal_bucket"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
