@@ -1356,6 +1356,50 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_embed_normalize": f"""
+        SELECT vec_id,
+          {pround_sql(
+              'sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), '
+              'CAST(embedding AS DOUBLE[])))', 6)} AS norm,
+          {pround_sql(
+              'CAST(embedding[1] AS DOUBLE) / '
+              'sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), '
+              'CAST(embedding AS DOUBLE[])))', 6)} AS v0_unit
+        FROM embeddings
+    """,
+    "q_embed_centroid": f"""
+        WITH x AS (
+          SELECT label, CAST(i - 1 AS INT) AS pos,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT) AS qv
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t)
+        SELECT label, pos,
+               {pround_sql(
+                   'CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0', 6)}
+                 AS centroid
+        FROM x GROUP BY label, pos
+    """,
+    "q_embed_quantize": f"""
+        WITH s AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d,
+                 list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x)), 'max') AS scale
+          FROM embeddings)
+        SELECT vec_id, {pround_sql('scale', 6)} AS scale_q,
+          CAST(floor(d[1] / scale * 127.0 + 0.5) AS INT) AS q1,
+          CAST(floor(d[2] / scale * 127.0 + 0.5) AS INT) AS q2,
+          CAST(floor(d[3] / scale * 127.0 + 0.5) AS INT) AS q3,
+          CAST(floor(d[4] / scale * 127.0 + 0.5) AS INT) AS q4
+        FROM s
+    """,
+    "q_stratified_sample": f"""
+        SELECT doc_id, lang, bucket FROM (
+          SELECT doc_id, lang, {_BUCKET} AS bucket FROM documents) t
+        WHERE bucket < CASE WHEN lang = 'en' THEN 10
+                            WHEN lang = 'pt' THEN 30
+                            WHEN lang = 'es' THEN 50
+                            ELSE 20 END
+    """,
     "q_cumulative_distinct": """
         WITH f AS (
           SELECT user_id,

@@ -1942,6 +1942,105 @@ def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_embed_normalize")
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: embedding L2 norm + unit-normalized first component — zip_with/
+    aggregate left-fold in double (bit-identical to DuckDB's
+    list_dot_product fold order; see functions/vectors.py).  Pure per-row
+    codegen: no shuffle, no UDF."""
+    from .functions.vectors import l2_norm
+
+    emb = T(spark, sf_dir, "embeddings")
+    norm = l2_norm("embedding")
+    return emb.select(
+        "vec_id",
+        pround(norm, 6).alias("norm"),
+        pround(
+            F.element_at(F.col("embedding").cast("array<double>"), 1) / norm, 6
+        ).alias("v0_unit"),
+    )
+
+
+@q("q_embed_centroid")
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: per-label centroid components (the IVF coarse-quantizer build
+    step) — hash-checkable because each component is pinned to integer
+    micro-units BEFORE the sum (floor(v*1e6+0.5): fixed-order IEEE, so
+    both engines sum identical integers; a raw double avg is partition-
+    order-dependent and can never hash-match).  posexplode + groupBy
+    (label, pos): map-side partials keep the shuffle at |labels|×dim."""
+    emb = T(spark, sf_dir, "embeddings")
+    qv = F.floor(F.col("v") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(qv).alias("sq"), F.count(F.lit(1)).alias("n")
+        )
+        .select(
+            "label",
+            "pos",
+            pround(
+                F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0), 6
+            ).alias("centroid"),
+        )
+    )
+
+
+@q("q_embed_quantize")
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: int8 scalar quantization (symmetric max-abs, the standard ANN
+    compression): per-vector scale = max|v|, each component →
+    floor(v/scale*127+0.5).  Emits the scale and the first 4 quantized
+    components; all per-row IEEE arithmetic, engine-identical."""
+    emb = T(spark, sf_dir, "embeddings")
+    d = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(d, lambda x: F.abs(x)))
+    qi = lambda i: F.floor(  # noqa: E731
+        F.element_at(F.col("d"), i) / F.col("scale") * 127.0 + 0.5
+    ).cast("int")
+    return (
+        emb.select("vec_id", d.alias("d"), scale.alias("scale"))
+        .select(
+            "vec_id",
+            pround(F.col("scale"), 6).alias("scale_q"),
+            qi(1).alias("q1"),
+            qi(2).alias("q2"),
+            qi(3).alias("q3"),
+            qi(4).alias("q4"),
+        )
+    )
+
+
+@q("q_stratified_sample")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: stratified corpus sampling with per-language rates (rebalancing
+    a skewed corpus: en 10%, pt 30%, es 50%, other 20%) — the same
+    portable md5 hash-bucket as q_corpus_sample, so strata membership is
+    reproducible under reshuffling and appends."""
+    docs = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "pt", 30)
+        .when(F.col("lang") == "es", 50)
+        .otherwise(20)
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
