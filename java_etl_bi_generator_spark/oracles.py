@@ -1356,6 +1356,59 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_snapshot_diff": """
+        WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
+        v2 AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END AS c_acctbal
+          FROM customer WHERE c_custkey % 97 <> 0
+          UNION ALL
+          SELECT c_custkey + 100000, c_acctbal
+          FROM customer WHERE c_custkey % 50 = 0),
+        j AS (
+          SELECT v1.c_custkey AS k, v2.c_custkey AS k2,
+                 v1.c_acctbal AS old_bal, v2.c_acctbal AS new_bal
+          FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)
+        SELECT coalesce(k, k2) AS c_custkey,
+               CASE WHEN k IS NULL THEN 'added'
+                    WHEN k2 IS NULL THEN 'removed'
+                    WHEN old_bal <> new_bal THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               old_bal, new_bal
+        FROM j
+        WHERE (CASE WHEN k IS NULL THEN 'added'
+                    WHEN k2 IS NULL THEN 'removed'
+                    WHEN old_bal <> new_bal THEN 'changed'
+                    ELSE 'unchanged' END) <> 'unchanged'
+    """,
+    "q_incremental_dedup": """
+        WITH batch AS (
+          SELECT doc_id, sha256(text) AS hash FROM documents
+          WHERE doc_id % 3 = 0),
+        existing AS (
+          SELECT sha256(text) AS hash FROM documents WHERE doc_id % 3 <> 0)
+        SELECT doc_id, hash FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.hash = b.hash)
+    """,
+    "q_pareto": f"""
+        WITH rev AS (
+          SELECT o_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+          FROM orders GROUP BY 1),
+        c AS (
+          SELECT o_custkey, rev_d,
+                 sum(rev_d) OVER (ORDER BY rev_d DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_d
+          FROM rev),
+        t AS (SELECT *, max(cum_d) OVER () AS total_d FROM c)
+        SELECT o_custkey, CAST(rev_d AS DOUBLE) AS revenue,
+               {pround_sql(
+                   'CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE)', 6)}
+                 AS cum_share
+        FROM t
+        WHERE CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE) <= 0.8
+    """,
     "q_embed_normalize": f"""
         SELECT vec_id,
           {pround_sql(

@@ -2041,6 +2041,98 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_snapshot_diff")
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify rows as added / removed / changed
+    between two table versions via one full-outer join on the key.  v2 is
+    derived deterministically from customer (every 10th balance bumped,
+    every 97th row deleted, every 50th key re-added shifted) so the diff
+    is reproducible.  At scale both snapshots bucket by key → the join is
+    shuffle-free; row equality compares a content hash, not N columns."""
+    cu = T(spark, sf_dir, "customer")
+    v1 = cu.select("c_custkey", "c_acctbal")
+    v2_updates = cu.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    v2_adds = cu.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"), "c_acctbal"
+    )
+    v2 = v2_updates.unionByName(v2_adds)
+    a = v1.select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("old_bal")
+    )
+    b = v2.select(
+        F.col("c_custkey").alias("k2"), F.col("c_acctbal").alias("new_bal")
+    )
+    joined = a.join(b, a.k == b.k2, "full_outer")
+    return (
+        joined.select(
+            F.coalesce(F.col("k"), F.col("k2")).alias("c_custkey"),
+            F.when(F.col("k").isNull(), "added")
+            .when(F.col("k2").isNull(), "removed")
+            .when(F.col("old_bal") != F.col("new_bal"), "changed")
+            .otherwise("unchanged")
+            .alias("change_type"),
+            "old_bal",
+            "new_bal",
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )
+
+
+@q("q_incremental_dedup")
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 at ingestion time: a new document batch is admitted only if its
+    content hash is absent from the existing corpus — left-anti join on
+    sha2(text), the incremental-ingest companion to q_dedup_exact.  At
+    100 TB the corpus side is a bucketed hash index (join is co-located);
+    the anti join ships only the new batch."""
+    docs = T(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    existing = docs.filter(F.col("doc_id") % 3 != 0).select(h.alias("hash"))
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", h.alias("hash")
+    )
+    return batch.join(existing, "hash", "left_anti").select("doc_id", "hash")
+
+
+@q("q_pareto")
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI Pareto analysis: the customers making up the first 80% of
+    cumulative revenue, with their running share.  Revenue per customer is
+    an exact decimal sum; the cumulative share is a single ordered window
+    over the (customer-sized) aggregate, with a key tie-break so the
+    prefix is engine-deterministic.  The running sum stays DECIMAL inside
+    the window: float window sums are evaluation-order-dependent (Spark
+    folds sequentially, DuckDB may combine via segment tree) — exact
+    decimal addition is order-free, so both agree bit-for-bit."""
+    rev = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+        )
+    )
+    w = Window.orderBy(F.col("rev_d").desc(), F.col("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.withColumn("cum_d", F.sum("rev_d").over(w)).withColumn(
+        "total_d", F.max("cum_d").over(Window.partitionBy())
+    )
+    share = cum.withColumn(
+        "cum_share",
+        F.col("cum_d").cast("double") / F.col("total_d").cast("double"),
+    )
+    return share.filter(F.col("cum_share") <= 0.8).select(
+        "o_custkey",
+        F.col("rev_d").cast("double").alias("revenue"),
+        pround(F.col("cum_share"), 6).alias("cum_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
