@@ -1,0 +1,56 @@
+"""Global declared-query contract audit.
+
+Two guarantees over the ENTIRE registry, not per-query samples:
+
+1. Contract integrity — every oracle has a query, and the rows-only set
+   (queries with no DuckDB oracle) is exactly the documented one, so a new
+   query cannot silently ship unchecked.
+2. Plan hygiene at scale — no declared query's physical plan contains a
+   row-at-a-time / Arrow Python UDF node (everything stays in Catalyst
+   codegen; SURVEY.md §2.13) or an unpartitioned CartesianProduct (the
+   quadratic shape that cannot survive 100 TB).  Non-equi joins must ride
+   a broadcast (BroadcastNestedLoopJoin with a bounded side) instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from java_etl_bi_generator_spark.oracles import ORACLES
+from java_etl_bi_generator_spark.plans import explain_simple
+from java_etl_bi_generator_spark.queries import registry
+
+# Streaming state, IVF probing and HLL sketches are not SQL-expressible in
+# DuckDB — the driver records a weaker rows-only check for exactly these.
+DOCUMENTED_ROWS_ONLY = {
+    "q_stream_watermark",
+    "q_stream_stateful",
+    "q_stream_join",
+    "q_stream_dedup",
+    "q_vector_topk_ivf",
+    "q_approx_count_distinct",
+}
+
+# Streaming queries build readStream plans; explain() would need a query
+# start.  They are exercised end-to-end in test_streaming.py instead.
+SKIP_EXPLAIN = {name for name in registry() if name.startswith("q_stream_")}
+
+
+def test_every_oracle_has_a_query():
+    missing = set(ORACLES) - set(registry())
+    assert not missing, f"oracles without queries: {sorted(missing)}"
+
+
+def test_rows_only_set_is_exactly_the_documented_one():
+    rows_only = set(registry()) - set(ORACLES)
+    assert rows_only == DOCUMENTED_ROWS_ONLY
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(registry()) - SKIP_EXPLAIN)
+)
+def test_plan_is_udf_free_and_cartesian_free(name, spark, sf_dir):
+    plan = explain_simple(registry()[name](spark, sf_dir))
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    assert "ArrowEvalPython" not in plan, f"{name}: pandas UDF on declared path"
+    assert "CartesianProduct" not in plan, f"{name}: unbroadcast cross join"
