@@ -1356,6 +1356,77 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_mad": f"""
+        WITH med AS (
+          SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+          FROM lineitem GROUP BY 1),
+        d AS (
+          SELECT l.l_returnflag, m.med,
+                 abs(l.l_quantity - m.med) AS dev
+          FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag)
+        SELECT l_returnflag,
+               {pround_sql('max(med)', 6)} AS median_qty,
+               {pround_sql('quantile_cont(dev, 0.5)', 6)} AS mad_qty
+        FROM d GROUP BY 1
+    """,
+    "q_regression_by_group": f"""
+        WITH pts AS (
+          SELECT event_type,
+                 CAST(floor(floor(epoch(ts)) / 3600.0 * 1000 + 0.5)
+                      AS BIGINT) AS xi,
+                 CAST(value AS DECIMAL(18,2)) AS yi
+          FROM events),
+        g AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(xi) AS DOUBLE) AS sx,
+                 CAST(sum(yi) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(xi AS DECIMAL(19,0))
+                          * CAST(xi AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(xi AS DECIMAL(19,0)) * yi) AS DOUBLE) AS sxy
+          FROM pts GROUP BY 1)
+        SELECT event_type,
+          {pround_sql('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 10)}
+            AS slope,
+          {pround_sql(
+              '(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n',
+              6)} AS intercept
+        FROM g
+    """,
+    "q_minmax_scale": f"""
+        SELECT o_orderkey,
+               {pround_sql('(o_totalprice - mn) / (mx - mn)', 6)}
+                 AS price_scaled
+        FROM (SELECT o_orderkey, o_totalprice,
+                     min(o_totalprice) OVER () AS mn,
+                     max(o_totalprice) OVER () AS mx
+              FROM orders) t
+    """,
+    "q_onehot": """
+        SELECT o_orderkey,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_p1,
+          CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS is_p2,
+          CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS is_p3,
+          CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END
+            AS is_p4,
+          CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS is_p5
+        FROM orders
+    """,
+    "q_bpe_pair_counts": f"""
+        WITH words AS (
+          SELECT word, count(*) AS freq FROM (
+            SELECT unnest({_TOKENS}) AS word FROM documents
+            WHERE trim(text) <> '') t
+          GROUP BY word HAVING length(word) >= 2),
+        pairs AS (
+          SELECT freq,
+                 unnest(list_transform(range(1, length(word)),
+                                       i -> substr(word, i, 2))) AS pair
+          FROM words)
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY 1
+        ORDER BY pair_count DESC, pair ASC LIMIT 50
+    """,
     "q_snapshot_diff": """
         WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
         v2 AS (

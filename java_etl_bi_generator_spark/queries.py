@@ -2133,6 +2133,141 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_mad")
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: median absolute deviation of lineitem quantity
+    per return flag — two exact-percentile passes (median, then median of
+    |x−median|), the outlier-resistant spread measure.  At 100 TB both
+    medians switch to ``approx_percentile``; exact is the oracle-checkable
+    baseline."""
+    li = T(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .withColumn("dev", F.abs(F.col("l_quantity") - F.col("med")))
+        .groupBy("l_returnflag")
+        .agg(
+            pround(F.max("med"), 6).alias("median_qty"),
+            pround(F.expr("percentile(dev, 0.5)"), 6).alias("mad_qty"),
+        )
+    )
+
+
+@q("q_regression_by_group")
+def q_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-only OLS: slope/intercept of value-vs-time per event_type
+    from exact decimal power sums (one shuffle, no iteration) — closed-form
+    regression as a GROUP BY, the shape that trains millions of per-key
+    models in a single pass.  x = hours since epoch (bounded magnitude so
+    decimal products stay exact); every derived float is fixed-order IEEE
+    on identical sums."""
+    ev = T(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") / 3600.0)  # fractional hours since epoch
+    xd = F.floor(x * 1000 + 0.5).cast("bigint")  # milli-hours, exact ints
+    yd = F.col("value").cast("decimal(18,2)")
+    g = (
+        ev.select("event_type", xd.alias("xi"), yd.alias("yi"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("xi").cast("double").alias("sx"),
+            F.sum("yi").cast("double").alias("sy"),
+            # products in DECIMAL(19,0)x...: stays within precision 38
+            # (sum of raw bigint squares would overflow; a lossy decimal
+            # cap would silently round) — exact in both engines
+            F.sum(
+                F.col("xi").cast("decimal(19,0)")
+                * F.col("xi").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("sxx"),
+            F.sum(F.col("xi").cast("decimal(19,0)") * F.col("yi"))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    slope = (g.n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        g.n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return g.select(
+        "event_type",
+        pround(slope, 10).alias("slope"),
+        pround(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+@q("q_minmax_scale")
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering: min-max scale o_totalprice to [0,1] — global
+    bounds via empty-partition window aggregates (min/max are order-free),
+    scaling is per-row IEEE arithmetic.  One pass, no collect."""
+    od = T(spark, sf_dir, "orders")
+    w = Window.partitionBy()
+    return (
+        od.withColumn("mn", F.min("o_totalprice").over(w))
+        .withColumn("mx", F.max("o_totalprice").over(w))
+        .select(
+            "o_orderkey",
+            pround(
+                (F.col("o_totalprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn")),
+                6,
+            ).alias("price_scaled"),
+        )
+    )
+
+
+@q("q_onehot")
+def q_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering: one-hot encode o_orderpriority into indicator
+    columns against a pinned category list (never inferred from data — a
+    drifting category set silently reshapes the feature matrix)."""
+    od = T(spark, sf_dir, "orders")
+    cats = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cols = [
+        F.when(F.col("o_orderpriority") == c, 1).otherwise(0).alias(
+            f"is_p{i + 1}"
+        )
+        for i, c in enumerate(cats)
+    ]
+    return od.select("o_orderkey", *cols)
+
+
+@q("q_bpe_pair_counts")
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: the BPE-training inner step — corpus-weighted adjacent character
+    pair counts.  The corpus first collapses to (distinct word, freq) —
+    the standard trick that makes each merge round O(|vocab|), not
+    O(|corpus|) — then pairs explode per word weighted by word frequency.
+    Top-50 by count, tie-broken on the pair text."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substr(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
