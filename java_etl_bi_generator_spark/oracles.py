@@ -1356,6 +1356,34 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_chunk_documents": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n
+          FROM documents WHERE trim(text) <> ''),
+        st AS (
+          SELECT doc_id, toks, n, unnest(range(1, n + 1, 40)) AS start
+          FROM docs)
+        SELECT doc_id,
+               CAST((start - 1) // 40 AS INT) AS chunk_id,
+               CAST(least(n - start + 1, 50) AS INT) AS chunk_tokens,
+               substr(sha256(array_to_string(
+                 toks[CAST(start AS INT):CAST(start + 49 AS INT)], ' ')),
+                 1, 16) AS chunk_hash
+        FROM st
+    """,
+    "q_pack_sequences": f"""
+        WITH d AS (
+          SELECT doc_id, {_N_TOKENS} AS n_tok FROM documents),
+        p AS (
+          SELECT doc_id, n_tok,
+                 CAST(floor(CAST(sum(n_tok) OVER
+                        (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok
+                      AS DOUBLE) / 512) AS BIGINT) AS bin_id
+          FROM d)
+        SELECT bin_id, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        FROM p GROUP BY 1
+    """,
     "q_mad": f"""
         WITH med AS (
           SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med

@@ -2268,6 +2268,67 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_chunk_documents")
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: split documents into overlapping token-window chunks (size 50,
+    stride 40 — the RAG/pretraining chunking shape).  Chunk starts come
+    from a ``sequence`` with the stride as step; each chunk is a
+    ``slice`` of the shared tokens array re-joined — all codegen, one
+    generator, no UDF.  Emits per-chunk token count and a content hash
+    (the dedup-ready form; chunk text itself would bloat the comparison)."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .withColumn("toks", tokens("text"))
+        .withColumn("n", F.size("toks"))
+    )
+    starts = F.sequence(F.lit(1), F.col("n"), F.lit(40))
+    chunks = docs.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    chunk_toks = F.slice(F.col("toks"), F.col("start"), 50)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.least(F.col("n") - F.col("start") + 1, F.lit(50)).alias(
+            "chunk_tokens"
+        ),
+        F.substring(
+            F.sha2(F.array_join(chunk_toks, " "), 256), 1, 16
+        ).alias("chunk_hash"),
+    )
+
+
+@q("q_pack_sequences")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: contiguous sequence packing — assign documents (in stable
+    doc_id order) to fixed-capacity training bins of 512 tokens by prefix
+    sum: bin = floor((cum_tokens − doc_tokens) / 512).  The streaming-
+    packer approximation of bin packing: one ordered window pass, exact
+    integer arithmetic, deterministic across engines and re-runs.  Emits
+    per-bin document count and fill level."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count_of(tokens("text"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = docs.select(
+        "doc_id",
+        "n_tok",
+        (
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512)
+        ).cast("bigint").alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
