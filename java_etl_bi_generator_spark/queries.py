@@ -2307,20 +2307,40 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: contiguous sequence packing — assign documents (in stable
     doc_id order) to fixed-capacity training bins of 512 tokens by prefix
     sum: bin = floor((cum_tokens − doc_tokens) / 512).  The streaming-
-    packer approximation of bin packing: one ordered window pass, exact
-    integer arithmetic, deterministic across engines and re-runs.  Emits
-    per-bin document count and fill level."""
-    docs = T(spark, sf_dir, "documents").withColumn(
-        "n_tok", token_count_of(tokens("text"))
+    packer approximation of bin packing: exact integer arithmetic,
+    deterministic across engines and re-runs.  Emits per-bin document
+    count and fill level.
+
+    The prefix sum is DISTRIBUTED (a global ``Window.orderBy`` would pull
+    the whole corpus into one partition): doc-id range buckets carry
+    in-bucket running sums in parallel, a buckets-sized offset table
+    cumulates per-bucket totals, and a broadcast join adds the offsets —
+    the classic two-phase scan, identical output to the single-partition
+    form."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", token_count_of(tokens("text")).alias("n_tok")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
+    bucket = (F.col("doc_id") / F.lit(1000)).cast("bigint")
+    d = docs.withColumn("bucket", bucket)
+    in_w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = d.withColumn("in_cum", F.sum("n_tok").over(in_w))
+    totals = d.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    off_w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    packed = docs.select(
+    offsets = totals.select(
+        "bucket",
+        (F.sum("btot").over(off_w) - F.col("btot")).alias("offset"),
+    )
+    packed = within.join(F.broadcast(offsets), "bucket").select(
         "doc_id",
         "n_tok",
         (
-            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(512)
+            (F.col("offset") + F.col("in_cum") - F.col("n_tok")) / F.lit(512)
         ).cast("bigint").alias("bin_id"),
     )
     return packed.groupBy("bin_id").agg(
