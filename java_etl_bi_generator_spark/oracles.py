@@ -1356,6 +1356,55 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_basket_pairs": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        no AS (SELECT count(*) AS n_orders FROM orders),
+        pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS c_ab
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+        sup AS (SELECT l_partkey, count(*) AS c_x FROM li GROUP BY 1)
+        SELECT p.p1, p.p2, p.c_ab,
+          {pround_sql(
+              '(CAST(n.n_orders AS DOUBLE) * p.c_ab) / (sa.c_x * sb.c_x)',
+              6)} AS lift
+        FROM pairs p
+        JOIN sup sa ON sa.l_partkey = p.p1
+        JOIN sup sb ON sb.l_partkey = p.p2
+        CROSS JOIN no n
+    """,
+    "q_degree_distribution": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (
+          SELECT p1 AS node, p2 AS nbr FROM e
+          UNION ALL SELECT p2, p1 FROM e),
+        d AS (SELECT node, count(DISTINCT nbr) AS degree FROM sym GROUP BY 1)
+        SELECT degree, count(*) AS n_nodes FROM d GROUP BY 1
+    """,
+    "q_chunk_dup_stats": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n
+          FROM documents WHERE trim(text) <> ''),
+        st AS (
+          SELECT doc_id, toks, n, unnest(range(1, n + 1, 40)) AS start
+          FROM docs),
+        ch AS (
+          SELECT substr(sha256(array_to_string(
+                   toks[CAST(start AS INT):CAST(start + 49 AS INT)], ' ')),
+                   1, 16) AS chunk_hash
+          FROM st)
+        SELECT count(*) AS n_chunks,
+               count(DISTINCT chunk_hash) AS n_unique,
+               {pround_sql(
+                   '(count(*) - count(DISTINCT chunk_hash))'
+                   ' / CAST(count(*) AS DOUBLE)', 6)} AS dup_rate
+        FROM ch
+    """,
     "q_chunk_documents": f"""
         WITH docs AS (
           SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n

@@ -2349,6 +2349,107 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_basket_pairs")
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: part pairs bought in the same
+    order, support ≥ 3, lift from exact integer counts.  The self-join is
+    keyed on l_orderkey — quadratic only within a basket (~7 items), never
+    across the corpus — and the per-item support table joins back via the
+    same pos-unpivot trick as q_pmi_bigrams (one support branch, not
+    two).  lift = n_orders·c_ab/(c_a·c_b), fixed-order IEEE on identical
+    integers."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = (
+        T(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, (a.l_orderkey == b.ok2) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    support = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_x"))
+    melted = pairs.select(
+        "p1",
+        "p2",
+        "c_ab",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("side"), F.col("p1").alias("pk")),
+                F.struct(F.lit(2).alias("side"), F.col("p2").alias("pk")),
+            )
+        ).alias("sp"),
+    ).select("p1", "p2", "c_ab", F.col("sp.side").alias("side"), F.col("sp.pk").alias("pk"))
+    joined = melted.join(support, melted.pk == support.l_partkey).groupBy(
+        "p1", "p2", "c_ab"
+    ).agg(
+        F.max(F.when(F.col("side") == 1, F.col("c_x"))).alias("c_a"),
+        F.max(F.when(F.col("side") == 2, F.col("c_x"))).alias("c_b"),
+    )
+    lift = (
+        F.col("n_orders").cast("double")
+        * F.col("c_ab")
+        / (F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        joined.crossJoin(F.broadcast(n_orders))
+        .select("p1", "p2", "c_ab", pround(lift, 6).alias("lift"))
+    )
+
+
+@q("q_degree_distribution")
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph profile of the co-purchase graph: how many parts have k
+    co-purchase neighbors (degree histogram).  Edges from the basket
+    self-join (bounded per order), symmetrized by a pos-explode rather
+    than a union of two derived frames (one edge subtree, not two);
+    degree = distinct neighbors; the histogram is a second tiny agg."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
+    )
+    edges = a.join(b, (a.l_orderkey == b.ok2) & (F.col("p1") < F.col("p2"))).select(
+        "p1", "p2"
+    )
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("node"), F.col("p2").alias("nbr")),
+                F.struct(F.col("p2").alias("node"), F.col("p1").alias("nbr")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.nbr")
+    degrees = sym.groupBy("node").agg(
+        F.count_distinct(F.col("nbr")).alias("degree")
+    )
+    return degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@q("q_chunk_dup_stats")
+def q_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA metric: chunk-level duplication rate — total chunks,
+    distinct chunk hashes, and the duplicate fraction, in ONE aggregation
+    over the chunk table (count + count distinct share a pass)."""
+    chunks = q_chunk_documents(spark, sf_dir)
+    return chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct(F.col("chunk_hash")).alias("n_unique"),
+    ).select(
+        "n_chunks",
+        "n_unique",
+        pround(
+            (F.col("n_chunks") - F.col("n_unique"))
+            / F.col("n_chunks").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
