@@ -2450,6 +2450,21 @@ def q_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_approx_percentile")
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-family approximation: ``approx_percentile`` (Greenwald-Khanna
+    sketch) per group — the 100 TB path for quantiles (mergeable partial
+    sketches, bounded memory).  Rows-only vs the oracle: sketch
+    implementations differ across engines; the exact hash-checked twin is
+    q_percentile."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)"
+        ).alias("approx_p")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------

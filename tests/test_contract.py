@@ -29,6 +29,7 @@ DOCUMENTED_ROWS_ONLY = {
     "q_stream_dedup",
     "q_vector_topk_ivf",
     "q_approx_count_distinct",
+    "q_approx_percentile",
 }
 
 # Streaming queries build readStream plans; explain() would need a query
