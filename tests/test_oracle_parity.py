@@ -22,6 +22,7 @@ ROWS_ONLY = {
     "q_stream_stateful",
     "q_vector_topk_ivf",
     "q_approx_count_distinct",
+    "q_approx_percentile",
 }
 
 
