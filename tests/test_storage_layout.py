@@ -33,6 +33,32 @@ def test_partitioned_write_enables_pruning(spark, sf_dir):
     assert back.count() == want
 
 
+def test_dynamic_partition_pruning(spark, sf_dir):
+    # A dimension-side filter must prune fact partitions at RUNTIME (the
+    # join key is the partition column): the scan's PartitionFilters gains
+    # a dynamicpruning subquery.  At 100 TB this is the difference between
+    # scanning one year and scanning the decade.
+    od = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = tempfile.mkdtemp(prefix="dpp_write_") + "/orders_by_year"
+    write_partitioned(od, out, ["order_year"])
+
+    fact = read_partitioned(spark, out)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == 1997 else "drop") for y in range(1992, 1999)],
+        "dim_year int, tag string",
+    )
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("tag") == "keep")),
+        fact.order_year == F.col("dim_year"),
+    )
+    plan = explain_formatted(joined)
+    assert "dynamicpruning" in plan
+    want = od.filter(F.col("order_year") == 1997).count()
+    assert joined.count() == want
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders")
