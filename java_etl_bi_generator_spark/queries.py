@@ -1024,6 +1024,21 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_stream_session")
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (rows-only): streaming session windows under a watermark — the
+    stateful twin of the hash-checked batch q_window_session."""
+    from .streaming.windows import streaming_session_with_watermark
+
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    return streaming_session_with_watermark(
+        spark, f"{sf_dir}/events.parquet", schema
+    )
+
+
 @q("q_stream_join")
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-family (rows-only): watermarked stream-stream interval join."""

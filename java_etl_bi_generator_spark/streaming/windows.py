@@ -127,3 +127,47 @@ def streaming_tumbling_with_watermark(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_session_with_watermark(
+    spark,
+    events_path: str,
+    schema,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    query_name: str = "q_stream_session",
+) -> DataFrame:
+    """Structured Streaming session windows: watermark-bounded merge-agg
+    state per (session, user) — sessions close when the watermark passes
+    their gap, so state is bounded by active sessions, not history.
+    Same availableNow/memory-sink harness as the tumbling variant."""
+    import os
+
+    base_dir, file_name = os.path.split(events_path.rstrip("/"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_name)
+        .parquet(base_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("sess_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -27,6 +27,7 @@ DOCUMENTED_ROWS_ONLY = {
     "q_stream_stateful",
     "q_stream_join",
     "q_stream_dedup",
+    "q_stream_session",
     "q_vector_topk_ivf",
     "q_approx_count_distinct",
     "q_approx_percentile",

@@ -40,6 +40,18 @@ def test_watermark_stream_matches_batch_tumbling(spark, sf_dir):
     assert stream_rows == batch_rows
 
 
+def test_session_stream_matches_batch_sessions(spark, sf_dir):
+    stream_rows = {
+        (r["user_id"], r["sess_start"]): (r["n_events"], r["sum_value"])
+        for r in registry()["q_stream_session"](spark, sf_dir).collect()
+    }
+    batch_rows = {
+        (r["user_id"], r["sess_start"]): (r["n_events"], r["sum_value"])
+        for r in registry()["q_window_session"](spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+
+
 def test_stream_interval_join_matches_batch(spark, sf_dir):
     stream_rows = {
         (r["click_id"], r["purchase_id"])
