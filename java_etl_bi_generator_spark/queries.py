@@ -2465,6 +2465,19 @@ def q_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_vector_topk_lsh")
+def q_vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (rows-only): hyperplane-LSH bucketed ANN — probe the query's
+    SimHash bucket, exact cosine rerank inside it.  Rows-only for the
+    same reason as IVF (bucket membership is float-sign-dependent); the
+    exact baseline q_vector_topk stays hash-checked."""
+    from .operators.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(
+        T(spark, sf_dir, "embeddings"), _query_vector(spark, sf_dir), k=10
+    )
+
+
 @q("q_approx_percentile")
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-family approximation: ``approx_percentile`` (Greenwald-Khanna

@@ -29,6 +29,7 @@ DOCUMENTED_ROWS_ONLY = {
     "q_stream_dedup",
     "q_stream_session",
     "q_vector_topk_ivf",
+    "q_vector_topk_lsh",
     "q_approx_count_distinct",
     "q_approx_percentile",
 }

@@ -21,6 +21,7 @@ ROWS_ONLY = {
     "q_stream_watermark",
     "q_stream_stateful",
     "q_vector_topk_ivf",
+    "q_vector_topk_lsh",
     "q_approx_count_distinct",
     "q_approx_percentile",
 }
