@@ -1357,6 +1357,38 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_seasonal_profile": f"""
+        SELECT CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7
+                    AS INT) AS dow,
+               CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) % 86400)
+                          / 3600.0) AS INT) AS hour,
+               count(*) AS n_events,
+               {dsum_sql('value')} AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_interarrival_stats": f"""
+        WITH g AS (
+          SELECT event_type,
+                 epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id) AS gap_ms
+          FROM events)
+        SELECT event_type, count(*) AS n_gaps,
+               {pround_sql('CAST(sum(gap_ms) AS DOUBLE) / count(*)', 6)}
+                 AS mean_gap_ms,
+               {pround_sql('quantile_cont(gap_ms, 0.5)', 6)} AS p50_gap_ms
+        FROM g WHERE gap_ms IS NOT NULL GROUP BY 1
+    """,
+    "q_iqr_outliers": """
+        WITH qs AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.25) AS q1,
+                 quantile_cont(value, 0.75) AS q3
+          FROM events GROUP BY 1)
+        SELECT event_id, e.event_type, value
+        FROM events e JOIN qs ON e.event_type = qs.event_type
+        WHERE value < q1 - 1.5 * (q3 - q1)
+           OR value > q3 + 1.5 * (q3 - q1)
+    """,
     "q_basket_pairs": f"""
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         no AS (SELECT count(*) AS n_orders FROM orders),

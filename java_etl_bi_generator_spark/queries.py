@@ -2493,6 +2493,69 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_seasonal_profile")
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI heatmap source: activity by (day-of-week × hour-of-day) — one
+    aggregation over integer epoch math (dow from the epoch-day, hour from
+    the epoch-second; no timezone/locale functions, so both engines bucket
+    identically; epoch day 0 = Thursday → dow 0 = Monday via +3 mod 7)."""
+    ev = T(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    day = (secs / 86400).cast("bigint")
+    dow = ((day + 3) % 7).cast("int")
+    hour = ((secs % 86400) / 3600).cast("int")
+    return (
+        ev.groupBy(dow.alias("dow"), hour.alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+@q("q_interarrival_stats")
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics (rate/burstiness profile): lag the
+    event stream within each type (one shuffle), then mean and median of
+    the ms gaps — gaps are exact integers, so the mean is an exact
+    integer-sum division and the median an exact percentile, both pinned."""
+    ev = T(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("gap_ms", ms - F.lag(ms).over(w))
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        pround(
+            F.sum("gap_ms").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_gap_ms"),
+        pround(F.expr("percentile(gap_ms, 0.5)"), 6).alias("p50_gap_ms"),
+    )
+
+
+@q("q_iqr_outliers")
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events outside the Tukey fences
+    (Q1−1.5·IQR, Q3+1.5·IQR) of their type's value distribution — the
+    quartile-based complement to q_anomaly_zscore (resistant to the very
+    outliers it hunts).  Exact percentiles broadcast back onto the
+    stream; the fence comparison is fixed-order IEEE."""
+    ev = T(spark, sf_dir, "events")
+    qs = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(qs), "event_type")
+        .filter((F.col("value") < lo) | (F.col("value") > hi))
+        .select("event_id", "event_type", "value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
