@@ -68,6 +68,56 @@ def decode_image_real(content: bytes) -> tuple[int, int]:
     )
 
 
+def _be32(col: str, pos: int) -> F.Column:
+    """Big-endian uint32 at 1-based byte offset ``pos`` of a binary column."""
+    return F.conv(F.hex(F.expr(f"substring({col}, {pos}, 4)")), 16, 10).cast(
+        "int"
+    )
+
+
+def _le16(col: str, pos: int) -> F.Column:
+    """Little-endian uint16 at 1-based byte offset ``pos``."""
+    lo = F.conv(F.hex(F.expr(f"substring({col}, {pos}, 1)")), 16, 10)
+    hi = F.conv(F.hex(F.expr(f"substring({col}, {pos + 1}, 1)")), 16, 10)
+    return (lo.cast("int") + hi.cast("int") * 256).cast("int")
+
+
+def image_header_dims(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """REAL (not stubbed) image metadata: container format + pixel
+    dimensions parsed straight from header bytes with built-in
+    expressions — PNG stores width/height big-endian in the IHDR chunk
+    (bytes 17-24), GIF little-endian in the logical screen descriptor
+    (bytes 7-10).  No codec, no Python UDF: `substring`/`hex`/`conv` on
+    the binary column stay inside whole-stage codegen, so a 100 TB
+    metadata sweep never pays a decode or a Python worker.  JPEG needs a
+    marker scan (variable offsets) → that one goes through the
+    Arrow-batched decode path instead; format detected here, dims null."""
+    fmt = (
+        F.when(
+            F.hex(F.expr(f"substring({content_col}, 1, 8)"))
+            == "89504E470D0A1A0A",
+            "png",
+        )
+        .when(
+            F.expr(f"substring({content_col}, 1, 4)") == F.lit(b"GIF8"), "gif"
+        )
+        .when(
+            F.hex(F.expr(f"substring({content_col}, 1, 2)")) == "FFD8", "jpeg"
+        )
+        .otherwise("unknown")
+    )
+    out = media.withColumn("format", fmt)
+    return out.select(
+        "*",
+        F.when(F.col("format") == "png", _be32(content_col, 17))
+        .when(F.col("format") == "gif", _le16(content_col, 7))
+        .alias("header_width"),
+        F.when(F.col("format") == "png", _be32(content_col, 21))
+        .when(F.col("format") == "gif", _le16(content_col, 9))
+        .alias("header_height"),
+    )
+
+
 def _fake_dims(content: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a decode: dims derived from content hash."""
     h = hashlib.sha256(content or b"").digest()

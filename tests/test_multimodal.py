@@ -64,3 +64,48 @@ def test_resize_real_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         resize_images_real(b"\x89PNG", 64, 64)
+
+
+def test_image_header_dims_parses_real_png_and_gif(spark):
+    """Header parsing is REAL byte arithmetic (not a stub): hand-built
+    PNG IHDR / GIF screen-descriptor bytes must yield the exact encoded
+    dimensions, JPEG is format-detected with null dims, junk is unknown."""
+    import struct
+
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        image_header_dims,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x02\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    junk = b"not an image at all"
+    media = spark.createDataFrame(
+        [(1, png), (2, gif), (3, jpeg), (4, junk)],
+        "media_id bigint, content binary",
+    )
+    got = {
+        r["media_id"]: (r["format"], r["header_width"], r["header_height"])
+        for r in image_header_dims(media).collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("jpeg", None, None)
+    assert got[4] == ("unknown", None, None)
+
+
+def test_image_header_dims_is_codegen_only(spark):
+    from java_etl_bi_generator_spark.plans import explain_simple
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        image_header_dims,
+        synthetic_media,
+    )
+
+    plan = explain_simple(image_header_dims(synthetic_media(spark, n=4)))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
