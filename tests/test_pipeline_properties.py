@@ -1,0 +1,81 @@
+"""Differential properties for the training-data-prep operators: each
+declared query re-derived in plain Python from the raw parquet (a second,
+independent oracle besides DuckDB — same idea, different engine)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from java_etl_bi_generator_spark.queries import registry
+
+from .conftest import SF_DIR
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_sessionize_matches_python_simulation(spark, sf_dir):
+    rows = _duck().execute(
+        "SELECT event_id, user_id, epoch_ms(ts) FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    want: dict[int, int] = {}
+    cur_user, cur_sess, last_ms = None, 0, None
+    for eid, uid, ms in rows:
+        if uid != cur_user:
+            cur_user, cur_sess, last_ms = uid, 1, ms
+        elif ms - last_ms > 1800000:
+            cur_sess += 1
+        last_ms = ms
+        want[eid] = cur_sess
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in registry()["q_sessionize"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_chunks_exactly_cover_every_document(spark, sf_dir):
+    # Every token position of every doc must be inside >=1 chunk, chunk
+    # windows must start every 40 tokens, and sizes must match the slice.
+    n_toks = {
+        d: n
+        for d, n in _duck().execute(
+            "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) "
+            "FROM documents WHERE trim(text) <> ''"
+        ).fetchall()
+    }
+    chunks: dict[int, list[tuple[int, int]]] = {}
+    for r in registry()["q_chunk_documents"](spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_tokens"])
+        )
+    assert set(chunks) == set(n_toks)
+    for doc_id, n in n_toks.items():
+        got = sorted(chunks[doc_id])
+        covered = set()
+        for cid, ct in got:
+            start = 1 + 40 * cid
+            assert ct == min(50, n - start + 1)
+            covered.update(range(start, start + ct))
+        assert covered == set(range(1, n + 1))
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
+    bins = registry()["q_pack_sequences"](spark, sf_dir).collect()
+    (n_docs, n_tokens) = _duck().execute(
+        "SELECT count(*), sum(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END) FROM documents"
+    ).fetchone()
+    assert sum(r["n_docs"] for r in bins) == n_docs
+    assert sum(r["bin_tokens"] for r in bins) == n_tokens
+    # bin ids are a dense 0..k prefix (contiguous packing leaves no holes)
+    ids = sorted(r["bin_id"] for r in bins)
+    assert ids == list(range(len(ids)))
