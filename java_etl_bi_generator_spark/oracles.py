@@ -1357,6 +1357,61 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_entity_cluster": """
+        WITH RECURSIVE fpairs AS (
+          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          WHERE levenshtein(a.p_name, b.p_name) <= 5),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM fpairs
+          UNION SELECT id_b, id_a FROM fpairs),
+        cc AS (
+          SELECT DISTINCT src AS node, src AS comp FROM edges
+          UNION
+          SELECT e.dst AS node, cc.comp AS comp
+          FROM cc JOIN edges e ON e.src = cc.node
+          WHERE cc.comp < e.dst),
+        lab AS (SELECT node, min(comp) AS component FROM cc GROUP BY node),
+        ent AS (
+          SELECT component AS entity_id, count(*) AS n_members
+          FROM lab GROUP BY 1)
+        SELECT e.entity_id, e.n_members, p.p_name AS rep_name
+        FROM ent e JOIN part p ON p.p_partkey = e.entity_id
+    """,
+    "q_percent_of_total": f"""
+        WITH rev AS (
+          SELECT r_name, n_name,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2)
+        SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS revenue,
+               {pround_sql(
+                   'CAST(rev_d AS DOUBLE) / CAST(sum(rev_d) OVER '
+                   '(PARTITION BY r_name) AS DOUBLE)', 6)} AS region_share
+        FROM rev
+    """,
+    "q_yoy_growth": f"""
+        WITH rev AS (
+          SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        lagd AS (
+          SELECT n_name, yr, rev_d,
+                 lag(rev_d) OVER (PARTITION BY n_name ORDER BY yr) AS prev_d
+          FROM rev)
+        SELECT n_name, yr, CAST(rev_d AS DOUBLE) AS revenue,
+               {pround_sql(
+                   '(CAST(rev_d AS DOUBLE) - CAST(prev_d AS DOUBLE))'
+                   ' / CAST(prev_d AS DOUBLE)', 6)} AS yoy_growth
+        FROM lagd WHERE prev_d IS NOT NULL
+    """,
     "q_seasonal_profile": f"""
         SELECT CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 3) % 7
                     AS INT) AS dow,

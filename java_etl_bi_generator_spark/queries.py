@@ -1215,8 +1215,9 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_dedup_clusters")
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 (rows-only): near-dup candidate pairs -> connected components ->
-    cluster assignment (iterative label propagation; not SQL-expressible)."""
+    """L2: near-dup candidate pairs -> connected components -> cluster
+    assignment (iterative min-label propagation; hash-checked against a
+    DuckDB recursive-CTE oracle)."""
     from .operators.graph import connected_components
 
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
@@ -2553,6 +2554,90 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(qs), "event_type")
         .filter((F.col("value") < lo) | (F.col("value") > hi))
         .select("event_id", "event_type", "value")
+    )
+
+
+@q("q_entity_cluster")
+def q_entity_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked fuzzy pairs (q_fuzzy_match's
+    brand-block + levenshtein) -> connected components -> one canonical
+    entity per cluster (min part id) with member count and representative
+    name.  The full ER pipeline as one declared query, hash-checked
+    against a recursive-CTE oracle."""
+    from .operators.graph import connected_components
+
+    pairs = q_fuzzy_match(spark, sf_dir).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    ents = comps.groupBy(F.col("component").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    pt = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return ents.join(pt, ents.entity_id == pt.p_partkey).select(
+        "entity_id", "n_members", F.col("p_name").alias("rep_name")
+    )
+
+
+@q("q_percent_of_total")
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue — a
+    partition-wide window sum over the (small) aggregate.  The share's
+    numerator and denominator stay DECIMAL until the final division, so
+    the window's evaluation order cannot perturb the result."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    na = T(spark, sf_dir, "nation")
+    re = T(spark, sf_dir, "region")
+    rev = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+        )
+    )
+    total = F.sum("rev_d").over(Window.partitionBy("r_name"))
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.col("rev_d").cast("double").alias("revenue"),
+        pround(
+            F.col("rev_d").cast("double") / total.cast("double"), 6
+        ).alias("region_share"),
+    )
+
+
+@q("q_yoy_growth")
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per nation: lag the yearly revenue series
+    within each nation (one shuffle on the aggregate), growth ratio
+    pinned.  First year per nation (no prior) is excluded."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    na = T(spark, sf_dir, "nation")
+    rev = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag(F.col("rev_d")).over(w)
+    return (
+        rev.withColumn("prev_d", prev)
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            "n_name",
+            "yr",
+            F.col("rev_d").cast("double").alias("revenue"),
+            pround(
+                (F.col("rev_d").cast("double") - F.col("prev_d").cast("double"))
+                / F.col("prev_d").cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
     )
 
 
