@@ -1,0 +1,33 @@
+"""Smoke-run every examples/ script end to end (subprocess, sf0.001) — the
+runnable artifacts in the README must not rot."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize(
+    "script,args",
+    [
+        ("siga_etl.py", []),
+        ("corpus_curation.py", ["/root/testdata/sf0.001"]),
+        ("training_data_prep.py", ["/root/testdata/sf0.001"]),
+    ],
+)
+def test_example_runs_clean(script, args):
+    out_dir = tempfile.mkdtemp(prefix=f"example_{script.split('.')[0]}_")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), *args, out_dir],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
