@@ -1357,6 +1357,32 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_contamination_check": f"""
+        WITH hashed AS (
+          SELECT doc_id, sha256(text) AS hash,
+                 CASE WHEN {_BUCKET} < 80 THEN 'train'
+                      ELSE 'heldout' END AS split
+          FROM documents),
+        held AS (SELECT * FROM hashed WHERE split = 'heldout'),
+        tr AS (SELECT hash FROM hashed WHERE split = 'train')
+        SELECT (SELECT count(*) FROM held) AS n_heldout,
+               (SELECT count(*) FROM held h
+                WHERE EXISTS (SELECT 1 FROM tr WHERE tr.hash = h.hash))
+                 AS n_contaminated
+    """,
+    "q_kanonymity_audit": """
+        WITH klass AS (
+          SELECT c_nationkey AS qi_nation,
+                 CAST(floor(c_acctbal / 1000.0) * 1000 AS INT) AS qi_bucket,
+                 count(*) AS class_size
+          FROM customer GROUP BY 1, 2)
+        SELECT count(*) AS n_classes,
+               CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small_classes,
+               CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                    AS BIGINT) AS n_exposed
+        FROM klass
+    """,
     "q_entity_cluster": """
         WITH RECURSIVE fpairs AS (
           SELECT a.p_partkey AS id_a, b.p_partkey AS id_b

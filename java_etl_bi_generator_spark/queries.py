@@ -2641,6 +2641,54 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_contamination_check")
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit: how many non-train documents share a
+    content hash with the train split (the check every training pipeline
+    runs before shipping an eval set).  Train hashes are a semi-join
+    probe; one summary row so the metric is monitorable."""
+    docs = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("hash"),
+        F.when(bucket < 80, "train").otherwise("heldout").alias("split"),
+    )
+    train_hashes = hashed.filter(F.col("split") == "train").select("hash")
+    held = hashed.filter(F.col("split") == "heldout")
+    contaminated = held.join(train_hashes, "hash", "left_semi")
+    return held.agg(F.count(F.lit(1)).alias("n_heldout")).crossJoin(
+        contaminated.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+@q("q_kanonymity_audit")
+def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance audit: k-anonymity of the masked customer table — for
+    the quasi-identifier (nation, balance bucket), how many equivalence
+    classes fall below k=5 and how many individuals they expose.  Two
+    tiny aggregations over the generalized keys."""
+    cu = T(spark, sf_dir, "customer")
+    klass = cu.groupBy(
+        F.col("c_nationkey").alias("qi_nation"),
+        (F.floor(F.col("c_acctbal") / 1000.0) * 1000).cast("int").alias(
+            "qi_bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return klass.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0)).alias(
+            "n_small_classes"
+        ),
+        F.sum(
+            F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+        ).alias("n_exposed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
