@@ -149,6 +149,13 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     each vote becomes the fingerprint bit.  Expressed as explode(token) x
     explode(bit position) + one groupBy — scales as docs x tokens x 64 with
     map-side combine, no UDF.
+
+    The fingerprint is emitted as two unsigned 32-bit halves
+    (simhash_hi/simhash_lo) rather than one int64: setting bit 63 of a
+    signed 64-bit value is engine-divergent (Java shiftleft wraps
+    negative, DuckDB raises an overflow) — max shift per half is 31, so
+    both engines agree exactly.  Hamming distance over the pair is
+    bit_count(hi⊕hi') + bit_count(lo⊕lo').
     """
     toks = df.select(
         F.col(id_col),
@@ -172,9 +179,17 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     return votes.groupBy(id_col).agg(
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"))
-            .otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
+            F.when(
+                (F.col("v") > 0) & (F.col("pos") >= 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos - 32 AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash_hi"),
+        F.sum(
+            F.when(
+                (F.col("v") > 0) & (F.col("pos") < 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash_lo"),
     )
 
 

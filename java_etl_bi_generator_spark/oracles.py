@@ -539,8 +539,12 @@ ORACLES: dict[str, str] = {
           FROM bits GROUP BY doc_id, pos
         )
         SELECT doc_id,
-               sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(pos AS INT)
-                        ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN v > 0 AND pos >= 32
+                             THEN CAST(1 AS BIGINT) << CAST(pos - 32 AS INT)
+                             ELSE 0 END) AS BIGINT) AS simhash_hi,
+               CAST(sum(CASE WHEN v > 0 AND pos < 32
+                             THEN CAST(1 AS BIGINT) << CAST(pos AS INT)
+                             ELSE 0 END) AS BIGINT) AS simhash_lo
         FROM votes GROUP BY doc_id
     """,
     "q_doc_fingerprint": f"""
