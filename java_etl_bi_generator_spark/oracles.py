@@ -1361,6 +1361,30 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_dedup_keep_best": f"""
+        WITH scored AS (
+          SELECT doc_id, sha256(text) AS hash, {_QUALITY_EXPR} AS q
+          FROM documents),
+        r AS (
+          SELECT doc_id, hash, row_number() OVER
+            (PARTITION BY hash ORDER BY q DESC, doc_id ASC) AS rn
+          FROM scored)
+        SELECT doc_id, hash FROM r WHERE rn = 1
+    """,
+    "q_langid_confusion": f"""
+        SELECT lang AS lang_true,
+               CASE WHEN en_hits >= pt_hits AND en_hits >= es_hits THEN 'en'
+                    WHEN pt_hits >= es_hits THEN 'pt'
+                    ELSE 'es' END AS lang_pred,
+               count(*) AS n_docs
+        FROM (
+          SELECT lang,
+                 {_hits(_STOP_EN)} AS en_hits,
+                 {_hits(_STOP_PT)} AS pt_hits,
+                 {_hits(_STOP_ES)} AS es_hits
+          FROM documents
+        ) t GROUP BY 1, 2
+    """,
     "q_contamination_check": f"""
         WITH hashed AS (
           SELECT doc_id, sha256(text) AS hash,

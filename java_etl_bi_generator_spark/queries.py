@@ -2689,6 +2689,52 @@ def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_dedup_keep_best")
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 refinement: within each exact-duplicate group keep the BEST copy
+    (highest quality score, doc_id tie-break), not the arbitrary first —
+    the curation policy that preserves the cleanest instance of repeated
+    content.  One window over the hash partition; quality is the shared
+    heuristic from q_text_quality."""
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    scored = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("hash"),
+        quality_score("text", F.col("__toks")).alias("q"),
+    )
+    w = Window.partitionBy("hash").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "hash")
+    )
+
+
+@q("q_langid_confusion")
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation surface: confusion matrix of the stopword
+    language-ID heuristic against the labeled ``lang`` column, with
+    per-cell counts — the lang_id expression inlined next to the label so
+    the corpus scans ONCE (joining the declared q_lang_id back to the
+    table would scan twice)."""
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    toks = F.col("__toks")
+    en = stopword_count_of(toks, STOPWORDS_EN)
+    pt = stopword_count_of(toks, ("de", "a", "o", "que", "e", "do", "da", "em", "um", "para"))
+    es = stopword_count_of(toks, ("de", "la", "que", "el", "en", "y", "a", "los", "se", "del"))
+    pred = (
+        F.when((en >= pt) & (en >= es), "en")
+        .when(pt >= es, "pt")
+        .otherwise("es")
+    )
+    return (
+        docs.groupBy(F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
