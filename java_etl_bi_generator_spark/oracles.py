@@ -1361,6 +1361,78 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_abtest_zscore": f"""
+        WITH arms AS (
+          SELECT CASE WHEN ({_BUCKET.replace('doc_id', 'user_id')}) % 2 = 0
+                      THEN 'A' ELSE 'B' END AS arm,
+                 value
+          FROM events WHERE event_type = 'purchase'),
+        s AS (
+          SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))
+                          * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+          FROM arms GROUP BY 1),
+        m AS (
+          SELECT arm, n, sx / n AS mean,
+                 (sxx - sx * sx / n) / (n - 1.0) AS var
+          FROM s),
+        a AS (SELECT n AS n_a, mean AS mean_a, var AS var_a
+              FROM m WHERE arm = 'A'),
+        b AS (SELECT n AS n_b, mean AS mean_b, var AS var_b
+              FROM m WHERE arm = 'B')
+        SELECT n_a, n_b,
+               {pround_sql('mean_a', 6)} AS mean_a,
+               {pround_sql('mean_b', 6)} AS mean_b,
+               {pround_sql(
+                   '(mean_a - mean_b)'
+                   ' / sqrt(var_a / n_a + var_b / n_b)', 6)} AS z_stat
+        FROM a CROSS JOIN b
+    """,
+    "q_markov_transitions": f"""
+        WITH p AS (
+          SELECT lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+                 event_type AS to_type
+          FROM events),
+        c AS (
+          SELECT from_type, to_type, count(*) AS n_trans
+          FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n_trans,
+               {pround_sql(
+                   'CAST(n_trans AS DOUBLE) / CAST(sum(n_trans) OVER '
+                   '(PARTITION BY from_type) AS DOUBLE)', 6)} AS p_trans
+        FROM c
+    """,
+    "q_ngram_novelty": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks,
+                 CASE WHEN ({_BUCKET}) < 80 THEN 'train'
+                      ELSE 'heldout' END AS split
+          FROM documents
+          WHERE trim(text) <> '' AND len({_TOKENS}) >= 2),
+        bg AS (
+          SELECT doc_id, split,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1]))
+                   AS bigram
+          FROM docs),
+        train_set AS (
+          SELECT DISTINCT bigram FROM bg WHERE split = 'train'),
+        held AS (SELECT doc_id, bigram FROM bg WHERE split = 'heldout'),
+        novel AS (
+          SELECT doc_id, count(*) AS n_novel FROM held h
+          WHERE NOT EXISTS (SELECT 1 FROM train_set t
+                            WHERE t.bigram = h.bigram)
+          GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_bigrams FROM held GROUP BY 1)
+        SELECT t.doc_id, t.n_bigrams,
+               coalesce(n.n_novel, 0) AS n_novel,
+               {pround_sql(
+                   'CAST(coalesce(n.n_novel, 0) AS DOUBLE)'
+                   ' / CAST(t.n_bigrams AS DOUBLE)', 6)} AS novelty
+        FROM tot t LEFT JOIN novel n ON t.doc_id = n.doc_id
+    """,
     "q_dedup_keep_best": f"""
         WITH scored AS (
           SELECT doc_id, sha256(text) AS hash, {_QUALITY_EXPR} AS q

@@ -2735,6 +2735,125 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_abtest_zscore")
+def q_abtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation surface: two-sample z statistic for purchase value
+    between deterministically hash-bucketed A/B arms — the A/B readout as
+    one aggregation over exact decimal power sums (n, Σx, Σx² per arm),
+    so the statistic is engine-identical.  Assignment by md5 bucket of
+    user_id: stable under reshuffles and appends, like every sampling op
+    here."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    d = F.col("value").cast("decimal(18,2)")
+    stats = (
+        ev.groupBy(arm.alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(d).cast("double").alias("sx"),
+            F.sum(d * d).cast("double").alias("sxx"),
+        )
+        .withColumn("mean", F.col("sx") / F.col("n"))
+        .withColumn(
+            "var",
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - F.lit(1.0)),
+        )
+    )
+    a = stats.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = stats.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    z = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        pround(F.col("mean_a"), 6).alias("mean_a"),
+        pround(F.col("mean_b"), 6).alias("mean_b"),
+        pround(z, 6).alias("z_stat"),
+    )
+
+
+@q("q_markov_transitions")
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence modeling: first-order event-type transition matrix
+    P(next | current) per user journey — lag within user (one shuffle),
+    pair counts, probability = pair/row-total via a window over the
+    (5×5) count table.  The building block behind journey simulation and
+    next-event prediction."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    total = F.sum("n_trans").over(Window.partitionBy("from_type"))
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        pround(F.col("n_trans") / total, 6).alias("p_trans"),
+    )
+
+
+@q("q_ngram_novelty")
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization/novelty metric: what fraction of each heldout
+    document's bigrams never occur in the train split — the n-gram
+    overlap check run before quoting eval numbers.  Train bigrams dedup
+    to a probe set; the anti-join side carries (doc, bigram) so the
+    novelty ratio is per-document; integer counts, exact division."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .withColumn("__toks", tokens("text"))
+        .filter(F.size("__toks") >= 2)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    with_split = docs.withColumn(
+        "split", F.when(bucket < 80, "train").otherwise("heldout")
+    )
+    bigrams = with_split.select(
+        "doc_id",
+        "split",
+        F.explode(word_shingles("text", 2)).alias("bigram"),
+    )
+    train_set = (
+        bigrams.filter(F.col("split") == "train").select("bigram").distinct()
+    )
+    held = bigrams.filter(F.col("split") == "heldout")
+    novel = held.join(train_set, "bigram", "left_anti").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    totals = held.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bigrams"))
+    return totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_bigrams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        pround(
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("novelty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
