@@ -1361,6 +1361,41 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_hierarchy_paths": """
+        WITH RECURSIVE nodes AS (
+          SELECT p_partkey AS node FROM part WHERE p_partkey <= 2000),
+        edges AS (
+          SELECT node,
+                 node // (2 + (CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(node AS VARCHAR)), 1, 1)) AS BIGINT)
+                        - 1) % 7) AS parent
+          FROM nodes),
+        walk AS (
+          SELECT node, node AS cursor, 0 AS depth FROM nodes
+          UNION ALL
+          SELECT w.node, e.parent, w.depth + 1
+          FROM walk w JOIN edges e ON e.node = w.cursor
+          WHERE e.parent > 0),
+        final AS (
+          SELECT node, cursor AS root, depth,
+                 row_number() OVER (PARTITION BY node ORDER BY depth DESC)
+                   AS rn
+          FROM walk)
+        SELECT node, root, CAST(depth AS INT) AS depth
+        FROM final WHERE rn = 1
+    """,
+    "q_bitmap_presence": """
+        WITH h AS (
+          SELECT event_type,
+                 CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) % 86400)
+                            / 3600.0) AS INT) AS h
+          FROM events)
+        SELECT event_type,
+               CAST(bit_or(CAST(1 AS BIGINT) << h) AS BIGINT) AS hour_mask,
+               CAST(bit_count(bit_or(CAST(1 AS BIGINT) << h)) AS INT)
+                 AS n_active_hours
+        FROM h GROUP BY 1
+    """,
     "q_abtest_zscore": f"""
         WITH arms AS (
           SELECT CASE WHEN ({_BUCKET.replace('doc_id', 'user_id')}) % 2 = 0

@@ -2854,6 +2854,82 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_hierarchy_paths")
+def q_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical data: root and depth per node, resolved by ITERATED
+    joins against an edge TABLE — the Spark shape for bounded-depth
+    hierarchies (org charts, BOMs, category trees), checked against a
+    DuckDB recursive CTE.  The synthetic forest is data-driven (parent =
+    node div (2 + md5-nibble(node) % 7), strictly decreasing → acyclic);
+    because the parent lives in a table, each level genuinely joins — at
+    100 TB that is one broadcast-or-shuffle join per level over a
+    shrinking frontier."""
+    nodes = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 2000)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    nib = (
+        F.conv(F.substring(F.md5(F.col("node").cast("string")), 1, 1), 16, 10)
+        .cast("bigint") % 7
+    )
+    edges = nodes.select(
+        "node",
+        (F.col("node") / (F.lit(2) + nib)).cast("bigint").alias("parent"),
+    )
+    parent_of = edges.select(
+        F.col("node").alias("e_node"), F.col("parent").alias("e_parent")
+    )
+    cur = nodes.select(
+        "node", F.col("node").alias("cursor"), F.lit(0).alias("depth")
+    )
+    for _ in range(12):  # node at least halves per level: 2^12 > 2000
+        step = cur.join(
+            F.broadcast(parent_of), cur.cursor == F.col("e_node"), "left"
+        )
+        cur = step.select(
+            "node",
+            F.when(
+                F.col("e_parent").isNotNull() & (F.col("e_parent") > 0),
+                F.col("e_parent"),
+            ).otherwise(F.col("cursor")).alias("cursor"),
+            F.when(
+                F.col("e_parent").isNotNull() & (F.col("e_parent") > 0),
+                F.col("depth") + 1,
+            ).otherwise(F.col("depth")).alias("depth"),
+        )
+    return cur.select(
+        "node",
+        F.col("cursor").alias("root"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
+@q("q_bitmap_presence")
+def q_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap aggregation: per event_type, a 24-bit hour-of-day presence
+    mask (bit h set iff any event occurred in hour h) plus the popcount —
+    `bit_or` of per-row one-hot masks, the roaring-bitmap-style compact
+    presence summary that set-intersects across segments without a
+    distinct-join.  All integer ops, no bit-63 exposure."""
+    ev = T(spark, sf_dir, "events")
+    hour = ((F.unix_timestamp("ts") % 86400) / 3600).cast("int")
+    return (
+        ev.select("event_type", hour.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), h)")).alias(
+                "hour_mask"
+            )
+        )
+        .select(
+            "event_type",
+            "hour_mask",
+            F.bit_count("hour_mask").alias("n_active_hours"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
