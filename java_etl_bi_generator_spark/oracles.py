@@ -1361,6 +1361,16 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_latest_per_key": """
+        WITH r AS (
+          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_type, ms AS last_ms
+        FROM r WHERE rn = 1
+    """,
     "q_hierarchy_paths": """
         WITH RECURSIVE nodes AS (
           SELECT p_partkey AS node FROM part WHERE p_partkey <= 2000),

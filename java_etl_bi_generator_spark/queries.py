@@ -2930,6 +2930,29 @@ def q_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_latest_per_key")
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: the latest event per user (row_number over a
+    ts-descending window, event_id tie-break) — the log-to-table
+    compaction every upsert pipeline runs.  Spark plans WindowGroupLimit
+    (rank pushdown): partial top-1 per partition BEFORE the shuffle, so
+    the exchange carries |keys| rows, not the log."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.unix_millis(F.col("ts")).alias("last_ms"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
