@@ -67,3 +67,60 @@ def test_calendar_inclusive_gapless_property(start, span):
     assert len(set(keys)) == span + 1
     assert min(keys) == int(start.strftime("%Y%m%d"))
     assert max(keys) == int(end.strftime("%Y%m%d"))
+
+
+def test_hash_bucket_matches_pure_python():
+    """The portable md5 sampling bucket (first 4 hex nibbles mod 100) must
+    equal an independent pure-Python computation for a wide id range —
+    every sampling/split/contamination query rides on this."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    spark = _get_spark()
+    ids = list(range(0, 2000, 7)) + [10**9, 10**12, 10**15]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", bucket.alias("b")).collect()
+    }
+    for i in ids:
+        want = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+        assert got[i] == want, i
+
+
+def test_simhash_matches_pure_python():
+    """SimHash halves must equal an independent pure-Python vote count —
+    guards the nibble/bit arithmetic (incl. the signed-64 split)."""
+    import hashlib
+
+    from java_etl_bi_generator_spark.operators.dedup import simhash64
+
+    spark = _get_spark()
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "a a b"),
+        (4, "único açaí jalapeño"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in simhash64(df, "text", "doc_id").collect()
+    }
+    for doc_id, text in docs:
+        toks = sorted(set(text.strip().split()))
+        votes = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for pos in range(64):
+                nib = int(h[pos // 4], 16)
+                bit = (nib >> (3 - pos % 4)) & 1
+                votes[pos] += 1 if bit else -1
+        hi = sum(1 << (p - 32) for p in range(32, 64) if votes[p] > 0)
+        lo = sum(1 << p for p in range(32) if votes[p] > 0)
+        assert got[doc_id] == (hi, lo), doc_id
