@@ -1361,6 +1361,25 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_scd2_asof": """
+        WITH ver AS (
+          SELECT o_custkey,
+                 row_number() OVER
+                   (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+                    o_orderkey) AS version,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                   (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+                    o_orderkey ROWS UNBOUNDED PRECEDING) AS cum_spend_d,
+                 CAST(o_orderdate AS DATE) AS valid_from,
+                 lead(CAST(o_orderdate AS DATE)) OVER
+                   (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+                    o_orderkey) AS valid_to
+          FROM orders)
+        SELECT o_custkey, version, CAST(cum_spend_d AS DOUBLE) AS cum_spend
+        FROM ver
+        WHERE valid_from <= DATE '1997-07-01'
+          AND (valid_to IS NULL OR valid_to > DATE '1997-07-01')
+    """,
     "q_latest_per_key": """
         WITH r AS (
           SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,

@@ -2953,6 +2953,42 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_scd2_asof")
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) read: reconstruct each customer's state AS
+    OF 1997-07-01 from an order-derived change log — versions via
+    row_number, validity intervals via lead(date), then the interval
+    containing the cutoff.  The event-sourcing read every SCD2/audit
+    table needs; one shuffle on the key, intervals never materialized
+    driver-side.  Zero-length intervals from same-day changes resolve to
+    the latest change (lead() makes the earlier one empty)."""
+    cutoff = F.lit("1997-07-01").cast("date")
+    od = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    ver = od.select(
+        "o_custkey",
+        F.row_number().over(w).alias("version"),
+        F.sum("p").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_spend_d"),
+        F.col("d").alias("valid_from"),
+        F.lead("d").over(w).alias("valid_to"),
+    )
+    return ver.filter(
+        (F.col("valid_from") <= cutoff)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > cutoff))
+    ).select(
+        "o_custkey",
+        "version",
+        F.col("cum_spend_d").cast("double").alias("cum_spend"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
