@@ -1361,6 +1361,25 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_ohlc": """
+        WITH base AS (
+          SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
+                   AS hour_start,
+                 event_type,
+                 epoch_ms(ts) * 1000000 + event_id AS pk,
+                 value
+          FROM events),
+        agg AS (
+          SELECT hour_start, event_type,
+                 min(pk) AS open_pk, max(pk) AS close_pk,
+                 min(value) AS low, max(value) AS high
+          FROM base GROUP BY 1, 2)
+        SELECT a.hour_start, a.event_type,
+               o.value AS open, a.high, a.low, c.value AS close
+        FROM agg a
+        JOIN base o ON o.pk = a.open_pk
+        JOIN base c ON c.pk = a.close_pk
+    """,
     "q_scd2_asof": """
         WITH ver AS (
           SELECT o_custkey,

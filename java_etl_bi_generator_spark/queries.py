@@ -2989,6 +2989,54 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ohlc")
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series candles: open/high/low/close of event value per
+    (hour, event_type).  High/low are plain min/max; open/close are
+    time-arg-min/max resolved DETERMINISTICALLY by packing (ms, event_id)
+    into one bigint key (built-in max_by leaves ties unspecified), then
+    one join back to fetch the boundary values via the same pos-unpivot
+    trick as q_pmi_bigrams — the event log scans twice (bucket agg +
+    boundary fetch), never once per bound."""
+    ev = T(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts") / 3600).cast("bigint") * 3600
+    packed = F.unix_millis(F.col("ts")) * F.lit(1000000) + F.col("event_id")
+    base = ev.select(
+        hour.alias("hour_start"),
+        "event_type",
+        packed.alias("pk"),
+        "value",
+    )
+    agg = base.groupBy("hour_start", "event_type").agg(
+        F.min("pk").alias("open_pk"),
+        F.max("pk").alias("close_pk"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+    )
+    melted = agg.select(
+        "hour_start",
+        "event_type",
+        "low",
+        "high",
+        F.explode(
+            F.array(
+                F.struct(F.lit("open").alias("bound"), F.col("open_pk").alias("pk")),
+                F.struct(F.lit("close").alias("bound"), F.col("close_pk").alias("pk")),
+            )
+        ).alias("b"),
+    ).select("hour_start", "event_type", "low", "high", "b.bound", "b.pk")
+    vals = base.select("pk", F.col("value").alias("bval"))
+    return (
+        melted.join(vals, "pk")
+        .groupBy("hour_start", "event_type", "low", "high")
+        .agg(
+            F.max(F.when(F.col("bound") == "open", F.col("bval"))).alias("open"),
+            F.max(F.when(F.col("bound") == "close", F.col("bval"))).alias("close"),
+        )
+        .select("hour_start", "event_type", "open", "high", "low", "close")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
