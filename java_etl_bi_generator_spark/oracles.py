@@ -1361,6 +1361,55 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_path_trigrams": """
+        WITH p AS (
+          SELECT lag(event_type, 2) OVER w AS t1,
+                 lag(event_type, 1) OVER w AS t2,
+                 event_type AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT t1 || '>' || t2 || '>' || t3 AS path,
+               count(*) AS n_paths
+        FROM p WHERE t1 IS NOT NULL
+        GROUP BY 1 ORDER BY n_paths DESC, path ASC LIMIT 10
+    """,
+    "q_benford": f"""
+        WITH d AS (
+          SELECT CAST(floor(
+            CASE WHEN o_totalprice >= 100000.0 THEN o_totalprice / 100000.0
+                 WHEN o_totalprice >= 10000.0 THEN o_totalprice / 10000.0
+                 WHEN o_totalprice >= 1000.0 THEN o_totalprice / 1000.0
+                 WHEN o_totalprice >= 100.0 THEN o_totalprice / 100.0
+                 WHEN o_totalprice >= 10.0 THEN o_totalprice / 10.0
+                 ELSE o_totalprice END) AS INT) AS digit
+          FROM orders),
+        c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+        SELECT digit, n,
+               {pround_sql(
+                   'CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)', 6)}
+                 AS share,
+               {pround_sql('log10(1.0 + 1.0 / digit)', 6)} AS benford
+        FROM c
+    """,
+    "q_audience_overlap": f"""
+        WITH ua AS (
+          SELECT DISTINCT event_type, user_id FROM events),
+        inter AS (
+          SELECT a.event_type AS ta, b.event_type AS tb,
+                 count(*) AS n_inter
+          FROM ua a JOIN ua b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2),
+        sizes AS (
+          SELECT event_type, count(*) AS n_u FROM ua GROUP BY 1)
+        SELECT i.ta, i.tb, i.n_inter,
+               {pround_sql(
+                   'CAST(i.n_inter AS DOUBLE)'
+                   ' / (sa.n_u + sb.n_u - i.n_inter)', 6)} AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.event_type = i.ta
+        JOIN sizes sb ON sb.event_type = i.tb
+    """,
     "q_ohlc": """
         WITH base AS (
           SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600

@@ -3037,6 +3037,105 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_path_trigrams")
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: the 10 most common 3-event paths across user
+    timelines — two lags over one user_id partition (single shuffle),
+    then a count over the tiny path vocabulary.  Deterministic top-k with
+    a path-text tie-break."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("t1", F.lag("event_type", 2).over(w))
+        .withColumn("t2", F.lag("event_type", 1).over(w))
+        .filter(F.col("t1").isNotNull())
+        .select(
+            F.concat_ws(">", "t1", "t2", "event_type").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+@q("q_benford")
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud-analytics classic: first-significant-digit distribution of
+    order totals vs the Benford expectation log10(1+1/d).  The digit is
+    extracted arithmetically (a fixed CASE ladder of power-of-ten
+    divisions + floor — identical IEEE on both engines; never via
+    double→string casts, whose formatting is engine-specific)."""
+    od = T(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    scaled = (
+        F.when(x >= 100000.0, x / 100000.0)
+        .when(x >= 10000.0, x / 10000.0)
+        .when(x >= 1000.0, x / 1000.0)
+        .when(x >= 100.0, x / 100.0)
+        .when(x >= 10.0, x / 10.0)
+        .otherwise(x)
+    )
+    digits = od.select(F.floor(scaled).cast("int").alias("digit"))
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "digit",
+        "n",
+        pround(F.col("n") / total, 6).alias("share"),
+        pround(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford"),
+    )
+
+
+@q("q_audience_overlap")
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: Jaccard similarity of user sets between every
+    event-type pair — distinct (type, user) once, self-join on user for
+    intersections, per-type sizes via the same pos-unpivot join-once
+    pattern.  The segment-overlap matrix BI tools chart as a chord
+    diagram; exact integer counts, pinned ratio."""
+    ua = (
+        T(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    a = ua.select(F.col("event_type").alias("ta"), "user_id")
+    b = ua.select(F.col("event_type").alias("tb"), F.col("user_id").alias("u2"))
+    inter = (
+        a.join(b, (a.user_id == b.u2) & (F.col("ta") < F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = ua.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_u"))
+    melted = inter.select(
+        "ta",
+        "tb",
+        "n_inter",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("side"), F.col("ta").alias("t")),
+                F.struct(F.lit(2).alias("side"), F.col("tb").alias("t")),
+            )
+        ).alias("s"),
+    ).select("ta", "tb", "n_inter", "s.side", "s.t")
+    joined = (
+        melted.join(sizes, melted.t == sizes.event_type)
+        .groupBy("ta", "tb", "n_inter")
+        .agg(
+            F.max(F.when(F.col("side") == 1, F.col("n_u"))).alias("n_a"),
+            F.max(F.when(F.col("side") == 2, F.col("n_u"))).alias("n_b"),
+        )
+    )
+    jac = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return joined.select(
+        "ta", "tb", "n_inter", pround(jac, 6).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
