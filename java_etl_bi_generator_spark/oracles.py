@@ -1361,6 +1361,48 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_gini": f"""
+        WITH rev AS (
+          SELECT o_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT x, CAST(row_number() OVER (ORDER BY x ASC, o_custkey ASC)
+                         AS DECIMAL(19,0)) AS i
+          FROM rev),
+        a AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(i * x) AS DOUBLE) AS six
+          FROM r)
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               {pround_sql('2.0 * six / (n * sx) - (n + 1.0) / n', 6)}
+                 AS gini
+        FROM a
+    """,
+    "q_bm25": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) <> ''),
+        tf AS (
+          SELECT doc_id, dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok
+                FROM docs) t
+          WHERE tok IN ('the', 'and') GROUP BY 1, 2, 3),
+        st AS (
+          SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM tf),
+        corpus AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+          FROM docs)
+        SELECT doc_id,
+               {pround_sql(
+                   'sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)'
+                   ' * (tf * (1.2 + 1.0)'
+                   ' / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))', 4)}
+                 AS bm25
+        FROM st CROSS JOIN corpus GROUP BY doc_id
+    """,
     "q_path_trigrams": """
         WITH p AS (
           SELECT lag(event_type, 2) OVER w AS t1,

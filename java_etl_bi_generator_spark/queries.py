@@ -3136,6 +3136,82 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_gini")
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality analytics: Gini coefficient of customer revenue via the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending ranks —
+    Σ(i·xᵢ) stays exact (bigint rank × decimal revenue), so the
+    coefficient is engine-identical.  Rank ties on equal revenue don't
+    matter: equal x contribute the same Σ regardless of rank order."""
+    rev = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+        )
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = rev.withColumn("i", F.row_number().over(w).cast("decimal(19,0)"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("six"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        pround(gini, 6).alias("gini"),
+    )
+
+
+@q("q_bm25")
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search scoring: BM25 (k1=1.2, b=0.75) of the fixed query
+    {the, and} over the corpus — tf per (doc, term) and df/avgdl from one
+    tokenized scan (window-based, no recompute branches), every factor a
+    fixed-order IEEE expression on exact counts, scores pinned.  No
+    ranking emitted — ordering floats across engines is the one unsafe
+    step (q_tfidf shows the integer-key alternative)."""
+    terms = ("the", "and")
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id",
+        token_count_of(tokens("text")).alias("dl"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(token_count_of(tokens("text")))
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        stats.crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(pround(F.sum(score), 4).alias("bm25"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
