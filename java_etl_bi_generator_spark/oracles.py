@@ -1361,6 +1361,35 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_chi2_cells": f"""
+        WITH cells AS (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS observed
+          FROM orders GROUP BY 1, 2),
+        t AS (
+          SELECT o_orderstatus, o_orderpriority, observed,
+                 sum(observed) OVER (PARTITION BY o_orderstatus)
+                   * sum(observed) OVER (PARTITION BY o_orderpriority)
+                   / sum(observed) OVER () AS expected
+          FROM cells)
+        SELECT o_orderstatus, o_orderpriority, observed,
+               {pround_sql('expected', 6)} AS expected,
+               {pround_sql(
+                   '(observed - expected) * (observed - expected)'
+                   ' / expected', 6)} AS chi2_contrib
+        FROM t
+    """,
+    "q_entropy_profile": f"""
+        WITH c AS (
+          SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1),
+        t AS (
+          SELECT o_orderpriority, n,
+                 CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS p
+          FROM c)
+        SELECT o_orderpriority, n,
+               {pround_sql('p', 6)} AS p,
+               {pround_sql('-p * ln(p)', 6)} AS surprisal
+        FROM t
+    """,
     "q_gini": f"""
         WITH rev AS (
           SELECT o_custkey,

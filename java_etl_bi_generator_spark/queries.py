@@ -3212,6 +3212,61 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_chi2_cells")
+def q_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical independence profile: the chi-square contingency table
+    of order status × priority — observed counts, expected under
+    independence (row·col/N via window sums over the 15-cell table), and
+    each cell's (O−E)²/E contribution.  Emitted per cell (the total is a
+    trivial downstream sum; summing 15 doubles in-engine would be
+    evaluation-order-dependent, the per-cell terms are fixed-order
+    IEEE)."""
+    od = T(spark, sf_dir, "orders")
+    cells = od.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    row_t = F.sum("observed").over(Window.partitionBy("o_orderstatus"))
+    col_t = F.sum("observed").over(Window.partitionBy("o_orderpriority"))
+    tot = F.sum("observed").over(Window.partitionBy())
+    with_t = cells.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "observed",
+        (row_t * col_t / tot).alias("expected"),
+    )
+    contrib = (
+        (F.col("observed") - F.col("expected"))
+        * (F.col("observed") - F.col("expected"))
+        / F.col("expected")
+    )
+    return with_t.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "observed",
+        pround(F.col("expected"), 6).alias("expected"),
+        pround(contrib, 6).alias("chi2_contrib"),
+    )
+
+
+@q("q_entropy_profile")
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling: per-category probability and surprisal
+    (−p·ln p) of the order-priority distribution — the Shannon-entropy
+    decomposition a profiler reports per column.  Counts exact, terms
+    per-row IEEE, pinned."""
+    od = T(spark, sf_dir, "orders")
+    counts = od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    p = F.col("n") / F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "o_orderpriority",
+        "n",
+        pround(p, 6).alias("p"),
+        pround(-p * F.log(p), 6).alias("surprisal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
