@@ -42,6 +42,8 @@ HEADLINE = [
     "q_sessionize",          # gaps-and-islands session assignment
     "q_anomaly_zscore",      # broadcast-stats outlier scan
     "q_rfm",                 # 3-way ntile segmentation
+    "q_chunk_documents",     # overlapping token-window chunking
+    "q_basket_pairs",        # within-basket co-occurrence + lift
 ]
 
 
