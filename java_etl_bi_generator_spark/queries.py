@@ -2365,25 +2365,50 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _basket_pair_rows(li: DataFrame) -> DataFrame:
+    """(order, part) rows -> one row per unordered within-basket part pair
+    (p1 < p2).  Baskets collect to a sorted array (ONE shuffle on the
+    order key) and pairs come from a nested-sequence generator expression
+    — the self-join formulation shuffles the item table twice and probes
+    a join for what is a per-group combinatorial expansion.  Work is
+    still Σ k²/2 per basket (inherent), but stays inside one stage."""
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("ps")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ps") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ps")),
+                lambda j: F.struct(
+                    F.element_at(F.col("ps"), i).alias("p1"),
+                    F.element_at(F.col("ps"), j).alias("p2"),
+                ),
+            ),
+        )
+    )
+    return (
+        baskets.filter(F.size("ps") >= 2)
+        .select(F.explode(combos).alias("pr"))
+        .select("pr.p1", "pr.p2")
+    )
+
+
 @q("q_basket_pairs")
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence with lift: part pairs bought in the same
-    order, support ≥ 3, lift from exact integer counts.  The self-join is
-    keyed on l_orderkey — quadratic only within a basket (~7 items), never
-    across the corpus — and the per-item support table joins back via the
-    same pos-unpivot trick as q_pmi_bigrams (one support branch, not
-    two).  lift = n_orders·c_ab/(c_a·c_b), fixed-order IEEE on identical
-    integers."""
+    order, support ≥ 3, lift from exact integer counts.  Pairs come from
+    the single-shuffle basket generator (_basket_pair_rows — quadratic
+    only within a basket, never across the corpus); the per-item support
+    table joins back via the same pos-unpivot trick as q_pmi_bigrams (one
+    support branch, not two).  lift = n_orders·c_ab/(c_a·c_b), fixed-order
+    IEEE on identical integers."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     n_orders = (
         T(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
-    b = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
-    )
     pairs = (
-        a.join(b, (a.l_orderkey == b.ok2) & (F.col("p1") < F.col("p2")))
+        _basket_pair_rows(li)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 3)
@@ -2420,18 +2445,13 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_degree_distribution")
 def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph profile of the co-purchase graph: how many parts have k
-    co-purchase neighbors (degree histogram).  Edges from the basket
-    self-join (bounded per order), symmetrized by a pos-explode rather
-    than a union of two derived frames (one edge subtree, not two);
-    degree = distinct neighbors; the histogram is a second tiny agg."""
+    co-purchase neighbors (degree histogram).  Edges from the
+    single-shuffle basket generator (bounded per order), symmetrized by a
+    pos-explode rather than a union of two derived frames (one edge
+    subtree, not two); degree = distinct neighbors; the histogram is a
+    second tiny agg."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
-    b = li.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
-    )
-    edges = a.join(b, (a.l_orderkey == b.ok2) & (F.col("p1") < F.col("p2"))).select(
-        "p1", "p2"
-    )
+    edges = _basket_pair_rows(li)
     sym = edges.select(
         F.explode(
             F.array(
