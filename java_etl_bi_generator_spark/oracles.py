@@ -1361,6 +1361,32 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_source_profile": f"""
+        WITH per AS (
+          SELECT source,
+                 CAST(floor(({_QUALITY_EXPR}) * 1000000.0 + 0.5) AS BIGINT)
+                   AS qm,
+                 {_N_TOKENS} AS n_tok,
+                 sha256(text) AS hash
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               {pround_sql(
+                   'CAST(sum(qm) AS DOUBLE) / count(*) / 1000000.0', 6)}
+                 AS mean_quality,
+               {pround_sql('CAST(sum(n_tok) AS DOUBLE) / count(*)', 6)}
+                 AS mean_tokens,
+               count(*) - count(DISTINCT hash) AS n_dup_docs
+        FROM per GROUP BY 1
+    """,
+    "q_cross_source_dedup": """
+        WITH sh AS (
+          SELECT DISTINCT source, sha256(text) AS hash FROM documents)
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_shared_hashes
+        FROM sh a JOIN sh b
+          ON a.hash = b.hash AND a.source < b.source
+        GROUP BY 1, 2
+    """,
     "q_chi2_cells": f"""
         WITH cells AS (
           SELECT o_orderstatus, o_orderpriority, count(*) AS observed

@@ -3287,6 +3287,57 @@ def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_source_profile")
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation dashboard row: per ingestion source — document count,
+    mean quality (exact micro-unit pinned sum), mean token length, and
+    within-source exact-duplicate rate, in one aggregation pass (the
+    quality expression and dup hash share the scan)."""
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    qmicro = F.floor(
+        quality_score("text", F.col("__toks")) * 1000000.0 + 0.5
+    ).cast("bigint")
+    per = docs.select(
+        "source",
+        qmicro.alias("qm"),
+        token_count_of(F.col("__toks")).alias("n_tok"),
+        F.sha2(F.col("text"), 256).alias("hash"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pround(
+            F.sum("qm").cast("double") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("mean_quality"),
+        pround(
+            F.sum("n_tok").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_tokens"),
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.col("hash"))
+        ).alias("n_dup_docs"),
+    )
+
+
+@q("q_cross_source_dedup")
+def q_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source contamination matrix: for every source pair, how many
+    content hashes appear in BOTH — the check that catches one crawl
+    mirroring another before both are counted as independent data.
+    Distinct (source, hash) once, then a self-join keyed on hash
+    (bounded per hash by the number of sources, not corpus size)."""
+    sh = (
+        T(spark, sf_dir, "documents")
+        .select("source", F.sha2(F.col("text"), 256).alias("hash"))
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("src_a"), "hash")
+    b = sh.select(F.col("source").alias("src_b"), F.col("hash").alias("h2"))
+    return (
+        a.join(b, (a.hash == b.h2) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_hashes"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
