@@ -1361,6 +1361,34 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_dedup_prefix": f"""
+        WITH p AS (
+          SELECT doc_id,
+                 substr(sha256(array_to_string(
+                     ({_TOKENS})[1:20], ' ')), 1, 16) AS prefix_hash
+          FROM documents WHERE trim(text) <> '')
+        SELECT prefix_hash, count(*) AS n_docs, min(doc_id) AS keeper
+        FROM p GROUP BY 1 HAVING count(*) > 1
+    """,
+    "q_repetition_filter": f"""
+        WITH tc AS (
+          SELECT doc_id, tok, count(*) AS cnt
+          FROM (SELECT doc_id, unnest({_TOKENS}) AS tok
+                FROM documents WHERE trim(text) <> '') t
+          GROUP BY 1, 2),
+        pd AS (
+          SELECT doc_id, max(cnt) AS max_cnt, sum(cnt) AS n_tok,
+                 count(*) AS n_unique
+          FROM tc GROUP BY 1)
+        SELECT doc_id,
+               {pround_sql(
+                   'CAST(max_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE)', 6)}
+                 AS top_token_share,
+               {pround_sql(
+                   'CAST(n_unique AS DOUBLE) / CAST(n_tok AS DOUBLE)', 6)}
+                 AS distinct_ratio
+        FROM pd
+    """,
     "q_source_profile": f"""
         WITH per AS (
           SELECT source,

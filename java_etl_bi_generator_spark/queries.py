@@ -3338,6 +3338,59 @@ def q_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_dedup_prefix")
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate signal: documents sharing their first 20 tokens
+    (prefix-hash groups with >1 member) — catches template/header
+    duplication that exact-hash dedup misses when tails differ.  One
+    hash + one aggregation; keeper = min doc_id."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .withColumn("__toks", tokens("text"))
+    )
+    prefix_hash = F.substring(
+        F.sha2(F.array_join(F.slice(F.col("__toks"), 1, 20), " "), 256), 1, 16
+    )
+    return (
+        docs.select("doc_id", prefix_hash.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@q("q_repetition_filter")
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: top-token share and
+    distinct-token ratio — the within-doc repetition signals pretraining
+    filters threshold on.  One explode + two aggregations of the
+    (doc, token, count) table; exact integer ratios, pinned."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = tok_counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_unique"),
+    )
+    return per_doc.select(
+        "doc_id",
+        pround(
+            F.col("max_cnt") / F.col("n_tok").cast("double"), 6
+        ).alias("top_token_share"),
+        pround(
+            F.col("n_unique") / F.col("n_tok").cast("double"), 6
+        ).alias("distinct_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
