@@ -1361,6 +1361,55 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_minhash_accuracy": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE doc_id % 10 = 0),
+        sh2 AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT id_a, id_b,
+                 {pround_sql(
+                     'CAST(n_inter AS DOUBLE)'
+                     ' / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)}
+                   AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE {pround_sql(
+                     'CAST(n_inter AS DOUBLE)'
+                     ' / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)}
+                >= 0.05),
+        dg AS (SELECT doc_id, md5(sh) AS m FROM sh2),
+        hh AS (
+          SELECT doc_id,
+                 {_hex_bigint('m', 1, 15)} AS h1,
+                 {_hex_bigint('m', 17, 12)} AS h2
+          FROM dg),
+        mh AS (
+          SELECT doc_id, i,
+                 min((h1 + i * h2) & ((CAST(1 AS BIGINT) << 60) - 1)) AS mh
+          FROM hh, (SELECT unnest(range(0, 16)) AS i) idx
+          GROUP BY doc_id, i),
+        agree AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_agree
+          FROM mh a JOIN mh b ON a.i = b.i AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT e.id_a, e.id_b, e.jaccard,
+               {pround_sql('CAST(g.n_agree AS DOUBLE) / 16.0', 6)}
+                 AS mh_estimate,
+               {pround_sql(
+                   'abs(CAST(g.n_agree AS DOUBLE) / 16.0 - e.jaccard)', 6)}
+                 AS abs_err
+        FROM exact e
+        JOIN agree g ON g.id_a = e.id_a AND g.id_b = e.id_b
+    """,
     "q_dedup_prefix": f"""
         WITH p AS (
           SELECT doc_id,

@@ -3391,6 +3391,46 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_minhash_accuracy")
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: MinHash Jaccard estimate (fraction of 16
+    agreeing signature slots) vs the exact 2-gram Jaccard, per candidate
+    pair — the calibration run before trusting LSH thresholds at scale.
+    Signatures computed once (persisted: both join branches reuse them);
+    exact values from the shingle-intersection path; |error| emitted per
+    pair, all deterministic integer/ratio arithmetic."""
+    from .operators.dedup import minhash_signatures
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.05)
+    sig = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_n=2)
+    sig = sig.persist()
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(16)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    est = agree.cast("double") / 16.0
+    return (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            pround(est, 6).alias("mh_estimate"),
+            pround(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
