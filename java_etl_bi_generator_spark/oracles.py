@@ -1361,6 +1361,47 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_fulfillment_latency": """
+        WITH fs AS (
+          SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+          FROM lineitem GROUP BY 1)
+        SELECT CAST(first_ship - CAST(o_orderdate AS DATE) AS INT)
+                 AS latency_days,
+               count(*) AS n_orders
+        FROM orders JOIN fs ON o_orderkey = fs.l_orderkey
+        GROUP BY 1
+    """,
+    "q_backlog_sweepline": """
+        WITH fs AS (
+          SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+          FROM lineitem GROUP BY 1),
+        spans AS (
+          SELECT CAST(o_orderdate AS DATE) AS open_d, first_ship
+          FROM orders JOIN fs ON o_orderkey = fs.l_orderkey),
+        deltas AS (
+          SELECT open_d AS d, 1 AS delta FROM spans
+          UNION ALL SELECT first_ship, -1 FROM spans),
+        daily AS (SELECT d, CAST(sum(delta) AS BIGINT) AS net
+                  FROM deltas GROUP BY 1)
+        SELECT d, CAST(sum(net) OVER
+                 (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS open_orders
+        FROM daily
+    """,
+    "q_hhi": f"""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+          FROM lineitem GROUP BY 1, 2),
+        pp AS (
+          SELECT l_partkey, count(*) AS n_suppliers,
+                 CAST(sum(q) AS DOUBLE) AS sq,
+                 CAST(sum(q * q) AS DOUBLE) AS sqq
+          FROM ps GROUP BY 1)
+        SELECT l_partkey, n_suppliers,
+               {pround_sql('sqq / (sq * sq)', 6)} AS hhi
+        FROM pp WHERE n_suppliers >= 2
+    """,
     "q_minhash_accuracy": f"""
         WITH docs AS (
           SELECT doc_id, {_TOKENS} AS toks FROM documents

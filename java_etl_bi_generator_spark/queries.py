@@ -3431,6 +3431,93 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_fulfillment_latency")
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain metric: days from order to FIRST shipment, as a
+    histogram — lineitem collapses to per-order min(shipdate) before the
+    join (eager agg, the q_star_flagship pattern), datediff is exact
+    integer arithmetic."""
+    od = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    lat = od.join(first_ship, od.o_orderkey == first_ship.l_orderkey).select(
+        F.datediff(F.col("first_ship"), F.to_date("o_orderdate")).alias(
+            "latency_days"
+        )
+    )
+    return lat.groupBy("latency_days").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@q("q_backlog_sweepline")
+def q_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval counting via sweep-line: how many orders are OPEN (ordered
+    but not yet first-shipped) on each day — +1/−1 deltas at the interval
+    endpoints, one aggregation to per-day net change, one running sum
+    over the (days-sized) delta table.  The standard
+    concurrent-intervals layout: never a day×order range join."""
+    od = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    spans = od.join(first_ship, od.o_orderkey == first_ship.l_orderkey).select(
+        F.to_date("o_orderdate").alias("open_d"), "first_ship"
+    )
+    deltas = spans.select(
+        F.col("open_d").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.col("first_ship").alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    return daily.select(
+        "d",
+        F.sum("net")
+        .over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("open_orders"),
+    )
+
+
+@q("q_hhi")
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration: Herfindahl–Hirschman index of supplier share
+    per part, HHI = Σqᵢ²/(Σqᵢ)² from exact decimal power sums — a
+    cross-supplier Σshare² would sum doubles in partition order; the
+    power-sum form is order-free.  Emits parts supplied by ≥2
+    suppliers."""
+    li = T(spark, sf_dir, "lineitem")
+    per_supp = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")
+        )
+    )
+    per_part = per_supp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("sqq"),
+    )
+    return (
+        per_part.filter(F.col("n_suppliers") >= 2)
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            pround(
+                F.col("sqq") / (F.col("sq") * F.col("sq")), 6
+            ).alias("hhi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
