@@ -1361,6 +1361,51 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_lorenz_deciles": f"""
+        WITH rev AS (
+          SELECT o_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+          FROM orders GROUP BY 1),
+        dec AS (
+          SELECT x, CAST(ntile(10) OVER (ORDER BY x ASC, o_custkey ASC)
+                         AS INT) AS decile
+          FROM rev),
+        per AS (
+          SELECT decile, count(*) AS n_customers, sum(x) AS rev_d
+          FROM dec GROUP BY 1),
+        c AS (
+          SELECT decile, n_customers, rev_d,
+                 sum(rev_d) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                   AS cum_d
+          FROM per),
+        t AS (SELECT *, max(cum_d) OVER () AS total_d FROM c)
+        SELECT decile, n_customers,
+               CAST(rev_d AS DOUBLE) AS decile_revenue,
+               {pround_sql(
+                   'CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE)', 6)}
+                 AS cum_share
+        FROM t
+    """,
+    "q_referential_audit": """
+        SELECT 'lineitem->orders' AS relation,
+               (SELECT count(*) FROM lineitem) AS n_rows,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                 AS n_orphans
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+    """,
     "q_fulfillment_latency": """
         WITH fs AS (
           SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship

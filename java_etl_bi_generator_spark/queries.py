@@ -3518,6 +3518,81 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_lorenz_deciles")
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points: cumulative revenue share of customer deciles
+    (poorest→richest) — ntile with a key tie-break, per-decile DECIMAL
+    sums, cumulative share from exact partials.  The chartable companion
+    to q_gini."""
+    rev = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+        )
+    )
+    dec = rev.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+        ),
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").alias("rev_d"),
+    )
+    cum = F.sum("rev_d").over(
+        Window.orderBy("decile").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    with_cum = per.withColumn("cum_d", cum).withColumn(
+        "total_d", F.max("cum_d").over(Window.partitionBy())
+    )
+    return with_cum.select(
+        "decile",
+        "n_customers",
+        F.col("rev_d").cast("double").alias("decile_revenue"),
+        pround(
+            F.col("cum_d").cast("double") / F.col("total_d").cast("double"), 6
+        ).alias("cum_share"),
+    )
+
+
+@q("q_referential_audit")
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETL data-quality audit: orphan foreign keys across the star —
+    child rows whose FK misses the parent table, one left-anti count per
+    relationship, unioned into a (relation, n_rows, n_orphans) report.
+    The conformance check a dimensional load runs before publishing."""
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    na = T(spark, sf_dir, "nation")
+
+    def audit(child, fk, parent, pk, name):
+        n = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphans = child.join(
+            parent.select(F.col(pk).alias(fk)), fk, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return n.crossJoin(orphans).select(
+            F.lit(name).alias("relation"), "n_rows", "n_orphans"
+        )
+
+    return (
+        audit(li.select("l_orderkey"), "l_orderkey", od, "o_orderkey",
+              "lineitem->orders")
+        .unionByName(
+            audit(od.select("o_custkey"), "o_custkey", cu, "c_custkey",
+                  "orders->customer")
+        )
+        .unionByName(
+            audit(cu.select(F.col("c_nationkey").cast("int").alias("c_nationkey")),
+                  "c_nationkey", na, "n_nationkey", "customer->nation")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
