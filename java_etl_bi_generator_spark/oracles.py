@@ -1361,6 +1361,21 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_weighted_median": """
+        WITH base AS (
+          SELECT l_returnflag, l_quantity,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS w
+          FROM lineitem),
+        c AS (
+          SELECT l_returnflag, l_quantity,
+                 sum(w) OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity ASC, w ASC
+                              ROWS UNBOUNDED PRECEDING) AS cumw,
+                 sum(w) OVER (PARTITION BY l_returnflag) AS total
+          FROM base)
+        SELECT l_returnflag, min(l_quantity) AS weighted_median_qty
+        FROM c WHERE cumw * 2 >= total GROUP BY 1
+    """,
     "q_lorenz_deciles": f"""
         WITH rev AS (
           SELECT o_custkey,

@@ -3593,6 +3593,38 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_weighted_median")
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group: the lineitem quantity at which half the
+    revenue weight accumulates (lower weighted median) — ordered DECIMAL
+    cumulative weights (exact, so the crossing row is engine-unambiguous),
+    then min(quantity) over rows where 2·cumw ≥ total.  The
+    robust-estimator shape percentile() cannot express."""
+    li = T(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("w"),
+    )
+    ordw = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").asc(), F.col("w").asc()
+    )
+    cum = base.withColumn(
+        "cumw",
+        F.sum("w").over(
+            ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "total",
+        F.sum("w").over(Window.partitionBy("l_returnflag")),
+    )
+    return (
+        cum.filter(F.col("cumw") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("weighted_median_qty"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
