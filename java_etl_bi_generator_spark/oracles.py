@@ -1361,6 +1361,48 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_skyline": """
+        WITH base AS (
+          SELECT o_custkey, count(*) AS frequency,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+          FROM orders GROUP BY 1),
+        m AS (
+          SELECT o_custkey, frequency, monetary,
+                 max(monetary) OVER
+                   (ORDER BY frequency ASC
+                    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS max_higher,
+                 max(monetary) OVER (PARTITION BY frequency) AS max_same
+          FROM base)
+        SELECT o_custkey, frequency, monetary FROM m
+        WHERE monetary = max_same
+          AND (max_higher IS NULL OR monetary > max_higher)
+    """,
+    "q_proportional_allocation": """
+        WITH rev AS (
+          SELECT c_nationkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                      AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1),
+        q AS (
+          SELECT c_nationkey,
+                 (cents * 1000) // (SELECT sum(cents) FROM rev)
+                   AS floor_slots,
+                 (cents * 1000) % (SELECT sum(cents) FROM rev) AS rem
+          FROM rev),
+        r AS (
+          SELECT c_nationkey, floor_slots, rem,
+                 row_number() OVER (ORDER BY rem DESC, c_nationkey ASC)
+                   AS rk,
+                 1000 - sum(floor_slots) OVER () AS deficit
+          FROM q)
+        SELECT c_nationkey,
+               CAST(floor_slots + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                    AS BIGINT) AS slots
+        FROM r
+    """,
     "q_weighted_median": """
         WITH base AS (
           SELECT l_returnflag, l_quantity,

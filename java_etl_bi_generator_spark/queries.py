@@ -3625,6 +3625,91 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_skyline")
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: customers not dominated on
+    (order frequency, total spend) — a point survives iff its spend
+    exceeds the max spend of every strictly-higher-frequency point,
+    computed with ONE range-frame window (freq+1 .. ∞) instead of the
+    quadratic dominance self-join.  Equal-frequency points DO dominate on
+    the spend axis, so a survivor must also hold its frequency class's
+    max spend (exact ties on both axes are mutually non-dominating and
+    all survive)."""
+    base = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("frequency").asc())
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    same = Window.partitionBy("frequency")
+    return (
+        base.withColumn("__max_higher", F.max("monetary").over(w))
+        .withColumn("__max_same", F.max("monetary").over(same))
+        .filter(
+            (F.col("monetary") == F.col("__max_same"))
+            & (
+                F.col("__max_higher").isNull()
+                | (F.col("monetary") > F.col("__max_higher"))
+            )
+        )
+        .select("o_custkey", "frequency", "monetary")
+    )
+
+
+@q("q_proportional_allocation")
+def q_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation: split exactly 1000 slots
+    across nations proportionally to revenue — floor quotas in pure
+    integer arithmetic (revenue in exact cents), the leftover slots going
+    to the largest remainders (rank with nation tie-break).  The
+    quota/budget op where the parts MUST sum to the whole; every step
+    integer, engine-identical."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    rev = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = F.sum("cents").over(Window.partitionBy())
+    quot = rev.select(
+        "c_nationkey",
+        "cents",
+        F.expr("cents * 1000").alias("num"),
+        tot.alias("den"),
+    ).select(
+        "c_nationkey",
+        F.expr("num DIV den").alias("floor_slots"),
+        (F.col("num") % F.col("den")).alias("rem"),
+    )
+    deficit = F.lit(1000) - F.sum("floor_slots").over(Window.partitionBy())
+    ranked = quot.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("c_nationkey").asc())
+        ),
+    ).withColumn("__deficit", deficit)
+    return ranked.select(
+        "c_nationkey",
+        (
+            F.col("floor_slots")
+            + F.when(F.col("__rk") <= F.col("__deficit"), 1).otherwise(0)
+        ).alias("slots"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
