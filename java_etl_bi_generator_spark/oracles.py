@@ -1361,6 +1361,28 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_business_days": """
+        WITH fs AS (
+          SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+          FROM lineitem GROUP BY 1),
+        spans AS (
+          SELECT CAST(first_ship - CAST(o_orderdate AS DATE) AS BIGINT)
+                   AS days,
+                 CAST(floor(epoch(CAST(o_orderdate AS DATE)) / 86400)
+                      AS BIGINT) + 3 AS sd
+          FROM orders JOIN fs ON o_orderkey = fs.l_orderkey
+          WHERE first_ship >= CAST(o_orderdate AS DATE)),
+        b AS (
+          SELECT (days // 7) * 5 +
+                 CASE WHEN days % 7 = 0 THEN 0
+                      ELSE len(list_filter(range(0, days % 7),
+                               i -> (sd % 7 + i) % 7 < 5)) END
+                   AS business_days
+          FROM spans)
+        SELECT CAST(business_days AS BIGINT) AS business_days,
+               count(*) AS n_orders
+        FROM b GROUP BY 1
+    """,
     "q_skyline": """
         WITH base AS (
           SELECT o_custkey, count(*) AS frequency,

@@ -3710,6 +3710,48 @@ def q_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_business_days")
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA metric: BUSINESS days (Mon-Fri) from order to first shipment,
+    as a histogram — closed-form integer weekday arithmetic (full weeks ×5
+    plus a ≤6-day remainder scanned with a filtered sequence), no calendar
+    join, no UDF.  Epoch-day math keeps both engines bucket-identical
+    (epoch day 0 = Thursday → dow 0 = Monday via +3 mod 7)."""
+    od = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    spans = (
+        od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
+        .select(
+            F.datediff(
+                F.col("first_ship"), F.to_date("o_orderdate")
+            ).alias("days"),
+            (
+                (F.unix_timestamp(F.to_date("o_orderdate")) / 86400)
+                .cast("bigint") + 3
+            ).alias("sd"),
+        )
+        # the synthetic dates include ship-before-order rows; negative
+        # spans are invalid SLAs (and make DIV/% engine-divergent) — a
+        # production pipeline quarantines them (q_referential_audit style)
+        .filter(F.col("days") >= 0)
+    )
+    rem = F.col("days") % 7
+    start_dow = F.col("sd") % 7
+    extra = F.when(rem == 0, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(0), rem - 1),
+                lambda i: (start_dow + i) % 7 < 5,
+            )
+        )
+    )
+    busdays = (F.expr("days DIV 7") * 5 + extra).alias("business_days")
+    return spans.groupBy(busdays).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 # ---------------------------------------------------------------------------
 # Flagship star query (entry + declared)
 # ---------------------------------------------------------------------------
