@@ -37,6 +37,10 @@ _STOP_PT = "['de','a','o','que','e','do','da','em','um','para']"
 _STOP_ES = "['de','la','que','el','en','y','a','los','se','del']"
 
 _TOKENS = "string_split_regex(trim(text), '\\s+')"
+_NON_ASCII = "length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))"
+_NON_ASCII_RATIO = (
+    f"CAST({_NON_ASCII} AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+)
 _N_TOKENS = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
 
 
@@ -1360,6 +1364,25 @@ ORACLES: dict[str, str] = {
             AS n_purchase,
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
+    """,
+    "q_survivorship": f"""
+        WITH per AS (
+          SELECT sha256(text) AS hash, doc_id, source,
+                 CAST(floor(({_QUALITY_EXPR}) * 1000000.0 + 0.5) AS BIGINT)
+                   AS qm
+          FROM documents)
+        SELECT hash, min(doc_id) AS keeper, count(*) AS n_members,
+               {pround_sql('CAST(max(qm) AS DOUBLE) / 1000000.0', 6)}
+                 AS best_quality,
+               array_to_string(list_sort(list_distinct(list(source))), '|')
+                 AS sources
+        FROM per GROUP BY 1
+    """,
+    "q_ascii_ratio": f"""
+        SELECT doc_id,
+               CAST({_NON_ASCII} AS INT) AS n_non_ascii,
+               {pround_sql(_NON_ASCII_RATIO, 6)} AS non_ascii_ratio
+        FROM documents WHERE length(text) > 0
     """,
     "q_business_days": """
         WITH fs AS (

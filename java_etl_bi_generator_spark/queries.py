@@ -3710,6 +3710,52 @@ def q_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_survivorship")
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship: merge each exact-duplicate cluster into one golden
+    record — keeper = min doc_id, best quality across members (micro-unit
+    exact max), provenance = sorted distinct sources.  One aggregation
+    per content hash; the merge rules every master-data pipeline encodes."""
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    per = docs.select(
+        F.sha2(F.col("text"), 256).alias("hash"),
+        "doc_id",
+        "source",
+        F.floor(
+            quality_score("text", F.col("__toks")) * 1000000.0 + 0.5
+        ).cast("bigint").alias("qm"),
+    )
+    return per.groupBy("hash").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("n_members"),
+        pround(F.max("qm").cast("double") / 1000000.0, 6).alias(
+            "best_quality"
+        ),
+        F.array_join(
+            F.array_sort(F.collect_set("source")), "|"
+        ).alias("sources"),
+    )
+
+
+@q("q_ascii_ratio")
+def q_ascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual corpus QA: per-document non-ASCII character count and
+    ratio — the encoding/mojibake tripwire run before tokenizer training.
+    A single regexp_replace strips the ASCII range; both engines count
+    codepoints."""
+    docs = T(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    non_ascii = F.length(
+        F.regexp_replace(F.col("text"), r"[\x00-\x7F]", "")
+    )
+    return docs.select(
+        "doc_id",
+        non_ascii.alias("n_non_ascii"),
+        pround(
+            non_ascii / F.length("text").cast("double"), 6
+        ).alias("non_ascii_ratio"),
+    )
+
+
 @q("q_business_days")
 def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLA metric: BUSINESS days (Mon-Fri) from order to first shipment,
