@@ -1365,6 +1365,33 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_mix_shift": f"""
+        WITH base AS (
+          SELECT n_name,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1
+                               ELSE 0 END) AS BIGINT) AS v0,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1997 THEN 1
+                               ELSE 0 END) AS BIGINT) AS v1,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1996
+                               THEN CAST(o_totalprice AS DECIMAL(18,2))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END)
+                      AS DOUBLE) AS r0,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                               THEN CAST(o_totalprice AS DECIMAL(18,2))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END)
+                      AS DOUBLE) AS r1
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE year(o_orderdate) IN (1996, 1997)
+          GROUP BY 1
+          HAVING v0 > 0 AND v1 > 0)
+        SELECT n_name,
+               {pround_sql('(v1 - v0) * (r0 / v0)', 4)} AS volume_effect,
+               {pround_sql('v1 * (r1 / v1 - r0 / v0)', 4)} AS price_effect,
+               {pround_sql('r1 - r0', 4)} AS total_change
+        FROM base
+    """,
     "q_survivorship": f"""
         WITH per AS (
           SELECT sha256(text) AS hash, doc_id, source,

@@ -3756,6 +3756,50 @@ def q_ascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_mix_shift")
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI variance decomposition (mix-shift analysis): per nation, split
+    the 1996→1997 revenue change into a volume effect ((v₁−v₀)·p₀) and a
+    price/mix effect (v₁·(p₁−p₀)) — the two-factor bridge that explains
+    WHY a total moved.  Volumes are exact counts, revenues exact decimal
+    sums, the effects fixed-order IEEE on those; the identity
+    volume+price = Δrevenue holds exactly in the emitted (pinned)
+    values."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    na = T(spark, sf_dir, "nation")
+    yr = F.year("o_orderdate")
+    base = (
+        od.filter(yr.isin(1996, 1997))
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(yr == 1996, 1).otherwise(0)).alias("v0"),
+            F.sum(F.when(yr == 1997, 1).otherwise(0)).alias("v1"),
+            F.sum(
+                F.when(
+                    yr == 1996, F.col("o_totalprice").cast("decimal(18,2)")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("r0"),
+            F.sum(
+                F.when(
+                    yr == 1997, F.col("o_totalprice").cast("decimal(18,2)")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("r1"),
+        )
+        .filter((F.col("v0") > 0) & (F.col("v1") > 0))
+    )
+    p0 = F.col("r0") / F.col("v0")
+    p1 = F.col("r1") / F.col("v1")
+    return base.select(
+        "n_name",
+        pround((F.col("v1") - F.col("v0")) * p0, 4).alias("volume_effect"),
+        pround(F.col("v1") * (p1 - p0), 4).alias("price_effect"),
+        pround(F.col("r1") - F.col("r0"), 4).alias("total_change"),
+    )
+
+
 @q("q_business_days")
 def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLA metric: BUSINESS days (Mon-Fri) from order to first shipment,
