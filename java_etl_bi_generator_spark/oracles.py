@@ -1365,6 +1365,35 @@ ORACLES: dict[str, str] = {
           CAST(count(*) AS INT) AS n_types
         FROM c GROUP BY user_id
     """,
+    "q_dedup_threshold_curve": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE doc_id % 10 = 0),
+        sh2 AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT {pround_sql(
+                     'CAST(n_inter AS DOUBLE)'
+                     ' / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)}
+                   AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b),
+        f AS (SELECT jaccard FROM j WHERE jaccard >= 0.02)
+        SELECT count(*) AS pairs_ge_002,
+               CAST(sum(CASE WHEN jaccard >= 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pairs_ge_005,
+               CAST(sum(CASE WHEN jaccard >= 0.10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pairs_ge_010,
+               CAST(sum(CASE WHEN jaccard >= 0.20 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pairs_ge_020
+        FROM f
+    """,
     "q_mix_shift": f"""
         WITH base AS (
           SELECT n_name,

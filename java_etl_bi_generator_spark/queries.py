@@ -3756,6 +3756,29 @@ def q_ascii_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_dedup_threshold_curve")
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve: candidate-pair counts at a ladder
+    of Jaccard cutoffs, from ONE pass over the shingle-intersection pairs
+    (conditional aggregation — never one scan per threshold).  The curve
+    that picks the LSH banding operating point before a corpus-wide
+    run."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.02)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("pairs_ge_002"),
+        F.sum(F.when(F.col("jaccard") >= 0.05, 1).otherwise(0)).alias(
+            "pairs_ge_005"
+        ),
+        F.sum(F.when(F.col("jaccard") >= 0.10, 1).otherwise(0)).alias(
+            "pairs_ge_010"
+        ),
+        F.sum(F.when(F.col("jaccard") >= 0.20, 1).otherwise(0)).alias(
+            "pairs_ge_020"
+        ),
+    )
+
+
 @q("q_mix_shift")
 def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BI variance decomposition (mix-shift analysis): per nation, split
