@@ -79,3 +79,73 @@ def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
     # bin ids are a dense 0..k prefix (contiguous packing leaves no holes)
     ids = sorted(r["bin_id"] for r in bins)
     assert ids == list(range(len(ids)))
+
+
+def test_business_days_matches_python_loop(spark, sf_dir):
+    """The closed-form weekday formula must equal a literal day-by-day
+    Python walk over every (order, first-ship) span in the fixture."""
+    import datetime
+
+    con = _duck()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    rows = con.execute(
+        """
+        WITH fs AS (SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS s
+                    FROM lineitem GROUP BY 1)
+        SELECT CAST(o_orderdate AS DATE), s
+        FROM orders JOIN fs ON o_orderkey = fs.l_orderkey
+        WHERE s >= CAST(o_orderdate AS DATE)
+        """
+    ).fetchall()
+    want: dict[int, int] = {}
+    for a, b in rows:
+        d, n = a, 0
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += datetime.timedelta(days=1)
+        want[n] = want.get(n, 0) + 1
+    got = {
+        r["business_days"]: r["n_orders"]
+        for r in registry()["q_business_days"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_proportional_allocation_invariants(spark, sf_dir):
+    """Slots must sum to exactly 1000 and each nation gets its floor quota
+    or floor+1 (largest-remainder property)."""
+    con = _duck()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet')"
+    )
+    cents = dict(con.execute(
+        """
+        SELECT c_nationkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+        """
+    ).fetchall())
+    total = sum(cents.values())
+    got = {
+        r["c_nationkey"]: r["slots"]
+        for r in registry()["q_proportional_allocation"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sum(got.values()) == 1000
+    for k, slots in got.items():
+        floor_q = cents[k] * 1000 // total
+        assert slots in (floor_q, floor_q + 1), k
