@@ -1301,16 +1301,16 @@ ORACLES: dict[str, str] = {
         WITH e AS (
           SELECT event_id, user_id, event_type, ts, epoch_ms(ts) AS ms,
                  max(CASE WHEN event_type <> 'purchase'
-                          THEN epoch_ms(ts) * 1000000 + event_id END)
+                          THEN {'ms': epoch_ms(ts), 'eid': event_id} END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS last_packed
+                   AS last_t
           FROM events)
         SELECT event_id AS purchase_id, user_id,
-               CAST(last_packed % 1000000 AS BIGINT) AS touch_id
+               CAST(last_t.eid AS BIGINT) AS touch_id
         FROM e
-        WHERE event_type = 'purchase' AND last_packed IS NOT NULL
-          AND ms - last_packed // 1000000 <= 604800000
+        WHERE event_type = 'purchase' AND last_t IS NOT NULL
+          AND ms - last_t.ms <= 604800000
     """,
     "q_anomaly_zscore": f"""
         WITH s AS (
@@ -1833,19 +1833,13 @@ ORACLES: dict[str, str] = {
           SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600
                    AS hour_start,
                  event_type,
-                 epoch_ms(ts) * 1000000 + event_id AS pk,
+                 {'ms': epoch_ms(ts), 'eid': event_id, 'v': value} AS k,
                  value
-          FROM events),
-        agg AS (
-          SELECT hour_start, event_type,
-                 min(pk) AS open_pk, max(pk) AS close_pk,
-                 min(value) AS low, max(value) AS high
-          FROM base GROUP BY 1, 2)
-        SELECT a.hour_start, a.event_type,
-               o.value AS open, a.high, a.low, c.value AS close
-        FROM agg a
-        JOIN base o ON o.pk = a.open_pk
-        JOIN base c ON c.pk = a.close_pk
+          FROM events)
+        SELECT hour_start, event_type,
+               (min(k)).v AS open, max(value) AS high,
+               min(value) AS low, (max(k)).v AS close
+        FROM base GROUP BY 1, 2
     """,
     "q_scd2_asof": """
         WITH ver AS (
@@ -2276,7 +2270,7 @@ ORACLES: dict[str, str] = {
                       ELSE c_acctbal END AS c_acctbal
           FROM customer WHERE c_custkey % 97 <> 0
           UNION ALL
-          SELECT c_custkey + 100000, c_acctbal
+          SELECT c_custkey + 1000000, c_acctbal
           FROM customer WHERE c_custkey % 50 = 0),
         j AS (
           SELECT v1.c_custkey AS k, v2.c_custkey AS k2,

@@ -1461,8 +1461,9 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_histogram")
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width numeric histogram over o_totalprice (25k bins, clamped to
-    bin 19) — single hash aggregation, bin id from pure IEEE floor/divide so
+    """Fixed-width numeric histogram over o_totalprice (25k-wide bins, 20
+    bins total, clamped to bin 19) — single hash aggregation, bin id from
+    pure IEEE floor/divide so
     both engines bucket identically.  The fixed-bound form needs no prior
     min/max pass — the shape to prefer at scale when bounds are known."""
     od = T(spark, sf_dir, "orders")
@@ -1688,15 +1689,16 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing attribution: each purchase credits the user's most recent
     prior non-purchase event within 7 days.  One conditional window max per
-    user ordered by time — (ms, event_id) packed into a single bigint so
-    the arg-max needs no struct ordering (portable across engines; valid
-    while event_id < 1e6 — at production scale use a max_by/struct-max).
-    Single shuffle on user_id, no self-join."""
+    user ordered by time — the arg-max key is a (ms, event_id) STRUCT, whose
+    lexicographic ordering is identical in Spark and DuckDB and valid at any
+    event_id magnitude (the earlier ms*1e6+event_id bigint packing silently
+    corrupted once event_id ≥ 1e6).  Single shuffle on user_id, no
+    self-join."""
     ev = T(spark, sf_dir, "events")
     ms = F.unix_millis(F.col("ts"))
-    packed = F.when(
+    touch = F.when(
         F.col("event_type") != "purchase",
-        ms * F.lit(1000000) + F.col("event_id"),
+        F.struct(ms.alias("ms"), F.col("event_id").alias("eid")),
     )
     w = (
         Window.partitionBy("user_id")
@@ -1704,16 +1706,16 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        ev.withColumn("__last", F.max(packed).over(w))
+        ev.withColumn("__last", F.max(touch).over(w))
         .filter(
             (F.col("event_type") == "purchase")
             & F.col("__last").isNotNull()
-            & ((ms - F.expr("__last DIV 1000000")) <= 604800000)
+            & ((ms - F.col("__last.ms")) <= 604800000)
         )
         .select(
             F.col("event_id").alias("purchase_id"),
             "user_id",
-            (F.col("__last") % 1000000).alias("touch_id"),
+            F.col("__last.eid").alias("touch_id"),
         )
     )
 
@@ -2074,7 +2076,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
     )
     v2_adds = cu.filter(F.col("c_custkey") % 50 == 0).select(
-        (F.col("c_custkey") + 100000).alias("c_custkey"), "c_acctbal"
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
     )
     v2 = v2_updates.unionByName(v2_adds)
     a = v1.select(
@@ -3013,47 +3015,42 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series candles: open/high/low/close of event value per
     (hour, event_type).  High/low are plain min/max; open/close are
-    time-arg-min/max resolved DETERMINISTICALLY by packing (ms, event_id)
-    into one bigint key (built-in max_by leaves ties unspecified), then
-    one join back to fetch the boundary values via the same pos-unpivot
-    trick as q_pmi_bigrams — the event log scans twice (bucket agg +
-    boundary fetch), never once per bound."""
+    time-arg-min/max resolved DETERMINISTICALLY via min/max over a
+    ((ms, event_id), value) STRUCT — lexicographic struct ordering is
+    identical in Spark and DuckDB, the unique (ms, event_id) prefix
+    decides every comparison before the value field is reached, and the
+    boundary value rides along in the struct so the whole candle is ONE
+    scan + ONE hash aggregation (no join-back, and no bigint packing that
+    would corrupt once event_id ≥ 1e6)."""
     ev = T(spark, sf_dir, "events")
     hour = (F.unix_timestamp("ts") / 3600).cast("bigint") * 3600
-    packed = F.unix_millis(F.col("ts")) * F.lit(1000000) + F.col("event_id")
+    key = F.struct(
+        F.unix_millis(F.col("ts")).alias("ms"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
     base = ev.select(
         hour.alias("hour_start"),
         "event_type",
-        packed.alias("pk"),
+        key.alias("k"),
         "value",
     )
-    agg = base.groupBy("hour_start", "event_type").agg(
-        F.min("pk").alias("open_pk"),
-        F.max("pk").alias("close_pk"),
-        F.min("value").alias("low"),
-        F.max("value").alias("high"),
-    )
-    melted = agg.select(
-        "hour_start",
-        "event_type",
-        "low",
-        "high",
-        F.explode(
-            F.array(
-                F.struct(F.lit("open").alias("bound"), F.col("open_pk").alias("pk")),
-                F.struct(F.lit("close").alias("bound"), F.col("close_pk").alias("pk")),
-            )
-        ).alias("b"),
-    ).select("hour_start", "event_type", "low", "high", "b.bound", "b.pk")
-    vals = base.select("pk", F.col("value").alias("bval"))
     return (
-        melted.join(vals, "pk")
-        .groupBy("hour_start", "event_type", "low", "high")
+        base.groupBy("hour_start", "event_type")
         .agg(
-            F.max(F.when(F.col("bound") == "open", F.col("bval"))).alias("open"),
-            F.max(F.when(F.col("bound") == "close", F.col("bval"))).alias("close"),
+            F.min("k").alias("o"),
+            F.max("k").alias("c"),
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
         )
-        .select("hour_start", "event_type", "open", "high", "low", "close")
+        .select(
+            "hour_start",
+            "event_type",
+            F.col("o.v").alias("open"),
+            "high",
+            "low",
+            F.col("c.v").alias("close"),
+        )
     )
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import inspect
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -32,7 +33,9 @@ def main() -> None:
     ]
     for name in sorted(reg):
         doc = inspect.getdoc(reg[name]) or ""
-        first = " ".join(doc.split(".")[0].replace("\n", " ").split())
+        first = " ".join(
+            re.split(r"\.(?:\s|$)", doc, 1)[0].replace("\n", " ").split()
+        )
         check = "hash" if name in ORACLES else "rows"
         lines.append(f"| `{name}` | {check} | {first}. |")
     with open(os.path.join(REPO, "QUERIES.md"), "w") as f:
