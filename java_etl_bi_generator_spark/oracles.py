@@ -112,7 +112,13 @@ _WINNOW_CTE = """
 def _hex_bigint(md5_expr: str, start: int, length: int) -> str:
     """SQL for interpreting ``length`` hex chars of ``md5_expr`` starting at
     1-based ``start`` as a BIGINT — DuckDB has no ``conv``; mirrors Spark's
-    ``conv(substring(md5(x), start, length), 16, 10)``."""
+    ``conv(substring(md5(x), start, length), 16, 10)``.
+
+    CAUTION: the expansion re-evaluates ``md5_expr`` inside a lambda whose
+    variable is ``i`` — a caller column named ``i`` referenced in
+    ``md5_expr`` is silently shadowed by the nibble index (observed as
+    identical hashes for every probe round in q_bloom_semijoin).  Name
+    outer columns anything but ``i``."""
     return (
         f"CAST(list_sum(list_transform(range(0, {length}), i -> "
         f"(CAST(strpos('0123456789abcdef', "
@@ -2413,3 +2419,208 @@ ORACLES: dict[str, str] = {
         ORDER BY freq DESC, trigram ASC LIMIT 20
     """,
 }
+
+# --- Deterministic sketches & layout operators (round 2) -------------------
+# Every sketch mirrors the Spark build verbatim: same md5-derived integer
+# hashes (_hex_bigint == Spark conv(substring(md5(..)))), same integer
+# arithmetic, identical float-op ORDER in the final scalar estimates.
+
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+# DuckDB parses bare decimal-point literals as DECIMAL (which overflows in
+# the multiply); explicit DOUBLE casts keep the arithmetic in IEEE floats
+# with the same operand order as the Spark expression.
+_HLL_EST = (
+    f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST(65536 AS DOUBLE)"
+    " * CAST(4294967296 AS DOUBLE) / s_total"
+)
+_KMV_EST = (
+    "CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE) / kth_hash"
+)
+
+_CM_SLOT = (
+    _hex_bigint("md5(concat_ws(':', j, o_custkey))", 1, 8) + " % 256"
+)
+
+# Morton interleave mirror of queries._Z_EXPR (Spark `div` -> DuckDB `//`).
+_Z_SQL = " + ".join(
+    f"((x // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+    f" + ((y // {1 << b}) % 2) * {1 << (2 * b)}"
+    for b in range(8)
+)
+
+ORACLES.update({
+    "q_hll_distinct": f"""
+        WITH li AS (
+          SELECT concat_ws('-', l_orderkey, l_linenumber) AS k
+          FROM lineitem),
+        h AS (
+          SELECT {_hex_bigint("md5(k)", 1, 8)} AS h1,
+                 {_hex_bigint("md5(k)", 9, 8)} AS h2
+          FROM li),
+        regs AS (
+          SELECT h1 % 256 AS bucket, max(33 - length(bin(h2))) AS reg
+          FROM h GROUP BY 1),
+        s AS (
+          SELECT count(*) AS m_obs,
+                 sum(CAST(1 AS BIGINT) << CAST(32 - reg AS INT)) AS s_obs
+          FROM regs),
+        t AS (
+          SELECT 256 - m_obs AS m_empty,
+                 CAST(s_obs + (256 - m_obs) * 4294967296 AS BIGINT)
+                   AS s_total
+          FROM s),
+        e AS (SELECT count(DISTINCT k) AS exact_distinct FROM li)
+        SELECT 256 AS m, CAST(m_empty AS BIGINT) AS m_empty,
+               {pround_sql(_HLL_EST, 4)} AS est_distinct,
+               exact_distinct,
+               {pround_sql(f"({_HLL_EST} - exact_distinct) / exact_distinct", 4)}
+                 AS rel_err
+        FROM t, e
+    """,
+    "q_kmv_distinct": f"""
+        WITH d AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+        h AS (
+          SELECT l_returnflag, l_orderkey,
+                 {_hex_bigint("md5(CAST(l_orderkey AS VARCHAR))", 1, 8)} AS h
+          FROM d),
+        r AS (
+          SELECT l_returnflag, h,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY h, l_orderkey) AS rn
+          FROM h),
+        kth AS (SELECT l_returnflag, h AS kth_hash FROM r WHERE rn = 64),
+        e AS (SELECT l_returnflag, count(DISTINCT l_orderkey)
+                       AS exact_distinct
+              FROM d GROUP BY 1)
+        SELECT l_returnflag, kth_hash,
+               {pround_sql(_KMV_EST, 4)} AS est_distinct,
+               exact_distinct,
+               {pround_sql(f"({_KMV_EST} - exact_distinct) / exact_distinct", 4)}
+                 AS rel_err
+        FROM kth JOIN e USING (l_returnflag)
+    """,
+    "q_countmin_heavy": f"""
+        WITH od AS (SELECT o_custkey FROM orders),
+        jj AS (SELECT unnest(range(4)) AS j),
+        counters AS (
+          SELECT j, {_CM_SLOT} AS slot, count(*) AS c
+          FROM od, jj GROUP BY 1, 2),
+        probes AS (
+          SELECT o_custkey, j, {_CM_SLOT} AS slot
+          FROM (SELECT DISTINCT o_custkey FROM od), jj),
+        est AS (
+          SELECT o_custkey, min(c) AS est_count
+          FROM probes JOIN counters USING (j, slot) GROUP BY 1),
+        exact AS (
+          SELECT o_custkey, count(*) AS exact_count FROM od GROUP BY 1),
+        ranked AS (
+          SELECT o_custkey, est_count, exact_count,
+                 row_number() OVER (ORDER BY exact_count DESC, o_custkey)
+                   AS rn
+          FROM est JOIN exact USING (o_custkey))
+        SELECT o_custkey, est_count, exact_count,
+               est_count - exact_count AS overcount
+        FROM ranked WHERE rn <= 10
+    """,
+    "q_bloom_semijoin": f"""
+        WITH members AS (
+          SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+        ii AS (SELECT unnest(range(3)) AS bi),
+        bits AS (
+          SELECT DISTINCT
+                 {_hex_bigint("md5(concat_ws(':', bi, c_custkey))", 1, 8)}
+                   % 65536 AS pos
+          FROM members, ii),
+        probes AS (
+          SELECT o_custkey,
+                 {_hex_bigint("md5(concat_ws(':', bi, o_custkey))", 1, 8)}
+                   % 65536 AS pos
+          FROM (SELECT DISTINCT o_custkey FROM orders), ii),
+        passing AS (
+          SELECT o_custkey FROM probes JOIN bits USING (pos)
+          GROUP BY o_custkey HAVING count(*) = 3)
+        SELECT p.o_custkey, m.c_custkey IS NOT NULL AS is_member
+        FROM passing p LEFT JOIN members m ON p.o_custkey = m.c_custkey
+    """,
+    "q_zorder_key": f"""
+        WITH od AS (
+          SELECT o_custkey % 256 AS x,
+                 least(CAST(floor(o_totalprice / 2500.0) AS BIGINT), 255)
+                   AS y
+          FROM orders),
+        z AS (SELECT x, y, {_Z_SQL} AS zkey FROM od)
+        SELECT zkey // 1024 AS zbucket, count(*) AS n_rows,
+               min(x) AS x_min, max(x) AS x_max,
+               min(y) AS y_min, max(y) AS y_max
+        FROM z GROUP BY 1
+    """,
+    "q_ivm_merge": """
+        WITH od AS (
+          SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+                 o_totalprice
+          FROM orders),
+        state AS (
+          SELECT o_orderstatus, count(*) AS cnt,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+          FROM od WHERE d < DATE '1997-01-01' GROUP BY 1),
+        delta AS (
+          SELECT o_orderstatus, count(*) AS cnt,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+          FROM od WHERE d >= DATE '1997-01-01' GROUP BY 1),
+        merged AS (
+          SELECT o_orderstatus, CAST(sum(cnt) AS BIGINT) AS order_cnt,
+                 sum(s) AS s_m
+          FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
+          GROUP BY 1),
+        full_ AS (
+          SELECT o_orderstatus, count(*) AS f_cnt,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS f_s
+          FROM od GROUP BY 1)
+        SELECT o_orderstatus, order_cnt,
+               CAST(s_m AS DOUBLE) AS total_price,
+               (order_cnt = f_cnt AND s_m = f_s) AS match
+        FROM merged JOIN full_ USING (o_orderstatus)
+    """,
+    "q_skew_join_salted": f"""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    "q_runlength_encode": f"""
+        WITH e AS (
+          SELECT user_id, event_id, ts, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events),
+        f AS (
+          SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                         THEN 1 ELSE 0 END AS is_new
+          FROM e),
+        r AS (
+          SELECT user_id, event_type,
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM f),
+        runs AS (
+          SELECT user_id, run_id, event_type, count(*) AS run_len
+          FROM r GROUP BY 1, 2, 3)
+        SELECT event_type, count(*) AS n_runs,
+               max(run_len) AS max_run_len,
+               {pround_sql('avg(run_len)', 4)} AS avg_run_len
+        FROM runs GROUP BY 1
+    """,
+    "q_percentile_bands": f"""
+        WITH b AS (
+          SELECT o_orderkey, o_totalprice,
+                 CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                      AS INT) AS band
+          FROM orders)
+        SELECT band, count(*) AS n_orders,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               {dsum_sql('o_totalprice')} AS band_sum
+        FROM b GROUP BY 1
+    """,
+})

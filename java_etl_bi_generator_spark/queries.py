@@ -2401,10 +2401,12 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence with lift: part pairs bought in the same
     order, support ≥ 3, lift from exact integer counts.  Pairs come from
     the single-shuffle basket generator (_basket_pair_rows — quadratic
-    only within a basket, never across the corpus); the per-item support
-    table joins back via the same pos-unpivot trick as q_pmi_bigrams (one
-    support branch, not two).  lift = n_orders·c_ab/(c_a·c_b), fixed-order
-    IEEE on identical integers."""
+    only within a basket, never across the corpus); per-item support joins
+    back twice on the pair's two part keys — the support aggregate is tiny
+    relative to the pair table at every scale, so AQE broadcasts it (one
+    broadcast exchange, reused for both sides) and neither join shuffles
+    the pairs.  lift = n_orders·c_ab/(c_a·c_b), fixed-order IEEE on
+    identical integers."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     n_orders = (
         T(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_orders"))
@@ -2416,23 +2418,13 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_ab") >= 3)
     )
     support = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_x"))
-    melted = pairs.select(
-        "p1",
-        "p2",
-        "c_ab",
-        F.explode(
-            F.array(
-                F.struct(F.lit(1).alias("side"), F.col("p1").alias("pk")),
-                F.struct(F.lit(2).alias("side"), F.col("p2").alias("pk")),
-            )
-        ).alias("sp"),
-    ).select("p1", "p2", "c_ab", F.col("sp.side").alias("side"), F.col("sp.pk").alias("pk"))
-    joined = melted.join(support, melted.pk == support.l_partkey).groupBy(
-        "p1", "p2", "c_ab"
-    ).agg(
-        F.max(F.when(F.col("side") == 1, F.col("c_x"))).alias("c_a"),
-        F.max(F.when(F.col("side") == 2, F.col("c_x"))).alias("c_b"),
+    sa = support.select(
+        F.col("l_partkey").alias("p1"), F.col("c_x").alias("c_a")
     )
+    sb = support.select(
+        F.col("l_partkey").alias("p2"), F.col("c_x").alias("c_b")
+    )
+    joined = pairs.join(sa, "p1").join(sb, "p2")
     lift = (
         F.col("n_orders").cast("double")
         * F.col("c_ab")
@@ -3900,6 +3892,373 @@ def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("nl").alias("n_lines"),
             F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches & physical-layout operators (round 2).
+#
+# The builtin Spark sketches (q_approx_count_distinct / q_approx_percentile)
+# are rows-only because their estimators are engine-specific.  The sketches
+# below are built from FIRST PRINCIPLES as DataFrame expressions over an
+# explicit md5 hash, so the identical algorithm runs in DuckDB and the
+# results are hash-checked — the sketch itself becomes portable state that a
+# 1000-executor cluster can merge associatively (registers / k-mins /
+# counters / bit positions are all plain rows).
+
+
+def _h32(col: "F.Column") -> "F.Column":
+    """First 32 bits of md5 of a string column as a non-negative bigint —
+    the portable hash every sketch below keys on (bit 63 never set, so no
+    signed-overflow divergence between engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+@q("q_hll_distinct")
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count built from scratch (Flajolet et al. 2007):
+    m=256 registers, bucket = top 8 hash bits, rho = leading-zero rank of the
+    next 32 bits via length(bin(h)) — exact integer ops, so unlike the
+    builtin approx_count_distinct this sketch is engine-identical and
+    hash-checked.  The register table is the mergeable state: at 100 TB each
+    executor emits 256 rows and a single 256-row reduce finishes the job.
+    The 2^-reg harmonic sum is computed as an exact bigint sum of
+    2^(32-reg), so the only float ops are two fixed-order scalar divides."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("k")
+    )
+    h = F.md5(F.col("k"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    regs = (
+        li.select(
+            (h1 % 256).alias("bucket"),
+            (F.lit(33) - F.length(F.bin(h2))).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    summary = regs.agg(
+        F.count(F.lit(1)).alias("m_obs"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - reg AS INT))")
+        ).alias("s_obs"),
+    ).select(
+        (F.lit(256) - F.col("m_obs")).alias("m_empty"),
+        (
+            F.col("s_obs")
+            + (F.lit(256) - F.col("m_obs")) * F.lit(4294967296)
+        ).alias("s_total"),
+    )
+    exact = li.agg(F.countDistinct("k").alias("exact_distinct"))
+    est = F.lit(alpha) * F.lit(65536.0) * F.lit(4294967296.0) / F.col(
+        "s_total"
+    )
+    return summary.crossJoin(exact).select(
+        F.lit(256).alias("m"),
+        "m_empty",
+        pround(est, 4).alias("est_distinct"),
+        "exact_distinct",
+        pround(
+            (est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_err"),
+    )
+
+
+@q("q_kmv_distinct")
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) per
+    l_returnflag: keep the k=64 smallest 32-bit hashes of the distinct
+    order keys; est = (k-1)·2^32 / kth_min.  One distinct + one window
+    rank per group; the k-min set is mergeable state (union + re-rank), so
+    per-executor sketches combine in one tiny shuffle.  Integer hashes and
+    a deterministic (hash, key) tie-break keep both engines identical."""
+    d = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_orderkey")
+        .distinct()
+        .withColumn("h", _h32(F.col("l_orderkey").cast("string")))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("h", "l_orderkey")
+    kth = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 64)
+        .select("l_returnflag", F.col("h").alias("kth_hash"))
+    )
+    exact = d.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    est = F.lit(63.0) * F.lit(4294967296.0) / F.col("kth_hash")
+    return kth.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "kth_hash",
+        pround(est, 4).alias("est_distinct"),
+        "exact_distinct",
+        pround(
+            (est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_err"),
+    )
+
+
+@q("q_countmin_heavy")
+def q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over order
+    customers: d=4 hash rows × w=256 counters, point estimate = min over
+    rows — always an overcount, never under.  The counter table (≤1024
+    rows) is the mergeable state: counters add across executors.  Output
+    compares sketch estimate vs exact count for the top-10 heaviest
+    customers (deterministic custkey tie-break)."""
+    od = T(spark, sf_dir, "orders").select("o_custkey")
+    js = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("j")
+    rows = od.select("o_custkey", js)
+    slot = (
+        _h32(F.concat_ws(":", "j", "o_custkey")) % 256
+    ).alias("slot")
+    counters = rows.select("j", slot).groupBy("j", "slot").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    probes = od.distinct().select("o_custkey", js).select(
+        "o_custkey", "j", slot
+    )
+    est = (
+        probes.join(counters, ["j", "slot"])
+        .groupBy("o_custkey")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = od.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    ranked = est.join(exact, "o_custkey").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("exact_count").desc(), "o_custkey")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 10)
+        .select(
+            "o_custkey",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+    )
+
+
+@q("q_bloom_semijoin")
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter: high-balance customers
+    (c_acctbal > 9000) populate a m=65536, k=3 bloom bitmap (distinct bit
+    positions as rows — the broadcastable state); order customers pass if
+    all 3 probe positions are set.  Output = passing customers with the
+    exact-membership flag, so false positives are visible data, not
+    hidden error.  At 100 TB this is the classic shuffle-avoider: ship the
+    ~64k-row bit set to every executor instead of shuffling the fact
+    table for an early semi-join."""
+    members = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    ks = F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("i")
+    pos = (_h32(F.concat_ws(":", "i", "c_custkey")) % 65536).alias("pos")
+    bits = members.select("c_custkey", ks).select(pos).distinct()
+    probe_keys = T(spark, sf_dir, "orders").select("o_custkey").distinct()
+    probes = probe_keys.select(
+        "o_custkey", ks
+    ).select(
+        "o_custkey",
+        (_h32(F.concat_ws(":", "i", "o_custkey")) % 65536).alias("pos"),
+    )
+    passing = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == 3)
+        .select("o_custkey")
+    )
+    return passing.join(
+        members.withColumn("__m", F.lit(1)),
+        passing.o_custkey == members.c_custkey,
+        "left",
+    ).select(
+        "o_custkey",
+        F.col("__m").isNotNull().alias("is_member"),
+    )
+
+
+# Morton / Z-order interleave of two 8-bit dims into a 16-bit key — the
+# expression is generated once here and mirrored verbatim (div → //) in the
+# oracle so both engines evaluate the same integer arithmetic.
+_Z_EXPR = " + ".join(
+    f"((x div {1 << b}) % 2) * {1 << (2 * b + 1)}"
+    f" + ((y div {1 << b}) % 2) * {1 << (2 * b)}"
+    for b in range(8)
+)
+
+
+@q("q_zorder_key")
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over orders: interleave 8 bits of
+    customer and 8 bits of price-bucket into one 16-bit sort key — the
+    multi-dimensional data-layout trick behind Delta/Iceberg OPTIMIZE
+    ZORDER.  Output proves the locality property: each of the 64 coarse
+    z-ranges covers a ≤32×32 tile of (customer, price) space, so a scan
+    filtered on EITHER dimension prunes most z-ranges.  Pure integer
+    div/mod arithmetic, bit-identical across engines."""
+    od = T(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("x"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 2500.0), F.lit(255)
+        ).cast("bigint").alias("y"),
+    )
+    z = od.withColumn("zkey", F.expr(_Z_EXPR))
+    return (
+        z.groupBy(F.expr("zkey div 1024").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+@q("q_ivm_merge")
+def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized per-status aggregate
+    (orders before 1997) absorbs a delta batch (1997 onward) by MERGING
+    partial aggregates — counts add, decimal sums add — and the result is
+    proven equal to a full recompute in the same query (match column).
+    This is the scale pattern for 100 TB rollups: never re-scan history,
+    just combine associative state with the new partition's partials."""
+    od = T(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("d"),
+        "o_totalprice",
+    )
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        # Partial-aggregate state stays DECIMAL (exact, associative) —
+        # casting to double before the merge would reintroduce the float
+        # summation-order problem dsum exists to avoid.
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+
+    state = partial(od.filter(F.col("d") < cutoff))
+    delta = partial(od.filter(F.col("d") >= cutoff))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("cnt").alias("order_cnt"), F.sum("s").alias("s_m"))
+    )
+    full = od.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("f_s"),
+    )
+    return merged.join(full, "o_orderstatus").select(
+        "o_orderstatus",
+        "order_cnt",
+        F.col("s_m").cast("double").alias("total_price"),
+        (
+            (F.col("order_cnt") == F.col("f_cnt"))
+            & (F.col("s_m") == F.col("f_s"))
+        ).alias("match"),
+    )
+
+
+@q("q_skew_join_salted")
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join via dimension salting: the customer dim is
+    replicated across 8 salt values and orders pick a deterministic salt
+    (orderkey % 8), so a hot customer's rows spread over 8 reducers
+    instead of one — the manual fallback when AQE skew-join can't split a
+    single key.  The oracle is the UNSALTED join, proving salting is
+    result-invariant; output is revenue per market segment."""
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = cu.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("salt"),
+    )
+    fact = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 8).alias("salt"),
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.o_custkey == dim.c_custkey) & (fact.salt == dim.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@q("q_runlength_encode")
+def q_runlength_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of event streams: collapse consecutive
+    same-type events per user into runs (lag-compare → run-start flag →
+    running sum = run id — one shuffle on user_id), then profile run
+    lengths per event type.  The run-id assignment is the distributed
+    form of RLE compression and of 'collapse repeated states' session
+    logic; avg is an exact int-sum / count divide, pinned."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("prev") != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("max_run_len"),
+        pround(F.avg("run_len"), 4).alias("avg_run_len"),
+    )
+
+
+@q("q_percentile_bands")
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile bands over order prices (ntile with a full
+    deterministic tie-break), each band reporting its row count, price
+    range, and exact decimal sum — the data-profiling twin of the
+    fixed-width q_histogram, and the binning step feature-bucketizers
+    use.  The global sort is one rangepartition-style pass; the
+    aggregation collapses to 10 rows."""
+    od = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.withColumn("band", F.ntile(10).over(w))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum(F.col("o_totalprice")).alias("band_sum"),
         )
     )
 
