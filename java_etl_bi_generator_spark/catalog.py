@@ -30,15 +30,27 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS,false), which Spark
-    cannot map to a native type; with ``nanosAsLong`` it arrives as bigint
-    nanoseconds and is converted here to a microsecond TIMESTAMP (``ts``)
-    — pure integer division, no precision surprises, tz-independent.
+    Timestamp normalization (single choke point for every query):
+
+    - ``events.ts`` as parquet TIMESTAMP(NANOS,false): Spark cannot map
+      nanos to a native type; with ``nanosAsLong`` it arrives as bigint
+      nanoseconds and is converted to a microsecond TIMESTAMP here.
+    - ``events.ts`` as parquet TIMESTAMP(MICROS) without UTC adjustment:
+      Spark 4 infers TIMESTAMP_NTZ, which functions like ``unix_millis``
+      reject.  With the session timeZone pinned to UTC, casting NTZ →
+      TIMESTAMP keeps the same wall-clock value and interprets it as UTC —
+      identical epoch arithmetic to DuckDB's naive-timestamp ``epoch_ms``.
+
+    Downstream code can therefore always assume ``ts`` is TIMESTAMP.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
