@@ -16,25 +16,10 @@ cluster the same code runs continuously against kafka/delta.
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
-def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    base_dir, file_name = os.path.split(events_path.rstrip("/"))
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", file_name)
-        .parquet(base_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+from .source import event_stream as _event_stream
 
 
 def streaming_interval_join(

@@ -12,7 +12,6 @@ production pipeline.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -69,17 +68,16 @@ def _update_profile(
 def streaming_user_profiles(
     spark: SparkSession,
     events_path: str,
-    schema: str,
+    schema: str | None = None,  # kept for API compat; source probes the file
     query_name: str = "q_stream_stateful",
 ) -> DataFrame:
     """File stream -> per-user stateful profile, run to completion with
     availableNow, materialized through a memory sink."""
-    base_dir, file_name = os.path.split(events_path.rstrip("/"))
+    from .source import event_stream
+
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", file_name)
-        .parquet(base_dir)
-        .withColumn("epoch", F.expr("ts div 1000000000"))
+        event_stream(spark, events_path)
+        .withColumn("epoch", F.unix_timestamp("ts"))
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_profile,

@@ -82,7 +82,7 @@ def session_agg(
 def streaming_tumbling_with_watermark(
     spark,
     events_path: str,
-    schema,
+    schema=None,  # kept for API compat; source probes the file schema itself
     duration: str = "5 minutes",
     watermark: str = "10 minutes",
     query_name: str = "q_stream_watermark",
@@ -95,16 +95,10 @@ def streaming_tumbling_with_watermark(
     state (late events beyond it are dropped), availableNow becomes a
     real trigger, and the memory sink becomes kafka/delta.
     """
-    import os
+    from .source import event_stream
 
-    # Spark's streaming file source requires a directory; point it at the
-    # parent dir with a glob for the one table file.
-    base_dir, file_name = os.path.split(events_path.rstrip("/"))
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", file_name)
-        .parquet(base_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        event_stream(spark, events_path)
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration), "event_type")
         .agg(
@@ -132,7 +126,7 @@ def streaming_tumbling_with_watermark(
 def streaming_session_with_watermark(
     spark,
     events_path: str,
-    schema,
+    schema=None,  # kept for API compat; source probes the file schema itself
     gap: str = "5 minutes",
     watermark: str = "10 minutes",
     query_name: str = "q_stream_session",
@@ -141,14 +135,10 @@ def streaming_session_with_watermark(
     state per (session, user) — sessions close when the watermark passes
     their gap, so state is bounded by active sessions, not history.
     Same availableNow/memory-sink harness as the tumbling variant."""
-    import os
+    from .source import event_stream
 
-    base_dir, file_name = os.path.split(events_path.rstrip("/"))
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", file_name)
-        .parquet(base_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        event_stream(spark, events_path)
         .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(
