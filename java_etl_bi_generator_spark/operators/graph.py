@@ -74,3 +74,83 @@ def dedup_keep_representatives(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic.
+
+    ``edges`` is a directed (src, dst) edge list; the node set is every
+    node with out-degree >= 1 (feed symmetric edges for an undirected
+    graph, which also removes dangling-node mass loss).  Ranks are scaled
+    bigints (initial mass = ``scale`` per node); each step is
+
+        rank' = (100-d)%*scale + d% * sum(rank_src div out_degree_src)
+
+    with truncating integer division throughout — bit-identical across
+    engines (no float summation-order sensitivity), so the result is
+    hash-checkable against an unrolled SQL oracle.
+
+    Scale shape: one shuffle per iteration (groupBy dst), the out-degree
+    table joins broadcast-size, and lineage is cut per iteration with
+    ``localCheckpoint`` — on a 1000-executor cluster you would persist
+    each frontier to cluster storage instead, but the plan per iteration
+    is identical.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    # (src, dst, out_degree) — static per run, reused every iteration.
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    base = (100 - damping_pct) * scale // 100
+    ranks = deg.select(F.col("src").alias("node"), F.lit(scale).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("rank div out_degree").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(contrib, F.col("node") == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(in_mass, 0)) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected graph.
+
+    ``edges`` must be canonical (src < dst, distinct).  Triangles are
+    enumerated once each via the oriented wedge join (a<b<c):
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two self-joins, both equi-joins that
+    Catalyst plans as shuffle-hash/sort-merge on the node key, never a
+    cartesian.  Returns (node, n_triangles) for every node in >= 1
+    triangle, each triangle crediting all three corners.
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a2"), F.col("dst").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -2624,3 +2624,77 @@ ORACLES.update({
         FROM b GROUP BY 1
     """,
 })
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled integer-PageRank CTE chain mirroring
+    operators/graph.py::pagerank_integer — truncating integer division,
+    scaled-bigint ranks, so every iteration is bit-identical to Spark."""
+    levels = []
+    for k in range(1, iterations + 1):
+        levels.append(f"""
+        r{k} AS (
+          SELECT d.src AS node,
+                 CAST(150000000000 + (85 * COALESCE(m.in_mass, 0)) // 100
+                      AS BIGINT) AS rank
+          FROM deg d
+          LEFT JOIN (
+            SELECT e.dst AS dst, SUM(r.rank // d2.outd) AS in_mass
+            FROM e
+            JOIN r{k - 1} r ON r.node = e.src
+            JOIN deg d2 ON d2.src = e.src
+            GROUP BY e.dst) m ON m.dst = d.src)""")
+    return (
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 10 = 0),
+        e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+        e AS (SELECT p1 AS src, p2 AS dst FROM e0
+              UNION ALL SELECT p2 AS src, p1 AS dst FROM e0),
+        deg AS (SELECT src, count(*) AS outd FROM e GROUP BY 1),
+        r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank
+               FROM deg),"""
+        + ",".join(levels)
+        + f"""
+        SELECT node, rank AS rank_scaled FROM r{iterations}"""
+    )
+
+
+ORACLES.update({
+    "q_pagerank": _pagerank_sql(5),
+    "q_triangle_count": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 10 = 0),
+        e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+        tri AS (
+          SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+          FROM e0 e1
+          JOIN e0 e2 ON e2.p1 = e1.p2
+          JOIN e0 e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        corners AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1
+    """,
+    "q_partition_prune": f"""
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) AS n_clicks,
+               {dsum_sql('value')} AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    """,
+    "q_bucketed_join": f"""
+        SELECT o.o_orderkey,
+               count(*) AS n_lines,
+               {dsum_sql('l.l_extendedprice')} AS order_revenue,
+               min(o.o_totalprice) AS o_totalprice
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    """,
+})

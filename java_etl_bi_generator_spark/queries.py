@@ -109,9 +109,10 @@ _SHOWCASE: tuple[str, ...] = (
     # TPC-H (§2.14)
     "q_tpch_q1", "q_tpch_q5", "q_tpch_q21",
     # LLM-pipeline ops (§2.12, 2.14): dedup, similarity, text
-    "q_dedup_exact", "q_dedup_near", "q_dedup_simhash", "q_minhash_accuracy",
-    "q_vector_topk", "q_text_stats", "q_lang_id", "q_tfidf",
-    "q_chunk_documents",
+    "q_dedup_exact", "q_dedup_near", "q_dedup_simhash",
+    "q_vector_topk", "q_text_stats", "q_tfidf", "q_chunk_documents",
+    # graph analytics (round 3)
+    "q_pagerank", "q_triangle_count",
     # deterministic sketches + physical layout (round 2)
     "q_hll_distinct", "q_zorder_key",
 )
@@ -4300,6 +4301,120 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
             dsum(F.col("o_totalprice")).alias("band_sum"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics + physical-layout roundtrips (round 3)
+# ---------------------------------------------------------------------------
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst, distinct) co-purchase edges over the bounded
+    part subset (l_partkey % 10 == 0) — node count scales with SF but the
+    within-basket expansion stays quadratic-per-basket, never corpus-wide."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        _basket_pair_rows(li)
+        .distinct()
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+
+
+@q("q_pagerank")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm: 5-step PageRank over the undirected
+    co-purchase graph, EXACT integer arithmetic (scaled bigint ranks,
+    truncating division) so the fixpoint trajectory is bit-identical to
+    the DuckDB oracle's unrolled 5-level CTE — no float summation-order
+    sensitivity.  One shuffle per iteration; degree table broadcast."""
+    from .operators.graph import pagerank_integer
+
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_integer(sym, iterations=5).select(
+        "node", F.col("rank").alias("rank_scaled")
+    )
+
+
+@q("q_triangle_count")
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation via the oriented wedge join
+    (a<b<c): two equi-joins, each triangle found exactly once."""
+    from .operators.graph import triangle_counts
+
+    return triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+@q("q_partition_prune")
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical layout: Hive-style partitioned write + partition-pruned
+    read-back.  events is re-written partitioned by event_type; the
+    read-back filter binds to the partition directory at planning time
+    (PartitionFilters in the scan, zero other-partition files opened) —
+    the on-disk layout pattern that makes 100 TB event stores queryable.
+    Result: daily click rollup, hash-checked against DuckDB on the
+    original (unpartitioned) table."""
+    path = tempfile.mkdtemp(prefix="part_prune_") + "/events"
+    ev = T(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return (
+        back.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            dsum(F.col("value")).alias("click_value"),
+        )
+    )
+
+
+@q("q_bucketed_join")
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical layout: bucketed tables + shuffle-free co-located join.
+    orders and lineitem are written bucketed 8 ways on the order key
+    (hash-partitioned at rest, per-bucket sorted); the join then reads
+    matching buckets pairwise with NO Exchange on either side — the
+    pre-shuffle pattern that turns an O(data) shuffle into a metadata
+    contract at 100 TB.  Result hash-checked against the plain join."""
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    sfx = uuid.uuid4().hex[:8]
+    to, tl = f"b_orders_{sfx}", f"b_lineitem_{sfx}"
+    (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/{to}")
+        .mode("overwrite")
+        .saveAsTable(to)
+    )
+    (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/{tl}")
+        .mode("overwrite")
+        .saveAsTable(tl)
+    )
+    # merge hint: at test SFs AQE would pick broadcast (also exchange-free
+    # on the probe side, but it hides the layout win being demonstrated);
+    # with both sides bucketed on the key, SMJ needs no Exchange at all.
+    j = spark.table(to).hint("merge").join(
+        spark.table(tl), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice")).alias("order_revenue"),
+        F.min("o_totalprice").alias("o_totalprice"),
     )
 
 
