@@ -32,9 +32,8 @@ from .queries import T, q
 # l_extendedprice(2dp) * (1-l_discount)(2dp) is an exact 4-decimal value;
 # * (1+l_tax)(2dp) an exact 6-decimal value.
 _DISC_PRICE = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))"
-_CHARGE = (
-    "CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))"
-)
+_DISC_PRICE_RAW = "l_extendedprice * (1.0 - l_discount)"
+_CHARGE_RAW = "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
 
 
 @q("q_tpch_q1")
@@ -46,8 +45,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.groupBy("l_returnflag", "l_linestatus").agg(
         dsum(F.col("l_quantity")).alias("sum_qty"),
         dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-        F.sum(F.expr(_DISC_PRICE)).cast("double").alias("sum_disc_price"),
-        F.sum(F.expr(_CHARGE)).cast("double").alias("sum_charge"),
+        dsum(F.expr(_DISC_PRICE_RAW), 4).alias("sum_disc_price"),
+        dsum(F.expr(_CHARGE_RAW), 6).alias("sum_charge"),
         pround(dsum(F.col("l_quantity")) / n, 6).alias("avg_qty"),
         pround(dsum(F.col("l_extendedprice")) / n, 6).alias("avg_price"),
         pround(dsum(F.col("l_discount")) / n, 6).alias("avg_disc"),
@@ -69,7 +68,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cu.filter(F.col("c_mktsegment") == "BUILDING"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("odate"))
-        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"))
+        .agg(dsum(F.expr(_DISC_PRICE_RAW), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -97,7 +96,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
         )
         .groupBy("n_name")
-        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"))
+        .agg(dsum(F.expr(_DISC_PRICE_RAW), 4).alias("revenue"))
     )
 
 
@@ -114,9 +113,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.expr("CAST(l_extendedprice * l_discount AS DECIMAL(18,4))")
-            ).cast("double").alias("revenue")
+            dsum(F.expr("l_extendedprice * l_discount"), 4).alias("revenue")
         )
     )
 
@@ -151,7 +148,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"))
+        .agg(dsum(F.expr(_DISC_PRICE_RAW), 4).alias("revenue"))
     )
 
 
@@ -214,7 +211,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue"))
+        .agg(dsum(F.expr(_DISC_PRICE_RAW), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -233,7 +230,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_type") == "PROMO", F.expr(_DISC_PRICE))
         .otherwise(F.lit(0).cast("decimal(18,4)"))
     ).cast("double")
-    total = F.sum(F.expr(_DISC_PRICE)).cast("double")
+    total = dsum(F.expr(_DISC_PRICE_RAW), 4)
     return j.agg(pround(F.lit(100.0) * promo / total, 6).alias("promo_revenue_pct"))
 
 
@@ -424,7 +421,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(F.expr(_DISC_PRICE)).cast("double").alias("total_revenue"))
+        .agg(dsum(F.expr(_DISC_PRICE_RAW), 4).alias("total_revenue"))
     )
     # Global max as a window over the per-supplier aggregate (skinny, one
     # row per supplier) — avoids recomputing the lineitem scan for a
@@ -597,5 +594,5 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
            & (F.col("l_quantity").between(20, 40)))
     )
     return j.filter(cond).agg(
-        F.sum(F.expr(_DISC_PRICE)).cast("double").alias("revenue")
+        dsum(F.expr(_DISC_PRICE_RAW), 4).alias("revenue")
     )
