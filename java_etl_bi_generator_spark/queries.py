@@ -247,10 +247,10 @@ def q_join_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(
-                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-                .cast("decimal(18,4)")
-            ).cast("double").alias("revenue"),
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                4,
+            ).alias("revenue"),
         )
     )
 
@@ -3915,12 +3915,13 @@ def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = T(spark, sf_dir, "customer")
     na = T(spark, sf_dir, "nation")
     re = T(spark, sf_dir, "region")
+    # Scaled-bigint partials: integer sums associate exactly, so partial-
+    # then-final summation equals the oracle's single-level sum bit-for-bit
+    # (and stays in codegen — see functions/rounding.py::dsum).
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     per_order = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("nl"),
-        F.sum(
-            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-            .cast("decimal(18,4)")
-        ).alias("rev"),
+        F.sum(F.floor(disc * F.lit(1e4) + F.lit(0.5))).alias("rev_scaled"),
     )
     return (
         per_order.join(od, per_order.l_orderkey == od.o_orderkey)
@@ -3932,7 +3933,7 @@ def q_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("nl").alias("n_lines"),
-            F.sum("rev").cast("double").alias("revenue"),
+            (F.sum("rev_scaled") / F.lit(1e4)).alias("revenue"),
         )
     )
 
