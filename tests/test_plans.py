@@ -123,3 +123,29 @@ def test_tfidf_single_corpus_scan(spark, sf_dir):
     # scalar from the raw docs scan — the explode runs once.
     plan = explain_simple(registry()["q_tfidf"](spark, sf_dir))
     assert plan.count("Generate explode") == 1
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key -> SortMergeJoin directly over
+    Bucketed scans; the fact-to-fact shuffle disappears entirely."""
+    df = registry()["q_bucketed_join"](spark, sf_dir)
+    plan = explain_simple(df)
+    join_section = plan[plan.index("SortMergeJoin"):]
+    assert "Bucketed: true" in explain_formatted(df)
+    # no Exchange below the join (the final groupBy on the bucket key is
+    # also exchange-free: bucketing already co-partitions it)
+    assert "Exchange" not in join_section
+
+
+def test_partition_prune_binds_partition_filters(spark, sf_dir):
+    plan = explain_formatted(registry()["q_partition_prune"](spark, sf_dir))
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "(event_type" in plan and "= click)" in plan
+
+
+def test_pagerank_iteration_count_is_bounded(spark, sf_dir):
+    """Lineage is cut per iteration: the final plan must be the LAST
+    iteration only (one join + one agg over a checkpointed frontier),
+    not five nested join/agg levels."""
+    plan = explain_simple(registry()["q_pagerank"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") <= 3
