@@ -2698,3 +2698,29 @@ ORACLES.update({
         GROUP BY 1
     """,
 })
+
+
+ORACLES.update({
+    "q_rolling_distinct": f"""
+        WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                    FROM events),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day,
+               count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+                 AS dau,
+               count(DISTINCT u.user_id) AS wau_7d,
+               {pround_sql(
+                   'count(DISTINCT CASE WHEN u.day = d.day '
+                   'THEN u.user_id END) / count(DISTINCT u.user_id)', 6)}
+                 AS stickiness
+        FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """,
+    "q_union_schema_evolution": """
+        SELECT doc_id, lang, NULL AS source, NULL AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, NULL AS lang, source, n_chars
+        FROM documents WHERE doc_id % 2 = 1
+    """,
+})

@@ -4419,5 +4419,62 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_rolling_distinct")
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) + same-day DAU + stickiness —
+    the canonical product-health triple.
+
+    Exact distinct over a sliding window cannot use partial aggregation,
+    so the plan pre-collapses events to the (day, user) grain FIRST (one
+    shuffle, events-sized input -> day*user-sized output), then fans that
+    small table out 7x via a bounded range join on the day grain and
+    re-counts distinct.  At 100 TB the (day,user) grain is ~5 orders of
+    magnitude smaller than events, which is what makes the 7x fanout
+    affordable; the day spine is broadcast."""
+    du = (
+        T(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    win = du.select(F.col("day").alias("uday"), "user_id")
+    return (
+        days.join(
+            win,
+            (F.col("uday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("uday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("uday") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("wau_7d"),
+        )
+        .select(
+            "day",
+            "dau",
+            "wau_7d",
+            pround(F.col("dau") / F.col("wau_7d"), 6).alias("stickiness"),
+        )
+    )
+
+
+@q("q_union_schema_evolution")
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two source versions of the documents feed
+    (v1 carries lang, v2 carries source+quality) merged with
+    ``unionByName(allowMissingColumns=True)`` — absent columns null-fill
+    per branch, the ingestion shape for long-lived datasets whose schema
+    widened mid-history.  Both branches prune to their own column set in
+    the scan; no shuffle at all (union is a partition concat)."""
+    docs = T(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "n_chars"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)
