@@ -20,6 +20,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet stores TIMESTAMP(NANOS,false); Spark has no nanos type,
     # so read as bigint nanos and convert (catalog.load_table does this).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Epoch arithmetic and the NTZ->TIMESTAMP normalization in
+    # catalog.load_table assume UTC wall-clock; pin it even on sessions we
+    # did not build (the driver's harness session may not set it).
+    "spark.sql.session.timeZone": "Etc/UTC",
     # Runtime re-optimization: coalesce tiny shuffle partitions, split skewed
     # ones, convert to broadcast joins when runtime stats allow.
     "spark.sql.adaptive.enabled": "true",
