@@ -2408,16 +2408,30 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _baskets(li: DataFrame) -> DataFrame:
+    """(order, part) rows -> (order, sorted distinct part array).
+    ``collect_set`` folds the per-order dedup into the SAME shuffle that
+    builds the basket — callers must NOT pre-``distinct()`` (that would
+    add a full extra exchange for nothing)."""
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+
+
 def _basket_pair_rows(li: DataFrame) -> DataFrame:
     """(order, part) rows -> one row per unordered within-basket part pair
     (p1 < p2).  Baskets collect to a sorted array (ONE shuffle on the
-    order key) and pairs come from a nested-sequence generator expression
-    — the self-join formulation shuffles the item table twice and probes
-    a join for what is a per-group combinatorial expansion.  Work is
-    still Σ k²/2 per basket (inherent), but stays inside one stage."""
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_partkey")).alias("ps")
-    )
+    order key, dedup fused via collect_set) and pairs come from a
+    nested-sequence generator expression — the self-join formulation
+    shuffles the item table twice and probes a join for what is a
+    per-group combinatorial expansion.  Work is still Σ k²/2 per basket
+    (inherent), but stays inside one stage."""
+    return _pairs_from_baskets(_baskets(li))
+
+
+def _pairs_from_baskets(baskets: DataFrame) -> DataFrame:
+    """(order, sorted part array) -> (p1, p2) pair rows, p1 < p2, via a
+    nested-sequence generator expression — no shuffle, one stage."""
     combos = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size("ps") - 1),
@@ -2448,17 +2462,25 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast exchange, reused for both sides) and neither join shuffles
     the pairs.  lift = n_orders·c_ab/(c_a·c_b), fixed-order IEEE on
     identical integers."""
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     n_orders = (
         T(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    # Materialize baskets once: both the pair expansion AND the per-item
+    # support derive from it, and DataFrame lineage is not a CTE — without
+    # the checkpoint the groupBy+collect_set subtree runs twice.
+    baskets = _baskets(li).localCheckpoint(eager=True)
     pairs = (
-        _basket_pair_rows(li)
+        _pairs_from_baskets(baskets)
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 3)
     )
-    support = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_x"))
+    support = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c_x"))
+    )
     sa = support.select(
         F.col("l_partkey").alias("p1"), F.col("c_x").alias("c_a")
     )
@@ -2485,7 +2507,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos-explode rather than a union of two derived frames (one edge
     subtree, not two); degree = distinct neighbors; the histogram is a
     second tiny agg."""
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = _basket_pair_rows(li)
     sym = edges.select(
         F.explode(
@@ -4317,7 +4339,6 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 10 == 0)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
     return (
         _basket_pair_rows(li)
