@@ -2724,3 +2724,23 @@ ORACLES.update({
         FROM documents WHERE doc_id % 2 = 1
     """,
 })
+
+
+# q_sql_interface: the oracle IS the query text — one engine-portable SQL
+# statement valid under both Spark SQL and DuckDB (kept in sync with
+# queries.PORTABLE_STAR_SQL by tests/test_contract.py).
+ORACLES.update({
+    "q_sql_interface": """
+    SELECT r_name, n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) AS n_lines,
+           (CAST(sum(CAST(floor(((l_extendedprice * (1.0 - l_discount))
+                 * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name, order_year
+""",
+})

@@ -4497,5 +4497,35 @@ def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2, allowMissingColumns=True)
 
 
+# Engine-portable SQL: valid verbatim under BOTH Spark SQL and DuckDB —
+# the oracle entry is this exact string.
+PORTABLE_STAR_SQL = """
+    SELECT r_name, n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) AS n_lines,
+           (CAST(sum(CAST(floor(((l_extendedprice * (1.0 - l_discount))
+                 * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name, order_year
+"""
+
+
+@q("q_sql_interface")
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the flagship star rollup as ONE ``spark.sql``
+    statement over the registered table views — same Catalyst logical
+    plan as the DataFrame form, proving users can drive the engine from
+    either API.  The statement is engine-portable SQL; the DuckDB oracle
+    runs the identical text."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(PORTABLE_STAR_SQL)
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

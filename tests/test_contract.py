@@ -57,3 +57,11 @@ def test_plan_is_udf_free_and_cartesian_free(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert "ArrowEvalPython" not in plan, f"{name}: pandas UDF on declared path"
     assert "CartesianProduct" not in plan, f"{name}: unbroadcast cross join"
+
+
+def test_sql_interface_oracle_is_the_same_statement():
+    """q_sql_interface's whole point is engine-portable SQL: the DuckDB
+    oracle must be textually identical to what spark.sql() executes."""
+    from java_etl_bi_generator_spark.queries import PORTABLE_STAR_SQL
+
+    assert ORACLES["q_sql_interface"].strip() == PORTABLE_STAR_SQL.strip()
