@@ -1,0 +1,135 @@
+"""Distributed global ranking — cluster-safe replacement for the
+single-partition ``Window.orderBy()`` (no ``partitionBy``) plan.
+
+Spark executes an unpartitioned ordered window by moving EVERY row into one
+partition (``WindowExec: No Partition Defined`` warning) — a non-starter at
+100 TB.  But a global rank does not need a global window: it is the classic
+two-phase distributed scan,
+
+1. range-partition the input on the ordering keys (sampled boundaries, the
+   same exchange a global ``orderBy`` uses) and rank WITHIN each partition
+   in parallel;
+2. count rows per partition — a partitions-sized table (32..200 rows) —
+   prefix-sum it on the driver-scale side, and broadcast the per-partition
+   offsets back;
+3. global_rank = in-partition rank + preceding-partitions offset.
+
+The output is bit-identical to ``row_number().over(Window.orderBy(*keys))``
+whenever the ordering keys are a total order (callers pass a unique
+tie-break column, as every deterministic query here already does), because
+rank under a total order is independent of where the range boundaries fall.
+
+``ntile_from_rank`` reconstructs SQL ``NTILE(k)`` from (rank, N) in closed
+form — the standard defines NTILE exactly as this quotient/remainder split,
+so the composition ``ntile_from_rank(global_rank(...))`` matches a
+single-partition ``ntile(k).over(Window.orderBy(...))`` and a DuckDB
+``NTILE(k) OVER (ORDER BY ...)`` value-for-value, while every stage stays
+partition-parallel.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 1-based dense global row_number under ``order_by`` without a
+    single-partition window.
+
+    ``order_by`` must define a total order (include a unique tie-break) for
+    the result to be deterministic.  When ``total_col`` is given, the total
+    row count N rides along on every row (needed by ``ntile_from_rank``) —
+    it comes from the same tiny offset table, not a second scan.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = df.repartitionByRange(num_partitions, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by))
+    )
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # partitions-sized (≤ num_partitions rows): the global window here is
+    # over the OFFSET TABLE, not the data.
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(Window.partitionBy()).alias("__tot"),
+    )
+    out = local.join(F.broadcast(offsets), "__pid").withColumn(
+        rank_col, F.col("__lrn") + F.col("__off")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__tot"))
+    return out.drop("__pid", "__lrn", "__off", "__tot")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    val_col: str,
+    cum_col: str = "cum",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of ``val_col`` under a global ordering without a
+    single-partition window: in-partition running sums in parallel after a
+    range partition, plus a broadcast prefix of per-partition totals.
+
+    Identical to ``sum(val).over(Window.orderBy(*order_by).rowsBetween(
+    unboundedPreceding, currentRow))`` whenever addition over ``val_col`` is
+    exactly associative (bigint / decimal — the reason the callers keep
+    money in DECIMAL, not float) and ``order_by`` is a total order.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = df.repartitionByRange(num_partitions, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    in_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__lcum", F.sum(val_col).over(in_w))
+    totals = local.groupBy("__pid").agg(F.sum(val_col).alias("__ptot"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.sum("__ptot").over(off_w).alias("__off"),
+        F.sum("__ptot").over(Window.partitionBy()).alias("__tot"),
+    )
+    out = local.join(F.broadcast(offsets), "__pid").withColumn(
+        cum_col,
+        F.when(F.col("__off").isNull(), F.col("__lcum")).otherwise(
+            F.col("__lcum") + F.col("__off")
+        ),
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__tot"))
+    return out.drop("__pid", "__lcum", "__off", "__tot")
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL ``NTILE(k)`` reconstructed from a 1-based global rank and the
+    total row count: with q = N div k and r = N mod k, the first r tiles
+    hold q+1 rows and the rest hold q."""
+    q = (n / k).cast("bigint")
+    r = n - q * k
+    big_span = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    in_big = ((rank - 1) / (q + 1)).cast("bigint") + 1
+    in_small = r + ((rank - big_span - 1) / F.when(q > 0, q)).cast("bigint") + 1
+    return F.when(rank <= big_span, in_big).otherwise(in_small).cast("int")

@@ -1699,10 +1699,17 @@ def q_salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_rfm")
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BI segmentation: RFM (recency/frequency/monetary) quartile scores per
-    customer from the orders table — one aggregation, then three ntile
-    windows over the (customer-sized) aggregate.  Every ordering carries a
-    custkey tie-break so quartile boundaries are engine-deterministic;
-    monetary is an exact decimal sum."""
+    customer from the orders table — one aggregation, then three DISTRIBUTED
+    quartile assignments.  A naive ``ntile(4).over(Window.orderBy(...))``
+    pulls every customer into ONE partition (WindowExec "No Partition
+    Defined"); here each score uses ``operators.rank.global_rank`` — a
+    range-partitioned parallel rank plus a broadcast partitions-sized offset
+    table — and NTILE's closed form on (rank, N).  Value-identical to the
+    single-partition plan (orderings carry a custkey tie-break, so rank is a
+    total order) but every stage stays partition-parallel at any customer
+    count.  Monetary is an exact decimal sum."""
+    from .operators.rank import global_rank, ntile_from_rank
+
     base = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1712,17 +1719,21 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("monetary"),
         )
     )
-    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    return base.select(
-        "o_custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"),
+    scored = base
+    for name, keys in (
+        ("r", [F.col("last_order").desc(), F.col("o_custkey")]),
+        ("f", [F.col("frequency").desc(), F.col("o_custkey")]),
+        ("m", [F.col("monetary").desc(), F.col("o_custkey")]),
+    ):
+        scored = global_rank(
+            scored, keys, rank_col=f"__{name}_rank", total_col="__n"
+        ).withColumn(
+            f"{name}_score",
+            ntile_from_rank(F.col(f"__{name}_rank"), F.col("__n"), 4),
+        )
+    return scored.select(
+        "o_custkey", "last_order", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 
@@ -2162,12 +2173,16 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BI Pareto analysis: the customers making up the first 80% of
     cumulative revenue, with their running share.  Revenue per customer is
-    an exact decimal sum; the cumulative share is a single ordered window
-    over the (customer-sized) aggregate, with a key tie-break so the
-    prefix is engine-deterministic.  The running sum stays DECIMAL inside
-    the window: float window sums are evaluation-order-dependent (Spark
-    folds sequentially, DuckDB may combine via segment tree) — exact
-    decimal addition is order-free, so both agree bit-for-bit."""
+    an exact decimal sum; the cumulative share is a DISTRIBUTED running sum
+    (``operators.rank.global_cumsum``: range-partitioned in-partition sums
+    + a broadcast prefix of per-partition totals), with a key tie-break so
+    the prefix is engine-deterministic.  The running sum stays DECIMAL:
+    float window sums are evaluation-order-dependent (Spark folds
+    sequentially, DuckDB may combine via segment tree) — exact decimal
+    addition is order-free, so the two-phase distributed sum, the
+    single-partition window, and DuckDB all agree bit-for-bit."""
+    from .operators.rank import global_cumsum
+
     rev = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -2175,11 +2190,12 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
         )
     )
-    w = Window.orderBy(F.col("rev_d").desc(), F.col("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = rev.withColumn("cum_d", F.sum("rev_d").over(w)).withColumn(
-        "total_d", F.max("cum_d").over(Window.partitionBy())
+    cum = global_cumsum(
+        rev,
+        [F.col("rev_d").desc(), F.col("o_custkey")],
+        "rev_d",
+        cum_col="cum_d",
+        total_col="total_d",
     )
     share = cum.withColumn(
         "cum_share",
@@ -3214,7 +3230,11 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending ranks —
     Σ(i·xᵢ) stays exact (bigint rank × decimal revenue), so the
     coefficient is engine-identical.  Rank ties on equal revenue don't
-    matter: equal x contribute the same Σ regardless of rank order."""
+    matter: equal x contribute the same Σ regardless of rank order.  The
+    rank itself is DISTRIBUTED (``operators.rank.global_rank``) — no
+    single-partition window anywhere in the plan."""
+    from .operators.rank import global_rank
+
     rev = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -3222,8 +3242,9 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
         )
     )
-    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
-    ranked = rev.withColumn("i", F.row_number().over(w).cast("decimal(19,0)"))
+    ranked = global_rank(
+        rev, [F.col("x").asc(), F.col("o_custkey").asc()], rank_col="__i"
+    ).withColumn("i", F.col("__i").cast("decimal(19,0)"))
     agg = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
@@ -3573,9 +3594,12 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_lorenz_deciles")
 def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve points: cumulative revenue share of customer deciles
-    (poorest→richest) — ntile with a key tie-break, per-decile DECIMAL
-    sums, cumulative share from exact partials.  The chartable companion
-    to q_gini."""
+    (poorest→richest) — DISTRIBUTED decile assignment (global_rank +
+    closed-form NTILE, no single-partition window), per-decile DECIMAL
+    sums, cumulative share from exact partials over the 10-row decile
+    table.  The chartable companion to q_gini."""
+    from .operators.rank import global_rank, ntile_from_rank
+
     rev = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -3583,12 +3607,12 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
         )
     )
-    dec = rev.withColumn(
-        "decile",
-        F.ntile(10).over(
-            Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
-        ),
-    )
+    dec = global_rank(
+        rev,
+        [F.col("x").asc(), F.col("o_custkey").asc()],
+        rank_col="__rank",
+        total_col="__n",
+    ).withColumn("decile", ntile_from_rank(F.col("__rank"), F.col("__n"), 10))
     per = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("x").alias("rev_d"),
@@ -3681,12 +3705,15 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto-frontier) operator: customers not dominated on
     (order frequency, total spend) — a point survives iff its spend
-    exceeds the max spend of every strictly-higher-frequency point,
-    computed with ONE range-frame window (freq+1 .. ∞) instead of the
-    quadratic dominance self-join.  Equal-frequency points DO dominate on
-    the spend axis, so a survivor must also hold its frequency class's
-    max spend (exact ties on both axes are mutually non-dominating and
-    all survive)."""
+    exceeds the max spend of every strictly-higher-frequency point.
+    Instead of a quadratic dominance self-join OR a customer-grain global
+    range-frame window (single partition), the dominance test collapses to
+    the FREQUENCY-CLASS level first: per-class max spend (one shuffle on
+    frequency, dozens of classes), a suffix-max window over that tiny
+    class table, then a broadcast join back to customers.  Equal-frequency
+    points DO dominate on the spend axis, so a survivor must also hold its
+    frequency class's max spend (exact ties on both axes are mutually
+    non-dominating and all survive)."""
     base = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -3697,14 +3724,14 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    w = (
-        Window.orderBy(F.col("frequency").asc())
-        .rangeBetween(1, Window.unboundedFollowing)
+    cls = base.groupBy("frequency").agg(F.max("monetary").alias("__max_same"))
+    # suffix max over the tiny frequency-class table (not the data)
+    w = Window.orderBy(F.col("frequency").asc()).rangeBetween(
+        1, Window.unboundedFollowing
     )
-    same = Window.partitionBy("frequency")
+    cls = cls.withColumn("__max_higher", F.max("__max_same").over(w))
     return (
-        base.withColumn("__max_higher", F.max("monetary").over(w))
-        .withColumn("__max_same", F.max("monetary").over(same))
+        base.join(F.broadcast(cls), "frequency")
         .filter(
             (F.col("monetary") == F.col("__max_same"))
             & (
@@ -4094,14 +4121,13 @@ def q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = od.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("exact_count")
     )
-    ranked = est.join(exact, "o_custkey").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.col("exact_count").desc(), "o_custkey")
-        ),
-    )
+    # top-10 via orderBy().limit() — plans TakeOrderedAndProject
+    # (per-partition heaps, 10 rows per partition cross the wire), not a
+    # single-partition row_number window.
     return (
-        ranked.filter(F.col("rn") <= 10)
+        est.join(exact, "o_custkey")
+        .orderBy(F.col("exact_count").desc(), "o_custkey")
+        .limit(10)
         .select(
             "o_custkey",
             "est_count",
@@ -4311,12 +4337,25 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break), each band reporting its row count, price
     range, and exact decimal sum — the data-profiling twin of the
     fixed-width q_histogram, and the binning step feature-bucketizers
-    use.  The global sort is one rangepartition-style pass; the
-    aggregation collapses to 10 rows."""
+    use.  This one runs at FACT grain, so the naive
+    ``ntile(10).over(Window.orderBy(...))`` — every order row through one
+    partition — is the worst global-window offender in the suite; instead
+    ``operators.rank.global_rank`` range-partitions on (price, orderkey),
+    ranks in parallel, and NTILE's closed form on (rank, N) reproduces the
+    band ids exactly.  The aggregation then collapses to 10 rows."""
+    from .operators.rank import global_rank, ntile_from_rank
+
     od = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = global_rank(
+        od,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rank_col="__rank",
+        total_col="__n",
+    )
     return (
-        od.withColumn("band", F.ntile(10).over(w))
+        ranked.withColumn(
+            "band", ntile_from_rank(F.col("__rank"), F.col("__n"), 10)
+        )
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

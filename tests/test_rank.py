@@ -1,0 +1,124 @@
+"""operators.rank — distributed global rank / cumsum / closed-form NTILE.
+
+Each test pins the two-phase distributed form against the single-partition
+``Window.orderBy()`` plan it replaces: identical values, regardless of where
+the range-partition boundaries fall.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from java_etl_bi_generator_spark.operators.rank import (
+    global_cumsum,
+    global_rank,
+    ntile_from_rank,
+)
+
+
+def _sample(spark, n=997):
+    # non-uniform values with ties; id is the unique tie-break
+    return spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 101).alias("v"),
+    )
+
+
+def test_global_rank_matches_window_row_number(spark):
+    df = _sample(spark)
+    keys = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["rk"]
+        for r in global_rank(df, keys, rank_col="rk").collect()
+    }
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*keys))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_total_col(spark):
+    df = _sample(spark, n=250)
+    out = global_rank(
+        df, [F.col("id")], rank_col="rk", total_col="n"
+    ).collect()
+    assert all(r["n"] == 250 for r in out)
+    assert sorted(r["rk"] for r in out) == list(range(1, 251))
+
+
+def test_ntile_matches_sql_ntile_all_remainders(spark):
+    # N mod k sweeps 0..k-1 so both tile-size branches are exercised
+    for n in (40, 41, 42, 43):
+        df = spark.range(n)
+        keys = [F.col("id")]
+        ranked = global_rank(df, keys, rank_col="rk", total_col="n")
+        got = {
+            r["id"]: r["t"]
+            for r in ranked.select(
+                "id", ntile_from_rank(F.col("rk"), F.col("n"), 4).alias("t")
+            ).collect()
+        }
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(4).over(Window.orderBy(*keys))
+            ).collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_ntile_more_tiles_than_rows(spark):
+    df = spark.range(3)
+    ranked = global_rank(df, [F.col("id")], rank_col="rk", total_col="n")
+    got = sorted(
+        r["t"]
+        for r in ranked.select(
+            ntile_from_rank(F.col("rk"), F.col("n"), 7).alias("t")
+        ).collect()
+    )
+    want = sorted(
+        r["t"]
+        for r in df.withColumn(
+            "t", F.ntile(7).over(Window.orderBy("id"))
+        ).collect()
+    )
+    assert got == want
+
+
+def test_global_cumsum_matches_window_sum(spark):
+    df = _sample(spark).select(
+        "id", "v", (F.col("v").cast("decimal(18,2)") / 4).alias("x")
+    )
+    keys = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: (r["c"], r["tot"])
+        for r in global_cumsum(
+            df, keys, "x", cum_col="c", total_col="tot"
+        ).collect()
+    }
+    w = Window.orderBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.withColumn("c", F.sum("x").over(w)).withColumn(
+        "tot", F.sum("x").over(Window.partitionBy())
+    )
+    want = {r["id"]: (r["c"], r["tot"]) for r in ref.collect()}
+    assert got == want
+
+
+def test_no_single_partition_window_in_plan(spark):
+    """The distributed plan's only unpartitioned window runs over the
+    partitions-sized offset table, never the input: the input-side window
+    must carry the __pid partition key."""
+    df = _sample(spark)
+    out = global_rank(df, [F.col("v"), F.col("id")], rank_col="rk")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window node either partitions by __pid (input side) or sits
+    # downstream of the tiny groupBy(__pid) aggregate (offset side)
+    for line in plan.splitlines():
+        if "Window [" in line and "__pid" not in line:
+            raise AssertionError(f"unexpected windowed node: {line}")
