@@ -123,6 +123,82 @@ def global_cumsum(
     return out.drop("__pid", "__lcum", "__off", "__tot")
 
 
+def grouped_lag(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    val: Column,
+    lag_col: str = "prev",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``lag(val).over(Window.partitionBy(*group_cols).orderBy(*order_by))``
+    for LOW-CARDINALITY groups, without funneling each group through a
+    single partition.
+
+    Range-partition on (group, order) so each group's stream is split
+    across many partitions in order; lag within (partition, group) locally;
+    then stitch the partition boundaries: the per-(partition, group) LAST
+    value is a partitions×groups-sized table, and the value preceding a
+    partition's first row is that tiny table's ``lag`` over the partition
+    id within the group.  Every data-grain pass is partition-parallel; the
+    only grouped global window runs over the boundary table.
+
+    ``order_by`` must be plain ASCENDING columns (they become struct fields
+    in the boundary arg-max, where a ``desc()`` sort expression cannot
+    appear).
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gcols = [F.col(g) for g in group_cols]
+    ranged = df.repartitionByRange(
+        num_partitions, *gcols, *order_by
+    ).withColumn("__pid", F.spark_partition_id())
+    in_w = Window.partitionBy("__pid", *group_cols).orderBy(*order_by)
+    local = ranged.withColumn("__v", val).withColumn(
+        "__local_prev", F.lag("__v").over(in_w)
+    )
+    # last value of each (partition, group): arg-max by the order keys
+    last = local.groupBy("__pid", *group_cols).agg(
+        F.max(F.struct(*order_by, F.col("__v"))).alias("__s")
+    ).select("__pid", *group_cols, F.col("__s.__v").alias("__last"))
+    bd_w = Window.partitionBy(*group_cols).orderBy("__pid")
+    boundary = last.withColumn("__carry", F.lag("__last").over(bd_w)).select(
+        "__pid", *group_cols, "__carry"
+    )
+    return (
+        local.join(F.broadcast(boundary), ["__pid", *group_cols])
+        .withColumn(lag_col, F.coalesce("__local_prev", "__carry"))
+        .drop("__pid", "__v", "__local_prev", "__carry")
+    )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group with ranks, two-phase: a parallel per-
+    (partition, group) rank keeps at most k rows from each partition (the
+    per-executor heap), then the final rank runs over ≤ k·P survivors per
+    group — bounded by construction, independent of input size.  The
+    mergeable-sketch evaluation shape for k-min-values and friends."""
+    pre = df.withColumn("__pid", F.spark_partition_id())
+    local_w = Window.partitionBy("__pid", *group_cols).orderBy(*order_by)
+    survivors = (
+        pre.withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= k)
+        .drop("__pid", "__lrn")
+    )
+    final_w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return survivors.withColumn(
+        rank_col, F.row_number().over(final_w)
+    ).filter(F.col(rank_col) <= k)
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """SQL ``NTILE(k)`` reconstructed from a 1-based global rank and the
     total row count: with q = N div k and r = N mod k, the first r tiles

@@ -2610,14 +2610,27 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_interarrival_stats")
 def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type inter-arrival statistics (rate/burstiness profile): lag the
-    event stream within each type (one shuffle), then mean and median of
-    the ms gaps — gaps are exact integers, so the mean is an exact
-    integer-sum division and the median an exact percentile, both pinned."""
+    event stream within each type, then mean and median of the ms gaps —
+    gaps are exact integers, so the mean is an exact integer-sum division
+    and the median an exact percentile, both pinned.  event_type has ~6
+    values, so ``Window.partitionBy("event_type")`` would funnel the whole
+    stream through 6 tasks; ``operators.rank.grouped_lag`` instead
+    range-partitions on (type, ts, id), lags locally, and stitches the
+    partition boundaries through a partitions×types-sized carry table —
+    per-type semantics at full parallelism."""
+    from .operators.rank import grouped_lag
+
     ev = T(spark, sf_dir, "events")
     ms = F.unix_millis(F.col("ts"))
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     gaps = (
-        ev.withColumn("gap_ms", ms - F.lag(ms).over(w))
+        grouped_lag(
+            ev.select("event_type", "ts", "event_id", ms.alias("ms")),
+            ["event_type"],
+            [F.col("ts"), F.col("event_id")],
+            F.col("ms"),
+            lag_col="prev_ms",
+        )
+        .withColumn("gap_ms", F.col("ms") - F.col("prev_ms"))
         .filter(F.col("gap_ms").isNotNull())
     )
     return gaps.groupBy("event_type").agg(
@@ -3672,20 +3685,27 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_weighted_median")
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median per group: the lineitem quantity at which half the
-    revenue weight accumulates (lower weighted median) — ordered DECIMAL
-    cumulative weights (exact, so the crossing row is engine-unambiguous),
-    then min(quantity) over rows where 2·cumw ≥ total.  The
-    robust-estimator shape percentile() cannot express."""
+    revenue weight accumulates (lower weighted median) — the smallest q
+    with 2·cum_weight(≤q) ≥ total_weight.  Because the crossing only
+    depends on CLASS-cumulative weight, the fact table collapses to
+    (returnflag, quantity) grain FIRST (one map-side-combined shuffle,
+    ~50 distinct quantities per flag); the ordered DECIMAL cumulative sum
+    then runs over that tiny grouped table, not the fact — the previous
+    form's ``Window.partitionBy(l_returnflag)`` funneled the whole fact
+    through 3 partitions.  Exact decimal weights keep the crossing row
+    engine-unambiguous.  The robust-estimator shape percentile() cannot
+    express."""
     li = T(spark, sf_dir, "lineitem")
-    base = li.select(
-        "l_returnflag",
-        "l_quantity",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("w"),
+    per_qty = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w")
+        )
     )
     ordw = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_quantity").asc(), F.col("w").asc()
+        F.col("l_quantity").asc()
     )
-    cum = base.withColumn(
+    cum = per_qty.withColumn(
         "cumw",
         F.sum("w").over(
             ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4062,19 +4082,25 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) per
     l_returnflag: keep the k=64 smallest 32-bit hashes of the distinct
-    order keys; est = (k-1)·2^32 / kth_min.  One distinct + one window
-    rank per group; the k-min set is mergeable state (union + re-rank), so
-    per-executor sketches combine in one tiny shuffle.  Integer hashes and
-    a deterministic (hash, key) tie-break keep both engines identical."""
+    order keys; est = (k-1)·2^32 / kth_min.  The k-min set is mergeable
+    state, and the evaluation matches: ``operators.rank.grouped_topk``
+    keeps each partition's local 64 smallest (the per-executor sketch),
+    then ranks only the ≤ 64·P survivors per group — the final per-group
+    window is bounded by construction, never distinct-key-grain.  Integer
+    hashes and a deterministic (hash, key) tie-break keep both engines
+    identical."""
+    from .operators.rank import grouped_topk
+
     d = (
         T(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_orderkey")
         .distinct()
         .withColumn("h", _h32(F.col("l_orderkey").cast("string")))
     )
-    w = Window.partitionBy("l_returnflag").orderBy("h", "l_orderkey")
     kth = (
-        d.withColumn("rn", F.row_number().over(w))
+        grouped_topk(
+            d, ["l_returnflag"], [F.col("h"), F.col("l_orderkey")], 64
+        )
         .filter(F.col("rn") == 64)
         .select("l_returnflag", F.col("h").alias("kth_hash"))
     )

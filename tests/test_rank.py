@@ -13,6 +13,8 @@ from pyspark.sql import Window
 from java_etl_bi_generator_spark.operators.rank import (
     global_cumsum,
     global_rank,
+    grouped_lag,
+    grouped_topk,
     ntile_from_rank,
 )
 
@@ -107,6 +109,51 @@ def test_global_cumsum_matches_window_sum(spark):
         "tot", F.sum("x").over(Window.partitionBy())
     )
     want = {r["id"]: (r["c"], r["tot"]) for r in ref.collect()}
+    assert got == want
+
+
+def test_grouped_lag_matches_window_lag(spark):
+    # 5 low-cardinality groups, interleaved order values
+    df = spark.range(1201).select(
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 53) % 997).alias("t"),
+        F.col("id"),
+        (F.col("id") * 7).alias("v"),
+    )
+    got = {
+        (r["g"], r["id"]): r["prev"]
+        for r in grouped_lag(
+            df, ["g"], [F.col("t"), F.col("id")], F.col("v"), lag_col="prev"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("t", "id")
+    want = {
+        (r["g"], r["id"]): r["prev"]
+        for r in df.withColumn("prev", F.lag("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_topk_matches_window_rank(spark):
+    df = spark.range(900).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 31) % 797).alias("h"),
+        F.col("id"),
+    )
+    k = 16
+    got = {
+        (r["g"], r["id"]): r["rn"]
+        for r in grouped_topk(
+            df, ["g"], [F.col("h"), F.col("id")], k
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("h", "id")
+    want = {
+        (r["g"], r["id"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
     assert got == want
 
 
