@@ -33,6 +33,71 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    rank_col: str = "rank",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based row_number under ``order_by`` within each (possibly empty)
+    group, without funneling a group through a single partition.
+
+    Range-partition on (group, order) — each group spans a contiguous run
+    of partitions in order — rank within (partition, group) in parallel,
+    then add the group's preceding-partition counts from a
+    partitions×groups-sized broadcast offset table.  Intended for LOW-
+    cardinality groups (or no group at all); high-cardinality groups
+    should use a plain ``Window.partitionBy`` — that is already parallel.
+
+    ``order_by`` must be a total order within each group (unique
+    tie-break).  ``total_col`` attaches the group's row count N to every
+    row (needed by ``ntile_from_rank``) from the same offset table, not a
+    second scan.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gcols = [F.col(g) for g in group_cols]
+    ranged = df.repartitionByRange(
+        num_partitions, *gcols, *order_by
+    ).withColumn("__pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "__lrn",
+        F.row_number().over(
+            Window.partitionBy("__pid", *group_cols).orderBy(*order_by)
+        ),
+    )
+    # counts come from the pre-window branch: the range exchange is reused
+    # and this side never pays the in-partition sort
+    counts = ranged.groupBy("__pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # partitions×groups-sized: the unpartitioned-looking window here runs
+    # over the OFFSET TABLE, not the data.
+    off_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
+        F.sum("__cnt")
+        .over(Window.partitionBy(*group_cols))
+        .alias("__tot"),
+    )
+    out = local.join(
+        F.broadcast(offsets), ["__pid", *group_cols]
+    ).withColumn(rank_col, F.col("__lrn") + F.col("__off"))
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__tot"))
+    return out.drop("__pid", "__lrn", "__off", "__tot")
+
+
 def global_rank(
     df: DataFrame,
     order_by: list[Column],
@@ -40,39 +105,16 @@ def global_rank(
     total_col: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Add a 1-based dense global row_number under ``order_by`` without a
-    single-partition window.
-
-    ``order_by`` must define a total order (include a unique tie-break) for
-    the result to be deterministic.  When ``total_col`` is given, the total
-    row count N rides along on every row (needed by ``ntile_from_rank``) —
-    it comes from the same tiny offset table, not a second scan.
-    """
-    if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    ranged = df.repartitionByRange(num_partitions, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
+    """Add a 1-based global row_number under ``order_by`` without a
+    single-partition window — ``grouped_rank`` with no group."""
+    return grouped_rank(
+        df,
+        [],
+        order_by,
+        rank_col=rank_col,
+        total_col=total_col,
+        num_partitions=num_partitions,
     )
-    local = ranged.withColumn(
-        "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by))
-    )
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    # partitions-sized (≤ num_partitions rows): the global window here is
-    # over the OFFSET TABLE, not the data.
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid",
-        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
-        F.sum("__cnt").over(Window.partitionBy()).alias("__tot"),
-    )
-    out = local.join(F.broadcast(offsets), "__pid").withColumn(
-        rank_col, F.col("__lrn") + F.col("__off")
-    )
-    if total_col is not None:
-        out = out.withColumn(total_col, F.col("__tot"))
-    return out.drop("__pid", "__lrn", "__off", "__tot")
 
 
 def global_cumsum(

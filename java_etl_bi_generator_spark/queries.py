@@ -1702,13 +1702,16 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer from the orders table — one aggregation, then three DISTRIBUTED
     quartile assignments.  A naive ``ntile(4).over(Window.orderBy(...))``
     pulls every customer into ONE partition (WindowExec "No Partition
-    Defined"); here each score uses ``operators.rank.global_rank`` — a
-    range-partitioned parallel rank plus a broadcast partitions-sized offset
-    table — and NTILE's closed form on (rank, N).  Value-identical to the
-    single-partition plan (orderings carry a custkey tie-break, so rank is a
-    total order) but every stage stays partition-parallel at any customer
-    count.  Monetary is an exact decimal sum."""
-    from .operators.rank import global_rank, ntile_from_rank
+    Defined").  Here all three orderings rank in ONE two-phase pass:
+    each metric becomes a slim (custkey, metric_id, bigint sortkey) row —
+    recency as negated epoch-days, frequency negated, monetary as negated
+    exact cents — and ``operators.rank.grouped_rank`` range-partitions the
+    3N-row union on (metric, sortkey), ranks within metric at full
+    parallelism, and NTILE's closed form on (rank, N) yields the scores,
+    pivoted back to one row per customer.  Value-identical to the
+    single-partition plan (each bigint encoding is order-isomorphic to the
+    original column and custkey breaks ties) at any customer count."""
+    from .operators.rank import grouped_rank, ntile_from_rank
 
     base = (
         T(spark, sf_dir, "orders")
@@ -1719,19 +1722,43 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("monetary"),
         )
     )
-    scored = base
-    for name, keys in (
-        ("r", [F.col("last_order").desc(), F.col("o_custkey")]),
-        ("f", [F.col("frequency").desc(), F.col("o_custkey")]),
-        ("m", [F.col("monetary").desc(), F.col("o_custkey")]),
-    ):
-        scored = global_rank(
-            scored, keys, rank_col=f"__{name}_rank", total_col="__n"
-        ).withColumn(
-            f"{name}_score",
-            ntile_from_rank(F.col(f"__{name}_rank"), F.col("__n"), 4),
-        )
-    return scored.select(
+    stacked = base.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    (-F.unix_date(F.col("last_order"))).cast("bigint").alias("sk"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    (-F.col("frequency")).cast("bigint").alias("sk"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    (-(F.col("monetary") * 100)).cast("bigint").alias("sk"),
+                ),
+            )
+        ).alias("mx"),
+    ).select("o_custkey", "mx.metric", "mx.sk")
+    ranked = grouped_rank(
+        stacked,
+        ["metric"],
+        [F.col("sk"), F.col("o_custkey")],
+        rank_col="__rank",
+        total_col="__n",
+    )
+    tiles = ranked.select(
+        "o_custkey",
+        "metric",
+        ntile_from_rank(F.col("__rank"), F.col("__n"), 4).alias("tile"),
+    )
+    scores = tiles.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("tile"))).alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", F.col("tile"))).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", F.col("tile"))).alias("m_score"),
+    )
+    return base.join(scores, "o_custkey").select(
         "o_custkey", "last_order", "frequency", "monetary",
         "r_score", "f_score", "m_score",
     )
