@@ -735,6 +735,14 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, cosine FROM scored
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
+    "q_arrow_doc_stats": f"""
+        SELECT doc_id,
+               CAST({_N_TOKENS} AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    AS BIGINT) AS n_digits
+        FROM documents
+    """,
     "q_text_stats": f"""
         SELECT doc_id,
                CAST(length(text) AS INT) AS n_chars_calc,

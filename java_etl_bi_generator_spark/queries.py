@@ -1193,6 +1193,51 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_arrow_doc_stats")
+def q_arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 made first-class: per-document integer profile (token count,
+    codepoint length, digit count) computed in PYTHON over Arrow-batched
+    ``mapInPandas`` — the production template for custom row logic Spark
+    expressions cannot express (real tokenizers, format decoders).  The
+    batch function is purely per-row, so this is a narrow transformation:
+    no shuffle, partitioning untouched, scales with input like any map.
+    Integer-only outputs keep the Python path hash-checkable against the
+    SQL oracle; ``re.ASCII`` pins ``\\s``/``[0-9]`` to the ASCII classes
+    Java regex and RE2 use (Python's default is Unicode classes — the
+    cross-engine trap)."""
+    import re
+
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = re.compile(r"\s+", re.ASCII)
+    dg = re.compile(r"[0-9]", re.ASCII)
+
+    def batch(batches):
+        for pdf in batches:
+            text = pdf["text"].fillna("")
+            # strip(' ') == SQL trim(): SPACES only.  Python's bare
+            # .strip() also eats \t\n — a leading newline would then
+            # change the split-field count vs the oracle.
+            stripped = text.str.strip(" ")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_tokens": stripped.map(
+                        lambda s: 0 if s == "" else len(ws.split(s))
+                    ).astype("int64"),
+                    "n_chars": text.str.len().astype("int64"),
+                    "n_digits": text.map(
+                        lambda s: len(dg.findall(s))
+                    ).astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        batch, "doc_id bigint, n_tokens bigint, n_chars bigint, n_digits bigint"
+    )
+
+
 @q("q_text_quality")
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: heuristic quality score (fixed-order IEEE expression, pinned)."""
