@@ -149,3 +149,19 @@ def test_pagerank_iteration_count_is_bounded(spark, sf_dir):
     not five nested join/agg levels."""
     plan = explain_simple(registry()["q_pagerank"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") <= 3
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Registry-wide structural guard: no declared batch query may plan a
+    CartesianProduct — an unconstrained pairwise blow-up at 100 TB.
+    Theta/range joins must stay broadcast nested-loop (bounded small
+    side); everything else equi-joins.  (~1 min: planning only, no
+    execution.)"""
+    offenders = []
+    for name, fn in sorted(registry().items()):
+        if name.startswith("q_stream"):  # streaming: needs a query start
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian product planned by: {offenders}"
