@@ -735,6 +735,20 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, cosine FROM scored
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
+    "q_inverted_index": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       string_split_regex(trim(text), '\\s+'))) AS token
+            FROM documents
+            WHERE trim(text) <> ''
+        )
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS df,
+               list_slice(list_sort(list(doc_id)), 1, 20) AS postings
+        FROM tok
+        GROUP BY token
+    """,
     "q_arrow_doc_stats": f"""
         SELECT doc_id,
                CAST({_N_TOKENS} AS BIGINT) AS n_tokens,

@@ -1300,6 +1300,31 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_inverted_index")
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR index build: token -> sorted posting list of documents containing
+    it, with document frequency — the retrieval-side structure a corpus
+    search / RAG pipeline materializes.  One explode + distinct + grouped
+    collect (all shuffles on the token key, partial-agg absorbing stopword
+    skew map-side); posting lists are emitted as a bounded 20-doc prefix —
+    at 100 TB a full stopword posting list is itself big data, so the
+    stored index shards long lists (doc-range segments) and this query
+    materializes the first segment, plus the true df for ranking."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    posting = docs.select(
+        F.explode(F.array_distinct(tokens("text"))).alias("token"), "doc_id"
+    )
+    return (
+        posting.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
+                "postings"
+            ),
+        )
+    )
+
+
 @q("q_dedup_clusters")
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: near-dup candidate pairs -> connected components -> cluster
