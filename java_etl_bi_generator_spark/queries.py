@@ -94,8 +94,10 @@ _SHOWCASE: tuple[str, ...] = (
     # scan / project / filter (§2.2)
     "q_project", "q_filter", "q_distinct",
     # joins (§2.4)
-    "q_join_inner", "q_join_star_3way", "q_join_semi", "q_join_full_outer",
+    "q_join_inner", "q_join_star_3way", "q_join_semi",
     "q_join_range", "q_join_asof",
+    # UDF surface (§2.13): Arrow-batched mapInPandas, hash-checked
+    "q_arrow_doc_stats",
     # aggregation (§2.5)
     "q_minmax_date", "q_groupby_sum", "q_groupby_multi_agg",
     "q_count_distinct", "q_rollup", "q_rfm",
@@ -106,7 +108,8 @@ _SHOWCASE: tuple[str, ...] = (
     "q_topn_per_group",
     # event-time analytics (§2.11 batch twins + §2.14)
     "q_window_tumbling", "q_window_session", "q_sessionize", "q_funnel",
-    "q_retention_cohort",
+    # SQL front door (engine-portable spark.sql statement)
+    "q_sql_interface",
     # TPC-H (§2.14)
     "q_tpch_q1", "q_tpch_q5", "q_tpch_q21",
     # LLM-pipeline ops (§2.12, 2.14): dedup, similarity, text
