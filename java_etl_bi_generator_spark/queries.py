@@ -549,19 +549,36 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_window_rank")
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: ranking within partitions (rank/dense_rank keyed on values only,
-    row_number fully tie-broken)."""
-    cu = T(spark, sf_dir, "customer")
-    by_bal = Window.partitionBy("c_nationkey").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
+    row_number fully tie-broken).  25 nations would cap a naive
+    ``Window.partitionBy`` at 25 tasks, so the three functions decompose
+    over the distributed total-order row_number (operators.rank):
+    rank = min(rn) within the (nation, balance) value class — a
+    HIGH-cardinality window, parallel by construction — and
+    dense_rank = the class's grouped_rank over the class TABLE (one
+    aggregate smaller than the data), joined back on the co-keyed
+    (nation, balance) pair.  Value-identical to the builtins at any
+    group size."""
+    from .operators.rank import grouped_rank
+
+    cu = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
     )
-    by_bal_vals = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
-    return cu.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_acctbal",
-        F.row_number().over(by_bal).alias("rn"),
-        F.rank().over(by_bal_vals).alias("rnk"),
-        F.dense_rank().over(by_bal_vals).alias("drnk"),
+    ranked = grouped_rank(
+        cu,
+        ["c_nationkey"],
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        rank_col="rn",
+    )
+    cls_w = Window.partitionBy("c_nationkey", "c_acctbal")
+    ranked = ranked.withColumn("rnk", F.min("rn").over(cls_w))
+    classes = ranked.groupBy("c_nationkey", "c_acctbal").agg(
+        F.count(F.lit(1)).alias("__cc")
+    )
+    dcls = grouped_rank(
+        classes, ["c_nationkey"], [F.desc("c_acctbal")], rank_col="drnk"
+    ).select("c_nationkey", "c_acctbal", "drnk")
+    return ranked.join(dcls, ["c_nationkey", "c_acctbal"]).select(
+        "c_custkey", "c_nationkey", "c_acctbal", "rn", "rnk", "drnk"
     )
 
 
@@ -669,14 +686,32 @@ def q_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_percent_rank")
 def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 variant: percent_rank and cume_dist — pure integer-ratio
-    window functions, cross-engine exact without pinning."""
-    cu = T(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return cu.select(
+    window functions, cross-engine exact without pinning.  c_nationkey has
+    25 values, so the naive ``Window.partitionBy`` caps parallelism at 25
+    tasks no matter the cluster; with the (acctbal, custkey) total order
+    both functions are exact integer ratios of the group rank —
+    percent_rank = (r−1)/(N−1), cume_dist = r/N — so they ride on
+    ``operators.rank.grouped_rank`` (range-partitioned parallel rank +
+    broadcast offsets) at full parallelism, value-identical."""
+    from .operators.rank import grouped_rank
+
+    cu = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    ranked = grouped_rank(
+        cu,
+        ["c_nationkey"],
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        rank_col="__r",
+        total_col="__n",
+    )
+    return ranked.select(
         "c_custkey",
         "c_nationkey",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.when(F.col("__n") > 1, (F.col("__r") - 1) / (F.col("__n") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (F.col("__r") / F.col("__n")).alias("cume"),
     )
 
 
