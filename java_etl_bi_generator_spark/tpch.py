@@ -423,11 +423,15 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(F.expr(_DISC_PRICE_RAW), 4).alias("total_revenue"))
     )
-    # Global max as a window over the per-supplier aggregate (skinny, one
-    # row per supplier) — avoids recomputing the lineitem scan for a
-    # scalar-subquery branch.
-    best = rev.withColumn(
-        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+    # Global max as a broadcast 1-row aggregate, not a Window.partitionBy()
+    # over the per-supplier table (that would single-partition the supplier
+    # grain).  The skinny per-supplier aggregate is checkpointed once
+    # (AQE does not reuse the groupBy exchange across the two branches —
+    # verified: 2 lineitem scans without it), so the filtered fact scan
+    # runs exactly once and both branches read the materialized aggregate.
+    rev = rev.localCheckpoint(eager=True)
+    best = rev.crossJoin(
+        F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue")))
     ).filter(F.col("total_revenue") == F.col("max_revenue"))
     return su.join(best, F.col("s_suppkey") == F.col("supplier_no")).select(
         "s_suppkey", "s_name", "total_revenue"
