@@ -735,6 +735,11 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, cosine FROM scored
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
+    "q_exact_median_rank": """
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               median(o_totalprice) AS median_price
+        FROM orders
+    """,
     "q_inverted_index": """
         WITH tok AS (
             SELECT doc_id,

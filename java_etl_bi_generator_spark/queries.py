@@ -1338,6 +1338,36 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_exact_median_rank")
+def q_exact_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL median of order prices via the distributed rank — the
+    scale path for exact quantiles: Spark's builtin ``percentile`` buffers
+    every group value in executor memory and a global ``ntile``/sort
+    single-partitions, but median is just the row(s) at rank
+    floor/ceil((N+1)/2).  ``global_rank`` (range-partitioned two-phase
+    rank) finds them with bounded memory at any N; even N averages the two
+    middle doubles — the same interpolation DuckDB's ``median`` applies.
+    Generalizes to any quantile ladder (rank ∈ {q·N}) in one pass."""
+    from .operators.rank import global_rank
+
+    od = T(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_rank(
+        od,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rank_col="__r",
+        total_col="__n",
+    )
+    lo = F.floor((F.col("__n") + 1) / 2)
+    hi = F.ceil((F.col("__n") + 1) / 2)
+    return (
+        ranked.filter((F.col("__r") == lo) | (F.col("__r") == hi))
+        .agg(
+            F.max("__n").alias("n_orders"),
+            F.avg("o_totalprice").alias("median_price"),
+        )
+    )
+
+
 @q("q_inverted_index")
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR index build: token -> sorted posting list of documents containing
