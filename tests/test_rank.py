@@ -157,6 +157,41 @@ def test_grouped_topk_matches_window_rank(spark):
     assert got == want
 
 
+def test_grouped_rank_property_random_inputs(spark):
+    """Hypothesis sweep: grouped_rank must equal the naive partitioned
+    window for arbitrary group/value multisets (ties broken by id)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(rows):
+        from java_etl_bi_generator_spark.operators.rank import grouped_rank
+
+        df = spark.createDataFrame(
+            [(g, v, i) for i, (g, v) in enumerate(rows)], "g int, v int, id int"
+        )
+        got = {
+            r["id"]: r["rk"]
+            for r in grouped_rank(
+                df, ["g"], [F.col("v").desc(), F.col("id")], rank_col="rk"
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+        want = {
+            r["id"]: r["rk"]
+            for r in df.withColumn("rk", F.row_number().over(w)).collect()
+        }
+        assert got == want
+
+    check()
+
+
 def test_no_single_partition_window_in_plan(spark):
     """The distributed plan's only unpartitioned window runs over the
     partitions-sized offset table, never the input: the input-side window
