@@ -19,6 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("siga_etl.py", []),
         ("corpus_curation.py", ["/root/testdata/sf0.001"]),
         ("training_data_prep.py", ["/root/testdata/sf0.001"]),
+        ("customer_analytics.py", ["/root/testdata/sf0.001"]),
     ],
 )
 def test_example_runs_clean(script, args):
