@@ -359,15 +359,19 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    # Keep the per-part sum DECIMAL so the grand total can be taken as an
-    # exact window sum over the (one-row-per-part) aggregate — no second
-    # scan of the join subtree, and still order-independent.
+    # Keep the per-part sum DECIMAL so the grand total stays exact and
+    # order-independent.  The skinny per-part aggregate is checkpointed
+    # once and the grand total arrives as a broadcast 1-row aggregate —
+    # not a Window.partitionBy() over the part grain (single partition)
+    # and not a second scan of the join subtree (AQE does not reuse the
+    # groupBy exchange across branches).
     vdec = j.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(F.expr(val)).alias("dec_sum")
-    )
-    tot = F.sum("dec_sum").over(Window.partitionBy())
+    ).localCheckpoint(eager=True)
+    tot = vdec.agg(F.sum("dec_sum").alias("__tot"))
     return (
-        vdec.withColumn("threshold", tot.cast("double") * F.lit(0.001))
+        vdec.crossJoin(F.broadcast(tot))
+        .withColumn("threshold", F.col("__tot").cast("double") * F.lit(0.001))
         .filter(F.col("dec_sum").cast("double") > F.col("threshold"))
         .select("partkey", F.col("dec_sum").cast("double").alias("part_value"))
     )
