@@ -1447,14 +1447,20 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — no float pinning needed."""
     docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    # Corpus total as an empty-partition window over the (vocab-sized)
-    # counts table: one scan of the corpus, no agg+crossJoin branch that
-    # would re-run the scan+explode subtree (DataFrame lineage is not a
-    # CTE).  Integer sum — exact in any order.
-    total = F.sum("freq").over(Window.partitionBy())
+    # The vocab table is checkpointed once (one corpus scan+explode —
+    # DataFrame lineage is not a CTE, a second branch would re-run it)
+    # and the corpus total arrives as a broadcast 1-row aggregate, NOT an
+    # empty-partition window over the vocab: at web scale the distinct-
+    # token table is itself billions of rows.  Integer sum — exact in
+    # any order.
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("freq").alias("total"))
     return (
-        counts.withColumn("total", total)
+        counts.crossJoin(F.broadcast(total))
         .filter(F.col("freq") * 1000 > F.col("total"))
         .select("token", "freq")
     )
@@ -1733,26 +1739,36 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: pointwise mutual information of adjacent token pairs (collocation
     mining) over docs with ≥2 tokens.  Unigram and bigram counts are two
-    aggregations of one tokenized scan; corpus totals ride along as
-    empty-partition window sums (no recomputing branches).  PMI =
-    ln((c_xy/N_bi) / ((c_x/N_uni)(c_y/N_uni))), pinned to 4dp."""
+    aggregations of one tokenized scan, each checkpointed once; the corpus
+    totals arrive as broadcast 1-row aggregates of the checkpointed count
+    tables — not empty-partition windows over them (at web scale the
+    distinct-unigram/bigram tables are themselves billions of rows).
+    PMI = ln((c_xy/N_bi) / ((c_x/N_uni)(c_y/N_uni))), pinned to 4dp."""
     docs = (
         T(spark, sf_dir, "documents")
         .filter(F.trim(F.col("text")) != "")
         .withColumn("__toks", tokens("text"))
         .filter(F.size("__toks") >= 2)
     )
-    uni = (
+    uni_counts = (
         docs.select(F.explode("__toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
-        .withColumn("n_uni", F.sum("c_w").over(Window.partitionBy()))
+        .localCheckpoint(eager=True)
     )
-    bi = (
+    uni = uni_counts.crossJoin(
+        F.broadcast(uni_counts.agg(F.sum("c_w").alias("n_uni")))
+    )
+    bi_counts = (
         docs.select(F.explode(word_shingles("text", 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .withColumn("n_bi", F.sum("c_xy").over(Window.partitionBy()))
+        .localCheckpoint(eager=True)
+    )
+    bi = (
+        bi_counts.crossJoin(
+            F.broadcast(bi_counts.agg(F.sum("c_xy").alias("n_bi")))
+        )
         .filter(F.col("c_xy") >= 5)
         .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
         .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))
@@ -2444,13 +2460,17 @@ def q_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_minmax_scale")
 def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature engineering: min-max scale o_totalprice to [0,1] — global
-    bounds via empty-partition window aggregates (min/max are order-free),
-    scaling is per-row IEEE arithmetic.  One pass, no collect."""
+    bounds from a 1-row broadcast aggregate (min/max are order-free),
+    scaling is per-row IEEE arithmetic.  The bounds pass and the scaling
+    pass are two column-pruned scans of the fact; the earlier
+    empty-partition window form moved EVERY fact row into one partition —
+    two cheap scans beat that at any scale.  No collect."""
     od = T(spark, sf_dir, "orders")
-    w = Window.partitionBy()
+    bounds = od.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
     return (
-        od.withColumn("mn", F.min("o_totalprice").over(w))
-        .withColumn("mx", F.max("o_totalprice").over(w))
+        od.crossJoin(F.broadcast(bounds))
         .select(
             "o_orderkey",
             pround(
