@@ -9,13 +9,17 @@ standard Spark-native formulation when GraphFrames is unavailable.  Each
 iteration is one join + one aggregation; iteration count is O(component
 diameter), and near-dup clusters are shallow in practice.  The loop is
 driver-side control flow only; all data stays distributed, with
-``localCheckpoint`` every few rounds to cut the growing lineage.
+``lineage.cut_lineage`` every round to cut the growing plan (reliable
+``checkpoint()`` when a checkpoint dir is configured — the cluster-safe
+form — else ``localCheckpoint``).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from ..lineage import cut_lineage
 
 
 def connected_components(
@@ -59,7 +63,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = cut_lineage(new_labels)
         if changed == 0:
             break
     return labels
@@ -97,13 +101,13 @@ def pagerank_integer(
 
     Scale shape: one shuffle per iteration (groupBy dst), the out-degree
     table joins broadcast-size, and lineage is cut per iteration with
-    ``localCheckpoint`` — on a 1000-executor cluster you would persist
-    each frontier to cluster storage instead, but the plan per iteration
-    is identical.
+    ``lineage.cut_lineage`` — reliable ``checkpoint()`` to cluster
+    storage when a checkpoint dir is configured, ``localCheckpoint``
+    locally; the plan per iteration is identical either way.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     # (src, dst, out_degree) — static per run, reused every iteration.
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    ed = cut_lineage(edges.join(deg, "src"))
     base = (100 - damping_pct) * scale // 100
     ranks = deg.select(F.col("src").alias("node"), F.lit(scale).alias("rank"))
     for _ in range(iterations):
@@ -125,8 +129,8 @@ def pagerank_integer(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = cut_lineage(ranks)
     return ranks
 
 

@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from .catalog import load_table
+from .lineage import cut_lineage
 from .functions.dates import (
     date_key,
     dow_name_ptbr,
@@ -1453,10 +1454,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty-partition window over the vocab: at web scale the distinct-
     # token table is itself billions of rows.  Integer sum — exact in
     # any order.
-    counts = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .localCheckpoint(eager=True)
+    counts = cut_lineage(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     )
     total = counts.agg(F.sum("freq").alias("total"))
     return (
@@ -1750,20 +1749,18 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__toks", tokens("text"))
         .filter(F.size("__toks") >= 2)
     )
-    uni_counts = (
+    uni_counts = cut_lineage(
         docs.select(F.explode("__toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
-        .localCheckpoint(eager=True)
     )
     uni = uni_counts.crossJoin(
         F.broadcast(uni_counts.agg(F.sum("c_w").alias("n_uni")))
     )
-    bi_counts = (
+    bi_counts = cut_lineage(
         docs.select(F.explode(word_shingles("text", 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .localCheckpoint(eager=True)
     )
     bi = (
         bi_counts.crossJoin(
@@ -2671,7 +2668,7 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize baskets once: both the pair expansion AND the per-item
     # support derive from it, and DataFrame lineage is not a CTE — without
     # the checkpoint the groupBy+collect_set subtree runs twice.
-    baskets = _baskets(li).localCheckpoint(eager=True)
+    baskets = cut_lineage(_baskets(li))
     pairs = (
         _pairs_from_baskets(baskets)
         .groupBy("p1", "p2")

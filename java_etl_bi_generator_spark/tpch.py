@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from .functions.rounding import dsum, pround
+from .lineage import cut_lineage
 from .queries import T, q
 
 # l_extendedprice(2dp) * (1-l_discount)(2dp) is an exact 4-decimal value;
@@ -365,9 +366,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a Window.partitionBy() over the part grain (single partition)
     # and not a second scan of the join subtree (AQE does not reuse the
     # groupBy exchange across branches).
-    vdec = j.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(F.expr(val)).alias("dec_sum")
-    ).localCheckpoint(eager=True)
+    vdec = cut_lineage(
+        j.groupBy(F.col("l_partkey").alias("partkey")).agg(
+            F.sum(F.expr(val)).alias("dec_sum")
+        )
+    )
     tot = vdec.agg(F.sum("dec_sum").alias("__tot"))
     return (
         vdec.crossJoin(F.broadcast(tot))
@@ -433,7 +436,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (AQE does not reuse the groupBy exchange across the two branches —
     # verified: 2 lineitem scans without it), so the filtered fact scan
     # runs exactly once and both branches read the materialized aggregate.
-    rev = rev.localCheckpoint(eager=True)
+    rev = cut_lineage(rev)
     best = rev.crossJoin(
         F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue")))
     ).filter(F.col("total_revenue") == F.col("max_revenue"))
