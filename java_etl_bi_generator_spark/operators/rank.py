@@ -25,12 +25,41 @@ so the composition ``ntile_from_rank(global_rank(...))`` matches a
 single-partition ``ntile(k).over(Window.orderBy(...))`` and a DuckDB
 ``NTILE(k) OVER (ORDER BY ...)`` value-for-value, while every stage stays
 partition-parallel.
+
+The ranked frame is materialized once (``_ranged_pinned``): the partition
+assignment comes from *sampled* range boundaries, so it must be pinned as
+data before two plan branches consume it — otherwise correctness would
+silently depend on Spark reusing the exchange between branches (it often
+does, but AQE is free not to, and a caller-added payload column can change
+canonicalization).  The cut also means the upstream subtree executes once.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+from ..lineage import cut_lineage
+
+
+def _ranged_pinned(
+    df: DataFrame, part_cols: list[Column], num_partitions: int
+) -> DataFrame:
+    """Range-partition and PIN the partition id as data.
+
+    ``__pid`` comes from ``spark_partition_id()`` after a
+    ``repartitionByRange`` whose boundaries are *sampled* — two plan
+    branches that each recompute the exchange can sample different
+    boundaries and assign different ``__pid`` values, silently corrupting
+    the offset join.  Materializing through ``cut_lineage`` makes
+    ``__pid`` a plain data column: every downstream branch reads the same
+    assignment (and the upstream subtree runs exactly once instead of
+    once per branch)."""
+    return cut_lineage(
+        df.repartitionByRange(num_partitions, *part_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
 
 
 def grouped_rank(
@@ -61,17 +90,15 @@ def grouped_rank(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     gcols = [F.col(g) for g in group_cols]
-    ranged = df.repartitionByRange(
-        num_partitions, *gcols, *order_by
-    ).withColumn("__pid", F.spark_partition_id())
+    ranged = _ranged_pinned(df, [*gcols, *order_by], num_partitions)
     local = ranged.withColumn(
         "__lrn",
         F.row_number().over(
             Window.partitionBy("__pid", *group_cols).orderBy(*order_by)
         ),
     )
-    # counts come from the pre-window branch: the range exchange is reused
-    # and this side never pays the in-partition sort
+    # counts come from the pinned pre-window frame: no re-execution of the
+    # range exchange, and this side never pays the in-partition sort
     counts = ranged.groupBy("__pid", *group_cols).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
@@ -138,16 +165,14 @@ def global_cumsum(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    ranged = df.repartitionByRange(num_partitions, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ranged = _ranged_pinned(df, list(order_by), num_partitions)
     in_w = (
         Window.partitionBy("__pid")
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("__lcum", F.sum(val_col).over(in_w))
-    totals = local.groupBy("__pid").agg(F.sum(val_col).alias("__ptot"))
+    totals = ranged.groupBy("__pid").agg(F.sum(val_col).alias("__ptot"))
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__pid",
@@ -185,6 +210,12 @@ def grouped_lag(
     id within the group.  Every data-grain pass is partition-parallel; the
     only grouped global window runs over the boundary table.
 
+    NULL-safe: the in-partition lag wraps ``val`` in a struct, so "no
+    previous row in this partition" (struct is NULL -> take the boundary
+    carry) is distinguished from "previous value is NULL" (struct is
+    non-NULL with a NULL field -> the lag is genuinely NULL), matching
+    ``lag()`` exactly even for NULL-bearing value columns.
+
     ``order_by`` must be plain ASCENDING columns (they become struct fields
     in the boundary arg-max, where a ``desc()`` sort expression cannot
     appear).
@@ -194,15 +225,15 @@ def grouped_lag(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     gcols = [F.col(g) for g in group_cols]
-    ranged = df.repartitionByRange(
-        num_partitions, *gcols, *order_by
-    ).withColumn("__pid", F.spark_partition_id())
+    ranged = _ranged_pinned(
+        df.withColumn("__v", val), [*gcols, *order_by], num_partitions
+    )
     in_w = Window.partitionBy("__pid", *group_cols).orderBy(*order_by)
-    local = ranged.withColumn("__v", val).withColumn(
-        "__local_prev", F.lag("__v").over(in_w)
+    local = ranged.withColumn(
+        "__ps", F.lag(F.struct(F.col("__v").alias("v"))).over(in_w)
     )
     # last value of each (partition, group): arg-max by the order keys
-    last = local.groupBy("__pid", *group_cols).agg(
+    last = ranged.groupBy("__pid", *group_cols).agg(
         F.max(F.struct(*order_by, F.col("__v"))).alias("__s")
     ).select("__pid", *group_cols, F.col("__s.__v").alias("__last"))
     bd_w = Window.partitionBy(*group_cols).orderBy("__pid")
@@ -211,8 +242,13 @@ def grouped_lag(
     )
     return (
         local.join(F.broadcast(boundary), ["__pid", *group_cols])
-        .withColumn(lag_col, F.coalesce("__local_prev", "__carry"))
-        .drop("__pid", "__v", "__local_prev", "__carry")
+        .withColumn(
+            lag_col,
+            F.when(F.col("__ps").isNull(), F.col("__carry")).otherwise(
+                F.col("__ps").getField("v")
+            ),
+        )
+        .drop("__pid", "__v", "__ps", "__carry")
     )
 
 

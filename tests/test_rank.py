@@ -204,3 +204,47 @@ def test_no_single_partition_window_in_plan(spark):
     for line in plan.splitlines():
         if "Window [" in line and "__pid" not in line:
             raise AssertionError(f"unexpected windowed node: {line}")
+
+
+def test_grouped_lag_null_values_mid_stream(spark):
+    """A NULL value mid-partition must lag through as NULL — not be
+    replaced by the previous partition's boundary carry (the struct-lag
+    distinguishes 'no previous row' from 'previous value is NULL')."""
+    rows = [
+        (i % 3, (i * 53) % 997, i, None if i % 7 == 0 else i * 11)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g int, t int, id int, v int")
+    got = {
+        (r["g"], r["id"]): r["prev"]
+        for r in grouped_lag(
+            df, ["g"], [F.col("t"), F.col("id")], F.col("v"), lag_col="prev"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("t", "id")
+    want = {
+        (r["g"], r["id"]): r["prev"]
+        for r in df.withColumn("prev", F.lag("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_rank_with_payload_columns(spark):
+    """Payload columns beyond the (group, order) keys must ride through
+    unchanged with correct ranks — the pre-pinned partition id makes the
+    offset join immune to per-branch boundary resampling."""
+    df = _sample(spark).select(
+        "id", "v", (F.col("id") * 997 + 13).alias("payload")
+    )
+    keys = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: (r["rk"], r["payload"])
+        for r in global_rank(df, keys, rank_col="rk").collect()
+    }
+    want = {
+        r["id"]: (r["rk"], r["payload"])
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*keys))
+        ).collect()
+    }
+    assert got == want
