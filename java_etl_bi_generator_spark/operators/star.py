@@ -18,11 +18,12 @@ Reference mapping (file:line cites into /root/reference):
 - ``build_fact``            : passo2's hand-rolled broadcast hash left joins
   with ``-1`` for misses (:140-180, join probes at :153-159).
 
-Scale posture: dimensions are by definition low-cardinality, so the
-surrogate-key window (a single global sort of the *distinct* keys) is
-bounded; fact-side joins broadcast the dims (the reference's HashMaps,
-done right).  The source is scanned once and reused — the reference scans
-the file twice (:61, :142).
+Scale posture: surrogate ids come from the distributed two-phase rank
+(``operators.rank.global_rank``) — no single-partition window anywhere,
+so even a data-grain natural-key dimension builds at any cardinality;
+fact-side joins broadcast the dims (the reference's HashMaps, done
+right).  The source is scanned once and reused — the reference scans the
+file twice (:61, :142).
 """
 
 from __future__ import annotations
@@ -44,6 +45,7 @@ from ..functions.locale_ptbr import (
     null_or_empty_default,
     parse_ptbr_decimal,
 )
+from .rank import global_rank
 
 
 def build_dimension(
@@ -51,15 +53,21 @@ def build_dimension(
 ) -> DataFrame:
     """Distinct composite keys + dense surrogate ids 1..N.
 
-    ``distinct`` is a partial-aggregated shuffle on the key columns; the
-    window then runs over the already-tiny distinct set (dims are small —
-    if one were not, it should be a degenerate dimension instead).
+    ``distinct`` is a partial-aggregated shuffle on the key columns; ids
+    are then assigned by the DISTRIBUTED two-phase rank
+    (``operators.rank.global_rank``: range-partition on the key, rank in
+    parallel, broadcast prefix offsets) — bit-identical to ``row_number()
+    OVER (ORDER BY key)`` for a total order, but with no single-partition
+    window, so a natural-key dimension at data grain (one row per entity,
+    dim_empreendimento-shaped) builds at any cardinality.
     """
     distinct = df.select(*key_cols).distinct()
-    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in key_cols])
-    return distinct.withColumn(id_col, F.row_number().over(w)).select(
-        id_col, *key_cols
+    ranked = global_rank(
+        distinct,
+        [F.col(c).asc_nulls_first() for c in key_cols],
+        rank_col=id_col,
     )
+    return ranked.select(F.col(id_col).cast("int").alias(id_col), *key_cols)
 
 
 def dedup_first_row(
