@@ -71,6 +71,11 @@ def build(spark, sf_dir: str, out_dir: str) -> dict[str, float]:
                 ),
                 F.struct(
                     F.lit("m").alias("metric"),
+                    # exact: monetary is DECIMAL(18,2), so *100 is an
+                    # integral decimal and the bigint cast is lossless
+                    # (with double money this roundtrip would collide
+                    # adjacent cent values — see q_rfm, which keeps the
+                    # scaled bigint cents sum end-to-end instead)
                     (-(F.col("monetary") * 100)).cast("bigint").alias("sk"),
                 ),
             )

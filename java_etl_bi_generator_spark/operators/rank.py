@@ -32,6 +32,11 @@ data before two plan branches consume it — otherwise correctness would
 silently depend on Spark reusing the exchange between branches (it often
 does, but AQE is free not to, and a caller-added payload column can change
 canonicalization).  The cut also means the upstream subtree executes once.
+
+The pin is LAZY (``eager=False``): all branches share one checkpointed RDD
+instance, so each partition is computed (and its ``__pid`` fixed) exactly
+once by whichever job touches it first, persisted to memory/disk — the
+eager variant would cost one extra full pass for no additional safety.
 """
 
 from __future__ import annotations
@@ -58,7 +63,8 @@ def _ranged_pinned(
     return cut_lineage(
         df.repartitionByRange(num_partitions, *part_cols).withColumn(
             "__pid", F.spark_partition_id()
-        )
+        ),
+        eager=False,
     )
 
 

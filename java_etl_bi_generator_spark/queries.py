@@ -1865,13 +1865,20 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     original column and custkey breaks ties) at any customer count."""
     from .operators.rank import grouped_rank, ntile_from_rank
 
+    # monetary is kept as EXACT scaled cents (the same per-row rounding
+    # dsum uses) all the way through the ranking: the sort key is the
+    # bigint cents sum itself, not a double->bigint roundtrip of it —
+    # (S/100)*100 lands just below S for about half of all cent values,
+    # which would collide adjacent cents and scramble tie-breaks.
     base = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            dsum(F.col("o_totalprice")).alias("monetary"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            ).alias("__cents"),
         )
     )
     stacked = base.select(
@@ -1888,7 +1895,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.struct(
                     F.lit("m").alias("metric"),
-                    (-(F.col("monetary") * 100)).cast("bigint").alias("sk"),
+                    (-F.col("__cents")).cast("bigint").alias("sk"),
                 ),
             )
         ).alias("mx"),
@@ -1903,14 +1910,25 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = ranked.select(
         "o_custkey",
         "metric",
+        "sk",
         ntile_from_rank(F.col("__rank"), F.col("__n"), 4).alias("tile"),
     )
-    scores = tiles.groupBy("o_custkey").agg(
+    # Every metric is recoverable from its own sort key, so the final
+    # per-customer pivot needs NO join back to base (which would re-run
+    # the orders aggregate — DataFrame lineage is not a CTE) and no
+    # payload columns through the rank shuffle.
+    return tiles.groupBy("o_custkey").agg(
+        F.date_from_unix_date(
+            (-F.max(F.when(F.col("metric") == "r", F.col("sk")))).cast("int")
+        ).alias("last_order"),
+        (-F.max(F.when(F.col("metric") == "f", F.col("sk")))).alias("frequency"),
+        (
+            -F.max(F.when(F.col("metric") == "m", F.col("sk"))) / F.lit(100.0)
+        ).alias("monetary"),
         F.max(F.when(F.col("metric") == "r", F.col("tile"))).alias("r_score"),
         F.max(F.when(F.col("metric") == "f", F.col("tile"))).alias("f_score"),
         F.max(F.when(F.col("metric") == "m", F.col("tile"))).alias("m_score"),
-    )
-    return base.join(scores, "o_custkey").select(
+    ).select(
         "o_custkey", "last_order", "frequency", "monetary",
         "r_score", "f_score", "m_score",
     )
