@@ -188,7 +188,8 @@ ORACLES: dict[str, str] = {
     ),
     "q_join_anti": (
         "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS ("
-        "SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderpriority = '1-URGENT')"
     ),
     "q_join_range": (
         "SELECT c_custkey, c_acctbal, tier FROM customer JOIN "
@@ -439,8 +440,8 @@ ORACLES: dict[str, str] = {
         "INTERSECT SELECT s_nationkey AS nk FROM supplier"
     ),
     "q_except": (
-        "SELECT c_custkey AS k FROM customer "
-        "EXCEPT ALL SELECT o_custkey AS k FROM orders"
+        "SELECT c_nationkey AS k FROM customer "
+        "EXCEPT ALL SELECT s_nationkey AS k FROM supplier"
     ),
     # --- event-time windows (batch equivalents) ---
     "q_window_tumbling": (

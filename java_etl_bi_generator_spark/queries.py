@@ -272,9 +272,14 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_join_anti")
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4b: left-anti join (NOT EXISTS)."""
+    """J4b: left-anti join (NOT EXISTS) — customers with no URGENT order.
+    (Anti-joining against ALL orders returns zero rows on this synthetic
+    data, which would make the differential hash vacuous; the priority
+    filter keeps the result non-empty so the check proves semantics.)"""
     cu = T(spark, sf_dir, "customer")
-    od = T(spark, sf_dir, "orders")
+    od = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cu.join(
         od, cu.c_custkey == od.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -1004,9 +1009,13 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_except")
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    od = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    return cu.exceptAll(od)
+    """EXCEPT ALL with real multiset semantics: per nation key, customers
+    outnumber suppliers, so the result keeps max(0, n_cust - n_supp)
+    copies of each key — non-empty by construction (the earlier
+    custkey-based variant returned zero rows, a vacuous hash check)."""
+    cu = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    su = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return cu.exceptAll(su)
 
 
 # ---------------------------------------------------------------------------
