@@ -88,29 +88,19 @@ def dedup_first_row(
     )
 
 
-def build_calendar_dim(
-    spark: SparkSession, min_date: Column | str, max_date: Column | str
-) -> DataFrame:
-    """One row per day, min..max inclusive, with the reference's 8 derived
-    attributes (gerarDimTempo, FullETLGenerator.java:182-204).
-
-    ``sequence`` + ``explode`` generates rows executor-side in one stage —
-    a century of days is ~36k rows, so this is never the bottleneck.
-    """
-    bounds = (
-        spark.range(1)
-        .select(
-            F.lit(min_date).cast("date").alias("d0"),
-            F.lit(max_date).cast("date").alias("d1"),
-        )
-        .select(
-            F.explode(
-                F.sequence("d0", "d1", F.expr("interval 1 day"))
-            ).alias("DataCompleta")
-        )
+def build_calendar_dim_from_bounds(bounds: DataFrame) -> DataFrame:
+    """Calendar dimension from a 1-row ``(d0 date, d1 date)`` bounds
+    DataFrame — typically a min/max aggregate of the source — WITHOUT a
+    driver round-trip: the aggregate flows straight into
+    ``sequence``+``explode``, so the whole thing is one Spark job instead
+    of collect-bounds-then-launch-again."""
+    days = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("DataCompleta")
     )
     d = F.col("DataCompleta")
-    return bounds.select(
+    return days.select(
         date_key(d).alias("ChaveData"),
         F.date_format(d, "yyyy-MM-dd").alias("DataCompleta"),
         F.year(d).alias("Ano"),
@@ -120,6 +110,22 @@ def build_calendar_dim(
         dow_name_ptbr(d).alias("DiaDaSemana"),
         quarter_label(d).alias("Trimestre"),
     )
+
+
+def build_calendar_dim(
+    spark: SparkSession, min_date: Column | str, max_date: Column | str
+) -> DataFrame:
+    """One row per day, min..max inclusive, with the reference's 8 derived
+    attributes (gerarDimTempo, FullETLGenerator.java:182-204).
+
+    ``sequence`` + ``explode`` generates rows executor-side in one stage —
+    a century of days is ~36k rows, so this is never the bottleneck.
+    """
+    bounds = spark.range(1).select(
+        F.lit(min_date).cast("date").alias("d0"),
+        F.lit(max_date).cast("date").alias("d1"),
+    )
+    return build_calendar_dim_from_bounds(bounds)
 
 
 @dataclass

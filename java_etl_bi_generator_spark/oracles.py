@@ -756,12 +756,15 @@ ORACLES: dict[str, str] = {
         GROUP BY token
     """,
     "q_arrow_doc_stats": f"""
+        -- coalesce pins the NULL-text convention to the Spark side's
+        -- fillna(""): NULL text counts as 0 tokens/chars/digits in BOTH
+        -- engines (bare length(NULL) would be NULL here but 0 there)
         SELECT doc_id,
                CAST({_N_TOKENS} AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
                     AS BIGINT) AS n_digits
-        FROM documents
+        FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
     """,
     "q_text_stats": f"""
         SELECT doc_id,

@@ -59,7 +59,11 @@ from .operators.dedup import (
     winnow_fingerprints,
 )
 from .operators.similarity import brute_force_topk, ivf_topk
-from .operators.star import build_calendar_dim, build_dimension, dedup_first_row
+from .operators.star import (
+    build_calendar_dim_from_bounds,
+    build_dimension,
+    dedup_first_row,
+)
 from .sources.csv_ref import read_reference_csv, write_reference_csv
 from .streaming.windows import (
     session_agg,
@@ -763,13 +767,15 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_date_dim_generate")
 def q_date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 (FullETLGenerator.java:182-204): calendar dimension spanning the
-    orders date range — sequence+explode, zero driver loops."""
+    orders date range — sequence+explode over the 1-row min/max aggregate,
+    zero driver loops AND zero driver syncs (no ``.first()``: the bounds
+    stay a DataFrame, so the whole dimension is one Spark job)."""
     od = T(spark, sf_dir, "orders")
     bounds = od.agg(
         F.min(F.col("o_orderdate").cast("date")).alias("d0"),
         F.max(F.col("o_orderdate").cast("date")).alias("d1"),
-    ).first()
-    return build_calendar_dim(spark, bounds["d0"], bounds["d1"])
+    )
+    return build_calendar_dim_from_bounds(bounds)
 
 
 @q("q_explode")
