@@ -90,8 +90,9 @@ def image_header_dims(media: DataFrame, content_col: str = "content") -> DataFra
     (bytes 7-10).  No codec, no Python UDF: `substring`/`hex`/`conv` on
     the binary column stay inside whole-stage codegen, so a 100 TB
     metadata sweep never pays a decode or a Python worker.  JPEG needs a
-    marker scan (variable offsets) → that one goes through the
-    Arrow-batched decode path instead; format detected here, dims null."""
+    marker scan (variable offsets) → that one goes through
+    ``image_dims_arrow`` (bounded ``mapInPandas``, SOF scan); format
+    detected here, dims null."""
     fmt = (
         F.when(
             F.hex(F.expr(f"substring({content_col}, 1, 8)"))
@@ -115,6 +116,94 @@ def image_header_dims(media: DataFrame, content_col: str = "content") -> DataFra
         F.when(F.col("format") == "png", _be32(content_col, 21))
         .when(F.col("format") == "gif", _le16(content_col, 9))
         .alias("header_height"),
+    )
+
+
+def jpeg_sof_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG byte stream by scanning to the first
+    SOF marker — a real header parse, no codec needed.  JPEG is a
+    sequence of ``FF xx [len16be payload]`` segments; every SOFn frame
+    header (C0-CF minus C4/C8/CC, which are DHT/JPG/DAC) stores
+    ``[precision u8][height u16be][width u16be]`` at the start of its
+    payload.  Returns None for non-JPEG or truncated input."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1  # filler/garbage: resync to the next marker
+            continue
+        marker = b[i + 1]
+        if marker in (0xFF, 0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length field
+            continue
+        if marker == 0xDA:
+            return None  # start-of-scan before any SOF: no dims
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None  # corrupt length: bail rather than loop forever
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height = int.from_bytes(b[i + 5 : i + 7], "big")
+            width = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (width, height)
+        i += 2 + seg_len
+    return None
+
+
+DIMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def image_dims_arrow(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Pixel dimensions for png/gif/jpeg via the Arrow decode path —
+    the variable-offset JPEG SOF scan cannot be a codegen expression, so
+    it runs in bounded ``mapInPandas`` batches (each task holds at most
+    ``batch_size`` payloads; no collect, no driver loop).  PNG/GIF dims
+    here agree byte-for-byte with the codegen ``image_header_dims``."""
+
+    def _dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts: list[str | None] = []
+            ws: list[int | None] = []
+            hs: list[int | None] = []
+            for c in pdf["content"]:
+                b = bytes(c) if c is not None else b""
+                if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+                    fmts.append("png")
+                    ws.append(int.from_bytes(b[16:20], "big"))
+                    hs.append(int.from_bytes(b[20:24], "big"))
+                elif b[:4] == b"GIF8" and len(b) >= 10:
+                    fmts.append("gif")
+                    ws.append(int.from_bytes(b[6:8], "little"))
+                    hs.append(int.from_bytes(b[8:10], "little"))
+                elif b[:2] == b"\xff\xd8":
+                    fmts.append("jpeg")
+                    wh = jpeg_sof_dims(b)
+                    ws.append(wh[0] if wh else None)
+                    hs.append(wh[1] if wh else None)
+                else:
+                    fmts.append("unknown")
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.select("media_id", "content").mapInPandas(
+        _dims, schema=DIMS_SCHEMA
     )
 
 

@@ -109,3 +109,74 @@ def test_image_header_dims_is_codegen_only(spark):
     plan = explain_simple(image_header_dims(synthetic_media(spark, n=4)))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def _minimal_jpeg(width, height, progressive=False):
+    """SOI + APP0(JFIF) + [DQT filler] + SOF0/SOF2 + EOI — the smallest
+    structurally valid marker stream carrying real dimensions."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = (
+        sof_marker
+        + struct.pack(">H", 17)          # segment length
+        + b"\x08"                         # precision
+        + struct.pack(">HH", height, width)
+        + b"\x03"                         # 3 components
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+
+def test_jpeg_sof_dims_pure():
+    from java_etl_bi_generator_spark.sources.multimodal import jpeg_sof_dims
+
+    assert jpeg_sof_dims(_minimal_jpeg(320, 240)) == (320, 240)
+    assert jpeg_sof_dims(_minimal_jpeg(1, 65535, progressive=True)) == (1, 65535)
+    assert jpeg_sof_dims(b"\xff\xd8\xff\xd9") is None      # no SOF
+    assert jpeg_sof_dims(b"not jpeg") is None
+    assert jpeg_sof_dims(b"\xff\xd8\xff\xdb\x00\x00") is None  # corrupt len
+    # restart markers and filler FF bytes must be skipped, not parsed
+    weird = b"\xff\xd8" + b"\xff\xff" + b"\xff\xd0" + _minimal_jpeg(7, 9)[2:]
+    assert jpeg_sof_dims(weird) == (7, 9)
+
+
+def test_image_dims_arrow_covers_png_gif_jpeg(spark):
+    """The Arrow decode path yields real dims for all three formats —
+    including JPEG via the SOF marker scan that codegen cannot express."""
+    import struct
+
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        image_dims_arrow,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x02\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    media = spark.createDataFrame(
+        [
+            (1, png),
+            (2, gif),
+            (3, _minimal_jpeg(800, 600)),
+            (4, _minimal_jpeg(12, 34, progressive=True)),
+            (5, b"junk"),
+            (6, None),
+        ],
+        "media_id bigint, content binary",
+    )
+    got = {
+        r["media_id"]: (r["format"], r["width"], r["height"])
+        for r in image_dims_arrow(media).collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("jpeg", 800, 600)
+    assert got[4] == ("jpeg", 12, 34)
+    assert got[5] == ("unknown", None, None)
+    assert got[6] == ("unknown", None, None)
