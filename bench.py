@@ -44,6 +44,10 @@ HEADLINE = [
     "q_rfm",                 # 3-way ntile segmentation
     "q_chunk_documents",     # overlapping token-window chunking
     "q_basket_pairs",        # within-basket co-occurrence + lift
+    "q_pagerank",            # iterative integer PageRank (checkpointed)
+    "q_exact_median_rank",   # distributed global-rank exact median
+    "q_bucketed_join",       # shuffle-free pre-bucketed fact join
+    "q_rolling_distinct",    # rolling window distinct users
 ]
 
 

@@ -43,10 +43,19 @@ def dsum(c: Column, scale: int = 2) -> Column:
     codegen long path on a 600k-row TPC-H Q1 aggregate set).  The scaled
     BIGINT sum stays inside whole-stage codegen.
 
-    Range: the scaled per-row values sum in a BIGINT (overflow at ~9.2e18
-    — e.g. 9e12 rows of ~1e6-scaled values); the final division is exact
-    while the scaled total stays under 2^53, and beyond that both engines
-    round the integer->double conversion identically (nearest-even), so
+    Range: the scaled per-row values sum in a BIGINT (overflow at ~9.2e18).
+    The safe row count is scale-dependent — per-row magnitude ~1e4 gives
+    ~1e{14-scale} rows headroom: effectively unbounded at scale 2, but at
+    scale 6 a fact-table sum of ~1e5-magnitude values (TPC-H Q1
+    sum_charge: ~1e11 scaled per row) overflows around 1e8 qualifying
+    rows (~sf20-50).  Spark 4 runs ANSI-on, so overflow fails LOUDLY
+    rather than wrapping; callers summing at scale >= 4 over fact tables
+    beyond that bound should aggregate in DECIMAL(38,s) instead
+    (``F.sum(c.cast(f"decimal(38,{scale})"))`` — exact at any row count,
+    at the cost of leaving the codegen long path; DuckDB's HUGEINT
+    accumulator keeps matching it).  The final division is exact while
+    the scaled total stays under 2^53, and beyond that both engines round
+    the integer->double conversion identically (nearest-even), so
     cross-engine parity survives even when the last ulp is off the exact
     decimal value.  Requires inputs that are true fixed-decimal
     quantities at ``scale``.
