@@ -98,19 +98,21 @@ _SHOWCASE: tuple[str, ...] = (
     "q_locale_decimal_parse", "q_month_name_ptbr",
     # scan / project / filter (§2.2)
     "q_project", "q_filter", "q_distinct",
-    # joins (§2.4)
-    "q_join_inner", "q_join_star_3way", "q_join_semi",
+    # joins (§2.4) — anti included: its non-empty rewrite needs driver
+    # evidence (the old all-orders variant passed on empty==empty)
+    "q_join_inner", "q_join_star_3way", "q_join_semi", "q_join_anti",
     "q_join_range", "q_join_asof",
     # UDF surface (§2.13): Arrow-batched mapInPandas, hash-checked
     "q_arrow_doc_stats",
     # aggregation (§2.5)
     "q_minmax_date", "q_groupby_sum", "q_groupby_multi_agg",
     "q_count_distinct", "q_rollup", "q_rfm",
+    # set ops (§2.10) — multiset EXCEPT ALL, likewise rewritten non-empty
+    "q_except",
     # advanced relational
-    "q_scalar_subquery", "q_percentile", "q_merge_upsert", "q_stats_moments",
+    "q_scalar_subquery", "q_percentile", "q_merge_upsert",
     # windows (§2.6)
     "q_window_rank", "q_window_lag", "q_window_running_sum",
-    "q_topn_per_group",
     # event-time analytics (§2.11 batch twins + §2.14)
     "q_window_tumbling", "q_window_session", "q_sessionize", "q_funnel",
     # SQL front door (engine-portable spark.sql statement)
