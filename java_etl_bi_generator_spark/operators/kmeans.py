@@ -1,0 +1,130 @@
+"""Distributed k-means (Lloyd's) over an embedding column — the missing
+trainer for the IVF index (similarity.py's ``ivf_topk`` consumes any cell
+assignment; until now only the testdata's pre-existing ``label`` or a
+caller-provided clustering existed).  Public algorithm (Lloyd 1982; the
+IVF coarse quantizer in FAISS is exactly this).
+
+Scale shape — the part that matters at 100 TB:
+
+- The **model** (k × dim doubles) lives on the driver and is folded into
+  the plan as literal arrays each iteration.  k ≤ a few thousand and
+  dim ≤ a few thousand ⇒ at most a few MB of literals — the standard
+  "broadcast the model, shuffle only the sufficient statistics" layout.
+- **Assignment is a pure map**: per row, squared-L2 to each of the k
+  literal centroids via ``aggregate(zip_with(...))`` higher-order
+  functions (JVM-side, no UDF), argmin via ``array_min`` over
+  ``struct(dist, idx)`` (struct ordering ⇒ ties break to the lowest
+  index, deterministically).  No join, no shuffle.
+- **Update shuffles only k × dim rows**: ``posexplode`` the vector,
+  partial-aggregate ``sum(v), count`` per (cell, pos) map-side, final
+  combine is k × dim rows regardless of corpus size.
+- Per iteration: one scan + one tiny shuffle + one k×dim collect.
+  ``iters`` is fixed (no convergence-dependent row counts), so results
+  are deterministic for a given input and seed order.
+
+Empty cells keep their previous centroid (documented standard choice;
+re-seeding would break determinism).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.vectors import as_double_array
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between an array<double> column and a literal
+    centroid, accumulated left-to-right in double (bit-reproducible)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid]).cast("array<double>")
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def nearest_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """Index (0-based int) of the nearest centroid by squared L2.
+
+    ``array_min`` over ``struct(dist, idx)`` compares field-by-field, so
+    equal distances deterministically pick the lower index."""
+    v = as_double_array(vec_col)
+    cands = F.array(
+        *[
+            F.struct(
+                _sq_dist(v, c).alias("d"), F.lit(i).alias("i")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(cands)["i"]
+
+
+def _seed_centroids(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic pseudo-random init: the k vectors whose md5(id) sorts
+    first.  Hash order decorrelates the seeds from ingestion order (the
+    first-k-rows trap: a sorted corpus seeds all centroids in one corner)
+    while staying seedless and engine-portable.  TakeOrderedAndProject ⇒
+    per-partition heaps, only k rows reach the driver."""
+    rows = (
+        embeddings.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            as_double_array(vec_col).alias("__v"),
+        )
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    return [list(r["__v"]) for r in rows]
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train k centroids with ``iters`` Lloyd rounds; returns the model as
+    a plain list-of-lists (k × dim) — small enough to embed in any plan."""
+    centroids = _seed_centroids(embeddings, k, id_col, vec_col)
+    dim = len(centroids[0])
+    vecs = embeddings.select(as_double_array(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = vecs.withColumn("__cell", nearest_cell(F.col("__v"), centroids))
+        stats = (
+            assigned.select(
+                "__cell", F.posexplode("__v").alias("__pos", "__x")
+            )
+            .groupBy("__cell", "__pos")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty cells keep their centroid
+        acc: dict[int, list[float]] = {}
+        for r in stats:
+            acc.setdefault(r["__cell"], [0.0] * dim)[r["__pos"]] = (
+                r["__s"] / r["__n"]
+            )
+        for cell, mean in acc.items():
+            nxt[cell] = mean
+        centroids = nxt
+    return centroids
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Tag each vector with its nearest trained centroid — the IVF index
+    build.  Pure map (no shuffle); write the result partitioned/bucketed
+    by ``cell_col`` and ``ivf_topk`` probes prune whole partitions."""
+    return embeddings.withColumn(
+        cell_col, nearest_cell(F.col(vec_col), centroids)
+    )

@@ -1235,6 +1235,50 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(em, _query_vector(spark, sf_dir), k=10, nprobe=2)
 
 
+@q("q_kmeans_cells")
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (rows-only): distributed Lloyd's k-means over the embedding
+    corpus — the IVF coarse-quantizer trainer (operators/kmeans.py).  Per
+    iteration the model (k×dim literals) rides the plan and only k×dim
+    sufficient-statistic rows shuffle; assignment is a pure map.  Output:
+    cell sizes + mean within-cell squared distance (the quantity Lloyd's
+    monotonically decreases), rounded for portability."""
+    from .operators.kmeans import assign_cells, kmeans_fit, _sq_dist
+
+    em = T(spark, sf_dir, "embeddings")
+    model = kmeans_fit(em, k=8, iters=3)
+    assigned = assign_cells(em, model)
+    dist_cols = [
+        F.when(F.col("cell") == i, _sq_dist(F.col("embedding").cast("array<double>"), c))
+        for i, c in enumerate(model)
+    ]
+    return (
+        assigned.withColumn("__d", F.coalesce(*dist_cols))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            pround(F.avg("__d"), 4).alias("mean_sq_dist"),
+        )
+        .orderBy("cell")
+    )
+
+
+@q("q_vector_topk_ivf_trained")
+def q_vector_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (rows-only): IVF probe over TRAINED cells — kmeans_fit builds the
+    coarse quantizer, assign_cells tags the corpus (pure map), ivf_topk
+    probes the nprobe nearest cells only.  The full index lifecycle with
+    no pre-existing labels."""
+    from .operators.kmeans import assign_cells, kmeans_fit
+
+    em = T(spark, sf_dir, "embeddings")
+    model = kmeans_fit(em, k=8, iters=2)
+    assigned = assign_cells(em, model)
+    return ivf_topk(
+        assigned, _query_vector(spark, sf_dir), k=10, nprobe=3, cell_col="cell"
+    )
+
+
 @q("q_text_stats")
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: token/punct/stopword counts — all integer, exactly comparable."""

@@ -1,0 +1,100 @@
+"""Distributed k-means trainer (operators/kmeans.py): recovery of planted
+clusters, determinism, assignment semantics, and the IVF-trained registry
+queries."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from java_etl_bi_generator_spark.catalog import load_table
+from java_etl_bi_generator_spark.operators.kmeans import (
+    assign_cells,
+    kmeans_fit,
+    nearest_cell,
+)
+
+
+def _planted(spark, n_per=40, dim=8):
+    """3 well-separated clusters at 0, 10 and -10 on every axis, with a
+    small deterministic per-row jitter (hash-derived, no RNG)."""
+    base = spark.range(3 * n_per).withColumnRenamed("id", "vec_id")
+    center = (F.col("vec_id") % 3).cast("int")
+    offs = F.when(center == 0, F.lit(0.0)).when(center == 1, F.lit(10.0)).otherwise(
+        F.lit(-10.0)
+    )
+    jitter = [
+        (F.pmod(F.hash(F.col("vec_id"), F.lit(d)), F.lit(100)).cast("double") / 1000.0)
+        for d in range(dim)
+    ]
+    return base.select(
+        "vec_id",
+        center.alias("planted"),
+        F.array(*[offs + j for j in jitter]).alias("embedding"),
+    )
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    df = _planted(spark)
+    model = kmeans_fit(df, k=3, iters=4)
+    assigned = assign_cells(df, model)
+    # every planted cluster maps to exactly one cell and vice versa
+    m = (
+        assigned.groupBy("planted")
+        .agg(F.countDistinct("cell").alias("ncells"), F.first("cell").alias("cell"))
+        .collect()
+    )
+    assert all(r["ncells"] == 1 for r in m)
+    assert len({r["cell"] for r in m}) == 3
+    # each centroid sits within jitter range of its planted center
+    for c in model:
+        lead = round(c[0] / 10) * 10
+        assert all(abs(x - lead) < 0.2 for x in c)
+
+
+def test_kmeans_deterministic(spark):
+    df = _planted(spark)
+    m1 = kmeans_fit(df, k=3, iters=3)
+    m2 = kmeans_fit(df, k=3, iters=3)
+    assert m1 == m2
+
+
+def test_nearest_cell_tie_breaks_low_index(spark):
+    # equidistant centroids -> lowest index wins (struct ordering)
+    df = spark.createDataFrame([([0.0, 0.0],)], "embedding array<double>")
+    cell = df.select(
+        nearest_cell(F.col("embedding"), [[1.0, 0.0], [-1.0, 0.0]]).alias("c")
+    ).first()["c"]
+    assert cell == 0
+
+
+def test_empty_cell_keeps_centroid(spark):
+    # k=3 over 2 distinct points: one cell never receives members after the
+    # first assignment and must keep its seed centroid (no NaN, no drop)
+    df = spark.createDataFrame(
+        [(i, [float(i % 2) * 100.0, 0.0]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    model = kmeans_fit(df, k=3, iters=3)
+    assert len(model) == 3
+    assert all(all(x == x for x in c) for c in model)  # no NaN
+
+
+def test_ivf_trained_query_matches_bruteforce_head(spark, sf_dir):
+    """With nprobe=3 of k=8 cells the trained probe must still place the
+    query vector itself (vec_id=0, cosine 1.0) first."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    top = registry()["q_vector_topk_ivf_trained"](spark, sf_dir).collect()
+    assert len(top) == 10
+    assert top[0]["vec_id"] == 0
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_kmeans_cells_query_shape(spark, sf_dir):
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_kmeans_cells"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n
+    assert all(r["mean_sq_dist"] >= 0 for r in rows)
