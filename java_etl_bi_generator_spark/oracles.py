@@ -1908,6 +1908,19 @@ ORACLES: dict[str, str] = {
                event_type AS last_type, ms AS last_ms
         FROM r WHERE rn = 1
     """,
+    "q_stream_merge": """
+        -- batch arg-max twin of the streaming keep-latest merge sink:
+        -- commutativity over micro-batch boundaries makes the published
+        -- snapshot equal this single-pass latest-event-per-user
+        WITH r AS (
+          SELECT user_id, event_id, event_type, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, ts_epoch, event_id, event_type, value
+        FROM r WHERE rn = 1
+    """,
     "q_hierarchy_paths": """
         WITH RECURSIVE nodes AS (
           SELECT p_partkey AS node FROM part WHERE p_partkey <= 2000),

@@ -111,10 +111,12 @@ _SHOWCASE: tuple[str, ...] = (
     "q_except",
     # advanced relational
     "q_scalar_subquery", "q_percentile", "q_merge_upsert",
-    # windows (§2.6)
-    "q_window_rank", "q_window_lag", "q_window_running_sum",
-    # event-time analytics (§2.11 batch twins + §2.14)
+    # windows (§2.6; q_window_lag stays hash-checked in the full sweep)
+    "q_window_rank", "q_window_running_sum",
+    # event-time analytics (§2.11 batch twins + §2.14) + the streaming
+    # incremental-merge sink (hash-checked end-to-end through foreachBatch)
     "q_window_tumbling", "q_window_session", "q_sessionize", "q_funnel",
+    "q_stream_merge",
     # SQL front door (engine-portable spark.sql statement)
     "q_sql_interface",
     # TPC-H (§2.14)
@@ -1151,6 +1153,57 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.joins import streaming_dedup
 
     return streaming_dedup(spark, f"{sf_dir}/events.parquet")
+
+
+@q("q_stream_merge")
+def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5+ (hash-checked): the streaming incremental-merge sink end to
+    end.  The events feed is split into 3 files and streamed one file per
+    micro-batch (availableNow) through ``foreachBatch`` keep-latest
+    upserts into a versioned parquet table (streaming/sink.py: atomic
+    pointer publish, batch-id replay idempotence); the returned snapshot
+    is the latest event per user.  Because the merge is commutative over
+    batch boundaries, the published state equals the batch arg-max — so
+    unlike the other q_stream_* entries this one is fully
+    oracle-checkable, proving the sink's multi-batch semantics, not just
+    that it ran."""
+    import os
+    import tempfile
+
+    from .streaming.sink import current_snapshot, merge_stream_into_parquet
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="q_stream_merge_")
+    src = os.path.join(tmp, "src")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qh = merge_stream_into_parquet(
+        stream,
+        os.path.join(tmp, "table"),
+        key_col="user_id",
+        order_col="ts",
+        tiebreak_col="event_id",
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        query_name="q_stream_merge",
+    )
+    qh.awaitTermination()
+    snap = current_snapshot(spark, os.path.join(tmp, "table"))
+    return snap.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "event_id",
+        "event_type",
+        "value",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,8 @@ DOCUMENTED_ROWS_ONLY = {
     "q_vector_topk_lsh",
     "q_approx_count_distinct",
     "q_approx_percentile",
+    "q_kmeans_cells",
+    "q_vector_topk_ivf_trained",
 }
 
 # Streaming queries build readStream plans; explain() would need a query

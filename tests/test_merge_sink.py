@@ -1,0 +1,109 @@
+"""Streaming incremental merge sink (streaming/sink.py): multi-batch
+keep-latest upsert, versioned atomic publish, batch-replay idempotence,
+and batch-split independence of the final table state."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from java_etl_bi_generator_spark.catalog import load_table
+from java_etl_bi_generator_spark.streaming.sink import (
+    apply_merge_batch,
+    current_snapshot,
+    keep_latest_merge,
+    merge_stream_into_parquet,
+)
+
+COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(*COLS)
+        .filter(F.col("user_id") < 200)
+    )
+
+
+def _run_stream(spark, events, tmp, n_files):
+    src = os.path.join(tmp, "src")
+    events.repartition(n_files).write.parquet(src)
+    target = os.path.join(tmp, "table")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = merge_stream_into_parquet(
+        stream,
+        target,
+        key_col="user_id",
+        order_col="ts",
+        tiebreak_col="event_id",
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    q.awaitTermination(120)
+    return target
+
+
+def test_merge_sink_end_state_and_versions(spark, events):
+    tmp = tempfile.mkdtemp(prefix="merge_sink_")
+    try:
+        target = _run_stream(spark, events, tmp, n_files=3)
+        versions = sorted(
+            d for d in os.listdir(target) if d.startswith("v")
+        )
+        assert len(versions) == 3  # one applied snapshot per micro-batch
+        with open(os.path.join(target, "_LATEST")) as f:
+            assert f.read().strip() == versions[-1]
+
+        got = current_snapshot(spark, target)
+        expected = keep_latest_merge(None, events, "user_id", "ts", "event_id")
+        assert got.count() == events.select("user_id").distinct().count()
+        assert (
+            got.exceptAll(expected.select(*got.columns)).count() == 0
+            and expected.select(*got.columns).exceptAll(got).count() == 0
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_sink_batch_split_invariance(spark, events):
+    """1-batch and 4-batch ingestion publish identical table state —
+    keep-latest is commutative over micro-batch boundaries."""
+    t1, t4 = tempfile.mkdtemp(prefix="ms1_"), tempfile.mkdtemp(prefix="ms4_")
+    try:
+        a = current_snapshot(spark, _run_stream(spark, events, t1, 1))
+        b = current_snapshot(spark, _run_stream(spark, events, t4, 4))
+        assert a.exceptAll(b.select(*a.columns)).count() == 0
+        assert b.select(*a.columns).exceptAll(a).count() == 0
+    finally:
+        shutil.rmtree(t1, ignore_errors=True)
+        shutil.rmtree(t4, ignore_errors=True)
+
+
+def test_merge_batch_replay_is_idempotent(spark, events):
+    tmp = tempfile.mkdtemp(prefix="merge_replay_")
+    try:
+        target = os.path.join(tmp, "table")
+        os.makedirs(target)
+        b0 = events.limit(50)
+        assert apply_merge_batch(b0, 0, target, "user_id", "ts", "event_id")
+        before = sorted(current_snapshot(spark, target).collect())
+        # at-least-once replay of the same batch id: skipped, state unchanged
+        assert not apply_merge_batch(b0, 0, target, "user_id", "ts", "event_id")
+        assert not apply_merge_batch(
+            events.limit(10), 0, target, "user_id", "ts", "event_id"
+        )
+        assert sorted(current_snapshot(spark, target).collect()) == before
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
