@@ -88,3 +88,60 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.sql("DROP TABLE IF EXISTS cust_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_compact_parquet_shrinks_file_count(spark, sf_dir):
+    import glob
+    import os
+
+    from java_etl_bi_generator_spark.sources.parquet_sink import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = tempfile.mkdtemp(prefix="compact_") + "/events_small_files"
+    ev.repartition(40).write.parquet(out)
+    before_files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(before_files) == 40
+    total = sum(os.path.getsize(p) for p in before_files)
+    n_rows = ev.count()
+
+    # target half the table per file -> exactly 2 output files
+    n_after = compact_parquet(spark, out, target_file_bytes=(total + 1) // 2)
+    assert n_after == 2
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) == 2
+    assert not os.path.exists(out + ".__compacting__")
+    assert not os.path.exists(out + ".__precompact__")
+
+    back = spark.read.parquet(out)
+    assert back.count() == n_rows
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+
+def test_compact_parquet_with_sort_clusters_minmax(spark, sf_dir):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from java_etl_bi_generator_spark.sources.parquet_sink import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = tempfile.mkdtemp(prefix="compact_sorted_") + "/events_sorted"
+    ev.repartition(16).write.parquet(out)
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(out, "*.parquet"))
+    )
+    compact_parquet(
+        spark, out, target_file_bytes=(total + 3) // 4, sort_cols=["event_id"]
+    )
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert 1 < len(files) <= 5
+    # range-partitioned + sorted layout => per-file event_id ranges are
+    # disjoint, which is what makes min/max footer skipping effective
+    ranges = []
+    for p in files:
+        t = pq.read_table(p, columns=["event_id"])["event_id"].to_pylist()
+        if t:
+            ranges.append((min(t), max(t)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
