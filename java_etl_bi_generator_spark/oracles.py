@@ -1908,6 +1908,63 @@ ORACLES: dict[str, str] = {
                event_type AS last_type, ms AS last_ms
         FROM r WHERE rn = 1
     """,
+    "q_synthetic_events": """
+        -- splitmix64 (Vigna's public-domain finalizer) re-derived in pure
+        -- SQL: UHUGEINT keeps the 64x64 products exact, % 2^64 wraps them,
+        -- xor/shift run on UBIGINT — bit-identical to the numpy generator
+        WITH m1 AS (
+          SELECT i,
+                 xor(((i::UHUGEINT + 11400714819323198485::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT,
+                     (((i::UHUGEINT + 11400714819323198485::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT >> 30)) AS z1
+          FROM range(0, 2000) t(i)),
+        m2 AS (
+          SELECT i, xor(((z1::UHUGEINT * 13787848793156543929::UHUGEINT)
+                         % 18446744073709551616::UHUGEINT)::UBIGINT,
+                        (((z1::UHUGEINT * 13787848793156543929::UHUGEINT)
+                         % 18446744073709551616::UHUGEINT)::UBIGINT >> 27))
+                 AS z2
+          FROM m1),
+        h AS (
+          SELECT i, xor(((z2::UHUGEINT * 10723151780598845931::UHUGEINT)
+                         % 18446744073709551616::UHUGEINT)::UBIGINT,
+                        (((z2::UHUGEINT * 10723151780598845931::UHUGEINT)
+                         % 18446744073709551616::UHUGEINT)::UBIGINT >> 31))
+                 AS h
+          FROM m2),
+        -- second mix round: h2 = mix(h)
+        n1 AS (
+          SELECT i, h,
+                 xor(((h::UHUGEINT + 11400714819323198485::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT,
+                     (((h::UHUGEINT + 11400714819323198485::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT >> 30)) AS y1
+          FROM h),
+        n2 AS (
+          SELECT i, h, xor(((y1::UHUGEINT * 13787848793156543929::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT)::UBIGINT,
+                           (((y1::UHUGEINT * 13787848793156543929::UHUGEINT)
+                            % 18446744073709551616::UHUGEINT)::UBIGINT >> 27))
+                 AS y2
+          FROM n1),
+        h2 AS (
+          SELECT i, h,
+                 xor(((y2::UHUGEINT * 10723151780598845931::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT,
+                     (((y2::UHUGEINT * 10723151780598845931::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT >> 31))
+                 AS h2
+          FROM n2)
+        SELECT CAST(i AS BIGINT) AS event_id,
+               CAST((1704067200 + i) * 1000000
+                    + CAST(h % 1000000::UBIGINT AS BIGINT) AS BIGINT) AS ts_us,
+               CAST(h % 100::UBIGINT AS BIGINT) AS user_id,
+               ['view','click','cart','purchase'][
+                   CAST(h2 % 4::UBIGINT AS INT) + 1] AS event_type,
+               CAST((h2 >> 8) % 1000000::UBIGINT AS DOUBLE) / 100.0 AS value
+        FROM h2
+    """,
     "q_stream_merge": """
         -- batch arg-max twin of the streaming keep-latest merge sink:
         -- commutativity over micro-batch boundaries makes the published

@@ -1206,6 +1206,39 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_synthetic_events")
+def q_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source API (hash-checked): 2000 rows from the
+    deterministic synthetic events generator (sources/synthetic.py — no
+    files, rows synthesized in executors from a splitmix64 row hash).
+    The DuckDB oracle re-derives every column from the same integer
+    recurrence in pure SQL (UHUGEINT mod-2^64 arithmetic), so the hash
+    match proves the generator is engine-portable bit-for-bit — the
+    property that lets tests at any scale assert exact content without
+    storing fixtures.  Ignores ``sf_dir`` by design: the source IS the
+    data."""
+    from .sources.synthetic import SyntheticEventsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 2000)
+        .option("partitions", 4)
+        .option("numUsers", 100)
+        .load()
+    )
+    return df.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.12 LLM-pipeline operators
 # ---------------------------------------------------------------------------
