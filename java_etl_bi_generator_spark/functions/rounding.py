@@ -70,3 +70,30 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
         f"(CAST(sum(CAST(floor((({expr}) * {s}.0) + 0.5) AS BIGINT)) "
         f"AS DOUBLE) / {s}.0)"
     )
+
+
+def dsum_wide(c: Column, scale: int = 2) -> Column:
+    """``dsum`` beyond the BIGINT bound: identical per-row scaling, but
+    the accumulator is DECIMAL(38,0) — exact to ~1e38, i.e. any realistic
+    row count at any scale.  This is the documented fallback for
+    scale >= 4 sums over fact tables past ~1e8 rows (where dsum's scaled
+    BIGINT would ANSI-overflow); it leaves the codegen long path (~4x
+    CPU on the agg — see dsum), so reach for it only past the bound.
+    Same value as dsum wherever both are defined: integer accumulation
+    either way, double conversion rounds nearest-even in both engines.
+    """
+    s = F.lit(float(10**scale))
+    return (
+        F.sum(F.floor(c * s + F.lit(0.5)).cast("decimal(38,0)"))
+        .cast("double")
+        / s
+    )
+
+
+def dsum_wide_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of ``dsum_wide`` (HUGEINT accumulator — exact)."""
+    s = 10**scale
+    return (
+        f"(CAST(sum(CAST(floor((({expr}) * {s}.0) + 0.5) AS HUGEINT)) "
+        f"AS DOUBLE) / {s}.0)"
+    )

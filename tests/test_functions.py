@@ -131,3 +131,62 @@ def test_pround_spark_matches_duckdb(spark):
         for v in vals
     ]
     assert sp == du
+
+
+def test_dsum_wide_equals_dsum_in_range(spark, sf_dir):
+    """Where both are defined (scaled total < 2^63) the DECIMAL(38,0)
+    accumulator must produce the identical double."""
+    from java_etl_bi_generator_spark.catalog import load_table
+    from java_etl_bi_generator_spark.functions.rounding import dsum, dsum_wide
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_extendedprice")).alias("a"),
+        dsum_wide(F.col("l_extendedprice")).alias("b"),
+        dsum(F.col("l_extendedprice"), scale=6).alias("a6"),
+        dsum_wide(F.col("l_extendedprice"), scale=6).alias("b6"),
+    )
+    for r in got.collect():
+        assert r["a"] == r["b"]
+        assert r["a6"] == r["b6"]
+
+
+def test_dsum_wide_survives_bigint_overflow(spark):
+    """Past the BIGINT bound dsum fails loudly (ANSI) while dsum_wide
+    keeps the exact sum — the scale>=4 fact-table fallback."""
+    import pytest
+
+    from java_etl_bi_generator_spark.functions.rounding import dsum, dsum_wide
+
+    # each row's scaled value is 9e18 (just under 2^63); two rows overflow
+    df = spark.createDataFrame([(9.0e16,)] * 3, "x double")
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC"):
+        df.agg(dsum(F.col("x")).alias("s")).collect()
+    got = df.agg(dsum_wide(F.col("x")).alias("s")).first()["s"]
+    assert got == pytest.approx(2.7e17, rel=1e-12)
+
+
+def test_dsum_wide_sql_twin_matches(spark, sf_dir):
+    import duckdb
+
+    from java_etl_bi_generator_spark.catalog import load_table
+    from java_etl_bi_generator_spark.functions.rounding import (
+        dsum_wide,
+        dsum_wide_sql,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r["l_returnflag"]: r["s"]
+        for r in li.groupBy("l_returnflag")
+        .agg(dsum_wide(F.col("l_extendedprice"), scale=6).alias("s"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT l_returnflag, {dsum_wide_sql('l_extendedprice', 6)} "
+            f"FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
