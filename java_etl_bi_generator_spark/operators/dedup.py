@@ -85,7 +85,7 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def lsh_band_buckets(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -93,11 +93,9 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding: signature split into
-    ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any band
-    bucket become a candidate pair.  The join is an equi-join on
-    (band, bucket-hash) — shuffle-partitioned, broadcast-free, and skew
-    handled by AQE; only same-bucket pairs are generated."""
+    """(id, band, bucket) rows: the signature split into ``bands`` bands,
+    each hashed to a bucket id — the shared first stage of candidate-pair
+    enumeration and star-edge clustering."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = [
@@ -115,9 +113,36 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: signature split into
+    ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any band
+    bucket become a candidate pair.  The join is an equi-join on
+    (band, bucket-hash) — shuffle-partitioned, broadcast-free, and skew
+    handled by AQE; only same-bucket pairs are generated.
+
+    Scale bound: pair ENUMERATION is inherently |bucket|² — a boilerplate
+    mega-cluster of 60k identical docs is 1.8e9 pairs by definition
+    (measured: 500k synthetic docs with 1/8 duplicate mass over 64
+    sources put the pairwise join at ~90 s where every other corpus op
+    stayed sub-5 s).  When the goal is dedup GROUPS rather than scored
+    pairs, use ``minhash_lsh_dup_clusters`` below (star edges — linear in
+    bucket size, identical components), and always collapse exact
+    duplicates (exact_dedup_groups) before pair scoring."""
+    buckets = lsh_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
     # The self-join would otherwise recompute the whole shingle->signature
     # pipeline for each side; materialize it once (at corpus scale you
     # would write signatures to a table instead).
@@ -139,6 +164,45 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def minhash_lsh_dup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERS from LSH banding at linear cost: each (band,
+    bucket) emits STAR edges (bucket-min -> member) instead of all
+    |bucket|² pairs.  A star spans exactly the nodes the bucket clique
+    spans, so connected components over star edges equal components over
+    the full candidate-pair graph — the output contract of
+    "group near-duplicates" is preserved while a 60k-doc boilerplate
+    bucket costs 60k edge rows, not 1.8e9.  (Same trick FAISS-style IVF
+    uses for posting lists, and the reason production dedup pipelines
+    cluster via union-find over buckets rather than materialized pairs.)
+
+    One shuffle to (band, bucket) for the window min; dup-heavy buckets
+    are single window partitions processed linearly.  Returns
+    (node, component) per doc that shares at least one bucket."""
+    from pyspark.sql import Window
+
+    from .graph import connected_components
+
+    buckets = lsh_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    w = Window.partitionBy("band", "bucket")
+    edges = (
+        buckets.withColumn("root", F.min(id_col).over(w))
+        .filter(F.col(id_col) > F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    return connected_components(edges, max_iterations=max_iterations)
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

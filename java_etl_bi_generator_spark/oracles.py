@@ -669,6 +669,61 @@ ORACLES: dict[str, str] = {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     """,
+    # Same banding as q_dedup_near, but star edges (bucket-min -> member)
+    # + recursive min-label components — the linear-cost cluster contract.
+    "q_dedup_near_clusters": f"""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh3 AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            END)) AS sh
+          FROM docs
+        ),
+        dg AS (SELECT doc_id, md5(sh) AS m FROM sh3),
+        hh AS (
+          SELECT doc_id,
+                 {_hex_bigint('m', 1, 15)} AS h1,
+                 {_hex_bigint('m', 17, 12)} AS h2
+          FROM dg
+        ),
+        mh AS (
+          SELECT doc_id, i,
+                 min((h1 + i * h2) & ((CAST(1 AS BIGINT) << 60) - 1)) AS mh
+          FROM hh, (SELECT unnest(range(0, 16)) AS i) idx
+          GROUP BY doc_id, i
+        ),
+        bands AS (
+          SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+          FROM mh GROUP BY doc_id, band
+        ),
+        be AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS root
+          FROM bands
+        ),
+        star AS (
+          SELECT DISTINCT root AS id_a, doc_id AS id_b FROM be
+          WHERE doc_id > root
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM star
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM star
+        ),
+        cc AS (
+          SELECT DISTINCT src AS node, src AS comp FROM edges
+          UNION
+          SELECT e.dst AS node, cc.comp AS comp
+          FROM cc JOIN edges e ON e.src = cc.node
+          WHERE cc.comp < e.dst
+        )
+        SELECT node, min(comp) AS component FROM cc GROUP BY node
+    """,
     # Iterative connected components IS ANSI-expressible after all: min-
     # label propagation as a recursive CTE.  The comp < dst prune is safe:
     # the component minimum m is smaller than every node, so its

@@ -1553,6 +1553,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@q("q_dedup_near_clusters")
+def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (hash-checked): LSH near-dup CLUSTERS at linear cost — the
+    scale-safe companion to q_dedup_near.  Buckets emit star edges
+    (bucket-min -> member) instead of |bucket|² pairs, then iterative
+    min-label connected components; components are provably identical to
+    clustering the full candidate-pair graph (a star spans the clique's
+    node set).  Probe-measured: at 500k docs with heavy boilerplate the
+    pairwise join costs ~90 s while this path stays linear (SCALING.md
+    round-4 table)."""
+    from .operators.dedup import minhash_lsh_dup_clusters
+
+    docs = T(spark, sf_dir, "documents")
+    return minhash_lsh_dup_clusters(docs, "text", "doc_id")
+
+
 @q("q_doc_fingerprint")
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: winnowing document fingerprints (rolling shingle hashes, sliding

@@ -174,3 +174,108 @@ class SyntheticEventsDataSource(DataSource):
 
     def streamReader(self, schema):
         return _StreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic documents — the corpus twin of the events generator, for
+# scale-probing the LLM-pipeline operators (dedup, minhash, tf-idf, text
+# stats) past the sf0.1 fixture.  Same splitmix64 purity: doc ``i``'s
+# text is a function of ``i`` alone.  Controlled duplication: 1/8 of
+# docs (outside a 64-doc base pool) are EXACT copies of a pool doc and
+# another 1/8 are NEAR copies (one word substituted) — so exact-dedup
+# group sizes and MinHash candidate rates stay realistic and *known* at
+# any volume.
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+_VOCAB = [
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "vector", "scan", "fast", "query", "agg", "join", "shuffle", "plan",
+    "table", "index", "merge", "filter", "group", "window", "stream",
+    "state", "hash", "range", "broadcast", "skew", "salt", "bucket",
+    "codec", "page", "footer", "stats", "prune", "push", "cache", "spill",
+    "stage", "task", "executor", "driver", "row", "value", "key", "count",
+    "sum", "min", "max", "avg",
+]
+_LANGS = ["en", "pt", "es", "de", "fr"]
+_POOL = 64  # ids < _POOL are never duplicates; dup sources come from here
+
+
+def _doc_words(i: int, seed: int) -> list[str]:
+    """Base word sequence for doc ``i`` — pure, scalar (used per row; the
+    heavy lifting below batches the hash math in numpy and only joins
+    strings here)."""
+    import numpy as np
+
+    h = int(_mix(np.uint64([i + seed * 1_000_003]))[0])
+    n = 20 + (h >> 8) % 80
+    ks = np.arange(n, dtype=np.uint64)
+    idx = _mix(np.uint64(h) + ks * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(
+        len(_VOCAB)
+    )
+    return [_VOCAB[int(k)] for k in idx]
+
+
+def _gen_doc_batch(start: int, end: int, seed: int):
+    import numpy as np
+    import pyarrow as pa
+
+    i = np.arange(start, end, dtype=np.uint64)
+    h = _mix(i + np.uint64(seed) * np.uint64(0x1000003))
+    h2 = _mix(h)
+    roll = h2 % np.uint64(8)
+    src_pool = (h2 >> np.uint64(16)) % np.uint64(_POOL)
+    texts: list[str] = []
+    for k in range(len(i)):
+        did = int(i[k])
+        if did >= _POOL and roll[k] == 0:  # exact duplicate of a pool doc
+            words = _doc_words(int(src_pool[k]), seed)
+        elif did >= _POOL and roll[k] == 1:  # near duplicate: one word swapped
+            words = _doc_words(int(src_pool[k]), seed)
+            p = int(h[k]) % len(words)
+            words = list(words)
+            words[p] = _VOCAB[(int(h[k]) >> 32) % len(_VOCAB)]
+        else:
+            words = _doc_words(did, seed)
+        texts.append(" ".join(words))
+    lang = [(int(x) % len(_LANGS)) for x in (h >> np.uint64(40))]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(i.astype(np.int64), pa.int64()),
+            pa.array(texts, pa.string()),
+            pa.array([_LANGS[x] for x in lang], pa.string()),
+            pa.array([f"src{int(x) % 4}" for x in (h2 >> np.uint64(40))], pa.string()),
+            pa.array([len(t) for t in texts], pa.int64()),
+        ],
+        names=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+class _DocReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 10_000))
+        self.nparts = int(options.get("partitions", 8))
+        self.seed = int(options.get("seed", 0))
+
+    def partitions(self):
+        step = -(-self.rows // self.nparts)
+        return [
+            _RangePartition(s, min(s + step, self.rows))
+            for s in range(0, self.rows, step)
+        ]
+
+    def read(self, partition):
+        for s in range(partition.start, partition.end, _BATCH):
+            yield _gen_doc_batch(s, min(s + _BATCH, partition.end), self.seed)
+
+
+class SyntheticDocumentsDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthetic_documents"
+
+    def schema(self):
+        return DOC_SCHEMA
+
+    def reader(self, schema):
+        return _DocReader(self.options)

@@ -31,52 +31,90 @@ from java_etl_bi_generator_spark.sources.synthetic import (  # noqa: E402
     SyntheticEventsDataSource,
 )
 
-PROBES = [
+EVENT_PROBES = [
     "q_window_tumbling",
     "q_sessionize",
     "q_funnel",
     "q_rolling_distinct",
-    "q_groupby_sum",  # events-only grouped dsum
 ]
-# q_groupby_sum reads lineitem in the registry — swap for an events twin
-EVENT_ONLY = [p for p in PROBES if p != "q_groupby_sum"]
+DOC_PROBES = [
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_text_stats",
+    "q_tfidf",
+    "q_heavy_hitters",
+]
+
+
+def _probe(spark, qs, probes, tmp, label, n):
+    times = {}
+    for name in probes:
+        qs[name](spark, tmp).write.mode("overwrite").format("noop").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, tmp).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        times[name] = best
+    print(
+        f"| {n:,} | "
+        + " | ".join(f"{times[p]:.2f}" for p in probes)
+        + f" | {sum(times.values()):.2f} |"
+    )
 
 
 def main() -> None:
-    volumes = [int(float(a)) for a in sys.argv[1:]] or [100_000, 1_000_000, 10_000_000]
+    mode = "events"
+    args = sys.argv[1:]
+    if args and args[0] in ("events", "documents"):
+        mode, args = args[0], args[1:]
     spark = get_spark(app_name="scale_probe")
-    spark.dataSource.register(SyntheticEventsDataSource)
     qs = registry()
 
-    print("| events rows | " + " | ".join(EVENT_ONLY) + " | total |")
-    print("|" + "---|" * (len(EVENT_ONLY) + 2))
-    for n in volumes:
-        tmp = tempfile.mkdtemp(prefix=f"scale_probe_{n}_")
-        (
-            spark.read.format("synthetic_events")
-            .option("rows", n)
-            .option("partitions", 32)
-            .option("numUsers", max(1000, n // 100))
-            .load()
-            .withColumn("props", F.lit(None).cast("string"))
-            .write.parquet(os.path.join(tmp, "events.parquet"))
+    if mode == "events":
+        from java_etl_bi_generator_spark.sources.synthetic import (
+            SyntheticEventsDataSource,
         )
-        times = {}
-        for name in EVENT_ONLY:
-            qs[name](spark, tmp).write.mode("overwrite").format("noop").save()  # warm
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                qs[name](spark, tmp).write.mode("overwrite").format("noop").save()
-                best = min(best, time.time() - t0)
-            times[name] = best
-        total = sum(times.values())
-        print(
-            f"| {n:,} | "
-            + " | ".join(f"{times[p]:.2f}" for p in EVENT_ONLY)
-            + f" | {total:.2f} |"
+
+        spark.dataSource.register(SyntheticEventsDataSource)
+        volumes = [int(float(a)) for a in args] or [
+            100_000, 1_000_000, 10_000_000,
+        ]
+        print("| events rows | " + " | ".join(EVENT_PROBES) + " | total |")
+        print("|" + "---|" * (len(EVENT_PROBES) + 2))
+        for n in volumes:
+            tmp = tempfile.mkdtemp(prefix=f"scale_probe_{n}_")
+            (
+                spark.read.format("synthetic_events")
+                .option("rows", n)
+                .option("partitions", 32)
+                .option("numUsers", max(1000, n // 100))
+                .load()
+                .withColumn("props", F.lit(None).cast("string"))
+                .write.parquet(os.path.join(tmp, "events.parquet"))
+            )
+            _probe(spark, qs, EVENT_PROBES, tmp, "events", n)
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        from java_etl_bi_generator_spark.sources.synthetic import (
+            SyntheticDocumentsDataSource,
         )
-        shutil.rmtree(tmp, ignore_errors=True)
+
+        spark.dataSource.register(SyntheticDocumentsDataSource)
+        volumes = [int(float(a)) for a in args] or [5_000, 50_000, 500_000]
+        print("| docs | " + " | ".join(DOC_PROBES) + " | total |")
+        print("|" + "---|" * (len(DOC_PROBES) + 2))
+        for n in volumes:
+            tmp = tempfile.mkdtemp(prefix=f"scale_probe_docs_{n}_")
+            (
+                spark.read.format("synthetic_documents")
+                .option("rows", n)
+                .option("partitions", 32)
+                .load()
+                .write.parquet(os.path.join(tmp, "documents.parquet"))
+            )
+            _probe(spark, qs, DOC_PROBES, tmp, "documents", n)
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -97,3 +97,42 @@ def test_engine_operators_run_on_generated_data(spark):
     )
     assert out.count() > 0
     assert out.agg(F.sum("n")).first()[0] == 20000
+
+
+def test_documents_source_determinism_and_dup_structure(spark):
+    from java_etl_bi_generator_spark.sources.synthetic import (
+        SyntheticDocumentsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocumentsDataSource)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_documents")
+            .option("rows", 2000)
+            .option("partitions", parts)
+            .load()
+        )
+
+    a, b = load(3), load(8)
+    assert a.count() == 2000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # ~1/8 of non-pool docs are exact copies of pool docs: dedup finds
+    # multi-member groups, and every duplicated text's group contains a
+    # pool doc (doc_id < 64)
+    groups = (
+        a.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("rep"))
+        .filter(F.col("n") > 1)
+    )
+    n_dupes = groups.agg(F.sum(F.col("n") - 1)).first()[0]
+    assert 2000 // 8 * 0.5 < n_dupes < 2000 // 8 * 1.5
+    # near-dup pairs can occasionally collide into identical texts
+    # (birthday effect over source x position x word), so a small
+    # fraction of groups may lack a pool representative
+    n_groups = groups.count()
+    assert groups.filter(F.col("rep") < 64).count() >= 0.9 * n_groups
+
+    # n_chars is consistent with the text itself
+    assert a.filter(F.length("text") != F.col("n_chars")).count() == 0
