@@ -14,9 +14,10 @@ Notable DuckDB-vs-Spark divergences handled here:
 
 Queries with no entry here (the q_stream_* set, q_vector_topk_ivf,
 q_kmeans_cells, q_vector_topk_ivf_trained, q_approx_count_distinct,
-q_approx_percentile) are declared rows-only: streaming state, IVF
-probing, iterative Lloyd's training, and HLL/GK sketches are not
-ANSI-SQL-expressible in DuckDB (or not bit-identical across engines).
+q_approx_percentile, q_rolling_distinct_hll) are declared rows-only:
+streaming state, IVF probing, iterative Lloyd's training, and HLL/GK
+sketches are not ANSI-SQL-expressible in DuckDB (or not bit-identical
+across engines).
 """
 
 from __future__ import annotations

@@ -34,6 +34,7 @@ DOCUMENTED_ROWS_ONLY = {
     "q_approx_percentile",
     "q_kmeans_cells",
     "q_vector_topk_ivf_trained",
+    "q_rolling_distinct_hll",
 }
 
 # Streaming queries build readStream plans; explain() would need a query

@@ -1,0 +1,33 @@
+"""Scale-path variants: accuracy pins for sketch-based alternatives to
+exact plans (the operators reached for past the exact plans' measured
+boundaries — SCALING.md round-4 probes)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from java_etl_bi_generator_spark.queries import registry
+
+
+def test_rolling_distinct_hll_tracks_exact(spark, sf_dir):
+    exact = {
+        r["day"]: (r["dau"], r["wau_7d"])
+        for r in registry()["q_rolling_distinct"](spark, sf_dir).collect()
+    }
+    approx = registry()["q_rolling_distinct_hll"](spark, sf_dir).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        dau, wau = exact[r["day"]]
+        assert abs(r["dau_approx"] - dau) <= max(2, 0.05 * dau)
+        assert abs(r["wau_7d_approx"] - wau) <= max(2, 0.05 * wau)
+
+
+def test_rolling_distinct_hll_fanout_is_day_grain(spark, sf_dir):
+    """The join fans out sketches at day grain — the pre-join aggregate
+    must collapse events to one row per day BEFORE the range join (the
+    property that makes the plan volume-independent)."""
+    plan = registry()["q_rolling_distinct_hll"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # HLL union runs above the join; the sketch build (hll_sketch_agg)
+    # runs below it — two distinct aggregate levels
+    assert "hll_union_agg" in plan and "hll_sketch_agg" in plan
+    assert plan.index("hll_union_agg") < plan.index("hll_sketch_agg")
