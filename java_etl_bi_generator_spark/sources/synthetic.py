@@ -279,3 +279,78 @@ class SyntheticDocumentsDataSource(DataSource):
 
     def reader(self, schema):
         return _DocReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic embeddings — clustered vectors for scale-probing the
+# similarity-search family (brute/IVF/LSH/k-means).  Each vector is its
+# cluster's deterministic centroid plus hash jitter, so IVF/k-means have
+# real structure to find; ``label`` carries the planted cluster for
+# recall checks.
+# ---------------------------------------------------------------------------
+
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def _gen_emb_batch(start: int, end: int, dim: int, n_clusters: int, seed: int):
+    import numpy as np
+    import pyarrow as pa
+
+    i = np.arange(start, end, dtype=np.uint64)
+    h = _mix(i + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    label = (h % np.uint64(n_clusters)).astype(np.int64)
+    # centroid[c][d] in [-1, 1) from mix(c*dim+d); jitter ~ N-ish in
+    # [-0.125, 0.125) from mix over the flat (row, dim) index
+    cd = label[:, None] * np.int64(dim) + np.arange(dim, dtype=np.int64)[None, :]
+    cent = _mix(cd.astype(np.uint64) + np.uint64(0xC0FFEE)) % np.uint64(2_000_000)
+    jd = (i[:, None] * np.uint64(dim)) + np.arange(dim, dtype=np.uint64)[None, :]
+    jit = _mix(jd + np.uint64(0xBEEF)) % np.uint64(250_000)
+    vecs = (
+        (cent.astype(np.float64) / 1_000_000.0 - 1.0)
+        + (jit.astype(np.float64) / 1_000_000.0 - 0.125)
+    ).astype(np.float32)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(i.astype(np.int64), pa.int64()),
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), dim
+            ).cast(pa.list_(pa.float32())),
+            pa.array(label, pa.int32()),
+        ],
+        names=["vec_id", "embedding", "label"],
+    )
+
+
+class _EmbReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 10_000))
+        self.nparts = int(options.get("partitions", 8))
+        self.dim = int(options.get("dim", 64))
+        self.n_clusters = int(options.get("numClusters", 10))
+        self.seed = int(options.get("seed", 0))
+
+    def partitions(self):
+        step = -(-self.rows // self.nparts)
+        return [
+            _RangePartition(s, min(s + step, self.rows))
+            for s in range(0, self.rows, step)
+        ]
+
+    def read(self, partition):
+        for s in range(partition.start, partition.end, _BATCH):
+            yield _gen_emb_batch(
+                s, min(s + _BATCH, partition.end), self.dim,
+                self.n_clusters, self.seed,
+            )
+
+
+class SyntheticEmbeddingsDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthetic_embeddings"
+
+    def schema(self):
+        return EMB_SCHEMA
+
+    def reader(self, schema):
+        return _EmbReader(self.options)

@@ -40,9 +40,17 @@ EVENT_PROBES = [
 DOC_PROBES = [
     "q_dedup_exact",
     "q_dedup_near",
+    "q_dedup_near_clusters",
     "q_text_stats",
     "q_tfidf",
     "q_heavy_hitters",
+]
+EMB_PROBES = [
+    "q_vector_topk",
+    "q_vector_topk_ivf",
+    "q_kmeans_cells",
+    "q_embed_centroid",
+    "q_embed_quantize",
 ]
 
 
@@ -66,7 +74,7 @@ def _probe(spark, qs, probes, tmp, label, n):
 def main() -> None:
     mode = "events"
     args = sys.argv[1:]
-    if args and args[0] in ("events", "documents"):
+    if args and args[0] in ("events", "documents", "embeddings"):
         mode, args = args[0], args[1:]
     spark = get_spark(app_name="scale_probe")
     qs = registry()
@@ -95,7 +103,7 @@ def main() -> None:
             )
             _probe(spark, qs, EVENT_PROBES, tmp, "events", n)
             shutil.rmtree(tmp, ignore_errors=True)
-    else:
+    elif mode == "documents":
         from java_etl_bi_generator_spark.sources.synthetic import (
             SyntheticDocumentsDataSource,
         )
@@ -114,6 +122,26 @@ def main() -> None:
                 .write.parquet(os.path.join(tmp, "documents.parquet"))
             )
             _probe(spark, qs, DOC_PROBES, tmp, "documents", n)
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        from java_etl_bi_generator_spark.sources.synthetic import (
+            SyntheticEmbeddingsDataSource,
+        )
+
+        spark.dataSource.register(SyntheticEmbeddingsDataSource)
+        volumes = [int(float(a)) for a in args] or [50_000, 500_000]
+        print("| vectors | " + " | ".join(EMB_PROBES) + " | total |")
+        print("|" + "---|" * (len(EMB_PROBES) + 2))
+        for n in volumes:
+            tmp = tempfile.mkdtemp(prefix=f"scale_probe_emb_{n}_")
+            (
+                spark.read.format("synthetic_embeddings")
+                .option("rows", n)
+                .option("partitions", 32)
+                .load()
+                .write.parquet(os.path.join(tmp, "embeddings.parquet"))
+            )
+            _probe(spark, qs, EMB_PROBES, tmp, "embeddings", n)
             shutil.rmtree(tmp, ignore_errors=True)
 
 

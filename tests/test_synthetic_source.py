@@ -136,3 +136,44 @@ def test_documents_source_determinism_and_dup_structure(spark):
 
     # n_chars is consistent with the text itself
     assert a.filter(F.length("text") != F.col("n_chars")).count() == 0
+
+
+def test_embeddings_source_structure(spark):
+    from java_etl_bi_generator_spark.operators.kmeans import (
+        assign_cells,
+        kmeans_fit,
+    )
+    from java_etl_bi_generator_spark.sources.synthetic import (
+        SyntheticEmbeddingsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEmbeddingsDataSource)
+    df = (
+        spark.read.format("synthetic_embeddings")
+        .option("rows", 3000)
+        .option("partitions", 4)
+        .option("numClusters", 4)
+        .load()
+    )
+    b = (
+        spark.read.format("synthetic_embeddings")
+        .option("rows", 3000)
+        .option("partitions", 7)
+        .option("numClusters", 4)
+        .load()
+    )
+    assert df.count() == 3000
+    assert df.exceptAll(b).count() == 0  # partitioning-independent
+    first = df.filter(F.col("vec_id") == 0).first()
+    assert len(first["embedding"]) == 64
+
+    # planted clusters are separable: k-means recovers a 1:1 mapping
+    model = kmeans_fit(df, k=4, iters=4)
+    m = (
+        assign_cells(df, model)
+        .groupBy("label")
+        .agg(F.count_distinct("cell").alias("nc"), F.first("cell").alias("c"))
+        .collect()
+    )
+    assert all(r["nc"] == 1 for r in m)
+    assert len({r["c"] for r in m}) == 4
