@@ -48,6 +48,7 @@ HEADLINE = [
     "q_exact_median_rank",   # distributed global-rank exact median
     "q_bucketed_join",       # shuffle-free pre-bucketed fact join
     "q_rolling_distinct",    # rolling window distinct users
+    "q_rolling_distinct_hll",  # day-grain mergeable-sketch scale path
 ]
 
 

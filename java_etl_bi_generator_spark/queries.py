@@ -104,9 +104,12 @@ _SHOWCASE: tuple[str, ...] = (
     "q_join_range", "q_join_asof",
     # UDF surface (§2.13): Arrow-batched mapInPandas, hash-checked
     "q_arrow_doc_stats",
-    # aggregation (§2.5)
+    # aggregation (§2.5; q_count_distinct stays hash-checked in the full
+    # sweep — its slot samples the round-4 generator source instead)
     "q_minmax_date", "q_groupby_sum", "q_groupby_multi_agg",
-    "q_count_distinct", "q_rollup", "q_rfm",
+    "q_rollup", "q_rfm",
+    # Python Data Source generator, hash-checked vs pure-SQL splitmix64
+    "q_synthetic_events",
     # set ops (§2.10) — multiset EXCEPT ALL, likewise rewritten non-empty
     "q_except",
     # advanced relational
@@ -122,7 +125,9 @@ _SHOWCASE: tuple[str, ...] = (
     # TPC-H (§2.14)
     "q_tpch_q1", "q_tpch_q5", "q_tpch_q21",
     # LLM-pipeline ops (§2.12, 2.14): dedup, similarity, text
-    "q_dedup_exact", "q_dedup_near", "q_dedup_simhash",
+    # (q_dedup_simhash stays hash-checked in the full sweep; its slot
+    # samples the round-4 linear-cost star-edge clustering instead)
+    "q_dedup_exact", "q_dedup_near", "q_dedup_near_clusters",
     "q_vector_topk", "q_text_stats", "q_tfidf", "q_chunk_documents",
     # graph analytics (round 3)
     "q_pagerank", "q_triangle_count",
