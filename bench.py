@@ -71,10 +71,12 @@ def main() -> None:
         except Exception:
             pass
 
-    # Min of two measured iterations per query: the steady-state plan cost,
-    # insulated from one-off GC pauses / host contention (JMH-style).
+    # Min of three measured iterations per query: the steady-state plan
+    # cost, insulated from one-off GC pauses / host contention (JMH-style;
+    # round-to-round spread of a min-of-2 measured ~15-20% on this host,
+    # the third iteration roughly halves it).
     times: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
