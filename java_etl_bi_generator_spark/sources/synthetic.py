@@ -61,8 +61,19 @@ def _mix(x):
     return z ^ (z >> np.uint64(31))
 
 
-def _gen_batch(start: int, end: int, n_users: int, seed: int):
-    """Arrow RecordBatch for rows [start, end) — pure function of range."""
+def _gen_batch(
+    start: int,
+    end: int,
+    n_users: int,
+    seed: int,
+    hot_pct: int = 0,
+    hot_users: int = 10,
+):
+    """Arrow RecordBatch for rows [start, end) — pure function of range.
+
+    ``hot_pct`` > 0 routes that percentage of events to ``hot_users``
+    hot keys (ids 0..hot_users-1) — the deterministic power-law knob for
+    skew experiments; the rest spread uniformly over the remaining ids."""
     import numpy as np
     import pyarrow as pa
 
@@ -75,6 +86,13 @@ def _gen_batch(start: int, end: int, n_users: int, seed: int):
         h % np.uint64(1_000_000)
     )
     user_id = (h % np.uint64(n_users)).astype(np.int64)
+    if hot_pct > 0:
+        is_hot = ((h >> np.uint64(33)) % np.uint64(100)) < np.uint64(hot_pct)
+        hot_id = ((h >> np.uint64(13)) % np.uint64(hot_users)).astype(np.int64)
+        cold_id = (
+            np.uint64(hot_users) + (h % np.uint64(max(1, n_users - hot_users)))
+        ).astype(np.int64)
+        user_id = np.where(is_hot, hot_id, cold_id)
     etype = (h2 % np.uint64(len(_TYPES))).astype(np.int64)
     value = ((h2 >> np.uint64(8)) % np.uint64(1_000_000)).astype(
         np.float64
@@ -102,17 +120,22 @@ def _opts(options):
         int(options.get("partitions", 8)),
         int(options.get("numUsers", 1000)),
         int(options.get("seed", 0)),
+        int(options.get("hotPct", 0)),
+        int(options.get("hotUsers", 10)),
     )
 
 
-def _read_range(part, n_users: int, seed: int):
+def _read_range(part, n_users: int, seed: int, hot_pct: int, hot_users: int):
     for s in range(part.start, part.end, _BATCH):
-        yield _gen_batch(s, min(s + _BATCH, part.end), n_users, seed)
+        yield _gen_batch(
+            s, min(s + _BATCH, part.end), n_users, seed, hot_pct, hot_users
+        )
 
 
 class _Reader(DataSourceReader):
     def __init__(self, options):
-        self.rows, self.nparts, self.n_users, self.seed = _opts(options)
+        (self.rows, self.nparts, self.n_users, self.seed,
+         self.hot_pct, self.hot_users) = _opts(options)
 
     def partitions(self):
         step = -(-self.rows // self.nparts)
@@ -122,7 +145,9 @@ class _Reader(DataSourceReader):
         ]
 
     def read(self, partition):
-        return _read_range(partition, self.n_users, self.seed)
+        return _read_range(
+            partition, self.n_users, self.seed, self.hot_pct, self.hot_users
+        )
 
 
 class _StreamReader(DataSourceStreamReader):
@@ -136,7 +161,8 @@ class _StreamReader(DataSourceStreamReader):
     exactly the committed ``[start, end)`` range, never clamping it.)"""
 
     def __init__(self, options):
-        self.rows, self.nparts, self.n_users, self.seed = _opts(options)
+        (self.rows, self.nparts, self.n_users, self.seed,
+         self.hot_pct, self.hot_users) = _opts(options)
         self.rows_per_batch = int(options.get("rowsPerBatch", 10_000))
         self._planned = 0
 
@@ -155,7 +181,9 @@ class _StreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition):
-        return _read_range(partition, self.n_users, self.seed)
+        return _read_range(
+            partition, self.n_users, self.seed, self.hot_pct, self.hot_users
+        )
 
     def commit(self, end):
         pass

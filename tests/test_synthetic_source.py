@@ -177,3 +177,13 @@ def test_embeddings_source_structure(spark):
     )
     assert all(r["nc"] == 1 for r in m)
     assert len({r["c"] for r in m}) == 4
+
+
+def test_events_hot_key_skew_knob(spark):
+    """hotPct routes ~that share of events to the hot ids — the
+    deterministic power-law input for skew-handling experiments."""
+    df = _load(spark, rows=20000, numUsers=1000, hotPct=90, hotUsers=10)
+    hot = df.filter(F.col("user_id") < 10).count()
+    assert 0.85 * 20000 < hot < 0.95 * 20000
+    # remaining traffic still spreads over the cold id range
+    assert df.filter(F.col("user_id") >= 10).select("user_id").distinct().count() > 500
