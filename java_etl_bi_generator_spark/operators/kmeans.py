@@ -128,3 +128,43 @@ def assign_cells(
     return embeddings.withColumn(
         cell_col, nearest_cell(F.col(vec_col), centroids)
     )
+
+
+def write_ivf_index(
+    assigned: DataFrame, path: str, cell_col: str = "cell"
+) -> None:
+    """Persist the IVF index as cell-partitioned parquet: one directory
+    per cell.  A probe filtering on ``cell_col`` then binds to the
+    directory listing at plan time (``PartitionFilters`` in explain) and
+    reads ONLY the probed cells' files — at 100 TB the nprobe/ncells
+    pruning happens in the filesystem metadata, before any I/O."""
+    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Approximate top-k against a persisted cell-partitioned index.
+
+    Cell scoring runs on the (k × dim) model driver-side — squared-L2 to
+    the query, ties to the lower cell id, mirroring ``nearest_cell`` —
+    and the survivors become a partition-pruning IN filter.  The exact
+    rerank inside the probed cells is `brute_force_topk` (per-partition
+    heaps, only k rows cross the final exchange)."""
+    from .similarity import brute_force_topk
+
+    scored = sorted(
+        (sum((x - y) ** 2 for x, y in zip(query_vec, c)), i)
+        for i, c in enumerate(centroids)
+    )
+    probed = [i for _, i in scored[:nprobe]]
+    df = spark.read.parquet(path).filter(F.col(cell_col).isin(probed))
+    return brute_force_topk(df, query_vec, k, id_col, vec_col)

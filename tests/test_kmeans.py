@@ -98,3 +98,41 @@ def test_kmeans_cells_query_shape(spark, sf_dir):
     n = load_table(spark, sf_dir, "embeddings").count()
     assert sum(r["n_vecs"] for r in rows) == n
     assert all(r["mean_sq_dist"] >= 0 for r in rows)
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, sf_dir):
+    """The persisted index turns the nprobe pruning into a metadata
+    operation: the probe's scan must carry PartitionFilters on cell and
+    match the in-memory IVF result."""
+    import tempfile
+
+    from java_etl_bi_generator_spark.catalog import load_table
+    from java_etl_bi_generator_spark.operators.kmeans import (
+        assign_cells,
+        kmeans_fit,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from java_etl_bi_generator_spark.operators.similarity import ivf_topk
+    from java_etl_bi_generator_spark.plans.plan_tools import explain_formatted
+
+    em = load_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(em, k=8, iters=2)
+    assigned = assign_cells(em, model)
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    write_ivf_index(assigned, path)
+
+    qv = [
+        float(x)
+        for x in em.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    probe = probe_ivf_index(spark, path, model, qv, k=10, nprobe=3)
+    plan = explain_formatted(probe)
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    got = [(r["vec_id"], r["cosine"]) for r in probe.collect()]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(assigned, qv, k=10, nprobe=3, cell_col="cell").collect()
+    ]
+    assert got == want
