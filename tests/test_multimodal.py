@@ -180,3 +180,50 @@ def test_image_dims_arrow_covers_png_gif_jpeg(spark):
     assert got[4] == ("jpeg", 12, 34)
     assert got[5] == ("unknown", None, None)
     assert got[6] == ("unknown", None, None)
+
+
+def _wav_bytes(channels=2, rate=44100, bits=16, n_samples=44100):
+    """Canonical PCM WAV: RIFF + 16-byte fmt + data header."""
+    import struct
+
+    data_len = n_samples * channels * bits // 8
+    hdr = b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    hdr += b"data" + struct.pack("<I", data_len)
+    return hdr + b"\x00" * min(data_len, 64)  # truncated payload is fine
+
+
+def test_audio_header_meta_codegen_parse(spark):
+    from java_etl_bi_generator_spark.sources.multimodal import audio_header_meta
+
+    rows = [
+        (0, _wav_bytes(channels=2, rate=44100, bits=16, n_samples=44100)),
+        (1, _wav_bytes(channels=1, rate=16000, bits=8, n_samples=8000)),
+        (2, b"\x89PNG\r\n\x1a\x0anot audio"),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, content binary")
+    got = {r["media_id"]: r for r in audio_header_meta(df).collect()}
+
+    assert got[0]["audio_format"] == "wav"
+    assert (got[0]["channels"], got[0]["sample_rate"], got[0]["bits_per_sample"]) == (2, 44100, 16)
+    assert got[0]["duration_ms"] == 1000  # exactly one second of samples
+
+    assert got[1]["channels"] == 1 and got[1]["sample_rate"] == 16000
+    assert got[1]["duration_ms"] == 500  # 8000 samples at 16 kHz
+
+    assert got[2]["audio_format"] == "unknown"
+    assert got[2]["channels"] is None and got[2]["duration_ms"] is None
+
+
+def test_audio_header_meta_stays_in_codegen(spark):
+    from java_etl_bi_generator_spark.plans.plan_tools import explain_simple
+    from java_etl_bi_generator_spark.sources.multimodal import audio_header_meta
+
+    df = spark.createDataFrame(
+        [(0, _wav_bytes())], "media_id bigint, content binary"
+    )
+    plan = explain_simple(audio_header_meta(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
