@@ -107,3 +107,32 @@ def test_merge_batch_replay_is_idempotent(spark, events):
         assert sorted(current_snapshot(spark, target).collect()) == before
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_split_invariance_property(spark, events):
+    """Property (hypothesis): for ANY way of carving the feed into
+    ordered micro-batches, folding keep_latest_merge over them yields
+    the same table as one big batch — the algebraic fact the sink's
+    exactly-once claim rests on."""
+    from hypothesis import given, settings, strategies as st
+
+    sample = events.limit(120).collect()
+
+    def fold(batches):
+        cur = None
+        for b in batches:
+            if b:
+                bdf = spark.createDataFrame(b, events.schema)
+                cur = keep_latest_merge(cur, bdf, "user_id", "ts", "event_id")
+        return sorted(map(tuple, cur.collect())) if cur is not None else []
+
+    whole = fold([sample])
+
+    @settings(max_examples=5, deadline=None)
+    @given(cuts=st.lists(st.integers(1, len(sample) - 1), max_size=3, unique=True))
+    def check(cuts):
+        idx = [0, *sorted(cuts), len(sample)]
+        batches = [sample[a:b] for a, b in zip(idx, idx[1:])]
+        assert fold(batches) == whole
+
+    check()
