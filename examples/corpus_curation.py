@@ -39,9 +39,8 @@ from java_etl_bi_generator_spark.functions.text import (
 )
 from java_etl_bi_generator_spark.operators.dedup import (
     exact_dedup,
-    minhash_lsh_candidates,
+    minhash_lsh_dup_clusters,
 )
-from java_etl_bi_generator_spark.operators.graph import connected_components
 from java_etl_bi_generator_spark.session import get_spark
 
 
@@ -53,10 +52,16 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     docs = exact_dedup(docs, "text", "doc_id")
     n1 = docs.count()
 
-    # 2. near-dup pruning: LSH candidates -> clusters -> keep min id per
-    #    cluster (every non-representative member is dropped)
-    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=4)
-    clusters = connected_components(pairs)  # (node, component)
+    # 2. near-dup pruning: LSH star-edge clusters -> keep min id per
+    #    cluster (every non-representative member is dropped).  Star
+    #    edges, not materialized candidate pairs: pair enumeration is
+    #    |bucket|^2 and goes quadratic on boilerplate mega-clusters
+    #    (measured in SCALING.md round 4); the cluster map is what this
+    #    step consumes, and star edges produce the identical components
+    #    at linear cost.
+    clusters = minhash_lsh_dup_clusters(
+        docs, "text", "doc_id", num_hashes=16, bands=4
+    )  # (node, component)
     drop = clusters.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
