@@ -91,7 +91,15 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Train k centroids with ``iters`` Lloyd rounds; returns the model as
     a plain list-of-lists (k × dim) — small enough to embed in any plan."""
+    if k < 1:
+        raise ValueError(f"kmeans_fit: k must be >= 1, got {k}")
     centroids = _seed_centroids(embeddings, k, id_col, vec_col)
+    if not centroids:
+        raise ValueError("kmeans_fit: no input vectors to seed from")
+    if len(centroids) < k:
+        # fewer distinct vectors than requested cells: train what exists
+        # (duplicating seeds would create permanently-empty twin cells)
+        k = len(centroids)
     dim = len(centroids[0])
     vecs = embeddings.select(as_double_array(vec_col).alias("__v"))
     for _ in range(iters):

@@ -82,6 +82,8 @@ def compact_parquet(
     import shutil
 
     files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        raise FileNotFoundError(f"compact_parquet: no parquet files under {path}")
     total = sum(os.path.getsize(p) for p in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)

@@ -136,3 +136,19 @@ def test_ivf_index_probe_is_partition_pruned(spark, sf_dir):
         for r in ivf_topk(assigned, qv, k=10, nprobe=3, cell_col="cell").collect()
     ]
     assert got == want
+
+
+def test_kmeans_degenerate_inputs(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, [0.0, float(i % 2)]) for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="k must be"):
+        kmeans_fit(df, k=0)
+    with _pytest.raises(ValueError, match="no input"):
+        kmeans_fit(df.filter("vec_id < 0"), k=2)
+    # more cells than rows: trains only what exists, no crash
+    model = kmeans_fit(df, k=10, iters=2)
+    assert 1 <= len(model) <= 4
