@@ -187,6 +187,30 @@ def current_snapshot_partitioned(spark: SparkSession, target: str):
     return None if snap is None else snap.drop("hb")
 
 
+def prune_versions(target: str, keep: int = 3) -> list[str]:
+    """Retention: delete all but the newest ``keep`` version directories
+    (the published one is always kept).  Time travel shrinks to the
+    retained window; the live table is untouched — hard-linked data
+    files stay alive as long as any retained version references them.
+    Returns the deleted version names."""
+    import shutil as _shutil
+
+    ptr = os.path.join(target, _POINTER)
+    published = None
+    if os.path.exists(ptr):
+        with open(ptr, encoding="ascii") as f:
+            published = f.read().strip()
+    versions = sorted(
+        d for d in os.listdir(target)
+        if d.startswith("v") and os.path.isdir(os.path.join(target, d))
+    )
+    retain = set(versions[-keep:]) | ({published} if published else set())
+    dropped = [v for v in versions if v not in retain]
+    for v in dropped:
+        _shutil.rmtree(os.path.join(target, v), ignore_errors=True)
+    return dropped
+
+
 def merge_stream_into_parquet(
     stream_df: DataFrame,
     target: str,

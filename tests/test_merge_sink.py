@@ -202,3 +202,19 @@ def test_partitioned_merge_rewrites_only_touched_buckets(spark, events):
         assert got.exceptAll(w).count() == 0 and w.exceptAll(got).count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_prune_versions_keeps_published_table_alive(spark, events):
+    from java_etl_bi_generator_spark.streaming.sink import prune_versions
+
+    tmp = tempfile.mkdtemp(prefix="merge_prune_")
+    try:
+        target = _run_stream(spark, events, tmp, n_files=3)
+        before = sorted(current_snapshot(spark, target).collect())
+        dropped = prune_versions(target, keep=1)
+        assert len(dropped) == 2
+        left = [d for d in os.listdir(target) if d.startswith("v")]
+        assert len(left) == 1
+        assert sorted(current_snapshot(spark, target).collect()) == before
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
