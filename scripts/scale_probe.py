@@ -52,6 +52,14 @@ EMB_PROBES = [
     "q_embed_centroid",
     "q_embed_quantize",
 ]
+STAR_PROBES = [
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_join_star_3way",
+    "q_star_flagship",
+]
 
 
 def _probe(spark, qs, probes, tmp, label, n):
@@ -74,7 +82,7 @@ def _probe(spark, qs, probes, tmp, label, n):
 def main() -> None:
     mode = "events"
     args = sys.argv[1:]
-    if args and args[0] in ("events", "documents", "embeddings"):
+    if args and args[0] in ("events", "documents", "embeddings", "star"):
         mode, args = args[0], args[1:]
     spark = get_spark(app_name="scale_probe")
     qs = registry()
@@ -122,6 +130,19 @@ def main() -> None:
                 .write.parquet(os.path.join(tmp, "documents.parquet"))
             )
             _probe(spark, qs, DOC_PROBES, tmp, "documents", n)
+            shutil.rmtree(tmp, ignore_errors=True)
+    elif mode == "star":
+        from java_etl_bi_generator_spark.sources.synthetic_star import (
+            generate_star,
+        )
+
+        volumes = [int(float(a)) for a in args] or [1_500_000, 15_000_000]
+        print("| orders (4 lines each) | " + " | ".join(STAR_PROBES) + " | total |")
+        print("|" + "---|" * (len(STAR_PROBES) + 2))
+        for n in volumes:
+            tmp = tempfile.mkdtemp(prefix=f"scale_probe_star_{n}_")
+            generate_star(spark, tmp, n)
+            _probe(spark, qs, STAR_PROBES, tmp, "star", n)
             shutil.rmtree(tmp, ignore_errors=True)
     else:
         from java_etl_bi_generator_spark.sources.synthetic import (
