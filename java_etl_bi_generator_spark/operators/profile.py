@@ -42,3 +42,53 @@ def profile_table(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def validate_expectations(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
+    """Data-quality gate: ``rules`` maps rule name -> boolean Column that
+    every GOOD row satisfies.  Returns one row per rule —
+    (rule, n_rows, n_violations, pass) — computed in a single
+    hash-aggregate pass (a violation count is just ``count(when(~rule))``;
+    NULL predicate results count as violations, the conservative
+    three-valued-logic reading)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, col in rules.items():
+        aggs.append(
+            F.count(F.when(~F.coalesce(col, F.lit(False)), 1)).alias(
+                f"__viol_{name}"
+            )
+        )
+    wide = df.agg(*aggs)
+    per_rule = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__viol_{name}").alias("n_violations"),
+            (F.col(f"__viol_{name}") == 0).alias("pass"),
+        )
+        for name in rules
+    ]
+    return wide.select(F.explode(F.array(*per_rule)).alias("r")).select("r.*")
+
+
+def quarantine(
+    df: DataFrame, rules: dict[str, F.Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (good, bad): ``bad`` carries ``failed_rules`` — the
+    array of rule names the row violates — the standard ETL quarantine
+    lane for reprocessing/audit.  Pure row-local expressions, so both
+    outputs are narrow over the source scan (two consumers => the scan
+    runs twice unless the caller persists; at 100 TB write ``bad`` first
+    — it is tiny — then anti-join or re-filter for ``good``)."""
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(col, F.lit(False)), F.lit(name))
+                for name, col in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    good = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    bad = tagged.filter(F.size("failed_rules") > 0)
+    return good, bad

@@ -1964,6 +1964,39 @@ ORACLES: dict[str, str] = {
                event_type AS last_type, ms AS last_ms
         FROM r WHERE rn = 1
     """,
+    "q_data_expectations": """
+        WITH v AS (
+          SELECT 'orderkey_not_null' AS rule,
+                 count(*) AS n_rows,
+                 count(*) FILTER (NOT coalesce(o_orderkey IS NOT NULL, false))
+                   AS n_violations
+          FROM orders
+          UNION ALL
+          SELECT 'totalprice_positive', count(*),
+                 count(*) FILTER (NOT coalesce(o_totalprice > 0, false))
+          FROM orders
+          UNION ALL
+          SELECT 'priority_in_domain', count(*),
+                 count(*) FILTER (NOT coalesce(o_orderpriority IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'),
+                   false))
+          FROM orders
+          UNION ALL
+          SELECT 'status_in_domain', count(*),
+                 count(*) FILTER (NOT coalesce(o_orderstatus IN ('O','F','P'),
+                   false))
+          FROM orders
+          UNION ALL
+          SELECT 'orderdate_in_range', count(*),
+                 count(*) FILTER (NOT coalesce(
+                   CAST(o_orderdate AS DATE) >= DATE '1990-01-01'
+                   AND CAST(o_orderdate AS DATE) < DATE '1997-01-01', false))
+          FROM orders)
+        SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS pass
+        FROM v
+    """,
     "q_synthetic_events": """
         -- splitmix64 (Vigna's public-domain finalizer) re-derived in pure
         -- SQL: UHUGEINT keeps the 64x64 products exact, % 2^64 wraps them,

@@ -4959,6 +4959,31 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_data_expectations")
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (hash-checked): declarative expectations over
+    orders evaluated in ONE hash-aggregate pass — rule name, row count,
+    violation count, pass flag per rule (operators/profile.py
+    validate_expectations).  NULL predicate results count as violations
+    (conservative three-valued logic), pinned on both sides."""
+    from .operators.profile import validate_expectations
+
+    od = T(spark, sf_dir, "orders")
+    rules = {
+        "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "priority_in_domain": F.col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+        ),
+        "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "orderdate_in_range": (
+            F.col("o_orderdate").cast("date") >= F.lit("1990-01-01").cast("date")
+        )
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date")),
+    }
+    return validate_expectations(od, rules)
+
+
 @q("q_union_schema_evolution")
 def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution union: two source versions of the documents feed

@@ -93,3 +93,35 @@ def test_profile_counts(spark):
     assert prof["s"]["n_nulls"] == 1
     assert prof["s"]["n_distinct"] == 1
     assert prof["s"]["min_str"] == "x"
+
+
+def test_quarantine_splits_and_tags(spark, sf_dir):
+    from java_etl_bi_generator_spark.catalog import load_table
+    from java_etl_bi_generator_spark.operators.profile import (
+        quarantine,
+        validate_expectations,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    rules = {
+        "price_cap": F.col("o_totalprice") < 200000,
+        "status_o": F.col("o_orderstatus") == "O",
+    }
+    good, bad = quarantine(od, rules)
+    n = od.count()
+    assert good.count() + bad.count() == n
+    assert "failed_rules" not in good.columns
+    assert bad.filter(F.size("failed_rules") == 0).count() == 0
+    # tags agree with the one-pass summary counts
+    summary = {
+        r["rule"]: r["n_violations"]
+        for r in validate_expectations(od, rules).collect()
+    }
+    tagged = {
+        k: bad.filter(F.array_contains("failed_rules", k)).count()
+        for k in rules
+    }
+    assert summary == tagged
+    # every good row satisfies every rule
+    for name, col in rules.items():
+        assert good.filter(~col).count() == 0, name
