@@ -62,12 +62,20 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = T(spark, sf_dir, "orders")
     cu = T(spark, sf_dir, "customer")
     d = F.lit("1998-06-30").cast("date")
+    # join order: orders x customer FIRST — the segment (1/5) and date
+    # (~1/3) filters shrink the order side to a few % of |orders| before
+    # anything is re-shuffled, so the only order-key exchange of the big
+    # lineitem side probes a small build and the fact-join OUTPUT is
+    # never re-partitioned on a second key.  (lineitem x orders first
+    # would shuffle its ~|lineitem|/2-row result AGAIN on custkey —
+    # measured slower at 60M rows; Catalyst won't reorder inner joins
+    # without CBO stats, so the written order is the plan.)
     return (
-        li.filter(F.col("l_shipdate").cast("date") > d)
-        .join(od.filter(F.col("o_orderdate").cast("date") < d),
-              F.col("l_orderkey") == F.col("o_orderkey"))
+        od.filter(F.col("o_orderdate").cast("date") < d)
         .join(cu.filter(F.col("c_mktsegment") == "BUILDING"),
               F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.filter(F.col("l_shipdate").cast("date") > d),
+              F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("odate"))
         .agg(dsum(F.expr(_DISC_PRICE_RAW), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
