@@ -31,3 +31,16 @@ def test_rolling_distinct_hll_fanout_is_day_grain(spark, sf_dir):
     # runs below it — two distinct aggregate levels
     assert "hll_union_agg" in plan and "hll_sketch_agg" in plan
     assert plan.index("hll_union_agg") < plan.index("hll_sketch_agg")
+
+
+def test_data_expectations_is_single_pass(spark, sf_dir):
+    """All rules evaluate in ONE scan + one aggregate — the property that
+    makes a 50-rule gate cost the same as a count(*)."""
+    from java_etl_bi_generator_spark.plans.plan_tools import explain_formatted
+
+    import re
+
+    plan = explain_formatted(registry()["q_data_expectations"](spark, sf_dir))
+    # formatted explain prints each node once in the tree and once in the
+    # detail list — count distinct scan NODES, not substring occurrences
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
