@@ -1964,6 +1964,25 @@ ORACLES: dict[str, str] = {
                event_type AS last_type, ms AS last_ms
         FROM r WHERE rn = 1
     """,
+    "q_unigram_logprob": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) <> ''),
+        tfa AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS token FROM docs)
+          GROUP BY 1, 2),
+        ct AS (SELECT token, sum(tf) AS c FROM tfa GROUP BY 1),
+        tot AS (SELECT sum(tf) AS t FROM tfa)
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               {pround_sql(
+                   'CAST(sum(tf * CAST(floor(ln(CAST(c AS DOUBLE) '
+                   '/ CAST(t AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) '
+                   'AS DOUBLE) / 1000000.0 / sum(tf)', 4)} AS avg_logprob
+        FROM tfa JOIN ct USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
     "q_data_expectations": """
         WITH v AS (
           SELECT 'orderkey_not_null' AS rule,

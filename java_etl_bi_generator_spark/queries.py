@@ -1633,6 +1633,48 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_unigram_logprob")
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus-model document scoring — the unigram analog of the
+    LM-perplexity quality filter every pretraining pipeline runs (score
+    each doc by the average log-probability of its tokens under a model
+    fit on the corpus itself; word-salad and boilerplate scores low).
+
+    Plan: one scan+explode builds the (doc, token) tf table, checkpointed
+    once; corpus token frequencies come from a window over it (vocab
+    re-aggregation of the same subtree, not a second scan) and the corpus
+    total is a broadcast scalar.  Per-doc score = Σ tf·ln(c/T) / Σ tf,
+    with each per-row ln pinned to integer MICRO-UNITS before the sum
+    (floor(ln·1e6+0.5)): per-row ln agrees across engines, and the
+    integer sum is order-independent — so the hash survives any
+    partitioning, where a raw double sum would drift in the last ulp."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tf = cut_lineage(
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c_tok = F.sum("tf").over(Window.partitionBy("token"))
+    total = tf.agg(F.sum("tf").alias("t_total"))
+    lp_micro = F.floor(
+        F.log(F.col("c_tok").cast("double") / F.col("t_total")) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = tf.withColumn("c_tok", c_tok).crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            pround(
+                F.sum(F.col("tf") * lp_micro)
+                / F.lit(1000000.0)
+                / F.sum("tf"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 @q("q_fuzzy_match")
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: fuzzy part-name matching via a *blocked*

@@ -152,3 +152,33 @@ def test_kmeans_degenerate_inputs(spark):
     # more cells than rows: trains only what exists, no crash
     model = kmeans_fit(df, k=10, iters=2)
     assert 1 <= len(model) <= 4
+
+
+def test_lloyds_objective_never_increases(spark):
+    """Each Lloyd round must not increase the mean within-cell squared
+    distance — the convergence guarantee of the algorithm, checked on the
+    actual distributed implementation."""
+    from java_etl_bi_generator_spark.operators.kmeans import (
+        _sq_dist,
+        assign_cells,
+        kmeans_fit,
+    )
+
+    df = _planted(spark, n_per=60, dim=6)
+
+    def objective(model):
+        assigned = assign_cells(df, model)
+        d = F.coalesce(
+            *[
+                F.when(
+                    F.col("cell") == i,
+                    _sq_dist(F.col("embedding").cast("array<double>"), c),
+                )
+                for i, c in enumerate(model)
+            ]
+        )
+        return assigned.agg(F.avg(d)).first()[0]
+
+    objs = [objective(kmeans_fit(df, k=3, iters=it)) for it in (1, 2, 3, 4)]
+    for a, b in zip(objs, objs[1:]):
+        assert b <= a + 1e-9
