@@ -1640,22 +1640,27 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc by the average log-probability of its tokens under a model
     fit on the corpus itself; word-salad and boilerplate scores low).
 
-    Plan: one scan+explode builds the (doc, token) tf table, checkpointed
-    once; corpus token frequencies come from a window over it (vocab
-    re-aggregation of the same subtree, not a second scan) and the corpus
-    total is a broadcast scalar.  Per-doc score = Σ tf·ln(c/T) / Σ tf,
-    with each per-row ln pinned to integer MICRO-UNITS before the sum
-    (floor(ln·1e6+0.5)): per-row ln agrees across engines, and the
-    integer sum is order-independent — so the hash survives any
-    partitioning, where a raw double sum would drift in the last ulp."""
+    Plan: ONE scan+explode builds the (doc, token) tf table — its only
+    consumer; corpus token frequencies come from a window over it (vocab
+    re-aggregation of the same subtree, not a second scan) and the
+    corpus TOTAL arrives as a broadcast scalar from a scan-only branch
+    (``sum(size(tokens))`` — no explode, no shuffle, the q_tfidf n_docs
+    trick), so nothing needs a checkpoint.  Per-doc score =
+    Σ tf·ln(c/T) / Σ tf, with each per-row ln pinned to integer
+    MICRO-UNITS before the sum (floor(ln·1e6+0.5)): per-row ln agrees
+    across engines, and the integer sum is order-independent — so the
+    hash survives any partitioning, where a raw double sum would drift
+    in the last ulp."""
     docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    tf = cut_lineage(
+    tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     c_tok = F.sum("tf").over(Window.partitionBy("token"))
-    total = tf.agg(F.sum("tf").alias("t_total"))
+    total = docs.agg(
+        F.sum(F.size(tokens("text"))).alias("t_total")
+    )
     lp_micro = F.floor(
         F.log(F.col("c_tok").cast("double") / F.col("t_total")) * 1000000
         + F.lit(0.5)
