@@ -237,3 +237,29 @@ def merge_stream_into_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_aggregate_batch(
+    current: DataFrame | None,
+    updates: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Additive aggregate maintenance — the rollup twin of
+    ``keep_latest_merge``: the maintained table holds one row per key
+    with commutative-monoid columns (sums/counts), and a batch folds in
+    by re-aggregating ``current ∪ partial(updates)``.  Both sides first
+    collapse to key grain (map-side partials absorb the batch), so the
+    merge shuffles key-grain rows only.  Associative + commutative =>
+    the maintained table equals the from-scratch aggregate for ANY
+    micro-batch split — same algebra TPC-like IVM (q_ivm_merge) pins in
+    batch form.  Averages and other ratios derive from (sum, count) at
+    READ time; non-decomposable aggregates (exact distinct, median) need
+    sketch columns instead (HLL/KLL), same shape."""
+    partial = updates.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    both = partial if current is None else current.unionByName(partial)
+    return both.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

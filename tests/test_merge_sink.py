@@ -218,3 +218,25 @@ def test_prune_versions_keeps_published_table_alive(spark, events):
         assert sorted(current_snapshot(spark, target).collect()) == before
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_aggregate_maintenance_equals_from_scratch(spark, events):
+    """Additive rollup maintenance: folding any batch split yields the
+    same table as aggregating everything at once."""
+    from java_etl_bi_generator_spark.streaming.sink import (
+        merge_aggregate_batch,
+    )
+
+    prepared = events.select(
+        "user_id", F.lit(1).alias("n"), F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    rows = prepared.collect()
+    thirds = [rows[i::3] for i in range(3)]
+    cur = None
+    for chunk in thirds:
+        cdf = spark.createDataFrame(chunk, prepared.schema)
+        cur = merge_aggregate_batch(cur, cdf, ["user_id"], ["n", "v"])
+    scratch = merge_aggregate_batch(None, prepared, ["user_id"], ["n", "v"])
+    a = sorted(map(tuple, cur.collect()))
+    b = sorted(map(tuple, scratch.collect()))
+    assert a == b
