@@ -1685,8 +1685,17 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: fuzzy part-name matching via a *blocked*
     edit-distance join — equi-join on the blocking key (p_brand) first, so
     the quadratic levenshtein work runs only within blocks; the classic
-    record-linkage layout that survives table growth (pairwise-over-
-    everything does not)."""
+    record-linkage layout (pairwise-over-everything is not).
+
+    Scale bound: pair work is Σ|block|², so the BLOCKING KEY must grow
+    with the table — a fixed 25-brand key means blocks (and the
+    quadratic term) grow linearly with |part|.  Past ~10x the fixture,
+    compose the key (brand × name-prefix or length-bucket; levenshtein
+    ≤ d implies |Δlen| ≤ d, so a width-(d+1) length bucket probed at
+    {b, b+1} is output-identical) or switch to the n-gram-Jaccard /
+    MinHash candidates whose buckets grow in NUMBER, not size.  The
+    round-4 volume sweep measured exactly this: degenerate near-identical
+    names at 10x made the within-block join all-pairs."""
     pt = T(spark, sf_dir, "part")
     a = pt.select(
         F.col("p_partkey").alias("id_a"),

@@ -28,6 +28,14 @@ _SEGMENTS = ["MACHINERY", "HOUSEHOLD", "BUILDING", "FURNITURE", "AUTOMOBILE"]
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 _TYPES = ["ECONOMY", "STANDARD", "PROMO", "LARGE", "SMALL", "MEDIUM"]
+# part names mirror the fixture's "<adjective> <noun>" shape — fuzzy/ER
+# operators behave like they do on real data (a "Part#<n>" scheme makes
+# every name within edit distance of every other and degenerates the
+# blocked levenshtein join into an all-pairs match)
+_ADJ = ["small", "red", "blue", "hot", "large", "green", "dim", "pale",
+        "dark", "cold", "light", "soft"]
+_NOUN = ["ring", "widget", "bolt", "gear", "gizmo", "cog", "washer",
+         "spring", "lever", "valve", "pin", "cap"]
 _BASE_DATE = "1995-01-01"
 _DATE_SPAN = 2400  # days -> dates span 1995-01-01 .. 2001-07-29
 
@@ -96,7 +104,7 @@ def generate_star(
     )
     part = rng(num_parts).select(
         F.col("id").alias("p_partkey"),
-        F.concat(F.lit("Part#"), F.col("id")).alias("p_name"),
+        F.concat(_pick(34, _ADJ), F.lit(" "), _pick(35, _NOUN)).alias("p_name"),
         F.concat(F.lit("Brand#"), _pm(30, 25)).alias("p_brand"),
         _pick(31, _TYPES).alias("p_type"),
         (_pm(32, 50) + 1).cast("int").alias("p_size"),
