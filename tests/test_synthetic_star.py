@@ -5,7 +5,6 @@ with non-empty results on generated data."""
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 
