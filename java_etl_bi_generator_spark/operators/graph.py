@@ -179,3 +179,77 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int,
+    weight_col: str | None = None,
+    inf: int = 2**40,
+) -> DataFrame:
+    """Bounded-iteration multi-source shortest paths in EXACT integer
+    arithmetic — Bellman-Ford relaxation; with ``weight_col=None`` every
+    edge costs 1 and the result is multi-source BFS hop levels.
+
+    ``edges`` is a directed (src, dst[, weight]) list (feed symmetric
+    edges for an undirected graph); ``sources`` is a one-column ``node``
+    frame.  The distance spine holds every node that appears on either
+    edge end, seeded 0 for sources and the ``inf`` sentinel otherwise;
+    each round relaxes
+
+        dist'[v] = least(dist[v], min over in-edges (dist[u] + w(u,v)))
+
+    so after k rounds every node whose shortest path uses <= k edges
+    carries its exact distance (integer weights => no float
+    summation-order sensitivity; the trajectory is bit-identical to an
+    unrolled k-level SQL oracle).  Unreached nodes keep the sentinel and
+    are dropped from the result.
+
+    Scale shape: one shuffle per round (the min-relaxation groupBy on
+    ``dst``); already-settled infinite rows are filtered out of the
+    relaxation probe side, so each round's join carries only the reached
+    frontier's closure; lineage is cut every second round through
+    ``lineage.cut_lineage`` (reliable ``checkpoint()`` on a cluster with
+    a checkpoint dir, ``localCheckpoint`` locally), the same bounded-plan
+    discipline as ``pagerank_integer``.
+    """
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    ed = cut_lineage(
+        edges.select(F.col("src"), F.col("dst"), w.alias("__w")), eager=False
+    )
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.join(
+        sources.select(F.col("node"), F.lit(0).cast("bigint").alias("__s")),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce(F.col("__s"), F.lit(inf).cast("bigint")).alias("dist"),
+    )
+    for it in range(iterations):
+        relax = (
+            ed.join(
+                dist.filter(F.col("dist") < inf), ed.src == dist.node
+            )
+            .select("dst", (F.col("dist") + F.col("__w")).alias("__cand"))
+            .groupBy("dst")
+            .agg(F.min("__cand").alias("__nd"))
+        )
+        dist = dist.join(relax, dist.node == relax.dst, "left").select(
+            "node",
+            F.least(
+                F.col("dist"), F.coalesce(F.col("__nd"), F.col("dist"))
+            ).alias("dist"),
+        )
+        if it % 2 == 1 and it != iterations - 1:
+            dist = cut_lineage(dist)
+    return dist.filter(F.col("dist") < inf)

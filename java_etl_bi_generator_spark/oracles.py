@@ -2873,8 +2873,52 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _bellman_sql(iterations: int, weighted: bool, out_col: str) -> str:
+    """Unrolled bounded Bellman-Ford CTE chain mirroring
+    operators/graph.py::bellman_ford — bigint distances, LEAST-relaxation
+    per level, sentinel 2^40 for unreached — bit-identical to Spark's
+    per-round trajectory (integer arithmetic, no summation-order
+    sensitivity)."""
+    inf = 2**40
+    w = "((e.src + e.dst) % 7 + 1)" if weighted else "1"
+    levels = []
+    for k in range(1, iterations + 1):
+        levels.append(f"""
+        d{k} AS (
+          SELECT n.node,
+                 LEAST(n.dist, COALESCE(m.nd, n.dist)) AS dist
+          FROM d{k - 1} n
+          LEFT JOIN (
+            SELECT e.dst AS node, MIN(r.dist + {w}) AS nd
+            FROM e JOIN d{k - 1} r ON r.node = e.src
+            GROUP BY e.dst) m ON m.node = n.node)""")
+    return (
+        f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 10 = 0),
+        e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+        e AS (SELECT p1 AS src, p2 AS dst FROM e0
+              UNION ALL SELECT p2 AS src, p1 AS dst FROM e0),
+        d0 AS (SELECT src AS node,
+                      CAST(CASE WHEN src % 100 = 0 THEN 0
+                                ELSE {inf} END AS BIGINT) AS dist
+               FROM (SELECT DISTINCT src FROM e)),"""
+        + ",".join(levels)
+        + f"""
+        SELECT node, dist AS {out_col} FROM d{iterations}
+        WHERE dist < {inf}"""
+    )
+
+
 ORACLES.update({
     "q_pagerank": _pagerank_sql(5),
+    "q_bfs_levels": _bellman_sql(6, weighted=False, out_col="hops"),
+    "q_shortest_path_weighted": _bellman_sql(
+        5, weighted=True, out_col="distance"
+    ),
     "q_triangle_count": """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
                     WHERE l_partkey % 10 = 0),

@@ -4909,6 +4909,56 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_copurchase_edges(spark, sf_dir))
 
 
+def _copurchase_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized co-purchase edges (both directions of every pair)."""
+    e = _copurchase_edges(spark, sf_dir)
+    return e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _hub_sources(sym: DataFrame) -> DataFrame:
+    """Deterministic multi-source seed set: every graph node whose part
+    key is a multiple of 100 (1/10th of the %10-filtered node set)."""
+    return (
+        sym.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 100 == 0)
+        .distinct()
+    )
+
+
+@q("q_bfs_levels")
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop levels over the undirected co-purchase graph
+    from the hub seed set — 6 bounded Bellman-Ford rounds with unit
+    weights (``operators.graph.bellman_ford``), exact integer hop counts
+    hash-checked against an unrolled 6-level CTE oracle.  One shuffle
+    per round; the frontier-closure filter keeps unreached sentinel rows
+    off the relaxation join."""
+    from .operators.graph import bellman_ford
+
+    sym = _copurchase_sym(spark, sf_dir)
+    return bellman_ford(sym, _hub_sources(sym), iterations=6).select(
+        "node", F.col("dist").alias("hops")
+    )
+
+
+@q("q_shortest_path_weighted")
+def q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest paths (5-round Bellman-Ford) from the
+    hub seed set, integer edge weights w = (src+dst) % 7 + 1 derived
+    deterministically from the endpoints — exact bigint distances,
+    bit-identical to the oracle's unrolled relaxation."""
+    from .operators.graph import bellman_ford
+
+    sym = _copurchase_sym(spark, sf_dir).withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 7 + 1).cast("bigint")
+    )
+    return bellman_ford(
+        sym, _hub_sources(sym), iterations=5, weight_col="w"
+    ).select("node", F.col("dist").alias("distance"))
+
+
 @q("q_partition_prune")
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical layout: Hive-style partitioned write + partition-pruned

@@ -82,3 +82,39 @@ def test_connected_components_clusters(spark):
     kept = {r["doc_id"]
             for r in dedup_keep_representatives(docs, pairs, "doc_id").collect()}
     assert kept == {0, 1, 4, 5, 7}  # one representative per cluster
+
+
+def test_bellman_ford_hops_and_weights(spark):
+    from java_etl_bi_generator_spark.operators.graph import bellman_ford
+
+    # Path 1-2-3-4 plus a shortcut 1-4 (weight 10), island 7-8, and node 9
+    # reachable from no source.  Undirected: feed both directions.
+    und = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10), (7, 8, 2), (8, 9, 2)]
+    rows = [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und]
+    edges = spark.createDataFrame(rows, ["src", "dst", "w"])
+    sources = spark.createDataFrame([(1,)], ["node"])
+
+    hops = {r["node"]: r["dist"]
+            for r in bellman_ford(edges, sources, iterations=5).collect()}
+    # BFS: the weight column is ignored, so 1-4 is one hop
+    assert hops == {1: 0, 2: 1, 3: 2, 4: 1}  # 7,8,9 unreached -> absent
+
+    w = {r["node"]: r["dist"]
+         for r in bellman_ford(edges, sources, iterations=5,
+                               weight_col="w").collect()}
+    # weighted: the 3-edge path (cost 3) beats the shortcut (cost 10)
+    assert w == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    # bounded depth: 2 rounds cannot see node 4 via the cheap path yet,
+    # but the shortcut (1 edge) already offers cost 10
+    w2 = {r["node"]: r["dist"]
+          for r in bellman_ford(edges, sources, iterations=2,
+                                weight_col="w").collect()}
+    assert w2[4] == 10 and w2[3] == 2
+
+    # multi-source: seeding both islands reaches everything
+    both = spark.createDataFrame([(1,), (9,)], ["node"])
+    m = {r["node"]: r["dist"]
+         for r in bellman_ford(edges, both, iterations=4,
+                               weight_col="w").collect()}
+    assert m[9] == 0 and m[8] == 2 and m[7] == 4 and m[4] == 3
