@@ -798,6 +798,49 @@ ORACLES: dict[str, str] = {
                median(o_totalprice) AS median_price
         FROM orders
     """,
+    # interpolation written as the SAME IEEE expression Spark evaluates
+    # (x_lo + frac*(x_hi - x_lo), h = (N-1)p + 1) — bit-identical, so no
+    # rounding pin is needed; quantile_cont would compute an equivalent
+    # but differently-ordered float expression.
+    "q_quantile_ladder": """
+        WITH r AS (
+          SELECT o_totalprice,
+                 row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                 count(*) OVER () AS n
+          FROM orders),
+        p AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE)
+                     AS p),  -- a bare list literal types as DECIMAL(3,2)
+        sel AS (
+          SELECT p.p, r.o_totalprice, r.rn, r.n
+          FROM p JOIN r
+            ON r.rn = floor((r.n - 1) * p.p + 1)
+            OR r.rn = ceil((r.n - 1) * p.p + 1))
+        SELECT p,
+               CAST(max(n) AS BIGINT) AS n_orders,
+               max(CASE WHEN rn = floor((n - 1) * p + 1)
+                        THEN o_totalprice END)
+               + ((max(n) - 1) * p + 1 - floor((max(n) - 1) * p + 1))
+                 * (max(CASE WHEN rn = ceil((n - 1) * p + 1)
+                             THEN o_totalprice END)
+                    - max(CASE WHEN rn = floor((n - 1) * p + 1)
+                               THEN o_totalprice END)) AS q_value
+        FROM sel GROUP BY p
+    """,
+    "q_event_pattern": """
+        WITH j AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 string_agg(substr(event_type, 1, 1), ''
+                            ORDER BY ts, event_id) AS jy
+          FROM events GROUP BY user_id)
+        SELECT user_id, n_events,
+               substr(jy, 1, 40) AS journey_prefix,
+               CAST(length(jy) - length(replace(jy, 'p', ''))
+                    AS BIGINT) AS n_purchases,
+               CAST(CASE WHEN regexp_matches(jy, 'v[^p]*p')
+                         THEN 1 ELSE 0 END AS INT) AS view_to_purchase
+        FROM j
+    """,
     "q_inverted_index": """
         WITH tok AS (
             SELECT doc_id,

@@ -1521,6 +1521,97 @@ def q_exact_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_quantile_ladder")
+def q_quantile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile ladder (p10/p25/p50/p75/p90 of order prices)
+    in ONE distributed rank pass — the scale path for exact quantiles:
+    builtin ``percentile`` buffers every value per group in executor
+    memory and a global sort single-partitions, but the p-quantile is
+    just an interpolation between the rows at ranks floor/ceil((N−1)p+1).
+    ``global_rank`` range-partitions once; the 5-row p-table broadcasts
+    onto it (each data row matches at most a few p's), and the
+    interpolation x_lo + frac·(x_hi − x_lo) is the same IEEE expression
+    the oracle evaluates — bit-identical cross-engine, no pinning
+    needed.  Generalizes to any ladder width with zero extra passes."""
+    from .operators.rank import global_rank
+
+    od = T(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_rank(
+        od,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rank_col="__r",
+        total_col="__n",
+    )
+    ps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in (0.1, 0.25, 0.5, 0.75, 0.9)])
+        ).alias("p")
+    )
+    h = (F.col("__n") - 1) * F.col("p") + 1
+    sel = ranked.join(
+        F.broadcast(ps),
+        (F.col("__r") == F.floor(h)) | (F.col("__r") == F.ceil(h)),
+    )
+    frac = h - F.floor(h)
+    return (
+        sel.groupBy("p")
+        .agg(
+            F.max(
+                F.when(F.col("__r") == F.floor(h), F.col("o_totalprice"))
+            ).alias("__xlo"),
+            F.max(
+                F.when(F.col("__r") == F.ceil(h), F.col("o_totalprice"))
+            ).alias("__xhi"),
+            F.max("__n").alias("n_orders"),
+        )
+        .select(
+            "p",
+            "n_orders",
+            (
+                F.col("__xlo")
+                + ((F.col("n_orders") - 1) * F.col("p") + 1
+                   - F.floor((F.col("n_orders") - 1) * F.col("p") + 1))
+                * (F.col("__xhi") - F.col("__xlo"))
+            ).alias("q_value"),
+        )
+    )
+
+
+@q("q_event_pattern")
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite sequence matching (MATCH_RECOGNIZE-shaped): each user's
+    event-initial journey string in strict (ts, event_id) order, then
+    regex predicates over it — did a view lead to a purchase with no
+    intervening purchase, and how many purchases total.  The journey is
+    built with ``array_sort(collect_list(struct(...)))`` (struct field
+    order = sort key, deterministic under the unique event_id tie-break)
+    — one shuffle on user_id, state bounded by per-user event count; a
+    100 TB deployment bounds it further by sessionizing first (the
+    journey then spans one session, not a user's lifetime)."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    j = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("__j"),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        F.substring("__j", 1, 40).alias("journey_prefix"),
+        (F.length("__j")
+         - F.length(F.regexp_replace("__j", "p", ""))).alias("n_purchases"),
+        F.col("__j").rlike("v[^p]*p").cast("int").alias("view_to_purchase"),
+    )
+
+
 @q("q_inverted_index")
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR index build: token -> sorted posting list of documents containing
