@@ -452,6 +452,32 @@ ORACLES: dict[str, str] = {
         f"{dsum_sql('value')} AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
+    # Streaming twins of the batch window aggs: a single-file availableNow
+    # backfill is ONE micro-batch, so complete-mode output is exactly the
+    # batch aggregate (the first batch's watermark is epoch 0 — nothing is
+    # late) and the stream-stream join sees both sides fully in state.
+    # Batch/stream unification, hash-checked; the multi-batch late-drop
+    # path is pinned separately by tests/test_streaming.py.
+    "q_stream_watermark": (
+        "SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start, "
+        "event_type, count(*) AS n_events, "
+        f"{dsum_sql('value')} AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "q_stream_join": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+               CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+               p.value AS purchase_value
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
     "q_window_sliding": (
         "SELECT win_start, count(*) AS n_events, "
         f"{dsum_sql('value')} AS sum_value FROM ("
@@ -463,6 +489,27 @@ ORACLES: dict[str, str] = {
         ") GROUP BY win_start"
     ),
     "q_window_session": f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 300 SECOND
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, event_id, ts, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_no
+          FROM o
+        )
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+               count(*) AS n_events,
+               {dsum_sql('value')} AS sum_value
+        FROM s GROUP BY user_id, sess_no
+    """,
+    # single-batch availableNow backfill == batch session agg (see the
+    # q_stream_watermark comment above)
+    "q_stream_session": f"""
         WITH o AS (
           SELECT user_id, event_id, ts, value,
                  CASE WHEN lag(ts) OVER w IS NULL

@@ -1119,7 +1119,13 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_stream_watermark")
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4 (rows-only): Structured Streaming with watermark, availableNow."""
+    """T4 (hash-checked): Structured Streaming with watermark, run to
+    completion with availableNow.  The single-file backfill is one
+    micro-batch, so the complete-mode result is exactly the batch
+    tumbling aggregate (first-batch watermark is epoch 0: nothing
+    dropped) — proving batch/stream unification against the oracle; the
+    multi-batch late-drop semantics are pinned by
+    tests/test_streaming.py."""
     schema = (
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"
@@ -1131,8 +1137,9 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_stream_session")
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3 (rows-only): streaming session windows under a watermark — the
-    stateful twin of the hash-checked batch q_window_session."""
+    """T3 (hash-checked): streaming session windows under a watermark —
+    the stateful twin of batch q_window_session, and equal to it on a
+    single-batch availableNow backfill (hence the shared oracle)."""
     from .streaming.windows import streaming_session_with_watermark
 
     schema = (
@@ -1146,7 +1153,10 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_stream_join")
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T-family (rows-only): watermarked stream-stream interval join."""
+    """T-family (hash-checked): watermarked stream-stream interval join
+    — purchases within 30 min after a click, per user.  One batch holds
+    both sides fully in state, so the append-mode output is the batch
+    interval join, checkable against the SQL oracle."""
     from .streaming.joins import streaming_interval_join
 
     return streaming_interval_join(spark, f"{sf_dir}/events.parquet")
