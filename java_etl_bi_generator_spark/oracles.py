@@ -873,6 +873,30 @@ ORACLES: dict[str, str] = {
                                THEN o_totalprice END)) AS q_value
         FROM sel GROUP BY p
     """,
+    "q_quantile_ladder_grouped": """
+        WITH r AS (
+          SELECT o_orderpriority, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders),
+        p AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p),
+        sel AS (
+          SELECT r.o_orderpriority, p.p, r.o_totalprice, r.rn, r.n
+          FROM p JOIN r
+            ON r.rn = floor((r.n - 1) * p.p + 1)
+            OR r.rn = ceil((r.n - 1) * p.p + 1))
+        SELECT o_orderpriority, p,
+               CAST(max(n) AS BIGINT) AS n_orders,
+               max(CASE WHEN rn = floor((n - 1) * p + 1)
+                        THEN o_totalprice END)
+               + ((max(n) - 1) * p + 1 - floor((max(n) - 1) * p + 1))
+                 * (max(CASE WHEN rn = ceil((n - 1) * p + 1)
+                             THEN o_totalprice END)
+                    - max(CASE WHEN rn = floor((n - 1) * p + 1)
+                               THEN o_totalprice END)) AS q_value
+        FROM sel GROUP BY o_orderpriority, p
+    """,
     "q_event_pattern": """
         WITH j AS (
           SELECT user_id,
@@ -2963,6 +2987,36 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _lsh_bucket_sql(col: str, num_planes: int = 8, dim: int = 64) -> str:
+    """The hyperplane-LSH bucket id of ``col`` as a SQL expression that
+    is BIT-IDENTICAL to operators/similarity.py::hyperplane_signature:
+    the same md5-parity ±1 weights, the same left-fold summation order
+    (IEEE addition is order-sensitive; an engine-chosen reduction like
+    list_dot_product could flip a near-zero sign), the same >= 0 test.
+    ~8 planes x 64 terms of generated arithmetic — mechanical, like the
+    unrolled PageRank/Bellman-Ford CTEs."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        terms = []
+        for d in range(dim):
+            sign = (
+                1
+                if int(hashlib.md5(f"{p},{d}".encode()).hexdigest(), 16) % 2
+                == 0
+                else -1
+            )
+            t = f"CAST({col}[{d + 1}] AS DOUBLE)"
+            if d == 0:
+                terms.append(t if sign == 1 else f"- {t}")
+            else:
+                terms.append(f"{'+' if sign == 1 else '-'} {t}")
+        acc = " ".join(terms)
+        planes.append(f"(CASE WHEN ({acc}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(planes)
+
+
 def _bellman_sql(iterations: int, weighted: bool, out_col: str) -> str:
     """Unrolled bounded Bellman-Ford CTE chain mirroring
     operators/graph.py::bellman_ford — bigint distances, LEAST-relaxation
@@ -3004,6 +3058,24 @@ def _bellman_sql(iterations: int, weighted: bool, out_col: str) -> str:
 
 
 ORACLES.update({
+    "q_vector_topk_lsh": f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                          {_lsh_bucket_sql('embedding')} AS qb
+                   FROM embeddings WHERE vec_id = 0),
+        cand AS (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, q.qv
+          FROM embeddings e, q
+          WHERE {_lsh_bucket_sql('e.embedding')} = q.qb),
+        scored AS (
+          SELECT vec_id,
+                 {pround_sql(
+                     'list_dot_product(ev, qv) / '
+                     '(sqrt(list_dot_product(ev, ev)) * '
+                     'sqrt(list_dot_product(qv, qv)))', 6)} AS cosine
+          FROM cand)
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
     "q_pagerank": _pagerank_sql(5),
     "q_bfs_levels": _bellman_sql(6, weighted=False, out_col="hops"),
     "q_shortest_path_weighted": _bellman_sql(

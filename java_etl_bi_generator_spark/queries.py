@@ -1587,6 +1587,61 @@ def q_quantile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_quantile_ladder_grouped")
+def q_quantile_ladder_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles at scale: p25/p50/p75 of order price
+    WITHIN each order priority, from ONE ``grouped_rank`` pass — the
+    grouped twin of ``q_quantile_ladder``.  Builtin ``percentile`` over
+    a window/group buffers every value of a group in one executor;
+    ``grouped_rank`` range-partitions on (group, value) so a single
+    group spans many partitions, and the interpolation rows are picked
+    by rank.  The p-table (groups × 3) broadcasts; interpolation is the
+    same IEEE expression as the oracle — bit-identical, unpinned."""
+    from .operators.rank import grouped_rank
+
+    od = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    ranked = grouped_rank(
+        od,
+        ["o_orderpriority"],
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rank_col="__r",
+        total_col="__n",
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75)])).alias("p")
+    )
+    h = (F.col("__n") - 1) * F.col("p") + 1
+    sel = ranked.join(
+        F.broadcast(ps),
+        (F.col("__r") == F.floor(h)) | (F.col("__r") == F.ceil(h)),
+    )
+    return (
+        sel.groupBy("o_orderpriority", "p")
+        .agg(
+            F.max(
+                F.when(F.col("__r") == F.floor(h), F.col("o_totalprice"))
+            ).alias("__xlo"),
+            F.max(
+                F.when(F.col("__r") == F.ceil(h), F.col("o_totalprice"))
+            ).alias("__xhi"),
+            F.max("__n").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "p",
+            "n_orders",
+            (
+                F.col("__xlo")
+                + ((F.col("n_orders") - 1) * F.col("p") + 1
+                   - F.floor((F.col("n_orders") - 1) * F.col("p") + 1))
+                * (F.col("__xhi") - F.col("__xlo"))
+            ).alias("q_value"),
+        )
+    )
+
+
 @q("q_event_pattern")
 def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP-lite sequence matching (MATCH_RECOGNIZE-shaped): each user's
@@ -3087,10 +3142,13 @@ def q_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_vector_topk_lsh")
 def q_vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 (rows-only): hyperplane-LSH bucketed ANN — probe the query's
-    SimHash bucket, exact cosine rerank inside it.  Rows-only for the
-    same reason as IVF (bucket membership is float-sign-dependent); the
-    exact baseline q_vector_topk stays hash-checked."""
+    """L3 (hash-checked): hyperplane-LSH bucketed ANN — probe the
+    query's SimHash bucket, exact cosine rerank inside it.  Bucket
+    membership IS cross-engine exact: the signature's md5-parity ±1
+    weights fold left-to-right in a fixed order, and the oracle
+    (oracles.py::_lsh_bucket_sql) evaluates the identical IEEE
+    expression — unlike IVF, whose trained float centroids keep those
+    variants rows-only."""
     from .operators.similarity import lsh_bucket_topk
 
     return lsh_bucket_topk(
