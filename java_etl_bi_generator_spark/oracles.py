@@ -873,6 +873,28 @@ ORACLES: dict[str, str] = {
                                THEN o_totalprice END)) AS q_value
         FROM sel GROUP BY p
     """,
+    "q_cusum_changepoint": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS cents
+          FROM orders GROUP BY 1),
+        t AS (SELECT sum(cents) AS S, count(*) AS N FROM daily),
+        s AS (
+          SELECT day, cents,
+                 sum(cents * N - S) OVER (ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING)
+                   AS cusum_scaled
+          FROM daily, t),
+        p AS (SELECT day AS peak_day FROM s
+              ORDER BY abs(cusum_scaled) DESC, day DESC LIMIT 1)
+        SELECT s.day,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               cusum_scaled,
+               CAST(CASE WHEN s.day = p.peak_day THEN 1 ELSE 0 END
+                    AS INT) AS is_peak
+        FROM s, p
+    """,
     "q_quantile_ladder_grouped": """
         WITH r AS (
           SELECT o_orderpriority, o_totalprice,

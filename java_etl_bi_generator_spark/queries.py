@@ -3342,6 +3342,53 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_cusum_changepoint")
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring / changepoint scan: CUSUM of the daily order-revenue
+    series, EXACT in scaled integers — dev_k = cents_k·N − S (the
+    deviation from the mean, cleared of division), cusum_k = Σ_{i≤k}
+    dev_i, and the candidate changepoint is the argmax of |cusum|.  All
+    bigint until the final display division, so the running sum is
+    order-free and hash-exact.  The day-grain series (~thousands of rows
+    at any SF) is the ONLY input to the ordered window — fact-grain rows
+    never see an unpartitioned window, per the SCALING.md grain rule."""
+    od = T(spark, sf_dir, "orders")
+    daily = (
+        od.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            ).alias("cents")
+        )
+    )
+    tot = daily.agg(
+        F.sum("cents").alias("S"), F.count(F.lit(1)).alias("N")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("__dev", F.col("cents") * F.col("N") - F.col("S"))
+        .withColumn("cusum_scaled", F.sum("__dev").over(w))
+    )
+    peak = scored.agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("cusum_scaled")).alias("a"),
+                F.col("day").alias("d"),
+            )
+        ).alias("m")
+    ).select(F.col("m.d").alias("peak_day"))
+    return (
+        scored.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            (F.col("cents") / F.lit(100.0)).alias("revenue"),
+            "cusum_scaled",
+            (F.col("day") == F.col("peak_day")).cast("int").alias("is_peak"),
+        )
+    )
+
+
 @q("q_yoy_growth")
 def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year growth per nation: lag the yearly revenue series
