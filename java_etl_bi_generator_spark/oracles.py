@@ -507,6 +507,15 @@ ORACLES: dict[str, str] = {
                {dsum_sql('value')} AS sum_value
         FROM s GROUP BY user_id, sess_no
     """,
+    # single-batch backfill: the stateful processor emits one update row
+    # per user, whose exact-cents accumulator equals a batch grouped agg
+    "q_stream_stateful": f"""
+        SELECT user_id,
+               count(*) AS n_events,
+               {dsum_sql('value')} AS sum_value,
+               CAST(max(floor(epoch(ts))) AS BIGINT) AS last_seen_epoch
+        FROM events GROUP BY user_id
+    """,
     # single-batch availableNow backfill == batch session agg (see the
     # q_stream_watermark comment above)
     "q_stream_session": f"""

@@ -1302,7 +1302,12 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_stream_stateful")
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 (rows-only): custom stateful operator via applyInPandasWithState."""
+    """T5 (hash-checked): custom stateful operator via
+    ``applyInPandasWithState`` — per-user profile (count, exact-cents
+    value sum, last-seen) carried in the state store.  Integer-cents
+    state makes the emission order-free, and a single-file availableNow
+    backfill emits exactly one update row per key, so the custom
+    operator checks against a plain grouped aggregate oracle."""
     from .streaming.stateful import streaming_user_profiles
 
     schema = (

@@ -37,7 +37,7 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
-        StructField("s", DoubleType()),
+        StructField("cents", LongType()),
         StructField("last", LongType()),
     ]
 )
@@ -48,18 +48,30 @@ def _update_profile(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, s, last = state.get if state.exists else (0, 0.0, 0)
+    # The value sum is carried as EXACT integer cents (the same per-row
+    # floor(x*100+0.5) scaling dsum uses): integer addition is order-free
+    # across rows, chunks, and micro-batches, so the emitted profile is
+    # bit-identical however the stream is partitioned — which is what
+    # makes this custom stateful operator oracle-checkable at all (a
+    # float accumulator would drift by summation order).
+    import numpy as np
+
+    n, cents, last = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
         if len(pdf):
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5)
+                .astype("int64")
+                .sum()
+            )
             last = max(last, int(pdf["epoch"].max()))
-    state.update((n, s, last))
+    state.update((n, cents, last))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [round(s, 2)],
+            "sum_value": [cents / 100.0],
             "last_seen_epoch": [last],
         }
     )
