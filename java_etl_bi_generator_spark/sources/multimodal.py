@@ -95,7 +95,9 @@ def image_header_dims(media: DataFrame, content_col: str = "content") -> DataFra
     dimensions parsed straight from header bytes with built-in
     expressions — PNG stores width/height big-endian in the IHDR chunk
     (bytes 17-24), GIF little-endian in the logical screen descriptor
-    (bytes 7-10).  No codec, no Python UDF: `substring`/`hex`/`conv` on
+    (bytes 7-10), BMP little-endian int32s in the BITMAPINFOHEADER
+    (bytes 19-26; a negative height marks top-down row order, so it is
+    sign-decoded and abs()ed).  No codec, no Python UDF: `substring`/`hex`/`conv` on
     the binary column stay inside whole-stage codegen, so a 100 TB
     metadata sweep never pays a decode or a Python worker.  JPEG needs a
     marker scan (variable offsets) → that one goes through
@@ -113,16 +115,26 @@ def image_header_dims(media: DataFrame, content_col: str = "content") -> DataFra
         .when(
             F.hex(F.expr(f"substring({content_col}, 1, 2)")) == "FFD8", "jpeg"
         )
+        .when(
+            F.expr(f"substring({content_col}, 1, 2)") == F.lit(b"BM"), "bmp"
+        )
         .otherwise("unknown")
+    )
+    # BMP stores SIGNED int32 dims; reinterpret the uint32 read and abs()
+    bmp_h_raw = _le32(content_col, 23)
+    bmp_h = F.abs(
+        F.when(bmp_h_raw >= 2**31, bmp_h_raw - 2**32).otherwise(bmp_h_raw)
     )
     out = media.withColumn("format", fmt)
     return out.select(
         "*",
         F.when(F.col("format") == "png", _be32(content_col, 17))
         .when(F.col("format") == "gif", _le16(content_col, 7))
+        .when(F.col("format") == "bmp", _le32(content_col, 19).cast("int"))
         .alias("header_width"),
         F.when(F.col("format") == "png", _be32(content_col, 21))
         .when(F.col("format") == "gif", _le16(content_col, 9))
+        .when(F.col("format") == "bmp", bmp_h.cast("int"))
         .alias("header_height"),
     )
 

@@ -118,3 +118,53 @@ def test_bellman_ford_hops_and_weights(spark):
          for r in bellman_ford(edges, both, iterations=4,
                                weight_col="w").collect()}
     assert m[9] == 0 and m[8] == 2 and m[7] == 4 and m[4] == 3
+
+
+def test_bellman_ford_matches_reference_on_random_graphs(spark):
+    """Seeded random digraphs vs a pure-Python Bellman-Ford: the
+    distributed relaxation must agree on every reached node, including
+    iteration-bounded partial results."""
+    import random
+
+    from java_etl_bi_generator_spark.operators.graph import bellman_ford
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 30
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(90)
+            }
+        )
+        edges = [(a, b, rng.randrange(1, 9)) for a, b in edges if a != b]
+        srcs = sorted(rng.sample(range(n), 3))
+        for iters in (2, 8):
+            # reference: k-bounded relaxation over all nodes
+            INF = float("inf")
+            dist = {v: INF for v in range(n)}
+            for s in srcs:
+                dist[s] = 0
+            for _ in range(iters):
+                nxt = dict(dist)
+                for a, b, w in edges:
+                    if dist[a] + w < nxt[b]:
+                        nxt[b] = dist[a] + w
+                dist = nxt
+            expected = {v: d for v, d in dist.items() if d < INF}
+            # nodes absent from the edge list never enter the spine
+            on_graph = {a for a, _, _ in edges} | {b for _, b, _ in edges}
+            expected = {
+                v: d for v, d in expected.items()
+                if v in on_graph
+            }
+
+            e_df = spark.createDataFrame(edges, ["src", "dst", "w"])
+            s_df = spark.createDataFrame([(s,) for s in srcs], ["node"])
+            got = {
+                r["node"]: r["dist"]
+                for r in bellman_ford(
+                    e_df, s_df, iterations=iters, weight_col="w"
+                ).collect()
+            }
+            assert got == expected, (seed, iters)

@@ -85,8 +85,13 @@ def test_image_header_dims_parses_real_png_and_gif(spark):
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
     jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     junk = b"not an image at all"
+    # canonical bottom-up BMP and a top-down one (negative height)
+    bmp = (b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+           + struct.pack("<IiiHH", 40, 800, 600, 1, 24) + b"\x00" * 16)
+    bmp_td = (b"BM" + struct.pack("<IHHI", 0, 0, 0, 54)
+              + struct.pack("<IiiHH", 40, 128, -64, 1, 24) + b"\x00" * 16)
     media = spark.createDataFrame(
-        [(1, png), (2, gif), (3, jpeg), (4, junk)],
+        [(1, png), (2, gif), (3, jpeg), (4, junk), (5, bmp), (6, bmp_td)],
         "media_id bigint, content binary",
     )
     got = {
@@ -97,6 +102,8 @@ def test_image_header_dims_parses_real_png_and_gif(spark):
     assert got[2] == ("gif", 320, 200)
     assert got[3] == ("jpeg", None, None)
     assert got[4] == ("unknown", None, None)
+    assert got[5] == ("bmp", 800, 600)
+    assert got[6] == ("bmp", 128, 64)  # top-down height sign-decoded
 
 
 def test_image_header_dims_is_codegen_only(spark):
