@@ -3366,31 +3366,34 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    tot = daily.agg(
-        F.sum("cents").alias("S"), F.count(F.lit(1)).alias("N")
-    )
+    # S, N, and the peak arg-max are all full-frame window aggregates
+    # over the SAME day-grain series (which the ordered running sum puts
+    # in one partition anyway — bounded grain, per the SCALING.md rule):
+    # separate aggregate branches would each re-execute the orders scan,
+    # DataFrame lineage not being a CTE.  One scan, one shuffle.
+    wf = Window.partitionBy()
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     scored = (
-        daily.crossJoin(F.broadcast(tot))
+        daily.select(
+            "day",
+            "cents",
+            F.sum("cents").over(wf).alias("S"),
+            F.count(F.lit(1)).over(wf).alias("N"),
+        )
         .withColumn("__dev", F.col("cents") * F.col("N") - F.col("S"))
         .withColumn("cusum_scaled", F.sum("__dev").over(w))
     )
-    peak = scored.agg(
-        F.max(
-            F.struct(
-                F.abs(F.col("cusum_scaled")).alias("a"),
-                F.col("day").alias("d"),
-            )
-        ).alias("m")
-    ).select(F.col("m.d").alias("peak_day"))
-    return (
-        scored.crossJoin(F.broadcast(peak))
-        .select(
-            "day",
-            (F.col("cents") / F.lit(100.0)).alias("revenue"),
-            "cusum_scaled",
-            (F.col("day") == F.col("peak_day")).cast("int").alias("is_peak"),
+    peak = F.max(
+        F.struct(
+            F.abs(F.col("cusum_scaled")).alias("a"),
+            F.col("day").alias("d"),
         )
+    ).over(Window.partitionBy())
+    return scored.select(
+        "day",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        "cusum_scaled",
+        (F.col("day") == peak.getField("d")).cast("int").alias("is_peak"),
     )
 
 

@@ -185,3 +185,44 @@ def test_build_dimension_has_no_single_partition_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window [" in line and "__pid" not in line:
             raise AssertionError(f"single-partition window: {line}")
+
+
+def test_quantile_ladder_broadcasts_p_table(spark, sf_dir):
+    """The 5-row p-table must broadcast onto the ranked frame (a shuffle
+    or cartesian against data-grain rows would be a scale bug), and no
+    data-grain single-partition Window may appear (ranks come from the
+    two-phase global_rank)."""
+    from java_etl_bi_generator_spark.plans import explain_simple
+
+    df = registry()["q_quantile_ladder"](spark, sf_dir)
+    plan = explain_simple(df)
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi join, tiny side
+    assert "CartesianProduct" not in plan
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in exec_plan.splitlines():
+        # data-grain windows must carry the __pid partition key; windows
+        # over the partitions-sized count/offset table (__cnt) are fine
+        if ("Window [" in line and "__pid" not in line
+                and "__cnt" not in line):
+            raise AssertionError(f"single-partition window: {line}")
+
+
+def test_event_pattern_single_shuffle(spark, sf_dir):
+    """The journey build is one shuffle on user_id — partial
+    collect_list map-side, final agg after the exchange."""
+    from java_etl_bi_generator_spark.plans import explain_simple
+
+    plan = explain_simple(registry()["q_event_pattern"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_cusum_broadcasts_scalar_aggregates(spark, sf_dir):
+    """Both 1-row aggregates (totals, peak day) join back by broadcast;
+    the ordered window runs only on the day-grain series."""
+    from java_etl_bi_generator_spark.plans import explain_simple
+
+    plan = explain_simple(registry()["q_cusum_changepoint"](spark, sf_dir))
+    # S/N/peak all come from full-frame windows over the day-grain
+    # series — no aggregate side branches, so exactly ONE orders scan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
