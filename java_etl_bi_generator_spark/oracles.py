@@ -882,6 +882,29 @@ ORACLES: dict[str, str] = {
                                THEN o_totalprice END)) AS q_value
         FROM sel GROUP BY p
     """,
+    "q_ml_score_inference": f"""
+        WITH f AS (
+          SELECT o_custkey,
+                 count(*) AS frequency,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS cents,
+                 max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                   AS last_day
+          FROM orders GROUP BY 1),
+        z AS (
+          SELECT o_custkey, frequency, cents,
+                 -2.0 + 0.9 * ln(1.0 + frequency)
+                      + 0.15 * (cents / 100.0 / 100000.0)
+                      - 0.002 * (10957 - last_day) AS zv
+          FROM f)
+        SELECT o_custkey,
+               frequency,
+               cents / 100.0 AS monetary,
+               {pround_sql('1.0 / (1.0 + exp(-zv))', 6)} AS churn_score,
+               CAST(CASE WHEN 1.0 / (1.0 + exp(-zv)) >= 0.5
+                         THEN 1 ELSE 0 END AS INT) AS retained_pred
+        FROM z
+    """,
     "q_cusum_changepoint": """
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS day,

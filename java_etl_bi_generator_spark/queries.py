@@ -2882,6 +2882,40 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ml_score_inference")
+def q_ml_score_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML inference fused into the relational plan (the pure-SQL
+    operator-fusion pattern): a fixed-weight logistic model scores every
+    customer from aggregate features — no UDF, no model server; the
+    whole score is one codegen expression over a grouped aggregate, so
+    inference rides the same scan/shuffle as the feature build.  Feature
+    aggregates are exact (count / bigint cents / epoch-day recency), and
+    z folds left-to-right in a declared order so the sigmoid matches the
+    oracle's identical expression; the score is pinned at 6dp."""
+    od = T(spark, sf_dir, "orders")
+    feats = od.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        ).alias("__cents"),
+        F.max(F.unix_date(F.to_date("o_orderdate"))).alias("__last_day"),
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("frequency"))
+        + F.lit(0.15) * (F.col("__cents") / F.lit(100.0) / F.lit(100000.0))
+        - F.lit(0.002) * (F.lit(10957) - F.col("__last_day"))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "o_custkey",
+        "frequency",
+        (F.col("__cents") / F.lit(100.0)).alias("monetary"),
+        pround(score, 6).alias("churn_score"),
+        (score >= 0.5).cast("int").alias("retained_pred"),
+    )
+
+
 @q("q_onehot")
 def q_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature engineering: one-hot encode o_orderpriority into indicator

@@ -60,6 +60,13 @@ STAR_PROBES = [
     "q_join_star_3way",
     "q_star_flagship",
 ]
+GRAPH_PROBES = [
+    "q_pagerank",
+    "q_bfs_levels",
+    "q_shortest_path_weighted",
+    "q_triangle_count",
+    "q_degree_distribution",
+]
 
 
 def _probe(spark, qs, probes, tmp, label, n):
@@ -82,7 +89,8 @@ def _probe(spark, qs, probes, tmp, label, n):
 def main() -> None:
     mode = "events"
     args = sys.argv[1:]
-    if args and args[0] in ("events", "documents", "embeddings", "star"):
+    if args and args[0] in ("events", "documents", "embeddings", "star",
+                            "graph"):
         mode, args = args[0], args[1:]
     spark = get_spark(app_name="scale_probe")
     qs = registry()
@@ -130,6 +138,22 @@ def main() -> None:
                 .write.parquet(os.path.join(tmp, "documents.parquet"))
             )
             _probe(spark, qs, DOC_PROBES, tmp, "documents", n)
+            shutil.rmtree(tmp, ignore_errors=True)
+    elif mode == "graph":
+        # iterative/graph family over the co-purchase graph the star
+        # generator's lineitem induces (nodes scale with the part count)
+        from java_etl_bi_generator_spark.sources.synthetic_star import (
+            generate_star,
+        )
+
+        volumes = [int(float(a)) for a in args] or [1_500_000, 15_000_000]
+        print("| orders (4 lines each) | " + " | ".join(GRAPH_PROBES)
+              + " | total |")
+        print("|" + "---|" * (len(GRAPH_PROBES) + 2))
+        for n in volumes:
+            tmp = tempfile.mkdtemp(prefix=f"scale_probe_graph_{n}_")
+            generate_star(spark, tmp, n)
+            _probe(spark, qs, GRAPH_PROBES, tmp, "graph", n)
             shutil.rmtree(tmp, ignore_errors=True)
     elif mode == "star":
         from java_etl_bi_generator_spark.sources.synthetic_star import (
