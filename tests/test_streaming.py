@@ -144,3 +144,69 @@ def test_tws_runner_raises_pointed_importerror_without_protobuf(spark, sf_dir):
     else:
         with pytest.raises(ImportError, match="protobuf"):
             streaming_cumulative_cents(spark, f"{sf_dir}/events.parquet")
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """TRUE multi-batch watermark semantics (the single-file backfills
+    above are one batch, where nothing is ever late).  Three files
+    stream oldest-first with maxFilesPerTrigger=1: batch 0 advances the
+    watermark past the 10:00 window, batch 1 lets the engine emit and
+    EVICT it, and batch 2's row into that evicted window must then be
+    dropped by the state watermark (Spark guarantees "never drops data
+    <= delay late", and eviction happens a batch after the watermark
+    passes — so the provable drop needs the extra batch)."""
+    import os
+    import time as _time
+
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+
+    def _write(name, rows, mtime):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}")
+        for root, _, files in os.walk(f"{d}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    t0 = "2024-01-01 10:{:02d}:00"
+    now = _time.time()
+    _write(
+        "b0",
+        [(1, t0.format(0), 1.0), (2, t0.format(2), 1.0),
+         (3, t0.format(7), 1.0), (4, t0.format(59), 1.0)],
+        now - 200,
+    )
+    _write("b1", [(5, "2024-01-01 11:30:00", 1.0)], now - 100)
+    _write("b2", [(6, t0.format(1), 1.0)], now)  # LATE: evicted window
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .count()
+        .select(F.unix_timestamp("window.start").alias("w"), "count")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["w"]: r["count"] for r in spark.table("late_drop_test").collect()}
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"]
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    base = 1704103200  # 2024-01-01 10:00:00 UTC
+    # late event 6 dropped (10:00 window emitted ONCE with count 2);
+    # 10:55 flushed by batch 1's watermark; 11:30 still pending at end
+    assert got == {base: 2, base + 300: 1, base + 3300: 1}
+    assert dropped == 1
