@@ -507,6 +507,10 @@ ORACLES: dict[str, str] = {
                {dsum_sql('value')} AS sum_value
         FROM s GROUP BY user_id, sess_no
     """,
+    # the dedup's deterministic contract: the surviving key set
+    "q_stream_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
     # single-batch backfill: the stateful processor emits one update row
     # per user, whose exact-cents accumulator equals a batch grouped agg
     "q_stream_stateful": f"""

@@ -1164,7 +1164,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_stream_dedup")
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 (rows-only): dropDuplicatesWithinWatermark stateful dedup."""
+    """T5 (hash-checked on the key set): dropDuplicatesWithinWatermark
+    stateful dedup.  The surviving key set is the operator's
+    deterministic contract (which row wins is arrival-order-dependent),
+    so that projection is what the oracle checks."""
     from .streaming.joins import streaming_dedup
 
     return streaming_dedup(spark, f"{sf_dir}/events.parquet")

@@ -82,17 +82,19 @@ def streaming_dedup(
 ) -> DataFrame:
     """State-bounded exact dedup on (user_id, event_type) within the
     watermark horizon — duplicates arriving later than the horizon are the
-    at-least-once residue a downstream exact dedup would catch."""
+    at-least-once residue a downstream exact dedup would catch.
+
+    The emitted projection is the SURVIVING KEY SET: which physical row
+    wins inside ``dropDuplicatesWithinWatermark`` is arrival-order-
+    dependent (not a defect — at-least-once semantics), so the
+    deterministic contract of the operator is exactly the key set, and
+    that is what gets hash-checked against ``SELECT DISTINCT``.  The
+    stateful operator still runs over full rows."""
     stream = (
         _event_stream(spark, events_path)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.unix_timestamp("ts").alias("ts_epoch"),
-        )
+        .select("user_id", "event_type")
     )
     q = (
         stream.writeStream.format("memory")
