@@ -1599,6 +1599,9 @@ ORACLES: dict[str, str] = {
         "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     ),
     "q_orc_roundtrip": "SELECT * FROM region",
+    "q_xml_roundtrip": (
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    ),
     "q_posexplode": """
         SELECT vec_id, CAST(i - 1 AS INT) AS pos,
                CAST(embedding[i] AS DOUBLE) AS val

@@ -2418,6 +2418,30 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+@q("q_xml_roundtrip")
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source roundtrip via Spark 4's built-in XML data source
+    (rowTag records, explicit schema on re-read — inference would be an
+    extra full scan).  The B2B-integration format the reference's BI
+    audience still meets; lossless check against the base table."""
+    path = tempfile.mkdtemp(prefix="xml_roundtrip_") + "/nation"
+    (
+        T(spark, sf_dir, "nation")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
 @q("q_posexplode")
 def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 superset: positional explode (UNNEST WITH ORDINALITY) — first 4
