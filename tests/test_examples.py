@@ -21,6 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("training_data_prep.py", ["/root/testdata/sf0.001"]),
         ("customer_analytics.py", ["/root/testdata/sf0.001"]),
         ("incremental_ingest.py", ["20000"]),
+        ("graph_analytics.py", ["/root/testdata/sf0.001"]),
     ],
 )
 def test_example_runs_clean(script, args):
