@@ -2048,6 +2048,43 @@ ORACLES: dict[str, str] = {
                  AS bm25
         FROM st CROSS JOIN corpus GROUP BY doc_id
     """,
+    "q_bm25_topk_batch": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) <> ''),
+        tf AS (
+          SELECT doc_id, dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok
+                FROM docs) t
+          WHERE tok IN ('data', 'hash', 'join', 'merge', 'scan', 'vector')
+          GROUP BY 1, 2, 3),
+        st AS (
+          SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM tf),
+        qt AS (SELECT * FROM (VALUES
+                 ('q1', 'join'), ('q1', 'hash'),
+                 ('q2', 'vector'), ('q2', 'scan'),
+                 ('q3', 'data'), ('q3', 'merge')) v(qid, tok)),
+        corpus AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+          FROM docs),
+        scored AS (
+          SELECT qid, doc_id,
+                 {pround_sql(
+                     'sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)'
+                     ' * (tf * (1.2 + 1.0)'
+                     ' / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))', 4)}
+                   AS bm25
+          FROM st JOIN qt USING (tok) CROSS JOIN corpus
+          GROUP BY qid, doc_id),
+        ranked AS (
+          SELECT qid, doc_id, bm25,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM scored)
+        SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, bm25
+        FROM ranked WHERE rnk <= 5
+    """,
     "q_path_trigrams": """
         WITH p AS (
           SELECT lag(event_type, 2) OVER w AS t1,

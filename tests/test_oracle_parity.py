@@ -15,15 +15,17 @@ from java_etl_bi_generator_spark.queries import registry
 
 from .conftest import SF_DIR
 
-# Rows-only queries (no oracle): streaming state, IVF probing, HLL
-# sketches.  Streaming ones are exercised in test_streaming.py.
+# Rows-only queries (no oracle): builtin sketches, IVF float-centroid
+# probing, k-means training — each inherently engine-specific.  (The
+# streaming surface and LSH gained oracles in round 4 and now run
+# through test_query_matches_oracle like everything else.)
 ROWS_ONLY = {
-    "q_stream_watermark",
-    "q_stream_stateful",
-    "q_vector_topk_ivf",
-    "q_vector_topk_lsh",
     "q_approx_count_distinct",
     "q_approx_percentile",
+    "q_kmeans_cells",
+    "q_rolling_distinct_hll",
+    "q_vector_topk_ivf",
+    "q_vector_topk_ivf_trained",
 }
 
 
@@ -51,9 +53,7 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert sp == du, f"{name}: spark {sp} != duckdb {du}"
 
 
-@pytest.mark.parametrize(
-    "name", sorted(ROWS_ONLY - {"q_stream_watermark", "q_stream_stateful"})
-)
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
 def test_rows_only_queries_produce_rows(name, spark, sf_dir):
     df = registry()[name](spark, sf_dir)
     assert df.count() > 0
