@@ -886,6 +886,41 @@ ORACLES: dict[str, str] = {
                                THEN o_totalprice END)) AS q_value
         FROM sel GROUP BY p
     """,
+    "q_score_calibration": """
+        WITH f AS (
+          SELECT o_custkey,
+                 count(*) AS frequency,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS cents,
+                 max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                   AS last_day
+          FROM orders
+          WHERE year(CAST(o_orderdate AS DATE)) <= 1997 GROUP BY 1),
+        s AS (
+          SELECT o_custkey,
+                 CAST(floor(
+                   (1.0 / (1.0 + exp(-(-2.0 + 0.9 * ln(1.0 + frequency)
+                        + 0.15 * (cents / 100.0 / 100000.0)
+                        - 0.002 * (10957 - last_day))))) * 1000000.0 + 0.5)
+                   AS BIGINT) AS s6
+          FROM f),
+        a AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE year(CAST(o_orderdate AS DATE)) = 1998),
+        j AS (
+          SELECT s.o_custkey, s.s6,
+                 CASE WHEN a.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+          FROM s LEFT JOIN a ON a.o_custkey = s.o_custkey),
+        r AS (
+          SELECT *, NTILE(10) OVER (ORDER BY -s6, o_custkey) AS decile
+          FROM j)
+        SELECT decile,
+               count(*) AS n_customers,
+               CAST(sum(label) AS BIGINT) AS n_active,
+               sum(s6) / 1000000.0 / count(*) AS mean_score,
+               CAST(sum(label) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE) AS observed_rate
+        FROM r GROUP BY decile
+    """,
     "q_ml_score_inference": f"""
         WITH f AS (
           SELECT o_custkey,

@@ -2943,6 +2943,84 @@ def q_ml_score_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_score_calibration")
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model monitoring: the reliability diagram for the fused logistic
+    score — customers are scored on PRE-1998 orders only (a temporal
+    train/serve split, no leakage), bucketed into score deciles, and
+    each decile reports its observed 1998-activity rate.  Deciles come
+    from the DISTRIBUTED rank (`global_rank` + NTILE's closed form) over
+    the pinned score encoded as an exact bigint sort key; per-decile
+    averages sum the 6dp-scaled score as exact integers (a float sum
+    would be partition-order-sensitive), so the whole diagram
+    hash-checks."""
+    from .operators.rank import global_rank, ntile_from_rank
+
+    od = T(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    feats = (
+        od.filter(F.year(d) <= 1997)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            ).alias("__cents"),
+            F.max(F.unix_date(d)).alias("__last_day"),
+        )
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("frequency"))
+        + F.lit(0.15) * (F.col("__cents") / F.lit(100.0) / F.lit(100000.0))
+        - F.lit(0.002) * (F.lit(10957) - F.col("__last_day"))
+    )
+    score6 = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")  # pinned score as an exact integer in [0, 1e6]
+    active = (
+        od.filter(F.year(d) == 1998)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("__lbl", F.lit(1))
+    )
+    scored = (
+        feats.withColumn("__s6", score6)
+        .join(active, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            "__s6",
+            F.coalesce("__lbl", F.lit(0)).alias("label"),
+        )
+    )
+    ranked = global_rank(
+        scored,
+        [(-F.col("__s6")).alias("sk"), F.col("o_custkey")],
+        rank_col="__r",
+        total_col="__n",
+    )
+    deciled = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("__r"), F.col("__n"), 10)
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("label").alias("n_active"),
+            F.sum("__s6").alias("__sum6"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "n_active",
+            (F.col("__sum6") / F.lit(1e6) / F.col("n_customers"))
+            .alias("mean_score"),
+            (F.col("n_active") / F.col("n_customers").cast("double"))
+            .alias("observed_rate"),
+        )
+    )
+
+
 @q("q_onehot")
 def q_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature engineering: one-hot encode o_orderpriority into indicator
