@@ -3021,6 +3021,76 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_auc_exact")
+def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the fused logistic score against 1998 activity —
+    the Mann-Whitney U form with tie-corrected midranks, in PURE INTEGER
+    arithmetic until the final division: rank by the exact bigint score
+    key via the distributed `global_rank`, collapse to score-value
+    groups, and each group's positive contribution is
+    n_pos_g·(2·min_rank + cnt − 1) — twice the midrank sum, an exact
+    bigint.  AUC = (Σ − n_pos(n_pos+1)) / (2·n_pos·n_neg).  No sort of
+    floats, no per-pair comparison (the naive AUC is |pos|×|neg|)."""
+    from .operators.rank import global_rank
+
+    od = T(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    feats = (
+        od.filter(F.year(d) <= 1997)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            ).alias("__cents"),
+            F.max(F.unix_date(d)).alias("__last_day"),
+        )
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("frequency"))
+        + F.lit(0.15) * (F.col("__cents") / F.lit(100.0) / F.lit(100000.0))
+        - F.lit(0.002) * (F.lit(10957) - F.col("__last_day"))
+    )
+    s6 = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    active = (
+        od.filter(F.year(d) == 1998)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("__lbl", F.lit(1))
+    )
+    scored = (
+        feats.withColumn("__s6", s6)
+        .join(active, "o_custkey", "left")
+        .select(
+            "o_custkey", "__s6",
+            F.coalesce("__lbl", F.lit(0)).alias("label"),
+        )
+    )
+    ranked = global_rank(
+        scored, [F.col("__s6"), F.col("o_custkey")], rank_col="__r"
+    )
+    groups = ranked.groupBy("__s6").agg(
+        F.min("__r").alias("mn"),
+        F.count(F.lit(1)).alias("c"),
+        F.sum("label").alias("np"),
+    )
+    return groups.agg(
+        F.sum(F.col("np") * (2 * F.col("mn") + F.col("c") - 1)).alias("__u2"),
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("c") - F.col("np")).alias("n_neg"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("__u2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
 @q("q_onehot")
 def q_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature engineering: one-hot encode o_orderpriority into indicator
