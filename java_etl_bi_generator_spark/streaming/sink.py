@@ -49,6 +49,20 @@ def current_snapshot(spark: SparkSession, target: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(target, version))
 
 
+def list_versions(target: str) -> list[str]:
+    """Version ids on disk, oldest first (each a full applied snapshot)."""
+    return sorted(d for d in os.listdir(target) if d.startswith("v"))
+
+
+def snapshot_at(spark: SparkSession, target: str, version: str) -> DataFrame:
+    """Time-travel read: the table EXACTLY as published at ``version``
+    (any id from ``list_versions`` that retention has not pruned).
+    Every version directory is a complete snapshot, so a historical read
+    is a plain parquet scan — no log replay; the pointer file is only
+    the 'latest' convenience the default read follows."""
+    return spark.read.parquet(os.path.join(target, version))
+
+
 def keep_latest_merge(
     current: DataFrame | None,
     updates: DataFrame,
