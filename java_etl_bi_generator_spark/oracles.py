@@ -981,6 +981,30 @@ ORACLES: dict[str, str] = {
                          THEN 1 ELSE 0 END AS INT) AS retained_pred
         FROM z
     """,
+    "q_survival_km": f"""
+        WITH last AS (
+          SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d
+          FROM orders GROUP BY 1),
+        t AS (SELECT count(*) AS n FROM last),
+        d AS (
+          SELECT date_trunc('month', last_d) AS m, count(*) AS d
+          FROM last WHERE last_d < DATE '1998-06-01' GROUP BY 1),
+        s AS (
+          SELECT m, d,
+                 n - COALESCE(sum(d) OVER (ORDER BY m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS risk
+          FROM d, t),
+        f AS (
+          SELECT m, CAST(d AS BIGINT) AS d, CAST(risk AS BIGINT) AS risk,
+                 (risk - d) / CAST(risk AS DOUBLE) AS factor
+          FROM s)
+        SELECT m, d, risk,
+               {pround_sql(
+                   'product(factor) OVER (ORDER BY m '
+                   'ROWS UNBOUNDED PRECEDING)', 6)} AS survival
+        FROM f
+    """,
     "q_cusum_changepoint": """
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS day,

@@ -3612,6 +3612,48 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_survival_km")
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime: the churn event
+    is a customer's LAST order month (customers still ordering near the
+    fixture horizon are censored at the 1998-06-01 cutoff, so every
+    censor time is the same and the risk set is simply N − churned-so-
+    far).  d and the risk set stay exact bigints; the survival product
+    Π(1 − d/risk) runs as a windowed ``product`` over the BOUNDED month
+    grain (~80 rows) in frame order, pinned at 6dp — the curve a
+    retention team reads straight off."""
+    od = T(spark, sf_dir, "orders")
+    last = od.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d")
+    )
+    cutoff = F.lit("1998-06-01").cast("date")
+    n_total = last.agg(F.count(F.lit(1)).alias("N"))
+    d = (
+        last.filter(F.col("last_d") < cutoff)
+        .groupBy(F.trunc("last_d", "month").alias("m"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    w_prev = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        d.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "risk",
+            F.col("N") - F.coalesce(F.sum("d").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "__factor",
+            (F.col("risk") - F.col("d")) / F.col("risk").cast("double"),
+        )
+    )
+    return s.select(
+        "m",
+        "d",
+        "risk",
+        pround(F.product("__factor").over(w_cum), 6).alias("survival"),
+    )
+
+
 @q("q_yoy_growth")
 def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year growth per nation: lag the yearly revenue series
