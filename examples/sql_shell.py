@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Run arbitrary SQL over the engine's catalog — the migration path for a
+reference user's existing queries: every fixture table is registered as a
+temp view (`register_views`, the same normalization choke point every
+declared query reads through), then any statement runs through Catalyst
+with the full optimizer surface (pushdown, AQE, broadcast selection).
+
+Run::
+
+    python examples/sql_shell.py "SELECT ... FROM lineitem ..." [sf_dir]
+    python examples/sql_shell.py path/to/query.sql [sf_dir]
+
+Default sf_dir: /root/testdata/sf0.01.  Prints up to 50 rows plus the
+row count; a trailing `EXPLAIN` argument prints the physical plan
+instead (how users verify their migrated query kept its pushdown).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from java_etl_bi_generator_spark.catalog import register_views
+from java_etl_bi_generator_spark.session import get_spark
+
+
+def run(sql: str, sf_dir: str, explain: bool = False) -> int:
+    spark = get_spark(app_name="sql_shell")
+    register_views(spark, sf_dir)
+    df = spark.sql(sql)
+    if explain:
+        df.explain("formatted")
+        return 0
+    df.show(50, truncate=False)
+    n = df.count()
+    print(f"({n} rows)")
+    return n
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        raise SystemExit(2)
+    arg = sys.argv[1]
+    sql = open(arg).read() if os.path.exists(arg) else arg
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    explain = len(sys.argv) > 3 and sys.argv[3].upper() == "EXPLAIN"
+    run(sql, sf_dir, explain)
+
+
+if __name__ == "__main__":
+    main()
