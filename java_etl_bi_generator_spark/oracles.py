@@ -111,6 +111,31 @@ _WINNOW_CTE = """
         )
 """
 
+def _ema_sql(n_terms: int = 12, decay: float = 0.7) -> str:
+    """Truncated-FIR exponential smoothing mirroring q_exp_smoothing:
+    the same 12 lag terms with repr'd double weights, summed in the same
+    left-to-right order, renormalized over the lags present."""
+    num, den = [], []
+    for k in range(n_terms):
+        wk = repr(decay**k)
+        lk = "revenue" if k == 0 else f"lag(revenue, {k}) OVER w"
+        num.append(
+            f"CASE WHEN {lk} IS NOT NULL THEN {wk} * {lk} ELSE 0.0 END"
+        )
+        den.append(f"CASE WHEN {lk} IS NOT NULL THEN {wk} ELSE 0.0 END")
+    expr = f"({' + '.join(num)}) / ({' + '.join(den)})"
+    return f"""
+        WITH monthly AS (
+          SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                 CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+          FROM orders GROUP BY 1)
+        SELECT m, revenue,
+               {pround_sql(expr, 4)} AS smoothed
+        FROM monthly WINDOW w AS (ORDER BY m)
+    """
+
+
 def _hex_bigint(md5_expr: str, start: int, length: int) -> str:
     """SQL for interpreting ``length`` hex chars of ``md5_expr`` starting at
     1-based ``start`` as a BIGINT — DuckDB has no ``conv``; mirrors Spark's
@@ -981,6 +1006,7 @@ ORACLES: dict[str, str] = {
                          THEN 1 ELSE 0 END AS INT) AS retained_pred
         FROM z
     """,
+    "q_exp_smoothing": _ema_sql(),
     "q_survival_km": f"""
         WITH last AS (
           SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d

@@ -3612,6 +3612,43 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_exp_smoothing")
+def q_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series smoothing: 12-term truncated exponential moving
+    average of monthly revenue (w_k = 0.7^k, renormalized over the lags
+    that exist near the series start).  True recursive EMA is a
+    sequential fold Spark can't parallelize; the truncated FIR form is
+    the scale-correct equivalent (12 explicit ``lag`` terms over the
+    BOUNDED month grain, summed in one declared left-to-right fold — so
+    the float arithmetic is fixed-order and the oracle evaluates the
+    identical expression).  Weight beyond 12 months is 0.7^12 ≈ 1.4% —
+    below the 4dp pin."""
+    od = T(spark, sf_dir, "orders")
+    monthly = (
+        od.groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("m"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            ).alias("__cents")
+        )
+    )
+    w = Window.orderBy("m")
+    x = (F.col("__cents") / F.lit(100.0))
+    base = monthly.withColumn("revenue", x)
+    num = None
+    den = None
+    for k in range(12):
+        wk = F.lit(0.7**k)
+        lk = F.lag("revenue", k).over(w) if k else F.col("revenue")
+        term = F.when(lk.isNotNull(), wk * lk).otherwise(F.lit(0.0))
+        avail = F.when(lk.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    return base.select(
+        "m", "revenue", pround(num / den, 4).alias("smoothed")
+    )
+
+
 @q("q_survival_km")
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve of customer lifetime: the churn event
