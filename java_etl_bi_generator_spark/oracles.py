@@ -946,6 +946,49 @@ ORACLES: dict[str, str] = {
                  / CAST(count(*) AS DOUBLE) AS observed_rate
         FROM r GROUP BY decile
     """,
+    "q_auc_by_segment": """
+        WITH f AS (
+          SELECT o_custkey,
+                 count(*) AS frequency,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS cents,
+                 max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                   AS last_day
+          FROM orders
+          WHERE year(CAST(o_orderdate AS DATE)) <= 1997 GROUP BY 1),
+        s AS (
+          SELECT o_custkey,
+                 CAST(floor(
+                   (1.0 / (1.0 + exp(-(-2.0 + 0.9 * ln(1.0 + frequency)
+                        + 0.15 * (cents / 100.0 / 100000.0)
+                        - 0.002 * (10957 - last_day))))) * 1000000.0 + 0.5)
+                   AS BIGINT) AS s6
+          FROM f),
+        a AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE year(CAST(o_orderdate AS DATE)) = 1998),
+        j AS (
+          SELECT s.o_custkey, c.c_mktsegment AS segment, s.s6,
+                 CASE WHEN a.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+          FROM s
+          JOIN customer c ON c.c_custkey = s.o_custkey
+          LEFT JOIN a ON a.o_custkey = s.o_custkey),
+        r AS (SELECT segment, s6, label,
+                     row_number() OVER (PARTITION BY segment
+                                        ORDER BY s6, o_custkey) AS rk
+              FROM j),
+        g AS (SELECT segment, s6, min(rk) AS mn, count(*) AS c,
+                     sum(label) AS np
+              FROM r GROUP BY segment, s6),
+        t AS (SELECT segment,
+                     sum(np * (2 * mn + c - 1)) AS u2,
+                     sum(np) AS n_pos, sum(c - np) AS n_neg
+              FROM g GROUP BY segment)
+        SELECT segment,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               (u2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg) AS auc
+        FROM t
+    """,
     "q_auc_exact": """
         WITH f AS (
           SELECT o_custkey,

@@ -3091,6 +3091,83 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_auc_by_segment")
+def q_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced model evaluation: exact ROC-AUC per customer market
+    segment (the fairness/drift view — a model fine on aggregate can be
+    chance-level inside a slice).  Same integer Mann-Whitney midrank
+    arithmetic as q_auc_exact, but ranks come from ``grouped_rank``
+    partitioned on the segment — each segment's ordering spans many
+    partitions instead of buffering per-segment."""
+    from .operators.rank import grouped_rank
+
+    od = T(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    feats = (
+        od.filter(F.year(d) <= 1997)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            ).alias("__cents"),
+            F.max(F.unix_date(d)).alias("__last_day"),
+        )
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("frequency"))
+        + F.lit(0.15) * (F.col("__cents") / F.lit(100.0) / F.lit(100000.0))
+        - F.lit(0.002) * (F.lit(10957) - F.col("__last_day"))
+    )
+    s6 = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    active = (
+        od.filter(F.year(d) == 1998)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("__lbl", F.lit(1))
+    )
+    seg = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    scored = (
+        feats.withColumn("__s6", s6)
+        .join(active, "o_custkey", "left")
+        .join(seg, "o_custkey")
+        .select(
+            "o_custkey", "segment", "__s6",
+            F.coalesce("__lbl", F.lit(0)).alias("label"),
+        )
+    )
+    ranked = grouped_rank(
+        scored,
+        ["segment"],
+        [F.col("__s6"), F.col("o_custkey")],
+        rank_col="__r",
+    )
+    groups = ranked.groupBy("segment", "__s6").agg(
+        F.min("__r").alias("mn"),
+        F.count(F.lit(1)).alias("c"),
+        F.sum("label").alias("np"),
+    )
+    return groups.groupBy("segment").agg(
+        F.sum(F.col("np") * (2 * F.col("mn") + F.col("c") - 1)).alias("__u2"),
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("c") - F.col("np")).alias("n_neg"),
+    ).select(
+        "segment",
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("__u2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
 @q("q_onehot")
 def q_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature engineering: one-hot encode o_orderpriority into indicator
