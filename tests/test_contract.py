@@ -22,14 +22,11 @@ from java_etl_bi_generator_spark.queries import registry
 
 # Streaming state, IVF probing and HLL sketches are not SQL-expressible in
 # DuckDB — the driver records a weaker rows-only check for exactly these.
+# Round-4 continuation shrank this to the 6 inherently engine-specific
+# queries (the streaming surface and LSH gained oracles): builtin HLL/GK
+# sketches, float-centroid IVF probing, and Lloyd's k-means training.
 DOCUMENTED_ROWS_ONLY = {
-    "q_stream_watermark",
-    "q_stream_stateful",
-    "q_stream_join",
-    "q_stream_dedup",
-    "q_stream_session",
     "q_vector_topk_ivf",
-    "q_vector_topk_lsh",
     "q_approx_count_distinct",
     "q_approx_percentile",
     "q_kmeans_cells",
