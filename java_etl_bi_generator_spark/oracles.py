@@ -1764,6 +1764,7 @@ ORACLES: dict[str, str] = {
         "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     ),
     "q_orc_roundtrip": "SELECT * FROM region",
+    "q_managed_table": "SELECT * FROM supplier",
     "q_xml_roundtrip": (
         "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     ),

@@ -2418,6 +2418,20 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+@q("q_managed_table")
+def q_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog surface: ``saveAsTable`` into the session catalog (parquet
+    under the warehouse dir) and read back via ``spark.table`` — the
+    managed-table lifecycle a metastore deployment uses, minus the
+    external Hive service (the in-memory catalog holds the metadata; on
+    a cluster the same two calls hit the metastore).  Lossless check
+    against the base supplier table."""
+    name = "q_managed_supplier"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    T(spark, sf_dir, "supplier").write.mode("overwrite").saveAsTable(name)
+    return spark.table(name)
+
+
 @q("q_xml_roundtrip")
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink + source roundtrip via Spark 4's built-in XML data source
