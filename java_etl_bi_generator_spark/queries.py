@@ -2425,9 +2425,22 @@ def q_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     managed-table lifecycle a metastore deployment uses, minus the
     external Hive service (the in-memory catalog holds the metadata; on
     a cluster the same two calls hit the metastore).  Lossless check
-    against the base supplier table."""
+    against the base supplier table.
+
+    The in-memory catalog forgets tables between sessions but the
+    warehouse DIRECTORY persists, so DROP TABLE alone leaves a
+    LOCATION_ALREADY_EXISTS trap for the next session — the location is
+    removed physically too (a persistent metastore's DROP does that for
+    managed tables itself)."""
+    import os
+    import shutil
+
     name = "q_managed_supplier"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
     T(spark, sf_dir, "supplier").write.mode("overwrite").saveAsTable(name)
     return spark.table(name)
 
