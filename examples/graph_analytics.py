@@ -35,40 +35,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F
 
-from java_etl_bi_generator_spark.catalog import load_table
 from java_etl_bi_generator_spark.operators.graph import (
     bellman_ford,
     pagerank_integer,
     triangle_counts,
 )
-from java_etl_bi_generator_spark.queries import _basket_pair_rows
+from java_etl_bi_generator_spark.queries import (
+    _copurchase_edges,
+    _copurchase_sym,
+    _hub_sources,
+)
 from java_etl_bi_generator_spark.session import get_spark
 
 
 def build(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 10 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    edges = (
-        _basket_pair_rows(li)
-        .distinct()
-        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-    )
-    sym = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # the same canonical (distinct, src<dst) edge builders the declared
+    # graph queries use — one definition, no drift
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = _copurchase_sym(spark, sf_dir)
 
     ranks = pagerank_integer(sym, iterations=5, symmetric=True).select(
         "node", F.col("rank").alias("rank_scaled")
     )
 
-    hubs = (
-        sym.select(F.col("src").alias("node"))
-        .filter(F.col("node") % 100 == 0)
-        .distinct()
-    )
+    hubs = _hub_sources(sym)
     hops = bellman_ford(sym, hubs, iterations=6).select(
         "node", F.col("dist").alias("hub_hops")
     )
@@ -82,8 +72,11 @@ def build(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     ).select("node", F.col("dist").alias("hub_distance"))
 
     tris = triangle_counts(edges)
+    # sym rows are unique (distinct canonical pairs, both directions), so
+    # degree is a plain count — the same shape the q_degree_distribution
+    # fix measured 42s -> 25s at 60M lineitem vs count_distinct
     degrees = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count_distinct("dst").alias("degree")
+        F.count(F.lit(1)).alias("degree")
     )
 
     profile = (

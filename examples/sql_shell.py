@@ -33,20 +33,24 @@ def run(sql: str, sf_dir: str, explain: bool = False) -> int:
     if explain:
         df.explain("formatted")
         return 0
-    df.show(50, truncate=False)
-    n = df.count()
-    print(f"({n} rows)")
-    return n
+    # one execution: collect once, render from the collected rows
+    rows = df.collect()
+    spark.createDataFrame(rows[:50], df.schema).show(50, truncate=False)
+    print(f"({len(rows)} rows)")
+    return len(rows)
 
 
 def main() -> None:
-    if len(sys.argv) < 2:
+    args = sys.argv[1:]
+    # trailing EXPLAIN works with or without an explicit sf_dir
+    explain = bool(args) and args[-1].upper() == "EXPLAIN"
+    if explain:
+        args = args[:-1]
+    if not args:
         print(__doc__)
         raise SystemExit(2)
-    arg = sys.argv[1]
-    sql = open(arg).read() if os.path.exists(arg) else arg
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-    explain = len(sys.argv) > 3 and sys.argv[3].upper() == "EXPLAIN"
+    sql = open(args[0]).read() if os.path.exists(args[0]) else args[0]
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
     run(sql, sf_dir, explain)
 
 

@@ -111,6 +111,43 @@ _WINNOW_CTE = """
         )
 """
 
+_CHURN_Z_SQL = (
+    "-2.0 + 0.9 * ln(1.0 + frequency)"
+    " + 0.15 * (cents / 100.0 / 100000.0)"
+    " - 0.002 * (10957 - last_day)"
+)  # the model's weights, mirrored from queries._churn_z — ONE place per engine
+
+
+def _churn_feat_sql(upto_1997: bool) -> str:
+    """The f CTE: exact feature aggregates, optionally with the temporal
+    train/serve split (mirrors queries._churn_features)."""
+    where = ("\n          WHERE year(CAST(o_orderdate AS DATE)) <= 1997"
+             if upto_1997 else "")
+    return f"""f AS (
+          SELECT o_custkey,
+                 count(*) AS frequency,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS cents,
+                 max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                   AS last_day
+          FROM orders{where} GROUP BY 1)"""
+
+
+_CHURN_SCORED_LABELED_SQL = f"""{_churn_feat_sql(True)},
+        s AS (
+          SELECT o_custkey,
+                 CAST(floor(
+                   (1.0 / (1.0 + exp(-({_CHURN_Z_SQL})))) * 1000000.0 + 0.5)
+                   AS BIGINT) AS s6
+          FROM f),
+        a AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE year(CAST(o_orderdate AS DATE)) = 1998),
+        j AS (
+          SELECT s.o_custkey, s.s6,
+                 CASE WHEN a.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+          FROM s LEFT JOIN a ON a.o_custkey = s.o_custkey)"""
+
+
 def _ema_sql(n_terms: int = 12, decay: float = 0.7) -> str:
     """Truncated-FIR exponential smoothing mirroring q_exp_smoothing:
     the same 12 lag terms with repr'd double weights, summed in the same
@@ -911,30 +948,8 @@ ORACLES: dict[str, str] = {
                                THEN o_totalprice END)) AS q_value
         FROM sel GROUP BY p
     """,
-    "q_score_calibration": """
-        WITH f AS (
-          SELECT o_custkey,
-                 count(*) AS frequency,
-                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                   AS cents,
-                 max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
-                   AS last_day
-          FROM orders
-          WHERE year(CAST(o_orderdate AS DATE)) <= 1997 GROUP BY 1),
-        s AS (
-          SELECT o_custkey,
-                 CAST(floor(
-                   (1.0 / (1.0 + exp(-(-2.0 + 0.9 * ln(1.0 + frequency)
-                        + 0.15 * (cents / 100.0 / 100000.0)
-                        - 0.002 * (10957 - last_day))))) * 1000000.0 + 0.5)
-                   AS BIGINT) AS s6
-          FROM f),
-        a AS (SELECT DISTINCT o_custkey FROM orders
-              WHERE year(CAST(o_orderdate AS DATE)) = 1998),
-        j AS (
-          SELECT s.o_custkey, s.s6,
-                 CASE WHEN a.o_custkey IS NULL THEN 0 ELSE 1 END AS label
-          FROM s LEFT JOIN a ON a.o_custkey = s.o_custkey),
+    "q_score_calibration": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
         r AS (
           SELECT *, NTILE(10) OVER (ORDER BY -s6, o_custkey) AS decile
           FROM j)
@@ -946,36 +961,15 @@ ORACLES: dict[str, str] = {
                  / CAST(count(*) AS DOUBLE) AS observed_rate
         FROM r GROUP BY decile
     """,
-    "q_auc_by_segment": """
-        WITH f AS (
-          SELECT o_custkey,
-                 count(*) AS frequency,
-                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                   AS cents,
-                 max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
-                   AS last_day
-          FROM orders
-          WHERE year(CAST(o_orderdate AS DATE)) <= 1997 GROUP BY 1),
-        s AS (
-          SELECT o_custkey,
-                 CAST(floor(
-                   (1.0 / (1.0 + exp(-(-2.0 + 0.9 * ln(1.0 + frequency)
-                        + 0.15 * (cents / 100.0 / 100000.0)
-                        - 0.002 * (10957 - last_day))))) * 1000000.0 + 0.5)
-                   AS BIGINT) AS s6
-          FROM f),
-        a AS (SELECT DISTINCT o_custkey FROM orders
-              WHERE year(CAST(o_orderdate AS DATE)) = 1998),
-        j AS (
-          SELECT s.o_custkey, c.c_mktsegment AS segment, s.s6,
-                 CASE WHEN a.o_custkey IS NULL THEN 0 ELSE 1 END AS label
-          FROM s
-          JOIN customer c ON c.c_custkey = s.o_custkey
-          LEFT JOIN a ON a.o_custkey = s.o_custkey),
+    "q_auc_by_segment": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        js AS (
+          SELECT j.o_custkey, c.c_mktsegment AS segment, j.s6, j.label
+          FROM j JOIN customer c ON c.c_custkey = j.o_custkey),
         r AS (SELECT segment, s6, label,
                      row_number() OVER (PARTITION BY segment
                                         ORDER BY s6, o_custkey) AS rk
-              FROM j),
+              FROM js),
         g AS (SELECT segment, s6, min(rk) AS mn, count(*) AS c,
                      sum(label) AS np
               FROM r GROUP BY segment, s6),
@@ -989,30 +983,8 @@ ORACLES: dict[str, str] = {
                (u2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg) AS auc
         FROM t
     """,
-    "q_auc_exact": """
-        WITH f AS (
-          SELECT o_custkey,
-                 count(*) AS frequency,
-                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                   AS cents,
-                 max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
-                   AS last_day
-          FROM orders
-          WHERE year(CAST(o_orderdate AS DATE)) <= 1997 GROUP BY 1),
-        s AS (
-          SELECT o_custkey,
-                 CAST(floor(
-                   (1.0 / (1.0 + exp(-(-2.0 + 0.9 * ln(1.0 + frequency)
-                        + 0.15 * (cents / 100.0 / 100000.0)
-                        - 0.002 * (10957 - last_day))))) * 1000000.0 + 0.5)
-                   AS BIGINT) AS s6
-          FROM f),
-        a AS (SELECT DISTINCT o_custkey FROM orders
-              WHERE year(CAST(o_orderdate AS DATE)) = 1998),
-        j AS (
-          SELECT s.o_custkey, s.s6,
-                 CASE WHEN a.o_custkey IS NULL THEN 0 ELSE 1 END AS label
-          FROM s LEFT JOIN a ON a.o_custkey = s.o_custkey),
+    "q_auc_exact": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
         r AS (SELECT s6, label,
                      row_number() OVER (ORDER BY s6, o_custkey) AS rk
               FROM j),
@@ -1027,19 +999,10 @@ ORACLES: dict[str, str] = {
         FROM t
     """,
     "q_ml_score_inference": f"""
-        WITH f AS (
-          SELECT o_custkey,
-                 count(*) AS frequency,
-                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                   AS cents,
-                 max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
-                   AS last_day
-          FROM orders GROUP BY 1),
+        WITH {_churn_feat_sql(False)},
         z AS (
           SELECT o_custkey, frequency, cents,
-                 -2.0 + 0.9 * ln(1.0 + frequency)
-                      + 0.15 * (cents / 100.0 / 100000.0)
-                      - 0.002 * (10957 - last_day) AS zv
+                 {_CHURN_Z_SQL} AS zv
           FROM f)
         SELECT o_custkey,
                frequency,

@@ -2936,6 +2936,62 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _churn_features(od: DataFrame, upto_1997: bool = False) -> DataFrame:
+    """(o_custkey, frequency, __cents, __last_day) — the logistic churn
+    model's EXACT feature aggregates (count / bigint cents / epoch-day
+    recency); ``upto_1997`` applies the temporal train/serve split the
+    eval queries use.  Shared by the whole ML family so the feature
+    definition lives in one place."""
+    d = F.to_date("o_orderdate")
+    if upto_1997:
+        od = od.filter(F.year(d) <= 1997)
+    return od.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        ).alias("__cents"),
+        F.max(F.unix_date(d)).alias("__last_day"),
+    )
+
+
+def _churn_z():
+    """The model itself — the weights live HERE and in the oracle's
+    ``_CHURN_Z_SQL`` only (parity cross-checks the two); the fold order
+    is declared left-to-right so both engines evaluate identically."""
+    return (
+        F.lit(-2.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("frequency"))
+        + F.lit(0.15) * (F.col("__cents") / F.lit(100.0) / F.lit(100000.0))
+        - F.lit(0.002) * (F.lit(10957) - F.col("__last_day"))
+    )
+
+
+def _churn_scored_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, __s6, label): customers scored on pre-1998 orders
+    (score pinned as an exact bigint in [0, 1e6]) with the 1998-activity
+    label — the shared input of calibration and both AUC queries."""
+    od = T(spark, sf_dir, "orders")
+    feats = _churn_features(od, upto_1997=True)
+    s6 = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-_churn_z()))) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    active = (
+        od.filter(F.year(F.to_date("o_orderdate")) == 1998)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("__lbl", F.lit(1))
+    )
+    return (
+        feats.withColumn("__s6", s6)
+        .join(active, "o_custkey", "left")
+        .select(
+            "o_custkey", "__s6",
+            F.coalesce("__lbl", F.lit(0)).alias("label"),
+        )
+    )
+
+
 @q("q_ml_score_inference")
 def q_ml_score_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML inference fused into the relational plan (the pure-SQL
@@ -2946,21 +3002,8 @@ def q_ml_score_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates are exact (count / bigint cents / epoch-day recency), and
     z folds left-to-right in a declared order so the sigmoid matches the
     oracle's identical expression; the score is pinned at 6dp."""
-    od = T(spark, sf_dir, "orders")
-    feats = od.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(
-            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
-        ).alias("__cents"),
-        F.max(F.unix_date(F.to_date("o_orderdate"))).alias("__last_day"),
-    )
-    z = (
-        F.lit(-2.0)
-        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("frequency"))
-        + F.lit(0.15) * (F.col("__cents") / F.lit(100.0) / F.lit(100000.0))
-        - F.lit(0.002) * (F.lit(10957) - F.col("__last_day"))
-    )
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    feats = _churn_features(T(spark, sf_dir, "orders"))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-_churn_z()))
     return feats.select(
         "o_custkey",
         "frequency",
@@ -2983,43 +3026,7 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks."""
     from .operators.rank import global_rank, ntile_from_rank
 
-    od = T(spark, sf_dir, "orders")
-    d = F.to_date("o_orderdate")
-    feats = (
-        od.filter(F.year(d) <= 1997)
-        .groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(
-                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
-            ).alias("__cents"),
-            F.max(F.unix_date(d)).alias("__last_day"),
-        )
-    )
-    z = (
-        F.lit(-2.0)
-        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("frequency"))
-        + F.lit(0.15) * (F.col("__cents") / F.lit(100.0) / F.lit(100000.0))
-        - F.lit(0.002) * (F.lit(10957) - F.col("__last_day"))
-    )
-    score6 = F.floor(
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6) + F.lit(0.5)
-    ).cast("bigint")  # pinned score as an exact integer in [0, 1e6]
-    active = (
-        od.filter(F.year(d) == 1998)
-        .select("o_custkey")
-        .distinct()
-        .withColumn("__lbl", F.lit(1))
-    )
-    scored = (
-        feats.withColumn("__s6", score6)
-        .join(active, "o_custkey", "left")
-        .select(
-            "o_custkey",
-            "__s6",
-            F.coalesce("__lbl", F.lit(0)).alias("label"),
-        )
-    )
+    scored = _churn_scored_labeled(spark, sf_dir)
     ranked = global_rank(
         scored,
         [(-F.col("__s6")).alias("sk"), F.col("o_custkey")],
@@ -3060,42 +3067,7 @@ def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats, no per-pair comparison (the naive AUC is |pos|×|neg|)."""
     from .operators.rank import global_rank
 
-    od = T(spark, sf_dir, "orders")
-    d = F.to_date("o_orderdate")
-    feats = (
-        od.filter(F.year(d) <= 1997)
-        .groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(
-                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
-            ).alias("__cents"),
-            F.max(F.unix_date(d)).alias("__last_day"),
-        )
-    )
-    z = (
-        F.lit(-2.0)
-        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("frequency"))
-        + F.lit(0.15) * (F.col("__cents") / F.lit(100.0) / F.lit(100000.0))
-        - F.lit(0.002) * (F.lit(10957) - F.col("__last_day"))
-    )
-    s6 = F.floor(
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6) + F.lit(0.5)
-    ).cast("bigint")
-    active = (
-        od.filter(F.year(d) == 1998)
-        .select("o_custkey")
-        .distinct()
-        .withColumn("__lbl", F.lit(1))
-    )
-    scored = (
-        feats.withColumn("__s6", s6)
-        .join(active, "o_custkey", "left")
-        .select(
-            "o_custkey", "__s6",
-            F.coalesce("__lbl", F.lit(0)).alias("label"),
-        )
-    )
+    scored = _churn_scored_labeled(spark, sf_dir)
     ranked = global_rank(
         scored, [F.col("__s6"), F.col("o_custkey")], rank_col="__r"
     )
@@ -3128,46 +3100,14 @@ def q_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions instead of buffering per-segment."""
     from .operators.rank import grouped_rank
 
-    od = T(spark, sf_dir, "orders")
-    d = F.to_date("o_orderdate")
-    feats = (
-        od.filter(F.year(d) <= 1997)
-        .groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(
-                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
-            ).alias("__cents"),
-            F.max(F.unix_date(d)).alias("__last_day"),
-        )
-    )
-    z = (
-        F.lit(-2.0)
-        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("frequency"))
-        + F.lit(0.15) * (F.col("__cents") / F.lit(100.0) / F.lit(100000.0))
-        - F.lit(0.002) * (F.lit(10957) - F.col("__last_day"))
-    )
-    s6 = F.floor(
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1e6) + F.lit(0.5)
-    ).cast("bigint")
-    active = (
-        od.filter(F.year(d) == 1998)
-        .select("o_custkey")
-        .distinct()
-        .withColumn("__lbl", F.lit(1))
-    )
     seg = T(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_mktsegment").alias("segment"),
     )
     scored = (
-        feats.withColumn("__s6", s6)
-        .join(active, "o_custkey", "left")
+        _churn_scored_labeled(spark, sf_dir)
         .join(seg, "o_custkey")
-        .select(
-            "o_custkey", "segment", "__s6",
-            F.coalesce("__lbl", F.lit(0)).alias("label"),
-        )
+        .select("o_custkey", "segment", "__s6", "label")
     )
     ranked = grouped_rank(
         scored,
@@ -4418,26 +4358,36 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     qt = spark.createDataFrame(qterms, "qid string, tok string")
     terms = sorted({t for _, t in qterms})
-    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    toks = docs.select(
-        "doc_id",
-        token_count_of(tokens("text")).alias("dl"),
-        F.explode(tokens("text")).alias("tok"),
+    # tokenize ONCE: both the tf branch and the corpus n_docs/avgdl
+    # aggregate consume the same materialized (doc_id, dl, toks) frame —
+    # without the cut, DataFrame lineage (not a CTE) would re-run the
+    # regex tokenization over the whole corpus for the 1-row aggregate
+    base = cut_lineage(
+        T(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            tokens("text").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            token_count_of(F.col("__toks")).alias("dl"),
+            "__toks",
+        ),
+        eager=False,
     )
     tf = (
-        toks.filter(F.col("tok").isin(*terms))
+        base.select("doc_id", "dl", F.explode("__toks").alias("tok"))
+        .filter(F.col("tok").isin(*terms))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     stats = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
     ).join(F.broadcast(qt), "tok")
-    corpus = docs.agg(
+    corpus = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (
-            F.sum(token_count_of(tokens("text")))
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     k1, b = 1.2, 0.75
     idf = F.log(

@@ -116,25 +116,37 @@ def image_header_dims(media: DataFrame, content_col: str = "content") -> DataFra
             F.hex(F.expr(f"substring({content_col}, 1, 2)")) == "FFD8", "jpeg"
         )
         .when(
-            F.expr(f"substring({content_col}, 1, 2)") == F.lit(b"BM"), "bmp"
+            (F.expr(f"substring({content_col}, 1, 2)") == F.lit(b"BM"))
+            # a 2-byte magic alone misfires on e.g. text starting "BMW";
+            # require a recognized DIB header size (the 4 real variants)
+            & _le32(content_col, 15).isin(12, 40, 108, 124),
+            "bmp",
         )
         .otherwise("unknown")
     )
-    # BMP stores SIGNED int32 dims; reinterpret the uint32 read and abs()
-    bmp_h_raw = _le32(content_col, 23)
-    bmp_h = F.abs(
-        F.when(bmp_h_raw >= 2**31, bmp_h_raw - 2**32).otherwise(bmp_h_raw)
-    )
+
+    def _sle32(pos: int) -> F.Column:
+        raw = _le32(content_col, pos)
+        return F.when(raw >= 2**31, raw - 2**32).otherwise(raw)
+
+    # dims sit at 19/23 only for BITMAPINFOHEADER and its V4/V5
+    # extensions; BITMAPCOREHEADER (size 12) uses 16-bit fields at other
+    # offsets and falls through to NULL.  Both dims are SIGNED int32s: a
+    # negative height is legal (top-down row order, same pixel count, so
+    # abs()), a non-positive width is not (NULL).
+    bmp_dims = _le32(content_col, 15).isin(40, 108, 124)
+    bmp_w = F.when(_sle32(19) > 0, _sle32(19))
+    bmp_h = F.when(_sle32(23) != 0, F.abs(_sle32(23)))
     out = media.withColumn("format", fmt)
     return out.select(
         "*",
         F.when(F.col("format") == "png", _be32(content_col, 17))
         .when(F.col("format") == "gif", _le16(content_col, 7))
-        .when(F.col("format") == "bmp", _le32(content_col, 19).cast("int"))
+        .when((F.col("format") == "bmp") & bmp_dims, bmp_w.cast("int"))
         .alias("header_width"),
         F.when(F.col("format") == "png", _be32(content_col, 21))
         .when(F.col("format") == "gif", _le16(content_col, 9))
-        .when(F.col("format") == "bmp", bmp_h.cast("int"))
+        .when((F.col("format") == "bmp") & bmp_dims, bmp_h.cast("int"))
         .alias("header_height"),
     )
 

@@ -106,6 +106,34 @@ def test_image_header_dims_parses_real_png_and_gif(spark):
     assert got[6] == ("bmp", 128, 64)  # top-down height sign-decoded
 
 
+def test_bmp_magic_alone_is_not_enough(spark):
+    """Finding from review: 2 bytes of magic misfire on arbitrary blobs
+    ("BMW...") and BITMAPCOREHEADER dims live at different offsets — both
+    must come back unknown / dims-NULL, never confident garbage."""
+    import struct
+
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        image_header_dims,
+    )
+
+    text_blob = b"BMW is a carmaker, not a bitmap header" + b"\x00" * 20
+    core = (b"BM" + struct.pack("<IHHI", 0, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 640, 480, 1, 24) + b"\x00" * 8)
+    v5 = (b"BM" + struct.pack("<IHHI", 0, 0, 0, 138)
+          + struct.pack("<IiiHH", 124, 320, -240, 1, 32) + b"\x00" * 108)
+    media = spark.createDataFrame(
+        [(1, text_blob), (2, core), (3, v5)],
+        "media_id bigint, content binary",
+    )
+    got = {
+        r["media_id"]: (r["format"], r["header_width"], r["header_height"])
+        for r in image_header_dims(media).collect()
+    }
+    assert got[1] == ("unknown", None, None)   # magic alone rejected
+    assert got[2] == ("bmp", None, None)       # CORE: dims offsets differ
+    assert got[3] == ("bmp", 320, 240)         # V5: same offsets, abs()
+
+
 def test_image_header_dims_is_codegen_only(spark):
     from java_etl_bi_generator_spark.plans import explain_simple
     from java_etl_bi_generator_spark.sources.multimodal import (
