@@ -4295,35 +4295,46 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, __toks): the corpus tokenized ONCE and pinned — both
+    the tf expansion and the corpus n_docs/avgdl aggregate of the BM25
+    family read this frame, so the regex tokenization never re-runs per
+    consumer branch (DataFrame lineage is not a CTE)."""
+    return cut_lineage(
+        T(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            token_count_of(F.col("__toks")).alias("dl"),
+            "__toks",
+        ),
+        eager=False,
+    )
+
+
 @q("q_bm25")
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search scoring: BM25 (k1=1.2, b=0.75) of the fixed query
     {the, and} over the corpus — tf per (doc, term) and df/avgdl from one
-    tokenized scan (window-based, no recompute branches), every factor a
-    fixed-order IEEE expression on exact counts, scores pinned.  No
-    ranking emitted — ordering floats across engines is the one unsafe
-    step (q_tfidf shows the integer-key alternative)."""
+    tokenized scan (the shared pinned ``_tokenized_docs`` frame), every
+    factor a fixed-order IEEE expression on exact counts, scores pinned.
+    No ranking emitted — ordering raw floats across engines is the one
+    unsafe step (q_bm25_topk_batch ranks on the PINNED score instead)."""
     terms = ("the", "and")
-    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    toks = docs.select(
-        "doc_id",
-        token_count_of(tokens("text")).alias("dl"),
-        F.explode(tokens("text")).alias("tok"),
-    )
+    base = _tokenized_docs(spark, sf_dir)
     tf = (
-        toks.filter(F.col("tok").isin(*terms))
+        base.select("doc_id", "dl", F.explode("__toks").alias("tok"))
+        .filter(F.col("tok").isin(*terms))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     stats = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
     )
-    corpus = docs.agg(
+    corpus = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (
-            F.sum(token_count_of(tokens("text")))
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     k1, b = 1.2, 0.75
     idf = F.log(
@@ -4358,24 +4369,7 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     qt = spark.createDataFrame(qterms, "qid string, tok string")
     terms = sorted({t for _, t in qterms})
-    # tokenize ONCE: both the tf branch and the corpus n_docs/avgdl
-    # aggregate consume the same materialized (doc_id, dl, toks) frame —
-    # without the cut, DataFrame lineage (not a CTE) would re-run the
-    # regex tokenization over the whole corpus for the 1-row aggregate
-    base = cut_lineage(
-        T(spark, sf_dir, "documents")
-        .filter(F.trim(F.col("text")) != "")
-        .select(
-            "doc_id",
-            tokens("text").alias("__toks"),
-        )
-        .select(
-            "doc_id",
-            token_count_of(F.col("__toks")).alias("dl"),
-            "__toks",
-        ),
-        eager=False,
-    )
+    base = _tokenized_docs(spark, sf_dir)
     tf = (
         base.select("doc_id", "dl", F.explode("__toks").alias("tok"))
         .filter(F.col("tok").isin(*terms))
