@@ -2324,6 +2324,31 @@ ORACLES: dict[str, str] = {
         FROM tfa JOIN ct USING (token) CROSS JOIN tot
         GROUP BY doc_id
     """,
+    "q_bigram_logprob": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) <> ''),
+        big AS (
+          SELECT doc_id, z[1] AS w1, z[2] AS w2
+          FROM (SELECT doc_id,
+                       unnest(list_zip(toks[1:len(toks) - 1],
+                                       toks[2:len(toks)])) AS z
+                FROM docs WHERE len(toks) >= 2)),
+        tfa AS (
+          SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+        cb AS (SELECT w1, w2, sum(tf) AS c_big FROM tfa GROUP BY 1, 2),
+        cw AS (SELECT w1, sum(tf) AS c_w1 FROM tfa GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS V
+              FROM (SELECT unnest(toks) AS t FROM docs))
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               {pround_sql(
+                   'CAST(sum(tf * CAST(floor(ln((c_big + 1.0) '
+                   '/ (c_w1 + V)) * 1000000 + 0.5) AS BIGINT)) '
+                   'AS DOUBLE) / 1000000.0 / sum(tf)', 4)} AS avg_logprob
+        FROM tfa JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v
+        GROUP BY doc_id
+    """,
     "q_data_expectations": """
         WITH v AS (
           SELECT 'orderkey_not_null' AS rule,

@@ -1844,6 +1844,62 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_bigram_logprob")
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: bigram language-model document scoring with add-one smoothing
+    — the CCNet/KenLM-style perplexity quality filter, one order up from
+    q_unigram_logprob (conditional P(w2|w1), so scrambled token order
+    scores low even when the unigram mix looks fine).
+
+    Model and scoring in one pass over the shared pinned tokenized
+    frame: in-row bigram construction (``transform`` over the token
+    array — no positional self-join), corpus bigram counts c(w1,w2) and
+    LHS counts c(w1) as windows over the same bigram tf table, vocab
+    size V as a broadcast scalar.  P = (c+1)/(c_w1+V); each per-row ln
+    is pinned to integer micro-units so the per-doc sum is order-free —
+    the same cross-engine determinism recipe as the unigram scorer."""
+    base = _tokenized_docs(spark, sf_dir)
+    big = base.filter(F.size("__toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(__toks, 1, size(__toks) - 1), "
+                "(t, i) -> struct(t AS w1, element_at(__toks, i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    tf = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    c_big = F.sum("tf").over(Window.partitionBy("w1", "w2"))
+    c_w1 = F.sum("tf").over(Window.partitionBy("w1"))
+    vocab = base.select(F.explode("__toks").alias("t")).agg(
+        F.count_distinct("t").alias("V")
+    )
+    lp_micro = F.floor(
+        F.log(
+            (F.col("c_big") + F.lit(1.0))
+            / (F.col("c_w1") + F.col("V"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.withColumn("c_big", c_big)
+        .withColumn("c_w1", c_w1)
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        pround(
+            F.sum(F.col("tf") * lp_micro)
+            / F.lit(1000000.0)
+            / F.sum("tf"),
+            4,
+        ).alias("avg_logprob"),
+    )
+
+
 @q("q_fuzzy_match")
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: fuzzy part-name matching via a *blocked*
