@@ -33,11 +33,17 @@ def run(sql: str, sf_dir: str, explain: bool = False) -> int:
     if explain:
         df.explain("formatted")
         return 0
-    # one execution: collect once, render from the collected rows
-    rows = df.collect()
-    spark.createDataFrame(rows[:50], df.schema).show(50, truncate=False)
-    print(f"({len(rows)} rows)")
-    return len(rows)
+    # bounded driver memory for arbitrary result sizes: cache the result,
+    # render 50 rows, count from the cached blocks (a full collect()
+    # would pull every row of a migrated heavy query into the driver)
+    df.persist()
+    try:
+        df.show(50, truncate=False)
+        n = df.count()
+    finally:
+        df.unpersist()
+    print(f"({n} rows)")
+    return n
 
 
 def main() -> None:

@@ -3721,8 +3721,12 @@ def q_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-correct equivalent (12 explicit ``lag`` terms over the
     BOUNDED month grain, summed in one declared left-to-right fold — so
     the float arithmetic is fixed-order and the oracle evaluates the
-    identical expression).  Weight beyond 12 months is 0.7^12 ≈ 1.4% —
-    below the 4dp pin."""
+    identical expression).  The FIR form IS the declared operator: the
+    truncated tail carries 0.7^12 ≈ 1.4% of the weight mass — small but
+    not negligible on revenue-scale values, so this is a 12-month
+    exponentially-weighted average, not a 4dp-equivalent of the
+    unbounded recursion; the pin guarantees cross-engine identity of
+    THIS operator."""
     od = T(spark, sf_dir, "orders")
     monthly = (
         od.groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("m"))

@@ -46,7 +46,7 @@ def current_snapshot(spark: SparkSession, target: str) -> DataFrame | None:
         return None
     with open(ptr, encoding="ascii") as f:
         version = f.read().strip()
-    return spark.read.parquet(os.path.join(target, version))
+    return snapshot_at(spark, target, version)
 
 
 def list_versions(target: str) -> list[str]:
