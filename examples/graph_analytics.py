@@ -11,7 +11,8 @@ cut on a cadence, exact integer arithmetic — see operators/graph.py):
   3. reach               (multi-source BFS hop levels from the hub seed
                           set, 6 bounded Bellman-Ford rounds)
   4. weighted distance   (5-round Bellman-Ford, endpoint-derived weights)
-  5. triangles + degree  (oriented wedge join; explode + count_distinct)
+  5. triangles + degree  (oriented wedge join; plain count over the
+                          unique symmetrized edges)
   6. write               (one node-profile parquet: rank, hops, distance,
                           triangles, degree per part)
 
