@@ -1728,6 +1728,9 @@ ORACLES: dict[str, str] = {
     ),
     "q_orc_roundtrip": "SELECT * FROM region",
     "q_managed_table": "SELECT * FROM supplier",
+    "q_jdbc_roundtrip": (
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    ),
     "q_xml_roundtrip": (
         "SELECT n_nationkey, n_name, n_regionkey FROM nation"
     ),

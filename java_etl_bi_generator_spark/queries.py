@@ -2474,6 +2474,40 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+@q("q_jdbc_roundtrip")
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: LIVE JDBC sink + source round-trip against embedded
+    Derby (bundled in Spark's jars — no external service), read back
+    through the engine's partitioned reader (4 range splits on the key,
+    the parallel-pull contract ``sources/jdbc.py`` insists on).  The
+    BASELINE approach names JDBC sources; this puts the real reader
+    path, not just the options plumbing, under the differential gate."""
+    from .sources.jdbc import read_jdbc_partitioned
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='jdbc_rt_')}/db;create=true"
+    na = T(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        na.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_rt")
+        .option("driver", driver)
+        .save()
+    )
+    return read_jdbc_partitioned(
+        spark,
+        url,
+        "nation_rt",
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+        driver=driver,
+    ).select("n_nationkey", "n_name", "n_regionkey")
+
+
 @q("q_managed_table")
 def q_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog surface: ``saveAsTable`` into the session catalog (parquet
