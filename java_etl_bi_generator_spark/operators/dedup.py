@@ -378,3 +378,123 @@ def winnow_fingerprints(
     return base.select(
         id_col, F.explode(F.array_distinct(wins)).alias("fingerprint")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    min_pct: int = 20,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT C(a->b) = |S_a ∩ S_b| / |S_a|.
+
+    Jaccard dilutes doc-in-doc duplication: a short document fully quoted
+    inside a long one scores |S_a|/|S_b| (tiny), while its containment is
+    1.0.  Containment is the standard detector for that case (Broder's
+    original resemblance/containment pair).
+
+    Same scale shape as ``ngram_jaccard_pairs``: explode distinct
+    shingles -> self-equi-join on the shingle -> count the intersection.
+    Only the DENOMINATOR differs — |S_a| alone — so the pair table joins
+    the size table once, not twice, and the result is directed (both
+    (a,b) and (b,a) emitted when both clear the threshold).  The
+    threshold filter runs in exact integer arithmetic
+    (``100·|A∩B| >= min_pct·|S_a|``); the emitted score is pinned.
+    Shared-shingle skew at corpus scale is handled the same way as the
+    Jaccard variant (AQE skew split + optional stop-shingle df cap).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .filter(F.lit(100) * F.col("n_inter") >= F.lit(min_pct) * F.col("n_a"))
+        .select(
+            "id_a",
+            "id_b",
+            pround(
+                F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def duplicated_passages(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Cross-document duplicated PASSAGES with token positions — the
+    substring-level dedup shape (suffix-array dedup's output: which spans
+    to cut, not which documents to drop).
+
+    Every ``k``-token sliding window is emitted with its 1-based start
+    position; windows whose text occurs in >= 2 DISTINCT documents are
+    duplicates; per document, overlapping duplicate windows merge into
+    maximal ``[tok_start, tok_end]`` ranges via gaps-and-islands (a new
+    island starts when a window begins past the running max end).
+
+    Scale shape: the window explode is a bounded fan-out (one row per
+    token), the duplicate test is one groupBy on the window text plus an
+    equi-join back — shuffle-on-key only, never all-pairs.  The island
+    windows run per document (doc-length-bounded partitions).  At 100 TB
+    the groupBy/join key should be a 128-bit hash of the window rather
+    than its text (cuts shuffle bytes ~4x); the string key is kept here
+    so the semantics stay engine-portable for differential checking.
+    """
+    from ..functions.text import tokens
+    from pyspark.sql import Window
+
+    t = tokens(text_col)
+    docs = df.select(F.col(id_col), t.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i, k)),
+            )
+        ).alias("__p0", "win"),
+    ).select(F.col(id_col), (F.col("__p0") + 1).cast("bigint").alias("start"), "win")
+    dup = (
+        wins.groupBy("win")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("win")
+    )
+    hits = wins.join(dup, "win").select(F.col(id_col), F.col("start"))
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max(F.col("start") + F.lit(k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "__isl",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(F.col(id_col), F.col("__isl")).agg(
+        F.min("start").alias("tok_start"),
+        (F.max("start") + F.lit(k - 1)).cast("bigint").alias("tok_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    ).select(id_col, "tok_start", "tok_end", "n_windows")

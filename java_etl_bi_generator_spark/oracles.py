@@ -753,6 +753,100 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)} >= 0.01
     """,
+    # Directed containment twin: same shingle join, |S_a|-only denominator,
+    # integer threshold (100*inter >= 20*n_a) before the pinned ratio.
+    "q_dedup_containment": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE doc_id % 10 = 0
+        ),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)', 6)} AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        WHERE 100 * n_inter >= 20 * sa.n_sh
+    """,
+    # Mirrors operators/dedup.py duplicated_passages (k=8): sliding
+    # windows with 1-based starts, >=2-distinct-doc duplicate test,
+    # per-document gaps-and-islands merge into maximal token ranges.
+    "q_dedup_substrings": """
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, len(toks) - 6)) AS start
+          FROM docs WHERE len(toks) >= 8
+        ),
+        wins AS (
+          SELECT doc_id, CAST(start AS BIGINT) AS start,
+                 array_to_string(toks[start:start+7], ' ') AS win
+          FROM w
+        ),
+        dup AS (
+          SELECT win FROM wins GROUP BY win
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT doc_id, start FROM wins JOIN dup USING (win)),
+        flagged AS (
+          SELECT doc_id, start,
+                 max(start + 7) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS prev_end
+          FROM hits
+        ),
+        islands AS (
+          SELECT doc_id, start,
+                 sum(CASE WHEN prev_end IS NULL OR start > prev_end
+                          THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS isl
+          FROM flagged
+        )
+        SELECT doc_id,
+               CAST(min(start) AS BIGINT) AS tok_start,
+               CAST(max(start) + 7 AS BIGINT) AS tok_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM islands GROUP BY doc_id, isl
+    """,
+    # Temperature mixture: the only aggregates are integer sums; the
+    # scaled sqrt is made integer per GROUP row (floor(sqrt(m*1e8))), so
+    # weights divide exact bigints and every double is per-row IEEE.
+    "q_domain_mixture": f"""
+        WITH per AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum({_N_TOKENS}) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang
+        ),
+        r AS (
+          SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) * 100000000.0))
+                         AS BIGINT) AS rr
+          FROM per
+        ),
+        tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_m,
+                 CAST(sum(rr) AS BIGINT) AS tot_r
+          FROM r
+        )
+        SELECT lang, n_docs, n_tokens,
+               {pround_sql('CAST(n_tokens AS DOUBLE) / CAST(tot_m AS DOUBLE)', 6)} AS share,
+               {pround_sql('CAST(rr AS DOUBLE) / CAST(tot_r AS DOUBLE)', 6)} AS weight,
+               {pround_sql('(CAST(rr AS DOUBLE) / CAST(tot_r AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) / CAST(tot_m AS DOUBLE))', 6)} AS sample_factor,
+               CAST(floor((CAST(rr AS DOUBLE) / CAST(tot_r AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS alloc_tokens
+        FROM r, tot
+    """,
     # MinHash+LSH banding IS DuckDB-expressible after all: the md5-derived
     # Kirsch-Mitzenmacher hash family and band buckets are deterministic.
     # Mirrors operators/dedup.py minhash_lsh_candidates (16 hashes, 4

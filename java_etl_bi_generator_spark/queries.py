@@ -127,10 +127,14 @@ _SHOWCASE: tuple[str, ...] = (
     # LLM-pipeline ops (§2.12, 2.14): dedup, similarity, text
     # (q_dedup_simhash stays hash-checked in the full sweep; its slot
     # samples the round-4 linear-cost star-edge clustering instead)
-    "q_dedup_exact", "q_dedup_near", "q_dedup_near_clusters",
+    # (q_dedup_near_clusters and q_triangle_count stay hash-checked in
+    # the full sweep; their slots sample the round-4 substring-dedup and
+    # temperature-mixture additions instead)
+    "q_dedup_exact", "q_dedup_near", "q_dedup_substrings",
+    "q_domain_mixture",
     "q_vector_topk", "q_text_stats", "q_tfidf", "q_chunk_documents",
     # graph analytics (round 3)
-    "q_pagerank", "q_triangle_count",
+    "q_pagerank",
     # deterministic sketches + physical layout (round 2)
     "q_hll_distinct", "q_zorder_key",
 )
@@ -1285,6 +1289,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.01)
 
 
+@q("q_dedup_containment")
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-family: directed shingle CONTAINMENT |S_a ∩ S_b| / |S_a| —
+    the doc-inside-doc detector Jaccard dilutes (a short document quoted
+    verbatim in a long one has near-1 containment but tiny Jaccard).
+    Same %10 subset as the Jaccard twin; threshold 20% applied in exact
+    integer arithmetic before the pinned ratio is emitted."""
+    from .operators.dedup import containment_pairs
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return containment_pairs(docs, "text", "doc_id", n=2, min_pct=20)
+
+
+@q("q_dedup_substrings")
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (the suffix-array-dedup OUTPUT shape: spans
+    to cut, not documents to drop): maximal cross-document duplicated
+    passages of >= 8 tokens, as merged [tok_start, tok_end] ranges per
+    document.  Window explode -> groupBy(window) duplicate test ->
+    equi-join back -> per-document gaps-and-islands merge; shuffle-on-key
+    only, no all-pairs stage anywhere."""
+    from .operators.dedup import duplicated_passages
+
+    docs = T(spark, sf_dir, "documents")
+    return duplicated_passages(docs, "text", "doc_id", k=8)
+
+
 @q("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: 64-bit SimHash fingerprints (md5-nibble hash family — portable,
@@ -1972,6 +2003,57 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("bucket", bucket)
         .filter(F.col("bucket") < 10)
         .select("doc_id", "bucket")
+    )
+
+
+@q("q_domain_mixture")
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: temperature-scaled language/domain mixture reweighting — the
+    mC4/XLM-R α-sampling step that decides how much of each language a
+    multilingual training run sees.  Per language: token mass m, natural
+    share p = m/Σm, temperature weight w ∝ p^α with α=1/2, the
+    up/down-sampling factor w/p, and the token allocation from a fixed
+    budget.
+
+    Engine-exact without any cross-row float sum: the only aggregates are
+    INTEGER sums.  √p's denominator cancels, so w = √m/Σ√m — and √m is
+    made integer per row FIRST: r = floor(sqrt(m·1e8)) (sqrt is IEEE
+    correctly-rounded in both engines and m·1e8 < 2^53 here, so r is the
+    same bigint everywhere; the docstring bound matters — at token masses
+    beyond ~9e7 per group, scale the factor down).  Σr is then an exact
+    bigint sum, and every emitted double is a pure per-row expression on
+    identical integers.  Language-grain output is bounded, so the totals
+    ride a broadcast crossJoin, not a global window."""
+    budget = 1_000_000  # tokens to draw for the training mix
+    docs = T(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_of(tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "__r",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double") * F.lit(1e8))).cast(
+            "bigint"
+        ),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("__tot_m"), F.sum("__r").alias("__tot_r")
+    )
+    share = F.col("n_tokens").cast("double") / F.col("__tot_m").cast("double")
+    weight = F.col("__r").cast("double") / F.col("__tot_r").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            pround(share, 6).alias("share"),
+            pround(weight, 6).alias("weight"),
+            pround(weight / share, 6).alias("sample_factor"),
+            F.floor(weight * F.lit(float(budget))).cast("bigint").alias(
+                "alloc_tokens"
+            ),
+        )
     )
 
 

@@ -168,3 +168,62 @@ def test_bellman_ford_matches_reference_on_random_graphs(spark):
                 ).collect()
             }
             assert got == expected, (seed, iters)
+
+
+def test_containment_detects_doc_inside_doc(spark):
+    """A short doc fully quoted inside a long one: containment(short->long)
+    is 1.0 even though Jaccard is diluted below any useful threshold."""
+    from java_etl_bi_generator_spark.operators.dedup import containment_pairs
+
+    short = " ".join(f"w{i}" for i in range(10))
+    long = short + " " + " ".join(f"x{i}" for i in range(90))
+    other = " ".join(f"y{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], ["doc_id", "text"]
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc_id", n=2, min_pct=20).collect()
+    }
+    assert rows[(1, 2)] == 1.0            # short's shingles all inside long
+    assert (3, 1) not in rows and (3, 2) not in rows
+    # the reverse direction is diluted: |S_short|/|S_long| = 9/99 < 20%
+    assert (2, 1) not in rows
+
+
+def test_duplicated_passages_positions_and_merge(spark):
+    """Two docs share one 10-token passage at different offsets: each doc
+    reports ONE merged island covering exactly the shared span (the three
+    overlapping 8-token windows inside it merge)."""
+    from java_etl_bi_generator_spark.operators.dedup import duplicated_passages
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    d1 = "a1 a2 a3 " + shared + " b1 b2"           # passage at tokens 4..13
+    d2 = shared + " c1 c2 c3 c4 c5"                # passage at tokens 1..10
+    d3 = " ".join(f"z{i}" for i in range(20))      # no duplication
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["tok_start"], r["tok_end"], r["n_windows"])
+        for r in duplicated_passages(df, "text", "doc_id", k=8).collect()
+    }
+    assert got == {1: (4, 13, 3), 2: (1, 10, 3)}
+
+
+def test_duplicated_passages_separate_islands(spark):
+    """Non-overlapping duplicated spans in one doc stay separate islands."""
+    from java_etl_bi_generator_spark.operators.dedup import duplicated_passages
+
+    p1 = " ".join(f"p{i}" for i in range(8))
+    p2 = " ".join(f"q{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(12))
+    host = p1 + " " + gap + " " + p2               # p1 at 1..8, p2 at 21..28
+    df = spark.createDataFrame(
+        [(1, host), (2, p1), (3, p2)], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r["doc_id"], r["tok_start"], r["tok_end"])
+        for r in duplicated_passages(df, "text", "doc_id", k=8).collect()
+    )
+    assert got == [(1, 1, 8), (1, 21, 28), (2, 1, 8), (3, 1, 8)]
