@@ -1889,6 +1889,58 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS pairs_ge_020
         FROM f
     """,
+    # KS: integer cross-multiplied ECDF gap, one cumsum of the signed
+    # delta; argmax = (largest |gap|, smallest value).
+    "q_ks_test": f"""
+        WITH od AS (
+          SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+                 CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+          FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        g AS (
+          SELECT v, CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+          FROM od GROUP BY v
+        ),
+        t AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+          FROM g
+        ),
+        c AS (
+          SELECT v, n1, n2,
+                 sum(n2 * c1 - n1 * c2) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS gap
+          FROM g, t
+        )
+        SELECT n1, n2,
+               {pround_sql('CAST(abs(gap) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)', 6)} AS ks,
+               CAST(v AS DOUBLE) / 100.0 AS at_value
+        FROM c ORDER BY abs(gap) DESC, v ASC LIMIT 1
+    """,
+    # PSI per bin: add-one smoothed exact-rational probabilities, per-row
+    # fixed-order (p - q) * ln(p / q), pinned.
+    "q_psi_drift": f"""
+        WITH g AS (
+          SELECT CAST(least(9, floor(o_totalprice / 50000.0)) AS BIGINT) AS bin,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c_ref,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c_cur
+          FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+          GROUP BY 1
+        ),
+        t AS (
+          SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                 CAST(sum(c_cur) AS BIGINT) AS n_cur
+          FROM g
+        )
+        SELECT bin, c_ref, c_cur,
+               {pround_sql('CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE)', 6)} AS p_ref,
+               {pround_sql('CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)', 6)} AS p_cur,
+               {pround_sql('(CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE) - CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)) * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE)) / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)))', 6)} AS psi_contrib
+        FROM g, t
+    """,
     "q_mix_shift": f"""
         WITH base AS (
           SELECT n_name,

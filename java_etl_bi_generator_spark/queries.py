@@ -5142,6 +5142,124 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ks_test")
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov: the largest ECDF gap between
+    URGENT-priority and LOW-priority order totals — the standard
+    distribution-drift test a model-monitoring pipeline runs on scores.
+
+    Fully integer until the last row: values become exact cents, one
+    groupBy collapses to per-distinct-value counts (c1, c2), and the
+    signed gap n2·cum1 − n1·cum2 is ONE cumulative sum of the per-value
+    bigint delta d = n2·c1 − n1·c2 (the cross-multiplied form — no float
+    ECDFs, no two cumsums).  The cumsum runs range-partitioned
+    (``operators.rank.global_cumsum``), never a single-partition window;
+    the final argmax is a struct max (largest |gap|, then smallest value).
+    D = max|gap| / (n1·n2) only becomes a double in the emitted row.
+    Bound: the cross-multiplied gap peaks near n1·n2, overflowing bigint
+    at ~3e9 rows PER ARM — ANSI mode fails loudly there; rescale counts
+    (or sample arms) beyond it."""
+    from .operators.rank import global_cumsum
+
+    pri = F.col("o_orderpriority")
+    od = T(spark, sf_dir, "orders").filter(pri.isin("1-URGENT", "5-LOW"))
+    v = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    g = (
+        od.select(
+            v.alias("v"),
+            F.when(pri == "1-URGENT", 1).otherwise(0).alias("g1"),
+            F.when(pri == "5-LOW", 1).otherwise(0).alias("g2"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").cast("bigint").alias("c1"),
+            F.sum("g2").cast("bigint").alias("c2"),
+        )
+    )
+    tot = g.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    gd = g.crossJoin(F.broadcast(tot)).select(
+        "v",
+        (F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2")).alias("d"),
+        "n1",
+        "n2",
+    )
+    cum = global_cumsum(gd, [F.col("v")], "d", cum_col="gap")
+    best = cum.agg(
+        F.max(
+            F.struct(F.abs(F.col("gap")).alias("a"), (-F.col("v")).alias("nv"))
+        ).alias("s"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    return best.select(
+        "n1",
+        "n2",
+        pround(
+            F.col("s.a").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double"),
+            6,
+        ).alias("ks"),
+        ((-F.col("s.nv")).cast("double") / F.lit(100.0)).alias("at_value"),
+    )
+
+
+@q("q_psi_drift")
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between 1995 and 1996 order totals, per
+    fixed bin — the model-monitoring drift score, emitted PER BIN (which
+    bin moved is the actionable output; a scalar PSI would also need a
+    cross-row float sum, which is exactly what engine-stable pipelines
+    avoid).  Counts are exact integers with add-one smoothing (empty bins
+    stay finite), every probability is an exact-rational double, and the
+    contribution (p−q)·ln(p/q) is a fixed-order per-row IEEE expression
+    pinned at 6 dp.  One scan, one 10-row groupBy, totals broadcast."""
+    od = T(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    bin_ = F.least(F.lit(9), F.floor(F.col("o_totalprice") / F.lit(50000.0))).cast(
+        "bigint"
+    )
+    g = (
+        od.filter(yr.isin(1995, 1996))
+        .select(
+            bin_.alias("bin"),
+            F.when(yr == 1995, 1).otherwise(0).alias("r"),
+            F.when(yr == 1996, 1).otherwise(0).alias("c"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("r").cast("bigint").alias("c_ref"),
+            F.sum("c").cast("bigint").alias("c_cur"),
+        )
+    )
+    tot = g.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    k = 10  # smoothing classes: one per bin
+    p = (F.col("c_ref") + F.lit(1)).cast("double") / (
+        F.col("n_ref") + F.lit(k)
+    ).cast("double")
+    q_ = (F.col("c_cur") + F.lit(1)).cast("double") / (
+        F.col("n_cur") + F.lit(k)
+    ).cast("double")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "c_ref",
+            "c_cur",
+            pround(p, 6).alias("p_ref"),
+            pround(q_, 6).alias("p_cur"),
+            pround((p - q_) * F.log(p / q_), 6).alias("psi_contrib"),
+        )
+    )
+
+
 @q("q_mix_shift")
 def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BI variance decomposition (mix-shift analysis): per nation, split

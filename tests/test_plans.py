@@ -226,3 +226,25 @@ def test_cusum_broadcasts_scalar_aggregates(spark, sf_dir):
     # series — no aggregate side branches, so exactly ONE orders scan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_ks_test_no_data_grain_single_partition_window(spark, sf_dir):
+    """KS's ECDF gap cumsum must be the range-partitioned two-phase form:
+    data-grain Window nodes carry __pid; only the partitions-sized offset
+    table may window globally (__ptot)."""
+    df = registry()["q_ks_test"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if ("Window [" in line and "__pid" not in line
+                and "__ptot" not in line):
+            raise AssertionError(f"single-partition window: {line}")
+
+
+def test_psi_drift_single_scan_broadcast_totals(spark, sf_dir):
+    """PSI is one orders scan into a 10-row aggregate; the totals ride a
+    broadcast, never a shuffle of the binned table."""
+    from java_etl_bi_generator_spark.plans import explain_simple
+
+    plan = explain_simple(registry()["q_psi_drift"](spark, sf_dir))
+    assert plan.count("orders.parquet") <= 2  # g + totals subtrees share scans
+    assert "CartesianProduct" not in plan
