@@ -717,6 +717,20 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
+    # Efraimidis-Spirakis A-Res with an md5 draw: u exact rational,
+    # key = ln(u)/w, top-20 (key DESC, doc_id) — deterministic weighted
+    # sampling without replacement.
+    "q_sample_weighted": f"""
+        WITH d AS (
+          SELECT doc_id, CAST(n_chars AS INT) AS weight,
+                 ln((CAST({_hex_bigint("md5(CAST(doc_id AS VARCHAR))", 1, 8)}
+                      AS DOUBLE) + 0.5) / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+          FROM documents
+        )
+        SELECT doc_id, weight, {pround_sql('k', 6)} AS sample_key
+        FROM d ORDER BY k DESC, doc_id LIMIT 20
+    """,
     "q_corpus_sample": f"""
         SELECT doc_id, bucket FROM (
           SELECT doc_id, {_BUCKET} AS bucket FROM documents

@@ -2057,6 +2057,35 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_sample_weighted")
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: weighted sampling WITHOUT replacement, deterministically — the
+    Efraimidis-Spirakis A-Res scheme with the randomness replaced by a
+    per-row md5 draw: u = (h32 + 0.5)/2^32 (exact rational in (0,1)),
+    sort key ln(u)/w, and the top-k under that key is a without-
+    replacement sample where P(selected) tracks weight w (here: document
+    length — the 'sample long docs more' curriculum shape).  Stable
+    across engines, re-runs and repartitions like q_corpus_sample, but
+    WEIGHTED.  orderBy+limit plans as TakeOrderedAndProject: per-partition
+    top-k then a k-row driver merge, never a global sort."""
+    docs = T(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("int").alias("weight"),
+            key.alias("__key"),
+        )
+        .orderBy(F.col("__key").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "weight", pround(F.col("__key"), 6).alias("sample_key"))
+    )
+
+
 @q("q_split_assign")
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: deterministic train/val/test split (80/10/10) by hash bucket of

@@ -248,3 +248,35 @@ def test_psi_drift_single_scan_broadcast_totals(spark, sf_dir):
     plan = explain_simple(registry()["q_psi_drift"](spark, sf_dir))
     assert plan.count("orders.parquet") <= 2  # g + totals subtrees share scans
     assert "CartesianProduct" not in plan
+
+
+def test_sample_weighted_take_ordered_and_biased(spark, sf_dir):
+    """Weighted sampler must plan as TakeOrderedAndProject (per-partition
+    top-k, no global sort), and its A-Res keys must actually bias toward
+    weight: one doc 1000x heavier than 200 others is essentially always
+    in a top-5 draw."""
+    import pyspark.sql.functions as F
+
+    plan = registry()["q_sample_weighted"](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    from java_etl_bi_generator_spark.queries import _REGISTRY  # planted run
+    rows = [(i, "x", "en", "s", 10) for i in range(200)] + [
+        (999, "x", "en", "s", 10000)
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    top = (
+        df.select("doc_id", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(5)
+        .collect()
+    )
+    assert 999 in {r["doc_id"] for r in top}
