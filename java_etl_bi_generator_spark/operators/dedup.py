@@ -498,3 +498,58 @@ def duplicated_passages(
         (F.max("start") + F.lit(k - 1)).cast("bigint").alias("tok_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
     ).select(id_col, "tok_start", "tok_end", "n_windows")
+
+
+def cut_passages(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Remove token spans from documents — the FIX step that consumes
+    ``duplicated_passages``'s output (suffix-array dedup removes the
+    duplicated substrings themselves, not whole documents).
+
+    ``spans`` is (id, tok_start, tok_end) with 1-based inclusive token
+    ranges.  The per-document span list is a ``collect_list`` of structs
+    (doc-length-bounded: a doc has at most n_tokens/k islands), joined
+    back LEFT so span-free documents pass through unchanged.  The cut
+    itself is pure array higher-order functions — index each token,
+    drop those inside any span, rejoin — so it runs JVM-side in codegen
+    over the full corpus; no Python worker, no explode of the corpus.
+    """
+    from ..functions.text import tokens
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("tok_start").alias("a"), F.col("tok_end").alias("b"))
+        ).alias("__spans")
+    )
+    t = tokens(text_col)
+    out = df.join(per_doc, id_col, "left").withColumn(
+        "__toks", t
+    )
+    idx = F.sequence(F.lit(1), F.size("__toks"))
+    kept = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("i"), F.element_at(F.col("__toks"), i).alias("t")
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast("array<struct<a:bigint,b:bigint>>"),
+            ),
+            lambda sp: (s["i"] >= sp["a"]) & (s["i"] <= sp["b"]),
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("__toks").cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+        F.md5(F.array_join(F.transform(kept, lambda s: s["t"]), " ")).alias(
+            "clean_md5"
+        ),
+    )

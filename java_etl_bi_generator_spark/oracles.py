@@ -861,6 +861,72 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS alloc_tokens
         FROM r, tot
     """,
+    # The cut applied: islands -> per-doc span lists -> index-filtered
+    # token keep -> md5 of the rejoined text; span-free docs pass through.
+    "q_dedup_cut": """
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, len(toks) - 6)) AS start
+          FROM docs WHERE len(toks) >= 8
+        ),
+        wins AS (
+          SELECT doc_id, CAST(start AS BIGINT) AS start,
+                 array_to_string(toks[start:start+7], ' ') AS win
+          FROM w
+        ),
+        dup AS (
+          SELECT win FROM wins GROUP BY win
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT doc_id, start FROM wins JOIN dup USING (win)),
+        flagged AS (
+          SELECT doc_id, start,
+                 max(start + 7) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS prev_end
+          FROM hits
+        ),
+        islands AS (
+          SELECT doc_id, start,
+                 sum(CASE WHEN prev_end IS NULL OR start > prev_end
+                          THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS isl
+          FROM flagged
+        ),
+        spans AS (
+          SELECT doc_id, min(start) AS a, max(start) + 7 AS b
+          FROM islands GROUP BY doc_id, isl
+        ),
+        sp AS (
+          SELECT doc_id, list(struct_pack(a := a, b := b)) AS spans
+          FROM spans GROUP BY doc_id
+        ),
+        cut AS (
+          SELECT d.doc_id, len(d.toks) AS nb,
+                 list_filter(
+                   list_transform(range(1, len(d.toks) + 1), i ->
+                     CASE WHEN s.spans IS NULL
+                               OR len(list_filter(s.spans,
+                                    sp2 -> i >= sp2.a AND i <= sp2.b)) = 0
+                          THEN d.toks[i] END),
+                   x -> x IS NOT NULL) AS kept
+          FROM docs d LEFT JOIN sp s USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(nb AS BIGINT) AS n_tokens_before,
+               CAST(len(kept) AS BIGINT) AS n_tokens_after,
+               -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+               -- array_join: coalesce pins md5('') for fully-cut docs
+               md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+        FROM cut
+    """,
     # MinHash+LSH banding IS DuckDB-expressible after all: the md5-derived
     # Kirsch-Mitzenmacher hash family and band buckets are deterministic.
     # Mirrors operators/dedup.py minhash_lsh_candidates (16 hashes, 4

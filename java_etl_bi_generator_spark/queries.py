@@ -1316,6 +1316,21 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_passages(docs, "text", "doc_id", k=8)
 
 
+@q("q_dedup_cut")
+def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup FIX applied: detect cross-document duplicated
+    passages (q_dedup_substrings) and CUT them out of every document —
+    token counts before/after plus an md5 of the cleaned text, for all
+    documents (untouched docs pass through and pin the no-op path).  The
+    cut is pure array HOFs joined LEFT against the doc-grain span list;
+    the only corpus-wide shuffles are the passage detector's own."""
+    from .operators.dedup import cut_passages, duplicated_passages
+
+    docs = T(spark, sf_dir, "documents")
+    spans = duplicated_passages(docs, "text", "doc_id", k=8)
+    return cut_passages(docs, spans, "text", "doc_id")
+
+
 @q("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: 64-bit SimHash fingerprints (md5-nibble hash family — portable,

@@ -227,3 +227,31 @@ def test_duplicated_passages_separate_islands(spark):
         for r in duplicated_passages(df, "text", "doc_id", k=8).collect()
     )
     assert got == [(1, 1, 8), (1, 21, 28), (2, 1, 8), (3, 1, 8)]
+
+
+def test_cut_passages_removes_exact_spans(spark):
+    """Cut removes exactly the spanned tokens; docs without spans pass
+    through with identical text hash; a fully-covered doc empties."""
+    import hashlib
+
+    from java_etl_bi_generator_spark.operators.dedup import cut_passages
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z"), (3, "p q r s")],
+        ["doc_id", "text"],
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 4), (3, 1, 4)], ["doc_id", "tok_start", "tok_end"]
+    ).select(
+        "doc_id",
+        F.col("tok_start").cast("bigint"),
+        F.col("tok_end").cast("bigint"),
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"], r["clean_md5"])
+        for r in cut_passages(df, spans, "text", "doc_id").collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (6, 3, md5("a e f"))      # b c d cut
+    assert got[2] == (3, 3, md5("x y z"))      # untouched
+    assert got[3] == (4, 0, md5(""))           # fully cut
