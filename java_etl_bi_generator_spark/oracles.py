@@ -731,6 +731,44 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, weight, {pround_sql('k', 6)} AS sample_key
         FROM d ORDER BY k DESC, doc_id LIMIT 20
     """,
+    # Per-language top-3 A-Res draws (grouped weighted sampling).
+    "q_sample_weighted_grouped": f"""
+        WITH d AS (
+          SELECT lang, doc_id, CAST(n_chars AS INT) AS weight,
+                 ln((CAST({_hex_bigint("md5(CAST(doc_id AS VARCHAR))", 1, 8)}
+                      AS DOUBLE) + 0.5) / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+          FROM documents
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY k DESC, doc_id
+          ) AS rn FROM d
+        )
+        SELECT lang, CAST(rn AS INT) AS rn, doc_id, weight,
+               {pround_sql('k', 6)} AS sample_key
+        FROM r WHERE rn <= 3
+    """,
+    # Deterministic 15%-bucket MLM masking; DuckDB's indexed lambda is
+    # 1-based like the Spark side's i+1.  The outer lambda variable must
+    # NOT be named i (it would be shadowed inside _hex_bigint's nibble
+    # lambda — see that helper's CAUTION note).
+    "q_mlm_masking": f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(range(1, len(toks) + 1), p ->
+                 {_hex_bigint("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR))", 1, 4)} % 100 < 15
+               )) AS BIGINT) AS n_masked,
+               md5(coalesce(array_to_string(
+                 list_transform(toks, (x, j) ->
+                   CASE WHEN {_hex_bigint("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))", 1, 4)} % 100 < 15
+                        THEN '[MASK]' ELSE x END),
+                 ' '), '')) AS masked_md5
+        FROM base
+    """,
     "q_corpus_sample": f"""
         SELECT doc_id, bucket FROM (
           SELECT doc_id, {_BUCKET} AS bucket FROM documents

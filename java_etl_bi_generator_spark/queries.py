@@ -2101,6 +2101,79 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_sample_weighted_grouped")
+def q_sample_weighted_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-GROUP weighted sampling — the top-3 A-Res draws per
+    language (the per-domain quota form of q_sample_weighted: combine
+    with q_domain_mixture's allocations to materialize a temperature-
+    mixed corpus).  Ranks via ``operators.rank.grouped_topk``: per-
+    partition heaps first, final rank over <= k·P survivors — never a
+    full-group window over data-grain rows."""
+    from .operators.rank import grouped_topk
+
+    docs = T(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    base = docs.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("int").alias("weight"),
+        key.alias("__key"),
+    )
+    top = grouped_topk(
+        base, ["lang"], [F.col("__key").desc(), F.col("doc_id")], 3
+    )
+    return top.select(
+        "lang",
+        F.col("rn").cast("int").alias("rn"),
+        "doc_id",
+        "weight",
+        pround(F.col("__key"), 6).alias("sample_key"),
+    )
+
+
+@q("q_mlm_masking")
+def q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: masked-LM training prep — deterministically mask ~15% of each
+    document's tokens (position i masked iff the md5 of "doc_id:i" lands
+    in the first 15 of 100 buckets; the same hash-bucket trick as
+    q_corpus_sample, per TOKEN).  Reproducible across engines, re-runs
+    and repartitions — an auditable alternative to RNG masking.  Pure
+    array HOFs (indexed transform + filter), no explode of the corpus,
+    no UDF; emits token counts and the md5 of the masked text."""
+    docs = T(spark, sf_dir, "documents")
+    t = tokens("text")
+
+    def masked_at(pos: F.Column) -> F.Column:  # pos is 1-based
+        key = F.concat_ws(
+            ":", F.col("doc_id").cast("string"), pos.cast("string")
+        )
+        return (
+            F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("bigint") % 100
+            < 15
+        )
+
+    base = docs.select("doc_id", t.alias("__toks"))
+    masked = F.transform(
+        F.col("__toks"),
+        lambda x, i: F.when(masked_at(i + 1), F.lit("[MASK]")).otherwise(x),
+    )
+    n_masked = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size("__toks")), lambda p: masked_at(p)
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        n_masked.cast("bigint").alias("n_masked"),
+        F.md5(F.array_join(masked, " ")).alias("masked_md5"),
+    )
+
+
 @q("q_split_assign")
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: deterministic train/val/test split (80/10/10) by hash bucket of
