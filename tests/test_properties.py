@@ -124,3 +124,53 @@ def test_simhash_matches_pure_python():
         hi = sum(1 << (p - 32) for p in range(32, 64) if votes[p] > 0)
         lo = sum(1 << p for p in range(32) if votes[p] > 0)
         assert got[doc_id] == (hi, lo), doc_id
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=2),
+        min_size=8,
+        max_size=40,
+    ),
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=2),
+        min_size=8,
+        max_size=40,
+    ),
+)
+def test_duplicated_passages_invariants_property(toks1, toks2):
+    """Over arbitrary 2-letter token streams (heavy accidental overlap by
+    construction): islands lie within doc bounds, never overlap, are at
+    least k tokens long, and the cut removes exactly the covered tokens."""
+    from java_etl_bi_generator_spark.operators.dedup import (
+        cut_passages,
+        duplicated_passages,
+    )
+
+    k = 8
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(1, " ".join(toks1)), (2, " ".join(toks2))], ["doc_id", "text"]
+    )
+    spans = duplicated_passages(df, "text", "doc_id", k=k)
+    rows = spans.collect()
+    n = {1: len(toks1), 2: len(toks2)}
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        assert 1 <= r["tok_start"] <= r["tok_end"] <= n[r["doc_id"]]
+        assert r["tok_end"] - r["tok_start"] + 1 >= k
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["tok_start"], r["tok_end"])
+        )
+    for doc, sp in by_doc.items():
+        sp.sort()
+        for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+            assert e1 < s2  # islands are disjoint (maximal merge)
+    cut = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"])
+        for r in cut_passages(df, spans, "text", "doc_id").collect()
+    }
+    for doc in (1, 2):
+        covered = sum(e - s + 1 for s, e in by_doc.get(doc, []))
+        assert cut[doc] == (n[doc], n[doc] - covered)
