@@ -49,6 +49,8 @@ HEADLINE = [
     "q_bucketed_join",       # shuffle-free pre-bucketed fact join
     "q_rolling_distinct",    # rolling window distinct users
     "q_rolling_distinct_hll",  # day-grain mergeable-sketch scale path
+    "q_dedup_cut",           # substring-passage detect + cut (round 4)
+    "q_ks_test",             # integer KS drift via distributed cumsum
 ]
 
 
