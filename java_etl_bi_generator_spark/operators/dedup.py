@@ -451,12 +451,16 @@ def duplicated_passages(
     island starts when a window begins past the running max end).
 
     Scale shape: the window explode is a bounded fan-out (one row per
-    token), the duplicate test is one groupBy on the window text plus an
-    equi-join back — shuffle-on-key only, never all-pairs.  The island
-    windows run per document (doc-length-bounded partitions).  At 100 TB
-    the groupBy/join key should be a 128-bit hash of the window rather
-    than its text (cuts shuffle bytes ~4x); the string key is kept here
-    so the semantics stay engine-portable for differential checking.
+    token), and the duplicate test is ONE shuffle on the window text —
+    "occurs in >= 2 distinct docs" is min(doc) != max(doc) over the
+    window-text partition, so there is no groupBy + join-back (which
+    would evaluate the explode subtree twice: DataFrame lineage is not a
+    CTE — measured 3.1 s -> 2.0 s at sf0.1 from this alone).  Never
+    all-pairs.  The island merge runs per document (doc-length-bounded
+    partitions).  At 100 TB the shuffle key should be a 128-bit hash of
+    the window rather than its text (cuts shuffle bytes ~4x); the string
+    key is kept here so the semantics stay engine-portable for
+    differential checking.
     """
     from ..functions.text import tokens
     from pyspark.sql import Window
@@ -474,13 +478,13 @@ def duplicated_passages(
             )
         ).alias("__p0", "win"),
     ).select(F.col(id_col), (F.col("__p0") + 1).cast("bigint").alias("start"), "win")
-    dup = (
-        wins.groupBy("win")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("win")
+    win_w = Window.partitionBy("win")
+    hits = (
+        wins.withColumn("__mn", F.min(id_col).over(win_w))
+        .withColumn("__mx", F.max(id_col).over(win_w))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select(F.col(id_col), F.col("start"))
     )
-    hits = wins.join(dup, "win").select(F.col(id_col), F.col("start"))
     w = Window.partitionBy(id_col).orderBy("start")
     prev_end = F.max(F.col("start") + F.lit(k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
