@@ -5,6 +5,9 @@ BASELINE.json) — the pipeline an LLM data team runs before tokenization:
   1. exact dedup          (sha256 content hash, keep min doc_id)
   2. near-dup pruning     (MinHash+LSH candidates -> connected components
                            -> keep one doc per cluster)
+  2b. passage cut         (cross-document duplicated >= 8-token spans
+                           removed from the survivors; fully-boilerplate
+                           docs dropped — the substring-dedup fix step)
   3. quality + language   (heuristic score >= 0.3, predicted English)
   4. split assignment     (deterministic md5-bucket 80/10/10 train/val/test)
   5. write                (parquet partitioned by split — each split is a
@@ -38,6 +41,8 @@ from java_etl_bi_generator_spark.functions.text import (
     tokens,
 )
 from java_etl_bi_generator_spark.operators.dedup import (
+    cut_passages,
+    duplicated_passages,
     exact_dedup,
     minhash_lsh_dup_clusters,
 )
@@ -68,6 +73,22 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     docs = docs.join(drop, "doc_id", "left_anti")
     n2 = docs.count()
 
+    # 2b. substring-level dedup: cross-document duplicated passages
+    #     (>= 8 shared tokens) are CUT out of the surviving docs — the
+    #     suffix-array-dedup fix step (near-dedup drops whole docs;
+    #     this removes the boilerplate the survivors still share).
+    spans = duplicated_passages(docs, "text", "doc_id", k=8)
+    cut = cut_passages(docs, spans, "text", "doc_id")
+    docs = (
+        docs.join(
+            cut.select("doc_id", "clean_text", "n_tokens_after"), "doc_id"
+        )
+        .filter(F.col("n_tokens_after") > 0)   # fully-boilerplate docs die
+        .drop("text", "n_tokens_after")
+        .withColumnRenamed("clean_text", "text")
+    )
+    n2b = docs.count()
+
     # 3. quality + language gate (shared token array — one split per doc)
     toks = tokens("text")
     docs = docs.withColumn("__toks", toks)
@@ -97,7 +118,8 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     }
     print(
         f"docs={n0} after_exact_dedup={n1} after_near_dedup={n2} "
-        f"after_quality_lang={n3} splits={out} -> {out_dir}"
+        f"after_passage_cut={n2b} after_quality_lang={n3} "
+        f"splits={out} -> {out_dir}"
     )
     return out
 

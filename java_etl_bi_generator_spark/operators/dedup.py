@@ -553,7 +553,7 @@ def cut_passages(
         F.col(id_col),
         F.size("__toks").cast("bigint").alias("n_tokens_before"),
         F.size(kept).cast("bigint").alias("n_tokens_after"),
-        F.md5(F.array_join(F.transform(kept, lambda s: s["t"]), " ")).alias(
-            "clean_md5"
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+            "clean_text"
         ),
     )

@@ -1328,7 +1328,13 @@ def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     spans = duplicated_passages(docs, "text", "doc_id", k=8)
-    return cut_passages(docs, spans, "text", "doc_id")
+    cut = cut_passages(docs, spans, "text", "doc_id")
+    return cut.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5("clean_text").alias("clean_md5"),
+    )
 
 
 @q("q_dedup_simhash")

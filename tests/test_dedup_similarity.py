@@ -231,9 +231,7 @@ def test_duplicated_passages_separate_islands(spark):
 
 def test_cut_passages_removes_exact_spans(spark):
     """Cut removes exactly the spanned tokens; docs without spans pass
-    through with identical text hash; a fully-covered doc empties."""
-    import hashlib
-
+    through with identical text; a fully-covered doc empties."""
     from java_etl_bi_generator_spark.operators.dedup import cut_passages
 
     df = spark.createDataFrame(
@@ -248,10 +246,9 @@ def test_cut_passages_removes_exact_spans(spark):
         F.col("tok_end").cast("bigint"),
     )
     got = {
-        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"], r["clean_md5"])
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"], r["clean_text"])
         for r in cut_passages(df, spans, "text", "doc_id").collect()
     }
-    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
-    assert got[1] == (6, 3, md5("a e f"))      # b c d cut
-    assert got[2] == (3, 3, md5("x y z"))      # untouched
-    assert got[3] == (4, 0, md5(""))           # fully cut
+    assert got[1] == (6, 3, "a e f")      # b c d cut
+    assert got[2] == (3, 3, "x y z")      # untouched
+    assert got[3] == (4, 0, "")           # fully cut
