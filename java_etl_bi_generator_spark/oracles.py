@@ -875,6 +875,21 @@ ORACLES: dict[str, str] = {
     # Temperature mixture: the only aggregates are integer sums; the
     # scaled sqrt is made integer per GROUP row (floor(sqrt(m*1e8))), so
     # weights divide exact bigints and every double is per-row IEEE.
+    "q_tokenizer_fertility": f"""
+        WITH per AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum({_N_TOKENS}) AS BIGINT) AS n_words,
+                 CAST(sum(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+                      AS n_subwords,
+                 CAST(sum(length(text)) AS BIGINT) AS n_chars
+          FROM documents GROUP BY lang
+        )
+        SELECT lang, n_docs, n_words, n_subwords,
+               {pround_sql('CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)', 6)} AS fertility,
+               {pround_sql('CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE)', 6)} AS chars_per_subword
+        FROM per
+    """,
     "q_domain_mixture": f"""
         WITH per AS (
           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -2027,6 +2027,38 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_tokenizer_fertility")
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-language tokenizer fertility — BPE-ish pre-tokens per
+    whitespace word and characters per pre-token, the measure that tells
+    a multilingual pipeline which languages a tokenizer fragments (high
+    fertility = more compute per word of signal; feeds q_domain_mixture's
+    allocation decisions).  All aggregates are exact integer sums from
+    one scan; the ratios are per-row IEEE on identical bigints, pinned."""
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_of(F.col("__toks"))).cast("bigint").alias("n_words"),
+        F.sum(bpe_ish_token_count("text")).cast("bigint").alias("n_subwords"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        pround(
+            F.col("n_subwords").cast("double") / F.col("n_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        pround(
+            F.col("n_chars").cast("double")
+            / F.col("n_subwords").cast("double"),
+            6,
+        ).alias("chars_per_subword"),
+    )
+
+
 @q("q_domain_mixture")
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: temperature-scaled language/domain mixture reweighting — the
