@@ -438,7 +438,11 @@ def containment_pairs(
 
 
 def duplicated_passages(
-    df: DataFrame, text_col: str, id_col: str, k: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    keep_canonical: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated PASSAGES with token positions — the
     substring-level dedup shape (suffix-array dedup's output: which spans
@@ -449,6 +453,14 @@ def duplicated_passages(
     duplicates; per document, overlapping duplicate windows merge into
     maximal ``[tok_start, tok_end]`` ranges via gaps-and-islands (a new
     island starts when a window begins past the running max end).
+
+    ``keep_canonical=False`` reports EVERY occurrence (the detector /
+    audit view, and what ExactSubstr-style cutting does — it removes all
+    copies).  ``keep_canonical=True`` omits each window's occurrence in
+    its minimum-id document, so a downstream cut keeps exactly one
+    canonical copy of every duplicated passage in the corpus — the
+    "keep one copy" improvement the suffix-array-dedup paper leaves as
+    future work; feed this to ``cut_passages``.
 
     Scale shape: the window explode is a bounded fan-out (one row per
     token), and the duplicate test is ONE shuffle on the window text —
@@ -479,12 +491,14 @@ def duplicated_passages(
         ).alias("__p0", "win"),
     ).select(F.col(id_col), (F.col("__p0") + 1).cast("bigint").alias("start"), "win")
     win_w = Window.partitionBy("win")
-    hits = (
-        wins.withColumn("__mn", F.min(id_col).over(win_w))
-        .withColumn("__mx", F.max(id_col).over(win_w))
-        .filter(F.col("__mn") != F.col("__mx"))
-        .select(F.col(id_col), F.col("start"))
+    marked = wins.withColumn("__mn", F.min(id_col).over(win_w)).withColumn(
+        "__mx", F.max(id_col).over(win_w)
     )
+    dup_occurrence = F.col("__mn") != F.col("__mx")  # >= 2 distinct docs
+    if keep_canonical:
+        # the min-id doc's copy survives the cut; every other copy is a hit
+        dup_occurrence = dup_occurrence & (F.col(id_col) != F.col("__mn"))
+    hits = marked.filter(dup_occurrence).select(F.col(id_col), F.col("start"))
     w = Window.partitionBy(id_col).orderBy("start")
     prev_end = F.max(F.col("start") + F.lit(k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -514,10 +528,17 @@ def cut_passages(
     ``duplicated_passages``'s output (suffix-array dedup removes the
     duplicated substrings themselves, not whole documents).
 
-    ``spans`` is (id, tok_start, tok_end) with 1-based inclusive token
-    ranges.  The per-document span list is a ``collect_list`` of structs
-    (doc-length-bounded: a doc has at most n_tokens/k islands), joined
-    back LEFT so span-free documents pass through unchanged.  The cut
+    Pass spans from ``duplicated_passages(keep_canonical=True)`` to keep
+    one copy of every duplicated passage in the corpus; the default
+    all-occurrences spans reproduce ExactSubstr's remove-all-copies
+    behavior.  ``spans`` is (id, tok_start, tok_end) with 1-based
+    inclusive token ranges.  The per-document span list is a
+    ``collect_list`` of structs (doc-length-bounded: a doc has at most
+    n_tokens/k islands), joined back LEFT so span-free documents keep
+    their full token stream.  NOTE: ``clean_text`` is the kept tokens
+    rejoined with single spaces — original whitespace (tabs, newlines,
+    runs) is normalized for every document, cut or not; consume it where
+    downstream processing is token-based.  The cut
     itself is pure array higher-order functions — index each token,
     drop those inside any span, rejoin — so it runs JVM-side in codegen
     over the full corpus; no Python worker, no explode of the corpus.

@@ -73,6 +73,57 @@ _SHINGLES = """
   END
 """
 
+# Shared passage-dedup CTE prefix (mirrors operators/dedup.py
+# duplicated_passages, k=8): sliding 8-token windows with 1-based starts,
+# plus each window-text group's min/max doc id (the duplicate test:
+# min <> max <=> >= 2 distinct docs).  Consumers derive `hits` from
+# `marked` (all occurrences, or keep-canonical via doc_id <> mn) and run
+# the gaps-and-islands merge in _PASSAGE_ISLANDS.
+_PASSAGE_MARKED = """
+        docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, len(toks) - 6)) AS start
+          FROM docs WHERE len(toks) >= 8
+        ),
+        wins AS (
+          SELECT doc_id, CAST(start AS BIGINT) AS start,
+                 array_to_string(toks[start:start+7], ' ') AS win
+          FROM w
+        ),
+        marked AS (
+          SELECT doc_id, start,
+                 min(doc_id) OVER (PARTITION BY win) AS mn,
+                 max(doc_id) OVER (PARTITION BY win) AS mx
+          FROM wins
+        )
+"""
+
+# Gaps-and-islands merge over `hits`(doc_id, start): overlapping 8-token
+# windows collapse to maximal [tok_start, tok_end] ranges.
+_PASSAGE_ISLANDS = """
+        flagged AS (
+          SELECT doc_id, start,
+                 max(start + 7) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS prev_end
+          FROM hits
+        ),
+        islands AS (
+          SELECT doc_id, start,
+                 sum(CASE WHEN prev_end IS NULL OR start > prev_end
+                          THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS isl
+          FROM flagged
+        )
+"""
+
 # Winnowing fingerprint pipeline (Schleimer et al.) as a reusable CTE chain
 # ending in fps(doc_id, fingerprint) — mirrors operators/dedup.py
 # winnow_fingerprints (shingle_n=2, window=4, 8-nibble md5 hash).
@@ -827,45 +878,13 @@ ORACLES: dict[str, str] = {
         WHERE 100 * n_inter >= 20 * sa.n_sh
     """,
     # Mirrors operators/dedup.py duplicated_passages (k=8): sliding
-    # windows with 1-based starts, >=2-distinct-doc duplicate test,
-    # per-document gaps-and-islands merge into maximal token ranges.
-    "q_dedup_substrings": """
-        WITH docs AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-          FROM documents
-        ),
-        w AS (
-          SELECT doc_id, toks,
-                 unnest(range(1, len(toks) - 6)) AS start
-          FROM docs WHERE len(toks) >= 8
-        ),
-        wins AS (
-          SELECT doc_id, CAST(start AS BIGINT) AS start,
-                 array_to_string(toks[start:start+7], ' ') AS win
-          FROM w
-        ),
-        dup AS (
-          SELECT win FROM wins GROUP BY win
-          HAVING count(DISTINCT doc_id) >= 2
-        ),
-        hits AS (SELECT doc_id, start FROM wins JOIN dup USING (win)),
-        flagged AS (
-          SELECT doc_id, start,
-                 max(start + 7) OVER (
-                   PARTITION BY doc_id ORDER BY start
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ) AS prev_end
-          FROM hits
-        ),
-        islands AS (
-          SELECT doc_id, start,
-                 sum(CASE WHEN prev_end IS NULL OR start > prev_end
-                          THEN 1 ELSE 0 END) OVER (
-                   PARTITION BY doc_id ORDER BY start
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) AS isl
-          FROM flagged
-        )
+    # windows with 1-based starts, >=2-distinct-doc duplicate test
+    # (min <> max over the window-text partition), per-document
+    # gaps-and-islands merge into maximal token ranges.
+    "q_dedup_substrings": f"""
+        WITH {_PASSAGE_MARKED},
+        hits AS (SELECT doc_id, start FROM marked WHERE mn <> mx),
+        {_PASSAGE_ISLANDS}
         SELECT doc_id,
                CAST(min(start) AS BIGINT) AS tok_start,
                CAST(max(start) + 7 AS BIGINT) AS tok_end,
@@ -914,45 +933,18 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS alloc_tokens
         FROM r, tot
     """,
-    # The cut applied: islands -> per-doc span lists -> index-filtered
-    # token keep -> md5 of the rejoined text; span-free docs pass through.
-    "q_dedup_cut": """
-        WITH docs AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-          FROM documents
+    # The cut applied with keep_canonical=True: each window's min-doc
+    # occurrence survives (doc_id <> mn excluded from hits), so exactly
+    # one copy of every duplicated passage remains in the corpus; islands
+    # -> per-doc span lists -> index-filtered token keep -> md5 of the
+    # rejoined text; span-free docs keep their token stream.
+    "q_dedup_cut": f"""
+        WITH {_PASSAGE_MARKED},
+        hits AS (
+          SELECT doc_id, start FROM marked
+          WHERE mn <> mx AND doc_id <> mn
         ),
-        w AS (
-          SELECT doc_id, toks,
-                 unnest(range(1, len(toks) - 6)) AS start
-          FROM docs WHERE len(toks) >= 8
-        ),
-        wins AS (
-          SELECT doc_id, CAST(start AS BIGINT) AS start,
-                 array_to_string(toks[start:start+7], ' ') AS win
-          FROM w
-        ),
-        dup AS (
-          SELECT win FROM wins GROUP BY win
-          HAVING count(DISTINCT doc_id) >= 2
-        ),
-        hits AS (SELECT doc_id, start FROM wins JOIN dup USING (win)),
-        flagged AS (
-          SELECT doc_id, start,
-                 max(start + 7) OVER (
-                   PARTITION BY doc_id ORDER BY start
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ) AS prev_end
-          FROM hits
-        ),
-        islands AS (
-          SELECT doc_id, start,
-                 sum(CASE WHEN prev_end IS NULL OR start > prev_end
-                          THEN 1 ELSE 0 END) OVER (
-                   PARTITION BY doc_id ORDER BY start
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) AS isl
-          FROM flagged
-        ),
+        {_PASSAGE_ISLANDS},
         spans AS (
           SELECT doc_id, min(start) AS a, max(start) + 7 AS b
           FROM islands GROUP BY doc_id, isl

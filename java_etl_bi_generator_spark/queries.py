@@ -1319,15 +1319,17 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_dedup_cut")
 def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The substring-dedup FIX applied: detect cross-document duplicated
-    passages (q_dedup_substrings) and CUT them out of every document —
-    token counts before/after plus an md5 of the cleaned text, for all
-    documents (untouched docs pass through and pin the no-op path).  The
-    cut is pure array HOFs joined LEFT against the doc-grain span list;
-    the only corpus-wide shuffles are the passage detector's own."""
+    passages (q_dedup_substrings) and CUT them, keeping ONE canonical
+    copy (the minimum-doc-id occurrence survives — the keep-one-copy
+    improvement over ExactSubstr's remove-all-copies) — token counts
+    before/after plus an md5 of the cleaned text, for all documents
+    (untouched docs keep their token stream and pin the no-op path).
+    The cut is pure array HOFs joined LEFT against the doc-grain span
+    list; the only corpus-wide shuffles are the passage detector's own."""
     from .operators.dedup import cut_passages, duplicated_passages
 
     docs = T(spark, sf_dir, "documents")
-    spans = duplicated_passages(docs, "text", "doc_id", k=8)
+    spans = duplicated_passages(docs, "text", "doc_id", k=8, keep_canonical=True)
     cut = cut_passages(docs, spans, "text", "doc_id")
     return cut.select(
         "doc_id",
@@ -2121,12 +2123,10 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, re-runs and repartitions like q_corpus_sample, but
     WEIGHTED.  orderBy+limit plans as TakeOrderedAndProject: per-partition
     top-k then a k-row driver merge, never a global sort."""
+    from .functions.sampling import ares_key
+
     docs = T(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
-    key = F.log(u) / F.col("n_chars").cast("double")
+    key = ares_key(F.col("doc_id"), F.col("n_chars"))
     return (
         docs.select(
             "doc_id",
@@ -2147,14 +2147,11 @@ def q_sample_weighted_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed corpus).  Ranks via ``operators.rank.grouped_topk``: per-
     partition heaps first, final rank over <= k·P survivors — never a
     full-group window over data-grain rows."""
+    from .functions.sampling import ares_key
     from .operators.rank import grouped_topk
 
     docs = T(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
-    key = F.log(u) / F.col("n_chars").cast("double")
+    key = ares_key(F.col("doc_id"), F.col("n_chars"))
     base = docs.select(
         "lang",
         "doc_id",

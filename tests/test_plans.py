@@ -261,18 +261,15 @@ def test_sample_weighted_take_ordered_and_biased(spark, sf_dir):
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
 
-    from java_etl_bi_generator_spark.queries import _REGISTRY  # planted run
+    from java_etl_bi_generator_spark.functions.sampling import ares_key
+
     rows = [(i, "x", "en", "s", 10) for i in range(200)] + [
         (999, "x", "en", "s", 10000)
     ]
     df = spark.createDataFrame(
         rows, ["doc_id", "text", "lang", "source", "n_chars"]
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
-    key = F.log(u) / F.col("n_chars").cast("double")
+    key = ares_key(F.col("doc_id"), F.col("n_chars"))
     top = (
         df.select("doc_id", key.alias("k"))
         .orderBy(F.col("k").desc(), "doc_id")
