@@ -443,6 +443,7 @@ def duplicated_passages(
     id_col: str,
     k: int = 8,
     keep_canonical: bool = False,
+    hash_shuffle_key: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated PASSAGES with token positions — the
     substring-level dedup shape (suffix-array dedup's output: which spans
@@ -469,10 +470,15 @@ def duplicated_passages(
     would evaluate the explode subtree twice: DataFrame lineage is not a
     CTE — measured 3.1 s -> 2.0 s at sf0.1 from this alone).  Never
     all-pairs.  The island merge runs per document (doc-length-bounded
-    partitions).  At 100 TB the shuffle key should be a 128-bit hash of
-    the window rather than its text (cuts shuffle bytes ~4x); the string
-    key is kept here so the semantics stay engine-portable for
-    differential checking.
+    partitions).
+
+    ``hash_shuffle_key=True`` is the 100 TB path: the duplicate-test
+    shuffle carries the 128-bit md5 of each window instead of its text
+    (~4x fewer shuffle bytes for k=8 word windows); identical output up
+    to md5 collisions (~2^-128 per pair — zero in practice; pinned equal
+    to the string-keyed run on the fixtures by tests).  The default keeps
+    the string key so the semantics stay engine-portable for differential
+    checking.
     """
     from ..functions.text import tokens
     from pyspark.sql import Window
@@ -490,6 +496,8 @@ def duplicated_passages(
             )
         ).alias("__p0", "win"),
     ).select(F.col(id_col), (F.col("__p0") + 1).cast("bigint").alias("start"), "win")
+    if hash_shuffle_key:
+        wins = wins.withColumn("win", F.md5("win"))
     win_w = Window.partitionBy("win")
     marked = wins.withColumn("__mn", F.min(id_col).over(win_w)).withColumn(
         "__mx", F.max(id_col).over(win_w)

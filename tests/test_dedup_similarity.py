@@ -252,3 +252,26 @@ def test_cut_passages_removes_exact_spans(spark):
     assert got[1] == (6, 3, "a e f")      # b c d cut
     assert got[2] == (3, 3, "x y z")      # untouched
     assert got[3] == (4, 0, "")           # fully cut
+
+
+def test_duplicated_passages_hash_key_equivalent(spark):
+    """The 100TB hashed-shuffle-key variant produces identical spans to
+    the string-keyed default on the fixture corpus (md5 collisions are
+    the only divergence mode, and there are none)."""
+    from java_etl_bi_generator_spark.operators.dedup import (
+        duplicated_passages,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = sorted(
+        map(tuple, duplicated_passages(docs, "text", "doc_id", k=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            duplicated_passages(
+                docs, "text", "doc_id", k=8, hash_shuffle_key=True
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
