@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; rows-only queries are omitted
-    (streaming state / LSH banding / IVF probing are not SQL-expressible)."""
+    """DuckDB-equivalent SQL per query; the 6 rows-only queries are
+    omitted (builtin HLL/GK sketches, float-centroid IVF probing, and
+    Lloyd's k-means training are engine-specific by nature)."""
     return dict(ORACLES)
