@@ -196,6 +196,66 @@ def global_cumsum(
     return out.drop("__pid", "__lcum", "__off", "__tot")
 
 
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    val_col: str,
+    cum_col: str = "cum",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sum under ``order_by`` without funneling a group
+    through one partition — ``global_cumsum``'s grouped twin, built on
+    the same pinned range partitioning as ``grouped_rank``: in-(partition,
+    group) running sums in parallel, plus each group's preceding-partition
+    totals from a partitions×groups-sized broadcast offset table.
+
+    For LOW-cardinality groups whose members are data-grain (segments,
+    metrics, days-of-week); high-cardinality groups should use a plain
+    ``Window.partitionBy`` — that is already parallel.  Exact whenever
+    addition over ``val_col`` is associative (bigint / decimal) and
+    ``order_by`` is a total order within each group.  ``total_col``
+    attaches the group's full sum to every row from the offset table.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gcols = [F.col(g) for g in group_cols]
+    ranged = _ranged_pinned(df, [*gcols, *order_by], num_partitions)
+    local = ranged.withColumn(
+        "__lcum",
+        F.sum(val_col).over(
+            Window.partitionBy("__pid", *group_cols)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals = ranged.groupBy("__pid", *group_cols).agg(
+        F.sum(val_col).alias("__ptot")
+    )
+    off_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__ptot").over(off_w), F.lit(0)).alias("__off"),
+        F.sum("__ptot")
+        .over(Window.partitionBy(*group_cols))
+        .alias("__tot"),
+    )
+    out = local.join(
+        F.broadcast(offsets), ["__pid", *group_cols]
+    ).withColumn(cum_col, F.col("__lcum") + F.col("__off"))
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__tot"))
+    return out.drop("__pid", "__lcum", "__off", "__tot")
+
+
 def grouped_lag(
     df: DataFrame,
     group_cols: list[str],

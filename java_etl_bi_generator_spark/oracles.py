@@ -2043,6 +2043,47 @@ ORACLES: dict[str, str] = {
                CAST(v AS DOUBLE) / 100.0 AS at_value
         FROM c ORDER BY abs(gap) DESC, v ASC LIMIT 1
     """,
+    # Per-segment KS: same cross-multiplied gap, windowed per segment;
+    # argmax per segment = (largest |gap|, smallest value).
+    "q_ks_by_segment": f"""
+        WITH od AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+                 CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        g AS (
+          SELECT segment, v,
+                 CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+          FROM od GROUP BY segment, v
+        ),
+        t AS (
+          SELECT segment,
+                 CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+          FROM g GROUP BY segment
+        ),
+        c AS (
+          SELECT g.segment, v, n1, n2,
+                 sum(n2 * c1 - n1 * c2) OVER (
+                   PARTITION BY g.segment ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS gap
+          FROM g JOIN t ON g.segment = t.segment
+        ),
+        r AS (
+          SELECT segment, n1, n2, gap, v,
+                 row_number() OVER (
+                   PARTITION BY segment ORDER BY abs(gap) DESC, v ASC
+                 ) AS rn
+          FROM c
+        )
+        SELECT segment, n1, n2,
+               {pround_sql('CAST(abs(gap) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)', 6)} AS ks,
+               CAST(v AS DOUBLE) / 100.0 AS at_value
+        FROM r WHERE rn = 1
+    """,
     # PSI per bin: add-one smoothed exact-rational probabilities, per-row
     # fixed-order (p - q) * ln(p / q), pinned.
     "q_psi_drift": f"""

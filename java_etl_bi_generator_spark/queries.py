@@ -5360,6 +5360,77 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ks_by_segment")
+def q_ks_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ks_test sliced by customer market segment — the fairness/drift
+    view (a distribution shift invisible in aggregate can sit inside one
+    segment).  Same integer cross-multiplied form, but the signed-gap
+    cumsum runs per segment via ``operators.rank.grouped_cumsum`` (the
+    grouped twin of the global two-phase cumsum): segments are
+    low-cardinality with data-grain members, exactly the shape a plain
+    ``Window.partitionBy(segment)`` would funnel through 5 partitions.
+    One row per segment: n1, n2, D, and the value where the gap peaks."""
+    from .operators.rank import grouped_cumsum
+
+    pri = F.col("o_orderpriority")
+    od = T(spark, sf_dir, "orders").filter(pri.isin("1-URGENT", "5-LOW"))
+    cu = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    v = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    g = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .select(
+            "segment",
+            v.alias("v"),
+            F.when(pri == "1-URGENT", 1).otherwise(0).alias("g1"),
+            F.when(pri == "5-LOW", 1).otherwise(0).alias("g2"),
+        )
+        .groupBy("segment", "v")
+        .agg(
+            F.sum("g1").cast("bigint").alias("c1"),
+            F.sum("g2").cast("bigint").alias("c2"),
+        )
+    )
+    tot = g.groupBy("segment").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    gd = g.join(F.broadcast(tot), "segment").select(
+        "segment",
+        "v",
+        (F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2")).alias("d"),
+        "n1",
+        "n2",
+    )
+    cum = grouped_cumsum(gd, ["segment"], [F.col("v")], "d", cum_col="gap")
+    return (
+        cum.groupBy("segment")
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("gap")).alias("a"), (-F.col("v")).alias("nv")
+                )
+            ).alias("s"),
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+        )
+        .select(
+            "segment",
+            "n1",
+            "n2",
+            pround(
+                F.col("s.a").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("ks"),
+            ((-F.col("s.nv")).cast("double") / F.lit(100.0)).alias("at_value"),
+        )
+    )
+
+
 @q("q_psi_drift")
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between 1995 and 1996 order totals, per

@@ -248,3 +248,29 @@ def test_grouped_rank_with_payload_columns(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_grouped_cumsum_matches_window_sum(spark):
+    from java_etl_bi_generator_spark.operators.rank import grouped_cumsum
+
+    df = spark.range(1201).select(
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 53) % 997).alias("t"),
+        F.col("id"),
+        ((F.col("id") * 7) % 100 - 50).alias("v"),  # signed bigints
+    )
+    keys = [F.col("t").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: (r["c"], r["tot"])
+        for r in grouped_cumsum(
+            df, ["g"], keys, "v", cum_col="c", total_col="tot"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.withColumn("c", F.sum("v").over(w)).withColumn(
+        "tot", F.sum("v").over(Window.partitionBy("g"))
+    )
+    want = {r["id"]: (r["c"], r["tot"]) for r in ref.collect()}
+    assert got == want
