@@ -277,3 +277,15 @@ def test_sample_weighted_take_ordered_and_biased(spark, sf_dir):
         .collect()
     )
     assert 999 in {r["doc_id"] for r in top}
+
+
+def test_ks_by_segment_no_data_grain_single_partition_window(spark, sf_dir):
+    """Per-segment KS must not funnel segments through 5 partitions:
+    data-grain Window nodes carry __pid; only the partitions×segments
+    offset table (__ptot) may window per segment."""
+    df = registry()["q_ks_by_segment"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if ("Window [" in line and "__pid" not in line
+                and "__ptot" not in line):
+            raise AssertionError(f"single-partition window: {line}")
