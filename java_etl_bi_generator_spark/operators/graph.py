@@ -38,7 +38,17 @@ def connected_components(
     Convergence is detected from sum(component) on the already-
     materialized labels (label propagation only ever lowers a node's
     component, so an unchanged sum means a fixpoint) — one tiny aggregate
-    per round instead of an old-vs-new join."""
+    per round instead of an old-vs-new join.
+
+    Each round does neighbor-min propagation PLUS pointer jumping
+    (relabel every node through its component's own label) — the
+    label-doubling trick that turns O(diameter) rounds into
+    O(log diameter).  Plain neighbor-min alone needs as many rounds as
+    the longest min-to-node path: the sf0.1 LSH star-edge graph chains
+    boilerplate clusters into paths deeper than 20, which silently hit
+    the iteration cap and emitted unconverged labels (caught by the
+    sf0.1 differential sweep; the combined fixpoint provably equals the
+    per-component min everywhere)."""
     edges = cut_lineage(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -63,6 +73,24 @@ def connected_components(
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: follow the component's own (possibly smaller)
+        # label — component ids are node ids, so the self-join always
+        # resolves; labels only ever decrease, keeping the sum test valid
+        roots = new_labels.select(
+            F.col("node").alias("__cnode"), F.col("component").alias("__ccomp")
+        )
+        new_labels = (
+            new_labels.join(
+                roots, new_labels.component == roots.__cnode, "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__ccomp"), F.col("component")),
                 ).alias("component"),
             )
         )
