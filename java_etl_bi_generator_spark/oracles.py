@@ -2107,6 +2107,33 @@ ORACLES: dict[str, str] = {
                {pround_sql('(CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE) - CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)) * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE)) / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)))', 6)} AS psi_contrib
         FROM g, t
     """,
+    # Per-bin JS divergence: identical smoothing scaffold as PSI; the
+    # contribution is a fixed-order per-row expression, log2 via ln/ln(2).
+    "q_js_divergence": f"""
+        WITH g AS (
+          SELECT CAST(least(9, floor(o_totalprice / 50000.0)) AS BIGINT) AS bin,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c_ref,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c_cur
+          FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+          GROUP BY 1
+        ),
+        t AS (
+          SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                 CAST(sum(c_cur) AS BIGINT) AS n_cur
+          FROM g
+        ),
+        pq AS (
+          SELECT bin, c_ref, c_cur,
+                 CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE) AS p,
+                 CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE) AS q
+          FROM g, t
+        )
+        SELECT bin, c_ref, c_cur,
+               {pround_sql('0.5 * p * (ln(p / ((p + q) / 2.0)) / 0.6931471805599453) + 0.5 * q * (ln(q / ((p + q) / 2.0)) / 0.6931471805599453)', 6)} AS js_contrib
+        FROM pq
+    """,
     "q_mix_shift": f"""
         WITH base AS (
           SELECT n_name,

@@ -5487,6 +5487,62 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_js_divergence")
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the 1995 and 1996 order-total
+    distributions, per fixed bin — the symmetric, bounded companion to
+    q_psi_drift (PSI blows up on rare bins; JS is capped at 1 bit and is
+    the distance LLM data work quotes for distribution shift).  Same
+    scaffold: exact integer bin counts, add-one smoothing, per-row
+    pinned contribution ½·p·log2(p/m) + ½·q·log2(q/m) with m=(p+q)/2 —
+    emitted PER BIN so no cross-row float sum exists anywhere."""
+    od = T(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    bin_ = F.least(F.lit(9), F.floor(F.col("o_totalprice") / F.lit(50000.0))).cast(
+        "bigint"
+    )
+    g = (
+        od.filter(yr.isin(1995, 1996))
+        .select(
+            bin_.alias("bin"),
+            F.when(yr == 1995, 1).otherwise(0).alias("r"),
+            F.when(yr == 1996, 1).otherwise(0).alias("c"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("r").cast("bigint").alias("c_ref"),
+            F.sum("c").cast("bigint").alias("c_cur"),
+        )
+    )
+    tot = g.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    k = 10
+    p = (F.col("c_ref") + F.lit(1)).cast("double") / (
+        F.col("n_ref") + F.lit(k)
+    ).cast("double")
+    q_ = (F.col("c_cur") + F.lit(1)).cast("double") / (
+        F.col("n_cur") + F.lit(k)
+    ).cast("double")
+    m = (p + q_) / F.lit(2.0)
+    # ln(2) as a literal: engines need not round log(2.0) identically
+    ln2 = F.lit(0.6931471805599453)
+    js = (
+        F.lit(0.5) * p * (F.log(p / m) / ln2)
+        + F.lit(0.5) * q_ * (F.log(q_ / m) / ln2)
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "c_ref",
+            "c_cur",
+            pround(js, 6).alias("js_contrib"),
+        )
+    )
+
+
 @q("q_mix_shift")
 def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BI variance decomposition (mix-shift analysis): per nation, split
