@@ -6,9 +6,10 @@ BASELINE.json) — the pipeline an LLM data team runs before tokenization:
   2. near-dup pruning     (MinHash+LSH candidates -> connected components
                            -> keep one doc per cluster)
   2b. passage cut         (cross-document duplicated >= 8-token spans
-                           removed from the survivors, one canonical copy
-                           kept corpus-wide; docs left empty by the cut
-                           are dropped — the substring-dedup fix step)
+                           removed from the survivors; each passage stays
+                           alive in its min-id document; docs left empty
+                           by the cut are dropped — the substring-dedup
+                           fix step)
   3. quality + language   (heuristic score >= 0.3, predicted English)
   4. split assignment     (deterministic md5-bucket 80/10/10 train/val/test)
   5. write                (parquet partitioned by split — each split is a
@@ -79,7 +80,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     #     (>= 8 shared tokens) are CUT out of the surviving docs — the
     #     suffix-array-dedup fix step (near-dedup drops whole docs;
     #     this removes the boilerplate the survivors still share).
-    #     keep_canonical: one copy of each passage stays in the corpus.
+    #     keep_canonical: each passage stays alive in its min-id doc.
     #     The survivors are materialized first: spans, the cut, and the
     #     outer join would otherwise each replay the LSH-cluster
     #     anti-join subtree (DataFrame lineage is not a CTE).

@@ -457,10 +457,12 @@ def duplicated_passages(
 
     ``keep_canonical=False`` reports EVERY occurrence (the detector /
     audit view, and what ExactSubstr-style cutting does — it removes all
-    copies).  ``keep_canonical=True`` omits each window's occurrence in
-    its minimum-id document, so a downstream cut keeps exactly one
-    canonical copy of every duplicated passage in the corpus — the
-    "keep one copy" improvement the suffix-array-dedup paper leaves as
+    copies).  ``keep_canonical=True`` exempts each window's occurrences
+    in its minimum-id document, so a downstream cut preserves the
+    passage in that canonical document (ALL its in-document copies, if
+    it repeats there; and an overlapping different duplicate can still
+    clip it) while removing every other document's copies — the
+    "keep a copy" improvement the suffix-array-dedup paper leaves as
     future work; feed this to ``cut_passages``.
 
     Scale shape: the window explode is a bounded fan-out (one row per
@@ -537,7 +539,7 @@ def cut_passages(
     duplicated substrings themselves, not whole documents).
 
     Pass spans from ``duplicated_passages(keep_canonical=True)`` to keep
-    one copy of every duplicated passage in the corpus; the default
+    each duplicated passage alive in its minimum-id document; the default
     all-occurrences spans reproduce ExactSubstr's remove-all-copies
     behavior.  ``spans`` is (id, tok_start, tok_end) with 1-based
     inclusive token ranges.  The per-document span list is a

@@ -78,14 +78,16 @@ def connected_components(
         )
         # pointer jumping: follow the component's own (possibly smaller)
         # label — component ids are node ids, so the self-join always
-        # resolves; labels only ever decrease, keeping the sum test valid
-        roots = new_labels.select(
+        # resolves; labels only ever decrease, keeping the sum test valid.
+        # The neighbor-min result is PINNED first: the self-join consumes
+        # it on both sides, and without the cut each round would execute
+        # the edges-join + aggregation twice (lineage is not a CTE).
+        stepped = cut_lineage(new_labels)
+        roots = stepped.select(
             F.col("node").alias("__cnode"), F.col("component").alias("__ccomp")
         )
-        new_labels = (
-            new_labels.join(
-                roots, new_labels.component == roots.__cnode, "left"
-            )
+        jumped = (
+            stepped.join(roots, stepped.component == roots.__cnode, "left")
             .select(
                 "node",
                 F.least(
@@ -94,7 +96,7 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        labels = cut_lineage(new_labels)
+        labels = cut_lineage(jumped)
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -68,6 +68,28 @@ def _ranged_pinned(
     )
 
 
+def _nullsafe_offset_join(
+    data: DataFrame, offsets: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Broadcast-join a per-(partition, group) offset table onto the data
+    side, NULL-SAFE on the group columns: ``Window.partitionBy`` treats a
+    NULL group value as an ordinary partition, but a plain equi-join
+    would silently DROP those rows (NULL != NULL) — the grouped two-phase
+    ops must match window semantics exactly, nulls included."""
+    payload = [c for c in offsets.columns if c != "__pid" and c not in group_cols]
+    ren = offsets.select(
+        F.col("__pid").alias("__o_pid"),
+        *[F.col(g).alias(f"__o_{g}") for g in group_cols],
+        *payload,
+    )
+    cond = F.col("__pid") == F.col("__o_pid")
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__o_{g}"))
+    return data.join(F.broadcast(ren), cond).drop(
+        "__o_pid", *[f"__o_{g}" for g in group_cols]
+    )
+
+
 def grouped_rank(
     df: DataFrame,
     group_cols: list[str],
@@ -123,9 +145,9 @@ def grouped_rank(
         .over(Window.partitionBy(*group_cols))
         .alias("__tot"),
     )
-    out = local.join(
-        F.broadcast(offsets), ["__pid", *group_cols]
-    ).withColumn(rank_col, F.col("__lrn") + F.col("__off"))
+    out = _nullsafe_offset_join(local, offsets, group_cols).withColumn(
+        rank_col, F.col("__lrn") + F.col("__off")
+    )
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__tot"))
     return out.drop("__pid", "__lrn", "__off", "__tot")
@@ -166,34 +188,17 @@ def global_cumsum(
     unboundedPreceding, currentRow))`` whenever addition over ``val_col`` is
     exactly associative (bigint / decimal — the reason the callers keep
     money in DECIMAL, not float) and ``order_by`` is a total order.
-    """
-    if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    ranged = _ranged_pinned(df, list(order_by), num_partitions)
-    in_w = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ``grouped_cumsum`` with no group — one implementation to maintain,
+    mirroring the global_rank/grouped_rank pairing."""
+    return grouped_cumsum(
+        df,
+        [],
+        order_by,
+        val_col,
+        cum_col=cum_col,
+        total_col=total_col,
+        num_partitions=num_partitions,
     )
-    local = ranged.withColumn("__lcum", F.sum(val_col).over(in_w))
-    totals = ranged.groupBy("__pid").agg(F.sum(val_col).alias("__ptot"))
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__pid",
-        F.sum("__ptot").over(off_w).alias("__off"),
-        F.sum("__ptot").over(Window.partitionBy()).alias("__tot"),
-    )
-    out = local.join(F.broadcast(offsets), "__pid").withColumn(
-        cum_col,
-        F.when(F.col("__off").isNull(), F.col("__lcum")).otherwise(
-            F.col("__lcum") + F.col("__off")
-        ),
-    )
-    if total_col is not None:
-        out = out.withColumn(total_col, F.col("__tot"))
-    return out.drop("__pid", "__lcum", "__off", "__tot")
 
 
 def grouped_cumsum(
@@ -215,8 +220,10 @@ def grouped_cumsum(
     metrics, days-of-week); high-cardinality groups should use a plain
     ``Window.partitionBy`` — that is already parallel.  Exact whenever
     addition over ``val_col`` is associative (bigint / decimal) and
-    ``order_by`` is a total order within each group.  ``total_col``
-    attaches the group's full sum to every row from the offset table.
+    ``order_by`` is a total order within each group.  NULL group values
+    form an ordinary partition, exactly like ``Window.partitionBy`` (the
+    offset join is null-safe).  ``total_col`` attaches the group's full
+    sum to every row from the offset table.
     """
     if num_partitions is None:
         num_partitions = int(
@@ -243,14 +250,20 @@ def grouped_cumsum(
     offsets = totals.select(
         "__pid",
         *group_cols,
-        F.coalesce(F.sum("__ptot").over(off_w), F.lit(0)).alias("__off"),
+        F.sum("__ptot").over(off_w).alias("__off"),
         F.sum("__ptot")
         .over(Window.partitionBy(*group_cols))
         .alias("__tot"),
     )
-    out = local.join(
-        F.broadcast(offsets), ["__pid", *group_cols]
-    ).withColumn(cum_col, F.col("__lcum") + F.col("__off"))
+    # NULL __off = first partition of the group (no preceding totals);
+    # the when() keeps the sum's own type (a 0-literal coalesce would
+    # coerce DECIMAL state)
+    out = _nullsafe_offset_join(local, offsets, group_cols).withColumn(
+        cum_col,
+        F.when(F.col("__off").isNull(), F.col("__lcum")).otherwise(
+            F.col("__lcum") + F.col("__off")
+        ),
+    )
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__tot"))
     return out.drop("__pid", "__lcum", "__off", "__tot")
@@ -307,7 +320,7 @@ def grouped_lag(
         "__pid", *group_cols, "__carry"
     )
     return (
-        local.join(F.broadcast(boundary), ["__pid", *group_cols])
+        _nullsafe_offset_join(local, boundary, group_cols)
         .withColumn(
             lag_col,
             F.when(F.col("__ps").isNull(), F.col("__carry")).otherwise(

@@ -891,9 +891,8 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_windows
         FROM islands GROUP BY doc_id, isl
     """,
-    # Temperature mixture: the only aggregates are integer sums; the
-    # scaled sqrt is made integer per GROUP row (floor(sqrt(m*1e8))), so
-    # weights divide exact bigints and every double is per-row IEEE.
+    # Per-language fertility: integer sums only; ratios are per-row IEEE
+    # on identical bigints (regex matches queries.py BPE_ISH_PATTERN).
     "q_tokenizer_fertility": f"""
         WITH per AS (
           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -909,6 +908,9 @@ ORACLES: dict[str, str] = {
                {pround_sql('CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE)', 6)} AS chars_per_subword
         FROM per
     """,
+    # Temperature mixture: the only aggregates are integer sums; the
+    # scaled sqrt is made integer per GROUP row (floor(sqrt(m*1e8))), so
+    # weights divide exact bigints and every double is per-row IEEE.
     "q_domain_mixture": f"""
         WITH per AS (
           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -934,8 +936,8 @@ ORACLES: dict[str, str] = {
         FROM r, tot
     """,
     # The cut applied with keep_canonical=True: each window's min-doc
-    # occurrence survives (doc_id <> mn excluded from hits), so exactly
-    # one copy of every duplicated passage remains in the corpus; islands
+    # occurrences survive (doc_id <> mn filter), so every duplicated
+    # passage stays alive in its canonical document; islands
     # -> per-doc span lists -> index-filtered token keep -> md5 of the
     # rejoined text; span-free docs keep their token stream.
     "q_dedup_cut": f"""

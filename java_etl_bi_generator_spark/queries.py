@@ -1319,11 +1319,12 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_dedup_cut")
 def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The substring-dedup FIX applied: detect cross-document duplicated
-    passages (q_dedup_substrings) and CUT them, keeping ONE canonical
-    copy (the minimum-doc-id occurrence survives — the keep-one-copy
-    improvement over ExactSubstr's remove-all-copies) — token counts
-    before/after plus an md5 of the cleaned text, for all documents
-    (untouched docs keep their token stream and pin the no-op path).
+    passages (q_dedup_substrings) and CUT them everywhere except each
+    passage's minimum-doc-id document (the keep-a-copy improvement over
+    ExactSubstr's remove-all-copies; the canonical doc keeps its own
+    occurrences) — token counts before/after plus an md5 of the cleaned
+    text, for all documents (untouched docs keep their token stream and
+    pin the no-op path).
     The cut is pure array HOFs joined LEFT against the doc-grain span
     list; the only corpus-wide shuffles are the passage detector's own."""
     from .operators.dedup import cut_passages, duplicated_passages

@@ -263,15 +263,26 @@ def test_duplicated_passages_hash_key_equivalent(spark):
     )
 
     docs = load_table(spark, SF_DIR, "documents")
-    a = sorted(
-        map(tuple, duplicated_passages(docs, "text", "doc_id", k=8).collect())
-    )
-    b = sorted(
-        map(
-            tuple,
-            duplicated_passages(
-                docs, "text", "doc_id", k=8, hash_shuffle_key=True
-            ).collect(),
+    for kc in (False, True):  # incl. the min-id canonical exemption path
+        a = sorted(
+            map(
+                tuple,
+                duplicated_passages(
+                    docs, "text", "doc_id", k=8, keep_canonical=kc
+                ).collect(),
+            )
         )
-    )
-    assert a == b and len(a) > 0
+        b = sorted(
+            map(
+                tuple,
+                duplicated_passages(
+                    docs,
+                    "text",
+                    "doc_id",
+                    k=8,
+                    keep_canonical=kc,
+                    hash_shuffle_key=True,
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0

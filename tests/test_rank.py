@@ -274,3 +274,53 @@ def test_grouped_cumsum_matches_window_sum(spark):
     )
     want = {r["id"]: (r["c"], r["tot"]) for r in ref.collect()}
     assert got == want
+
+
+def test_grouped_ops_keep_null_group_rows(spark):
+    """NULL group values are ordinary window partitions: the null-safe
+    offset join must keep (and correctly rank/cumsum) those rows, not
+    silently drop them like a plain equi-join would."""
+    from java_etl_bi_generator_spark.operators.rank import (
+        grouped_cumsum,
+        grouped_rank,
+    )
+
+    df = spark.range(301).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("g"),
+        ((F.col("id") * 53) % 997).alias("t"),
+        F.col("id"),
+        (F.col("id") % 7).alias("v"),
+    )
+    keys = [F.col("t").asc(), F.col("id").asc()]
+
+    got_r = {
+        r["id"]: r["rk"]
+        for r in grouped_rank(df, ["g"], keys, rank_col="rk").collect()
+    }
+    want_r = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("g").orderBy(*keys)),
+        ).collect()
+    }
+    assert got_r == want_r and len(got_r) == 301
+
+    got_c = {
+        r["id"]: r["c"]
+        for r in grouped_cumsum(df, ["g"], keys, "v", cum_col="c").collect()
+    }
+    want_c = {
+        r["id"]: r["c"]
+        for r in df.withColumn(
+            "c",
+            F.sum("v").over(
+                Window.partitionBy("g")
+                .orderBy(*keys)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).collect()
+    }
+    assert got_c == want_c
