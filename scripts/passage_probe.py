@@ -42,8 +42,8 @@ def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark(app_name="passage_probe")
     spark.dataSource.register(SyntheticDocumentsDataSource)
-    print("| docs | spans (rows) | detect+cut sec |")
-    print("|---|---|---|")
+    print("| docs | spans (rows) | detect+cut sec | hashed-key sec |")
+    print("|---|---|---|---|")
     for f in factors:
         tmp = tempfile.mkdtemp(prefix=f"passage_probe_{f}x_")
         try:
@@ -55,20 +55,26 @@ def main() -> None:
                 .write.parquet(os.path.join(tmp, "documents.parquet"))
             )
             docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
-            times = []
             n_spans = None
-            for _ in range(2):
-                t0 = time.time()
-                spans = duplicated_passages(docs, "text", "doc_id", k=8)
-                cut = cut_passages(docs, spans, "text", "doc_id").select(
-                    "doc_id", "n_tokens_after", F.md5("clean_text")
-                )
-                cut.write.format("noop").mode("overwrite").save()
-                times.append(time.time() - t0)
-                if n_spans is None:
-                    n_spans = spans.count()
+            best = {}
+            for hashed in (False, True):
+                times = []
+                for _ in range(2):
+                    t0 = time.time()
+                    spans = duplicated_passages(
+                        docs, "text", "doc_id", k=8, hash_shuffle_key=hashed
+                    )
+                    cut = cut_passages(docs, spans, "text", "doc_id").select(
+                        "doc_id", "n_tokens_after", F.md5("clean_text")
+                    )
+                    cut.write.format("noop").mode("overwrite").save()
+                    times.append(time.time() - t0)
+                    if n_spans is None:
+                        n_spans = spans.count()
+                best[hashed] = min(times)
             print(
-                f"| {BASE_DOCS * f} | {n_spans} | {min(times):.2f} |",
+                f"| {BASE_DOCS * f} | {n_spans} | {best[False]:.2f} "
+                f"| {best[True]:.2f} |",
                 flush=True,
             )
         finally:
