@@ -132,3 +132,80 @@ def lsh_bucket_topk(
     ).select("__bucket")
     candidates = bucketed.join(F.broadcast(qdf), on="__bucket", how="left_semi")
     return brute_force_topk(candidates.drop("__bucket"), query_vec, k, id_col, vec_col)
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversified top-k: Maximal Marginal Relevance (Carbonell &
+    Goldstein) — greedily pick the candidate maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s)``, so near-duplicates of
+    already-selected results are penalized (the RAG rerank that stops a
+    retriever returning five copies of the same paragraph).
+
+    Scale split: all corpus-sized work is distributed — the top-N
+    candidate pull is a TakeOrderedAndProject scan, the N² candidate
+    pair sims a broadcast self-join of the N-row frame.  The k-step
+    greedy itself is INHERENTLY sequential (each pick changes the next
+    penalty) and runs on the driver over the two collected score tables
+    — O(N·k) scalar ops on N=20 rows, the same bounded-driver-sync class
+    as fetching the query vector.  All similarities are pinned BEFORE
+    the greedy, so the selection is engine-exact and hash-checks against
+    a recursive-CTE oracle.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    scored = embeddings.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("__v"),
+        pround(cosine_similarity(as_double_array(vec_col), q), 6).alias(
+            "__simq"
+        ),
+    )
+    cand = scored.orderBy(F.desc("__simq"), F.asc(id_col)).limit(n_candidates)
+    a = cand.select(
+        F.col(id_col).alias("__ia"), F.col("__v").alias("__va")
+    )
+    b = cand.select(
+        F.col(id_col).alias("__ib"), F.col("__v").alias("__vb")
+    )
+    ps = a.join(F.broadcast(b), F.col("__ia") != F.col("__ib")).select(
+        "__ia",
+        "__ib",
+        pround(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias(
+            "__sim"
+        ),
+    )
+    # the penalty weight is derived ONCE as 1.0 - lam (an IEEE op both
+    # engines perform identically); a hand-written 0.3 literal would NOT
+    # equal 1.0 - 0.7 and the greedy could diverge on near-ties
+    mu = 1.0 - lam
+    simq = {r[0]: r["__simq"] for r in cand.select(id_col, "__simq").collect()}
+    pair = {(r["__ia"], r["__ib"]): r["__sim"] for r in ps.collect()}
+    selected: list = []
+    remaining = set(simq)
+    while remaining and len(selected) < k:
+        best = min(
+            remaining,
+            key=lambda d: (
+                -(
+                    lam * simq[d]
+                    - mu * max(pair[(d, s)] for s in selected)
+                    if selected
+                    else lam * simq[d]
+                ),
+                d,
+            ),
+        )
+        selected.append(best)
+        remaining.discard(best)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, int(v)) for i, v in enumerate(selected)],
+        f"rank int, {id_col} bigint",
+    )

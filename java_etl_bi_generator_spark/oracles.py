@@ -891,6 +891,63 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_windows
         FROM islands GROUP BY doc_id, isl
     """,
+    # MMR diversified top-k: the recursive CTE replays the driver-side
+    # greedy — sel carries the selected ids, each step's argmax orders by
+    # 0.7·simq − (1.0−0.7)·max-sim-to-selected with vec_id tie-break.
+    # All sims pre-pinned; (1.0 - 0.7) spelled as the same IEEE subtract
+    # the Spark side performs (a 0.3 literal would differ in the last ulp).
+    "q_vector_topk_mmr": """
+        WITH RECURSIVE q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0
+        ),
+        cand AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 floor((list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(qv, qv))))
+                   * 1000000 + 0.5) / 1000000 AS simq
+          FROM embeddings, q
+          ORDER BY simq DESC, vec_id ASC LIMIT 20
+        ),
+        ps AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 floor((list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))))
+                   * 1000000 + 0.5) / 1000000 AS sim
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        ),
+        mmr AS (
+          SELECT 1 AS rank,
+                 (SELECT vec_id FROM cand
+                  ORDER BY simq DESC, vec_id LIMIT 1) AS vec_id,
+                 [(SELECT vec_id FROM cand
+                   ORDER BY simq DESC, vec_id LIMIT 1)] AS sel
+          UNION ALL
+          SELECT rank + 1,
+                 (SELECT c.vec_id FROM cand c
+                  WHERE NOT list_contains(sel, c.vec_id)
+                  ORDER BY 0.7 * c.simq - (1.0 - 0.7) * (
+                      SELECT max(ps.sim) FROM ps
+                      WHERE ps.ia = c.vec_id AND list_contains(sel, ps.ib)
+                    ) DESC,
+                    c.vec_id ASC
+                  LIMIT 1),
+                 list_append(sel, (SELECT c.vec_id FROM cand c
+                  WHERE NOT list_contains(sel, c.vec_id)
+                  ORDER BY 0.7 * c.simq - (1.0 - 0.7) * (
+                      SELECT max(ps.sim) FROM ps
+                      WHERE ps.ia = c.vec_id AND list_contains(sel, ps.ib)
+                    ) DESC,
+                    c.vec_id ASC
+                  LIMIT 1))
+          FROM mmr WHERE rank < 5
+        )
+        SELECT CAST(rank AS INT) AS rank, CAST(vec_id AS BIGINT) AS vec_id
+        FROM mmr
+    """,
     # Per-language fertility: integer sums only; ratios are per-row IEEE
     # on identical bigints (regex matches queries.py BPE_ISH_PATTERN).
     "q_tokenizer_fertility": f"""

@@ -1358,6 +1358,24 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(em, threshold=0.3)
 
 
+@q("q_vector_topk_mmr")
+def q_vector_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+: DIVERSIFIED retrieval — MMR rerank of the cosine top-20 down
+    to 5 results (λ=0.7): each pick penalizes similarity to what's
+    already selected, so near-duplicate passages don't crowd the result
+    list (the standard RAG rerank).  Candidate pull and the N² pair sims
+    are distributed; the inherently-sequential k-step greedy runs on the
+    driver over the two collected pinned score tables (N=20 rows — the
+    bounded-driver-sync class).  Hash-checked against a recursive-CTE
+    oracle that replays the same greedy in SQL."""
+    from .operators.similarity import mmr_topk
+
+    em = T(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        em, _query_vector(spark, sf_dir), n_candidates=20, k=5, lam=0.7
+    )
+
+
 @q("q_stream_stateful")
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 (hash-checked): custom stateful operator via

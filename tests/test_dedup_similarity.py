@@ -286,3 +286,29 @@ def test_duplicated_passages_hash_key_equivalent(spark):
             )
         )
         assert a == b and len(a) > 0
+
+
+def test_mmr_displaces_near_duplicate(spark):
+    """Plain top-2 returns the near-duplicate pair; MMR's diversity
+    penalty replaces the duplicate with the distinct-but-relevant vector."""
+    from java_etl_bi_generator_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (1, [0.9, 0.43589, 0.0]),   # closest to the query (cos 0.90)
+        (2, [0.9, 0.43, 0.1]),      # near-duplicate of 1 (cos ~0.995 to it)
+        (3, [0.8, -0.6, 0.0]),      # distinct direction (cos 0.80 to query)
+        (4, [0.0, 0.1, 0.99]),      # barely relevant
+    ]
+    em = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact2 = [
+        r["vec_id"]
+        for r in brute_force_topk(em, [1.0, 0.0, 0.0], k=2).collect()
+    ]
+    assert exact2 == [1, 2]
+    mmr2 = [
+        r["vec_id"]
+        for r in mmr_topk(
+            em, [1.0, 0.0, 0.0], n_candidates=4, k=2, lam=0.5
+        ).collect()
+    ]
+    assert mmr2 == [1, 3]
