@@ -2073,6 +2073,12 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS pairs_ge_020
         FROM f
     """,
+    # Quantile normalization: within-type ECDF position (rank - 1/2)/n.
+    "q_quantile_normalize": f"""
+        SELECT event_id, event_type, value,
+               {pround_sql('(CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS DOUBLE) - 0.5) / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)', 6)} AS qnorm
+        FROM events
+    """,
     # KS: integer cross-multiplied ECDF gap, one cumsum of the signed
     # delta; argmax = (largest |gap|, smallest value).
     "q_ks_test": f"""

@@ -5317,6 +5317,40 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_quantile_normalize")
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering: quantile (rank) normalization of event values
+    within each event type — map every value to its within-group ECDF
+    position (rank − ½)/n, the transform that makes a heavy-tailed
+    feature uniform for downstream models.  Event types are
+    low-cardinality with data-grain members — exactly the shape a plain
+    ``Window.partitionBy(event_type)`` would funnel through ~5 partitions
+    — so the rank and the group size come from ONE pass of
+    ``operators.rank.grouped_rank`` (range-partitioned, broadcast
+    offsets).  The emitted quantile is a per-row division of exact
+    integers, pinned."""
+    from .operators.rank import grouped_rank
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ranked = grouped_rank(
+        ev,
+        ["event_type"],
+        [F.col("value").asc(), F.col("event_id").asc()],
+        rank_col="__rk",
+        total_col="__n",
+    )
+    return ranked.select(
+        "event_id",
+        "event_type",
+        "value",
+        pround(
+            (F.col("__rk").cast("double") - F.lit(0.5))
+            / F.col("__n").cast("double"),
+            6,
+        ).alias("qnorm"),
+    )
+
+
 @q("q_ks_test")
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov: the largest ECDF gap between
