@@ -588,3 +588,49 @@ def cut_passages(
             "clean_text"
         ),
     )
+
+
+def containment_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    min_pct: int = 50,
+) -> DataFrame:
+    """Exact directed containment verification restricted to CANDIDATE
+    pairs — the corpus-scale path: ``containment_pairs``'s all-pairs
+    shingle self-join (quadratic in shared-shingle groups) is replaced
+    by candidates ⋈ shingles, so the expensive exact metric is computed
+    only where a bucketing pre-filter (LSH bands, IVF cells, blocking
+    keys) already found a likely pair.  ``pairs`` is (id_a, id_b)
+    DIRECTED (emit both directions for a symmetric candidate source).
+
+    Cost shape: |pairs| × shingles(id_a) intermediate rows — linear in
+    the candidate count, independent of corpus size.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "s")
+    sb = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    szs = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(szs, "id_a")
+        .filter(F.lit(100) * F.col("n_inter") >= F.lit(min_pct) * F.col("n_a"))
+        .select(
+            "id_a",
+            "id_b",
+            pround(
+                F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("containment"),
+        )
+    )

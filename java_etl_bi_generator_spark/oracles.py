@@ -253,6 +253,44 @@ _BUCKET = """
     * (CAST(1 AS BIGINT) << CAST(4 * (3 - i) AS INT)))) AS BIGINT) % 100
 """
 
+
+# Shared MinHash+LSH banding chain (16 hashes / 4 bands / 3-word
+# shingles — mirrors operators/dedup.py lsh_band_buckets), ending in
+# bands(doc_id, band, bucket); consumers join bands to themselves for
+# candidate pairs or derive star edges.
+_LSH_BANDS_CTE = f"""
+        docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        sh3 AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            END)) AS sh
+          FROM docs
+        ),
+        dg AS (SELECT doc_id, md5(sh) AS m FROM sh3),
+        hh AS (
+          SELECT doc_id,
+                 {_hex_bigint('m', 1, 15)} AS h1,
+                 {_hex_bigint('m', 17, 12)} AS h2
+          FROM dg
+        ),
+        mh AS (
+          SELECT doc_id, i,
+                 min((h1 + i * h2) & ((CAST(1 AS BIGINT) << 60) - 1)) AS mh
+          FROM hh, (SELECT unnest(range(0, 16)) AS i) idx
+          GROUP BY doc_id, i
+        ),
+        bands AS (
+          SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
+          FROM mh GROUP BY doc_id, band
+        )
+"""
+
 ORACLES: dict[str, str] = {
     # --- sources ---
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -1036,39 +1074,39 @@ ORACLES: dict[str, str] = {
     # Mirrors operators/dedup.py minhash_lsh_candidates (16 hashes, 4
     # bands, 3-word shingles, 60-bit mask).
     "q_dedup_near": f"""
-        WITH docs AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-          FROM documents
-        ),
-        sh3 AS (
-          SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                 ELSE list_transform(range(1, len(toks) - 1),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-            END)) AS sh
-          FROM docs
-        ),
-        dg AS (SELECT doc_id, md5(sh) AS m FROM sh3),
-        hh AS (
-          SELECT doc_id,
-                 {_hex_bigint('m', 1, 15)} AS h1,
-                 {_hex_bigint('m', 17, 12)} AS h2
-          FROM dg
-        ),
-        mh AS (
-          SELECT doc_id, i,
-                 min((h1 + i * h2) & ((CAST(1 AS BIGINT) << 60) - 1)) AS mh
-          FROM hh, (SELECT unnest(range(0, 16)) AS i) idx
-          GROUP BY doc_id, i
-        ),
-        bands AS (
-          SELECT doc_id, CAST(i // 4 AS INT) AS band,
-                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bucket
-          FROM mh GROUP BY doc_id, band
-        )
+        WITH {_LSH_BANDS_CTE}
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    # Containment verified only on LSH candidate pairs (directed: the
+    # bucket join with <> emits both directions) — the bucket-first scale
+    # path; 2-gram containment like q_dedup_containment, threshold 50%.
+    "q_dedup_containment_lsh": f"""
+        WITH {_LSH_BANDS_CTE},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id <> b.doc_id
+        ),
+        d2 AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        sh2 AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS sh FROM d2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh2 a ON a.doc_id = c.id_a
+          JOIN sh2 b ON b.doc_id = c.id_b AND b.sh = a.sh
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)', 6)} AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        WHERE 100 * n_inter >= 50 * sa.n_sh
     """,
     # Same banding as q_dedup_near, but star edges (bucket-min -> member)
     # + recursive min-label components — the linear-cost cluster contract.

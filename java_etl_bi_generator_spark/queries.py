@@ -1302,6 +1302,26 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, "text", "doc_id", n=2, min_pct=20)
 
 
+@q("q_dedup_containment_lsh")
+def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 at corpus scale: directed containment verified ONLY on LSH
+    candidate pairs — the bucket-first shape q_dedup_containment's %10
+    subset stands in for.  Banding prunes the corpus to likely pairs
+    (linear, shuffle-on-bucket); the exact 2-gram containment then costs
+    |candidates|·shingles rows instead of the all-pairs shingle
+    self-join.  Runs over the FULL documents table, no sampling."""
+    from .operators.dedup import containment_for_pairs, minhash_lsh_candidates
+
+    docs = T(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, "text", "doc_id")
+    directed = cand.union(
+        cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    return containment_for_pairs(
+        docs, directed, "text", "doc_id", n=2, min_pct=50
+    )
+
+
 @q("q_dedup_substrings")
 def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup (the suffix-array-dedup OUTPUT shape: spans
