@@ -423,6 +423,15 @@ def containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return _containment_emit(inter, sizes, id_col, min_pct)
+
+
+def _containment_emit(
+    inter: DataFrame, sizes: DataFrame, id_col: str, min_pct: int
+) -> DataFrame:
+    """Shared tail of both containment variants: join |S_a|, apply the
+    exact integer threshold, emit the pinned ratio — one place to change
+    the score contract."""
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     return (
         inter.join(sa, "id_a")
@@ -622,15 +631,4 @@ def containment_for_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    szs = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    return (
-        inter.join(szs, "id_a")
-        .filter(F.lit(100) * F.col("n_inter") >= F.lit(min_pct) * F.col("n_a"))
-        .select(
-            "id_a",
-            "id_b",
-            pround(
-                F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6
-            ).alias("containment"),
-        )
-    )
+    return _containment_emit(inter, sizes, id_col, min_pct)

@@ -167,7 +167,13 @@ def mmr_topk(
             "__simq"
         ),
     )
-    cand = scored.orderBy(F.desc("__simq"), F.asc(id_col)).limit(n_candidates)
+    # persist: the ps self-join consumes cand on both legs and the simq
+    # collect a third time — without the pin the corpus-wide top-N scan
+    # would re-execute per consumer (same reason minhash_lsh_candidates
+    # persists its bucket table)
+    cand = scored.orderBy(F.desc("__simq"), F.asc(id_col)).limit(
+        n_candidates
+    ).persist()
     a = cand.select(
         F.col(id_col).alias("__ia"), F.col("__v").alias("__va")
     )
@@ -187,6 +193,7 @@ def mmr_topk(
     mu = 1.0 - lam
     simq = {r[0]: r["__simq"] for r in cand.select(id_col, "__simq").collect()}
     pair = {(r["__ia"], r["__ib"]): r["__sim"] for r in ps.collect()}
+    cand.unpersist()
     selected: list = []
     remaining = set(simq)
     while remaining and len(selected) < k:

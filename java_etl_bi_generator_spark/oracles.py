@@ -257,11 +257,17 @@ _BUCKET = """
 # Shared MinHash+LSH banding chain (16 hashes / 4 bands / 3-word
 # shingles — mirrors operators/dedup.py lsh_band_buckets), ending in
 # bands(doc_id, band, bucket); consumers join bands to themselves for
-# candidate pairs or derive star edges.
-_LSH_BANDS_CTE = f"""
+# candidate pairs or derive star edges.  ``src`` names the document
+# source (a pre-collapsed CTE cannot shadow the documents view —
+# DuckDB rejects the circular reference).
+def _lsh_bands_cte(src: str = "documents") -> str:
+    return _LSH_BANDS_TEMPLATE.format(src=src)
+
+
+_LSH_BANDS_TEMPLATE = f"""
         docs AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-          FROM documents
+          FROM {{src}}
         ),
         sh3 AS (
           SELECT doc_id, unnest(list_distinct(
@@ -983,8 +989,10 @@ ORACLES: dict[str, str] = {
                   LIMIT 1))
           FROM mmr WHERE rank < 5
         )
+        -- vec_id IS NULL = the greedy ran out of candidates before k:
+        -- the Spark while-loop stops early, so drop the padded rows
         SELECT CAST(rank AS INT) AS rank, CAST(vec_id AS BIGINT) AS vec_id
-        FROM mmr
+        FROM mmr WHERE vec_id IS NOT NULL
     """,
     # Per-language fertility: integer sums only; ratios are per-row IEEE
     # on identical bigints (regex matches queries.py BPE_ISH_PATTERN).
@@ -1074,16 +1082,23 @@ ORACLES: dict[str, str] = {
     # Mirrors operators/dedup.py minhash_lsh_candidates (16 hashes, 4
     # bands, 3-word shingles, 60-bit mask).
     "q_dedup_near": f"""
-        WITH {_LSH_BANDS_CTE}
+        WITH {_lsh_bands_cte()}
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     """,
     # Containment verified only on LSH candidate pairs (directed: the
     # bucket join with <> emits both directions) — the bucket-first scale
-    # path; 2-gram containment like q_dedup_containment, threshold 50%.
+    # path; exact duplicates collapse to their min-id representative
+    # FIRST (mirrors the Spark side's exact_dedup), then 2-gram
+    # containment like q_dedup_containment, threshold 50%.
     "q_dedup_containment_lsh": f"""
-        WITH {_LSH_BANDS_CTE},
+        WITH uniq AS (
+          SELECT d.* FROM documents d
+          JOIN (SELECT min(doc_id) AS keep FROM documents GROUP BY text) k
+            ON d.doc_id = k.keep
+        ),
+        {_lsh_bands_cte("uniq")},
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b

@@ -1306,13 +1306,23 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 at corpus scale: directed containment verified ONLY on LSH
     candidate pairs — the bucket-first shape q_dedup_containment's %10
-    subset stands in for.  Banding prunes the corpus to likely pairs
-    (linear, shuffle-on-bucket); the exact 2-gram containment then costs
-    |candidates|·shingles rows instead of the all-pairs shingle
-    self-join.  Runs over the FULL documents table, no sampling."""
-    from .operators.dedup import containment_for_pairs, minhash_lsh_candidates
+    subset stands in for.  Exact duplicates collapse FIRST (the rule
+    minhash_lsh_candidates' own docstring mandates: identical texts are
+    dist-0 cliques, and pair enumeration is |bucket|² — collapsing them
+    is what keeps dup-heavy buckets bounded); banding then prunes the
+    distinct-text corpus to likely pairs, and the exact 2-gram
+    containment costs |candidates|·shingles rows instead of the
+    all-pairs shingle self-join.  Runs over the full table, no %
+    sampling."""
+    from .operators.dedup import (
+        containment_for_pairs,
+        exact_dedup,
+        minhash_lsh_candidates,
+    )
 
-    docs = T(spark, sf_dir, "documents")
+    docs = exact_dedup(
+        T(spark, sf_dir, "documents"), "text", "doc_id"
+    )
     cand = minhash_lsh_candidates(docs, "text", "doc_id")
     directed = cand.union(
         cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
