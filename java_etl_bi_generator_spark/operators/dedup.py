@@ -632,3 +632,114 @@ def containment_for_pairs(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return _containment_emit(inter, sizes, id_col, min_pct)
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    t_num: int = 1,
+    t_den: int = 10,
+) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= t_num/t_den via
+    prefix filtering (the AllPairs/PPJoin family — Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW 2007; public).
+
+    The deterministic counterpart to MinHash banding: instead of a
+    probabilistic bucket join, each document indexes only the PREFIX of
+    its shingle set under a global rarest-first ordering
+    (document-frequency asc, shingle asc).  For a set of size s the
+    prefix length is ``s - ceil(t*s) + 1``; the classic prefix lemma
+    guarantees any pair with Jaccard >= t shares at least one prefix
+    shingle, so candidate generation joins ONLY on the rarest shingles —
+    the frequent-shingle skew that dominates the naive shingle self-join
+    (``ngram_jaccard_pairs``) never enters the join.  Output is
+    IDENTICAL to the all-pairs exact join at the same threshold.
+
+    Scale shape: one shuffle on shingle for document frequencies, one
+    groupBy on id to sort each set rarest-first (per-doc array, bounded
+    by document size), an equi-join on prefix shingles (rare by
+    construction -> small, skew-free groups), then exact verification
+    restricted to candidates (candidates x shingles rows, as in
+    ``containment_for_pairs``).  The length filter
+    ``t*|A| <= |B| <= |A|/t`` prunes candidates before verification in
+    exact integer arithmetic.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    docs = (
+        sh.join(dfreq, "s")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df_s", "s"))).alias("toks")
+        )
+        .select(id_col, "toks", F.size("toks").alias("n_sh"))
+    )
+    # p = s - ceil(t*s) + 1, in exact integer arithmetic (n_sh is far
+    # below 2^53 so the double division in floor() is exact).
+    p = (
+        F.col("n_sh")
+        - F.floor((F.col("n_sh") * t_num + t_den - 1) / t_den).cast("int")
+        + 1
+    )
+    pref = docs.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.explode(
+            F.transform(F.slice("toks", F.lit(1), p), lambda st: st["s"])
+        ).alias("s"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.s") == F.col("b.s"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        # length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+        .filter(F.col("a.n_sh") * t_num <= F.col("b.n_sh") * t_den)
+        .filter(F.col("b.n_sh") * t_num <= F.col("a.n_sh") * t_den)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "s")
+    sb = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        # threshold test in exact integers BEFORE the pinned ratio:
+        # n_inter / (n_a + n_b - n_inter) >= t_num/t_den
+        .filter(
+            F.col("n_inter") * t_den
+            >= (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * t_num
+        )
+        .select(
+            "id_a",
+            "id_b",
+            pround(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

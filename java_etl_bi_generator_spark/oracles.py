@@ -900,6 +900,31 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)} >= 0.01
     """,
+    # Prefix-filter join oracle: the ALL-PAIRS exact formulation — the
+    # Spark side's prefix filtering is an invisible optimization, so the
+    # oracle simply computes every pair's exact 2-gram Jaccard over the
+    # full table and applies the same integer threshold (5*inter >=
+    # union, i.e. J >= 1/5) before the pinned ratio.
+    "q_setsim_prefix_join": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               {pround_sql('CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)', 6)} AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE 5 * n_inter >= sa.n_sh + sb.n_sh - n_inter
+    """,
     # Directed containment twin: same shingle join, |S_a|-only denominator,
     # integer threshold (100*inter >= 20*n_a) before the pinned ratio.
     "q_dedup_containment": f"""

@@ -55,6 +55,7 @@ from .operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     simhash64,
     winnow_fingerprints,
 )
@@ -1300,6 +1301,20 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return containment_pairs(docs, "text", "doc_id", n=2, min_pct=20)
+
+
+@q("q_setsim_prefix_join")
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-exact at corpus scale: prefix-filtering set-similarity join
+    (AllPairs/PPJoin family) — EXACT Jaccard >= 0.2 over 2-gram shingles
+    on the FULL documents table, no sampling.  Unlike the %10-subset
+    all-pairs twin (q_dedup_ngram_jaccard), candidates here join only on
+    each document's rarest-first shingle prefix, so the common-shingle
+    skew never enters the join; the prefix lemma makes the result
+    bit-identical to the all-pairs join at the same threshold (the
+    oracle IS the all-pairs formulation)."""
+    docs = T(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, "text", "doc_id", n=2, t_num=1, t_den=5)
 
 
 @q("q_dedup_containment_lsh")

@@ -312,3 +312,41 @@ def test_mmr_displaces_near_duplicate(spark):
         ).collect()
     ]
     assert mmr2 == [1, 3]
+
+
+def test_prefix_jaccard_matches_all_pairs_join(spark):
+    """The prefix-filter join's exactness claim: identical output to the
+    naive all-pairs shingle join at the same threshold (prefix lemma)."""
+    from java_etl_bi_generator_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fast = prefix_jaccard_pairs(
+        docs, "text", "doc_id", n=2, t_num=1, t_den=5
+    )
+    naive = ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.2)
+    f = {(r["id_a"], r["id_b"], r["jaccard"]) for r in fast.collect()}
+    s = {(r["id_a"], r["id_b"], r["jaccard"]) for r in naive.collect()}
+    # the naive path filters on the ROUNDED ratio, the prefix path on the
+    # exact integer inequality — compare on pairs whose exact ratio is
+    # unambiguously on one side (all planted/testdata pairs are)
+    assert f == s
+    assert f  # non-vacuous: testdata must yield pairs at this threshold
+
+
+def test_prefix_jaccard_planted_threshold_boundary(spark):
+    """Integer threshold arithmetic: J exactly at t is kept, below is cut."""
+    from java_etl_bi_generator_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    # doc1/doc2: 2-gram shingle sets of sizes 4 and 4 sharing exactly 2
+    # -> J = 2/6 = 1/3 >= 1/3 (kept at t=1/3); at t=2/5 it must be cut.
+    d1 = "a b c d e"        # shingles: ab bc cd de
+    d2 = "a b c x y"        # shingles: ab bc cx xy  -> shared {ab, bc}
+    df = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    kept = prefix_jaccard_pairs(df, "text", "doc_id", n=2, t_num=1, t_den=3)
+    assert [(r["id_a"], r["id_b"]) for r in kept.collect()] == [(1, 2)]
+    cut = prefix_jaccard_pairs(df, "text", "doc_id", n=2, t_num=2, t_den=5)
+    assert cut.count() == 0
