@@ -3461,6 +3461,45 @@ ORACLES: dict[str, str] = {
                CASE WHEN sv IS NULL THEN 1 ELSE 0 END AS is_gap
         FROM f
     """,
+    # Interpolation twin: same grid; prev/next non-null neighbor value
+    # and hour via IGNORE NULLS windows over (hour, sv) pairs, linear
+    # blend on gap rows.  Double arithmetic in the same operation order
+    # as Spark: prev + (next - prev) * ((h - hp) / (hn - hp)).
+    "q_gap_fill_interpolate": f"""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                 {dsum_sql('value')} AS sv
+          FROM events GROUP BY 1, 2),
+        b AS (
+          SELECT event_type, min(hour) AS mn, max(hour) AS mx
+          FROM hourly GROUP BY 1),
+        grid AS (
+          SELECT event_type, unnest(range(mn, mx + 1)) AS hour FROM b),
+        f AS (
+          SELECT g.event_type, g.hour, h.sv
+          FROM grid g LEFT JOIN hourly h
+            ON g.event_type = h.event_type AND g.hour = h.hour),
+        nb AS (
+          SELECT event_type, hour, sv,
+                 last_value(CASE WHEN sv IS NOT NULL THEN hour END IGNORE NULLS)
+                   OVER wb AS hp,
+                 last_value(CASE WHEN sv IS NOT NULL THEN sv END IGNORE NULLS)
+                   OVER wb AS vp,
+                 first_value(CASE WHEN sv IS NOT NULL THEN hour END IGNORE NULLS)
+                   OVER wf AS hn,
+                 first_value(CASE WHEN sv IS NOT NULL THEN sv END IGNORE NULLS)
+                   OVER wf AS vn
+          FROM f
+          WINDOW wb AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, hour,
+               {pround_sql("CASE WHEN sv IS NOT NULL THEN sv ELSE vp + (vn - vp) * (CAST(hour - hp AS DOUBLE) / CAST(hn - hp AS DOUBLE)) END", 6)} AS sv_interp,
+               CASE WHEN sv IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM nb
+    """,
     "q_mask_pii": """
         SELECT c_custkey,
                regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_name,

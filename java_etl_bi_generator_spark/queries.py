@@ -3019,6 +3019,57 @@ def q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_gap_fill_interpolate")
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill by LINEAR INTERPOLATION — the ffill twin for
+    metrics where holding the last value misstates a trend.  Same
+    densified per-type hourly grid as ``q_gap_fill_ffill``; each gap row
+    then takes prev + (next - prev) * (h - h_prev)/(h_next - h_prev)
+    from the nearest non-null neighbors on both sides (two ignorenulls
+    window passes over the grid, partitioned per event_type — grid
+    cardinality is types x hours, bounded by the time range, not data
+    volume).  The grid spans each type's min..max observed hour, so
+    every gap has both neighbors by construction — no edge fallback."""
+    ev = T(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts") / 3600).cast("bigint")
+    hourly = ev.groupBy("event_type", hour.alias("hour")).agg(
+        dsum(F.col("value")).alias("sv")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("hour"),
+    )
+    filled = grid.join(hourly, ["event_type", "hour"], "left")
+    obs = F.when(F.col("sv").isNotNull(), F.struct("hour", "sv"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(wb)
+    nxt = F.first(obs, ignorenulls=True).over(wf)
+    interp = prev["sv"] + (nxt["sv"] - prev["sv"]) * (
+        (F.col("hour") - prev["hour"])
+        / (nxt["hour"] - prev["hour"])
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        pround(F.when(F.col("sv").isNotNull(), F.col("sv")).otherwise(interp), 6).alias(
+            "sv_interp"
+        ),
+        F.when(F.col("sv").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
 @q("q_mask_pii")
 def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-governance masking: digit redaction (suppression), a stable

@@ -125,3 +125,33 @@ def test_quarantine_splits_and_tags(spark, sf_dir):
     # every good row satisfies every rule
     for name, col in rules.items():
         assert good.filter(~col).count() == 0, name
+
+
+def test_gap_fill_interpolate_planted_series(spark):
+    """Linear blend on a synthetic hourly series with a 3-hour hole:
+    10 @ h0, (gap, gap, gap), 50 @ h4 -> 20/30/40 interpolated."""
+    import datetime as dt
+
+    from java_etl_bi_generator_spark.queries import registry
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("a", base, 10.0),
+        ("a", base + dt.timedelta(hours=4), 50.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r["hour"] - rows[0][1].timestamp() // 3600: (
+                r["sv_interp"],
+                r["is_gap"],
+            )
+            for r in registry()["q_gap_fill_interpolate"](spark, d).collect()
+        }
+    assert out[0] == (10.0, 0) and out[4] == (50.0, 0)
+    assert out[1] == (20.0, 1)
+    assert out[2] == (30.0, 1)
+    assert out[3] == (40.0, 1)
