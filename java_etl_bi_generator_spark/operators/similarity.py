@@ -216,3 +216,46 @@ def mmr_topk(
         [(i + 1, int(v)) for i, v in enumerate(selected)],
         f"rank int, {id_col} bigint",
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    dim: int = 64,
+) -> list[F.Column]:
+    """Johnson-Lindenstrauss-style ±1 random projection to ``out_dim``
+    components: out_j = (Σ_d s(j,d)·v_d) / sqrt(out_dim), signs from
+    md5("proj:{j},{d}") parity — the same seedless, engine-portable
+    weight family as ``hyperplane_signature`` (Achlioptas, "Database-
+    friendly random projections", PODS 2001: ±1 entries satisfy the JL
+    lemma; public).  Returns one Column per output component, built as
+    an explicit left-fold so the IEEE summation order is pinned and an
+    oracle can reproduce it term-for-term.
+
+    Scale shape: pure per-row codegen arithmetic (dim × out_dim fused
+    multiply-adds), no shuffle, no UDF — the cheap first stage before
+    bucketing/ANN on the reduced vectors.
+    """
+    import hashlib
+    import math
+
+    v = as_double_array(F.col(vec_col))
+    scale = F.lit(math.sqrt(float(out_dim)))
+    cols = []
+    for j in range(out_dim):
+        acc = None
+        for d in range(dim):
+            sign = (
+                1
+                if int(
+                    hashlib.md5(f"proj:{j},{d}".encode()).hexdigest(), 16
+                )
+                % 2
+                == 0
+                else -1
+            )
+            term = F.element_at(v, d + 1) * F.lit(float(sign))
+            acc = term if acc is None else acc + term
+        cols.append((acc / scale).alias(f"p{j}"))
+    return cols

@@ -3793,6 +3793,39 @@ def _lsh_bucket_sql(col: str, num_planes: int = 8, dim: int = 64) -> str:
     return " + ".join(planes)
 
 
+def _random_projection_sql(col: str, out_dim: int = 8, dim: int = 64) -> str:
+    """Projected components p0..p{k-1} of ``col`` as SQL select-list
+    expressions BIT-IDENTICAL to operators/similarity.py::
+    random_projection: md5("proj:{j},{d}") parity ±1 weights, the same
+    left-fold order, the same sqrt(out_dim) divisor literal (repr
+    round-trips, so both parsers land on the same double)."""
+    import hashlib
+    import math
+
+    scale = repr(math.sqrt(float(out_dim)))
+    comps = []
+    for j in range(out_dim):
+        terms = []
+        for d in range(dim):
+            sign = (
+                1
+                if int(
+                    hashlib.md5(f"proj:{j},{d}".encode()).hexdigest(), 16
+                )
+                % 2
+                == 0
+                else -1
+            )
+            t = f"CAST({col}[{d + 1}] AS DOUBLE)"
+            if d == 0:
+                terms.append(t if sign == 1 else f"- {t}")
+            else:
+                terms.append(f"{'+' if sign == 1 else '-'} {t}")
+        acc = " ".join(terms)
+        comps.append(f"{pround_sql(f'(({acc}) / {scale})', 6)} AS p{j}")
+    return ", ".join(comps)
+
+
 def _bellman_sql(iterations: int, weighted: bool, out_col: str) -> str:
     """Unrolled bounded Bellman-Ford CTE chain mirroring
     operators/graph.py::bellman_ford — bigint distances, LEAST-relaxation
@@ -3834,6 +3867,10 @@ def _bellman_sql(iterations: int, weighted: bool, out_col: str) -> str:
 
 
 ORACLES.update({
+    "q_embed_random_projection": f"""
+        SELECT vec_id, {_random_projection_sql('embedding')}
+        FROM embeddings
+    """,
     "q_vector_topk_lsh": f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
                           {_lsh_bucket_sql('embedding')} AS qb

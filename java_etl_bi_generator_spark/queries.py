@@ -3087,6 +3087,26 @@ def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_embed_random_projection")
+def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3-prep: Johnson-Lindenstrauss ±1 random projection 64→8 dims
+    (operators/similarity.py::random_projection) — the dimensionality
+    cut that makes downstream bucketing/pair-verification 8× cheaper
+    while approximately preserving distances (JL lemma, Achlioptas ±1
+    construction).  Seedless md5-parity signs and an explicit left-fold
+    summation keep every component bit-reproducible across engines; each
+    projected component is emitted as its own pinned double column.
+    Pure per-row codegen — no shuffle, no UDF."""
+    from .operators.similarity import random_projection
+
+    emb = T(spark, sf_dir, "embeddings")
+    cols = random_projection(emb, "embedding", out_dim=8, dim=64)
+    return emb.select(
+        "vec_id",
+        *[pround(c, 6).alias(f"p{j}") for j, c in enumerate(cols)],
+    )
+
+
 @q("q_embed_normalize")
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: embedding L2 norm + unit-normalized first component — zip_with/

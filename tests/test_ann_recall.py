@@ -87,3 +87,28 @@ def test_lsh_recall_is_positive_and_pruned(spark, emb):
     assert overlap, "LSH bucket missed every true top-10 neighbor"
     for r in overlap:
         assert r["cosine"] == pytest.approx(exact_by_id[r["vec_id"]], abs=1e-9)
+
+
+def test_random_projection_one_hot_pins_sign_convention(spark):
+    """Projecting the one-hot basis vector e_d must yield exactly
+    sign(j,d)/sqrt(8) in component j — pins the md5-parity weights and
+    the scaling against silent convention drift."""
+    import hashlib
+    import math
+
+    from java_etl_bi_generator_spark.operators.similarity import (
+        random_projection,
+    )
+
+    d_hot = 5
+    vec = [0.0] * 64
+    vec[d_hot] = 1.0
+    df = spark.createDataFrame([(1, vec)], "vec_id bigint, embedding array<float>")
+    row = df.select(*random_projection(df, "embedding")).collect()[0]
+    for j in range(8):
+        sign = (
+            1
+            if int(hashlib.md5(f"proj:{j},{d_hot}".encode()).hexdigest(), 16) % 2 == 0
+            else -1
+        )
+        assert row[f"p{j}"] == sign / math.sqrt(8.0), j
