@@ -283,3 +283,42 @@ def bellman_ford(
         if it % 2 == 1 and it != iterations - 1:
             dist = cut_lineage(dist)
     return dist.filter(F.col("dist") < inf)
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded k-core peel: each round drops every node whose current
+    degree is < k, plus its incident edges; survivors are returned with
+    their residual degree after ``rounds`` peels.
+
+    ``edges`` is a SYMMETRIC directed edge list (both directions of each
+    undirected edge), so degree = out-degree on ``src``.  The peel is
+    confluent — the k-core is the unique maximal subgraph of min-degree
+    >= k, independent of removal order — so if the peel converges within
+    the round budget the result IS the exact k-core; either way the
+    bounded trajectory is bit-identical to an unrolled SQL oracle (pure
+    integer counting, no floats).
+
+    Scale shape: one degree groupBy + two semi-joins per round (the same
+    shuffle budget as a Bellman-Ford relaxation); the edge frame only
+    shrinks, and lineage is cut every second round so the plan stays
+    bounded (``lineage.cut_lineage``: reliable ``checkpoint()`` on a
+    cluster with a checkpoint dir, ``localCheckpoint`` locally).
+    """
+    e = edges.select("src", "dst")
+    for r in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        e = e.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+        if r % 2 == 1 and r != rounds - 1:
+            e = cut_lineage(e)
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )

@@ -3726,6 +3726,35 @@ ORACLES.update({
 })
 
 
+def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled bounded k-core peel mirroring operators/graph.py::
+    kcore_peel over the co-purchase graph — each level keeps nodes of
+    degree >= k and restricts edges to kept endpoints; pure integer
+    counting, bit-identical to Spark's bounded trajectory."""
+    levels = []
+    for r in range(1, rounds + 1):
+        levels.append(f"""
+        k{r} AS (SELECT src FROM e{r - 1} GROUP BY src
+                 HAVING count(*) >= {k}),
+        e{r} AS (SELECT e.src, e.dst FROM e{r - 1} e
+                 JOIN k{r} a ON e.src = a.src
+                 JOIN k{r} b ON e.dst = b.src)""")
+    return (
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 10 = 0),
+        ep AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+        e0 AS (SELECT p1 AS src, p2 AS dst FROM ep
+               UNION ALL SELECT p2 AS src, p1 AS dst FROM ep),"""
+        + ",".join(levels)
+        + f"""
+        SELECT src AS node, count(*) AS deg FROM e{rounds} GROUP BY src"""
+    )
+
+
 def _pagerank_sql(iterations: int = 5) -> str:
     """Unrolled integer-PageRank CTE chain mirroring
     operators/graph.py::pagerank_integer — truncating integer division,
@@ -3889,6 +3918,7 @@ ORACLES.update({
         SELECT vec_id, cosine FROM scored
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
+    "q_kcore": _kcore_sql(3, 4),
     "q_pagerank": _pagerank_sql(5),
     "q_bfs_levels": _bellman_sql(6, weighted=False, out_col="hops"),
     "q_shortest_path_weighted": _bellman_sql(

@@ -6246,6 +6246,20 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_kcore")
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph peel: bounded 4-round 3-core over the undirected
+    co-purchase graph (operators/graph.py::kcore_peel) — the dense-
+    subgraph extractor (spam rings, tight communities) that degree
+    filtering alone can't produce, because removing one weak node can
+    expose another.  Pure integer counting, so the bounded trajectory is
+    bit-identical to the oracle's unrolled 4-level CTE chain; if the
+    peel converges in-budget the output is the exact 3-core."""
+    from .operators.graph import kcore_peel
+
+    return kcore_peel(_copurchase_sym(spark, sf_dir), k=3, rounds=4)
+
+
 @q("q_pagerank")
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative graph algorithm: 5-step PageRank over the undirected

@@ -350,3 +350,31 @@ def test_prefix_jaccard_planted_threshold_boundary(spark):
     assert [(r["id_a"], r["id_b"]) for r in kept.collect()] == [(1, 2)]
     cut = prefix_jaccard_pairs(df, "text", "doc_id", n=2, t_num=2, t_den=5)
     assert cut.count() == 0
+
+
+def test_kcore_peel_cascades(spark):
+    """3-core of a 4-clique with a pendant chain: the chain nodes peel
+    over SUCCESSIVE rounds (each removal exposes the next), which a
+    single degree filter cannot reproduce; the clique survives with
+    residual degree 3."""
+    from java_etl_bi_generator_spark.operators.graph import kcore_peel
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # pendant triangle hung off clique node 3: node 4 starts at degree 3
+    # and only falls below k once round 1 has removed 5 and 6
+    tri = [(3, 4), (4, 5), (4, 6), (5, 6)]
+    und = clique + tri
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["deg"] for r in kcore_peel(edges, k=3, rounds=4).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # one round is NOT enough: node 4 starts at degree 3 and survives
+    # round 1; it peels only after 5/6 are gone — the cascade a single
+    # degree filter cannot reproduce
+    after1 = {
+        r["node"] for r in kcore_peel(edges, k=3, rounds=1).collect()
+    }
+    assert 4 in after1 and 5 not in after1 and 6 not in after1
