@@ -3599,6 +3599,49 @@ ORACLES.update({
                  AS rel_err
         FROM kth JOIN e USING (l_returnflag)
     """,
+    # KMV set-op twin: two 64-min sketches over the 1997/1998 customer
+    # populations, merged union sketch (k smallest of the <=128 merged
+    # rows, distinct by key), kth hash -> est_union; intersection via
+    # the in-both ratio.  Same estimate arithmetic order as Spark.
+    "q_kmv_set_ops": f"""
+        WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 1997),
+        b AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1998),
+        ha AS (SELECT o_custkey, {_hex_bigint('md5(CAST(o_custkey AS VARCHAR))', 1, 8)} AS h FROM a),
+        hb AS (SELECT o_custkey, {_hex_bigint('md5(CAST(o_custkey AS VARCHAR))', 1, 8)} AS h FROM b),
+        ska AS (SELECT o_custkey, h FROM
+                  (SELECT o_custkey, h,
+                          row_number() OVER (ORDER BY h, o_custkey) AS rn
+                   FROM ha) WHERE rn <= 64),
+        skb AS (SELECT o_custkey, h FROM
+                  (SELECT o_custkey, h,
+                          row_number() OVER (ORDER BY h, o_custkey) AS rn
+                   FROM hb) WHERE rn <= 64),
+        merged AS (SELECT DISTINCT o_custkey, h FROM
+                     (SELECT * FROM ska UNION ALL SELECT * FROM skb)),
+        usk AS (SELECT o_custkey, h FROM
+                  (SELECT o_custkey, h,
+                          row_number() OVER (ORDER BY h, o_custkey) AS rn
+                   FROM merged) WHERE rn <= 64),
+        kth AS (SELECT max(h) AS kth_hash FROM usk),
+        nb AS (SELECT count(*) AS n_both FROM usk
+               WHERE o_custkey IN (SELECT o_custkey FROM ska)
+                 AND o_custkey IN (SELECT o_custkey FROM skb)),
+        ex AS (SELECT count(*) AS exact_union,
+                      CAST(sum(CASE WHEN n_pops = 2 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS exact_inter
+               FROM (SELECT o_custkey, count(*) AS n_pops FROM
+                       (SELECT o_custkey FROM a
+                        UNION ALL SELECT o_custkey FROM b)
+                     GROUP BY o_custkey))
+        SELECT 64 AS k, kth_hash, n_both,
+               {pround_sql('CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE) / kth_hash', 4)} AS est_union,
+               exact_union,
+               {pround_sql('CAST(n_both AS DOUBLE) * (CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE) / kth_hash) / CAST(64 AS DOUBLE)', 4)} AS est_inter,
+               exact_inter
+        FROM kth, nb, ex
+    """,
     "q_countmin_heavy": f"""
         WITH od AS (SELECT o_custkey FROM orders),
         jj AS (SELECT unnest(range(4)) AS j),

@@ -5953,6 +5953,76 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_kmv_set_ops")
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS (Beyer et al., "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations", SIGMOD 2007;
+    public): union and intersection cardinality estimated from two
+    mergeable k-min sketches WITHOUT rescanning the data — the
+    cross-population question ("how many customers ordered in 1997 OR
+    1998 / AND both?") that per-population sketches answer by merging
+    64-row states.  Union sketch = k smallest of the merged k-min sets
+    (a superset of the true union's k-mins, so exact); intersection via
+    the Jaccard-style ratio rho = |union-sketch members in BOTH
+    sketches| / k, est_inter = rho * est_union.  Each sketch is a
+    TakeOrderedAndProject (no global sort); everything after runs on
+    <= 128-row frames.  Deterministic md5 hashes keep both engines
+    identical; exact counts ride along for calibration."""
+    od = T(spark, sf_dir, "orders")
+    k = 64
+
+    def pop(year: int) -> DataFrame:
+        return (
+            od.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+            .withColumn("h", _h32(F.col("o_custkey").cast("string")))
+        )
+
+    a, b = pop(1997), pop(1998)
+    ska = a.orderBy("h", "o_custkey").limit(k)
+    skb = b.orderBy("h", "o_custkey").limit(k)
+    usk = (
+        ska.unionAll(skb)
+        .distinct()
+        .orderBy("h", "o_custkey")
+        .limit(k)
+    )
+    kth = usk.agg(F.max("h").alias("kth_hash"))
+    n_both = (
+        usk.join(ska.select("o_custkey"), "o_custkey", "left_semi")
+        .join(skb.select("o_custkey"), "o_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    exact = (
+        a.select("o_custkey")
+        .unionAll(b.select("o_custkey"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_pops"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.when(F.col("n_pops") == 2, 1).otherwise(0)).alias(
+                "exact_inter"
+            ),
+        )
+    )
+    est_u = F.lit(63.0) * F.lit(4294967296.0) / F.col("kth_hash")
+    est_i = F.col("n_both").cast("double") * est_u / F.lit(64.0)
+    return (
+        kth.crossJoin(n_both)
+        .crossJoin(exact)
+        .select(
+            F.lit(64).alias("k"),
+            "kth_hash",
+            "n_both",
+            pround(est_u, 4).alias("est_union"),
+            "exact_union",
+            pround(est_i, 4).alias("est_inter"),
+            "exact_inter",
+        )
+    )
+
+
 @q("q_countmin_heavy")
 def q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) over order

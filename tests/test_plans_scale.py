@@ -44,3 +44,17 @@ def test_data_expectations_is_single_pass(spark, sf_dir):
     # formatted explain prints each node once in the tree and once in the
     # detail list — count distinct scan NODES, not substring occurrences
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_kmv_set_ops_estimates_track_exact(spark, sf_dir):
+    """KMV union/intersection estimates stay within the sketch's
+    expected error band (k=64 -> ~12% std err; allow 3 sigma) of the
+    exact counts on real testdata, and the mergeable invariants hold."""
+    row = registry()["q_kmv_set_ops"](spark, sf_dir).collect()[0]
+    assert row["k"] == 64
+    assert 0 <= row["n_both"] <= 64
+    ru = row["est_union"] / row["exact_union"]
+    assert 0.6 < ru < 1.5, row
+    if row["exact_inter"] >= 64:  # only meaningful with a full sketch
+        ri = row["est_inter"] / row["exact_inter"]
+        assert 0.4 < ri < 2.0, row
