@@ -670,6 +670,11 @@ def prefix_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s"),
     )
+    # five consumers (dfreq, the sorted-doc build, both verification
+    # sides) would each re-run the tokenize+explode scan; materialize it
+    # once, as in minhash_lsh_candidates (at corpus scale the shingle
+    # table would be written to storage instead).
+    sh = sh.persist()
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
     docs = (
         sh.join(dfreq, "s")
@@ -693,6 +698,9 @@ def prefix_jaccard_pairs(
             F.transform(F.slice("toks", F.lit(1), p), lambda st: st["s"])
         ).alias("s"),
     )
+    # the self-join's two sides would each replay the df-join + sort
+    # chain; pin the prefix index once
+    pref = pref.persist()
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
@@ -711,7 +719,6 @@ def prefix_jaccard_pairs(
         )
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), "s")
     sb = sh.select(F.col(id_col).alias("id_b"), "s")
     inter = (
@@ -720,8 +727,9 @@ def prefix_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # set sizes ride along from the sorted-doc build — no extra scan
+    na = docs.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = docs.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
         inter.join(na, "id_a")
         .join(nb, "id_b")

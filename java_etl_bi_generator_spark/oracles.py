@@ -902,15 +902,19 @@ ORACLES: dict[str, str] = {
     """,
     # Prefix-filter join oracle: the ALL-PAIRS exact formulation — the
     # Spark side's prefix filtering is an invisible optimization, so the
-    # oracle simply computes every pair's exact 2-gram Jaccard over the
+    # oracle simply computes every pair's exact 3-gram Jaccard over the
     # full table and applies the same integer threshold (5*inter >=
-    # union, i.e. J >= 1/5) before the pinned ratio.
+    # 4*union, i.e. J >= 4/5) before the pinned ratio.
     "q_setsim_prefix_join": f"""
         WITH docs AS (
           SELECT doc_id, {_TOKENS} AS toks FROM documents
         ),
         sh AS (
-          SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS sh FROM docs
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            END)) AS sh FROM docs
         ),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
@@ -923,7 +927,7 @@ ORACLES: dict[str, str] = {
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE 5 * n_inter >= sa.n_sh + sb.n_sh - n_inter
+        WHERE 5 * n_inter >= 4 * (sa.n_sh + sb.n_sh - n_inter)
     """,
     # Directed containment twin: same shingle join, |S_a|-only denominator,
     # integer threshold (100*inter >= 20*n_a) before the pinned ratio.
