@@ -51,6 +51,8 @@ HEADLINE = [
     "q_rolling_distinct_hll",  # day-grain mergeable-sketch scale path
     "q_dedup_cut",           # substring-passage detect + cut (round 4)
     "q_ks_test",             # integer KS drift via distributed cumsum
+    "q_setsim_prefix_join",  # exact Jaccard join via prefix filtering (round 4)
+    "q_kcore",               # bounded k-core peel (round 4)
 ]
 
 
