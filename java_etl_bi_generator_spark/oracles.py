@@ -3085,6 +3085,46 @@ ORACLES: dict[str, str] = {
                 WHERE EXISTS (SELECT 1 FROM tr WHERE tr.hash = h.hash))
                  AS n_contaminated
     """,
+    "q_ldiversity_audit": """
+        SELECT c_nationkey AS qi_nation,
+               CAST(floor(c_acctbal / 1000.0) * 1000 AS INT) AS qi_bucket,
+               count(*) AS class_size,
+               count(DISTINCT c_mktsegment) AS n_sensitive,
+               CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END
+                 AS meets_l
+        FROM customer GROUP BY 1, 2
+    """,
+    # t-closeness: exact-integer TVD numerator (order-free), one final
+    # double division in the same operation order as Spark.
+    "q_tcloseness_audit": f"""
+        WITH cu AS (
+          SELECT c_nationkey AS qi_nation,
+                 CAST(floor(c_acctbal / 1000.0) * 1000 AS INT) AS qi_bucket,
+                 c_mktsegment
+          FROM customer),
+        tot AS (SELECT count(*) AS t_rows FROM cu),
+        gseg AS (SELECT c_mktsegment, count(*) AS g FROM cu GROUP BY 1),
+        cls AS (SELECT qi_nation, qi_bucket, count(*) AS cs
+                FROM cu GROUP BY 1, 2),
+        present AS (SELECT qi_nation, qi_bucket, c_mktsegment,
+                           count(*) AS cnt
+                    FROM cu GROUP BY 1, 2, 3),
+        parts AS (
+          SELECT p.qi_nation, p.qi_bucket, c.cs, tot.t_rows,
+                 sum(abs(p.cnt * tot.t_rows - g.g * c.cs)) AS num_present,
+                 sum(g.g) AS g_present
+          FROM present p
+          JOIN gseg g USING (c_mktsegment)
+          JOIN cls c USING (qi_nation, qi_bucket)
+          CROSS JOIN tot
+          GROUP BY 1, 2, 3, 4)
+        SELECT qi_nation, qi_bucket, cs AS class_size,
+               {pround_sql('CAST(num_present + (t_rows - g_present) * cs AS DOUBLE) / (2.0 * cs * t_rows)', 6)} AS tvd,
+               CASE WHEN 5 * (num_present + (t_rows - g_present) * cs)
+                         > 2 * cs * t_rows
+                    THEN 1 ELSE 0 END AS breaches_t
+        FROM parts
+    """,
     "q_kanonymity_audit": """
         WITH klass AS (
           SELECT c_nationkey AS qi_nation,

@@ -4290,6 +4290,93 @@ def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ldiversity_audit")
+def q_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance audit: distinct-l-diversity (Machanavajjhala et al.
+    2007; public) — k-anonymity's blind spot is a class whose members all
+    share the SENSITIVE value (size-k but zero diversity), so per
+    quasi-identifier class we count distinct market segments and flag
+    classes below l=3.  Same (nation, balance-bucket) QI as
+    q_kanonymity_audit; bounded class-grain aggregation."""
+    cu = T(spark, sf_dir, "customer")
+    return (
+        cu.groupBy(
+            F.col("c_nationkey").alias("qi_nation"),
+            (F.floor(F.col("c_acctbal") / 1000.0) * 1000)
+            .cast("int")
+            .alias("qi_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("c_mktsegment").alias("n_sensitive"),
+        )
+        .withColumn(
+            "meets_l", F.when(F.col("n_sensitive") >= 3, 1).otherwise(0)
+        )
+    )
+
+
+@q("q_tcloseness_audit")
+def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance audit: t-closeness (Li, Li & Venkatasubramanian, ICDE
+    2007; public) — even a diverse class leaks if its sensitive-value
+    DISTRIBUTION deviates from the table's (skewness attack), so per QI
+    class we compute the total-variation distance to the global market-
+    segment distribution.  All arithmetic stays in exact integers until
+    the one final division: TVD = [Σ_present |cnt·T − g·cs| +
+    (T − Σ_present g)·cs] / (2·cs·T) — integer sums are order-free, so
+    the result is reproducible under any partitioning (a naive double
+    Σ|p_c − p_g| would be summation-order-sensitive).  The absent-
+    segment mass folds in via the complement term.  Class-grain frames
+    throughout; the 5-row global distribution broadcasts."""
+    cu = T(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("qi_nation"),
+        (F.floor(F.col("c_acctbal") / 1000.0) * 1000)
+        .cast("int")
+        .alias("qi_bucket"),
+        "c_mktsegment",
+    )
+    total = cu.agg(F.count(F.lit(1)).alias("T"))
+    glob = cu.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("g"))
+    cls = cu.groupBy("qi_nation", "qi_bucket").agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    present = cu.groupBy("qi_nation", "qi_bucket", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    parts = (
+        present.join(F.broadcast(glob), "c_mktsegment")
+        .join(F.broadcast(cls), ["qi_nation", "qi_bucket"])
+        .crossJoin(F.broadcast(total))
+        .groupBy("qi_nation", "qi_bucket", "cs", "T")
+        .agg(
+            F.sum(
+                F.abs(F.col("cnt") * F.col("T") - F.col("g") * F.col("cs"))
+            ).alias("num_present"),
+            F.sum("g").alias("g_present"),
+        )
+    )
+    num_total = F.col("num_present") + (
+        F.col("T") - F.col("g_present")
+    ) * F.col("cs")
+    return parts.select(
+        "qi_nation",
+        "qi_bucket",
+        F.col("cs").alias("class_size"),
+        pround(
+            num_total.cast("double")
+            / (F.lit(2.0) * F.col("cs") * F.col("T")),
+            6,
+        ).alias("tvd"),
+        # breaches t=0.2 in exact integers: num_total/(2·cs·T) > 1/5
+        F.when(
+            F.lit(5) * num_total > F.lit(2) * F.col("cs") * F.col("T"), 1
+        )
+        .otherwise(0)
+        .alias("breaches_t"),
+    )
+
+
 @q("q_dedup_keep_best")
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 refinement: within each exact-duplicate group keep the BEST copy

@@ -155,3 +155,29 @@ def test_gap_fill_interpolate_planted_series(spark):
     assert out[1] == (20.0, 1)
     assert out[2] == (30.0, 1)
     assert out[3] == (40.0, 1)
+
+
+def test_tcloseness_tvd_planted_values(spark):
+    """Exact TVD on a planted table: global = 6 A / 2 B; a 4-row all-A
+    class and a balanced 2A/2B class both sit at TVD 0.25 (p_c vs
+    p_g=(0.75,0.25)), above the t=0.2 breach line."""
+    import tempfile
+
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = (
+        [(1, 0.0, "A")] * 4           # class (1, 0): all A
+        + [(2, 0.0, "A")] * 2 + [(2, 0.0, "B")] * 2  # class (2, 0): 2A/2B
+    )
+    df = spark.createDataFrame(
+        [(n, b, s) for n, b, s in rows],
+        "c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/customer.parquet")
+        out = {
+            (r["qi_nation"], r["qi_bucket"]): (r["tvd"], r["breaches_t"])
+            for r in registry()["q_tcloseness_audit"](spark, d).collect()
+        }
+    assert out[(1, 0)] == (0.25, 1)
+    assert out[(2, 0)] == (0.25, 1)
