@@ -69,3 +69,132 @@ def asof_join(
         *[F.last(F.col(o), ignorenulls=True).over(w).alias(o) for o in out_cols],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right values with ``right.ts >=
+    left.ts`` — the "next event after" direction (next maintenance slot,
+    next price tick) the backward join can't express.  Same union +
+    window layout; the frame looks forward and the tie-break flips so a
+    right row AT the left row's timestamp still matches (>= semantics:
+    left rows sort before right rows at equal ts, putting the same-ts
+    right row inside the following frame)."""
+    left_cols = left.columns
+    out_cols = [f"{c}{suffix}" for c in right_value_cols]
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_cols if c not in (on, ts_col)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
+          for c, o in zip(right_value_cols, out_cols)],
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in (on, ts_col)],
+        *[F.col(c).alias(o) for c, o in zip(right_value_cols, out_cols)],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left_cols],
+        F.col("__is_left"),
+        *[F.first(F.col(o), ignorenulls=True).over(w).alias(o)
+          for o in out_cols],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row with the
+    smallest |right.ts − left.ts| per key; equal distance prefers the
+    BACKWARD match (deterministic).  One shuffle on the key, two
+    in-partition window passes (backward carry + forward carry) over the
+    same union — still linear, no pairwise expansion.  Adds
+    ``<ts_col>{suffix}`` (the matched right timestamp) alongside the
+    value columns so callers can audit the chosen direction."""
+    left_cols = left.columns
+    out_cols = [f"{c}{suffix}" for c in right_value_cols]
+    rts = f"{ts_col}{suffix}"
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_cols if c not in (on, ts_col)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
+          for c, o in zip(right_value_cols, out_cols)],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(rts),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in (on, ts_col)],
+        *[F.col(c).alias(o) for c, o in zip(right_value_cols, out_cols)],
+        F.col(ts_col).alias(rts),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = unioned.select(
+        *[F.col(c) for c in left_cols],
+        F.col("__is_left"),
+        *[F.last(F.col(o), ignorenulls=True).over(wb).alias(f"__b_{o}")
+          for o in out_cols],
+        F.last(F.col(rts), ignorenulls=True).over(wb).alias("__b_ts"),
+        *[F.first(F.col(o), ignorenulls=True).over(wf).alias(f"__f_{o}")
+          for o in out_cols],
+        F.first(F.col(rts), ignorenulls=True).over(wf).alias("__f_ts"),
+    ).filter(F.col("__is_left") == 1)
+    # backward wins when forward is missing, or when its distance is <=
+    back_wins = F.col("__f_ts").isNull() | (
+        F.col("__b_ts").isNotNull()
+        & (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp("__b_ts")
+            <= F.unix_timestamp("__f_ts") - F.unix_timestamp(F.col(ts_col))
+        )
+    )
+    return both.select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.when(back_wins, F.col(f"__b_{o}"))
+            .otherwise(F.col(f"__f_{o}"))
+            .alias(o)
+            for o in out_cols
+        ],
+        F.when(back_wins, F.col("__b_ts")).otherwise(F.col("__f_ts")).alias(
+            rts
+        ),
+    )

@@ -367,6 +367,52 @@ ORACLES: dict[str, str] = {
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND r.ts <= l.ts
     """,
+    "q_join_asof_forward": """
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, max(value) AS rv FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id,
+               CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+               l.value, r.rv AS next_purchase_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND r.ts >= l.ts
+    """,
+    # nearest = backward ASOF + forward ASOF + the same tie-break CASE
+    # as Spark (backward wins when forward is absent or not strictly
+    # closer); integer epoch distances, so the comparison is exact.
+    "q_join_asof_nearest": """
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, max(value) AS rv FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        b AS (
+          SELECT l.event_id, r.rv AS b_rv, r.ts AS b_ts
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND r.ts <= l.ts),
+        f AS (
+          SELECT l.event_id, r.rv AS f_rv, r.ts AS f_ts
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND r.ts >= l.ts)
+        SELECT l.event_id, l.user_id,
+               CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+               l.value,
+               CASE WHEN f.f_ts IS NULL
+                         OR (b.b_ts IS NOT NULL
+                             AND floor(epoch(l.ts)) - floor(epoch(b.b_ts))
+                                 <= floor(epoch(f.f_ts)) - floor(epoch(l.ts)))
+                    THEN b.b_rv ELSE f.f_rv END AS nearest_purchase_value,
+               CAST(CASE WHEN f.f_ts IS NULL
+                         OR (b.b_ts IS NOT NULL
+                             AND floor(epoch(l.ts)) - floor(epoch(b.b_ts))
+                                 <= floor(epoch(f.f_ts)) - floor(epoch(l.ts)))
+                    THEN floor(epoch(b.b_ts))
+                    ELSE floor(epoch(f.f_ts)) END AS BIGINT)
+                 AS matched_ts_epoch
+        FROM l
+        JOIN b USING (event_id)
+        JOIN f USING (event_id)
+    """,
     "q_pivot": (
         "SELECT l_returnflag, "
         "count(*) FILTER (WHERE l_linestatus = 'F') AS n_f, "

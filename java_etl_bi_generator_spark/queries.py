@@ -368,6 +368,70 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_join_asof_forward")
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py::asof_join_forward): each
+    click matched to the user's NEXT purchase at or after it — the
+    "what happened next" direction (conversion after exposure) the
+    backward join can't express.  Oracle: DuckDB ASOF with the
+    comparison flipped to r.ts >= l.ts."""
+    from .operators.asof import asof_join_forward
+
+    ev = T(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rv"))
+    )
+    joined = asof_join_forward(
+        left, right, on="user_id", ts_col="ts",
+        right_value_cols=["rv"], suffix=""
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "value",
+        F.col("rv").alias("next_purchase_value"),
+    )
+
+
+@q("q_join_asof_nearest")
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (operators/asof.py::asof_join_nearest): each
+    click matched to the CLOSEST purchase in time, either direction,
+    backward preferred on exact ties — the sensor-alignment variant
+    (match a reading to the nearest calibration).  One shuffle, two
+    window passes; the matched timestamp rides along as an audit
+    column.  Oracle: two DuckDB ASOF joins + the same tie-break CASE."""
+    from .operators.asof import asof_join_nearest
+
+    ev = T(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rv"))
+    )
+    joined = asof_join_nearest(
+        left, right, on="user_id", ts_col="ts",
+        right_value_cols=["rv"], suffix="_m"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "value",
+        F.col("rv_m").alias("nearest_purchase_value"),
+        F.unix_timestamp("ts_m").alias("matched_ts_epoch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Aggregations
 # ---------------------------------------------------------------------------

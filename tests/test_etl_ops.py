@@ -181,3 +181,46 @@ def test_tcloseness_tvd_planted_values(spark):
         }
     assert out[(1, 0)] == (0.25, 1)
     assert out[(2, 0)] == (0.25, 1)
+
+
+def test_asof_nearest_direction_and_ties(spark):
+    """Planted series: nearest picks the closer side, backward on exact
+    ties, forward when nothing precedes, null when no right rows."""
+    import datetime as dt
+
+    from java_etl_bi_generator_spark.operators.asof import asof_join_nearest
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(31), 101), (1, t(50), 102), (2, t(5), 200)],
+        "user_id int, ts timestamp, event_id int",
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), 1.0), (1, t(30), 2.0), (1, t(52), 3.0)],
+        "user_id int, ts timestamp, rv double",
+    )
+    out = {
+        r["event_id"]: (r["rv_m"], r["ts_m"])
+        for r in asof_join_nearest(
+            left, right, on="user_id", ts_col="ts",
+            right_value_cols=["rv"], suffix="_m",
+        ).collect()
+    }
+    assert out[100] == (1.0, t(8))      # 2s back vs 20s fwd -> backward
+    assert out[101] == (2.0, t(30))     # 1s back vs 21s fwd -> backward
+    assert out[102] == (3.0, t(52))     # 2s fwd vs 20s back -> forward
+    assert out[200] == (None, None)     # user 2 has no purchases
+
+    # exact tie: equidistant -> backward preferred
+    left2 = spark.createDataFrame(
+        [(1, t(20), 300)], "user_id int, ts timestamp, event_id int"
+    )
+    right2 = spark.createDataFrame(
+        [(1, t(10), 7.0), (1, t(30), 8.0)],
+        "user_id int, ts timestamp, rv double",
+    )
+    r300 = asof_join_nearest(
+        left2, right2, on="user_id", ts_col="ts",
+        right_value_cols=["rv"], suffix="_m",
+    ).collect()[0]
+    assert (r300["rv_m"], r300["ts_m"]) == (7.0, t(10))
