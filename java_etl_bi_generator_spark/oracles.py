@@ -2507,6 +2507,39 @@ ORACLES: dict[str, str] = {
         FROM orders JOIN fs ON o_orderkey = fs.l_orderkey
         GROUP BY 1
     """,
+    # interval coalescing: same island construction — a row opens an
+    # island when its start exceeds the running max of preceding ends
+    # (+1 adjacency); DuckDB's epoch-day ints match Spark's datediff.
+    "q_interval_merge": """
+        WITH fs AS (
+          SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+          FROM lineitem GROUP BY 1),
+        iv AS (
+          SELECT o.o_custkey AS custkey,
+                 datediff('day', DATE '1970-01-01',
+                          CAST(o.o_orderdate AS DATE)) AS s,
+                 datediff('day', DATE '1970-01-01', fs.first_ship) AS e
+          FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey),
+        marked AS (
+          SELECT custkey, s, e,
+                 CASE WHEN max(e) OVER w IS NULL THEN 1
+                      WHEN s > max(e) OVER w + 1 THEN 1
+                      ELSE 0 END AS new_island
+          FROM iv
+          WINDOW w AS (PARTITION BY custkey ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        islands AS (
+          SELECT custkey, s, e,
+                 sum(new_island) OVER
+                   (PARTITION BY custkey ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM marked)
+        SELECT custkey, CAST(island AS BIGINT) AS island,
+               min(s) AS span_start_day, max(e) AS span_end_day,
+               count(*) AS n_intervals
+        FROM islands GROUP BY custkey, island
+    """,
     "q_backlog_sweepline": """
         WITH fs AS (
           SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship

@@ -5250,6 +5250,73 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_interval_merge")
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands on date ranges): merge each
+    customer's overlapping-or-adjacent [orderdate, first-ship] open-order
+    windows into maximal busy spans — the coverage/uptime question
+    ("when did this customer have anything on order at all?") that
+    per-interval rows can't answer.  Standard layout: per key, order by
+    start, an island opens where start > running max of preceding ends
+    (+1 day adjacency); island id = running count of opens; one groupBy
+    to the span grain.  Customer-partitioned windows are already
+    parallel (data-grain keys); integer epoch-day arithmetic
+    end-to-end."""
+    od = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    iv = (
+        od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "s"
+            ),
+            F.datediff(F.col("first_ship"), F.lit("1970-01-01")).alias("e"),
+        )
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.max("e").over(w) + 1, 1
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "new_island",
+        # first row of each supplier has a NULL preceding max -> opens
+        F.when(F.max("e").over(w).isNull(), 1).otherwise(
+            F.col("new_island")
+        ),
+    )
+    wi = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(wi))
+    return (
+        islands.groupBy("custkey", "island")
+        .agg(
+            F.min("s").alias("span_start_day"),
+            F.max("e").alias("span_end_day"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .select(
+            "custkey",
+            F.col("island").cast("bigint").alias("island"),
+            "span_start_day",
+            "span_end_day",
+            "n_intervals",
+        )
+    )
+
+
 @q("q_backlog_sweepline")
 def q_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval counting via sweep-line: how many orders are OPEN (ordered
