@@ -14,12 +14,56 @@ scalable layout for 100 TB backfills (point-in-time feature joins).
 
 Right-side rows must be unique per (key, ts) — pre-aggregate to enforce a
 deterministic winner before calling.
+
+Three directions share the tag/union scaffold (``_tag_union``):
+``asof_join`` (backward, <=), ``asof_join_forward`` (>=), and
+``asof_join_nearest`` (closest either way, exact-microsecond distances,
+backward preferred on ties).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+
+def _tag_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    out_cols: list[str],
+    extra_right: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Union left and right into one tagged stream: left rows carry their
+    own payload plus null placeholders for the right value columns
+    (aliased ``out_cols``); right rows the reverse.  ``extra_right`` adds
+    (right_col, alias) pairs present only on the right side (nulls on
+    the left) — e.g. the matched-timestamp audit column.  ``__is_left``
+    distinguishes the sides for the window tie-breaks downstream."""
+    extra_right = extra_right or []
+    left_cols = left.columns
+    l_tagged = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_cols if c not in (on, ts_col)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
+          for c, o in zip(right_value_cols, out_cols)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
+          for c, o in extra_right],
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in (on, ts_col)],
+        *[F.col(c).alias(o) for c, o in zip(right_value_cols, out_cols)],
+        *[F.col(c).alias(o) for c, o in extra_right],
+    )
+    return l_tagged.unionByName(r_tagged)
 
 
 def asof_join(
@@ -37,24 +81,7 @@ def asof_join(
     """
     left_cols = left.columns
     out_cols = [f"{c}{suffix}" for c in right_value_cols]
-
-    l_tagged = left.select(
-        F.col(on),
-        F.col(ts_col),
-        F.lit(1).alias("__is_left"),
-        *[F.col(c) for c in left_cols if c not in (on, ts_col)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
-          for c, o in zip(right_value_cols, out_cols)],
-    )
-    r_tagged = right.select(
-        F.col(on),
-        F.col(ts_col),
-        F.lit(0).alias("__is_left"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in left_cols if c not in (on, ts_col)],
-        *[F.col(c).alias(o) for c, o in zip(right_value_cols, out_cols)],
-    )
-    unioned = l_tagged.unionByName(r_tagged)
+    unioned = _tag_union(left, right, on, ts_col, right_value_cols, out_cols)
 
     # Right rows sort before left rows at equal ts (__is_left 0 < 1), so a
     # right row AT the left row's timestamp is matched (<= semantics).
@@ -88,24 +115,7 @@ def asof_join_forward(
     right row inside the following frame)."""
     left_cols = left.columns
     out_cols = [f"{c}{suffix}" for c in right_value_cols]
-
-    l_tagged = left.select(
-        F.col(on),
-        F.col(ts_col),
-        F.lit(1).alias("__is_left"),
-        *[F.col(c) for c in left_cols if c not in (on, ts_col)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
-          for c, o in zip(right_value_cols, out_cols)],
-    )
-    r_tagged = right.select(
-        F.col(on),
-        F.col(ts_col),
-        F.lit(0).alias("__is_left"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in left_cols if c not in (on, ts_col)],
-        *[F.col(c).alias(o) for c, o in zip(right_value_cols, out_cols)],
-    )
-    unioned = l_tagged.unionByName(r_tagged)
+    unioned = _tag_union(left, right, on, ts_col, right_value_cols, out_cols)
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(ts_col).asc(), F.col("__is_left").desc())
@@ -133,31 +143,24 @@ def asof_join_nearest(
     BACKWARD match (deterministic).  One shuffle on the key, two
     in-partition window passes (backward carry + forward carry) over the
     same union — still linear, no pairwise expansion.  Adds
-    ``<ts_col>{suffix}`` (the matched right timestamp) alongside the
-    value columns so callers can audit the chosen direction."""
+    ``<ts_col><suffix>`` (the matched right timestamp) alongside the
+    value columns so callers can audit the chosen direction; ``suffix``
+    must therefore be non-empty (an empty suffix would collide the audit
+    column with ``ts_col`` itself).  Distances compare in exact
+    MICROSECONDS (``unix_micros``), not whole seconds — sub-second
+    timestamps would otherwise truncate toward the wrong neighbor."""
+    if not suffix:
+        raise ValueError(
+            "asof_join_nearest needs a non-empty suffix: the matched-"
+            f"timestamp audit column would collide with {ts_col!r}"
+        )
     left_cols = left.columns
     out_cols = [f"{c}{suffix}" for c in right_value_cols]
     rts = f"{ts_col}{suffix}"
-
-    l_tagged = left.select(
-        F.col(on),
-        F.col(ts_col),
-        F.lit(1).alias("__is_left"),
-        *[F.col(c) for c in left_cols if c not in (on, ts_col)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
-          for c, o in zip(right_value_cols, out_cols)],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(rts),
+    unioned = _tag_union(
+        left, right, on, ts_col, right_value_cols, out_cols,
+        extra_right=[(ts_col, rts)],
     )
-    r_tagged = right.select(
-        F.col(on),
-        F.col(ts_col),
-        F.lit(0).alias("__is_left"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in left_cols if c not in (on, ts_col)],
-        *[F.col(c).alias(o) for c, o in zip(right_value_cols, out_cols)],
-        F.col(ts_col).alias(rts),
-    )
-    unioned = l_tagged.unionByName(r_tagged)
     wb = (
         Window.partitionBy(on)
         .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
@@ -179,11 +182,12 @@ def asof_join_nearest(
         F.first(F.col(rts), ignorenulls=True).over(wf).alias("__f_ts"),
     ).filter(F.col("__is_left") == 1)
     # backward wins when forward is missing, or when its distance is <=
+    # (exact integer microseconds on both sides)
     back_wins = F.col("__f_ts").isNull() | (
         F.col("__b_ts").isNotNull()
         & (
-            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp("__b_ts")
-            <= F.unix_timestamp("__f_ts") - F.unix_timestamp(F.col(ts_col))
+            F.unix_micros(F.col(ts_col)) - F.unix_micros("__b_ts")
+            <= F.unix_micros("__f_ts") - F.unix_micros(F.col(ts_col))
         )
     )
     return both.select(

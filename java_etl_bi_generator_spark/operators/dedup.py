@@ -672,9 +672,15 @@ def prefix_jaccard_pairs(
     )
     # five consumers (dfreq, the sorted-doc build, both verification
     # sides) would each re-run the tokenize+explode scan; materialize it
-    # once, as in minhash_lsh_candidates (at corpus scale the shingle
-    # table would be written to storage instead).
-    sh = sh.persist()
+    # once.  cut_lineage (RDD-block pin) rather than persist(): these
+    # blocks are ContextCleaner-tracked, so they free themselves when the
+    # returned plan is dropped — a registry sweep running hundreds of
+    # queries in one session would otherwise accumulate CacheManager
+    # entries that only an explicit unpersist releases (at corpus scale
+    # the shingle table would be a written table instead).
+    from ..lineage import cut_lineage
+
+    sh = cut_lineage(sh, eager=False)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
     docs = (
         sh.join(dfreq, "s")
@@ -699,8 +705,8 @@ def prefix_jaccard_pairs(
         ).alias("s"),
     )
     # the self-join's two sides would each replay the df-join + sort
-    # chain; pin the prefix index once
-    pref = pref.persist()
+    # chain; pin the prefix index once (same self-freeing RDD-block pin)
+    pref = cut_lineage(pref, eager=False)
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(

@@ -380,7 +380,9 @@ ORACLES: dict[str, str] = {
     """,
     # nearest = backward ASOF + forward ASOF + the same tie-break CASE
     # as Spark (backward wins when forward is absent or not strictly
-    # closer); integer epoch distances, so the comparison is exact.
+    # closer); exact integer MICROSECOND distances (epoch_us), matching
+    # Spark's unix_micros — whole-second truncation could pick the
+    # farther neighbor on sub-second data.
     "q_join_asof_nearest": """
         WITH l AS (SELECT event_id, user_id, ts, value FROM events
                    WHERE event_type = 'click'),
@@ -399,13 +401,13 @@ ORACLES: dict[str, str] = {
                l.value,
                CASE WHEN f.f_ts IS NULL
                          OR (b.b_ts IS NOT NULL
-                             AND floor(epoch(l.ts)) - floor(epoch(b.b_ts))
-                                 <= floor(epoch(f.f_ts)) - floor(epoch(l.ts)))
+                             AND epoch_us(l.ts) - epoch_us(b.b_ts)
+                                 <= epoch_us(f.f_ts) - epoch_us(l.ts))
                     THEN b.b_rv ELSE f.f_rv END AS nearest_purchase_value,
                CAST(CASE WHEN f.f_ts IS NULL
                          OR (b.b_ts IS NOT NULL
-                             AND floor(epoch(l.ts)) - floor(epoch(b.b_ts))
-                                 <= floor(epoch(f.f_ts)) - floor(epoch(l.ts)))
+                             AND epoch_us(l.ts) - epoch_us(b.b_ts)
+                                 <= epoch_us(f.f_ts) - epoch_us(l.ts))
                     THEN floor(epoch(b.b_ts))
                     ELSE floor(epoch(f.f_ts)) END AS BIGINT)
                  AS matched_ts_epoch

@@ -5289,7 +5289,7 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0)),
     ).withColumn(
         "new_island",
-        # first row of each supplier has a NULL preceding max -> opens
+        # first row of each customer has a NULL preceding max -> opens
         F.when(F.max("e").over(w).isNull(), 1).otherwise(
             F.col("new_island")
         ),
@@ -6204,13 +6204,17 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a, b = pop(1997), pop(1998)
-    ska = a.orderBy("h", "o_custkey").limit(k)
-    skb = b.orderBy("h", "o_custkey").limit(k)
+    # each 64-row sketch feeds the union sketch AND an in-both semi-join,
+    # and the union sketch two consumers — persist the tiny frames so the
+    # orders scan behind each TakeOrdered runs once, not per consumer
+    ska = a.orderBy("h", "o_custkey").limit(k).persist()
+    skb = b.orderBy("h", "o_custkey").limit(k).persist()
     usk = (
         ska.unionAll(skb)
         .distinct()
         .orderBy("h", "o_custkey")
         .limit(k)
+        .persist()
     )
     kth = usk.agg(F.max("h").alias("kth_hash"))
     n_both = (

@@ -224,3 +224,36 @@ def test_asof_nearest_direction_and_ties(spark):
         right_value_cols=["rv"], suffix="_m",
     ).collect()[0]
     assert (r300["rv_m"], r300["ts_m"]) == (7.0, t(10))
+
+
+def test_asof_nearest_subsecond_distances(spark):
+    """Microsecond-exact distances: 0.9s back vs 0.1s forward must pick
+    forward — whole-second truncation would pick backward (0 <= 1)."""
+    import datetime as dt
+
+    from java_etl_bi_generator_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 10, 900000), 1)],
+        "user_id int, ts timestamp, event_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 10, 0), 1.0),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 11, 0), 2.0),
+        ],
+        "user_id int, ts timestamp, rv double",
+    )
+    r = asof_join_nearest(
+        left, right, on="user_id", ts_col="ts",
+        right_value_cols=["rv"], suffix="_m",
+    ).collect()[0]
+    assert r["rv_m"] == 2.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty suffix"):
+        asof_join_nearest(
+            left, right, on="user_id", ts_col="ts",
+            right_value_cols=["rv"], suffix="",
+        )
