@@ -415,6 +415,65 @@ ORACLES: dict[str, str] = {
         JOIN b USING (event_id)
         JOIN f USING (event_id)
     """,
+    # rolling corr / autocorrelation: exact integer daily series, exact
+    # (HUGEINT) rolling power sums, one fixed-order float corr at the
+    # end — mirrors Spark's DECIMAL accumulation bit-for-bit because
+    # both engines round the SAME exact integer into a double.
+    "q_rolling_corr": """
+        WITH daily AS (
+          SELECT datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS d,
+                 count(*) AS x,
+                 sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+          FROM orders GROUP BY 1),
+        g AS (
+          SELECT d,
+                 count(*) OVER w AS n,
+                 sum(x) OVER w AS sx,
+                 sum(y) OVER w AS sy,
+                 sum(x * x) OVER w AS sxx,
+                 sum(y * y) OVER w AS syy,
+                 sum(x * y) OVER w AS sxy
+          FROM daily
+          WINDOW w AS (ORDER BY d
+                       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        SELECT d, CAST(n AS BIGINT) AS n_days,
+               floor((CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END) * 1000000 + 0.5) / 1000000 AS corr_30d
+        FROM g
+    """,
+    "q_autocorr": """
+        WITH daily AS (
+          SELECT datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS d,
+                 count(*) AS x
+          FROM orders GROUP BY 1),
+        lagged AS (
+          SELECT x,
+                 lag(x, 1) OVER (ORDER BY d) AS xl1,
+                 lag(x, 2) OVER (ORDER BY d) AS xl2,
+                 lag(x, 3) OVER (ORDER BY d) AS xl3,
+                 lag(x, 4) OVER (ORDER BY d) AS xl4,
+                 lag(x, 5) OVER (ORDER BY d) AS xl5,
+                 lag(x, 6) OVER (ORDER BY d) AS xl6,
+                 lag(x, 7) OVER (ORDER BY d) AS xl7
+          FROM daily),
+        pairs AS (
+          SELECT 1 AS k, x AS xt, xl1 AS xl FROM lagged WHERE xl1 IS NOT NULL
+          UNION ALL SELECT 2 AS k, x AS xt, xl2 AS xl FROM lagged WHERE xl2 IS NOT NULL
+          UNION ALL SELECT 3 AS k, x AS xt, xl3 AS xl FROM lagged WHERE xl3 IS NOT NULL
+          UNION ALL SELECT 4 AS k, x AS xt, xl4 AS xl FROM lagged WHERE xl4 IS NOT NULL
+          UNION ALL SELECT 5 AS k, x AS xt, xl5 AS xl FROM lagged WHERE xl5 IS NOT NULL
+          UNION ALL SELECT 6 AS k, x AS xt, xl6 AS xl FROM lagged WHERE xl6 IS NOT NULL
+          UNION ALL SELECT 7 AS k, x AS xt, xl7 AS xl FROM lagged WHERE xl7 IS NOT NULL),
+        g AS (
+          SELECT k, count(*) AS n, sum(xt) AS sx, sum(xl) AS sy,
+                 sum(xt * xt) AS sxx, sum(xl * xl) AS syy,
+                 sum(xt * xl) AS sxy
+          FROM pairs GROUP BY k)
+        SELECT k, CAST(n AS BIGINT) AS n_pairs,
+               floor((CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END) * 1000000 + 0.5) / 1000000 AS acf
+        FROM g
+    """,
     "q_pivot": (
         "SELECT l_returnflag, "
         "count(*) FILTER (WHERE l_linestatus = 'F') AS n_f, "

@@ -740,6 +740,112 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_rolling_corr")
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day Pearson correlation between daily order count and
+    daily revenue — the co-movement monitor ("is volume still driving
+    revenue?") behind pricing dashboards.  Exactness discipline as in
+    q_regression_by_group: the daily series are exact integers (count,
+    revenue in scaled cents), the five rolling power sums accumulate in
+    DECIMAL(38) over the day-grain frame (bounded: one row per calendar
+    day, so the ordered window is a few-thousand-row frame, not
+    data-grain), and the one float corr expression evaluates in a fixed
+    IEEE order on identical sums — bit-identical cross-engine, pround
+    pinned.  Windows with < 2 days or zero variance emit null."""
+    od = T(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    w = Window.orderBy("d").rowsBetween(-29, 0)
+    g = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(dec("x")).over(w).alias("sx"),
+        F.sum(dec("y")).over(w).alias("sy"),
+        F.sum(dec("x") * dec("x")).over(w).alias("sxx"),
+        F.sum(dec("y") * dec("y")).over(w).alias("syy"),
+        F.sum(dec("x") * dec("y")).over(w).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    return g.select(
+        "d",
+        F.col("n").cast("bigint").alias("n_days"),
+        pround(
+            F.when(
+                (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+                cov / F.sqrt(vx * vy),
+            ),
+            6,
+        ).alias("corr_30d"),
+    )
+
+
+@q("q_autocorr")
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation ladder: Pearson correlation between the daily
+    order-count series and its lag-k shift for k = 1..7 — the weekly-
+    seasonality detector (a lag-7 spike says "same weekday moves
+    together").  One day-grain pass builds the series, seven lag columns
+    unpivot to (k, x, xlag) rows, and per-k DECIMAL power sums feed the
+    same fixed-order corr expression as q_rolling_corr.  Day-grain
+    everywhere; exact until the one pinned float op."""
+    od = T(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wl = Window.orderBy("d")
+    lags = daily.select(
+        "x", *[F.lag("x", k).over(wl).alias(f"xl{k}") for k in range(1, 8)]
+    )
+    pairs = lags.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.col("x").alias("xt"),
+                        F.col(f"xl{k}").alias("xl"),
+                    )
+                    for k in range(1, 8)
+                ]
+            )
+        ).alias("p")
+    ).select("p.k", "p.xt", "p.xl").filter(F.col("xl").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    g = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("xt")).alias("sx"),
+        F.sum(dec("xl")).alias("sy"),
+        F.sum(dec("xt") * dec("xt")).alias("sxx"),
+        F.sum(dec("xl") * dec("xl")).alias("syy"),
+        F.sum(dec("xt") * dec("xl")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    return g.select(
+        "k",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        pround(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
+        ).alias("acf"),
+    )
+
+
 @q("q_moving_avg_range")
 def q_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 variant: 7-day moving order-value average per customer — a RANGE
