@@ -113,10 +113,14 @@ _SHOWCASE: tuple[str, ...] = (
     "q_synthetic_events",
     # set ops (§2.10) — multiset EXCEPT ALL, likewise rewritten non-empty
     "q_except",
-    # advanced relational
-    "q_scalar_subquery", "q_percentile", "q_merge_upsert",
-    # windows (§2.6; q_window_lag stays hash-checked in the full sweep)
-    "q_window_rank", "q_window_running_sum",
+    # advanced relational (q_percentile and q_merge_upsert stay
+    # hash-checked in the full sweep; their slots sample the round-4
+    # nearest as-of join and t-closeness audit instead)
+    "q_scalar_subquery", "q_join_asof_nearest", "q_tcloseness_audit",
+    # windows (§2.6; q_window_lag and q_window_running_sum stay
+    # hash-checked in the full sweep; the freed slot samples the round-4
+    # exact-correlation family)
+    "q_window_rank", "q_rolling_corr",
     # event-time analytics (§2.11 batch twins + §2.14) + the streaming
     # incremental-merge sink (hash-checked end-to-end through foreachBatch)
     "q_window_tumbling", "q_window_session", "q_sessionize", "q_funnel",
@@ -131,13 +135,16 @@ _SHOWCASE: tuple[str, ...] = (
     # (q_dedup_near_clusters and q_triangle_count stay hash-checked in
     # the full sweep; their slots sample the round-4 substring-dedup and
     # temperature-mixture additions instead)
+    # (q_tfidf stays hash-checked in the full sweep; its slot samples
+    # the round-4 exact prefix-filter set-similarity join instead)
     "q_dedup_exact", "q_dedup_near", "q_dedup_substrings",
-    "q_domain_mixture",
-    "q_vector_topk", "q_text_stats", "q_tfidf", "q_chunk_documents",
-    # graph analytics (round 3)
-    "q_pagerank",
-    # deterministic sketches + physical layout (round 2)
-    "q_hll_distinct", "q_zorder_key",
+    "q_domain_mixture", "q_setsim_prefix_join",
+    "q_vector_topk", "q_text_stats", "q_chunk_documents",
+    # graph analytics (round 3 + the round-4 k-core peel in the slot
+    # q_hll_distinct held; HLL stays hash-checked in the full sweep)
+    "q_pagerank", "q_kcore",
+    # physical layout (round 2)
+    "q_zorder_key",
 )
 
 
