@@ -41,6 +41,7 @@ DOC_PROBES = [
     "q_dedup_exact",
     "q_dedup_near",
     "q_dedup_near_clusters",
+    "q_setsim_prefix_join",
     "q_text_stats",
     "q_tfidf",
     "q_heavy_hitters",
