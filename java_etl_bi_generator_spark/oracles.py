@@ -1013,8 +1013,11 @@ ORACLES: dict[str, str] = {
     # full table and applies the same integer threshold (5*inter >=
     # 4*union, i.e. J >= 4/5) before the pinned ratio.
     "q_setsim_prefix_join": f"""
-        WITH docs AS (
-          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        WITH uniq AS (
+          SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        ),
+        docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM uniq
         ),
         sh AS (
           SELECT doc_id, unnest(list_distinct(

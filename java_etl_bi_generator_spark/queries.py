@@ -1489,14 +1489,22 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document's rarest-first shingle prefix, so the common-shingle
     skew never enters the join; the prefix lemma makes the result
     bit-identical to the all-pairs join at the same threshold (the
-    oracle IS the all-pairs formulation).  3-gram shingles + the 0.8
-    near-dup threshold are the standard dedup setting (and match the
-    MinHash pipeline's shingle_n=3) — and they're what makes the prefix
-    index selective: at 0.8 the indexed prefix is only the rarest ~20%
-    of each doc's shingles, so candidate volume stays near the true pair
-    count even on this small-vocabulary synthetic corpus (measured:
-    ~9M candidate pairs at t=0.2/2-gram vs ~8s end-to-end here)."""
-    docs = T(spark, sf_dir, "documents")
+    oracle IS the all-pairs formulation over the same representatives).
+    3-gram shingles + the 0.8 near-dup threshold are the standard dedup
+    setting (and match the MinHash pipeline's shingle_n=3) — and they're
+    what makes the prefix index selective: at 0.8 the indexed prefix is
+    only the rarest ~20% of each doc's shingles, so candidate volume
+    stays near the true pair count even on this small-vocabulary
+    synthetic corpus (measured: ~9M candidate pairs at t=0.2/2-gram vs
+    ~5s end-to-end here).  Exact duplicates collapse FIRST (min-id
+    representative per distinct text) — the same rule the MinHash
+    pipeline mandates: identical texts are dist-0 cliques whose pair
+    count is quadratic by definition (a 1/8-duplicate 500k corpus OOMs
+    without the collapse), and a dedup consumer wants each duplicate
+    GROUP represented once, not |group|² J=1 rows."""
+    from .operators.dedup import exact_dedup
+
+    docs = exact_dedup(T(spark, sf_dir, "documents"), "text", "doc_id")
     return prefix_jaccard_pairs(docs, "text", "doc_id", n=3, t_num=4, t_den=5)
 
 

@@ -70,9 +70,26 @@ GRAPH_PROBES = [
 ]
 
 
+# Loudly-declared per-query volume ceilings: queries whose SEMANTICS are
+# quadratic past a point on this corpus (not an implementation defect).
+# q_setsim_prefix_join is an EXACT all-pairs join; on the word-salad
+# synthetic corpus the 3-gram vocabulary saturates, so past ~50k docs
+# the true candidate set itself grows quadratically (measured: 500k docs
+# spilled >79 GB of candidate shuffle and died; the probabilistic
+# handoff, q_dedup_near_clusters, probes fine at 500k).  See SCALING.md
+# "Dedup family".
+PROBE_MAX_ROWS = {"q_setsim_prefix_join": 50_000}
+
+
 def _probe(spark, qs, probes, tmp, label, n):
     times = {}
+    skipped = []
     for name in probes:
+        cap = PROBE_MAX_ROWS.get(name)
+        if cap is not None and n > cap:
+            skipped.append(name)
+            times[name] = None
+            continue
         qs[name](spark, tmp).write.mode("overwrite").format("noop").save()  # warm
         best = float("inf")
         for _ in range(2):
@@ -80,10 +97,17 @@ def _probe(spark, qs, probes, tmp, label, n):
             qs[name](spark, tmp).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         times[name] = best
+    for name in skipped:
+        print(f"NOTE: {name} skipped at {n:,} rows (declared ceiling "
+              f"{PROBE_MAX_ROWS[name]:,}: exact all-pairs semantics are "
+              f"quadratic on this corpus — see SCALING.md)", flush=True)
     print(
         f"| {n:,} | "
-        + " | ".join(f"{times[p]:.2f}" for p in probes)
-        + f" | {sum(times.values()):.2f} |"
+        + " | ".join(
+            f"{times[p]:.2f}" if times[p] is not None else "skip"
+            for p in probes
+        )
+        + f" | {sum(t for t in times.values() if t is not None):.2f} |"
     )
 
 
