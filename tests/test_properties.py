@@ -174,3 +174,112 @@ def test_duplicated_passages_invariants_property(toks1, toks2):
     for doc in (1, 2):
         covered = sum(e - s + 1 for s, e in by_doc.get(doc, []))
         assert cut[doc] == (n[doc], n[doc] - covered)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # key
+            st.integers(min_value=0, max_value=60),   # start day
+            st.integers(min_value=0, max_value=20),   # span length
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_interval_merge_invariants_property(ivs):
+    """Coalesced spans must (a) be disjoint and non-adjacent per key,
+    (b) cover exactly the union of input intervals, (c) account for
+    every input interval once."""
+    spark = _get_spark()
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    df = spark.createDataFrame(rows, "custkey int, s int, e int")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = df.withColumn(
+        "ni",
+        F.when(F.max("e").over(w).isNull(), 1)
+        .when(F.col("s") > F.max("e").over(w) + 1, 1)
+        .otherwise(0),
+    )
+    wi = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        marked.withColumn("isl", F.sum("ni").over(wi))
+        .groupBy("custkey", "isl")
+        .agg(
+            F.min("s").alias("a"),
+            F.max("e").alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    by_key: dict[int, list] = {}
+    for r in spans:
+        by_key.setdefault(r["custkey"], []).append(r)
+    assert sum(r["n"] for r in spans) == len(rows)  # (c)
+    for k, srs in by_key.items():
+        srs.sort(key=lambda r: r["a"])
+        for p, q in zip(srs, srs[1:]):
+            assert q["a"] > p["b"] + 1  # (a) disjoint, non-adjacent
+        # (b) union of day sets matches
+        got = set()
+        for r in srs:
+            got |= set(range(r["a"], r["b"] + 1))
+        want = set()
+        for kk, s, e in [(kk, s, e) for kk, s, e in rows if kk == k]:
+            want |= set(range(s, e + 1))
+        assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lts=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                 max_size=6, unique=True),
+    rts=st.lists(st.integers(min_value=0, max_value=10**6), min_size=0,
+                 max_size=6, unique=True),
+)
+def test_asof_nearest_is_argmin_property(lts, rts):
+    """The matched right row must minimize |r.ts - l.ts| (microseconds),
+    backward preferred on exact ties — checked against a brute-force
+    argmin over the same rows."""
+    import datetime as dt
+
+    from java_etl_bi_generator_spark.operators.asof import asof_join_nearest
+
+    spark = _get_spark()
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda us: base + dt.timedelta(microseconds=us * 37)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, mk(t), i) for i, t in enumerate(lts)],
+        "user_id int, ts timestamp, event_id int",
+    )
+    right = spark.createDataFrame(
+        [(1, mk(t), float(t)) for t in rts],
+        "user_id int, ts timestamp, rv double",
+    )
+    got = {
+        r["event_id"]: r["rv_m"]
+        for r in asof_join_nearest(
+            left, right, on="user_id", ts_col="ts",
+            right_value_cols=["rv"], suffix="_m",
+        ).collect()
+    }
+    for i, lt in enumerate(lts):
+        if not rts:
+            assert got[i] is None
+            continue
+        best = min(
+            rts,
+            key=lambda rt: (abs(rt - lt), 0 if rt <= lt else 1),
+        )
+        assert got[i] == float(best), (lt, sorted(rts))
