@@ -428,3 +428,108 @@ def sample_frames(media: DataFrame, num_frames: int = 4,
     return media.filter(F.col("modality") == "video").mapInPandas(
         _sample, schema=FRAME_SCHEMA
     )
+
+
+def mp4_box_meta(b: bytes) -> tuple[str | None, int | None]:
+    """(major brand, duration in ms) from an ISO-BMFF/MP4 byte stream —
+    a REAL top-level box walk (size.be32 + fourcc), no codec: ``ftyp``
+    yields the brand; ``moov``'s ``mvhd`` child yields timescale +
+    duration (version 0: 32-bit fields at payload 12/16; version 1:
+    64-bit duration at 28 after 64-bit times).  Variable offsets make
+    this the video twin of the JPEG SOF scan — Arrow-batch Python, not a
+    codegen expression.  Returns (None, None) when the stream is not
+    ISO-BMFF; (brand, None) when no mvhd is present (e.g. fragmented
+    MP4, where duration lives in ``mehd``/fragments)."""
+    brand: str | None = None
+    dur_ms: int | None = None
+    if len(b) < 8:
+        return None, None
+    off = 0
+    saw_box = False
+    while off + 8 <= len(b):
+        size = int.from_bytes(b[off : off + 4], "big")
+        typ = b[off + 4 : off + 8]
+        if size < 8:  # size 0/1 (to-eof / 64-bit) not handled: header junk
+            break
+        if typ == b"ftyp":
+            saw_box = True
+            if off + 12 <= len(b):
+                try:
+                    brand = b[off + 8 : off + 12].decode("ascii").strip()
+                except UnicodeDecodeError:
+                    brand = None
+        elif typ == b"moov":
+            saw_box = True
+            # walk moov children for mvhd
+            ioff = off + 8
+            end = min(off + size, len(b))
+            while ioff + 8 <= end:
+                isize = int.from_bytes(b[ioff : ioff + 4], "big")
+                ityp = b[ioff + 4 : ioff + 8]
+                if isize < 8:
+                    break
+                if ityp == b"mvhd" and ioff + 12 <= end:
+                    ver = b[ioff + 8]
+                    p = ioff + 12  # after version+flags
+                    if ver == 0 and p + 16 <= end:
+                        timescale = int.from_bytes(b[p + 8 : p + 12], "big")
+                        duration = int.from_bytes(b[p + 12 : p + 16], "big")
+                    elif ver == 1 and p + 28 <= end:
+                        timescale = int.from_bytes(b[p + 16 : p + 20], "big")
+                        duration = int.from_bytes(b[p + 20 : p + 28], "big")
+                    else:
+                        timescale = 0
+                        duration = 0
+                    if timescale > 0:
+                        dur_ms = duration * 1000 // timescale
+                    break
+                ioff += isize
+        off += size
+    return (brand, dur_ms) if saw_box else (None, None)
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("video_format", StringType(), True),
+        StructField("brand", StringType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def video_header_meta(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Container metadata for video rows via the Arrow decode path —
+    completes the per-modality REAL header parses (PNG/GIF/JPEG dims,
+    WAV sample rate, MP4 brand/duration) without any codec.  Bounded
+    ``mapInPandas`` batches, same shape as ``image_dims_arrow``."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts: list[str | None] = []
+            brands: list[str | None] = []
+            durs: list[int | None] = []
+            for c in pdf["content"]:
+                b = bytes(c) if c is not None else b""
+                brand, dur = mp4_box_meta(b)
+                fmts.append("mp4" if brand is not None else "unknown")
+                brands.append(brand)
+                durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "video_format": fmts,
+                    "brand": brands,
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_id", "content")
+        .mapInPandas(_meta, schema=VIDEO_META_SCHEMA)
+    )

@@ -262,3 +262,59 @@ def test_audio_header_meta_stays_in_codegen(spark):
     )
     plan = explain_simple(audio_header_meta(df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _mp4_bytes(ver: int = 0, timescale: int = 1000, duration: int = 5400) -> bytes:
+    """Minimal ISO-BMFF stream: ftyp(isom) + moov{mvhd}."""
+    ftyp = b"ftyp" + b"isom" + (0).to_bytes(4, "big") + b"isom"
+    ftyp = (8 + len(ftyp) - 4).to_bytes(4, "big") + ftyp
+    if ver == 0:
+        payload = (
+            bytes([0, 0, 0, 0])                      # version 0 + flags
+            + (0).to_bytes(4, "big") * 2             # ctime, mtime
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+        )
+    else:
+        payload = (
+            bytes([1, 0, 0, 0])
+            + (0).to_bytes(8, "big") * 2             # ctime, mtime (64)
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+        )
+    mvhd = (8 + len(payload)).to_bytes(4, "big") + b"mvhd" + payload
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_mp4_box_walk_brand_and_duration():
+    from java_etl_bi_generator_spark.sources.multimodal import mp4_box_meta
+
+    assert mp4_box_meta(_mp4_bytes(0, 1000, 5400)) == ("isom", 5400)
+    assert mp4_box_meta(_mp4_bytes(1, 90000, 90000 * 7)) == ("isom", 7000)
+    assert mp4_box_meta(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20) == (None, None)
+    assert mp4_box_meta(b"") == (None, None)
+    # ftyp alone (fragmented stream without moov): brand, no duration
+    frag = _mp4_bytes()[:16]
+    assert mp4_box_meta(frag) == ("isom", None)
+
+
+def test_video_header_meta_arrow_path(spark):
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        video_header_meta,
+    )
+
+    rows = [
+        (1, "video", bytearray(_mp4_bytes(0, 600, 1200))),   # 2000 ms
+        (2, "image", bytearray(b"\x89PNG\r\n\x1a\n")),       # filtered out
+        (3, "video", bytearray(b"not a video")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary"
+    )
+    got = {r["media_id"]: r for r in video_header_meta(media).collect()}
+    assert set(got) == {1, 3}
+    assert (got[1]["brand"], got[1]["duration_ms"]) == ("isom", 2000)
+    assert got[1]["video_format"] == "mp4"
+    assert got[3]["video_format"] == "unknown"
+    assert got[3]["duration_ms"] is None
