@@ -13,7 +13,10 @@ sort-merge join, linear in |L|+|R|, no pairwise expansion.  This is the
 scalable layout for 100 TB backfills (point-in-time feature joins).
 
 Right-side rows must be unique per (key, ts) — pre-aggregate to enforce a
-deterministic winner before calling.
+deterministic winner before calling.  Right-side VALUES may be null: the
+carried unit is one STRUCT per right row (non-null iff the row is a right
+row), so a null value rides along with its own row's timestamp instead of
+the ignorenulls carry skipping back to an older row's value.
 
 Three directions share the tag/union scaffold (``_tag_union``):
 ``asof_join`` (backward, <=), ``asof_join_forward`` (>=), and
@@ -24,7 +27,7 @@ backward preferred on ties).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 
 def _tag_union(
@@ -34,15 +37,12 @@ def _tag_union(
     ts_col: str,
     right_value_cols: list[str],
     out_cols: list[str],
-    extra_right: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Union left and right into one tagged stream: left rows carry their
     own payload plus null placeholders for the right value columns
-    (aliased ``out_cols``); right rows the reverse.  ``extra_right`` adds
-    (right_col, alias) pairs present only on the right side (nulls on
-    the left) — e.g. the matched-timestamp audit column.  ``__is_left``
-    distinguishes the sides for the window tie-breaks downstream."""
-    extra_right = extra_right or []
+    (aliased ``out_cols``) and the matched-right-timestamp slot ``__rts``;
+    right rows the reverse.  ``__is_left`` distinguishes the sides for
+    the window tie-breaks downstream."""
     left_cols = left.columns
     l_tagged = left.select(
         F.col(on),
@@ -51,8 +51,7 @@ def _tag_union(
         *[F.col(c) for c in left_cols if c not in (on, ts_col)],
         *[F.lit(None).cast(right.schema[c].dataType).alias(o)
           for c, o in zip(right_value_cols, out_cols)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
-          for c, o in extra_right],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__rts"),
     )
     r_tagged = right.select(
         F.col(on),
@@ -61,9 +60,21 @@ def _tag_union(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in (on, ts_col)],
         *[F.col(c).alias(o) for c, o in zip(right_value_cols, out_cols)],
-        *[F.col(c).alias(o) for c, o in extra_right],
+        F.col(ts_col).alias("__rts"),
     )
     return l_tagged.unionByName(r_tagged)
+
+
+def _pack(out_cols: list[str]) -> Column:
+    """One atomic carry unit per RIGHT row: a struct of the row's value
+    columns plus its timestamp, null on left rows.  Carrying the struct
+    (not each column separately) through the ignorenulls window keeps a
+    null right VALUE paired with its own row — separate per-column
+    carries would skip a null back to an older row's value."""
+    return F.when(
+        F.col("__is_left") == 0,
+        F.struct(*[F.col(o) for o in out_cols], F.col("__rts")),
+    )
 
 
 def asof_join(
@@ -90,10 +101,11 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = F.last(_pack(out_cols), ignorenulls=True).over(w)
     filled = unioned.select(
         *[F.col(c) for c in left_cols],
         F.col("__is_left"),
-        *[F.last(F.col(o), ignorenulls=True).over(w).alias(o) for o in out_cols],
+        *[carried[o].alias(o) for o in out_cols],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
 
@@ -121,11 +133,11 @@ def asof_join_forward(
         .orderBy(F.col(ts_col).asc(), F.col("__is_left").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    carried = F.first(_pack(out_cols), ignorenulls=True).over(w)
     filled = unioned.select(
         *[F.col(c) for c in left_cols],
         F.col("__is_left"),
-        *[F.first(F.col(o), ignorenulls=True).over(w).alias(o)
-          for o in out_cols],
+        *[carried[o].alias(o) for o in out_cols],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
 
@@ -157,10 +169,7 @@ def asof_join_nearest(
     left_cols = left.columns
     out_cols = [f"{c}{suffix}" for c in right_value_cols]
     rts = f"{ts_col}{suffix}"
-    unioned = _tag_union(
-        left, right, on, ts_col, right_value_cols, out_cols,
-        extra_right=[(ts_col, rts)],
-    )
+    unioned = _tag_union(left, right, on, ts_col, right_value_cols, out_cols)
     wb = (
         Window.partitionBy(on)
         .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
@@ -174,31 +183,23 @@ def asof_join_nearest(
     both = unioned.select(
         *[F.col(c) for c in left_cols],
         F.col("__is_left"),
-        *[F.last(F.col(o), ignorenulls=True).over(wb).alias(f"__b_{o}")
-          for o in out_cols],
-        F.last(F.col(rts), ignorenulls=True).over(wb).alias("__b_ts"),
-        *[F.first(F.col(o), ignorenulls=True).over(wf).alias(f"__f_{o}")
-          for o in out_cols],
-        F.first(F.col(rts), ignorenulls=True).over(wf).alias("__f_ts"),
+        F.last(_pack(out_cols), ignorenulls=True).over(wb).alias("__b"),
+        F.first(_pack(out_cols), ignorenulls=True).over(wf).alias("__f"),
     ).filter(F.col("__is_left") == 1)
     # backward wins when forward is missing, or when its distance is <=
     # (exact integer microseconds on both sides)
-    back_wins = F.col("__f_ts").isNull() | (
-        F.col("__b_ts").isNotNull()
+    b_ts = F.col("__b")["__rts"]
+    f_ts = F.col("__f")["__rts"]
+    back_wins = F.col("__f").isNull() | (
+        F.col("__b").isNotNull()
         & (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros("__b_ts")
-            <= F.unix_micros("__f_ts") - F.unix_micros(F.col(ts_col))
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(b_ts)
+            <= F.unix_micros(f_ts) - F.unix_micros(F.col(ts_col))
         )
     )
+    chosen = F.when(back_wins, F.col("__b")).otherwise(F.col("__f"))
     return both.select(
         *[F.col(c) for c in left_cols],
-        *[
-            F.when(back_wins, F.col(f"__b_{o}"))
-            .otherwise(F.col(f"__f_{o}"))
-            .alias(o)
-            for o in out_cols
-        ],
-        F.when(back_wins, F.col("__b_ts")).otherwise(F.col("__f_ts")).alias(
-            rts
-        ),
+        *[chosen[o].alias(o) for o in out_cols],
+        chosen["__rts"].alias(rts),
     )

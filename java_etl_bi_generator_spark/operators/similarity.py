@@ -89,6 +89,29 @@ def ivf_topk(
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def _md5_signed_fold(v: F.Column, dim: int, key_prefix: str) -> F.Column:
+    """Left-fold Σ_d ±v_d with the ±1 sign of dim d drawn from the
+    parity of md5(f"{key_prefix}{d}") — the shared seedless weight
+    family behind both the hyperplane LSH signature and the JL random
+    projection (one salt namespace per consumer keeps the two sign
+    conventions independent).  Explicit left-assoc addition pins the
+    IEEE summation order so an oracle can reproduce it term-for-term."""
+    import hashlib
+
+    acc = None
+    for d in range(dim):
+        sign = (
+            1
+            if int(hashlib.md5(f"{key_prefix}{d}".encode()).hexdigest(), 16)
+            % 2
+            == 0
+            else -1
+        )
+        term = F.element_at(v, d + 1) * F.lit(float(sign))
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def hyperplane_signature(
     vec_col, num_planes: int = 8, dim: int = 64
 ) -> F.Column:
@@ -100,12 +123,7 @@ def hyperplane_signature(
     v = as_double_array(vec_col)
     bits = []
     for p in range(num_planes):
-        # weight_d = +1 if md5 parity even else -1, folded into a dot sign
-        acc = None
-        for d in range(dim):
-            sign = 1 if int(__import__("hashlib").md5(f"{p},{d}".encode()).hexdigest(), 16) % 2 == 0 else -1
-            term = F.element_at(v, d + 1) * F.lit(float(sign))
-            acc = term if acc is None else acc + term
+        acc = _md5_signed_fold(v, dim, f"{p},")
         bits.append(F.when(acc >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
@@ -219,43 +237,28 @@ def mmr_topk(
 
 
 def random_projection(
-    df: DataFrame,
     vec_col: str = "embedding",
     out_dim: int = 8,
     dim: int = 64,
 ) -> list[F.Column]:
     """Johnson-Lindenstrauss-style ±1 random projection to ``out_dim``
     components: out_j = (Σ_d s(j,d)·v_d) / sqrt(out_dim), signs from
-    md5("proj:{j},{d}") parity — the same seedless, engine-portable
-    weight family as ``hyperplane_signature`` (Achlioptas, "Database-
-    friendly random projections", PODS 2001: ±1 entries satisfy the JL
-    lemma; public).  Returns one Column per output component, built as
-    an explicit left-fold so the IEEE summation order is pinned and an
-    oracle can reproduce it term-for-term.
+    md5("proj:{j},{d}") parity via the shared ``_md5_signed_fold`` — the
+    same seedless, engine-portable weight family as
+    ``hyperplane_signature`` under its own salt namespace (Achlioptas,
+    "Database-friendly random projections", PODS 2001: ±1 entries
+    satisfy the JL lemma; public).  Returns pure Columns (no DataFrame
+    binding) — select them on any frame carrying ``vec_col``.
 
     Scale shape: pure per-row codegen arithmetic (dim × out_dim fused
     multiply-adds), no shuffle, no UDF — the cheap first stage before
     bucketing/ANN on the reduced vectors.
     """
-    import hashlib
     import math
 
     v = as_double_array(F.col(vec_col))
     scale = F.lit(math.sqrt(float(out_dim)))
-    cols = []
-    for j in range(out_dim):
-        acc = None
-        for d in range(dim):
-            sign = (
-                1
-                if int(
-                    hashlib.md5(f"proj:{j},{d}".encode()).hexdigest(), 16
-                )
-                % 2
-                == 0
-                else -1
-            )
-            term = F.element_at(v, d + 1) * F.lit(float(sign))
-            acc = term if acc is None else acc + term
-        cols.append((acc / scale).alias(f"p{j}"))
-    return cols
+    return [
+        (_md5_signed_fold(v, dim, f"proj:{j},") / scale).alias(f"p{j}")
+        for j in range(out_dim)
+    ]

@@ -3291,7 +3291,7 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import random_projection
 
     emb = T(spark, sf_dir, "embeddings")
-    cols = random_projection(emb, "embedding", out_dim=8, dim=64)
+    cols = random_projection("embedding", out_dim=8, dim=64)
     return emb.select(
         "vec_id",
         *[pround(c, 6).alias(f"p{j}") for j, c in enumerate(cols)],
@@ -4521,14 +4521,20 @@ def q_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qi_bucket"),
         "c_mktsegment",
     )
-    total = cu.agg(F.count(F.lit(1)).alias("T"))
-    glob = cu.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("g"))
-    cls = cu.groupBy("qi_nation", "qi_bucket").agg(
-        F.count(F.lit(1)).alias("cs")
+    # ONE scan to class-by-segment grain; class sizes, the global
+    # distribution, and the total are all re-aggregations of that tiny
+    # frame — a large customer table is read once, not four times
+    present = cut_lineage(
+        cu.groupBy("qi_nation", "qi_bucket", "c_mktsegment").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        eager=False,
     )
-    present = cu.groupBy("qi_nation", "qi_bucket", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("cnt")
+    cls = present.groupBy("qi_nation", "qi_bucket").agg(
+        F.sum("cnt").alias("cs")
     )
+    glob = present.groupBy("c_mktsegment").agg(F.sum("cnt").alias("g"))
+    total = glob.agg(F.sum("g").alias("T"))
     parts = (
         present.join(F.broadcast(glob), "c_mktsegment")
         .join(F.broadcast(cls), ["qi_nation", "qi_bucket"])
@@ -5398,43 +5404,14 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("first_ship"), F.lit("1970-01-01")).alias("e"),
         )
     )
-    w = (
-        Window.partitionBy("custkey")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = iv.withColumn(
-        "new_island",
-        F.when(
-            F.col("s") > F.max("e").over(w) + 1, 1
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "new_island",
-        # first row of each customer has a NULL preceding max -> opens
-        F.when(F.max("e").over(w).isNull(), 1).otherwise(
-            F.col("new_island")
-        ),
-    )
-    wi = (
-        Window.partitionBy("custkey")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    islands = marked.withColumn("island", F.sum("new_island").over(wi))
-    return (
-        islands.groupBy("custkey", "island")
-        .agg(
-            F.min("s").alias("span_start_day"),
-            F.max("e").alias("span_end_day"),
-            F.count(F.lit(1)).alias("n_intervals"),
-        )
-        .select(
-            "custkey",
-            F.col("island").cast("bigint").alias("island"),
-            "span_start_day",
-            "span_end_day",
-            "n_intervals",
-        )
+    from .operators.intervals import coalesce_intervals
+
+    return coalesce_intervals(iv, ["custkey"], "s", "e").select(
+        "custkey",
+        "island",
+        F.col("span_start").alias("span_start_day"),
+        F.col("span_end").alias("span_end_day"),
+        "n_intervals",
     )
 
 
@@ -6326,16 +6303,15 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a, b = pop(1997), pop(1998)
     # each 64-row sketch feeds the union sketch AND an in-both semi-join,
-    # and the union sketch two consumers — persist the tiny frames so the
+    # and the union sketch two consumers — pin the tiny frames so the
     # orders scan behind each TakeOrdered runs once, not per consumer
-    ska = a.orderBy("h", "o_custkey").limit(k).persist()
-    skb = b.orderBy("h", "o_custkey").limit(k).persist()
-    usk = (
-        ska.unionAll(skb)
-        .distinct()
-        .orderBy("h", "o_custkey")
-        .limit(k)
-        .persist()
+    # (cut_lineage, not persist(): self-freeing RDD blocks, no
+    # CacheManager entry left behind per sweep invocation)
+    ska = cut_lineage(a.orderBy("h", "o_custkey").limit(k), eager=False)
+    skb = cut_lineage(b.orderBy("h", "o_custkey").limit(k), eager=False)
+    usk = cut_lineage(
+        ska.unionAll(skb).distinct().orderBy("h", "o_custkey").limit(k),
+        eager=False,
     )
     kth = usk.agg(F.max("h").alias("kth_hash"))
     n_both = (

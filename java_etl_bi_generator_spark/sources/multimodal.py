@@ -453,7 +453,9 @@ def mp4_box_meta(b: bytes) -> tuple[str | None, int | None]:
             break
         if typ == b"ftyp":
             saw_box = True
-            if off + 12 <= len(b):
+            # brand must sit INSIDE the ftyp box's declared size — a
+            # short box must not read the next box's header as a brand
+            if size >= 12 and off + 12 <= len(b):
                 try:
                     brand = b[off + 8 : off + 12].decode("ascii").strip()
                 except UnicodeDecodeError:

@@ -104,7 +104,7 @@ def test_random_projection_one_hot_pins_sign_convention(spark):
     vec = [0.0] * 64
     vec[d_hot] = 1.0
     df = spark.createDataFrame([(1, vec)], "vec_id bigint, embedding array<float>")
-    row = df.select(*random_projection(df, "embedding")).collect()[0]
+    row = df.select(*random_projection("embedding")).collect()[0]
     for j in range(8):
         sign = (
             1

@@ -257,3 +257,47 @@ def test_asof_nearest_subsecond_distances(spark):
             left, right, on="user_id", ts_col="ts",
             right_value_cols=["rv"], suffix="",
         )
+
+
+def test_asof_null_right_value_stays_paired_with_its_row(spark):
+    """A null right VALUE must ride with its own row: the backward match
+    at ts=20 (rv=NULL) must NOT borrow ts=10's value 5.0 — the struct
+    carry keeps (value, ts) atomic where per-column ignorenulls carries
+    would desync them."""
+    import datetime as dt
+
+    from java_etl_bi_generator_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(21), 100)], "user_id int, ts timestamp, event_id int"
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 5.0), (1, t(20), None)],
+        "user_id int, ts timestamp, rv double",
+    )
+    b = asof_join(
+        left, right, on="user_id", ts_col="ts",
+        right_value_cols=["rv"], suffix="_m",
+    ).collect()[0]
+    assert b["rv_m"] is None  # nearest preceding row is (20, NULL)
+
+    right_f = spark.createDataFrame(
+        [(1, t(30), None), (1, t(40), 7.0)],
+        "user_id int, ts timestamp, rv double",
+    )
+    f = asof_join_forward(
+        left, right_f, on="user_id", ts_col="ts",
+        right_value_cols=["rv"], suffix="_m",
+    ).collect()[0]
+    assert f["rv_m"] is None  # next following row is (30, NULL)
+
+    n = asof_join_nearest(
+        left, right, on="user_id", ts_col="ts",
+        right_value_cols=["rv"], suffix="_m",
+    ).collect()[0]
+    assert n["ts_m"] == t(20) and n["rv_m"] is None

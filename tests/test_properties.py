@@ -191,54 +191,33 @@ def test_duplicated_passages_invariants_property(toks1, toks2):
 def test_interval_merge_invariants_property(ivs):
     """Coalesced spans must (a) be disjoint and non-adjacent per key,
     (b) cover exactly the union of input intervals, (c) account for
-    every input interval once."""
+    every input interval once — exercised through the SAME operator
+    q_interval_merge runs (operators/intervals.py), not a private
+    re-implementation."""
+    from java_etl_bi_generator_spark.operators.intervals import (
+        coalesce_intervals,
+    )
+
     spark = _get_spark()
     rows = [(k, s, s + ln) for k, s, ln in ivs]
     df = spark.createDataFrame(rows, "custkey int, s int, e int")
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("custkey")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = df.withColumn(
-        "ni",
-        F.when(F.max("e").over(w).isNull(), 1)
-        .when(F.col("s") > F.max("e").over(w) + 1, 1)
-        .otherwise(0),
-    )
-    wi = (
-        Window.partitionBy("custkey")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    spans = (
-        marked.withColumn("isl", F.sum("ni").over(wi))
-        .groupBy("custkey", "isl")
-        .agg(
-            F.min("s").alias("a"),
-            F.max("e").alias("b"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )
+    spans = coalesce_intervals(df, ["custkey"], "s", "e").collect()
     by_key: dict[int, list] = {}
     for r in spans:
         by_key.setdefault(r["custkey"], []).append(r)
-    assert sum(r["n"] for r in spans) == len(rows)  # (c)
+    assert sum(r["n_intervals"] for r in spans) == len(rows)  # (c)
     for k, srs in by_key.items():
-        srs.sort(key=lambda r: r["a"])
-        for p, q in zip(srs, srs[1:]):
-            assert q["a"] > p["b"] + 1  # (a) disjoint, non-adjacent
-        # (b) union of day sets matches
+        srs.sort(key=lambda r: r["span_start"])
+        for p_, q_ in zip(srs, srs[1:]):
+            assert q_["span_start"] > p_["span_end"] + 1  # (a)
         got = set()
         for r in srs:
-            got |= set(range(r["a"], r["b"] + 1))
+            got |= set(range(r["span_start"], r["span_end"] + 1))
         want = set()
-        for kk, s, e in [(kk, s, e) for kk, s, e in rows if kk == k]:
-            want |= set(range(s, e + 1))
-        assert got == want
+        for kk, s_, e_ in rows:
+            if kk == k:
+                want |= set(range(s_, e_ + 1))
+        assert got == want  # (b)
 
 
 @settings(max_examples=12, deadline=None)
