@@ -63,3 +63,58 @@ def coalesce_intervals(
             "n_intervals",
         )
     )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 30,
+) -> DataFrame:
+    """LARGE × LARGE interval-overlap self-join via bucketization — the
+    scale path where a theta join (``a.s <= b.e AND b.s <= a.e``) plans
+    as a nested loop: each interval explodes to the integer buckets it
+    spans, candidate pairs come from an EQUI-join on (key, bucket), and
+    the exact overlap predicate then filters candidates.  Two intervals
+    overlap iff they share at least one bucket (any common point lies in
+    some bucket), so the result is IDENTICAL to the theta join; cost is
+    |intervals| × spans/bucket_width explode rows plus bucket-local
+    pairs instead of |pairs| comparisons.
+
+    ``bucket_width`` trades explode volume against bucket collision
+    rate: ~the typical interval length is the classic choice.  Returns
+    distinct (key..., id_a, id_b) pairs with ``id_a < id_b``.
+    """
+    b = df.select(
+        *key_cols,
+        F.col(id_col),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("bigint"),
+                F.floor(F.col(end_col) / bucket_width).cast("bigint"),
+            )
+        ).alias("__bk"),
+    )
+    a_side, b_side = b.alias("a"), b.alias("b")
+    cond = [F.col("a.__bk") == F.col("b.__bk")]
+    for k in key_cols:
+        cond.append(F.col(f"a.{k}") == F.col(f"b.{k}"))
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return (
+        a_side.join(b_side, on=cond)
+        # exact overlap test on the candidates (closed intervals)
+        .filter(
+            (F.col("a.__s") <= F.col("b.__e"))
+            & (F.col("b.__s") <= F.col("a.__e"))
+        )
+        .select(
+            *[F.col(f"a.{k}").alias(k) for k in key_cols],
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )

@@ -5415,6 +5415,48 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_join_interval_overlap")
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGE×LARGE interval-overlap join via bucketization
+    (operators/intervals.py::interval_overlap_pairs): pairs of orders in
+    the same nation whose [orderdate, first-ship] open windows overlap —
+    the co-open-exposure question — counted per nation.  A plain theta
+    join between two fact-sized interval sets plans as a nested loop;
+    here each window explodes to its 30-day buckets and candidates come
+    from an EQUI-join on (nation, bucket) with the exact overlap
+    predicate verifying candidates, so the join shuffles on hash keys
+    like any other and the result is IDENTICAL to the theta join (the
+    oracle IS the theta formulation).  The orderkey %4 subset bounds the
+    quadratic TRUE pair count for the differential check — the join shape,
+    not the volume, is what scales."""
+    od = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    li = T(spark, sf_dir, "lineitem")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    iv = (
+        od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_orderkey").alias("okey"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "s"
+            ),
+            F.datediff(F.col("first_ship"), F.lit("1970-01-01")).alias("e"),
+        )
+    )
+    from .operators.intervals import interval_overlap_pairs
+
+    pairs = interval_overlap_pairs(
+        iv, ["nation"], "okey", "s", "e", bucket_width=30
+    )
+    return pairs.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_overlapping_pairs")
+    )
+
+
 @q("q_backlog_sweepline")
 def q_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval counting via sweep-line: how many orders are OPEN (ordered

@@ -301,3 +301,37 @@ def test_asof_null_right_value_stays_paired_with_its_row(spark):
         right_value_cols=["rv"], suffix="_m",
     ).collect()[0]
     assert n["ts_m"] == t(20) and n["rv_m"] is None
+
+
+def test_interval_overlap_bucketization_equals_theta_join(spark):
+    """The bucketized overlap join must equal the naive theta join for
+    any bucket width (the equivalence that makes it a scale PATH, not a
+    different operator) — planted intervals exercise same-bucket
+    non-overlaps, cross-bucket overlaps, touching endpoints, and
+    bucket-aligned boundaries."""
+    from java_etl_bi_generator_spark.operators.intervals import (
+        interval_overlap_pairs,
+    )
+
+    rows = [
+        # key 1: [0,10] & [10,20] touch (overlap, closed); [25,28] & [29,40]
+        # share bucket 0/1 at width 30 but do NOT overlap; [100,130] spans
+        # buckets; [131,140] adjacent-not-overlapping
+        (1, 1, 0, 10), (1, 2, 10, 20), (1, 3, 25, 28), (1, 4, 29, 40),
+        (1, 5, 100, 130), (1, 6, 131, 140), (1, 7, 128, 135),
+        (2, 8, 0, 100),  # other key: never pairs with key 1
+    ]
+    df = spark.createDataFrame(rows, "k int, iid int, s int, e int")
+    expect = set()
+    for ka, ia, sa, ea in rows:
+        for kb, ib, sb, eb in rows:
+            if ka == kb and ia < ib and sa <= eb and sb <= ea:
+                expect.add((ka, ia, ib))
+    for width in (1, 7, 30, 1000):
+        got = {
+            (r["k"], r["id_a"], r["id_b"])
+            for r in interval_overlap_pairs(
+                df, ["k"], "iid", "s", "e", bucket_width=width
+            ).collect()
+        }
+        assert got == expect, width
