@@ -85,7 +85,12 @@ def interval_overlap_pairs(
 
     ``bucket_width`` trades explode volume against bucket collision
     rate: ~the typical interval length is the classic choice.  Returns
-    distinct (key..., id_a, id_b) pairs with ``id_a < id_b``.
+    (key..., id_a, id_b) pairs with ``id_a < id_b``, each emitted
+    EXACTLY once — no quadratic-size ``distinct``: a pair spanning many
+    shared buckets is attributed to its CANONICAL bucket (the bucket of
+    ``max(a.s, b.s)``, which both intervals cover whenever they
+    overlap), so the duplicate emissions are filtered row-locally
+    instead of shuffled away.
     """
     b = df.select(
         *key_cols,
@@ -104,6 +109,9 @@ def interval_overlap_pairs(
     for k in key_cols:
         cond.append(F.col(f"a.{k}") == F.col(f"b.{k}"))
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    canonical_bk = F.floor(
+        F.greatest(F.col("a.__s"), F.col("b.__s")) / bucket_width
+    ).cast("bigint")
     return (
         a_side.join(b_side, on=cond)
         # exact overlap test on the candidates (closed intervals)
@@ -111,10 +119,12 @@ def interval_overlap_pairs(
             (F.col("a.__s") <= F.col("b.__e"))
             & (F.col("b.__s") <= F.col("a.__e"))
         )
+        # emit only in the pair's canonical bucket — exactly-once without
+        # a distinct over the (quadratic) pair set
+        .filter(F.col("a.__bk") == canonical_bk)
         .select(
             *[F.col(f"a.{k}").alias(k) for k in key_cols],
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
