@@ -2611,14 +2611,38 @@ ORACLES: dict[str, str] = {
           SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
           FROM lineitem GROUP BY 1),
         iv AS (
-          SELECT c.c_nationkey AS nation, o.o_orderkey AS okey,
-                 datediff('day', DATE '1970-01-01',
-                          CAST(o.o_orderdate AS DATE)) AS s,
-                 datediff('day', DATE '1970-01-01', fs.first_ship) AS e
-          FROM orders o
-          JOIN fs ON o.o_orderkey = fs.l_orderkey
-          JOIN customer c ON o.o_custkey = c.c_custkey
-          WHERE o.o_orderkey % 4 = 0)
+          SELECT nation, okey, least(d1, d2) AS s, greatest(d1, d2) AS e
+          FROM (
+            SELECT c.c_nationkey AS nation, o.o_orderkey AS okey,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS d1,
+                   datediff('day', DATE '1970-01-01', fs.first_ship) AS d2
+            FROM orders o
+            JOIN fs ON o.o_orderkey = fs.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderkey % 4 = 0))
+        SELECT a.nation, count(*) AS n_overlapping_pairs
+        FROM iv a JOIN iv b
+          ON a.nation = b.nation AND a.okey < b.okey
+         AND a.s <= b.e AND b.s <= a.e
+        GROUP BY a.nation
+    """,
+    # the sweep-line twin: same theta-count truth as the join form
+    "q_overlap_count_sweepline": """
+        WITH fs AS (
+          SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+          FROM lineitem GROUP BY 1),
+        iv AS (
+          SELECT nation, okey, least(d1, d2) AS s, greatest(d1, d2) AS e
+          FROM (
+            SELECT c.c_nationkey AS nation, o.o_orderkey AS okey,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS d1,
+                   datediff('day', DATE '1970-01-01', fs.first_ship) AS d2
+            FROM orders o
+            JOIN fs ON o.o_orderkey = fs.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderkey % 4 = 0))
         SELECT a.nation, count(*) AS n_overlapping_pairs
         FROM iv a JOIN iv b
           ON a.nation = b.nation AND a.okey < b.okey

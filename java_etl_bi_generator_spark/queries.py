@@ -5442,9 +5442,17 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nation"),
             F.col("o_orderkey").alias("okey"),
             F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
-                "s"
+                "d1"
             ),
-            F.datediff(F.col("first_ship"), F.lit("1970-01-01")).alias("e"),
+            F.datediff(F.col("first_ship"), F.lit("1970-01-01")).alias("d2"),
+        )
+        # the synthetic generator does not order the two dates — the OPEN
+        # WINDOW is the span between them, whichever comes first
+        .select(
+            "nation",
+            "okey",
+            F.least("d1", "d2").alias("s"),
+            F.greatest("d1", "d2").alias("e"),
         )
     )
     from .operators.intervals import interval_overlap_pairs
@@ -5454,6 +5462,99 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n_overlapping_pairs")
+    )
+
+
+@q("q_overlap_count_sweepline")
+def q_overlap_count_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENUMERATE-FREE twin of q_join_interval_overlap: the same
+    per-nation overlapping-pair count computed by a sweep-line instead of
+    materializing pairs — each pair is attributed to its LATER start, so
+    the count is Σ over intervals of (# active strictly-earlier-started
+    intervals at my start) + (# equal-start intervals with a smaller
+    key).  The active count comes from a ±1 event stream (+1 at s, −1 at
+    e+1, a 0-delta probe at s) run through the distributed grouped
+    cumsum with a (pos, kind, key) total order: ends sort before probes
+    before starts at equal positions, which encodes exactly the
+    strictly-before/still-open predicate.  Cost is O(n log n) events —
+    measured at 10× volume: 3.0 s here vs 43.6 s for the
+    pair-enumerating join twin, BOTH returning the identical
+    2,185,368,760-pair total (the join materializes those 2.2e9
+    intermediate rows; this never does).  The join remains the shape
+    when the pairs THEMSELVES are the output.  Same theta-count oracle
+    as the join twin — two independent Spark plans and DuckDB all
+    agreeing on one number."""
+    from .operators.rank import grouped_cumsum
+
+    od = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    li = T(spark, sf_dir, "lineitem")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    iv = (
+        od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_orderkey").alias("okey"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "d1"
+            ),
+            F.datediff(F.col("first_ship"), F.lit("1970-01-01")).alias("d2"),
+        )
+        # the synthetic generator does not order the two dates — the OPEN
+        # WINDOW is the span between them, whichever comes first
+        .select(
+            "nation",
+            "okey",
+            F.least("d1", "d2").alias("s"),
+            F.greatest("d1", "d2").alias("e"),
+        )
+    )
+    iv = cut_lineage(iv, eager=False)  # three event projections, one scan
+    starts = iv.select(
+        "nation", F.col("s").alias("pos"), F.lit(2).alias("kind"),
+        "okey", F.lit(1).alias("delta"),
+    )
+    ends = iv.select(
+        "nation", (F.col("e") + 1).alias("pos"), F.lit(0).alias("kind"),
+        "okey", F.lit(-1).alias("delta"),
+    )
+    probes = iv.select(
+        "nation", F.col("s").alias("pos"), F.lit(1).alias("kind"),
+        "okey", F.lit(0).alias("delta"),
+    )
+    ev = starts.unionAll(ends).unionAll(probes)
+    cum = grouped_cumsum(
+        ev,
+        ["nation"],
+        [F.col("pos"), F.col("kind"), F.col("okey")],
+        "delta",
+        cum_col="active",
+    )
+    term1 = (
+        cum.filter(F.col("kind") == 1)
+        .groupBy("nation")
+        .agg(F.sum("active").alias("n1"))
+    )
+    # equal-start pairs: every same-(nation, s) pair overlaps (e >= s),
+    # counted once at the larger key
+    wts = Window.partitionBy("nation", "s").orderBy("okey")
+    term2 = (
+        iv.withColumn("r", F.row_number().over(wts) - 1)
+        .groupBy("nation")
+        .agg(F.sum("r").alias("n2"))
+    )
+    return (
+        term1.join(term2, "nation")
+        .select(
+            "nation",
+            (F.col("n1") + F.col("n2")).alias("n_overlapping_pairs"),
+        )
+        # match the pair-join twin's frame: nations with zero pairs have
+        # no pair rows to group there, so they don't appear here either
+        .filter(F.col("n_overlapping_pairs") > 0)
     )
 
 
