@@ -53,6 +53,7 @@ HEADLINE = [
     "q_ks_test",             # integer KS drift via distributed cumsum
     "q_setsim_prefix_join",  # exact Jaccard join via prefix filtering (round 4)
     "q_kcore",               # bounded k-core peel (round 4)
+    "q_overlap_count_sweepline",  # enumerate-free pair counting (round 4)
 ]
 
 
