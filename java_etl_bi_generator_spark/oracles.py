@@ -3313,6 +3313,15 @@ ORACLES: dict[str, str] = {
                     THEN 1 ELSE 0 END AS breaches_t
         FROM parts
     """,
+    # applyInPandas UDAF twin: plain SQL over the same exact-cents ints
+    "q_pandas_udaf": """
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               CAST(max(floor(c_acctbal * 100 + 0.5))
+                    - min(floor(c_acctbal * 100 + 0.5)) AS BIGINT)
+                 AS spread_cents
+        FROM customer GROUP BY c_nationkey
+    """,
     "q_kanonymity_audit": """
         WITH klass AS (
           SELECT c_nationkey AS qi_nation,

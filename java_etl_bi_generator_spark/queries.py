@@ -1756,6 +1756,42 @@ def q_arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_pandas_udaf")
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 UDAF shape: ``applyInPandas`` as a per-group custom
+    aggregate — per nation, customer count and the account-balance
+    spread in EXACT integer cents (max − min of floor(bal·100 + 0.5)),
+    computed inside the pandas batch.  Integer arithmetic keeps the
+    Arrow path hash-checkable against plain SQL — the template for
+    group-level logic that genuinely needs numpy/pandas (the spread
+    stands in for e.g. a scipy fit), while the grouping/shuffle stays
+    Spark-side: one exchange on the key, each group one pandas frame.
+    Groups here are nations (bounded, small); a data-grain group would
+    need the same boundedness argument as any applyInPandas."""
+    import pandas as pd  # noqa: F401 (worker-side import context)
+
+    cu = T(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+
+    def spread(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        cents = (pdf["c_acctbal"] * 100 + 0.5).apply(
+            lambda x: int(x // 1)
+        )
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "n_customers": [len(pdf)],
+                "spread_cents": [int(cents.max() - cents.min())],
+            }
+        )
+
+    return cu.groupBy("c_nationkey").applyInPandas(
+        spread,
+        "c_nationkey int, n_customers bigint, spread_cents bigint",
+    )
+
+
 @q("q_text_quality")
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: heuristic quality score (fixed-order IEEE expression, pinned)."""
