@@ -300,6 +300,7 @@ _LSH_BANDS_TEMPLATE = f"""
 ORACLES: dict[str, str] = {
     # --- sources ---
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_fixedwidth_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     # --- projection / filter ---
     "q_project": (
         "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem"

@@ -173,6 +173,32 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_fixedwidth_roundtrip")
+def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-family: fixed-width text roundtrip (sources/fixed_width.py) —
+    the OTHER flat-file format the reference's domain ships (position-
+    based government extracts, no delimiter).  Write nation as
+    lpad/rpad-rendered lines, read back via substring + trim + try_cast
+    — both directions pure codegen, no UDF.  Oracle reads the parquet
+    directly: a lossless roundtrip is exactly the identity."""
+    from .sources.fixed_width import read_fixed_width, write_fixed_width
+
+    specs = [
+        ("n_nationkey", 6, "int"),
+        ("n_name", 16, "string"),
+        ("n_regionkey", 6, "int"),
+    ]
+    path = tempfile.mkdtemp(prefix="fw_roundtrip_") + "/nation"
+    write_fixed_width(
+        T(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ),
+        path,
+        specs,
+    )
+    return read_fixed_width(spark, path, specs)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 Projection / filter
 # ---------------------------------------------------------------------------

@@ -40,3 +40,40 @@ def test_semicolon_delimiter_and_trim(spark):
     df = read_reference_csv(spark, src, "a string, b string")
     row = df.first()
     assert row["a"] == "x" and row["b"] == "1"  # setTrim(true) equivalent
+
+
+def test_fixed_width_nulls_malformed_and_overflow(spark, tmp_path):
+    """Fixed-width edge behavior: null ints render as spaces and read
+    back null; malformed numerics try_cast to null instead of failing
+    ANSI; an overlong value raises at WRITE time (silent truncation
+    would corrupt every later column's offsets)."""
+    import pytest
+
+    from java_etl_bi_generator_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    specs = [("k", 4, "int"), ("name", 8, "string"), ("v", 6, "double")]
+    df = spark.createDataFrame(
+        [(1, "ok", 2.5), (None, "noint", None)],
+        "k int, name string, v double",
+    )
+    p = str(tmp_path / "fw")
+    write_fixed_width(df, p, specs)
+    back = {r["name"]: r for r in read_fixed_width(spark, p, specs).collect()}
+    assert (back["ok"]["k"], back["ok"]["v"]) == (1, 2.5)
+    assert back["noint"]["k"] is None and back["noint"]["v"] is None
+
+    # malformed numeric text -> null, not an ANSI error
+    raw = spark.createDataFrame([("abcdok      12x34 ",)], "value string")
+    raw.write.mode("overwrite").text(str(tmp_path / "fw2"))
+    got = read_fixed_width(spark, str(tmp_path / "fw2"), specs).collect()[0]
+    assert got["k"] is None and got["name"] == "ok" and got["v"] is None
+
+    # overflow raises on write
+    wide = spark.createDataFrame(
+        [(12345, "x", 0.0)], "k int, name string, v double"
+    )
+    with pytest.raises(Exception, match="fixed-width overflow"):
+        write_fixed_width(wide, str(tmp_path / "fw3"), specs)
