@@ -262,3 +262,46 @@ def test_asof_nearest_is_argmin_property(lts, rts):
             key=lambda rt: (abs(rt - lt), 0 if rt <= lt else 1),
         )
         assert got[i] == float(best), (lt, sorted(rts))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-999, max_value=9999)),
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd"),
+                    max_codepoint=0x7E,
+                ),
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fixed_width_roundtrip_property(rows):
+    """Any in-width (int|None, space-free string) row set survives the
+    fixed-width write/read cycle exactly."""
+    import tempfile
+
+    from java_etl_bi_generator_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    spark = _get_spark()
+    specs = [("k", 6, "int"), ("name", 10, "string")]
+    df = spark.createDataFrame(rows, "k int, name string")
+    with tempfile.TemporaryDirectory() as d:
+        write_fixed_width(df, f"{d}/fw", specs)
+        key = lambda t: (t[0] is None, t[0] or 0, t[1])  # noqa: E731
+        back = sorted(
+            (
+                (r["k"], r["name"])
+                for r in read_fixed_width(spark, f"{d}/fw", specs).collect()
+            ),
+            key=key,
+        )
+    assert back == sorted(((k, s) for k, s in rows), key=key)
