@@ -176,8 +176,8 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_fixedwidth_roundtrip")
 def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-family: fixed-width text roundtrip (sources/fixed_width.py) —
-    the OTHER flat-file format the reference's domain ships (position-
-    based government extracts, no delimiter).  Write nation as
+    the OTHER flat-file format the reference's domain ships
+    (position-based government extracts, no delimiter).  Write nation as
     lpad/rpad-rendered lines, read back via substring + trim + try_cast
     — both directions pure codegen, no UDF.  Oracle reads the parquet
     directly: a lossless roundtrip is exactly the identity."""
@@ -1794,16 +1794,17 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-side: one exchange on the key, each group one pandas frame.
     Groups here are nations (bounded, small); a data-grain group would
     need the same boundedness argument as any applyInPandas."""
-    import pandas as pd  # noqa: F401 (worker-side import context)
-
     cu = T(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
 
-    def spread(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def spread(pdf):
+        import numpy as np
         import pandas as pd
 
-        cents = (pdf["c_acctbal"] * 100 + 0.5).apply(
-            lambda x: int(x // 1)
-        )
+        # vectorized: same IEEE ops as SQL floor(x*100 + 0.5), no
+        # per-row Python frame inside the batch
+        cents = np.floor(
+            pdf["c_acctbal"].to_numpy() * 100 + 0.5
+        ).astype("int64")
         return pd.DataFrame(
             {
                 "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],

@@ -13,10 +13,17 @@ and stay fully codegen (no UDF):
 
 The parse is position-based, so predicate pushdown applies only after
 parsing — at scale, land fixed-width once and convert to parquet (the
-same advice as for the reference CSV).  Values must fit their declared
-width (enforced loudly on write) and string values must not carry
-LEADING/TRAILING spaces (trim on read would eat them) — both are
-documented limits of the format itself, not of this reader.
+same advice as for the reference CSV).  Declared limits of the FORMAT
+(not of this reader), all enforced or normalized loudly:
+
+- values must fit their declared width (write raises on overflow);
+- string values must not contain line terminators (write raises —
+  an embedded newline would silently split the physical row);
+- strings must not carry LEADING/TRAILING spaces (trim on read would
+  eat them);
+- NULL and empty string are INDISTINGUISHABLE on the wire (both render
+  as all spaces); this reader normalizes both to NULL on read, for
+  every type.
 """
 
 from __future__ import annotations
@@ -42,12 +49,14 @@ def write_fixed_width(
             if typ == "string"
             else F.lpad(F.coalesce(s, F.lit("")), width, " ")
         )
-        # lpad/rpad TRUNCATE overlong input; turn that into a loud error
+        # lpad/rpad TRUNCATE overlong input, and an embedded newline
+        # would split the physical row — both become loud write errors
+        bad = (F.length(s) > width) | s.contains("\n") | s.contains("\r")
         parts.append(
-            F.when(F.length(s) > width, F.raise_error(
+            F.when(bad, F.raise_error(
                 F.concat(
-                    F.lit(f"fixed-width overflow in column {name} "
-                          f"(width {width}): "),
+                    F.lit(f"fixed-width overflow or line terminator in "
+                          f"column {name} (width {width}): "),
                     s,
                 )
             )).otherwise(rendered)
@@ -65,12 +74,10 @@ def read_fixed_width(
     cols = []
     pos = 1  # substring is 1-based
     for name, width, typ in specs:
-        raw = F.trim(F.substring(F.col("value"), pos, width))
-        c = (
-            raw
-            if typ == "string"
-            else F.nullif(raw, F.lit("")).try_cast(typ)
+        raw = F.nullif(
+            F.trim(F.substring(F.col("value"), pos, width)), F.lit("")
         )
+        c = raw if typ == "string" else raw.try_cast(typ)
         cols.append(c.alias(name))
         pos += width
     return lines.select(*cols)

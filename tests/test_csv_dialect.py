@@ -77,3 +77,21 @@ def test_fixed_width_nulls_malformed_and_overflow(spark, tmp_path):
     )
     with pytest.raises(Exception, match="fixed-width overflow"):
         write_fixed_width(wide, str(tmp_path / "fw3"), specs)
+
+    # embedded newline raises on write (it would split the physical row)
+    nl = spark.createDataFrame(
+        [(1, "a\nb", 0.0)], "k int, name string, v double"
+    )
+    with pytest.raises(Exception, match="line terminator|overflow"):
+        write_fixed_width(nl, str(tmp_path / "fw4"), specs)
+
+    # NULL and '' conflate to NULL on read (declared format limit)
+    ns = spark.createDataFrame(
+        [(7, None, 1.0), (8, "", 2.0)], "k int, name string, v double"
+    )
+    write_fixed_width(ns, str(tmp_path / "fw5"), specs)
+    got5 = {
+        r["k"]: r["name"]
+        for r in read_fixed_width(spark, str(tmp_path / "fw5"), specs).collect()
+    }
+    assert got5 == {7: None, 8: None}

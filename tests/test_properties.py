@@ -283,7 +283,8 @@ def test_asof_nearest_is_argmin_property(lts, rts):
 )
 def test_fixed_width_roundtrip_property(rows):
     """Any in-width (int|None, space-free string) row set survives the
-    fixed-width write/read cycle exactly."""
+    fixed-width write/read cycle exactly — with the format's declared
+    NULL ≡ '' conflation (both render as spaces, both read back NULL)."""
     import tempfile
 
     from java_etl_bi_generator_spark.sources.fixed_width import (
@@ -304,4 +305,6 @@ def test_fixed_width_roundtrip_property(rows):
             ),
             key=key,
         )
-    assert back == sorted(((k, s) for k, s in rows), key=key)
+    assert back == sorted(
+        ((k, s if s != "" else None) for k, s in rows), key=key
+    )
