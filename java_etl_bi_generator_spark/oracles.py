@@ -2272,6 +2272,48 @@ ORACLES: dict[str, str] = {
                {pround_sql('(CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS DOUBLE) - 0.5) / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)', 6)} AS qnorm
         FROM events
     """,
+    # Spearman with average-rank ties: doubled avg rank r2 = 2*cum - c + 1
+    # stays integer (HUGEINT power sums match Spark's DECIMAL(38,0));
+    # window sum over the per-distinct-value frame = Spark's
+    # grouped_cumsum (RANGE vs ROWS identical on distinct keys); the one
+    # float corr evaluates in the same fixed IEEE order as the Spark side.
+    "q_spearman_by_group": """
+        WITH li AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+          FROM lineitem),
+        rx AS (
+          SELECT l_returnflag, x,
+                 2 * sum(c) OVER (PARTITION BY l_returnflag ORDER BY x)
+                   - c + 1 AS r2x
+          FROM (SELECT l_returnflag, x, count(*) AS c
+                FROM li GROUP BY 1, 2)),
+        ry AS (
+          SELECT l_returnflag, y,
+                 2 * sum(c) OVER (PARTITION BY l_returnflag ORDER BY y)
+                   - c + 1 AS r2y
+          FROM (SELECT l_returnflag, y, count(*) AS c
+                FROM li GROUP BY 1, 2)),
+        g AS (
+          SELECT li.l_returnflag,
+                 count(*) AS n,
+                 sum(r2x) AS sx, sum(r2y) AS sy,
+                 sum(r2x * r2x) AS sxx, sum(r2y * r2y) AS syy,
+                 sum(r2x * r2y) AS sxy
+          FROM li
+          JOIN rx ON li.l_returnflag = rx.l_returnflag AND li.x = rx.x
+          JOIN ry ON li.l_returnflag = ry.l_returnflag AND li.y = ry.y
+          GROUP BY 1)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+               floor((CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                            AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+                      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      END) * 1000000 + 0.5) / 1000000 AS spearman
+        FROM g
+    """,
     # KS: integer cross-multiplied ECDF gap, one cumsum of the signed
     # delta; argmax = (largest |gap|, smallest value).
     "q_ks_test": f"""

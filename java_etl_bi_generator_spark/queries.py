@@ -5995,6 +5995,80 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_spearman_by_group")
+def q_spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price per
+    return flag — the monotone-association monitor (robust to outliers
+    and nonlinearity) that model-monitoring pipelines prefer over Pearson
+    for heavy-tailed features.
+
+    Proper average-rank tie handling WITHOUT a single-partition window:
+    for a tied run, avg_rank = cum_count − (cnt−1)/2 over per-distinct-
+    value counts, so each variable needs one groupBy down to (flag,
+    value, cnt) plus one ``operators.rank.grouped_cumsum``
+    (range-partitioned) over that already-collapsed frame — the cumsum
+    never sees data grain.  Doubling the rank (r2 = 2·cum − cnt + 1)
+    keeps it integer; Pearson on ranks is scale-invariant so the 2×
+    cancels.  Rank join-back is a shuffle equi-join on (flag, value);
+    power sums accumulate in DECIMAL(38,0) products of DECIMAL(19,0)
+    (r2 ≈ 2n, so Σr2² ≈ 4n³ — exact past 1e9 rows/group, and DuckDB's
+    HUGEINT matches); the one float correlation at the end is
+    fixed-order IEEE on identical exact sums, pround-pinned.  Contrast
+    q_rolling_corr (Pearson, windowed) and q_quantile_normalize (ECDF
+    positions from the same rank machinery)."""
+    from .operators.rank import grouped_cumsum
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def doubled_avg_rank(col: str, out: str) -> DataFrame:
+        per = li.groupBy("l_returnflag", col).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        cum = grouped_cumsum(
+            per, ["l_returnflag"], [F.col(col).asc()], "__c", cum_col="__cum"
+        )
+        return cum.select(
+            "l_returnflag",
+            col,
+            (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)).alias(out),
+        )
+
+    j = li.join(doubled_avg_rank("x", "r2x"), ["l_returnflag", "x"]).join(
+        doubled_avg_rank("y", "r2y"), ["l_returnflag", "y"]
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    g = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("r2x")).alias("sx"),
+        F.sum(dec("r2y")).alias("sy"),
+        F.sum(dec("r2x") * dec("r2x")).alias("sxx"),
+        F.sum(dec("r2y") * dec("r2y")).alias("syy"),
+        F.sum(dec("r2x") * dec("r2y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        pround(
+            F.when((vx > F.lit(0.0)) & (vy > F.lit(0.0)), cov / F.sqrt(vx * vy)),
+            6,
+        ).alias("spearman"),
+    )
+
+
 @q("q_ks_test")
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov: the largest ECDF gap between

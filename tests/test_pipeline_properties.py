@@ -149,3 +149,31 @@ def test_proportional_allocation_invariants(spark, sf_dir):
     for k, slots in got.items():
         floor_q = cents[k] * 1000 // total
         assert slots in (floor_q, floor_q + 1), k
+
+
+def test_spearman_planted_values(spark):
+    """Hand-computable Spearman per group: a perfectly monotone group is
+    +1, a reversed one is -1, and a tied group exercises average-rank
+    handling (x=[1,1,2] vs y=[10,20,30] -> rho = 1.5/sqrt(3) ~ 0.866025,
+    which row-number tie-breaking would instead report as 0.5 or 1.0
+    depending on the arbitrary tie order)."""
+    import tempfile
+
+    rows = (
+        [("A", float(i), 10.0 * i) for i in range(1, 5)]
+        + [("B", float(i), 10.0 * (5 - i)) for i in range(1, 5)]
+        + [("C", 1.0, 10.0), ("C", 1.0, 20.0), ("C", 2.0, 30.0)]
+    )
+    df = spark.createDataFrame(
+        rows, ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            r["l_returnflag"]: (r["n_rows"], r["spearman"])
+            for r in registry()["q_spearman_by_group"](spark, d).collect()
+        }
+    assert got["A"] == (4, 1.0)
+    assert got["B"] == (4, -1.0)
+    assert got["C"][0] == 3
+    assert abs(got["C"][1] - 0.866025) < 1e-9
