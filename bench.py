@@ -54,6 +54,8 @@ HEADLINE = [
     "q_setsim_prefix_join",  # exact Jaccard join via prefix filtering (round 4)
     "q_kcore",               # bounded k-core peel (round 4)
     "q_overlap_count_sweepline",  # enumerate-free pair counting (round 4)
+    "q_spearman_by_group",   # avg-rank Spearman via grouped cumsum (round 4)
+    "q_knn_grid_join",       # grid-bucketed nearest-neighbor join (round 4)
 ]
 
 

@@ -2272,6 +2272,46 @@ ORACLES: dict[str, str] = {
                {pround_sql('(CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS DOUBLE) - 0.5) / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)', 6)} AS qnorm
         FROM events
     """,
+    # Grid KNN: identical integer point synthesis, 3x3 neighbor
+    # replication of the supplier side, exact integer squared distance,
+    # winner = (d2, suppkey) lexicographic min — matches Spark's
+    # min(struct) exactly; LEFT JOIN keeps empty-neighborhood customers.
+    "q_knn_grid_join": """
+        WITH cu AS (
+          SELECT c_custkey,
+                 c_custkey * 37 % 1000 AS clat,
+                 c_custkey * 73 % 1000 AS clon
+          FROM customer),
+        su AS (
+          SELECT s_suppkey,
+                 s_suppkey * 41 % 1000 AS slat,
+                 s_suppkey * 59 % 1000 AS slon
+          FROM supplier),
+        su9 AS (
+          SELECT s_suppkey, slat, slon,
+                 CAST(floor(slat / 100.0) AS BIGINT) + dx.d AS cx,
+                 CAST(floor(slon / 100.0) AS BIGINT) + dy.d AS cy
+          FROM su,
+               (VALUES (-1), (0), (1)) dx(d),
+               (VALUES (-1), (0), (1)) dy(d)),
+        cand AS (
+          SELECT c_custkey, s_suppkey,
+                 (clat - slat) * (clat - slat)
+                 + (clon - slon) * (clon - slon) AS d2
+          FROM cu
+          JOIN su9 ON CAST(floor(clat / 100.0) AS BIGINT) = cx
+                  AND CAST(floor(clon / 100.0) AS BIGINT) = cy),
+        best AS (
+          SELECT c_custkey, s_suppkey, d2,
+                 row_number() OVER (PARTITION BY c_custkey
+                                    ORDER BY d2, s_suppkey) AS rn
+          FROM cand)
+        SELECT cu.c_custkey,
+               b.s_suppkey AS nearest_suppkey,
+               b.d2 AS d2
+        FROM cu
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (c_custkey)
+    """,
     # Spearman with average-rank ties: doubled avg rank r2 = 2*cum - c + 1
     # stays integer (HUGEINT power sums match Spark's DECIMAL(38,0));
     # window sum over the per-distinct-value frame = Spark's

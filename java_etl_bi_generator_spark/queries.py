@@ -5528,6 +5528,78 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_knn_grid_join")
+def q_knn_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed nearest-neighbor join: every customer finds its
+    nearest supplier on a synthetic 2-D plane — the spatial-join shape
+    (nearest store, sensor locality, 2-D embeddings) whose naive
+    formulation is an all-pairs cross join with an argmin.
+
+    Coordinates derive deterministically from the keys (hundredth-unit
+    integers on a 10×10 plane), so both engines synthesize identical
+    points with pure integer arithmetic.  Points bucket into 1×1 grid
+    cells; the SUPPLIER side replicates to its 3×3 cell neighborhood (a
+    bounded ×9 explode of the small side — the interval twin of
+    operators/intervals.py bucketization, in two dimensions), candidates
+    come from an EQUI-join on the cell — |candidates| ≈ density ×
+    |customers|, never |customers|×|suppliers| — and the winner per
+    customer is one groupBy min(struct(d2, suppkey)) over an exact
+    integer squared distance: no trig, no floats, no cross-engine libm
+    risk.  Customers with an empty neighborhood keep NULLs via the left
+    join back.  Semantics (pinned by the oracle): nearest WITHIN the 3×3
+    neighborhood — the bounded-radius contract of grid KNN."""
+    cell = lambda c: F.floor(F.col(c) / F.lit(100.0))  # noqa: E731
+    cu = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 37 % 1000).alias("clat"),
+        (F.col("c_custkey") * 73 % 1000).alias("clon"),
+    )
+    su = T(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 41 % 1000).alias("slat"),
+        (F.col("s_suppkey") * 59 % 1000).alias("slon"),
+    )
+    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    su9 = (
+        su.withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            "s_suppkey",
+            "slat",
+            "slon",
+            (cell("slat") + F.col("dx")).alias("cx"),
+            (cell("slon") + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = cu.join(
+        su9,
+        (cell("clat") == su9.cx) & (cell("clon") == su9.cy),
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            (F.col("clat") - F.col("slat"))
+            * (F.col("clat") - F.col("slat"))
+            + (F.col("clon") - F.col("slon"))
+            * (F.col("clon") - F.col("slon"))
+        ).alias("d2"),
+    )
+    best = cand.groupBy("c_custkey").agg(
+        F.min(
+            F.struct(F.col("d2").alias("d2"), F.col("s_suppkey").alias("sk"))
+        ).alias("b")
+    )
+    return (
+        cu.select("c_custkey")
+        .join(best, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.col("b.sk").alias("nearest_suppkey"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+
+
 @q("q_overlap_count_sweepline")
 def q_overlap_count_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENUMERATE-FREE twin of q_join_interval_overlap: the same

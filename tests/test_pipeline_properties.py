@@ -177,3 +177,23 @@ def test_spearman_planted_values(spark):
     assert got["B"] == (4, -1.0)
     assert got["C"][0] == 3
     assert abs(got["C"][1] - 0.866025) < 1e-9
+
+
+def test_knn_grid_planted_points(spark):
+    """Hand-checkable grid KNN: key-derived points put supplier 1 in
+    customer 1's own cell (d2 = (37-41)^2 + (73-59)^2 = 212) and supplier
+    2 one cell over (d2 = 4050); customer 50 lands in cell (8,6) with an
+    empty 3x3 neighborhood and must keep NULLs through the left join."""
+    import tempfile
+
+    cu = spark.createDataFrame([(1,), (50,)], ["c_custkey"])
+    su = spark.createDataFrame([(1,), (2,)], ["s_suppkey"])
+    with tempfile.TemporaryDirectory() as d:
+        cu.write.parquet(f"{d}/customer.parquet")
+        su.write.parquet(f"{d}/supplier.parquet")
+        got = {
+            r["c_custkey"]: (r["nearest_suppkey"], r["d2"])
+            for r in registry()["q_knn_grid_join"](spark, d).collect()
+        }
+    assert got[1] == (1, 212)
+    assert got[50] == (None, None)
