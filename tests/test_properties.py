@@ -297,7 +297,14 @@ def test_fixed_width_roundtrip_property(rows):
     df = spark.createDataFrame(rows, "k int, name string")
     with tempfile.TemporaryDirectory() as d:
         write_fixed_width(df, f"{d}/fw", specs)
-        key = lambda t: (t[0] is None, t[0] or 0, t[1])  # noqa: E731
+        # null-safe on BOTH fields: the NULL = '' conflation means t[1]
+        # comes back None whenever the written string was empty
+        key = lambda t: (  # noqa: E731
+            t[0] is None,
+            t[0] or 0,
+            t[1] is None,
+            t[1] or "",
+        )
         back = sorted(
             (
                 (r["k"], r["name"])
