@@ -6081,13 +6081,21 @@ def q_spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range-partitioned) over that already-collapsed frame — the cumsum
     never sees data grain.  Doubling the rank (r2 = 2·cum − cnt + 1)
     keeps it integer; Pearson on ranks is scale-invariant so the 2×
-    cancels.  Rank join-back is a shuffle equi-join on (flag, value);
-    power sums accumulate in DECIMAL(38,0) products of DECIMAL(19,0)
-    (r2 ≈ 2n, so Σr2² ≈ 4n³ — exact past 1e9 rows/group, and DuckDB's
-    HUGEINT matches); the one float correlation at the end is
-    fixed-order IEEE on identical exact sums, pround-pinned.  Contrast
-    q_rolling_corr (Pearson, windowed) and q_quantile_normalize (ECDF
-    positions from the same rank machinery)."""
+    cancels.
+
+    Shuffle discipline: quantity is a bounded domain (~50 values/flag),
+    so its rank table BROADCASTS onto the fact and Σr2x/Σr2x² come from
+    that tiny table weighted by counts; the price side then needs NO
+    data-grain join-back at all — the per-(flag, price) aggregation
+    CARRIES Σr2x within each tie group, so every cross power sum falls
+    out of the per-value frame (Σ cy·r2y, Σ r2y·Σr2x, …).  One fact
+    shuffle + one range-partitioned cumsum total.  Power sums accumulate
+    in DECIMAL(38,0) products (r2 ≈ 2n ⇒ Σr2² ≈ 4n³ — exact past 1e9
+    rows/group, and DuckDB's HUGEINT matches); the one float correlation
+    at the end is fixed-order IEEE on identical exact sums,
+    pround-pinned.  Contrast q_rolling_corr (Pearson, windowed) and
+    q_quantile_normalize (ECDF positions from the same rank
+    machinery)."""
     from .operators.rank import grouped_cumsum
 
     li = T(spark, sf_dir, "lineitem").select(
@@ -6099,32 +6107,53 @@ def q_spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
-
-    def doubled_avg_rank(col: str, out: str) -> DataFrame:
-        per = li.groupBy("l_returnflag", col).agg(
-            F.count(F.lit(1)).alias("__c")
-        )
-        cum = grouped_cumsum(
-            per, ["l_returnflag"], [F.col(col).asc()], "__c", cum_col="__cum"
-        )
-        return cum.select(
-            "l_returnflag",
-            col,
-            (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)).alias(out),
-        )
-
-    j = li.join(doubled_avg_rank("x", "r2x"), ["l_returnflag", "x"]).join(
-        doubled_avg_rank("y", "r2y"), ["l_returnflag", "y"]
-    )
+    d12 = lambda c: F.col(c).cast("decimal(12,0)")  # noqa: E731
+    d13 = lambda c: F.col(c).cast("decimal(13,0)")  # noqa: E731
     dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    g = j.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec("r2x")).alias("sx"),
-        F.sum(dec("r2y")).alias("sy"),
-        F.sum(dec("r2x") * dec("r2x")).alias("sxx"),
-        F.sum(dec("r2y") * dec("r2y")).alias("syy"),
-        F.sum(dec("r2x") * dec("r2y")).alias("sxy"),
+
+    def doubled_avg_rank(per: DataFrame, col: str, cnt: str) -> DataFrame:
+        cum = grouped_cumsum(
+            per, ["l_returnflag"], [F.col(col).asc()], cnt, cum_col="__cum"
+        )
+        return cum.withColumn(
+            "r2",
+            F.lit(2) * F.col("__cum") - F.col(cnt) + F.lit(1),
+        )
+
+    # x side: per-value counts collapse to the bounded domain; the rank
+    # table is tiny, so its power sums are count-weighted and the rank
+    # map broadcasts onto the fact.
+    px = li.groupBy("l_returnflag", "x").agg(F.count(F.lit(1)).alias("cx"))
+    rx = doubled_avg_rank(px, "x", "cx")
+    gx = rx.groupBy("l_returnflag").agg(
+        F.sum(dec("cx") * dec("r2")).alias("sx"),
+        F.sum(d12("cx") * d13("r2") * d13("r2")).alias("sxx"),
     )
+
+    # y side: carry each tie group's Σr2x through the per-value agg —
+    # no join back to data grain.
+    lix = li.join(
+        F.broadcast(rx.select("l_returnflag", "x", F.col("r2").alias("r2x"))),
+        ["l_returnflag", "x"],
+    )
+    # pre-cut lineage: the cumsum's range exchange runs a boundary-
+    # sampling job over its input first — without the cut, the whole
+    # upstream (scan -> broadcast join -> shuffle agg) executes twice
+    py = cut_lineage(
+        lix.groupBy("l_returnflag", "y").agg(
+            F.count(F.lit(1)).alias("cy"),
+            F.sum("r2x").alias("sr2x"),
+        ),
+        eager=False,
+    )
+    ry = doubled_avg_rank(py, "y", "cy")
+    gy = ry.groupBy("l_returnflag").agg(
+        F.sum("cy").alias("n"),
+        F.sum(dec("cy") * dec("r2")).alias("sy"),
+        F.sum(d12("cy") * d13("r2") * d13("r2")).alias("syy"),
+        F.sum(dec("sr2x") * dec("r2")).alias("sxy"),
+    )
+    g = gy.join(F.broadcast(gx), "l_returnflag")
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
