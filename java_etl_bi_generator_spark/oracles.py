@@ -2937,6 +2937,61 @@ ORACLES: dict[str, str] = {
                  AS bm25
         FROM st CROSS JOIN corpus GROUP BY doc_id
     """,
+    # RRF fusion: both lists rank on the SAME pinned scores as their
+    # standalone oracles (bm25 pround-4, cosine pround-6) with id
+    # tie-breaks; 1/(60+rank) on small ints is per-row IEEE, unrounded.
+    "q_rrf_fusion": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) <> ''),
+        tf AS (
+          SELECT doc_id, dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok
+                FROM docs) t
+          WHERE tok IN ('the', 'and') GROUP BY 1, 2, 3),
+        st AS (
+          SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM tf),
+        corpus AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+          FROM docs),
+        bm AS (
+          SELECT doc_id,
+                 {pround_sql(
+                     'sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)'
+                     ' * (tf * (1.2 + 1.0)'
+                     ' / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))', 4)}
+                   AS bm25
+          FROM st CROSS JOIN corpus GROUP BY doc_id),
+        lexr AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS INTEGER) AS lex_rank
+          FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+              WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 {pround_sql(
+                     'list_dot_product(CAST(embedding AS DOUBLE[]), qv) / '
+                     '(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), '
+                     'CAST(embedding AS DOUBLE[]))) * '
+                     'sqrt(list_dot_product(qv, qv)))', 6)} AS cosine
+          FROM embeddings, q),
+        semr AS (
+          SELECT vec_id AS doc_id,
+                 CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                      AS INTEGER) AS sem_rank
+          FROM (SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT 50))
+        SELECT COALESCE(lexr.doc_id, semr.doc_id) AS doc_id,
+               lex_rank, sem_rank,
+               COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+               + COALESCE(1.0 / (60.0 + CAST(sem_rank AS DOUBLE)), 0.0)
+                 AS rrf
+        FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.doc_id
+        ORDER BY rrf DESC, COALESCE(lexr.doc_id, semr.doc_id)
+        LIMIT 10
+    """,
     "q_bm25_topk_batch": f"""
         WITH docs AS (
           SELECT doc_id, {_TOKENS} AS toks FROM documents

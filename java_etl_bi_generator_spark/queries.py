@@ -5220,6 +5220,61 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_rrf_fusion")
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, k=60 — Cormack et
+    al. 2009, the standard public recipe) of a lexical BM25 top-50 list
+    and a semantic cosine top-50 list over the same corpus — the fusion
+    step every hybrid RAG stack runs between its keyword and vector
+    retrievers.
+
+    Scale shape: each list is a TakeOrderedAndProject over its own
+    corpus scan (per-partition heaps, only k rows cross an exchange), so
+    the ranking windows and the full-outer fusion join touch 2×50 rows,
+    never the corpus.  Cross-engine safety: both lists rank on PINNED
+    scores (pround — the q_bm25 / q_vector_topk discipline) with id
+    tie-breaks, and 1/(60+rank) on small integer ranks is per-row IEEE —
+    emitted unrounded; the fused top-10 orders on those identical
+    doubles with a doc_id tie-break."""
+    lex50 = (
+        q_bm25(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    sem50 = brute_force_topk(
+        T(spark, sf_dir, "embeddings"), _query_vector(spark, sf_dir), k=50
+    )
+    # bounded 50-row frames: a plain ordered window here is one tiny
+    # partition by construction, not a data-grain funnel
+    lexr = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    semr = sem50.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .cast("int")
+        .alias("sem_rank"),
+    )
+    fused = lexr.join(semr, "doc_id", "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("sem_rank").cast("double")),
+        F.lit(0.0),
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 @q("q_chi2_cells")
 def q_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical independence profile: the chi-square contingency table

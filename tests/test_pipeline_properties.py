@@ -197,3 +197,45 @@ def test_knn_grid_planted_points(spark):
         }
     assert got[1] == (1, 212)
     assert got[50] == (None, None)
+
+
+def test_rrf_fusion_planted_lists(spark):
+    """Hand-checkable RRF: doc 1 leads both lists (longest term-heavy
+    text, closest non-query vector beats only ties), docs 0 and 3 appear
+    ONLY in the semantic list (no query terms) and must contribute
+    exactly 1/(60+rank) with a NULL lex_rank through the full-outer
+    fusion."""
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "nothing relevant here", "en", "s", 21),
+            (1, "the the the and", "en", "s", 15),
+            (2, "the and", "en", "s", 7),
+            (3, "also no query terms", "en", "s", 19),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [1.0, 0.0], 0),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        vecs.write.parquet(f"{d}/embeddings.parquet")
+        rows = registry()["q_rrf_fusion"](spark, d).collect()
+    order = [r["doc_id"] for r in rows]
+    by_id = {r["doc_id"]: r for r in rows}
+    # sem ranks: vec0 (cos 1.0) 1, vec3 (cos 1.0, id tiebreak) 2,
+    # vec1 (~0.9939) 3, vec2 (0.0) 4; lex ranks: doc1 1, doc2 2
+    assert order == [1, 2, 0, 3]
+    assert by_id[1]["lex_rank"] == 1 and by_id[1]["sem_rank"] == 3
+    assert by_id[0]["lex_rank"] is None and by_id[0]["sem_rank"] == 1
+    assert abs(by_id[0]["rrf"] - 1.0 / 61.0) < 1e-12
+    assert abs(by_id[3]["rrf"] - 1.0 / 62.0) < 1e-12
+    assert abs(by_id[1]["rrf"] - (1.0 / 61.0 + 1.0 / 63.0)) < 1e-12
