@@ -7,7 +7,7 @@ with per-query wall time so outliers stand out.
 
 Usage::
 
-    python scripts/volume_sweep.py [factor]   # default 10
+    python scripts/volume_sweep.py [factor] [q_name ...]   # default 10, all
 
 Writes one line per query: OK/ERR, seconds, rows.
 """
@@ -42,6 +42,7 @@ BASE = {"orders": 150_000, "events": 100_000, "documents": 5_000, "embeddings": 
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
     spark = get_spark(app_name="volume_sweep")
     for src in (SyntheticEventsDataSource, SyntheticDocumentsDataSource,
                 SyntheticEmbeddingsDataSource):
@@ -77,6 +78,8 @@ def main() -> None:
     n_ok = n_err = 0
     slow: list[tuple[float, str]] = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             n = fn(spark, tmp).count()
