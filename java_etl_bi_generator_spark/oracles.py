@@ -11,6 +11,11 @@ Notable DuckDB-vs-Spark divergences handled here:
 - ``dayofweek``: DuckDB Sunday=0, Spark Sunday=1 (lookup arrays shifted);
 - ``round()`` tie behavior differs -> never used; ``floor(x*10^n+0.5)``
   everywhere a float must be pinned.
+- plain decimal literals are typed DECIMAL, and DECIMAL->DOUBLE
+  double-rounds once the mantissa exceeds 2^53 — a 17-digit repr lands
+  one ulp off Python/Spark's double.  Exact double literals must use
+  exponent form (``0.63…e0``), which DuckDB types DOUBLE and parses
+  with correctly-rounded strtod (see functions/ranking_eval.py).
 
 Queries with no entry here (the q_stream_* set, q_vector_topk_ivf,
 q_kmeans_cells, q_vector_topk_ivf_trained, q_approx_count_distinct,
@@ -22,6 +27,7 @@ across engines).
 
 from __future__ import annotations
 
+from .functions.ranking_eval import ndcg_weight_sql
 from .functions.rounding import dsum_sql, pround_sql
 
 _PTBR_MONTHS = (
@@ -44,6 +50,23 @@ _NON_ASCII_RATIO = (
     f"CAST({_NON_ASCII} AS DOUBLE) / CAST(length(text) AS DOUBLE)"
 )
 _N_TOKENS = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
+
+
+def _dcg_chain(prefix: str) -> str:
+    """Left-associated 10-term DCG chain over pivoted gains — the same
+    fixed repr-exact weight literals the Spark side uses (see
+    functions/ranking_eval.py), so the float result is bit-identical."""
+    return " + ".join(
+        f"COALESCE(CAST({prefix}{k} AS DOUBLE), 0.0) * {ndcg_weight_sql(k)}"
+        for k in range(1, 11)
+    )
+
+
+def _gain_pivot(prefix: str) -> str:
+    return ", ".join(
+        f"max(CASE WHEN r = {k} THEN label END) AS {prefix}{k}"
+        for k in range(1, 11)
+    )
 
 
 def _hits(stoplist: str) -> str:
@@ -2936,6 +2959,37 @@ ORACLES: dict[str, str] = {
                    ' / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))', 4)}
                  AS bm25
         FROM st CROSS JOIN corpus GROUP BY doc_id
+    """,
+    # nDCG@10: both engines consume the SAME repr-exact discount
+    # literals and the SAME left-associated 10-term chain — unrounded
+    # floats are safe (see functions/ranking_eval.py).
+    "q_ndcg_at_10": f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                   WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 {pround_sql(
+                     'list_dot_product(CAST(embedding AS DOUBLE[]), qv) / '
+                     '(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), '
+                     'CAST(embedding AS DOUBLE[]))) * '
+                     'sqrt(list_dot_product(qv, qv)))', 6)} AS cosine
+          FROM embeddings, q),
+        top10 AS (
+          SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
+          FROM (SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT 10)),
+        gains AS (
+          SELECT r, label FROM top10 JOIN embeddings USING (vec_id)),
+        ideal AS (
+          SELECT label, row_number() OVER (ORDER BY label DESC, vec_id) AS r
+          FROM (SELECT vec_id, label FROM embeddings
+                ORDER BY label DESC, vec_id LIMIT 10)),
+        g AS (SELECT {_gain_pivot('g')} FROM gains),
+        ig AS (SELECT {_gain_pivot('i')} FROM ideal),
+        m AS (SELECT {_dcg_chain('g')} AS dcg, {_dcg_chain('i')} AS idcg
+              FROM g, ig)
+        SELECT dcg, idcg,
+               CASE WHEN idcg > 0.0 THEN dcg / idcg END AS ndcg
+        FROM m
     """,
     # RRF fusion: both lists rank on the SAME pinned scores as their
     # standalone oracles (bm25 pround-4, cosine pround-6) with id

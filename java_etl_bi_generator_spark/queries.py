@@ -23,7 +23,7 @@ import tempfile
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from .catalog import load_table
 from .lineage import cut_lineage
@@ -39,6 +39,7 @@ from .functions.locale_ptbr import (
     null_or_empty_default,
     parse_ptbr_decimal,
 )
+from .functions.ranking_eval import NDCG_WEIGHTS
 from .functions.rounding import dsum, pround
 from .functions.text import (
     STOPWORDS_EN,
@@ -5272,6 +5273,77 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(10)
+    )
+
+
+@q("q_ndcg_at_10")
+def q_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: nDCG@10 of the cosine retriever
+    against the graded labels — the eval-harness metric that closes the
+    retrieval loop (q_rrf_fusion produces rankings; this scores one).
+    DCG = Σ gain_r / log2(r+1) over the retrieved top-10; IDCG over the
+    corpus-wide ideal ordering (label desc); nDCG = DCG/IDCG.
+
+    Cross-engine float discipline: the 10 discount weights are FIXED
+    repr-exact literals (one Python source feeds both the Column
+    expressions and the oracle SQL text — no engine ever calls log), the
+    top-10 gains pivot onto ONE row, and DCG is a 10-term
+    left-associated chain of products — fixed-order IEEE on identical
+    integers and literals, bit-identical cross-engine, so dcg/idcg/ndcg
+    are emitted UNROUNDED.  Scale shape: both top-10s are
+    TakeOrderedAndProject scans (per-partition heaps); everything after
+    runs on ≤10 rows."""
+    em = T(spark, sf_dir, "embeddings")
+    top = brute_force_topk(em, _query_vector(spark, sf_dir), k=10)
+    ranked = top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .alias("r"),
+    ).join(em.select("vec_id", "label"), "vec_id")
+    ideal = (
+        em.select("vec_id", "label")
+        .orderBy(F.col("label").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            "label",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("label").desc(), F.col("vec_id").asc())
+            )
+            .alias("r"),
+        )
+    )
+
+    def gains_row(df: DataFrame, prefix: str) -> DataFrame:
+        return df.agg(
+            *[
+                F.max(F.when(F.col("r") == k, F.col("label"))).alias(
+                    f"{prefix}{k}"
+                )
+                for k in range(1, 11)
+            ]
+        )
+
+    def dcg_expr(prefix: str) -> Column:
+        expr = None
+        for k in range(1, 11):
+            term = F.coalesce(
+                F.col(f"{prefix}{k}").cast("double"), F.lit(0.0)
+            ) * F.lit(NDCG_WEIGHTS[k - 1])
+            expr = term if expr is None else expr + term
+        return expr
+
+    g = gains_row(ranked, "g").crossJoin(gains_row(ideal, "i"))
+    out = g.select(
+        dcg_expr("g").alias("dcg"), dcg_expr("i").alias("idcg")
+    )
+    return out.select(
+        "dcg",
+        "idcg",
+        F.when(
+            F.col("idcg") > F.lit(0.0), F.col("dcg") / F.col("idcg")
+        ).alias("ndcg"),
     )
 
 

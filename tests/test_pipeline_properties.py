@@ -239,3 +239,33 @@ def test_rrf_fusion_planted_lists(spark):
     assert abs(by_id[0]["rrf"] - 1.0 / 61.0) < 1e-12
     assert abs(by_id[3]["rrf"] - 1.0 / 62.0) < 1e-12
     assert abs(by_id[1]["rrf"] - (1.0 / 61.0 + 1.0 / 63.0)) < 1e-12
+
+
+def test_ndcg_planted_gains(spark):
+    """Hand-checkable nDCG@10: 4 vectors, query = vec 0, retrieved order
+    (cosine desc, id) = [0, 3, 1, 2] with labels [3, 1, 2, 0]; ideal
+    order of labels is [3, 2, 1, 0].  Expected values recomputed with
+    the same shared weight table (functions/ranking_eval.py)."""
+    import tempfile
+
+    from java_etl_bi_generator_spark.functions.ranking_eval import (
+        NDCG_WEIGHTS as W,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 3),
+            (1, [0.9, 0.1], 2),
+            (2, [0.0, 1.0], 0),
+            (3, [1.0, 0.0], 1),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        vecs.write.parquet(f"{d}/embeddings.parquet")
+        row = registry()["q_ndcg_at_10"](spark, d).collect()[0]
+    dcg = 3.0 * W[0] + 1.0 * W[1] + 2.0 * W[2] + 0.0 * W[3]
+    idcg = 3.0 * W[0] + 2.0 * W[1] + 1.0 * W[2] + 0.0 * W[3]
+    assert row["dcg"] == dcg
+    assert row["idcg"] == idcg
+    assert row["ndcg"] == dcg / idcg
