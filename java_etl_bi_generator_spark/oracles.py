@@ -2906,6 +2906,27 @@ ORACLES: dict[str, str] = {
                    ' / expected', 6)} AS chi2_contrib
         FROM t
     """,
+    # MI cells: same window-sum marginals and the same per-row float
+    # expression shape as the Spark side; ln2 literal is the repr-safe
+    # 16-digit form (mantissa < 2^53, DECIMAL->DOUBLE single-rounds).
+    "q_mutual_information": f"""
+        WITH cells AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1, 2),
+        m AS (
+          SELECT lang, source, n_docs,
+                 sum(n_docs) OVER (PARTITION BY lang) AS nl,
+                 sum(n_docs) OVER (PARTITION BY source) AS ns,
+                 sum(n_docs) OVER () AS n
+          FROM cells)
+        SELECT lang, source, n_docs,
+               {pround_sql(
+                   '(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE))'
+                   ' * (ln(CAST(n_docs AS DOUBLE) * CAST(n AS DOUBLE)'
+                   ' / (CAST(nl AS DOUBLE) * CAST(ns AS DOUBLE)))'
+                   ' / 0.6931471805599453)', 6)} AS mi_contrib
+        FROM m
+    """,
     "q_entropy_profile": f"""
         WITH c AS (
           SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1),

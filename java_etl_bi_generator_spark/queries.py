@@ -5383,6 +5383,58 @@ def q_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_mutual_information")
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA: per-cell pointwise mutual-information contributions of
+    the language × source contingency — "is a source language-skewed?"
+    quantified as the (lang, source) decomposition whose sum is I(L;S).
+    Complements q_chi2_cells (independence test statistic) and
+    q_entropy_profile (marginal entropy) with the dependence MEASURE.
+
+    Counts are exact integers; marginals come from window sums over the
+    bounded |langs|×|sources| cell table (never the corpus); each cell's
+    term p·log2(N·n_xy/(n_x·n_y)) is per-row IEEE on exact counts,
+    pinned.  Emitted per cell — summing the handful of float terms
+    in-engine would be evaluation-order-dependent (the q_chi2_cells
+    discipline)."""
+    docs = T(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_l = F.sum("n_docs").over(Window.partitionBy("lang"))
+    n_s = F.sum("n_docs").over(Window.partitionBy("source"))
+    tot = F.sum("n_docs").over(Window.partitionBy())
+    ln2 = F.lit(0.6931471805599453)
+    mi = (
+        F.col("n_docs").cast("double")
+        / F.col("__n").cast("double")
+        * (
+            F.log(
+                F.col("n_docs").cast("double")
+                * F.col("__n").cast("double")
+                / (F.col("__nl").cast("double") * F.col("__ns").cast("double"))
+            )
+            / ln2
+        )
+    )
+    return (
+        cells.select(
+            "lang",
+            "source",
+            "n_docs",
+            n_l.alias("__nl"),
+            n_s.alias("__ns"),
+            tot.alias("__n"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            pround(mi, 6).alias("mi_contrib"),
+        )
+    )
+
+
 @q("q_entropy_profile")
 def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling: per-category probability and surprisal
