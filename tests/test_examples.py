@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("drift_monitoring.py", ["/root/testdata/sf0.001"]),
         ("privacy_audit.py", ["/root/testdata/sf0.001"]),
         ("timeseries_report.py", ["/root/testdata/sf0.001"]),
+        ("retrieval_eval.py", ["/root/testdata/sf0.001"]),
         ("sql_shell.py",
          ["SELECT count(*) AS n FROM lineitem", "/root/testdata/sf0.001"]),
     ],
