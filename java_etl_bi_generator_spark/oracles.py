@@ -2906,6 +2906,28 @@ ORACLES: dict[str, str] = {
                    ' / expected', 6)} AS chi2_contrib
         FROM t
     """,
+    # FastSS deletion neighborhoods: identical variant generation
+    # (1-based substr, deletion at each position plus identity), exact
+    # levenshtein verify, symmetric per-name rollup.
+    "q_fuzzy_ids_fastss": """
+        WITH vocab AS (SELECT DISTINCT c_name AS tok FROM customer),
+        var AS (
+          SELECT tok, unnest(list_append(
+            list_transform(range(1, length(tok) + 1),
+                           i -> substr(tok, 1, i - 1)
+                                || substr(tok, i + 1, length(tok))),
+            tok)) AS v
+          FROM vocab),
+        cand AS (
+          SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+          FROM var a JOIN var b ON a.v = b.v AND a.tok <> b.tok)
+        SELECT tok_a AS c_name,
+               CAST(count(*) AS BIGINT) AS n_near,
+               min(tok_b) AS nearest
+        FROM cand
+        WHERE levenshtein(tok_a, tok_b) <= 1
+        GROUP BY 1
+    """,
     # MI cells: same window-sum marginals and the same per-row float
     # expression shape as the Spark side; ln2 literal is the repr-safe
     # 16-digit form (mantissa < 2^53, DECIMAL->DOUBLE single-rounds).

@@ -2312,6 +2312,53 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_fuzzy_ids_fastss")
+def q_fuzzy_ids_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: edit-distance-1 neighbor detection over the
+    customer-name identifier space via DELETION NEIGHBORHOODS (FastSS,
+    Bocek et al. 2007 — public algorithm): each name emits itself plus
+    its |name| single-character deletions as join keys; any ed≤1 pair
+    shares a key (deletion/insertion: one side's variant IS the other;
+    substitution: both delete the differing position), and exact
+    levenshtein verifies the candidates (a shared key admits some ed=2
+    pairs, e.g. adjacent transposes).  This is q_fuzzy_match's
+    documented scale escape: buckets grow in NUMBER (one per variant),
+    not in size — no blocking key to outgrow, candidate volume ≈
+    |vocab|·len, and the verify is per-candidate.  Fat-fingered IDs
+    (one digit off) are exactly what it catches.  Output: per name, how
+    many ed≤1 neighbors exist and the smallest one — compact, symmetric
+    (pairs counted from both sides), deterministic."""
+    cu = T(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("tok")
+    ).distinct()
+    variants = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok")),
+            lambda i: F.concat(
+                F.substr(F.col("tok"), F.lit(1), i - F.lit(1)),
+                F.substr(F.col("tok"), i + F.lit(1), F.length("tok")),
+            ),
+        ),
+        F.array(F.col("tok")),
+    )
+    var = cu.select("tok", F.explode(variants).alias("v"))
+    cand = (
+        var.select(F.col("tok").alias("tok_a"), "v")
+        .join(var.select(F.col("tok").alias("tok_b"), "v"), "v")
+        .filter(F.col("tok_a") != F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("tok_a", "tok_b") <= 1)
+        .groupBy(F.col("tok_a").alias("c_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.min("tok_b").alias("nearest"),
+        )
+    )
+
+
 @q("q_grouping_sets")
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: GROUPING SETS — the per-flag, per-status, and grand-total

@@ -269,3 +269,29 @@ def test_ndcg_planted_gains(spark):
     assert row["dcg"] == dcg
     assert row["idcg"] == idcg
     assert row["ndcg"] == dcg / idcg
+
+
+def test_fastss_planted_neighbors(spark):
+    """Hand-checkable deletion-neighborhood join: a deletion pair, a
+    substitution pair, and a chain ("hello111" +1 char -> "hello1111"
+    +sub -> "hello1112") must all verify at ed<=1; the adjacent
+    TRANSPOSE pair ("world9999"/"wolrd9999") shares a deletion variant
+    but is ed=2 and must be dropped by the exact verify."""
+    import tempfile
+
+    names = ["hello1111", "hello1112", "hello111", "world9999", "wolrd9999"]
+    cu = spark.createDataFrame(
+        [(i, n, 0, 0.0, "B") for i, n in enumerate(names)],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cu.write.parquet(f"{d}/customer.parquet")
+        got = {
+            r["c_name"]: (r["n_near"], r["nearest"])
+            for r in registry()["q_fuzzy_ids_fastss"](spark, d).collect()
+        }
+    assert got == {
+        "hello1111": (2, "hello111"),
+        "hello1112": (2, "hello111"),
+        "hello111": (2, "hello1111"),
+    }
