@@ -315,3 +315,51 @@ def test_fixed_width_roundtrip_property(rows):
     assert back == sorted(
         ((k, s if s != "" else None) for k, s in rows), key=key
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet="ab1", min_size=1, max_size=5),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    )
+)
+def test_fastss_matches_bruteforce_ed1(names):
+    """Deletion-neighborhood completeness over arbitrary strings: the
+    FastSS query's per-name neighbor counts must equal brute-force
+    levenshtein<=1 over all pairs — a tiny 'ab1' alphabet forces dense
+    collisions (shared variants, transposes, repeated characters)."""
+    import tempfile
+
+    from java_etl_bi_generator_spark.queries import registry
+
+    def ed(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for a in names:
+        near = sorted(b for b in names if b != a and ed(a, b) <= 1)
+        if near:
+            want[a] = (len(near), near[0])
+
+    spark = _get_spark()
+    cu = spark.createDataFrame(
+        [(i, n, 0, 0.0, "B") for i, n in enumerate(names)],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cu.write.parquet(f"{d}/customer.parquet")
+        got = {
+            r["c_name"]: (r["n_near"], r["nearest"])
+            for r in registry()["q_fuzzy_ids_fastss"](spark, d).collect()
+        }
+    assert got == want
