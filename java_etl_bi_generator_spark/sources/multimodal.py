@@ -430,6 +430,108 @@ def sample_frames(media: DataFrame, num_frames: int = 4,
     )
 
 
+def wav_chunk_meta(
+    b: bytes,
+) -> tuple[int | None, int | None, int | None, int | None]:
+    """(sample_rate, channels, bits_per_sample, duration_ms) from a
+    RIFF/WAVE byte stream — a REAL chunk walk (fourcc + le32 size, byte
+    payloads padded to even), no codec: handles the non-canonical
+    layouts the fixed-offset codegen parse (``audio_header_meta``)
+    declares out of scope — LIST/INFO/fact chunks before ``fmt ``,
+    ``fmt `` longer than 16 bytes (WAVE_FORMAT_EXTENSIBLE), any chunk
+    order.  Duration comes from the ``data`` chunk size over the byte
+    rate.  The audio twin of ``mp4_box_meta``; same contract: all-None
+    when the stream is not RIFF/WAVE, partial fields when chunks are
+    missing/truncated."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None, None, None
+    rate: int | None = None
+    channels: int | None = None
+    bits: int | None = None
+    data_size: int | None = None
+    off = 12
+    while off + 8 <= len(b):
+        typ = b[off : off + 4]
+        size = int.from_bytes(b[off + 4 : off + 8], "little")
+        payload = off + 8
+        if typ == b"fmt " and size >= 16 and payload + 16 <= len(b):
+            channels = int.from_bytes(b[payload + 2 : payload + 4], "little")
+            rate = int.from_bytes(b[payload + 4 : payload + 8], "little")
+            bits = int.from_bytes(b[payload + 14 : payload + 16], "little")
+        elif typ == b"data":
+            # size is declared even when the payload is truncated — the
+            # header field is the source of truth for duration
+            data_size = size
+        off = payload + size + (size & 1)  # chunks pad to even offsets
+    dur_ms: int | None = None
+    if data_size is not None and rate and channels and bits:
+        byte_rate = rate * channels * (bits // 8)
+        if byte_rate > 0:
+            dur_ms = data_size * 1000 // byte_rate
+    return rate, channels, bits, dur_ms
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("audio_format", StringType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("bits_per_sample", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def audio_meta_arrow(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Audio container metadata via the Arrow decode path — the general
+    RIFF walk for layouts the codegen fixed-offset parse returns nulls
+    on.  Bounded ``mapInPandas`` batches, same shape as
+    ``image_dims_arrow`` / ``video_header_meta``."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts: list[str | None] = []
+            rates: list[int | None] = []
+            chans: list[int | None] = []
+            bits_l: list[int | None] = []
+            durs: list[int | None] = []
+            for c in pdf["content"]:
+                b = bytes(c) if c is not None else b""
+                rate, ch, bits, dur = wav_chunk_meta(b)
+                fmts.append(
+                    "wav"
+                    if len(b) >= 12
+                    and b[0:4] == b"RIFF"
+                    and b[8:12] == b"WAVE"
+                    else "unknown"
+                )
+                rates.append(rate)
+                chans.append(ch)
+                bits_l.append(bits)
+                durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "audio_format": fmts,
+                    "sample_rate": pd.array(rates, dtype="Int64"),
+                    "channels": pd.array(chans, dtype="Int64"),
+                    "bits_per_sample": pd.array(bits_l, dtype="Int64"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    return (
+        media.filter(F.col("modality") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(_meta, schema=AUDIO_META_SCHEMA)
+    )
+
+
 def mp4_box_meta(b: bytes) -> tuple[str | None, int | None]:
     """(major brand, duration in ms) from an ISO-BMFF/MP4 byte stream —
     a REAL top-level box walk (size.be32 + fourcc), no codec: ``ftyp``

@@ -318,3 +318,75 @@ def test_video_header_meta_arrow_path(spark):
     assert got[1]["video_format"] == "mp4"
     assert got[3]["video_format"] == "unknown"
     assert got[3]["duration_ms"] is None
+
+
+def _wav_noncanonical(channels=1, rate=8000, bits=16, n_samples=8000):
+    """WAV with a LIST/INFO chunk BEFORE an 18-byte (extensible-style)
+    fmt chunk and an odd-sized junk chunk (exercising even padding) —
+    the layouts the fixed-offset codegen parse nulls out."""
+    import struct
+
+    data_len = n_samples * channels * bits // 8
+    info = b"INFOICMT" + struct.pack("<I", 4) + b"test"
+    body = b"LIST" + struct.pack("<I", len(info)) + info
+    body += b"junk" + struct.pack("<I", 3) + b"ab\x00" + b"\x00"  # pad to even
+    body += b"fmt " + struct.pack(
+        "<IHHIIHHH", 18, 0xFFFE, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits, 0,
+    )
+    body += b"data" + struct.pack("<I", data_len) + b"\x00" * 32
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_chunk_walk_general_layouts():
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        audio_header_meta,
+        wav_chunk_meta,
+    )
+
+    # canonical file: the walk and the codegen parse agree
+    canon = _wav_bytes(channels=2, rate=44100, bits=16, n_samples=44100)
+    assert wav_chunk_meta(canon) == (44100, 2, 16, 1000)
+    # non-canonical: LIST before an 18-byte fmt, odd-size padding
+    nc = _wav_noncanonical(channels=1, rate=8000, bits=16, n_samples=8000)
+    assert wav_chunk_meta(nc) == (8000, 1, 16, 1000)
+    # fmt but no data chunk: fields present, duration unknown
+    nofmt = canon[: 12 + 8 + 16]
+    assert wav_chunk_meta(nofmt) == (44100, 2, 16, None)
+    # not RIFF/WAVE at all
+    assert wav_chunk_meta(b"\x89PNG\r\n\x1a\n") == (None, None, None, None)
+    assert wav_chunk_meta(b"") == (None, None, None, None)
+
+
+def test_audio_meta_arrow_path(spark):
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        audio_header_meta,
+        audio_meta_arrow,
+    )
+
+    nc = _wav_noncanonical()
+    rows = [
+        (1, "audio", bytearray(_wav_bytes(2, 44100, 16, 22050))),
+        (2, "audio", bytearray(nc)),
+        (3, "video", bytearray(b"filtered out")),
+        (4, "audio", bytearray(b"not audio")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary"
+    )
+    got = {r["media_id"]: r for r in audio_meta_arrow(media).collect()}
+    assert set(got) == {1, 2, 4}
+    assert (got[1]["sample_rate"], got[1]["channels"],
+            got[1]["bits_per_sample"], got[1]["duration_ms"]) == (
+        44100, 2, 16, 500)
+    # the general walk recovers what the codegen parse nulls out
+    assert (got[2]["sample_rate"], got[2]["duration_ms"]) == (8000, 1000)
+    codegen = {
+        r["media_id"]: r
+        for r in audio_header_meta(
+            media.filter("modality = 'audio'")
+        ).collect()
+    }
+    assert codegen[2]["sample_rate"] is None  # fixed-offset parse: nulls
+    assert got[4]["audio_format"] == "unknown"
+    assert got[4]["sample_rate"] is None
