@@ -2906,6 +2906,45 @@ ORACLES: dict[str, str] = {
                    ' / expected', 6)} AS chi2_contrib
         FROM t
     """,
+    # Winsorize: rank-selected exact cent bounds, integer clip, HUGEINT
+    # power sums (= Spark's bigint/decimal), one pinned float expression
+    # in the same IEEE order.
+    "q_winsorize": f"""
+        WITH od AS (
+          SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+                 o_orderkey
+          FROM orders),
+        r AS (
+          SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rr,
+                 count(*) OVER () AS n
+          FROM od),
+        b AS (
+          SELECT
+            max(CASE WHEN rr = GREATEST(1, CAST(floor(n / 100.0) AS BIGINT))
+                     THEN c END) AS lo,
+            max(CASE WHEN rr = n
+                          - GREATEST(1, CAST(floor(n / 100.0) AS BIGINT)) + 1
+                     THEN c END) AS hi
+          FROM r),
+        g AS (
+          SELECT count(*) AS n, max(lo) AS lo, max(hi) AS hi,
+                 sum(LEAST(GREATEST(c, lo), hi)) AS s,
+                 sum(LEAST(GREATEST(c, lo), hi)
+                     * LEAST(GREATEST(c, lo), hi)) AS ss
+          FROM od, b)
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               CAST(lo AS DOUBLE) / 100.0 AS lo,
+               CAST(hi AS DOUBLE) / 100.0 AS hi,
+               {pround_sql('CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0', 6)}
+                 AS wins_mean,
+               {pround_sql(
+                   'CASE WHEN n > 1 THEN sqrt((CAST(n AS DOUBLE)'
+                   ' * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)'
+                   ' * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE)'
+                   ' * (CAST(n AS DOUBLE) - 1.0))) / 100.0 END', 6)}
+                 AS wins_std
+        FROM g
+    """,
     # FastSS deletion neighborhoods: identical variant generation
     # (1-based substr, deletion at each position plus identity), exact
     # levenshtein verify, symmetric per-name rollup.

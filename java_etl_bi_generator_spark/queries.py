@@ -1968,6 +1968,69 @@ def q_quantile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_winsorize")
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling: winsorized mean/stddev of order totals — values
+    clipped to the exact [p01, p99] rank bounds before the moments, the
+    outlier-insensitive summary feeding pricing models.  Completes the
+    robust-stats set (q_mad: median deviation; q_iqr_outliers: fences;
+    this: clipped moments).
+
+    Exactness + scale: bounds are RANK SELECTIONS (rows at positions
+    max(1, floor(n/100)) and its mirror) from one ``global_rank`` pass —
+    never a percentile buffer or global sort; the two-value bound table
+    broadcasts back onto a second column-pruned fact scan, the clip is
+    per-row integer least/greatest on exact cents, and mean/std come
+    from bigint/decimal power sums with the one float expression
+    evaluated in the oracle's exact IEEE order, pround-pinned."""
+    from .operators.rank import global_rank
+
+    od = T(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+        "o_orderkey",
+    )
+    ranked = global_rank(
+        od, [F.col("c"), F.col("o_orderkey")], rank_col="__r", total_col="__n"
+    )
+    klo = F.greatest(
+        F.lit(1).cast("bigint"), F.floor(F.col("__n") / F.lit(100.0))
+    )
+    khi = F.col("__n") - klo + F.lit(1)
+    bounds = ranked.filter(
+        (F.col("__r") == klo) | (F.col("__r") == khi)
+    ).agg(
+        F.max(F.when(F.col("__r") == klo, F.col("c"))).alias("lo"),
+        F.max(F.when(F.col("__r") == khi, F.col("c"))).alias("hi"),
+    )
+    d13 = lambda c: c.cast("decimal(13,0)")  # noqa: E731
+    clipped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+    g = (
+        od.crossJoin(F.broadcast(bounds))
+        .select(clipped.alias("cc"), "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.sum("cc").alias("s"),
+            F.sum(d13(F.col("cc")) * d13(F.col("cc"))).alias("ss"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    var = (nd * F.col("ss").cast("double") - sd * sd) / (nd * (nd - F.lit(1.0)))
+    return g.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        (F.col("lo").cast("double") / F.lit(100.0)).alias("lo"),
+        (F.col("hi").cast("double") / F.lit(100.0)).alias("hi"),
+        pround(sd / nd / F.lit(100.0), 6).alias("wins_mean"),
+        pround(
+            F.when(F.col("n") > 1, F.sqrt(var) / F.lit(100.0)), 6
+        ).alias("wins_std"),
+    )
+
+
 @q("q_quantile_ladder_grouped")
 def q_quantile_ladder_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact quantiles at scale: p25/p50/p75 of order price
