@@ -68,9 +68,10 @@ def report(spark, sf_dir: str) -> dict[str, int]:
     out["mmr"] = len(mmr)
 
     m = qs["q_ndcg_at_10"](spark, sf_dir).collect()[0]
+    ndcg = "n/a (no positive labels)" if m["ndcg"] is None else f"{m['ndcg']:.4f}"
     print(
         f"\nnDCG@10 of the semantic list vs graded labels: "
-        f"{m['ndcg']:.4f} (DCG {m['dcg']:.4f} / IDCG {m['idcg']:.4f})"
+        f"{ndcg} (DCG {m['dcg']:.4f} / IDCG {m['idcg']:.4f})"
     )
     out["ndcg_rows"] = 1
 

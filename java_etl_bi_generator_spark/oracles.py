@@ -52,6 +52,55 @@ _NON_ASCII_RATIO = (
 _N_TOKENS = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
 
 
+# Shared CTE bodies — q_bm25 / q_vector_topk define the canonical lexical
+# and semantic scoring; the fusion/eval oracles (q_rrf_fusion,
+# q_ndcg_at_10) compose the SAME text so a tokenizer or pround change
+# can never leave a stale copy behind.
+_BM25_SCORED_CTES = """docs AS (
+          SELECT doc_id, {toks} AS toks FROM documents
+          WHERE trim(text) <> ''),
+        tf AS (
+          SELECT doc_id, dl, tok, count(*) AS tf
+          FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok
+                FROM docs) t
+          WHERE tok IN ('the', 'and') GROUP BY 1, 2, 3),
+        st AS (
+          SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM tf),
+        corpus AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+          FROM docs),
+        bm AS (
+          SELECT doc_id,
+                 {score} AS bm25
+          FROM st CROSS JOIN corpus GROUP BY doc_id)"""
+
+
+def _bm25_scored_ctes() -> str:
+    return _BM25_SCORED_CTES.format(
+        toks=_TOKENS,
+        score=pround_sql(
+            'sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)'
+            ' * (tf * (1.2 + 1.0)'
+            ' / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))', 4),
+    )
+
+
+def _cosine_scored_ctes() -> str:
+    return (
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings\n"
+        "              WHERE vec_id = 0),\n"
+        "        scored AS (\n"
+        "          SELECT vec_id,\n"
+        "                 " + pround_sql(
+            'list_dot_product(CAST(embedding AS DOUBLE[]), qv) / '
+            '(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), '
+            'CAST(embedding AS DOUBLE[]))) * '
+            'sqrt(list_dot_product(qv, qv)))', 6) + " AS cosine\n"
+        "          FROM embeddings, q)"
+    )
+
+
 def _dcg_chain(prefix: str) -> str:
     """Left-associated 10-term DCG chain over pivoted gains — the same
     fixed repr-exact weight literals the Spark side uses (see
@@ -1395,17 +1444,7 @@ ORACLES: dict[str, str] = {
                    'sqrt(list_dot_product(b.v, b.v)))', 6)} >= 0.3
     """,
     "q_vector_topk": f"""
-        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-                   WHERE vec_id = 0),
-        scored AS (
-          SELECT vec_id,
-                 {pround_sql(
-                     'list_dot_product(CAST(embedding AS DOUBLE[]), qv) / '
-                     '(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), '
-                     'CAST(embedding AS DOUBLE[]))) * '
-                     'sqrt(list_dot_product(qv, qv)))', 6)} AS cosine
-          FROM embeddings, q
-        )
+        WITH {_cosine_scored_ctes()}
         SELECT vec_id, cosine FROM scored
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
@@ -3020,42 +3059,14 @@ ORACLES: dict[str, str] = {
         FROM a
     """,
     "q_bm25": f"""
-        WITH docs AS (
-          SELECT doc_id, {_TOKENS} AS toks FROM documents
-          WHERE trim(text) <> ''),
-        tf AS (
-          SELECT doc_id, dl, tok, count(*) AS tf
-          FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok
-                FROM docs) t
-          WHERE tok IN ('the', 'and') GROUP BY 1, 2, 3),
-        st AS (
-          SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM tf),
-        corpus AS (
-          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                 CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
-          FROM docs)
-        SELECT doc_id,
-               {pround_sql(
-                   'sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)'
-                   ' * (tf * (1.2 + 1.0)'
-                   ' / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))', 4)}
-                 AS bm25
-        FROM st CROSS JOIN corpus GROUP BY doc_id
+        WITH {_bm25_scored_ctes()}
+        SELECT doc_id, bm25 FROM bm
     """,
     # nDCG@10: both engines consume the SAME repr-exact discount
     # literals and the SAME left-associated 10-term chain — unrounded
     # floats are safe (see functions/ranking_eval.py).
     "q_ndcg_at_10": f"""
-        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-                   WHERE vec_id = 0),
-        scored AS (
-          SELECT vec_id,
-                 {pround_sql(
-                     'list_dot_product(CAST(embedding AS DOUBLE[]), qv) / '
-                     '(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), '
-                     'CAST(embedding AS DOUBLE[]))) * '
-                     'sqrt(list_dot_product(qv, qv)))', 6)} AS cosine
-          FROM embeddings, q),
+        WITH {_cosine_scored_ctes()},
         top10 AS (
           SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
           FROM (SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT 10)),
@@ -3077,43 +3088,13 @@ ORACLES: dict[str, str] = {
     # standalone oracles (bm25 pround-4, cosine pround-6) with id
     # tie-breaks; 1/(60+rank) on small ints is per-row IEEE, unrounded.
     "q_rrf_fusion": f"""
-        WITH docs AS (
-          SELECT doc_id, {_TOKENS} AS toks FROM documents
-          WHERE trim(text) <> ''),
-        tf AS (
-          SELECT doc_id, dl, tok, count(*) AS tf
-          FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok
-                FROM docs) t
-          WHERE tok IN ('the', 'and') GROUP BY 1, 2, 3),
-        st AS (
-          SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM tf),
-        corpus AS (
-          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                 CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
-          FROM docs),
-        bm AS (
-          SELECT doc_id,
-                 {pround_sql(
-                     'sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)'
-                     ' * (tf * (1.2 + 1.0)'
-                     ' / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))', 4)}
-                   AS bm25
-          FROM st CROSS JOIN corpus GROUP BY doc_id),
+        WITH {_bm25_scored_ctes()},
         lexr AS (
           SELECT doc_id,
                  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
                       AS INTEGER) AS lex_rank
           FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
-        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-              WHERE vec_id = 0),
-        scored AS (
-          SELECT vec_id,
-                 {pround_sql(
-                     'list_dot_product(CAST(embedding AS DOUBLE[]), qv) / '
-                     '(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), '
-                     'CAST(embedding AS DOUBLE[]))) * '
-                     'sqrt(list_dot_product(qv, qv)))', 6)} AS cosine
-          FROM embeddings, q),
+        {_cosine_scored_ctes()},
         semr AS (
           SELECT vec_id AS doc_id,
                  CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)

@@ -430,6 +430,13 @@ def sample_frames(media: DataFrame, num_frames: int = 4,
     )
 
 
+def is_riff_wave(b: bytes) -> bool:
+    """One container-detection predicate shared by the walker and the
+    ``audio_format`` column — extending it (e.g. RF64) can't make the
+    two disagree."""
+    return len(b) >= 12 and b[0:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
 def wav_chunk_meta(
     b: bytes,
 ) -> tuple[int | None, int | None, int | None, int | None]:
@@ -443,7 +450,7 @@ def wav_chunk_meta(
     rate.  The audio twin of ``mp4_box_meta``; same contract: all-None
     when the stream is not RIFF/WAVE, partial fields when chunks are
     missing/truncated."""
-    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+    if not is_riff_wave(b):
         return None, None, None, None
     rate: int | None = None
     channels: int | None = None
@@ -465,9 +472,11 @@ def wav_chunk_meta(
         off = payload + size + (size & 1)  # chunks pad to even offsets
     dur_ms: int | None = None
     if data_size is not None and rate and channels and bits:
-        byte_rate = rate * channels * (bits // 8)
-        if byte_rate > 0:
-            dur_ms = data_size * 1000 // byte_rate
+        # bit-exact: bits_per_sample need not be a multiple of 8
+        # (12-bit containers exist) — divide in bits, not bytes
+        bit_rate = rate * channels * bits
+        if bit_rate > 0:
+            dur_ms = data_size * 8 * 1000 // bit_rate
     return rate, channels, bits, dur_ms
 
 
@@ -499,13 +508,7 @@ def audio_meta_arrow(media: DataFrame, batch_size: int = 256) -> DataFrame:
             for c in pdf["content"]:
                 b = bytes(c) if c is not None else b""
                 rate, ch, bits, dur = wav_chunk_meta(b)
-                fmts.append(
-                    "wav"
-                    if len(b) >= 12
-                    and b[0:4] == b"RIFF"
-                    and b[8:12] == b"WAVE"
-                    else "unknown"
-                )
+                fmts.append("wav" if is_riff_wave(b) else "unknown")
                 rates.append(rate)
                 chans.append(ch)
                 bits_l.append(bits)

@@ -43,6 +43,9 @@ BASE = {"orders": 150_000, "events": 100_000, "documents": 5_000, "embeddings": 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = set(sys.argv[2:])
+    unknown = only - set(registry())
+    if unknown:  # a typo must not report a clean 0-query run
+        sys.exit(f"unknown queries: {sorted(unknown)}")
     spark = get_spark(app_name="volume_sweep")
     for src in (SyntheticEventsDataSource, SyntheticDocumentsDataSource,
                 SyntheticEmbeddingsDataSource):

@@ -356,6 +356,10 @@ def test_wav_chunk_walk_general_layouts():
     # not RIFF/WAVE at all
     assert wav_chunk_meta(b"\x89PNG\r\n\x1a\n") == (None, None, None, None)
     assert wav_chunk_meta(b"") == (None, None, None, None)
+    # non-byte-aligned bit depth: duration divides in BITS (12-bit mono
+    # at 8 kHz -> 12000 B/s; a bits//8 byte rate would report 1500 ms)
+    nb = _wav_noncanonical(channels=1, rate=8000, bits=12, n_samples=8000)
+    assert wav_chunk_meta(nb) == (8000, 1, 12, 1000)
 
 
 def test_audio_meta_arrow_path(spark):
