@@ -4457,6 +4457,39 @@ ORACLES.update({
         SELECT vec_id, cosine FROM scored
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
+    # ANN recall: exact top-10 (shared cosine CTE) vs the LSH bucket's
+    # reranked top-10 (same bit-identical bucket expression as
+    # q_vector_topk_lsh); counts + one exact-int division.
+    "q_ann_recall": f"""
+        WITH {_cosine_scored_ctes()},
+        exact AS (
+          SELECT vec_id FROM scored
+          ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+        lq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                      {_lsh_bucket_sql('embedding')} AS qb
+               FROM embeddings WHERE vec_id = 0),
+        lcand AS (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, lq.qv
+          FROM embeddings e, lq
+          WHERE {_lsh_bucket_sql('e.embedding')} = lq.qb),
+        lscored AS (
+          SELECT vec_id,
+                 {pround_sql(
+                     'list_dot_product(ev, qv) / '
+                     '(sqrt(list_dot_product(ev, ev)) * '
+                     'sqrt(list_dot_product(qv, qv)))', 6)} AS cosine
+          FROM lcand),
+        lsh AS (
+          SELECT vec_id FROM lscored
+          ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+          (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+          (SELECT CAST(count(*) AS BIGINT)
+           FROM exact JOIN lsh USING (vec_id)) AS n_overlap,
+          CAST((SELECT count(*) FROM exact JOIN lsh USING (vec_id))
+               AS DOUBLE) / 10.0 AS recall_at_10
+    """,
     "q_kcore": _kcore_sql(3, 4),
     "q_pagerank": _pagerank_sql(5),
     "q_bfs_levels": _bellman_sql(6, weighted=False, out_col="hops"),

@@ -4244,6 +4244,42 @@ def q_vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ann_recall")
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@10 of the hyperplane-LSH retriever
+    against the exact cosine top-10 — the self-evaluation every
+    approximate index ships with, here as a DECLARED query because both
+    lists are cross-engine exact (pinned cosine + the bit-identical LSH
+    bucket of q_vector_topk_lsh), so the recall number itself is
+    hash-checkable — unlike IVF recall, which stays a pytest property
+    (float-trained centroids).  Scale shape: two TakeOrderedAndProject
+    corpus scans; the overlap join and the three count aggregates run
+    on ≤k rows.  recall = n_overlap/k is one exact-int division."""
+    from .operators.similarity import lsh_bucket_topk
+
+    em = T(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    exact = brute_force_topk(em, qv, k=10).select("vec_id")
+    lsh = lsh_bucket_topk(em, qv, k=10).select("vec_id")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(
+            exact.join(lsh, "vec_id").agg(
+                F.count(F.lit(1)).alias("n_overlap")
+            )
+        )
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
 @q("q_approx_percentile")
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-family approximation: ``approx_percentile`` (Greenwald-Khanna
