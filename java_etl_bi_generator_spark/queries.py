@@ -6447,9 +6447,22 @@ def q_spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # x side: per-value counts collapse to the bounded domain; the rank
     # table is tiny, so its power sums are count-weighted and the rank
-    # map broadcasts onto the fact.
+    # map broadcasts onto the fact.  Being VALUE-grain (~50 quantities
+    # per flag at any corpus size), its cumsum runs as a plain window —
+    # the distributed machinery would spend a range exchange plus a
+    # lineage cut on a 150-row frame (the y side, data-grain in distinct
+    # values, keeps the range-partitioned form).
     px = li.groupBy("l_returnflag", "x").agg(F.count(F.lit(1)).alias("cx"))
-    rx = doubled_avg_rank(px, "x", "cx")
+    rx = px.withColumn(
+        "__cum",
+        F.sum("cx").over(
+            Window.partitionBy("l_returnflag")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "r2", F.lit(2) * F.col("__cum") - F.col("cx") + F.lit(1)
+    )
     gx = rx.groupBy("l_returnflag").agg(
         F.sum(dec("cx") * dec("r2")).alias("sx"),
         F.sum(d12("cx") * d13("r2") * d13("r2")).alias("sxx"),
