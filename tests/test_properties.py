@@ -363,3 +363,55 @@ def test_fastss_matches_bruteforce_ed1(names):
             for r in registry()["q_fuzzy_ids_fastss"](spark, d).collect()
         }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ckeys=st.lists(
+        st.integers(min_value=1, max_value=3000), min_size=1, max_size=12,
+        unique=True,
+    ),
+    skeys=st.lists(
+        st.integers(min_value=1, max_value=3000), min_size=1, max_size=12,
+        unique=True,
+    ),
+)
+def test_knn_grid_matches_bruteforce(ckeys, skeys):
+    """Grid-KNN equals brute force restricted to the 3x3 neighborhood,
+    over arbitrary key sets (coordinates derive from keys, so random
+    keys scatter points across cells, edges and corners included)."""
+    import tempfile
+
+    from java_etl_bi_generator_spark.queries import registry
+
+    def cpoint(k):
+        return (k * 37 % 1000, k * 73 % 1000)
+
+    def spoint(k):
+        return (k * 41 % 1000, k * 59 % 1000)
+
+    want = {}
+    for ck in ckeys:
+        clat, clon = cpoint(ck)
+        cx, cy = clat // 100, clon // 100
+        best = None
+        for sk in skeys:
+            slat, slon = spoint(sk)
+            if abs(slat // 100 - cx) > 1 or abs(slon // 100 - cy) > 1:
+                continue
+            d2 = (clat - slat) ** 2 + (clon - slon) ** 2
+            if best is None or (d2, sk) < best:
+                best = (d2, sk)
+        want[ck] = (best[1], best[0]) if best else (None, None)
+
+    spark = _get_spark()
+    cu = spark.createDataFrame([(k,) for k in ckeys], "c_custkey bigint")
+    su = spark.createDataFrame([(k,) for k in skeys], "s_suppkey bigint")
+    with tempfile.TemporaryDirectory() as d:
+        cu.write.parquet(f"{d}/customer.parquet")
+        su.write.parquet(f"{d}/supplier.parquet")
+        got = {
+            r["c_custkey"]: (r["nearest_suppkey"], r["d2"])
+            for r in registry()["q_knn_grid_join"](spark, d).collect()
+        }
+    assert got == want
