@@ -295,3 +295,68 @@ def test_fastss_planted_neighbors(spark):
         "hello1112": (2, "hello111"),
         "hello111": (2, "hello1111"),
     }
+
+
+def test_spearman_matches_pure_python():
+    """Average-rank Spearman re-derived in plain Python (fractional
+    ranks via sorted positions, then Pearson) over a fixed tie-heavy
+    case mix — breaks the symmetry of 'both engines share a systematic
+    error' that oracle agreement alone can't rule out."""
+    import math
+    import tempfile
+
+    cases = {
+        "A": ([1, 2, 3, 4, 5], [10, 40, 20, 50, 30]),
+        "B": ([1, 1, 2, 2, 3], [5, 5, 7, 9, 9]),     # ties on both sides
+        "C": ([2, 2, 2, 2], [1, 2, 3, 4]),           # zero x-variance
+    }
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j + 1) / 2.0
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    def spearman(xs, ys):
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(xs)
+        mx, my = sum(rx) / n, sum(ry) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        if vx <= 0 or vy <= 0:
+            return None
+        return cov / math.sqrt(vx * vy)
+
+    rows = []
+    for flag, (xs, ys) in cases.items():
+        for x, y in zip(xs, ys):
+            rows.append((flag, float(x), float(y)))
+
+    from java_etl_bi_generator_spark.session import get_spark
+
+    spark = get_spark(app_name="spearman-prop")
+    df = spark.createDataFrame(
+        rows, ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            r["l_returnflag"]: r["spearman"]
+            for r in registry()["q_spearman_by_group"](spark, d).collect()
+        }
+    for flag, (xs, ys) in cases.items():
+        want = spearman(xs, ys)
+        if want is None:
+            assert got[flag] is None, flag
+        else:
+            pinned = math.floor(want * 1e6 + 0.5) / 1e6
+            assert abs(got[flag] - pinned) < 1e-9, (flag, got[flag], want)
