@@ -2945,6 +2945,52 @@ ORACLES: dict[str, str] = {
                    ' / expected', 6)} AS chi2_contrib
         FROM t
     """,
+    # Mahalanobis: exact integer power sums cast to DOUBLE at the same
+    # point as Spark, closed-form 2x2 inverse, one fixed-IEEE per-row
+    # quadratic form; threshold literal is low-digit (exact DECIMAL ->
+    # single-rounded DOUBLE).
+    "q_anomaly_mahalanobis": f"""
+        WITH li AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+          FROM lineitem),
+        s AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(y * y) AS DOUBLE) AS syy,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy
+          FROM li GROUP BY 1),
+        st AS (
+          SELECT l_returnflag,
+                 sx / n AS mx, sy / n AS my,
+                 (sxx - sx * sx / n) / (n - 1.0) AS cxx,
+                 (syy - sy * sy / n) / (n - 1.0) AS cyy,
+                 (sxy - sx * sy / n) / (n - 1.0) AS cxy,
+                 ((sxx - sx * sx / n) / (n - 1.0))
+                   * ((syy - sy * sy / n) / (n - 1.0))
+                   - ((sxy - sx * sy / n) / (n - 1.0))
+                     * ((sxy - sx * sy / n) / (n - 1.0)) AS det
+          FROM s),
+        d AS (
+          SELECT li.l_returnflag,
+                 (cyy * (CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx)
+                  - 2.0 * cxy * (CAST(x AS DOUBLE) - mx)
+                        * (CAST(y AS DOUBLE) - my)
+                  + cxx * (CAST(y AS DOUBLE) - my)
+                        * (CAST(y AS DOUBLE) - my)) / det AS d2
+          FROM li JOIN st USING (l_returnflag)
+          WHERE det > 0.0)
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN d2 > 13.8155 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               {pround_sql('max(d2)', 6)} AS max_d2
+        FROM d GROUP BY 1
+    """,
     # Winsorize: rank-selected exact cent bounds, integer clip, HUGEINT
     # power sums (= Spark's bigint/decimal), one pinned float expression
     # in the same IEEE order.

@@ -3084,6 +3084,79 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_anomaly_mahalanobis")
+def q_anomaly_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outliers: squared Mahalanobis distance of each
+    (quantity, price) pair from its return flag's 2-D distribution —
+    the correlation-aware generalization of q_anomaly_zscore (a cheap
+    row can be normal and a high-quantity row can be normal while the
+    COMBINATION is anomalous).  d² > 13.8155 (χ²₂ at 0.999) flags it.
+
+    No linear-algebra library and no iteration: the 2×2 covariance
+    inverse is CLOSED FORM, so the whole statistic is sums + one per-row
+    expression — n/Σx/Σy/Σx²/Σy²/Σxy accumulate exactly in
+    DECIMAL(38,0) over integer cents (order-free, engine-identical),
+    the 3-row stats table broadcasts back onto a second column-pruned
+    scan, and d² = (cyy·dx² − 2·cxy·dx·dy + cxx·dy²)/det evaluates in
+    one fixed IEEE order on identical sums.  Output per flag: row
+    count, outlier count, pinned max d²."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    d13 = lambda c: F.col(c).cast("decimal(13,0)")  # noqa: E731
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(d13("x") * d13("x")).cast("double").alias("sxx"),
+        F.sum(d13("y") * d13("y")).cast("double").alias("syy"),
+        F.sum(d13("x") * d13("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx") / n
+    my = F.col("sy") / n
+    cxx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    cyy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - F.lit(1.0))
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1.0))
+    st = stats.select(
+        "l_returnflag",
+        mx.alias("mx"),
+        my.alias("my"),
+        cxx.alias("cxx"),
+        cyy.alias("cyy"),
+        cxy.alias("cxy"),
+        (cxx * cyy - cxy * cxy).alias("det"),
+    )
+    dx = F.col("x").cast("double") - F.col("mx")
+    dy = F.col("y").cast("double") - F.col("my")
+    d2 = (
+        F.col("cyy") * dx * dx
+        - F.lit(2.0) * F.col("cxy") * dx * dy
+        + F.col("cxx") * dy * dy
+    ) / F.col("det")
+    return (
+        li.join(F.broadcast(st), "l_returnflag")
+        .filter(F.col("det") > F.lit(0.0))
+        .withColumn("d2", d2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("d2") > F.lit(13.8155), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            pround(F.max("d2"), 6).alias("max_d2"),
+        )
+    )
+
+
 @q("q_anomaly_zscore")
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score outliers: events whose value deviates >3 sample

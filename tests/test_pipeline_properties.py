@@ -360,3 +360,44 @@ def test_spearman_matches_pure_python():
         else:
             pinned = math.floor(want * 1e6 + 0.5) / 1e6
             assert abs(got[flag] - pinned) < 1e-9, (flag, got[flag], want)
+
+
+def test_mahalanobis_flags_combination_anomaly(spark):
+    """A point whose x and y are each in-range but whose COMBINATION is
+    off the correlation line must be flagged — the case 1-D z-scores
+    miss by construction.  Expected values re-derived in plain Python
+    with the same closed-form 2x2 inverse."""
+    import math
+    import tempfile
+
+    pts = [(float(i), 10.0 * i) for i in range(1, 21)] + [(10.0, 10.0)]
+    rows = [("A", x, y) for x, y in pts]
+    df = spark.createDataFrame(
+        rows, ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/lineitem.parquet")
+        got = registry()["q_anomaly_mahalanobis"](spark, d).collect()[0]
+
+    cents = [(round(x * 100), round(y * 100)) for x, y in pts]
+    n = float(len(cents))
+    sx = float(sum(c[0] for c in cents))
+    sy = float(sum(c[1] for c in cents))
+    sxx = float(sum(c[0] * c[0] for c in cents))
+    syy = float(sum(c[1] * c[1] for c in cents))
+    sxy = float(sum(c[0] * c[1] for c in cents))
+    mx, my = sx / n, sy / n
+    cxx = (sxx - sx * sx / n) / (n - 1.0)
+    cyy = (syy - sy * sy / n) / (n - 1.0)
+    cxy = (sxy - sx * sy / n) / (n - 1.0)
+    det = cxx * cyy - cxy * cxy
+    d2s = [
+        (cyy * (x - mx) * (x - mx) - 2.0 * cxy * (x - mx) * (y - my)
+         + cxx * (y - my) * (y - my)) / det
+        for x, y in cents
+    ]
+    n_out = sum(1 for v in d2s if v > 13.8155)
+    assert n_out >= 1  # the planted (10, 10) point is the anomaly
+    assert got["n_rows"] == 21
+    assert got["n_outliers"] == n_out
+    assert got["max_d2"] == math.floor(max(d2s) * 1e6 + 0.5) / 1e6
