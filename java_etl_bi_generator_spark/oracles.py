@@ -2945,6 +2945,30 @@ ORACLES: dict[str, str] = {
                    ' / expected', 6)} AS chi2_contrib
         FROM t
     """,
+    # TWAP: identical ms-integer ordering on both sides (lead == the
+    # desc-order grouped_lag), exact cents x gap products in HUGEINT,
+    # one pinned division.
+    "q_twap": f"""
+        WITH ev AS (
+          SELECT event_type, event_id, epoch_ms(ts) AS ms,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events),
+        w AS (
+          SELECT event_type, c, ms,
+                 lead(ms) OVER (PARTITION BY event_type
+                                ORDER BY ms, event_id) AS nxt
+          FROM ev),
+        d AS (
+          SELECT event_type, c, nxt - ms AS dur
+          FROM w WHERE nxt IS NOT NULL)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(dur) AS BIGINT) AS span_ms,
+               {pround_sql(
+                   'CAST(sum(c * dur) AS DOUBLE)'
+                   ' / CAST(sum(dur) AS DOUBLE) / 100.0', 6)} AS twap
+        FROM d GROUP BY 1
+    """,
     # Mahalanobis: exact integer power sums cast to DOUBLE at the same
     # point as Spark, closed-form 2x2 inverse, one fixed-IEEE per-row
     # quadratic form; threshold literal is low-digit (exact DECIMAL ->

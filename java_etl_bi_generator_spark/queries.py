@@ -4431,6 +4431,58 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_twap")
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type — the step-function
+    mean (each sample holds until the next one) that de-biases
+    irregular sampling, the TWAP of sensor/pricing ETL; a plain AVG
+    over-weights bursts.
+
+    Exactness + scale: each interval's weight is the exact integer ms
+    gap to the NEXT sample — ``operators.rank.grouped_lag`` over the
+    DESCENDING (ms, id) order, so low-cardinality types never funnel
+    through one partition (the q_interarrival_stats shape, pointed the
+    other way).  Both engines order by the SAME ms integers (sub-ms
+    timestamp precision must not order rows the bigint can't see);
+    Σ cents·gap accumulates in DECIMAL products and the single
+    division is pround-pinned.  The last sample of each type carries no
+    interval — the standard TWAP contract over [first, last]."""
+    from .operators.rank import grouped_lag
+
+    ev = T(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    d13 = lambda c: F.col(c).cast("decimal(13,0)")  # noqa: E731
+    # grouped_lag orders by plain Columns (no SortOrder); negated keys
+    # give the descending walk whose "previous" is the NEXT sample
+    nxt = grouped_lag(
+        base.withColumn("negms", -F.col("ms")).withColumn(
+            "negid", -F.col("event_id")
+        ),
+        ["event_type"],
+        [F.col("negms"), F.col("negid")],
+        F.col("ms"),
+        lag_col="next_ms",
+    )
+    iv = nxt.withColumn("dur", F.col("next_ms") - F.col("ms")).filter(
+        F.col("dur").isNotNull()
+    )
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dur").cast("bigint").alias("span_ms"),
+        pround(
+            F.sum(d13("c") * d13("dur")).cast("double")
+            / F.sum("dur").cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("twap"),
+    )
+
+
 @q("q_iqr_outliers")
 def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection: events outside the Tukey fences

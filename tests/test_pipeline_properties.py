@@ -401,3 +401,29 @@ def test_mahalanobis_flags_combination_anomaly(spark):
     assert got["n_rows"] == 21
     assert got["n_outliers"] == n_out
     assert got["max_d2"] == math.floor(max(d2s) * 1e6 + 0.5) / 1e6
+
+
+def test_twap_planted_step_function(spark):
+    """Hand-checkable TWAP: samples 10@0s, 20@10s, 30@40s hold until the
+    next sample -> (10*10s + 20*30s)/40s = 17.5, while the plain mean
+    (20.0) over-weights the burst; the last sample carries no weight."""
+    import datetime as dt
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "T", 10.0, None),
+        (2, t0 + dt.timedelta(seconds=10), 7, "T", 20.0, None),
+        (3, t0 + dt.timedelta(seconds=40), 7, "T", 30.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = registry()["q_twap"](spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["event_type"], r["n_intervals"], r["span_ms"]) == ("T", 2, 40000)
+    assert r["twap"] == 17.5
