@@ -46,20 +46,29 @@ def report(spark, sf_dir: str) -> dict[str, int]:
     )
     out["winsorize_rows"] = 1
 
-    sp = qs["q_spearman_by_group"](spark, sf_dir).orderBy("l_returnflag")
+    sp = (
+        qs["q_spearman_by_group"](spark, sf_dir)
+        .orderBy("l_returnflag")
+        .collect()
+    )
     print("\nSpearman(quantity, price) per return flag:")
-    for r in sp.collect():
-        print(f"  {r['l_returnflag']}: rho={r['spearman']:.6f} "
-              f"(n={r['n_rows']})")
-    out["spearman_groups"] = sp.count()
+    for r in sp:
+        rho = "n/a (zero variance)" if r["spearman"] is None \
+            else f"{r['spearman']:.6f}"
+        print(f"  {r['l_returnflag']}: rho={rho} (n={r['n_rows']})")
+    out["spearman_groups"] = len(sp)
 
-    mh = qs["q_anomaly_mahalanobis"](spark, sf_dir).orderBy("l_returnflag")
+    mh = (
+        qs["q_anomaly_mahalanobis"](spark, sf_dir)
+        .orderBy("l_returnflag")
+        .collect()
+    )
     print("\nMahalanobis (quantity, price) outliers per flag "
           "(d2 > chi2_2@0.999):")
-    for r in mh.collect():
+    for r in mh:
         print(f"  {r['l_returnflag']}: {r['n_outliers']}/{r['n_rows']} "
               f"flagged, max d2={r['max_d2']:.2f}")
-    out["mahalanobis_groups"] = mh.count()
+    out["mahalanobis_groups"] = len(mh)
 
     mi = qs["q_mutual_information"](spark, sf_dir).collect()
     total_mi = sum(r["mi_contrib"] for r in mi)

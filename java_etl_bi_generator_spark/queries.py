@@ -4335,29 +4335,42 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable — unlike IVF recall, which stays a pytest property
     (float-trained centroids).  Scale shape: two TakeOrderedAndProject
     corpus scans; the overlap join and the three count aggregates run
-    on ≤k rows.  recall = n_overlap/k is one exact-int division."""
+    on ≤k rows.  recall = n_overlap/k is one exact-int division.  All
+    three counts come from ONE full-outer join of the two lists — each
+    corpus scan executes exactly once (TakeOrderedAndProject subtrees
+    are not exchange-reusable, so a per-count re-consumption would
+    re-score the corpus)."""
     from .operators.similarity import lsh_bucket_topk
 
     em = T(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    exact = brute_force_topk(em, qv, k=10).select("vec_id")
-    lsh = lsh_bucket_topk(em, qv, k=10).select("vec_id")
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
-        .crossJoin(
-            exact.join(lsh, "vec_id").agg(
-                F.count(F.lit(1)).alias("n_overlap")
-            )
+    exact = brute_force_topk(em, qv, k=10).select(
+        "vec_id", F.lit(1).alias("in_e")
+    )
+    lsh = lsh_bucket_topk(em, qv, k=10).select(
+        "vec_id", F.lit(1).alias("in_l")
+    )
+    j = exact.join(lsh, "vec_id", "full")
+    return j.agg(
+        F.sum(F.coalesce(F.col("in_e"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.coalesce(F.col("in_l"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_lsh"),
+        F.sum(
+            F.coalesce(F.col("in_e"), F.lit(0))
+            * F.coalesce(F.col("in_l"), F.lit(0))
         )
-        .select(
-            "n_exact",
-            "n_lsh",
-            "n_overlap",
-            (F.col("n_overlap").cast("double") / F.lit(10.0)).alias(
-                "recall_at_10"
-            ),
-        )
+        .cast("bigint")
+        .alias("n_overlap"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.lit(10.0)).alias(
+            "recall_at_10"
+        ),
     )
 
 
@@ -6569,13 +6582,24 @@ def q_spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     d13 = lambda c: F.col(c).cast("decimal(13,0)")  # noqa: E731
     dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
 
-    def doubled_avg_rank(per: DataFrame, col: str, cnt: str) -> DataFrame:
-        cum = grouped_cumsum(
-            per, ["l_returnflag"], [F.col(col).asc()], cnt, cum_col="__cum"
-        )
+    def attach_r2(cum: DataFrame, cnt: str) -> DataFrame:
+        """2·avg_rank from a per-value cumulative count — ONE copy of
+        the tie identity, whichever machinery produced the cumsum."""
         return cum.withColumn(
             "r2",
             F.lit(2) * F.col("__cum") - F.col(cnt) + F.lit(1),
+        )
+
+    def doubled_avg_rank(per: DataFrame, col: str, cnt: str) -> DataFrame:
+        return attach_r2(
+            grouped_cumsum(
+                per,
+                ["l_returnflag"],
+                [F.col(col).asc()],
+                cnt,
+                cum_col="__cum",
+            ),
+            cnt,
         )
 
     # x side: per-value counts collapse to the bounded domain; the rank
@@ -6586,15 +6610,16 @@ def q_spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage cut on a 150-row frame (the y side, data-grain in distinct
     # values, keeps the range-partitioned form).
     px = li.groupBy("l_returnflag", "x").agg(F.count(F.lit(1)).alias("cx"))
-    rx = px.withColumn(
-        "__cum",
-        F.sum("cx").over(
-            Window.partitionBy("l_returnflag")
-            .orderBy("x")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rx = attach_r2(
+        px.withColumn(
+            "__cum",
+            F.sum("cx").over(
+                Window.partitionBy("l_returnflag")
+                .orderBy("x")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
         ),
-    ).withColumn(
-        "r2", F.lit(2) * F.col("__cum") - F.col("cx") + F.lit(1)
+        "cx",
     )
     gx = rx.groupBy("l_returnflag").agg(
         F.sum(dec("cx") * dec("r2")).alias("sx"),
