@@ -1531,6 +1531,30 @@ ORACLES: dict[str, str] = {
                (u2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg) AS auc
         FROM t
     """,
+    "q_gains_lift": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        r AS (
+          SELECT *, NTILE(10) OVER (ORDER BY -s6, o_custkey) AS decile
+          FROM j),
+        d AS (
+          SELECT decile,
+                 count(*) AS n_customers,
+                 CAST(sum(label) AS BIGINT) AS n_active
+          FROM r GROUP BY decile)
+        SELECT decile, n_customers, n_active,
+               CAST(sum(n_active) OVER (ORDER BY decile) AS BIGINT)
+                 AS cum_active,
+               {pround_sql(
+                   'sum(n_active) OVER (ORDER BY decile)'
+                   ' / CAST(sum(n_active) OVER () AS DOUBLE)', 6)}
+                 AS capture_pct,
+               {pround_sql(
+                   '(n_active / CAST(n_customers AS DOUBLE))'
+                   ' / (sum(n_active) OVER ()'
+                   ' / CAST(sum(n_customers) OVER () AS DOUBLE))', 6)}
+                 AS lift
+        FROM d
+    """,
     "q_ml_score_inference": f"""
         WITH {_churn_feat_sql(False)},
         z AS (
@@ -2418,6 +2442,46 @@ ORACLES: dict[str, str] = {
     """,
     # KS: integer cross-multiplied ECDF gap, one cumsum of the signed
     # delta; argmax = (largest |gap|, smallest value).
+    "q_kendall_tau": f"""
+        WITH li AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                 CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+          FROM lineitem),
+        cells AS (
+          SELECT l_returnflag, x, y, count(*) AS cnt
+          FROM li GROUP BY 1, 2, 3),
+        cd AS (
+          SELECT a.l_returnflag,
+                 sum(CASE WHEN b.y > a.y THEN a.cnt * b.cnt ELSE 0 END)
+                   AS c_pairs,
+                 sum(CASE WHEN b.y < a.y THEN a.cnt * b.cnt ELSE 0 END)
+                   AS d_pairs
+          FROM cells a JOIN cells b
+            ON a.l_returnflag = b.l_returnflag AND a.x < b.x
+          GROUP BY 1),
+        mx AS (
+          SELECT l_returnflag, sum(t * (t - 1)) AS t1, sum(t) AS n
+          FROM (SELECT l_returnflag, x, sum(cnt) AS t
+                FROM cells GROUP BY 1, 2) m
+          GROUP BY 1),
+        my AS (
+          SELECT l_returnflag, sum(t * (t - 1)) AS t2
+          FROM (SELECT l_returnflag, y, sum(cnt) AS t
+                FROM cells GROUP BY 1, 2) m
+          GROUP BY 1)
+        SELECT cd.l_returnflag,
+               CAST(mx.n AS BIGINT) AS n_rows,
+               CAST(c_pairs AS DOUBLE) AS concordant,
+               CAST(d_pairs AS DOUBLE) AS discordant,
+               {pround_sql(
+                   '2.0 * CAST(c_pairs - d_pairs AS DOUBLE)'
+                   ' / sqrt(CAST(n * (n - 1) - t1 AS DOUBLE)'
+                   ' * CAST(n * (n - 1) - t2 AS DOUBLE))', 6)}
+                 AS kendall_tau
+        FROM cd JOIN mx ON mx.l_returnflag = cd.l_returnflag
+                JOIN my ON my.l_returnflag = cd.l_returnflag
+    """,
     "q_ks_test": f"""
         WITH od AS (
           SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,

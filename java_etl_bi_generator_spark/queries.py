@@ -4040,6 +4040,62 @@ def q_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_gains_lift")
+def q_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation: the cumulative-gains / lift table for the fused
+    logistic score — customers ranked by score descending into deciles
+    (distributed ``global_rank`` + NTILE's closed form, the same pair
+    q_score_calibration hash-proves against SQL NTILE); each decile
+    reports its size, positives, cumulative positives, the captured
+    share of all positives, and lift over the base rate.  Counts stay
+    bigint until the two final divisions, which both engines evaluate
+    as the identical expression — so the whole table hash-checks.  The
+    cumulative/total windows run on the 10-row decile grain (bounded by
+    construction, the documented single-partition exemption)."""
+    from .operators.rank import global_rank, ntile_from_rank
+
+    scored = _churn_scored_labeled(spark, sf_dir)
+    ranked = global_rank(
+        scored,
+        [(-F.col("__s6")).alias("sk"), F.col("o_custkey")],
+        rank_col="__r",
+        total_col="__n",
+    )
+    per = (
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("__r"), F.col("__n"), 10)
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("label").alias("n_active"),
+        )
+    )
+    cum_w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_active = F.sum("n_active").over(cum_w)
+    tot_active = F.sum("n_active").over(tot_w)
+    tot_n = F.sum("n_customers").over(tot_w)
+    return per.select(
+        "decile",
+        "n_customers",
+        "n_active",
+        cum_active.alias("cum_active"),
+        pround(cum_active / tot_active.cast("double"), 6).alias(
+            "capture_pct"
+        ),
+        pround(
+            (F.col("n_active") / F.col("n_customers").cast("double"))
+            / (tot_active / tot_n.cast("double")),
+            6,
+        ).alias("lift"),
+    )
+
+
 @q("q_onehot")
 def q_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature engineering: one-hot encode o_orderpriority into indicator
@@ -6663,6 +6719,96 @@ def q_spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((vx > F.lit(0.0)) & (vy > F.lit(0.0)), cov / F.sqrt(vx * vy)),
             6,
         ).alias("spearman"),
+    )
+
+
+@q("q_kendall_tau")
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between quantity and discount per return flag — the
+    third rank-association lens next to q_spearman_by_group (Spearman)
+    and q_rolling_corr (Pearson).  τ is the naive O(n²)-pairs statistic,
+    but BOTH variables here have bounded domains (~50 quantities × 11
+    discounts), so the scale-correct form collapses the fact table to
+    the joint CONTINGENCY TABLE first (one shuffle, ≤550 cells/flag) and
+    enumerates concordant/discordant CELL pairs, weighting by cnt·cnt —
+    the pair join runs on the bounded cell grain, never on data grain.
+    C, D and the tie terms accumulate in DECIMAL(38,0) (pair counts are
+    O(N²) — past bigint at ~1e10 rows; DuckDB's HUGEINT matches); the
+    doubled-tie identity τ = 2(C−D)/√((t0−t1)(t0−t2)) with
+    t = N(N−1)-style terms avoids any integer halving, and the one float
+    expression at the end is fixed-order IEEE on identical exact sums,
+    pround-pinned."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("x"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    cells = cut_lineage(
+        li.groupBy("l_returnflag", "x", "y").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        eager=False,
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.l_returnflag").alias("l_returnflag"),
+        (d19(F.col("a.cnt")) * d19(F.col("b.cnt"))).alias("w"),
+        F.signum((F.col("b.y") - F.col("a.y")).cast("double")).alias("s"),
+    )
+    cd = pairs.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("s") > 0, F.col("w")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("c_pairs"),
+        F.sum(F.when(F.col("s") < 0, F.col("w")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("d_pairs"),
+    )
+    tx = (
+        cells.groupBy("l_returnflag", "x")
+        .agg(F.sum("cnt").alias("t"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(d19(F.col("t")) * d19(F.col("t") - 1))
+            .cast("decimal(38,0)")
+            .alias("t1"),
+            F.sum("t").alias("n"),
+        )
+    )
+    ty = (
+        cells.groupBy("l_returnflag", "y")
+        .agg(F.sum("cnt").alias("t"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(d19(F.col("t")) * d19(F.col("t") - 1))
+            .cast("decimal(38,0)")
+            .alias("t2"),
+        )
+    )
+    g = cd.join(F.broadcast(tx), "l_returnflag").join(
+        F.broadcast(ty), "l_returnflag"
+    )
+    t0 = d19(F.col("n")) * d19(F.col("n") - 1)
+    den = F.sqrt(
+        (t0 - F.col("t1")).cast("double") * (t0 - F.col("t2")).cast("double")
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("c_pairs").cast("double").alias("concordant"),
+        F.col("d_pairs").cast("double").alias("discordant"),
+        pround(
+            F.lit(2.0)
+            * (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+            / den,
+            6,
+        ).alias("kendall_tau"),
     )
 
 
