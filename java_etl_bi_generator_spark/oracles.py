@@ -2362,6 +2362,36 @@ ORACLES: dict[str, str] = {
     # replication of the supplier side, exact integer squared distance,
     # winner = (d2, suppkey) lexicographic min — matches Spark's
     # min(struct) exactly; LEFT JOIN keeps empty-neighborhood customers.
+    "q_grid_density_clusters": """
+        WITH RECURSIVE pts AS (
+          SELECT (c_custkey * 37) % 1000 AS lat,
+                 (c_custkey * 73) % 1000 AS lon
+          FROM customer),
+        cel AS (
+          SELECT CAST(floor(lat / 50.0) AS BIGINT) AS cx,
+                 CAST(floor(lon / 50.0) AS BIGINT) AS cy
+          FROM pts),
+        core AS (
+          SELECT cx * 100 + cy AS cell, cx, cy, count(*) AS n_pts
+          FROM cel GROUP BY cx, cy HAVING count(*) >= 5),
+        edges AS (
+          SELECT a.cell AS src, b.cell AS dst
+          FROM core a JOIN core b
+            ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+        cc AS (
+          SELECT DISTINCT src AS node, src AS comp FROM edges
+          UNION
+          SELECT e.dst AS node, cc.comp AS comp
+          FROM cc JOIN edges e ON e.src = cc.node
+          WHERE cc.comp < e.dst
+        ),
+        comp AS (SELECT node, min(comp) AS component FROM cc GROUP BY node)
+        SELECT comp.component AS cluster_id,
+               count(*) AS n_cells,
+               CAST(sum(core.n_pts) AS BIGINT) AS n_points
+        FROM comp JOIN core ON core.cell = comp.node
+        GROUP BY comp.component
+    """,
     "q_knn_grid_join": """
         WITH cu AS (
           SELECT c_custkey,

@@ -6127,6 +6127,77 @@ def q_knn_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_grid_density_clusters")
+def q_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based spatial clustering (grid DBSCAN): customers on the
+    same deterministic 2-D plane as q_knn_grid_join, bucketed into 50×50
+    cells; cells holding ≥ 5 points are CORE, 8-adjacent core cells are
+    density-connected, and each connected component of core cells is one
+    cluster (reported with its cell and point counts).  This is the
+    grid-DBSCAN formulation that scales: the point-grain work is ONE
+    groupBy down to cell counts; adjacency is the bounded ×9
+    neighborhood explode + equi-join of q_knn_grid_join (never a
+    point-pair or cell-theta join at data grain); components come from
+    `operators.graph.connected_components` (pointer-jumping min-label,
+    lineage-cut per round) on the bounded core-cell graph.  The DuckDB
+    oracle rebuilds the identical graph and closes it with a recursive
+    CTE.  At tiny SFs no cell reaches density 5 and the result is
+    legitimately empty — the driver-gate SF (0.01) yields a non-trivial
+    multi-cluster map (verified non-empty there)."""
+    from .operators.graph import connected_components
+
+    pts = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 37 % 1000).alias("lat"),
+        (F.col("c_custkey") * 73 % 1000).alias("lon"),
+    )
+    celled = pts.select(
+        F.floor(F.col("lat") / F.lit(50.0)).alias("cx"),
+        F.floor(F.col("lon") / F.lit(50.0)).alias("cy"),
+    )
+    core = cut_lineage(
+        celled.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .filter(F.col("n_pts") >= 5)
+        .select(
+            (F.col("cx") * 100 + F.col("cy")).alias("cell"),
+            "cx",
+            "cy",
+            "n_pts",
+        ),
+        eager=False,
+    )
+    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    nb = core.select(
+        F.col("cell").alias("id_a"),
+        F.explode(offs).alias("dx"),
+        F.col("cx"),
+        F.col("cy"),
+    ).select(
+        "id_a",
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        F.explode(offs).alias("dy"),
+        F.col("cy"),
+    ).select("id_a", "nx", (F.col("cy") + F.col("dy")).alias("ny"))
+    edges = nb.join(
+        core.select(
+            F.col("cell").alias("id_b"),
+            F.col("cx").alias("nx"),
+            F.col("cy").alias("ny"),
+        ),
+        ["nx", "ny"],
+    ).select("id_a", "id_b")
+    comp = connected_components(edges)
+    return (
+        comp.join(core, comp.node == core.cell)
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_pts").alias("n_points"),
+        )
+    )
+
+
 @q("q_overlap_count_sweepline")
 def q_overlap_count_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENUMERATE-FREE twin of q_join_interval_overlap: the same
