@@ -3583,6 +3583,44 @@ ORACLES: dict[str, str] = {
                  AS n_active_hours
         FROM h GROUP BY 1
     """,
+    "q_ttest_welch": f"""
+        WITH j AS (
+          SELECT c.c_mktsegment AS segment,
+                 o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent,
+                 CAST(o.o_totalprice AS DECIMAL(18,2)) AS d
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        s AS (
+          SELECT segment,
+                 CAST(sum(CASE WHEN urgent THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS na,
+                 CAST(sum(CASE WHEN urgent THEN d END) AS DOUBLE) AS sxa,
+                 CAST(sum(CASE WHEN urgent THEN d * d END) AS DOUBLE)
+                   AS sxxa,
+                 CAST(sum(CASE WHEN NOT urgent THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS nb,
+                 CAST(sum(CASE WHEN NOT urgent THEN d END) AS DOUBLE) AS sxb,
+                 CAST(sum(CASE WHEN NOT urgent THEN d * d END) AS DOUBLE)
+                   AS sxxb
+          FROM j GROUP BY 1),
+        m AS (
+          SELECT segment, na, nb,
+                 sxa / na AS mean_a, sxb / nb AS mean_b,
+                 ((sxxa - sxa * sxa / na) / (na - 1.0)) / na AS sea,
+                 ((sxxb - sxb * sxb / nb) / (nb - 1.0)) / nb AS seb
+          FROM s)
+        SELECT segment,
+               CAST(na AS BIGINT) AS n_urgent,
+               CAST(nb AS BIGINT) AS n_routine,
+               {pround_sql('mean_a', 6)} AS mean_urgent,
+               {pround_sql('mean_b', 6)} AS mean_routine,
+               {pround_sql(
+                   '(mean_a - mean_b) / sqrt(sea + seb)', 6)} AS t_stat,
+               {pround_sql(
+                   '((sea + seb) * (sea + seb))'
+                   ' / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))',
+                   6)} AS welch_df
+        FROM m
+    """,
     "q_abtest_zscore": f"""
         WITH arms AS (
           SELECT CASE WHEN ({_BUCKET.replace('doc_id', 'user_id')}) % 2 = 0

@@ -5026,6 +5026,67 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ttest_welch")
+def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic PER customer
+    segment: do urgent orders (priority 1-2) carry a different mean
+    value than routine ones, segment by segment — the grouped
+    continuous-metric companion to q_abtest_zscore (global, z) with the
+    Welch-Satterthwaite df reported alongside.  One pass: both arms'
+    (n, Σx, Σx²) come from conditional sums in a single grouped
+    aggregate over exact DECIMAL(18,2) values (no second scan, no
+    pivot); every float expression is fixed-order IEEE on those
+    identical exact sums, pround-pinned."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    g = (
+        od.join(cu, "o_custkey")
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("double").alias("na"),
+            F.sum(F.when(urgent, d)).cast("double").alias("sxa"),
+            F.sum(F.when(urgent, d * d)).cast("double").alias("sxxa"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("double").alias("nb"),
+            F.sum(F.when(~urgent, d)).cast("double").alias("sxb"),
+            F.sum(F.when(~urgent, d * d)).cast("double").alias("sxxb"),
+        )
+        .withColumn("mean_a", F.col("sxa") / F.col("na"))
+        .withColumn("mean_b", F.col("sxb") / F.col("nb"))
+        .withColumn(
+            "var_a",
+            (F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("na"))
+            / (F.col("na") - F.lit(1.0)),
+        )
+        .withColumn(
+            "var_b",
+            (F.col("sxxb") - F.col("sxb") * F.col("sxb") / F.col("nb"))
+            / (F.col("nb") - F.lit(1.0)),
+        )
+        .withColumn("sea", F.col("var_a") / F.col("na"))
+        .withColumn("seb", F.col("var_b") / F.col("nb"))
+    )
+    se2 = F.col("sea") + F.col("seb")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        F.col("sea") * F.col("sea") / (F.col("na") - F.lit(1.0))
+        + F.col("seb") * F.col("seb") / (F.col("nb") - F.lit(1.0))
+    )
+    return g.select(
+        "segment",
+        F.col("na").cast("bigint").alias("n_urgent"),
+        F.col("nb").cast("bigint").alias("n_routine"),
+        pround(F.col("mean_a"), 6).alias("mean_urgent"),
+        pround(F.col("mean_b"), 6).alias("mean_routine"),
+        pround(t, 6).alias("t_stat"),
+        pround(df, 6).alias("welch_df"),
+    )
+
+
 @q("q_abtest_zscore")
 def q_abtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experimentation surface: two-sample z statistic for purchase value
