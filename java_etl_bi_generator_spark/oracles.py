@@ -1800,6 +1800,19 @@ ORACLES: dict[str, str] = {
         FROM orders
         QUALIFY rn <= 3
     """,
+    "q_rolling_median": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS cents
+          FROM orders GROUP BY 1)
+        SELECT d,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               quantile_cont(cents, 0.5) OVER
+                 (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 / 100.0 AS median_7d
+        FROM daily
+    """,
     "q_moving_avg_range": f"""
         WITH base AS (
           SELECT o_custkey, o_orderkey,

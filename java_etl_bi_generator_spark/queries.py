@@ -911,6 +911,33 @@ def q_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_rolling_median")
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ROBUST center: exact 7-row rolling median of daily revenue
+    — the outlier-resistant twin of q_moving_avg_range (a single bad day
+    can't drag the median the way it drags the mean).  The fact table
+    first collapses to the bounded DAY grain (one shuffle); the rolling
+    median is `percentile(cents, 0.5)` over a ROWS frame on that ~2.4k-row
+    series (the documented bounded-grain single-partition exemption).
+    Inputs are exact integer cents, and Spark's `percentile` and DuckDB's
+    `quantile_cont` share the (n−1)·q interpolation rule, so midpoints of
+    identical integers are identical doubles."""
+    od = T(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        ).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        (
+            F.expr("percentile(cents, 0.5)").over(w) / F.lit(100.0)
+        ).alias("median_7d"),
+    )
+
+
 @q("q_percent_rank")
 def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 variant: percent_rank and cume_dist — pure integer-ratio
