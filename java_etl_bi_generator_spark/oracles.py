@@ -271,6 +271,52 @@ _CHURN_SCORED_LABELED_SQL = f"""{_churn_feat_sql(True)},
           FROM s LEFT JOIN a ON a.o_custkey = s.o_custkey)"""
 
 
+def _cramers_sql() -> str:
+    """Mirror of q_cramers_v: the same pinned 3×5 contingency pivot, the
+    same algebraic clearing (O·N−R·C)²/(N·R·C) in exact HUGEINT products
+    (Spark side: DECIMAL(38,0)), and the same left-to-right 15-term
+    double chain."""
+    sts = ["F", "O", "P"]
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cells = ",\n                 ".join(
+        f"sum(CASE WHEN o_orderstatus = '{s}' AND o_orderpriority = '{p}'"
+        f" THEN 1 ELSE 0 END) AS o_{i}_{j}"
+        for i, s in enumerate(sts)
+        for j, p in enumerate(pris)
+    )
+    h = lambda e: f"CAST({e} AS HUGEINT)"  # noqa: E731
+    rows = {
+        i: "(" + " + ".join(f"o_{i}_{j}" for j in range(len(pris))) + ")"
+        for i in range(len(sts))
+    }
+    cols = {
+        j: "(" + " + ".join(f"o_{i}_{j}" for i in range(len(sts))) + ")"
+        for j in range(len(pris))
+    }
+    n = "(" + " + ".join(rows[i] for i in range(len(sts))) + ")"
+    chain = None
+    for i in range(len(sts)):
+        for j in range(len(pris)):
+            num = (
+                f"({h(f'o_{i}_{j}')} * {h(n)}"
+                f" - {h(rows[i])} * {h(cols[j])})"
+            )
+            den = f"({h(n)} * {h(rows[i])} * {h(cols[j])})"
+            t = f"(CAST({num} * {num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+            chain = t if chain is None else f"({chain} + {t})"
+    return f"""
+        WITH one AS (
+          SELECT {cells}
+          FROM orders)
+        SELECT CAST({n} AS BIGINT) AS n_orders,
+               {pround_sql(chain, 6)} AS chi2,
+               {pround_sql(
+                   f'sqrt({chain} / (CAST({n} AS DOUBLE) * 2.0))', 6)}
+                 AS cramers_v
+        FROM one
+    """
+
+
 def _ema_sql(n_terms: int = 12, decay: float = 0.7) -> str:
     """Truncated-FIR exponential smoothing mirroring q_exp_smoothing:
     the same 12 lag terms with repr'd double weights, summed in the same
@@ -3035,6 +3081,7 @@ ORACLES: dict[str, str] = {
           ON a.hash = b.hash AND a.source < b.source
         GROUP BY 1, 2
     """,
+    "q_cramers_v": _cramers_sql(),
     "q_chi2_cells": f"""
         WITH cells AS (
           SELECT o_orderstatus, o_orderpriority, count(*) AS observed

@@ -5819,6 +5819,65 @@ def q_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_cramers_v")
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect size for q_chi2_cells' independence test: Cramér's
+    V = √(χ²/(N·min(r−1,c−1))) of order status × priority.  χ² is a SUM
+    of per-cell doubles — order-dependent if left to a distributed
+    aggregate — so the contingency pivots to ONE row via 15 conditional
+    counts against the PINNED category sets (the q_onehot contract: a
+    drifting category set reshapes the statistic silently) and χ² is an
+    explicit left-to-right 15-term chain, fixed-order IEEE in both
+    engines.  Each term is algebraically cleared of the early division:
+    (O·N − R·C)²/(N·R·C), numerator and denominator exact DECIMAL
+    products cast to double only for the final division."""
+    from functools import reduce
+
+    od = T(spark, sf_dir, "orders")
+    sts = ["F", "O", "P"]
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aggs = [
+        F.sum(
+            F.when(
+                (F.col("o_orderstatus") == s)
+                & (F.col("o_orderpriority") == p),
+                1,
+            ).otherwise(0)
+        ).alias(f"o_{i}_{j}")
+        for i, s in enumerate(sts)
+        for j, p in enumerate(pris)
+    ]
+    one = od.agg(*aggs)
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    obs = {
+        (i, j): F.col(f"o_{i}_{j}")
+        for i in range(len(sts))
+        for j in range(len(pris))
+    }
+    rows = {
+        i: reduce(lambda a, b: a + b, [obs[(i, j)] for j in range(len(pris))])
+        for i in range(len(sts))
+    }
+    cols = {
+        j: reduce(lambda a, b: a + b, [obs[(i, j)] for i in range(len(sts))])
+        for j in range(len(pris))
+    }
+    n = reduce(lambda a, b: a + b, [rows[i] for i in range(len(sts))])
+    terms = []
+    for i in range(len(sts)):
+        for j in range(len(pris)):
+            num = d19(obs[(i, j)]) * d19(n) - d19(rows[i]) * d19(cols[j])
+            den = d19(n) * d19(rows[i]) * d19(cols[j])
+            terms.append((num * num).cast("double") / den.cast("double"))
+    chi2 = reduce(lambda a, b: a + b, terms)
+    v = F.sqrt(chi2 / (n.cast("double") * F.lit(2.0)))
+    return one.select(
+        n.cast("bigint").alias("n_orders"),
+        pround(chi2, 6).alias("chi2"),
+        pround(v, 6).alias("cramers_v"),
+    )
+
+
 @q("q_mutual_information")
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus QA: per-cell pointwise mutual-information contributions of
