@@ -1,0 +1,37 @@
+"""Shared literals for deterministic resampling operators.
+
+The Poisson bootstrap (Kleiner et al.'s scale-native bootstrap; also the
+production form at web-scale analytics shops) replaces sample-with-
+replacement — which needs a global ordering — with an independent
+Poisson(1) multiplicity per (row, replicate), computable from a pure
+hash with NO coordination.  Both the Spark query and the DuckDB oracle
+import THIS table so the inverse-CDF thresholds are bit-identical by
+construction (same accumulation code, same floats).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def poisson1_cdf(kmax: int = 8) -> list[float]:
+    """Cumulative Poisson(1) probabilities [P(X<=0), ..., P(X<=kmax)].
+
+    A 32-bit uniform u maps to multiplicity k = #(thresholds < u); the
+    tail mass beyond kmax (≈1.1e-6 at 8) maps to kmax+1 — bias far below
+    the bootstrap's own Monte-Carlo noise, and identical in both engines
+    either way.
+    """
+    term = math.exp(-1.0)
+    cum = term
+    out = [cum]
+    for k in range(1, kmax + 1):
+        term = term / k
+        cum = cum + term
+        out.append(cum)
+    return out
+
+
+#: 2^32 as a float divisor: an 8-hex-nibble hash prefix over this is a
+#: uniform in [0, 1) with 32 bits of resolution.
+U32_DIVISOR = 4294967296.0

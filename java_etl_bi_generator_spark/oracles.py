@@ -28,6 +28,7 @@ across engines).
 from __future__ import annotations
 
 from .functions.ranking_eval import ndcg_weight_sql
+from .functions.resample import poisson1_cdf
 from .functions.rounding import dsum_sql, pround_sql
 
 _PTBR_MONTHS = (
@@ -269,6 +270,48 @@ _CHURN_SCORED_LABELED_SQL = f"""{_churn_feat_sql(True)},
           SELECT s.o_custkey, s.s6,
                  CASE WHEN a.o_custkey IS NULL THEN 0 ELSE 1 END AS label
           FROM s LEFT JOIN a ON a.o_custkey = s.o_custkey)"""
+
+
+def _bootstrap_sql() -> str:
+    """Mirror of q_bootstrap_ci: same md5-prefix uniform, the SAME
+    Poisson(1) inverse-CDF thresholds (imported, not retyped), exact
+    integer replicate sums, and order-statistic CI bounds."""
+    cdf = poisson1_cdf()
+    u = _hex_bigint(
+        "md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(t.b AS VARCHAR))",
+        1,
+        8,
+    )
+    cases = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(cdf)
+    )
+    return f"""
+        WITH r AS (
+          SELECT t.b AS b,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                 {u} / 4294967296.0 AS u
+          FROM orders CROSS JOIN range(0, 41) t(b)),
+        w AS (
+          SELECT b, cents, CASE {cases} ELSE {len(cdf)} END AS w
+          FROM r),
+        g AS (SELECT b, sum(w) AS sw, sum(w * cents) AS swx
+              FROM w GROUP BY b),
+        m AS (SELECT CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_cents
+              FROM g),
+        c AS (SELECT (list_sort(list(mean_cents)))[2] AS lo_cents,
+                     (list_sort(list(mean_cents)))[40] AS hi_cents
+              FROM m),
+        p AS (SELECT count(*) AS n_orders,
+                     sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                       AS sc
+              FROM orders)
+        SELECT n_orders,
+               {pround_sql('CAST(sc AS DOUBLE) / n_orders / 100.0', 6)}
+                 AS mean_value,
+               {pround_sql('lo_cents / 100.0', 6)} AS ci_lo,
+               {pround_sql('hi_cents / 100.0', 6)} AS ci_hi
+        FROM p CROSS JOIN c
+    """
 
 
 def _cramers_sql() -> str:
@@ -4087,6 +4130,7 @@ ORACLES: dict[str, str] = {
         FROM pairs GROUP BY 1
         ORDER BY pair_count DESC, pair ASC LIMIT 50
     """,
+    "q_bootstrap_ci": _bootstrap_sql(),
     "q_snapshot_diff": """
         WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
         v2 AS (

@@ -3679,6 +3679,91 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_bootstrap_ci")
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap 95% CI for mean order value via the POISSON
+    bootstrap — the scale-native resampling form: classic
+    sample-with-replacement needs a global draw per replicate, but
+    Poisson(1) multiplicities are independent per (row, replicate) and
+    come from a pure hash, so 41 replicates are ONE pass — a bounded
+    ×41 map-side explode whose partial aggregation collapses to ≤41
+    groups per partition before the only shuffle.  Determinism end to
+    end: the uniform is a 32-bit md5 prefix, the inverse-CDF thresholds
+    are imported from functions/resample.py by BOTH engines
+    (bit-identical literals), each replicate mean is one IEEE division
+    of exact integer sums, and the CI bounds are exact ORDER STATISTICS
+    (2nd and 40th of 41 sorted replicate means — B chosen so
+    (B+1)·0.025 is integral), never interpolated — no percentile-
+    interpolation arithmetic to mismatch across engines."""
+    from .functions.resample import U32_DIVISOR, poisson1_cdf
+
+    od = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    rep = od.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(40))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(U32_DIVISOR)
+    )
+    cdf = poisson1_cdf()
+    w = F.when(u < F.lit(cdf[0]), 0)
+    for k in range(1, len(cdf)):
+        w = w.when(u < F.lit(cdf[k]), k)
+    w = w.otherwise(len(cdf))
+    g = (
+        rep.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("cents")).alias("swx"),
+        )
+    )
+    means = g.select(
+        (F.col("swx").cast("double") / F.col("sw").cast("double")).alias(
+            "mean_cents"
+        )
+    )
+    ci = means.agg(
+        F.sort_array(F.collect_list("mean_cents")).alias("ms")
+    ).select(
+        F.element_at("ms", 2).alias("lo_cents"),
+        F.element_at("ms", 40).alias("hi_cents"),
+    )
+    point = od.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sc"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_orders",
+        pround(
+            F.col("sc").cast("double") / F.col("n_orders") / F.lit(100.0), 6
+        ).alias("mean_value"),
+        pround(F.col("lo_cents") / F.lit(100.0), 6).alias("ci_lo"),
+        pround(F.col("hi_cents") / F.lit(100.0), 6).alias("ci_hi"),
+    )
+
+
 @q("q_snapshot_diff")
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style snapshot diff: classify rows as added / removed / changed
