@@ -272,6 +272,32 @@ _CHURN_SCORED_LABELED_SQL = f"""{_churn_feat_sql(True)},
           FROM s LEFT JOIN a ON a.o_custkey = s.o_custkey)"""
 
 
+def _linkage_sql() -> str:
+    """Mirror of q_linkage_weights: the same pinned Fellegi-Sunter
+    log-odds (imported, not retyped) in the same left-to-right 4-term
+    chain over the same blocked pair join."""
+    from .functions.linkage import fs_weights
+
+    cols = ["p_size", "name_adj", "name_noun", "ptype"]
+    chain = None
+    for c, (_, wa, wd) in zip(cols, fs_weights()):
+        t = f"(CASE WHEN a.{c} = b.{c} THEN {wa!r} ELSE {wd!r} END)"
+        chain = t if chain is None else f"({chain} + {t})"
+    return f"""
+        WITH pt AS (
+          SELECT p_partkey, p_brand, p_size,
+                 split_part(p_name, ' ', 1) AS name_adj,
+                 split_part(p_name, ' ', 2) AS name_noun,
+                 p_type AS ptype
+          FROM part)
+        SELECT CAST(floor({chain}) AS BIGINT) AS weight_band,
+               count(*) AS n_pairs
+        FROM pt a JOIN pt b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        GROUP BY 1
+    """
+
+
 def _bootstrap_sql() -> str:
     """Mirror of q_bootstrap_ci: same md5-prefix uniform, the SAME
     Poisson(1) inverse-CDF thresholds (imported, not retyped), exact
@@ -1068,6 +1094,7 @@ ORACLES: dict[str, str] = {
         SELECT token, freq FROM c
         WHERE freq * 1000 > (SELECT count(*) FROM t)
     """,
+    "q_linkage_weights": _linkage_sql(),
     "q_fuzzy_match": """
         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist

@@ -2402,6 +2402,59 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_linkage_weights")
+def q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi-Sunter): every within-block
+    candidate part pair gets a match WEIGHT — Σ over fields of
+    log2(m/u) on agreement, log2((1−m)/(1−u)) on disagreement — and the
+    output is the weight-band histogram (floor(weight), pair count) a
+    linkage pipeline thresholds into match / review / non-match.  The
+    m/u log-odds are PINNED literals imported from functions/linkage.py
+    by BOTH engines, each pair's weight is a fixed-order 4-term chain of
+    those literals (no data-dependent float accumulation anywhere), and
+    banding happens at pair grain — so the histogram hash-checks.
+    Blocking on p_brand bounds the pair join exactly as q_fuzzy_match
+    (same composed-key scale note applies); bands aggregate with one
+    shuffle."""
+    from .functions.linkage import fs_weights
+
+    pt = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.split(F.col("p_name"), " ")[0].alias("name_adj"),
+        F.split(F.col("p_name"), " ")[1].alias("name_noun"),
+        F.col("p_type").alias("ptype"),
+    )
+    cols = ["p_size", "name_adj", "name_noun", "ptype"]
+    a = pt.select(
+        F.col("p_partkey").alias("id_a"),
+        "p_brand",
+        *[F.col(c).alias(f"a_{i}") for i, c in enumerate(cols)],
+    )
+    b = pt.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_brand").alias("brand_b"),
+        *[F.col(c).alias(f"b_{i}") for i, c in enumerate(cols)],
+    )
+    pairs = a.join(
+        b,
+        (F.col("p_brand") == F.col("brand_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    weight = None
+    for i, (_, wa, wd) in enumerate(fs_weights()):
+        term = F.when(
+            F.col(f"a_{i}") == F.col(f"b_{i}"), F.lit(wa)
+        ).otherwise(F.lit(wd))
+        weight = term if weight is None else weight + term
+    return (
+        pairs.select(F.floor(weight).cast("bigint").alias("weight_band"))
+        .groupBy("weight_band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 @q("q_fuzzy_ids_fastss")
 def q_fuzzy_ids_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit: edit-distance-1 neighbor detection over the
