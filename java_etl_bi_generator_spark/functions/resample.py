@@ -35,3 +35,18 @@ def poisson1_cdf(kmax: int = 8) -> list[float]:
 #: 2^32 as a float divisor: an 8-hex-nibble hash prefix over this is a
 #: uniform in [0, 1) with 32 bits of resolution.
 U32_DIVISOR = 4294967296.0
+
+
+def dyadic_decay_weights(kmax: int = 40) -> list[tuple[int, int]]:
+    """[(age_bucket k, integer weight 2^(kmax-k))] for an EXACT
+    half-life decay: score·2^kmax = Σ value·2^(kmax−k) is pure integer
+    arithmetic (order-independent, engine-identical), and the final
+    rescale divides by the exactly-representable double 2^kmax.  Ages
+    beyond kmax are truncated — their weight is < 2^−kmax of a unit,
+    the same declared-truncation contract as the FIR exp_smoothing.
+    """
+    return [(k, 1 << (kmax - k)) for k in range(kmax + 1)]
+
+
+#: 2^40 as an exactly-representable double divisor.
+DYADIC_KMAX_DIVISOR = 1099511627776.0

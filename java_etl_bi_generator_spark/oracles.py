@@ -272,6 +272,33 @@ _CHURN_SCORED_LABELED_SQL = f"""{_churn_feat_sql(True)},
           FROM s LEFT JOIN a ON a.o_custkey = s.o_custkey)"""
 
 
+def _decay_sql() -> str:
+    """Mirror of q_decayed_engagement: the same 41-row dyadic weight
+    table (imported, not retyped), HUGEINT products matching Spark's
+    DECIMAL(38,0), and the same two exact-double divisions."""
+    from .functions.resample import dyadic_decay_weights
+
+    vals = ", ".join(f"({k}, {w})" for k, w in dyadic_decay_weights())
+    return f"""
+        WITH od AS (
+          SELECT o_custkey,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS cents,
+                 CAST(floor((DATE '1998-08-02'
+                             - CAST(o_orderdate AS DATE)) / 30.0) AS INT)
+                   AS k
+          FROM orders),
+        wt(k, wt) AS (VALUES {vals})
+        SELECT o_custkey, count(*) AS n_orders,
+               {pround_sql(
+                   'CAST(sum(CAST(cents AS HUGEINT) * CAST(wt AS HUGEINT))'
+                   ' AS DOUBLE) / 1099511627776.0 / 100.0', 6)}
+                 AS decayed_value
+        FROM od JOIN wt USING (k)
+        GROUP BY o_custkey
+    """
+
+
 def _linkage_sql() -> str:
     """Mirror of q_linkage_weights: the same pinned Fellegi-Sunter
     log-odds (imported, not retyped) in the same left-to-right 4-term
@@ -1686,6 +1713,7 @@ ORACLES: dict[str, str] = {
         FROM z
     """,
     "q_exp_smoothing": _ema_sql(),
+    "q_decayed_engagement": _decay_sql(),
     "q_survival_km": f"""
         WITH last AS (
           SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d

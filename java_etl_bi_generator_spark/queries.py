@@ -4928,6 +4928,64 @@ def q_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_decayed_engagement")
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted customer engagement with an EXACT half-life:
+    score = Σ order_value·2^(−age/30d) — the time-decay scoring every
+    engagement/churn feed wants, normally hopeless to hash-check because
+    pow() and float summation order differ across engines.  Exactness
+    trick: the decay base is 2, ages bucket to integers, so
+    score·2^40 = Σ cents·2^(40−k) is PURE INTEGER arithmetic — weights
+    come from a broadcast 41-row literal table shared with the oracle
+    (functions/resample.dyadic_decay_weights), products stay DECIMAL(38)
+    exact, the integer sum is partition-order-free, and the one float
+    step divides by the exactly-representable double 2^40.  Ages beyond
+    40 buckets truncate (weight < 2^−40 — the declared-truncation
+    contract of the FIR exp_smoothing).  Reference date pinned, never
+    now()."""
+    from .functions.resample import DYADIC_KMAX_DIVISOR, dyadic_decay_weights
+
+    od = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.floor(
+            F.datediff(
+                F.lit("1998-08-02").cast("date"),
+                F.to_date("o_orderdate"),
+            )
+            / F.lit(30.0)
+        )
+        .cast("int")
+        .alias("k"),
+    ).filter(F.col("k") <= 40)
+    wt = spark.createDataFrame(
+        dyadic_decay_weights(), "k int, wt bigint"
+    )
+    scored = od.join(F.broadcast(wt), "k")
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    return (
+        scored.groupBy("o_custkey")
+        .agg(
+            F.sum(d19("cents") * d19("wt"))
+            .cast("decimal(38,0)")
+            .alias("__s"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            pround(
+                F.col("__s").cast("double")
+                / F.lit(DYADIC_KMAX_DIVISOR)
+                / F.lit(100.0),
+                6,
+            ).alias("decayed_value"),
+        )
+    )
+
+
 @q("q_survival_km")
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve of customer lifetime: the churn event
