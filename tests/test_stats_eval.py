@@ -9,6 +9,8 @@ count in plain Python.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from java_etl_bi_generator_spark.queries import registry
 
 
@@ -108,6 +110,33 @@ def test_rolling_median_robustness(spark, sf_dir):
     for i, r in enumerate(by_d):
         win = revs[max(0, i - 6): i + 1]
         assert min(win) - 1e-9 <= r["median_7d"] <= max(win) + 1e-9
+
+
+def test_linkage_weights_band_range(spark, sf_dir):
+    from java_etl_bi_generator_spark.functions.linkage import fs_weights
+
+    rows = _rows(spark, sf_dir, "q_linkage_weights")
+    assert rows
+    lo = sum(wd for _, _, wd in fs_weights())
+    hi = sum(wa for _, wa, _ in fs_weights())
+    for r in rows:
+        assert lo - 1 <= r["weight_band"] <= hi
+        assert r["n_pairs"] > 0
+
+
+def test_decayed_engagement_bounded_by_total(spark, sf_dir):
+    # decayed value can never exceed the customer's undecayed total
+    rows = _rows(spark, sf_dir, "q_decayed_engagement")
+    totals = {
+        r["o_custkey"]: r["total"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["decayed_value"] <= totals[r["o_custkey"]] + 1e-6
 
 
 def test_grid_density_clusters_partition(spark, sf_dir):
