@@ -1047,6 +1047,37 @@ ORACLES: dict[str, str] = {
                count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase
         FROM u
     """,
+    "q_funnel_horizon": """
+        WITH v AS (
+          SELECT user_id, event_type, ts,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+          FROM events
+        ),
+        c AS (
+          SELECT user_id, event_type, ts, t_view,
+                 min(CASE WHEN event_type = 'click' AND ts > t_view
+                          AND ts <= t_view + INTERVAL 48 HOUR
+                          THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_click
+          FROM v
+        ),
+        p AS (
+          SELECT user_id, t_view, t_click,
+                 min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                          AND ts <= t_click + INTERVAL 48 HOUR
+                          THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_purchase
+          FROM c
+        ),
+        u AS (SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM p)
+        SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+               count(CASE WHEN t_click IS NOT NULL THEN 1 END)
+                 AS n_click_48h,
+               count(CASE WHEN t_purchase IS NOT NULL THEN 1 END)
+                 AS n_purchase_48h
+        FROM u
+    """,
     "q_join_full_outer": """
         WITH cu AS (SELECT c_nationkey AS ck, count(*) AS n_cust
                     FROM customer GROUP BY c_nationkey),

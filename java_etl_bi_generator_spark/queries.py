@@ -1353,6 +1353,60 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_funnel_horizon")
+def q_funnel_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED ordered funnel: view → click within 48h of the first
+    view → purchase within 48h of that click — the production funnel
+    form (an unbounded window overcounts: a purchase a year later is not
+    conversion).  Same one-shuffle stacked-conditional-window shape as
+    q_funnel, each stage's predicate adding the horizon upper bound via
+    exact interval arithmetic on the event timestamp; Catalyst reuses
+    the single user partitioning across all three window minima."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    horizon = F.expr("INTERVAL 48 HOURS")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view") + horizon),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click") + horizon),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    users = staged.select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    ).distinct()
+    return users.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click").isNotNull(), 1)).alias(
+            "n_click_48h"
+        ),
+        F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias(
+            "n_purchase_48h"
+        ),
+    )
+
+
 @q("q_stream_watermark")
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (hash-checked): Structured Streaming with watermark, run to
