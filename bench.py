@@ -56,6 +56,10 @@ HEADLINE = [
     "q_overlap_count_sweepline",  # enumerate-free pair counting (round 4)
     "q_spearman_by_group",   # avg-rank Spearman via grouped cumsum (round 4)
     "q_knn_grid_join",       # grid-bucketed nearest-neighbor join (round 4)
+    "q_bootstrap_ci",        # one-pass Poisson bootstrap CI (round 4)
+    "q_linkage_weights",     # Fellegi-Sunter blocked pair scoring (round 4)
+    "q_grid_density_clusters",  # grid DBSCAN via connected cells (round 4)
+    "q_decayed_engagement",  # exact dyadic half-life scoring (round 4)
 ]
 
 

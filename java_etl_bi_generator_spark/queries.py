@@ -98,17 +98,23 @@ _SHOWCASE: tuple[str, ...] = (
     "q_star_flagship", "q_csv_roundtrip", "q_surrogate_key",
     "q_dedup_first_row", "q_join_broadcast_left", "q_date_dim_generate",
     "q_locale_decimal_parse", "q_month_name_ptbr",
-    # scan / project / filter (§2.2)
-    "q_project", "q_filter", "q_distinct",
+    # scan / project / filter (§2.2; q_distinct stays hash-checked in
+    # the full sweep — its slot samples the round-4 grid-DBSCAN
+    # density clustering instead)
+    "q_project", "q_filter", "q_grid_density_clusters",
     # joins (§2.4) — anti included: its non-empty rewrite needs driver
     # evidence (the old all-orders variant passed on empty==empty)
-    "q_join_inner", "q_join_star_3way", "q_join_semi", "q_join_anti",
+    # (q_join_semi stays hash-checked in the full sweep; its slot
+    # samples the round-4 Fellegi-Sunter linkage scorer instead)
+    "q_join_inner", "q_join_star_3way", "q_linkage_weights", "q_join_anti",
     "q_join_range", "q_join_asof",
     # UDF surface (§2.13): Arrow-batched mapInPandas, hash-checked
     "q_arrow_doc_stats",
     # aggregation (§2.5; q_count_distinct stays hash-checked in the full
-    # sweep — its slot samples the round-4 generator source instead)
-    "q_minmax_date", "q_groupby_sum", "q_groupby_multi_agg",
+    # sweep — its slot samples the round-4 generator source instead;
+    # q_groupby_multi_agg likewise frees its slot for the round-4
+    # Poisson-bootstrap CI)
+    "q_minmax_date", "q_groupby_sum", "q_bootstrap_ci",
     "q_rollup", "q_rfm",
     # Python Data Source generator, hash-checked vs pure-SQL splitmix64
     "q_synthetic_events",
