@@ -299,6 +299,44 @@ def _decay_sql() -> str:
     """
 
 
+def _bootstrap_by_segment_sql() -> str:
+    """Mirror of q_bootstrap_ci_by_segment: the grouped Poisson
+    bootstrap with the same shared thresholds and per-segment
+    order-statistic bounds."""
+    cdf = poisson1_cdf()
+    u = _hex_bigint(
+        "md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(t.b AS VARCHAR))",
+        1,
+        8,
+    )
+    cases = " ".join(f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(cdf))
+    return f"""
+        WITH r AS (
+          SELECT c.c_mktsegment AS segment, t.b AS b,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                 {u} / 4294967296.0 AS u
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          CROSS JOIN range(0, 41) t(b)),
+        w AS (
+          SELECT segment, b, cents, CASE {cases} ELSE {len(cdf)} END AS w
+          FROM r),
+        g AS (SELECT segment, b, sum(w) AS sw, sum(w * cents) AS swx
+              FROM w GROUP BY segment, b),
+        m AS (SELECT segment,
+                     CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_cents
+              FROM g),
+        c AS (SELECT segment,
+                     (list_sort(list(mean_cents)))[2] AS lo_cents,
+                     (list_sort(list(mean_cents)))[40] AS hi_cents
+              FROM m GROUP BY segment)
+        SELECT segment,
+               {pround_sql('lo_cents / 100.0', 6)} AS ci_lo,
+               {pround_sql('hi_cents / 100.0', 6)} AS ci_hi
+        FROM c
+    """
+
+
 def _linkage_sql() -> str:
     """Mirror of q_linkage_weights: the same pinned Fellegi-Sunter
     log-odds (imported, not retyped) in the same left-to-right 4-term
@@ -2003,6 +2041,18 @@ ORACLES: dict[str, str] = {
         FROM base
         WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "q_cume_dist": """
+        SELECT o_orderkey, o_custkey,
+               cume_dist() OVER
+                 (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS cd,
+               nth_value(o_totalprice, 2) OVER
+                 (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING) AS second_price
+        FROM orders
     """,
     "q_percent_rank": """
         SELECT c_custkey, c_nationkey,
@@ -4217,6 +4267,7 @@ ORACLES: dict[str, str] = {
         ORDER BY pair_count DESC, pair ASC LIMIT 50
     """,
     "q_bootstrap_ci": _bootstrap_sql(),
+    "q_bootstrap_ci_by_segment": _bootstrap_by_segment_sql(),
     "q_snapshot_diff": """
         WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
         v2 AS (

@@ -944,6 +944,27 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_cume_dist")
+def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 completion: cume_dist + nth_value over the deterministic
+    per-customer order — the last two ANSI window functions the surface
+    hadn't declared (rank/dense_rank/row_number/percent_rank/ntile/
+    first/last/lag/lead all have their own queries).  The order key is
+    a TOTAL order (date, orderkey), so cume_dist has no tie plateaus
+    and its n/N ratios are single exact IEEE divisions."""
+    od = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+    )
+
+
 @q("q_percent_rank")
 def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 variant: percent_rank and cume_dist — pure integer-ratio
@@ -3874,6 +3895,86 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_value"),
         pround(F.col("lo_cents") / F.lit(100.0), 6).alias("ci_lo"),
         pround(F.col("hi_cents") / F.lit(100.0), 6).alias("ci_hi"),
+    )
+
+
+@q("q_bootstrap_ci_by_segment")
+def q_bootstrap_ci_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bootstrap_ci's GROUPED form: an independent Poisson-bootstrap
+    95% CI on mean order value per market segment — per-cohort
+    uncertainty from the same one-pass shape (the ×41 replicate explode
+    collapses map-side to ≤ |segments|·41 groups before the shuffle).
+    Same shared inverse-CDF literals, same exact integer replicate sums,
+    same order-statistic bounds — the hash-checkability carries over to
+    the grouped case unchanged."""
+    from .functions.resample import U32_DIVISOR, poisson1_cdf
+
+    cu = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    od = (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .join(cu, "o_custkey")
+    )
+    rep = od.select(
+        "segment",
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(40))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(U32_DIVISOR)
+    )
+    cdf = poisson1_cdf()
+    w = F.when(u < F.lit(cdf[0]), 0)
+    for k in range(1, len(cdf)):
+        w = w.when(u < F.lit(cdf[k]), k)
+    w = w.otherwise(len(cdf))
+    g = (
+        rep.select("segment", "b", "cents", w.alias("w"))
+        .groupBy("segment", "b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("cents")).alias("swx"),
+        )
+    )
+    means = g.select(
+        "segment",
+        (F.col("swx").cast("double") / F.col("sw").cast("double")).alias(
+            "mean_cents"
+        ),
+    )
+    return (
+        means.groupBy("segment")
+        .agg(F.sort_array(F.collect_list("mean_cents")).alias("ms"))
+        .select(
+            "segment",
+            pround(F.element_at("ms", 2) / F.lit(100.0), 6).alias("ci_lo"),
+            pround(F.element_at("ms", 40) / F.lit(100.0), 6).alias("ci_hi"),
+        )
     )
 
 
