@@ -2486,6 +2486,33 @@ ORACLES: dict[str, str] = {
             AS m_score
         FROM base
     """,
+    "q_attribution_positional": """
+        WITH fp AS (
+          SELECT user_id, min(ts) AS pts
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        touches AS (
+          SELECT e.user_id, e.event_type, e.ts, e.event_id, fp.pts
+          FROM events e JOIN fp USING (user_id)
+          WHERE e.event_type <> 'purchase'
+            AND e.ts < fp.pts
+            AND e.ts >= fp.pts - INTERVAL 7 DAY),
+        ranked AS (
+          SELECT *, row_number() OVER
+                   (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM touches),
+        kept AS (
+          SELECT *, count(*) OVER (PARTITION BY user_id) AS n
+          FROM (SELECT * FROM ranked WHERE rn <= 8) t)
+        SELECT event_type,
+               count(*) AS n_touches,
+               sum(CASE WHEN n = 1 THEN 600
+                        WHEN n = 2 THEN 300
+                        WHEN rn = 1 OR rn = n THEN 240
+                        ELSE CAST(120 / (n - 2) AS BIGINT) END) / 600.0
+                 AS credit
+        FROM kept GROUP BY event_type
+    """,
     "q_attribution_last_touch": """
         WITH e AS (
           SELECT event_id, user_id, event_type, ts, epoch_ms(ts) AS ms,

@@ -3210,6 +3210,70 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_attribution_positional")
+def q_attribution_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch U-shaped (40/20/40) attribution with EXACT credits:
+    each user's FIRST purchase distributes 1.0 of credit over their last
+    ≤8 prior touches within 7 days — first and last touch get 0.4 each,
+    the middle splits 0.2 evenly (n=1 → 1.0, n=2 → 0.5/0.5).  Credit
+    sums are float-summation traps (0.2/(n−2) denominators vary per
+    user), so credits are scaled by 600 = 10·lcm(1..6): every per-touch
+    credit becomes an exact INTEGER (240 / 120/(n−2) / 300 / 600), the
+    per-channel total is one order-free bigint sum, and the single
+    division by 600.0 restores units.  The ≤8-touch cap is what makes
+    the scaling exact — and is itself the standard positional-window
+    contract.  Shape: two user-partition windows (first-purchase min,
+    touch rank) + one aggregation; no self-joins."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id")
+    t_purchase = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("eid")),
+        )
+    ).over(w_all)
+    touches = (
+        ev.withColumn("__p", t_purchase)
+        .filter(
+            F.col("__p").isNotNull()
+            & (F.col("event_type") != "purchase")
+            & (F.col("ts") < F.col("__p.ts"))
+            & (
+                F.col("ts")
+                >= F.col("__p.ts") - F.expr("INTERVAL 7 DAYS")
+            )
+        )
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = (
+        touches.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 8)
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    credit600 = (
+        F.when(F.col("n") == 1, 600)
+        .when(F.col("n") == 2, 300)
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("n")), 240
+        )
+        .otherwise(
+            (F.lit(120) / (F.col("n") - 2)).cast("bigint")
+        )
+    )
+    return (
+        ranked.select("event_type", credit600.alias("c600"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            (F.sum("c600") / F.lit(600.0)).alias("credit"),
+        )
+    )
+
+
 @q("q_attribution_last_touch")
 def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing attribution: each purchase credits the user's most recent
