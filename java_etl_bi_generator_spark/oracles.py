@@ -1743,6 +1743,33 @@ ORACLES: dict[str, str] = {
                (u2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg) AS auc
         FROM t
     """,
+    "q_brier_score": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        be AS (SELECT (s6 - label * 1000000) AS err FROM j),
+        ba AS (SELECT count(*) AS n, sum(err * err) AS sq FROM be)
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               {pround_sql(
+                   'CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1e12', 6)}
+                 AS brier
+        FROM ba
+    """,
+    "q_log_loss": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        le AS (
+          SELECT CAST(floor(
+                   ln((CASE WHEN label = 1
+                            THEN greatest(1, least(999999, s6))
+                            ELSE 1000000 - greatest(1, least(999999, s6))
+                       END) / 1000000.0) * 1000000.0 + 0.5)
+                 AS BIGINT) AS ll6
+          FROM j),
+        la AS (SELECT count(*) AS n, sum(ll6) AS ll FROM le)
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               {pround_sql(
+                   '-CAST(ll AS DOUBLE) / CAST(n AS DOUBLE) / 1e6', 6)}
+                 AS log_loss
+        FROM la
+    """,
     "q_gains_lift": f"""
         WITH {_CHURN_SCORED_LABELED_SQL},
         r AS (

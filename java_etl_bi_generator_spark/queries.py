@@ -4430,6 +4430,68 @@ def q_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_brier_score")
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic-forecast accuracy: the Brier score of the fused
+    logistic score against 1998 activity — mean((p−y)²) — in PURE
+    INTEGER arithmetic: the score is already an exact micro-unit bigint
+    (__s6), so per-row (s6 − y·10⁶)² is an exact integer, the corpus sum
+    accumulates in DECIMAL(38,0) (order-free), and the two final
+    divisions are the only float ops.  The proper-scoring-rule
+    companion to q_auc_exact (ranking) and q_score_calibration
+    (reliability)."""
+    scored = _churn_scored_labeled(spark, sf_dir)
+    err = F.col("__s6") - F.col("label") * F.lit(1000000)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum((err * err).cast("decimal(38,0)")).alias("__sq"),
+    )
+    return agg.select(
+        "n_customers",
+        pround(
+            F.col("__sq").cast("double")
+            / F.col("n_customers").cast("double")
+            / F.lit(1e12),
+            6,
+        ).alias("brier"),
+    )
+
+
+@q("q_log_loss")
+def q_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy of the fused logistic score: mean −ln(p_y), the
+    loss the model was nominally trained on.  A raw Σ ln(·) over data
+    grain is partition-order float drift, so each row's log-likelihood
+    pins to integer MICRO-UNITS first (floor(ln·10⁶ + 0.5) — the
+    q_unigram_logprob discipline, per-row ln agrees across engines and
+    integer sums are order-free).  Scores clamp to [1, 10⁶−1]
+    micro-units before the log — the standard ε-clip that keeps a
+    confident miss finite."""
+    scored = _churn_scored_labeled(spark, sf_dir)
+    p6 = F.greatest(
+        F.lit(1), F.least(F.lit(999999), F.col("__s6"))
+    )
+    py6 = F.when(F.col("label") == 1, p6).otherwise(
+        F.lit(1000000) - p6
+    )
+    ll6 = F.floor(
+        F.log(py6 / F.lit(1000000.0)) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(ll6.cast("decimal(38,0)")).alias("__ll"),
+    )
+    return agg.select(
+        "n_customers",
+        pround(
+            -F.col("__ll").cast("double")
+            / F.col("n_customers").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("log_loss"),
+    )
+
+
 @q("q_gains_lift")
 def q_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model evaluation: the cumulative-gains / lift table for the fused
