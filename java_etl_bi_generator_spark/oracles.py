@@ -28,7 +28,7 @@ across engines).
 from __future__ import annotations
 
 from .functions.ranking_eval import ndcg_weight_sql
-from .functions.resample import poisson1_cdf
+from .functions.resample import poisson1_hex_thresholds
 from .functions.rounding import dsum_sql, pround_sql
 
 _PTBR_MONTHS = (
@@ -301,25 +301,21 @@ def _decay_sql() -> str:
 
 def _bootstrap_by_segment_sql() -> str:
     """Mirror of q_bootstrap_ci_by_segment: the grouped Poisson
-    bootstrap with the same shared thresholds and per-segment
-    order-statistic bounds."""
-    cdf = poisson1_cdf()
-    u = _hex_bigint(
-        "md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(t.b AS VARCHAR))",
-        1,
-        8,
+    bootstrap with the same shared thresholds, digest-slice uniforms,
+    and per-segment order-statistic bounds."""
+    hexes = poisson1_hex_thresholds()
+    cases = " ".join(
+        f"WHEN u8 <= '{hx}' THEN {k}" for k, hx in enumerate(hexes)
     )
-    cases = " ".join(f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(cdf))
+    quads = _bootstrap_quads_sql(
+        seg_expr="c.c_mktsegment AS segment, ",
+        seg_col="segment, ",
+        join=" JOIN customer c ON c.c_custkey = o.o_custkey",
+    )
     return f"""
-        WITH r AS (
-          SELECT c.c_mktsegment AS segment, t.b AS b,
-                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
-                 {u} / 4294967296.0 AS u
-          FROM orders o
-          JOIN customer c ON c.c_custkey = o.o_custkey
-          CROSS JOIN range(0, 41) t(b)),
+        WITH {quads},
         w AS (
-          SELECT segment, b, cents, CASE {cases} ELSE {len(cdf)} END AS w
+          SELECT segment, b, cents, CASE {cases} ELSE {len(hexes)} END AS w
           FROM r),
         g AS (SELECT segment, b, sum(w) AS sw, sum(w * cents) AS swx
               FROM w GROUP BY segment, b),
@@ -363,27 +359,43 @@ def _linkage_sql() -> str:
     """
 
 
-def _bootstrap_sql() -> str:
-    """Mirror of q_bootstrap_ci: same md5-prefix uniform, the SAME
-    Poisson(1) inverse-CDF thresholds (imported, not retyped), exact
-    integer replicate sums, and order-statistic CI bounds."""
-    cdf = poisson1_cdf()
-    u = _hex_bigint(
-        "md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(t.b AS VARCHAR))",
-        1,
-        8,
+def _bootstrap_quads_sql(seg_expr: str = "", seg_col: str = "",
+                         join: str = "") -> str:
+    """The shared replicate-uniform CTEs: one md5 per (row, chunk), four
+    32-bit digest slices per hash — mirrors the Spark side's 11-hash
+    layout exactly (same strings hashed, same slices)."""
+    slices = ", ".join(
+        f"struct_pack(b := chunk * 4 + {j}, "
+        f"u8 := substr(h, {1 + 8 * j}, 8))"
+        for j in range(4)
     )
+    return f"""hx AS (
+          SELECT {seg_expr}t.chunk AS chunk,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                 md5(CAST(o_orderkey AS VARCHAR) || ':'
+                     || CAST(t.chunk AS VARCHAR)) AS h
+          FROM orders o{join}
+          CROSS JOIN range(0, 11) t(chunk)),
+        rq AS (
+          SELECT {seg_col}cents, unnest([{slices}]) AS q
+          FROM hx),
+        r AS (
+          SELECT {seg_col}cents, q.b AS b, q.u8 AS u8
+          FROM rq WHERE q.b <= 40)"""
+
+
+def _bootstrap_sql() -> str:
+    """Mirror of q_bootstrap_ci: same md5-digest-slice uniforms, the
+    SAME Poisson(1) inverse-CDF thresholds (imported, not retyped),
+    exact integer replicate sums, and order-statistic CI bounds."""
+    hexes = poisson1_hex_thresholds()
     cases = " ".join(
-        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(cdf)
+        f"WHEN u8 <= '{hx}' THEN {k}" for k, hx in enumerate(hexes)
     )
     return f"""
-        WITH r AS (
-          SELECT t.b AS b,
-                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
-                 {u} / 4294967296.0 AS u
-          FROM orders CROSS JOIN range(0, 41) t(b)),
+        WITH {_bootstrap_quads_sql()},
         w AS (
-          SELECT b, cents, CASE {cases} ELSE {len(cdf)} END AS w
+          SELECT b, cents, CASE {cases} ELSE {len(hexes)} END AS w
           FROM r),
         g AS (SELECT b, sum(w) AS sw, sum(w * cents) AS swx
               FROM w GROUP BY b),
