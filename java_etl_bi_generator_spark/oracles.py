@@ -1755,6 +1755,77 @@ ORACLES: dict[str, str] = {
                (u2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg) AS auc
         FROM t
     """,
+    "q_woe_iv": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        per AS (
+          SELECT c.c_mktsegment AS bucket,
+                 CAST(sum(label) AS BIGINT) AS n_active,
+                 CAST(sum(1 - label) AS BIGINT) AS n_inactive
+          FROM j JOIN customer c ON c.c_custkey = j.o_custkey
+          GROUP BY 1)
+        SELECT bucket, n_active, n_inactive,
+               {pround_sql(
+                   'ln((n_active / CAST(sum(n_active) OVER () AS DOUBLE))'
+                   ' / (n_inactive'
+                   ' / CAST(sum(n_inactive) OVER () AS DOUBLE)))', 6)}
+                 AS woe,
+               {pround_sql(
+                   '((n_active / CAST(sum(n_active) OVER () AS DOUBLE))'
+                   ' - (n_inactive'
+                   ' / CAST(sum(n_inactive) OVER () AS DOUBLE)))'
+                   ' * ln((n_active'
+                   ' / CAST(sum(n_active) OVER () AS DOUBLE))'
+                   ' / (n_inactive'
+                   ' / CAST(sum(n_inactive) OVER () AS DOUBLE)))', 6)}
+                 AS iv_contrib
+        FROM per
+    """,
+    "q_price_elasticity": f"""
+        WITH li AS (
+          SELECT l_partkey,
+                 CAST(floor(ln(l_extendedprice / l_quantity) * 1e6 + 0.5)
+                      AS BIGINT) AS xi,
+                 CAST(floor(ln(l_quantity) * 1e6 + 0.5) AS BIGINT) AS yi
+          FROM lineitem),
+        g AS (
+          SELECT p.p_brand,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(xi) AS DOUBLE) AS sx,
+                 CAST(sum(yi) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(xi AS HUGEINT) * CAST(xi AS HUGEINT))
+                      AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(xi AS HUGEINT) * CAST(yi AS HUGEINT))
+                      AS DOUBLE) AS sxy
+          FROM li JOIN part p ON p.p_partkey = li.l_partkey
+          GROUP BY 1)
+        SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+               {pround_sql(
+                   '(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)}
+                 AS elasticity
+        FROM g
+    """,
+    "q_seasonal_index": f"""
+        WITH monthly AS (
+          SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS cents
+          FROM orders GROUP BY 1),
+        per AS (
+          SELECT CAST(month(m) AS INT) AS month,
+                 count(*) AS n_months,
+                 CAST(sum(cents) AS BIGINT) AS mcents
+          FROM monthly GROUP BY 1)
+        SELECT month, n_months,
+               {pround_sql(
+                   '(mcents / CAST(n_months AS DOUBLE)) / 100.0', 6)}
+                 AS avg_revenue,
+               {pround_sql(
+                   '(mcents / CAST(n_months AS DOUBLE))'
+                   ' / (sum(mcents) OVER ()'
+                   ' / CAST(sum(n_months) OVER () AS DOUBLE))', 6)}
+                 AS seasonal_index
+        FROM per
+    """,
     "q_brier_score": f"""
         WITH {_CHURN_SCORED_LABELED_SQL},
         be AS (SELECT (s6 - label * 1000000) AS err FROM j),

@@ -4230,6 +4230,54 @@ def q_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_price_elasticity")
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economics on the fact table: own-price elasticity per brand as the
+    log-log OLS slope — elasticity = d ln(qty)/d ln(unit price), the
+    closed-form power-sum regression of q_regression_by_group with BOTH
+    variables ln-transformed.  Each per-row ln pins to integer
+    micro-units first (the q_unigram_logprob discipline: per-row ln
+    agrees across engines, integer sums are order-free), power sums stay
+    DECIMAL(38,0) exact, and the slope is one fixed-IEEE expression —
+    the µ-unit scale cancels in the ratio."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("xi"),
+        F.floor(F.log(F.col("l_quantity")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("yi"),
+    )
+    pt = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    g = (
+        li.join(F.broadcast(pt), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("xi").cast("double").alias("sx"),
+            F.sum("yi").cast("double").alias("sy"),
+            F.sum(d19("xi") * d19("xi")).cast("double").alias("sxx"),
+            F.sum(d19("xi") * d19("yi")).cast("double").alias("sxy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return g.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        pround(slope, 6).alias("elasticity"),
+    )
+
+
 @q("q_minmax_scale")
 def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature engineering: min-max scale o_totalprice to [0,1] — global
@@ -4451,6 +4499,45 @@ def q_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__u2") - F.col("n_pos") * (F.col("n_pos") + 1))
             / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
         ).alias("auc"),
+    )
+
+
+@q("q_woe_iv")
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-scoring feature screening: Weight of Evidence and
+    Information Value of the market-segment feature against 1998
+    activity — WoE_b = ln(pct_active_b / pct_inactive_b) per bucket,
+    IV contribution (pct_active−pct_inactive)·WoE emitted PER BUCKET
+    (like q_chi2_cells: the total is a trivial downstream sum; summing
+    in-engine would be evaluation-order float drift).  All counts are
+    exact integers; each bucket's two ratios are single IEEE divisions
+    and the one ln per bucket is cross-engine (the q_unigram_logprob
+    precedent), pround-pinned."""
+    lbl = _churn_scored_labeled(spark, sf_dir).select("o_custkey", "label")
+    seg = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("bucket"),
+    )
+    per = (
+        lbl.join(seg, "o_custkey")
+        .groupBy("bucket")
+        .agg(
+            F.sum("label").alias("n_active"),
+            F.sum(F.lit(1) - F.col("label")).alias("n_inactive"),
+        )
+    )
+    w_tot = Window.partitionBy()
+    pg = F.col("n_active") / F.sum("n_active").over(w_tot).cast("double")
+    pb = F.col("n_inactive") / F.sum("n_inactive").over(w_tot).cast(
+        "double"
+    )
+    woe = F.log(pg / pb)
+    return per.select(
+        "bucket",
+        "n_active",
+        "n_inactive",
+        pround(woe, 6).alias("woe"),
+        pround((pg - pb) * woe, 6).alias("iv_contrib"),
     )
 
 
@@ -4918,6 +5005,40 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)"
         ).alias("approx_p")
+    )
+
+
+@q("q_seasonal_index")
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal indices: each calendar month's average monthly
+    revenue relative to the overall monthly average (index > 1 = a
+    seasonally strong month) — the multiplicative-decomposition seasonal
+    factor every demand-planning pipeline publishes.  The fact collapses
+    to the bounded month grain in one shuffle (exact cents); the
+    month-of-year regrouping and the two totals run on that ~80-row
+    table, and every ratio is fixed-order IEEE on exact integers."""
+    od = T(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        ).alias("cents")
+    )
+    per = monthly.groupBy(F.month("m").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("cents").alias("mcents"),
+    )
+    w_tot = Window.partitionBy()
+    avg_m = F.col("mcents") / F.col("n_months").cast("double")
+    avg_all = F.sum("mcents").over(w_tot) / F.sum("n_months").over(
+        w_tot
+    ).cast("double")
+    return per.select(
+        "month",
+        "n_months",
+        pround(avg_m / F.lit(100.0), 6).alias("avg_revenue"),
+        pround(avg_m / avg_all, 6).alias("seasonal_index"),
     )
 
 
