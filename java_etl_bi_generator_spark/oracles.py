@@ -1804,6 +1804,57 @@ ORACLES: dict[str, str] = {
                  AS elasticity
         FROM g
     """,
+    "q_growth_accounting": """
+        WITH um AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') / 7.0)
+                      AS INT) AS mi
+          FROM events),
+        lab AS (
+          SELECT DATE '1970-01-01' + (mi * 7) AS m, mi,
+                 lag(mi) OVER (PARTITION BY user_id ORDER BY mi)
+                   AS prev_mi,
+                 lead(mi) OVER (PARTITION BY user_id ORDER BY mi)
+                   AS next_mi
+          FROM um)
+        SELECT m,
+               CAST(sum(CASE WHEN prev_mi IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(sum(CASE WHEN prev_mi = mi - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS retained_users,
+               CAST(sum(CASE WHEN prev_mi IS NOT NULL
+                              AND prev_mi < mi - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS resurrected_users,
+               CAST(sum(CASE WHEN next_mi IS NULL OR next_mi > mi + 1
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS churning_users
+        FROM lab GROUP BY m
+    """,
+    "q_cohort_ltv": f"""
+        WITH od AS (
+          SELECT o_custkey,
+                 date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders),
+        wc AS (SELECT *, min(m) OVER (PARTITION BY o_custkey) AS cohort
+               FROM od),
+        grain AS (
+          SELECT cohort,
+                 CAST((year(m) * 12 + month(m))
+                      - (year(cohort) * 12 + month(cohort)) AS INT) AS age,
+                 CAST(sum(cents) AS BIGINT) AS rev
+          FROM wc GROUP BY 1, 2),
+        sizes AS (
+          SELECT cohort, count(*) AS n_customers
+          FROM (SELECT DISTINCT o_custkey, cohort FROM wc) t GROUP BY 1)
+        SELECT g.cohort, g.age, s.n_customers,
+               {pround_sql(
+                   '(sum(g.rev) OVER (PARTITION BY g.cohort ORDER BY g.age'
+                   ' ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))'
+                   ' / 100.0 / CAST(s.n_customers AS DOUBLE)', 6)}
+                 AS ltv_per_customer
+        FROM grain g JOIN sizes s ON s.cohort = g.cohort
+    """,
     "q_seasonal_index": f"""
         WITH monthly AS (
           SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,

@@ -5042,6 +5042,123 @@ def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_growth_accounting")
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKLY growth accounting over the event log — the
+    new / retained / resurrected / churning decomposition every
+    product-analytics stack reports (new: first-ever week; retained:
+    also active the previous week; resurrected: active, but last seen
+    before the previous week; churning: users going silent after this
+    week).  Week grain (epoch-week index, integer arithmetic) because
+    the fixture's event log spans ~5 weeks — the same query at month
+    grain is one degenerate row.  Shape: one collapse to the (user,
+    week) grain, then lag/lead over each user's week sequence —
+    user-partitioned windows, one shuffle."""
+    ev = T(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    um = (
+        ev.select(
+            "user_id",
+            F.floor(F.datediff(F.to_date("ts"), epoch) / F.lit(7.0))
+            .cast("int")
+            .alias("mi"),
+        )
+        .distinct()
+        .withColumn("m", F.date_add(epoch, F.col("mi") * 7))
+    )
+    w = Window.partitionBy("user_id").orderBy("mi")
+    lab = um.select(
+        "m",
+        "mi",
+        F.lag("mi").over(w).alias("prev_mi"),
+        F.lead("mi").over(w).alias("next_mi"),
+    )
+    status = (
+        lab.withColumn(
+            "new_u", F.when(F.col("prev_mi").isNull(), 1).otherwise(0)
+        )
+        .withColumn(
+            "retained_u",
+            F.when(F.col("prev_mi") == F.col("mi") - 1, 1).otherwise(0),
+        )
+        .withColumn(
+            "resurrected_u",
+            F.when(
+                F.col("prev_mi").isNotNull()
+                & (F.col("prev_mi") < F.col("mi") - 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "churning_u",
+            F.when(
+                F.col("next_mi").isNull()
+                | (F.col("next_mi") > F.col("mi") + 1),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return status.groupBy("m").agg(
+        F.sum("new_u").alias("new_users"),
+        F.sum("retained_u").alias("retained_users"),
+        F.sum("resurrected_u").alias("resurrected_users"),
+        F.sum("churning_u").alias("churning_users"),
+    )
+
+
+@q("q_cohort_ltv")
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: cumulative revenue per signup cohort (first
+    order month) by cohort age in months, per cohort member — the LTV
+    curve that prices acquisition.  One fact pass collapses to the
+    (cohort, age) grain with exact cents; the cumulative window and the
+    cohort-size join run on that bounded ~80×80 table.  The running sum
+    is an exact bigint cumulative, divided once per emitted row."""
+    od = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w_first = Window.partitionBy("o_custkey")
+    with_cohort = od.withColumn("cohort", F.min("m").over(w_first))
+    mi = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    grain = (
+        with_cohort.withColumn(
+            "age", (mi(F.col("m")) - mi(F.col("cohort"))).cast("int")
+        )
+        .groupBy("cohort", "age")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    sizes = (
+        with_cohort.select("o_custkey", "cohort")
+        .distinct()
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grain.withColumn("cum_cents", F.sum("rev_cents").over(w_cum))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_customers",
+            pround(
+                F.col("cum_cents")
+                / F.lit(100.0)
+                / F.col("n_customers").cast("double"),
+                6,
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
 @q("q_seasonal_profile")
 def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BI heatmap source: activity by (day-of-week × hour-of-day) — one
