@@ -1097,6 +1097,33 @@ ORACLES: dict[str, str] = {
                count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase
         FROM u
     """,
+    "q_time_to_convert": """
+        WITH v AS (
+          SELECT user_id, event_type, ts,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+          FROM events),
+        p AS (
+          SELECT user_id, t_view,
+                 min(CASE WHEN event_type = 'purchase' AND ts > t_view
+                          THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_purchase
+          FROM v),
+        conv AS (
+          SELECT user_id,
+                 epoch_ms(t_purchase) - epoch_ms(t_view) AS dur_ms
+          FROM (SELECT DISTINCT user_id, t_view, t_purchase FROM p) u
+          WHERE t_purchase IS NOT NULL),
+        r AS (
+          SELECT user_id, dur_ms,
+                 NTILE(10) OVER (ORDER BY dur_ms, user_id) AS decile
+          FROM conv)
+        SELECT decile,
+               count(*) AS n_users,
+               min(dur_ms) / 1000.0 AS min_s,
+               max(dur_ms) / 1000.0 AS max_s
+        FROM r GROUP BY decile
+    """,
     "q_funnel_horizon": """
         WITH v AS (
           SELECT user_id, event_type, ts,

@@ -1434,6 +1434,63 @@ def q_funnel_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_time_to_convert")
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: how long converters take from first
+    view to first subsequent purchase, as a DECILE ladder (n, min, max
+    seconds per decile) — the metric that turns q_funnel's counts into
+    an SLA.  Durations are exact integer milliseconds; deciles come from
+    the DISTRIBUTED `global_rank` + NTILE closed form over
+    (duration, user_id) — a total order, so the banding is
+    engine-identical — and each band reports exact integer min/max
+    converted to seconds by one division."""
+    from .operators.rank import global_rank, ntile_from_rank
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    staged = ev.withColumn("t_view", t_view).withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    conv = (
+        staged.select("user_id", "t_view", "t_purchase")
+        .distinct()
+        .filter(F.col("t_purchase").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_millis("t_purchase") - F.unix_millis("t_view")
+            ).alias("dur_ms"),
+        )
+    )
+    ranked = global_rank(
+        conv,
+        [F.col("dur_ms"), F.col("user_id")],
+        rank_col="__r",
+        total_col="__n",
+    )
+    return (
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("__r"), F.col("__n"), 10)
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.min("dur_ms") / F.lit(1000.0)).alias("min_s"),
+            (F.max("dur_ms") / F.lit(1000.0)).alias("max_s"),
+        )
+    )
+
+
 @q("q_stream_watermark")
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (hash-checked): Structured Streaming with watermark, run to
