@@ -48,8 +48,6 @@ def poisson1_hex_thresholds(kmax: int = 8) -> list[str]:
     per-row cost; DuckDB's nibble-sum arithmetic similarly).  Bit-for-
     bit the same multiplicities as the arithmetic form.
     """
-    import math
-
     return [
         format(math.floor(c * U32_DIVISOR), "08x")
         for c in poisson1_cdf(kmax)

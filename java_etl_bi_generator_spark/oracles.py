@@ -2955,8 +2955,8 @@ ORACLES: dict[str, str] = {
           GROUP BY 1)
         SELECT cd.l_returnflag,
                CAST(mx.n AS BIGINT) AS n_rows,
-               CAST(c_pairs AS DOUBLE) AS concordant,
-               CAST(d_pairs AS DOUBLE) AS discordant,
+               CAST(c_pairs AS DECIMAL(38,0)) AS concordant,
+               CAST(d_pairs AS DECIMAL(38,0)) AS discordant,
                {pround_sql(
                    '2.0 * CAST(c_pairs - d_pairs AS DOUBLE)'
                    ' / sqrt(CAST(n * (n - 1) - t1 AS DOUBLE)'

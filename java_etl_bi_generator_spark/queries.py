@@ -4296,7 +4296,11 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units first (the q_unigram_logprob discipline: per-row ln
     agrees across engines, integer sums are order-free), power sums stay
     DECIMAL(38,0) exact, and the slope is one fixed-IEEE expression —
-    the µ-unit scale cancels in the ratio."""
+    the µ-unit scale cancels in the ratio.  The part-side join carries no
+    broadcast hint: part scales with SF (~20M rows at sf100), so the
+    planner/AQE picks broadcast only while the dimension actually fits
+    (``spark.sql.autoBroadcastJoinThreshold``), and falls back to a
+    shuffle hash join at warehouse scale."""
     li = T(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.floor(
@@ -4315,7 +4319,7 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     g = (
-        li.join(F.broadcast(pt), "l_partkey")
+        li.join(pt, "l_partkey")
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
@@ -5110,7 +5114,15 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture's event log spans ~5 weeks — the same query at month
     grain is one degenerate row.  Shape: one collapse to the (user,
     week) grain, then lag/lead over each user's week sequence —
-    user-partitioned windows, one shuffle."""
+    user-partitioned windows, one shuffle.
+
+    Right-censoring caveat (declared semantics): ``next_mi IS NULL``
+    cannot distinguish true churn from the observation window simply
+    ending, so the FINAL observed week's ``churning_users`` counts
+    every then-active user and is structurally inflated.  Consumers
+    should drop (or asterisk) the max-week churn figure; the oracle
+    mirrors the same convention so the hash-check pins exactly this
+    definition."""
     ev = T(spark, sf_dir, "events")
     epoch = F.lit("1970-01-01").cast("date")
     um = (
@@ -7821,8 +7833,8 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n_rows"),
-        F.col("c_pairs").cast("double").alias("concordant"),
-        F.col("d_pairs").cast("double").alias("discordant"),
+        F.col("c_pairs").cast("decimal(38,0)").alias("concordant"),
+        F.col("d_pairs").cast("decimal(38,0)").alias("discordant"),
         pround(
             F.lit(2.0)
             * (F.col("c_pairs") - F.col("d_pairs")).cast("double")
