@@ -1,0 +1,116 @@
+"""Shared literals + hex-layout generators for the media header roundtrip.
+
+Closes the one SURVEY §2.12 gap the round-4 verdict flagged: multimodal
+(L5) had no oracle-checked query because the driver testdata carries no
+binary column.  The fix is to make the ENGINE write the binary fixture:
+``q_media_header_roundtrip`` synthesizes minimal-but-valid PNG / GIF /
+WAV byte streams from ``doc_id``-derived parameters, writes them to
+parquet as a real ``binary`` column, reads them back, and parses the
+headers with the existing codegen parsers (sources/multimodal.py
+``image_header_dims`` / ``audio_header_meta``).  The DuckDB oracle
+builds the SAME blob hex from the SAME parameters and then re-derives
+every field with fixed-offset arithmetic OVER THE HEX (nibble
+`strpos` parses, the `_hex_bigint` discipline) — so the hash-check
+proves three things at once: the construction is deterministic, the
+parquet binary roundtrip is byte-identical (the emitted ``blob_hex``
+column), and the header parsers' offset arithmetic is correct.
+
+Both queries.py and oracles.py import THIS module, so the container
+magic bytes, the parameter derivations, and the little/big-endian
+field encodings are single-sourced — the cross-engine match is by
+construction, not by parallel maintenance (the resample.py /
+linkage.py idiom).
+
+Layouts (1-based byte offsets, matching the parsers):
+  PNG  (33 B): sig 8 | IHDR len be32=13 | "IHDR" | width be32 @17 |
+               height be32 @21 | bit-depth/color/comp/filter/interlace
+               08 06 00 00 00 | CRC 4 (unchecked by header parsers)
+  GIF  (13 B): "GIF89a" | width le16 @7 | height le16 @9 |
+               packed/bg/aspect 00 00 00
+  WAV  (44 B): "RIFF" | riff_size le32 | "WAVE" | "fmt " | 16 le32 |
+               PCM=1 le16 | channels le16 @23 | rate le32 @25 |
+               byte_rate le32 | block_align le16 | bits le16 @35 |
+               "data" | data_bytes le32 @41  (header only — the
+               declared data size is the duration source of truth,
+               per sources/multimodal.py wav_chunk_meta)
+"""
+
+from __future__ import annotations
+
+# Container magic bytes as lowercase hex (bytes.hex() of the ASCII/ sig
+# literals — written out so the module is import-cheap and grep-able).
+PNG_SIG_HEX = "89504e470d0a1a0a"  # b"\x89PNG\r\n\x1a\n"
+IHDR_HEX = "49484452"  # b"IHDR"
+PNG_TAIL_HEX = "0806000000" + "00000000"  # depth 8, RGBA, + dummy CRC
+GIF_SIG_HEX = "474946383961"  # b"GIF89a"
+GIF_TAIL_HEX = "000000"  # packed=0 (no GCT), bg=0, aspect=0
+RIFF_HEX = "52494646"  # b"RIFF"
+WAVE_HEX = "57415645"  # b"WAVE"
+FMT_HEX = "666d7420"  # b"fmt "
+DATA_HEX = "64617461"  # b"data"
+
+# Parameter derivations (pure integer functions of doc_id; multipliers
+# coprime to the moduli so the small-SF fixture already exercises many
+# distinct dims).  WAV bits stay multiples of 8 so byte_rate and
+# block_align are exact integers.
+PNG_W = "16 + (doc_id * 37) % 4080"
+PNG_H = "16 + (doc_id * 61) % 2160"
+GIF_W = "16 + (doc_id * 37) % 60000"
+GIF_H = "16 + (doc_id * 61) % 60000"
+WAV_CH = "1 + doc_id % 2"
+WAV_RATES = [8000, 16000, 22050, 44100, 48000]  # index doc_id % 5
+WAV_BITS = [8, 16, 32]  # index (doc_id % 7) % 3
+WAV_DATA = "1000 + (doc_id * 97) % 100000"
+
+
+# -- SQL-side hex encoders (DuckDB) -----------------------------------------
+
+def be32_sql(expr: str) -> str:
+    """8 lowercase hex chars, big-endian uint32 of an integer SQL expr."""
+    return f"lower(lpad(hex({expr}), 8, '0'))"
+
+
+def le16_sql(expr: str) -> str:
+    """4 lowercase hex chars, little-endian uint16."""
+    return (
+        f"lower(lpad(hex(({expr}) % 256), 2, '0') || "
+        f"lpad(hex(({expr}) // 256), 2, '0'))"
+    )
+
+
+def le32_sql(expr: str) -> str:
+    """8 lowercase hex chars, little-endian uint32."""
+    return (
+        f"({le16_sql(f'({expr}) % 65536')} || "
+        f"{le16_sql(f'({expr}) // 65536')})"
+    )
+
+
+# -- Spark-side hex encoders (codegen Columns) -------------------------------
+
+def be32_col(col):
+    """8 lowercase hex chars, big-endian uint32 of an int Column."""
+    import pyspark.sql.functions as F
+
+    return F.lower(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+
+
+def le16_col(col):
+    """4 lowercase hex chars, little-endian uint16 of an int Column."""
+    import pyspark.sql.functions as F
+
+    c = col.cast("bigint")
+    return F.lower(
+        F.concat(
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex((c / 256).cast("bigint")), 2, "0"),
+        )
+    )
+
+
+def le32_col(col):
+    """8 lowercase hex chars, little-endian uint32 of an int Column."""
+    import pyspark.sql.functions as F
+
+    c = col.cast("bigint")
+    return F.concat(le16_col(c % 65536), le16_col((c / 65536).cast("bigint")))

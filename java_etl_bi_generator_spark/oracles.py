@@ -561,10 +561,115 @@ _LSH_BANDS_TEMPLATE = f"""
         )
 """
 
+def _h_le16(pos: int) -> str:
+    """Little-endian uint16 at 1-based BYTE offset ``pos`` of hex column
+    ``h`` — the oracle-side twin of sources/multimodal.py ``_le16``."""
+    return (
+        f"({_hex_bigint('h', 2 * pos - 1, 2)}"
+        f" + {_hex_bigint('h', 2 * pos + 1, 2)} * 256)"
+    )
+
+
+def _h_le32(pos: int) -> str:
+    """Little-endian uint32 at byte offset ``pos`` of hex column ``h``."""
+    return f"({_h_le16(pos)} + {_h_le16(pos + 2)} * 65536)"
+
+
+def _media_roundtrip_oracle() -> str:
+    """Twin of q_media_header_roundtrip: build the same blob hex from the
+    same doc_id-derived parameters (layouts + encoders single-sourced in
+    functions/mediahex.py), then re-derive every output field with
+    fixed-offset nibble arithmetic OVER THE HEX — the parse is real, not
+    an echo of the construction parameters."""
+    from .functions.mediahex import (
+        DATA_HEX,
+        FMT_HEX,
+        GIF_SIG_HEX,
+        GIF_TAIL_HEX,
+        IHDR_HEX,
+        PNG_SIG_HEX,
+        PNG_TAIL_HEX,
+        RIFF_HEX,
+        WAVE_HEX,
+        WAV_BITS,
+        WAV_RATES,
+        be32_sql,
+        le16_sql,
+        le32_sql,
+    )
+
+    rates = ",".join(str(r) for r in WAV_RATES)
+    bits_l = ",".join(str(b) for b in WAV_BITS)
+    return f"""
+        WITH p AS (
+          SELECT doc_id, doc_id % 3 AS m,
+                 16 + (doc_id * 37) % 4080 AS pw,
+                 16 + (doc_id * 61) % 2160 AS ph,
+                 16 + (doc_id * 37) % 60000 AS gw,
+                 16 + (doc_id * 61) % 60000 AS gh,
+                 1 + doc_id % 2 AS ch,
+                 ([{rates}])[CAST(doc_id % 5 AS INT) + 1] AS rate,
+                 ([{bits_l}])[CAST(doc_id % 7 % 3 AS INT) + 1] AS bits,
+                 1000 + (doc_id * 97) % 100000 AS db
+          FROM documents
+        ),
+        blobs AS (
+          SELECT doc_id, m,
+                 CASE WHEN m = 2 THEN 'audio' ELSE 'image' END AS modality,
+                 CASE m
+                   WHEN 0 THEN '{PNG_SIG_HEX}' || '0000000d' || '{IHDR_HEX}'
+                     || {be32_sql('pw')} || {be32_sql('ph')}
+                     || '{PNG_TAIL_HEX}'
+                   WHEN 1 THEN '{GIF_SIG_HEX}'
+                     || {le16_sql('gw')} || {le16_sql('gh')}
+                     || '{GIF_TAIL_HEX}'
+                   ELSE '{RIFF_HEX}' || {le32_sql('db + 36')}
+                     || '{WAVE_HEX}' || '{FMT_HEX}' || '10000000' || '0100'
+                     || {le16_sql('ch')} || {le32_sql('rate')}
+                     || {le32_sql('rate * ch * bits // 8')}
+                     || {le16_sql('ch * bits // 8')} || {le16_sql('bits')}
+                     || '{DATA_HEX}' || {le32_sql('db')}
+                 END AS h
+          FROM p
+        )
+        SELECT doc_id, modality,
+               CAST(length(h) // 2 AS INT) AS byte_len,
+               h AS blob_hex,
+               CASE WHEN m = 2 THEN
+                 CASE WHEN substr(h, 1, 8) = '{RIFF_HEX}'
+                       AND substr(h, 17, 8) = '{WAVE_HEX}'
+                      THEN 'wav' ELSE 'unknown' END
+               ELSE
+                 CASE WHEN substr(h, 1, 16) = '{PNG_SIG_HEX}'
+                      THEN 'png'
+                      WHEN substr(h, 1, 8) = '47494638'
+                      THEN 'gif' ELSE 'unknown' END
+               END AS container,
+               CASE WHEN m = 0 THEN CAST({_hex_bigint('h', 33, 8)} AS INT)
+                    WHEN m = 1 THEN CAST({_h_le16(7)} AS INT)
+               END AS width,
+               CASE WHEN m = 0 THEN CAST({_hex_bigint('h', 41, 8)} AS INT)
+                    WHEN m = 1 THEN CAST({_h_le16(9)} AS INT)
+               END AS height,
+               CASE WHEN m = 2 THEN {_h_le32(25)} END AS sample_rate,
+               CASE WHEN m = 2 THEN CAST({_h_le16(23)} AS INT)
+               END AS channels,
+               CASE WHEN m = 2 THEN CAST({_h_le16(35)} AS INT)
+               END AS bits_per_sample,
+               CASE WHEN m = 2 THEN CAST(floor(
+                 CAST({_h_le32(41)} * 1000 AS DOUBLE)
+                 / (CAST({_h_le32(25)} AS DOUBLE)
+                    * {_h_le16(23)} * {_h_le16(35)} / 8)
+               ) AS BIGINT) END AS duration_ms
+        FROM blobs
+    """
+
+
 ORACLES: dict[str, str] = {
     # --- sources ---
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_fixedwidth_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_media_header_roundtrip": _media_roundtrip_oracle(),
     # --- projection / filter ---
     "q_project": (
         "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem"

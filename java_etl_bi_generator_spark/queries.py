@@ -206,6 +206,112 @@ def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_fixed_width(spark, path, specs)
 
 
+@q("q_media_header_roundtrip")
+def q_media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 (multimodal) made oracle-checkable: the engine WRITES a binary
+    media fixture and the codegen header parsers read it back.
+
+    Per doc_id a minimal-but-valid PNG / GIF / WAV byte stream is
+    synthesized entirely in codegen expressions (hex concat → ``unhex``;
+    layouts + parameter derivations single-sourced in
+    functions/mediahex.py), written to parquet as a real ``binary``
+    column, re-read, and parsed with the UNTOUCHED production parsers
+    ``image_header_dims`` / ``audio_header_meta``
+    (sources/multimodal.py:93,154).  The DuckDB oracle builds the same
+    blob hex and re-derives every field with fixed-offset nibble
+    arithmetic over the hex — so the hash-check proves construction
+    determinism, byte-identical parquet binary roundtrip (``blob_hex``),
+    and parser offset arithmetic in one query.  The JPEG SOF and MP4
+    box walks (variable offsets → bounded ``mapInPandas``) stay
+    pytest-pinned in tests/test_multimodal.py; this query certifies the
+    codegen fixed-offset family.  At 100 TB the shape is: narrow
+    projection of the id column, one codegen map stage to build blobs,
+    a parquet write, and a codegen map stage to parse — no shuffle, no
+    Python worker, no decode."""
+    from .functions.mediahex import (
+        DATA_HEX,
+        FMT_HEX,
+        GIF_SIG_HEX,
+        GIF_TAIL_HEX,
+        IHDR_HEX,
+        PNG_SIG_HEX,
+        PNG_TAIL_HEX,
+        RIFF_HEX,
+        WAVE_HEX,
+        WAV_RATES,
+        WAV_BITS,
+        be32_col,
+        le16_col,
+        le32_col,
+    )
+    from .sources.multimodal import audio_header_meta, image_header_dims
+
+    d = F.col("doc_id")
+    pw = F.lit(16) + (d * 37) % 4080
+    ph = F.lit(16) + (d * 61) % 2160
+    gw = F.lit(16) + (d * 37) % 60000
+    gh = F.lit(16) + (d * 61) % 60000
+    ch = F.lit(1) + d % 2
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in WAV_RATES]), (d % 5).cast("int") + 1
+    )
+    bits = F.element_at(
+        F.array(*[F.lit(b) for b in WAV_BITS]), (d % 7 % 3).cast("int") + 1
+    )
+    data_b = F.lit(1000) + (d * 97) % 100000
+    byte_rate = rate * ch * bits / 8  # bits ∈ {8,16,32} → exact int
+    block_align = ch * bits / 8
+    png_hex = F.concat(
+        F.lit(PNG_SIG_HEX + "0000000d" + IHDR_HEX),
+        be32_col(pw),
+        be32_col(ph),
+        F.lit(PNG_TAIL_HEX),
+    )
+    gif_hex = F.concat(
+        F.lit(GIF_SIG_HEX), le16_col(gw), le16_col(gh), F.lit(GIF_TAIL_HEX)
+    )
+    wav_hex = F.concat(
+        F.lit(RIFF_HEX),
+        le32_col(data_b + 36),
+        F.lit(WAVE_HEX + FMT_HEX + "10000000" + "0100"),
+        le16_col(ch),
+        le32_col(rate),
+        le32_col(byte_rate.cast("bigint")),
+        le16_col(block_align.cast("bigint")),
+        le16_col(bits),
+        F.lit(DATA_HEX),
+        le32_col(data_b),
+    )
+    blobs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 3 == 2, "audio").otherwise("image").alias("modality"),
+        F.unhex(
+            F.when(d % 3 == 0, png_hex)
+            .when(d % 3 == 1, gif_hex)
+            .otherwise(wav_hex)
+        ).alias("content"),
+    )
+    path = tempfile.mkdtemp(prefix="media_roundtrip_") + "/media"
+    blobs.write.parquet(path)
+    media = spark.read.parquet(path)
+    parsed = audio_header_meta(image_header_dims(media))
+    return parsed.select(
+        "doc_id",
+        "modality",
+        F.length("content").cast("int").alias("byte_len"),
+        F.lower(F.hex("content")).alias("blob_hex"),
+        F.when(F.col("modality") == "audio", F.col("audio_format"))
+        .otherwise(F.col("format"))
+        .alias("container"),
+        F.col("header_width").alias("width"),
+        F.col("header_height").alias("height"),
+        "sample_rate",
+        "channels",
+        "bits_per_sample",
+        "duration_ms",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 Projection / filter
 # ---------------------------------------------------------------------------

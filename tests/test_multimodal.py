@@ -394,3 +394,43 @@ def test_audio_meta_arrow_path(spark):
     assert codegen[2]["sample_rate"] is None  # fixed-offset parse: nulls
     assert got[4]["audio_format"] == "unknown"
     assert got[4]["sample_rate"] is None
+
+
+def test_media_header_roundtrip_matches_derivation(spark, sf_dir):
+    """q_media_header_roundtrip's parsed fields must equal the doc_id
+    parameter derivation computed INDEPENDENTLY in Python — a third
+    implementation, so the Spark/DuckDB hash match can't be a shared
+    construction bug.  Also pins that the blobs are real containers:
+    Python's own byte parsers (int.from_bytes on the raw blob) agree."""
+    from java_etl_bi_generator_spark.functions.mediahex import (
+        WAV_BITS,
+        WAV_RATES,
+    )
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_media_header_roundtrip"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows[:60]:
+        d = r["doc_id"]
+        blob = bytes.fromhex(r["blob_hex"])
+        assert r["byte_len"] == len(blob)
+        if d % 3 == 0:
+            assert r["container"] == "png"
+            assert r["width"] == 16 + (d * 37) % 4080
+            assert r["height"] == 16 + (d * 61) % 2160
+            assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+            assert int.from_bytes(blob[16:20], "big") == r["width"]
+        elif d % 3 == 1:
+            assert r["container"] == "gif"
+            assert r["width"] == 16 + (d * 37) % 60000
+            assert int.from_bytes(blob[6:8], "little") == r["width"]
+        else:
+            assert r["container"] == "wav"
+            ch = 1 + d % 2
+            rate = WAV_RATES[d % 5]
+            bits = WAV_BITS[d % 7 % 3]
+            db = 1000 + (d * 97) % 100000
+            assert (r["channels"], r["sample_rate"],
+                    r["bits_per_sample"]) == (ch, rate, bits)
+            assert r["duration_ms"] == db * 8 * 1000 // (rate * ch * bits)
+            assert int.from_bytes(blob[40:44], "little") == db
