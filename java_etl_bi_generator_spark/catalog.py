@@ -54,6 +54,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def estimate_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — a planner-style
+    stats lookup (no Spark job, no scan; pyarrow reads only the footers
+    on the driver).  Feeds static routing decisions like
+    ``functions.rounding.dsum_auto``'s BIGINT-overflow bound, where a
+    pre-filter table size is the right conservative input.  Handles both
+    a single parquet file and a directory of part files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -97,3 +97,48 @@ def dsum_wide_sql(expr: str, scale: int = 2) -> str:
         f"(CAST(sum(CAST(floor((({expr}) * {s}.0) + 0.5) AS HUGEINT)) "
         f"AS DOUBLE) / {s}.0)"
     )
+
+
+# Routing headroom: keep the projected scaled total under 2^62 (half the
+# BIGINT range) so skew, magnitude underestimates, and future growth
+# don't walk a query into the ANSI overflow the bound exists to prevent.
+DSUM_SAFE_SCALED_TOTAL = float(2**62)
+
+
+def dsum_routes_wide(
+    scale: int, est_rows: int | None, row_magnitude: float = 1e5
+) -> bool:
+    """True when the projected scaled total ``est_rows · row_magnitude ·
+    10^scale`` exceeds the BIGINT safety bound — the static planning rule
+    behind ``dsum_auto``.  Unknown row counts route conservatively: wide
+    for scale >= 4 (where fact-table sums overflow around 1e8 rows — see
+    ``dsum``), long for scale <= 3 (overflow needs ~1e{14-scale} rows of
+    ~1e4 magnitude, beyond any single aggregate's realistic input)."""
+    if est_rows is None:
+        return scale >= 4
+    return est_rows * row_magnitude * (10**scale) >= DSUM_SAFE_SCALED_TOTAL
+
+
+def dsum_auto(
+    c: Column,
+    scale: int = 2,
+    est_rows: int | None = None,
+    row_magnitude: float = 1e5,
+) -> Column:
+    """``dsum`` with the BIGINT-overflow routing done FOR the caller
+    (round-4 verdict task 2): stays on the codegen scaled-long path while
+    the projected total fits, switches to the DECIMAL(38,0) accumulator
+    (``dsum_wide``) past the bound.  Both branches produce the identical
+    value wherever both are defined (integer accumulation either way, the
+    int→double conversion rounds nearest-even in both engines), so the
+    route is purely a performance/overflow decision and never shows up in
+    a hash-check — the DuckDB oracle keeps one form regardless.
+
+    ``est_rows`` comes from cheap planner-style stats (parquet footer
+    row counts via ``catalog.estimate_rows`` — no Spark job); pass the
+    PRE-filter table size: overestimating only costs the ~4x-slower-agg
+    wide path, underestimating risks the loud ANSI failure.  Switch cost
+    measured in SCALING.md ("dsum_auto routing")."""
+    if dsum_routes_wide(scale, est_rows, row_magnitude):
+        return dsum_wide(c, scale)
+    return dsum(c, scale)

@@ -26,7 +26,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from .functions.rounding import dsum, pround
+from .catalog import estimate_rows
+from .functions.rounding import dsum, dsum_auto, pround
 from .lineage import cut_lineage
 from .queries import T, q
 
@@ -39,15 +40,23 @@ _CHARGE_RAW = "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
 
 @q("q_tpch_q1")
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1 pricing summary report (full aggregate set)."""
+    """Q1 pricing summary report (full aggregate set).
+
+    The scale-4/6 sums route through ``dsum_auto`` with the pre-filter
+    lineitem row count from parquet footer stats: under the BIGINT bound
+    they stay on the codegen scaled-long path; past ~1e8 qualifying rows
+    (~sf20-50, where ``dsum`` at scale 6 would ANSI-overflow) they switch
+    to the DECIMAL(38,0) accumulator automatically — same value either
+    way, so the oracle keeps a single form."""
     li = T(spark, sf_dir, "lineitem")
+    est = estimate_rows(sf_dir, "lineitem")
     f = li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-06-30").cast("date"))
     n = F.count(F.lit(1))
     return f.groupBy("l_returnflag", "l_linestatus").agg(
         dsum(F.col("l_quantity")).alias("sum_qty"),
         dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-        dsum(F.expr(_DISC_PRICE_RAW), 4).alias("sum_disc_price"),
-        dsum(F.expr(_CHARGE_RAW), 6).alias("sum_charge"),
+        dsum_auto(F.expr(_DISC_PRICE_RAW), 4, est).alias("sum_disc_price"),
+        dsum_auto(F.expr(_CHARGE_RAW), 6, est).alias("sum_charge"),
         pround(dsum(F.col("l_quantity")) / n, 6).alias("avg_qty"),
         pround(dsum(F.col("l_extendedprice")) / n, 6).alias("avg_price"),
         pround(dsum(F.col("l_discount")) / n, 6).alias("avg_disc"),

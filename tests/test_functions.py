@@ -190,3 +190,54 @@ def test_dsum_wide_sql_twin_matches(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_dsum_auto_routing_bound():
+    """The static route: long path while est_rows·magnitude·10^scale fits
+    under 2^62, wide past it; unknown row counts conservative at scale>=4."""
+    from java_etl_bi_generator_spark.functions.rounding import (
+        dsum_routes_wide,
+    )
+
+    # TPC-H Q1 sum_charge (scale 6, ~1e5 magnitude): 1e6 rows fit,
+    # 1e8 rows (≈sf20+) exceed the 2^62 headroom
+    assert not dsum_routes_wide(6, 1_000_000)
+    assert dsum_routes_wide(6, 100_000_000)
+    # scale 2 with ~1e4 magnitudes: effectively unbounded
+    assert not dsum_routes_wide(2, 10_000_000_000, row_magnitude=1e4)
+    # unknown rows: conservative only where the docstring bound bites
+    assert dsum_routes_wide(4, None)
+    assert not dsum_routes_wide(3, None)
+
+
+def test_dsum_auto_both_sides(spark):
+    """dsum_auto survives an input that ANSI-overflows the long path when
+    (and only because) the estimate routes it wide — and produces the
+    identical value to the long path on in-range input."""
+    import pytest
+
+    from java_etl_bi_generator_spark.functions.rounding import dsum, dsum_auto
+
+    # in-range: routed long, same value as dsum
+    small = spark.createDataFrame([(1.25,), (2.50,), (3.125,)], "x double")
+    a = small.agg(dsum_auto(F.col("x"), 3, est_rows=3, row_magnitude=10.0)
+                  .alias("s")).first()["s"]
+    b = small.agg(dsum(F.col("x"), 3).alias("s")).first()["s"]
+    assert a == b == 6.875
+    # past the bound: dsum ANSI-fails, dsum_auto routes wide and succeeds
+    big = spark.createDataFrame([(9.0e16,)] * 3, "x double")
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC"):
+        big.agg(dsum(F.col("x")).alias("s")).collect()
+    got = big.agg(
+        dsum_auto(F.col("x"), 2, est_rows=3, row_magnitude=9.0e16).alias("s")
+    ).first()["s"]
+    assert got == pytest.approx(2.7e17, rel=1e-12)
+
+
+def test_estimate_rows_footer_stats(spark, sf_dir):
+    """catalog.estimate_rows (parquet footer metadata, no Spark job) is
+    exact against a real count."""
+    from java_etl_bi_generator_spark.catalog import estimate_rows, load_table
+
+    for t in ("nation", "lineitem"):
+        assert estimate_rows(sf_dir, t) == load_table(spark, sf_dir, t).count()
