@@ -124,6 +124,121 @@ def kmeans_fit(
     return centroids
 
 
+# ---------------------------------------------------------------------------
+# Integer-pinned Lloyd's (round-5: promotes the IVF family to
+# hash-checkability).  Same scale shape as kmeans_fit — model literals in
+# the plan, k×dim sufficient-statistic shuffle — but every quantity is an
+# exact integer, so training is bit-identical across engines AND across
+# partitionings:
+#   - components quantize to micro-units: xi = floor(x·1e6 + 0.5) (the
+#     per-row IEEE step both engines evaluate identically),
+#   - distances are exact bigint Σ(xi−ci)²,
+#   - means are FLOOR-DIVIDED integer centroids (sum // n, the pinned
+#     ((s % n) + n) % n remainder form in SQL),
+#   - seeds order by (md5(vec_id), vec_id) — hash order with an explicit
+#     total-order tiebreak.
+# Float Lloyd's (kmeans_fit above) keeps the classical semantics for
+# consumers that want true means; the integer twin trades ≤1 micro-unit
+# of centroid precision for cross-engine reproducibility.
+# ---------------------------------------------------------------------------
+
+MICRO = 1_000_000  # micro-unit quantization scale shared with the oracles
+
+
+def quantize_micro(vec_col: Column | str) -> Column:
+    """array<double> (or float) → array<bigint> micro-units:
+    per-component floor(x·1e6 + 0.5)."""
+    return F.transform(
+        as_double_array(vec_col),
+        lambda x: F.floor(x * F.lit(float(MICRO)) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+
+
+def _sq_dist_int(vec: Column, centroid: list[int]) -> Column:
+    """Exact bigint squared L2 between an array<bigint> column and a
+    literal integer centroid."""
+    c = F.array(*[F.lit(int(x)).cast("bigint") for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def nearest_cell_int(
+    vec_col: Column | str, centroids: list[list[int]]
+) -> Column:
+    """Index of the nearest integer centroid by exact squared L2; ties
+    deterministically to the lower index (struct min ordering).  Pass a
+    raw embedding by NAME (quantized internally) or an
+    already-quantized ``array<bigint>`` Column."""
+    v = quantize_micro(vec_col) if isinstance(vec_col, str) else vec_col
+    cands = F.array(
+        *[
+            F.struct(_sq_dist_int(v, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(cands)["i"]
+
+
+def kmeans_fit_int(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Integer-pinned Lloyd's: returns k × dim micro-unit centroids that
+    any engine reproduces bit-for-bit from the same input.  Per
+    iteration: one scan (assignment is a pure map over plan-literal
+    centroids), one k×dim sufficient-statistics shuffle, one k×dim
+    collect; Python's ``//`` floor division on the driver matches the
+    pinned SQL remainder form exactly."""
+    if k < 1:
+        raise ValueError(f"kmeans_fit_int: k must be >= 1, got {k}")
+    seeds = (
+        embeddings.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__id"),
+            quantize_micro(vec_col).alias("__v"),
+        )
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("kmeans_fit_int: no input vectors to seed from")
+    centroids = [list(r["__v"]) for r in seeds]
+    k = len(centroids)
+    dim = len(centroids[0])
+    vecs = embeddings.select(quantize_micro(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = vecs.withColumn(
+            "__cell", nearest_cell_int(F.col("__v"), centroids)
+        )
+        stats = (
+            assigned.select(
+                "__cell", F.posexplode("__v").alias("__pos", "__x")
+            )
+            .groupBy("__cell", "__pos")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty cells keep their centroid
+        acc: dict[int, list[int]] = {}
+        for r in stats:
+            acc.setdefault(r["__cell"], [0] * dim)[r["__pos"]] = (
+                int(r["__s"]) // int(r["__n"])
+            )
+        for cell, mean in acc.items():
+            nxt[cell] = mean
+        centroids = nxt
+    return centroids
+
+
 def assign_cells(
     embeddings: DataFrame,
     centroids: list[list[float]],

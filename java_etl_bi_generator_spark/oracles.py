@@ -5338,3 +5338,103 @@ ORACLES.update({
     GROUP BY r_name, n_name, order_year
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Integer-pinned Lloyd's k-means (round 5): the SQL twin of
+# operators/kmeans.py kmeans_fit_int — quantize to micro-units, exact
+# bigint distances, floor-divided integer means, md5-ordered seeds —
+# unrolled one CTE chain per Lloyd round.  Bit-identical training lets
+# q_kmeans_cells / q_vector_topk_ivf_trained leave the rows-only set.
+# ---------------------------------------------------------------------------
+
+def _kmeans_int_ctes(k: int, iters: int) -> str:
+    """CTE chain ending in a{iters+1} (assignment under the FINAL model
+    c{iters}) and d{iters+1} (exact per-vector squared distance to every
+    cell of the final model).  The floor division uses the pinned
+    non-negative-remainder form ``(sx - ((sx % n) + n) % n) // n`` —
+    identical to Python's ``//`` on the Spark driver."""
+    fdiv = "CAST((sx - ((sx % n) + n) % n) // n AS BIGINT)"
+    parts = [
+        # micro-unit quantization: per-component floor(x·1e6 + 0.5)
+        "x AS (SELECT vec_id,"
+        " generate_subscripts(embedding, 1) - 1 AS pos,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT) AS xi FROM embeddings)",
+        # seeds: k vectors whose (md5(id), id) sorts first; cell = rank-1
+        f"seeds AS (SELECT vec_id, CAST(row_number() OVER ("
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell"
+        f" FROM embeddings"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})",
+        "c0 AS (SELECT s.cell, x.pos, x.xi AS ci"
+        " FROM seeds s JOIN x USING (vec_id))",
+    ]
+    for t in range(1, iters + 2):
+        p = t - 1
+        parts.append(
+            f"d{t} AS (SELECT x.vec_id, c.cell,"
+            f" sum((x.xi - c.ci) * (x.xi - c.ci)) AS d"
+            f" FROM x JOIN c{p} c ON x.pos = c.pos GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cell FROM ("
+            f"SELECT vec_id, cell, row_number() OVER ("
+            f"PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d{t})"
+            f" WHERE rn = 1)"
+        )
+        if t <= iters:
+            parts.append(
+                f"m{t} AS (SELECT a.cell, x.pos, sum(x.xi) AS sx,"
+                f" count(*) AS n"
+                f" FROM a{t} a JOIN x USING (vec_id) GROUP BY 1, 2)"
+            )
+            parts.append(
+                f"c{t} AS (SELECT cell, pos, {fdiv} AS ci FROM m{t}"
+                f" UNION ALL SELECT c.cell, c.pos, c.ci FROM c{p} c"
+                f" WHERE c.cell NOT IN (SELECT cell FROM m{t}))"
+            )
+    return ",\n        ".join(parts)
+
+
+ORACLES.update({
+    "q_kmeans_cells": f"""
+        WITH {_kmeans_int_ctes(8, 3)}
+        SELECT a.cell,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(d.d) AS DECIMAL(38,0)) AS sum_sq_dist
+        FROM a4 a JOIN d4 d ON a.vec_id = d.vec_id AND a.cell = d.cell
+        GROUP BY 1
+    """,
+    "q_vector_topk_ivf": f"""
+        WITH x AS (SELECT vec_id,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                      + 0.5) AS BIGINT) AS xi FROM embeddings),
+        qm AS (SELECT pos, xi AS qi FROM x WHERE vec_id = 0),
+        cents AS (
+          SELECT label, pos,
+                 CAST((sx - ((sx % n) + n) % n) // n AS BIGINT) AS ci
+          FROM (SELECT e.label, x.pos, sum(x.xi) AS sx, count(*) AS n
+                FROM x JOIN embeddings e USING (vec_id) GROUP BY 1, 2)),
+        probe AS (
+          SELECT label FROM (
+            SELECT c.label, sum((c.ci - qm.qi) * (c.ci - qm.qi)) AS d
+            FROM cents c JOIN qm USING (pos) GROUP BY 1)
+          ORDER BY d, label LIMIT 2),
+        cand AS (SELECT e.vec_id FROM embeddings e JOIN probe USING (label)),
+        {_cosine_scored_ctes()}
+        SELECT vec_id, cosine FROM scored JOIN cand USING (vec_id)
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    "q_vector_topk_ivf_trained": f"""
+        WITH {_kmeans_int_ctes(8, 2)},
+        qm AS (SELECT pos, xi AS qi FROM x WHERE vec_id = 0),
+        cd AS (SELECT c.cell, sum((c.ci - qm.qi) * (c.ci - qm.qi)) AS d
+               FROM c2 c JOIN qm USING (pos) GROUP BY 1),
+        probe AS (SELECT cell FROM cd ORDER BY d, cell LIMIT 3),
+        cand AS (SELECT a.vec_id FROM a3 a JOIN probe USING (cell)),
+        {_cosine_scored_ctes()}
+        SELECT vec_id, cosine FROM scored JOIN cand USING (vec_id)
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+})

@@ -19,6 +19,7 @@ operators; the rest are north-star extensions (BASELINE.json).
 
 from __future__ import annotations
 
+import math
 import tempfile
 from collections.abc import Callable
 
@@ -1946,53 +1947,119 @@ def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_vector_topk_ivf")
 def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 (rows-only): IVF-style probe of nearest label-cells only."""
+    """L3: IVF-style probe of the nearest label-cells only — HASH-CHECKED
+    since round 5 by moving the coarse quantizer to exact integers: cell
+    centroids are floor-divided micro-unit means (posexplode → one
+    |cells|×dim shuffle, ``div`` integer division), probe selection is
+    exact integer L2 computed IN-FRAME (no driver collect — the
+    centroid×query join is |cells|×dim rows), and the rerank inside the
+    probed cells is the hash-proven cosine top-k.  Float-mean IVF stays
+    available as operators/similarity.py ``ivf_topk``; this integer form
+    is the reproducible twin.  At 100 TB: centroid build is one bounded
+    shuffle, the probe list broadcasts, candidates prune by cell."""
+    from .operators.kmeans import quantize_micro
+
     em = T(spark, sf_dir, "embeddings")
-    return ivf_topk(em, _query_vector(spark, sf_dir), k=10, nprobe=2)
+    query = _query_vector(spark, sf_dir)
+    q_micro = F.array(
+        *[F.lit(int(math.floor(x * 1e6 + 0.5))).cast("bigint") for x in query]
+    )
+    cents = (
+        em.select(
+            "label", F.posexplode(quantize_micro("embedding")).alias("pos", "xi")
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("xi").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            F.expr("(sx - ((sx % n) + n) % n) div n").alias("ci"),
+        )
+    )
+    diff = F.col("ci") - F.element_at(q_micro, F.col("pos") + 1)
+    probe = (
+        cents.groupBy("label")
+        .agg(F.sum(diff * diff).alias("d"))
+        .orderBy("d", "label")
+        .limit(2)
+        .select("label")
+    )
+    cand = em.join(F.broadcast(probe), "label", "left_semi")
+    return brute_force_topk(cand, query, k=10)
 
 
 @q("q_kmeans_cells")
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 (rows-only): distributed Lloyd's k-means over the embedding
-    corpus — the IVF coarse-quantizer trainer (operators/kmeans.py).  Per
-    iteration the model (k×dim literals) rides the plan and only k×dim
-    sufficient-statistic rows shuffle; assignment is a pure map.  Output:
-    cell sizes + mean within-cell squared distance (the quantity Lloyd's
-    monotonically decreases), rounded for portability."""
-    from .operators.kmeans import assign_cells, kmeans_fit, _sq_dist
+    """L3: distributed Lloyd's k-means over the embedding corpus — the
+    IVF coarse-quantizer trainer, HASH-CHECKED since round 5 via the
+    integer-pinned form (operators/kmeans.py kmeans_fit_int): components
+    quantize to micro-units, distances are exact bigint Σ(xi−ci)², means
+    are floor-divided integer centroids — so three Lloyd rounds produce
+    bit-identical models on Spark and on the DuckDB oracle (which unrolls
+    the same three rounds in SQL).  Per iteration the model (k×dim int
+    literals) rides the plan and only k×dim sufficient-statistic rows
+    shuffle; assignment is a pure map.  Output: per-cell sizes + the
+    EXACT within-cell squared-distance total in micro-units² (DECIMAL(38)
+    accumulation — the quantity Lloyd's monotonically decreases)."""
+    from .operators.kmeans import (
+        kmeans_fit_int,
+        nearest_cell_int,
+        quantize_micro,
+        _sq_dist_int,
+    )
 
     em = T(spark, sf_dir, "embeddings")
-    model = kmeans_fit(em, k=8, iters=3)
-    assigned = assign_cells(em, model)
+    model = kmeans_fit_int(em, k=8, iters=3)
+    qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
+    assigned = qv.withColumn("cell", nearest_cell_int(F.col("__q"), model))
     dist_cols = [
-        F.when(F.col("cell") == i, _sq_dist(F.col("embedding").cast("array<double>"), c))
+        F.when(F.col("cell") == i, _sq_dist_int(F.col("__q"), c))
         for i, c in enumerate(model)
     ]
     return (
         assigned.withColumn("__d", F.coalesce(*dist_cols))
         .groupBy("cell")
         .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            pround(F.avg("__d"), 4).alias("mean_sq_dist"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.col("__d").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sum_sq_dist"),
         )
-        .orderBy("cell")
     )
 
 
 @q("q_vector_topk_ivf_trained")
 def q_vector_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 (rows-only): IVF probe over TRAINED cells — kmeans_fit builds the
-    coarse quantizer, assign_cells tags the corpus (pure map), ivf_topk
-    probes the nprobe nearest cells only.  The full index lifecycle with
-    no pre-existing labels."""
-    from .operators.kmeans import assign_cells, kmeans_fit
+    """L3: IVF probe over TRAINED cells — the full index lifecycle with no
+    pre-existing labels, HASH-CHECKED since round 5: the coarse quantizer
+    is the integer-pinned trainer (bit-identical cross-engine), the probe
+    picks the nprobe cells nearest the quantized query by EXACT integer
+    L2 (ties to the lower cell — the FAISS-standard L2 coarse quantizer),
+    and the rerank inside the probed cells is the already-hash-proven
+    cosine top-k.  Probe selection runs driver-side on the k×dim model
+    (no job); candidates prune to the probed cells before any scoring —
+    at 100 TB, with the index written cell-partitioned
+    (operators/kmeans.py write_ivf_index), that pruning happens in file
+    metadata."""
+    from .operators.kmeans import (
+        kmeans_fit_int,
+        nearest_cell_int,
+        quantize_micro,
+    )
 
     em = T(spark, sf_dir, "embeddings")
-    model = kmeans_fit(em, k=8, iters=2)
-    assigned = assign_cells(em, model)
-    return ivf_topk(
-        assigned, _query_vector(spark, sf_dir), k=10, nprobe=3, cell_col="cell"
+    model = kmeans_fit_int(em, k=8, iters=2)
+    query = _query_vector(spark, sf_dir)
+    q_micro = [int(math.floor(x * 1e6 + 0.5)) for x in query]
+    scored = sorted(
+        (sum((x - y) ** 2 for x, y in zip(q_micro, c)), i)
+        for i, c in enumerate(model)
     )
+    probed = [i for _, i in scored[:3]]
+    cand = em.withColumn(
+        "cell", nearest_cell_int(quantize_micro("embedding"), model)
+    ).filter(F.col("cell").isin(probed))
+    return brute_force_topk(cand, query, k=10)
 
 
 @q("q_text_stats")

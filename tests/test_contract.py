@@ -20,17 +20,15 @@ from java_etl_bi_generator_spark.oracles import ORACLES
 from java_etl_bi_generator_spark.plans import explain_simple
 from java_etl_bi_generator_spark.queries import registry
 
-# Streaming state, IVF probing and HLL sketches are not SQL-expressible in
-# DuckDB — the driver records a weaker rows-only check for exactly these.
-# Round-4 continuation shrank this to the 6 inherently engine-specific
-# queries (the streaming surface and LSH gained oracles): builtin HLL/GK
-# sketches, float-centroid IVF probing, and Lloyd's k-means training.
+# Builtin HLL/GK sketches are not SQL-expressible in DuckDB (the two
+# engines' sketch internals legitimately differ) — the driver records a
+# weaker rows-only check for exactly these.  Round 5 shrank this to 3:
+# the IVF/k-means family gained oracles by pinning training and probing
+# in exact integer micro-unit arithmetic (operators/kmeans.py
+# kmeans_fit_int + the unrolled Lloyd CTEs in oracles.py).
 DOCUMENTED_ROWS_ONLY = {
-    "q_vector_topk_ivf",
     "q_approx_count_distinct",
     "q_approx_percentile",
-    "q_kmeans_cells",
-    "q_vector_topk_ivf_trained",
     "q_rolling_distinct_hll",
 }
 

@@ -97,7 +97,7 @@ def test_kmeans_cells_query_shape(spark, sf_dir):
     rows = registry()["q_kmeans_cells"](spark, sf_dir).collect()
     n = load_table(spark, sf_dir, "embeddings").count()
     assert sum(r["n_vecs"] for r in rows) == n
-    assert all(r["mean_sq_dist"] >= 0 for r in rows)
+    assert all(r["sum_sq_dist"] >= 0 for r in rows)
 
 
 def test_ivf_index_probe_is_partition_pruned(spark, sf_dir):
@@ -182,3 +182,43 @@ def test_lloyds_objective_never_increases(spark):
     objs = [objective(kmeans_fit(df, k=3, iters=it)) for it in (1, 2, 3, 4)]
     for a, b in zip(objs, objs[1:]):
         assert b <= a + 1e-9
+
+
+def test_kmeans_int_recovers_planted_clusters(spark):
+    """The integer-pinned trainer finds the same planted structure as the
+    float trainer, and its centroids agree with the float means to the
+    1-micro-unit quantization bound."""
+    from java_etl_bi_generator_spark.operators.kmeans import (
+        kmeans_fit_int,
+        nearest_cell_int,
+        quantize_micro,
+    )
+
+    df = _planted(spark)
+    model = kmeans_fit_int(df, k=3, iters=4)
+    assigned = df.withColumn(
+        "cell", nearest_cell_int(quantize_micro("embedding"), model)
+    )
+    m = (
+        assigned.groupBy("planted")
+        .agg(F.countDistinct("cell").alias("ncells"),
+             F.first("cell").alias("cell"))
+        .collect()
+    )
+    assert all(r["ncells"] == 1 for r in m)
+    assert len({r["cell"] for r in m}) == 3
+    for c in model:
+        lead = round(c[0] / 1e7) * 10  # centroids are micro-units
+        assert all(abs(x / 1e6 - lead) < 0.2 for x in c)
+
+
+def test_kmeans_int_partition_invariant(spark):
+    """Integer training is EXACTLY partitioning-invariant (bigint sums are
+    order-free; float kmeans_fit can only promise this per fixed plan)."""
+    from java_etl_bi_generator_spark.operators.kmeans import kmeans_fit_int
+
+    df = _planted(spark)
+    m1 = kmeans_fit_int(df.repartition(1), k=3, iters=3)
+    m2 = kmeans_fit_int(df.repartition(13), k=3, iters=3)
+    assert m1 == m2
+    assert all(isinstance(x, int) for c in m1 for x in c)

@@ -15,17 +15,14 @@ from java_etl_bi_generator_spark.queries import registry
 
 from .conftest import SF_DIR
 
-# Rows-only queries (no oracle): builtin sketches, IVF float-centroid
-# probing, k-means training — each inherently engine-specific.  (The
-# streaming surface and LSH gained oracles in round 4 and now run
-# through test_query_matches_oracle like everything else.)
+# Rows-only queries (no oracle): builtin sketches only — each
+# inherently engine-specific.  (Streaming and LSH gained oracles in
+# round 4; the IVF/k-means family in round 5 via integer-pinned
+# training.)
 ROWS_ONLY = {
     "q_approx_count_distinct",
     "q_approx_percentile",
-    "q_kmeans_cells",
     "q_rolling_distinct_hll",
-    "q_vector_topk_ivf",
-    "q_vector_topk_ivf_trained",
 }
 
 
