@@ -44,6 +44,9 @@ HEADLINE = [
     "q_rfm",                 # 3-way ntile segmentation
     "q_chunk_documents",     # overlapping token-window chunking
     "q_basket_pairs",        # within-basket co-occurrence + lift
+    # ---- end of the original round-1..3 22-query set (see
+    # LIKE_FOR_LIKE below); everything after this line joined in
+    # round 4+ ----
     "q_pagerank",            # iterative integer PageRank (checkpointed)
     "q_exact_median_rank",   # distributed global-rank exact median
     "q_bucketed_join",       # shuffle-free pre-bucketed fact join
@@ -61,6 +64,13 @@ HEADLINE = [
     "q_grid_density_clusters",  # grid DBSCAN via connected cells (round 4)
     "q_decayed_engagement",  # exact dyadic half-life scoring (round 4)
 ]
+
+# The original 22-query set benched since round 1 — reported as its own
+# subtotal every round so round-over-round comparability survives set
+# growth (round-4 verdict task 5): the headline total absorbs new heavy
+# operators each round, the like-for-like subtotal does not.
+LIKE_FOR_LIKE = HEADLINE[:22]
+assert LIKE_FOR_LIKE[-1] == "q_basket_pairs"
 
 
 def main() -> None:
@@ -96,11 +106,13 @@ def main() -> None:
                 times[name] = dt
 
     total = round(sum(times.values()), 3)
+    like_for_like = round(sum(times[n] for n in LIKE_FOR_LIKE), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
+                "value_like_for_like_22q": like_for_like,
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,

@@ -289,3 +289,21 @@ def test_ks_by_segment_no_data_grain_single_partition_window(spark, sf_dir):
         if ("Window [" in line and "__pid" not in line
                 and "__ptot" not in line):
             raise AssertionError(f"single-partition window: {line}")
+
+
+def test_basket_pairs_and_rfm_plan_shapes_pinned(spark, sf_dir):
+    """Round-4 verdict task 4: the bench drift on these two queries was
+    measured to be harness load, not plan growth (SCALING.md "Bench drift
+    audit": isolated min-of-6 at sf0.1 beats even the round-3 bench
+    numbers).  Pin the plan shapes so a FUTURE regression of the plans
+    themselves — extra shuffles, a join strategy flip, a second fact
+    scan — fails loudly instead of hiding inside bench spread."""
+    plan = explain_formatted(registry()["q_basket_pairs"](spark, sf_dir))
+    assert plan.count("orders.parquet") == 1  # single fact scan
+    assert plan.count("SortMergeJoin") == 0  # pair join stays broadcast
+    assert plan.count("Exchange") <= 14  # incl. rank-machinery offsets
+    plan = explain_formatted(registry()["q_rfm"](spark, sf_dir))
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("Exchange") <= 10
+    # the distributed-rank contract: never a global single-partition sort
+    assert "No Partition Defined" not in plan
