@@ -57,3 +57,44 @@ def test_iterative_algorithm_on_reliable_path(spark, tmp_path):
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_full_query_through_reliable_checkpoint_matches_oracle(
+    spark, tmp_path, sf_dir
+):
+    """Round-4 verdict task 6: a FULL iterative registry query (q_pagerank
+    — per-round lineage cuts inside operators/graph.py) executed with a
+    checkpoint dir configured, i.e. through real ``checkpoint()`` to
+    storage rather than ``localCheckpoint``, must produce the exact
+    oracle-matching values — the reliable branch is value-identical, not
+    just runnable."""
+    import duckdb
+
+    from java_etl_bi_generator_spark.catalog import TABLES
+    from java_etl_bi_generator_spark.oracles import ORACLES
+    from java_etl_bi_generator_spark.queries import registry
+
+    configure_checkpoint_dir(spark, str(tmp_path / "ckpt3"))
+    assert checkpoint_dir(spark) is not None
+    rows = registry()["q_pagerank"](spark, sf_dir).collect()
+    # the run really went through the reliable path: RDD checkpoint files
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(str(tmp_path / "ckpt3"))
+        for f in fs
+    ]
+    assert files, "iterative query wrote nothing under the checkpoint dir"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = con.execute(ORACLES["q_pagerank"]).fetchall()
+    cols = rows[0].asDict().keys()
+    got = sorted(tuple(r[c] for c in cols) for r in rows)
+    # oracle column order may differ; normalize by sorting column tuples
+    du_cols = [d[0] for d in con.execute(ORACLES["q_pagerank"]).description]
+    idx = [du_cols.index(c) for c in cols]
+    want_n = sorted(tuple(w[j] for j in idx) for w in want)
+    assert got == want_n
