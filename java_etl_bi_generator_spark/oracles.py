@@ -5438,3 +5438,196 @@ ORACLES.update({
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: decontamination, quality rules, the remaining test
+# family, target encoding.
+# ---------------------------------------------------------------------------
+
+# 5-word shingles with the word_shingles() short-doc fallback (whole text
+# as the single shingle) — the n=5 sibling of _SHINGLES.  Lambda var j:
+# never i (see _hex_bigint caveat).
+_SHINGLES5 = """
+  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(range(1, len(toks) - 3),
+                           j -> toks[j] || ' ' || toks[j+1] || ' ' ||
+                                toks[j+2] || ' ' || toks[j+3] || ' ' ||
+                                toks[j+4])
+  END
+"""
+
+ORACLES.update({
+    "q_decontaminate_ngrams": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks,
+                 CASE WHEN {_BUCKET} < 80 THEN 'train' ELSE 'heldout' END
+                   AS split
+          FROM documents WHERE trim(text) <> ''
+        ),
+        sh AS (
+          SELECT doc_id, split, unnest(list_distinct({_SHINGLES5})) AS g
+          FROM docs
+        ),
+        tg AS (SELECT DISTINCT g FROM sh WHERE split = 'train'),
+        held AS (SELECT doc_id, g FROM sh WHERE split = 'heldout'),
+        hits AS (SELECT doc_id, count(*) AS n_hit
+                 FROM held JOIN tg USING (g) GROUP BY 1),
+        base AS (SELECT doc_id, count(*) AS n_ngrams FROM held GROUP BY 1)
+        SELECT b.doc_id,
+               CAST(b.n_ngrams AS BIGINT) AS n_ngrams,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT)
+                 AS n_contaminated_ngrams,
+               coalesce(h.n_hit, 0) > 0 AS is_contaminated
+        FROM base b LEFT JOIN hits h USING (doc_id)
+    """,
+    "q_gopher_quality_rules": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST({_N_TOKENS} AS BIGINT) AS n_words,
+                 CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                      AS BIGINT) AS sum_word_chars,
+                 CAST({_hits(_STOP_EN)} AS BIGINT) AS n_stop,
+                 CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                      AS BIGINT) AS n_symbols,
+                 CAST(len(list_filter({_TOKENS},
+                      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha_words
+          FROM documents WHERE trim(text) <> ''
+        )
+        SELECT doc_id,
+               n_words >= 30 AND n_words <= 100000 AS ok_word_count,
+               sum_word_chars >= 3 * n_words
+                 AND sum_word_chars <= 10 * n_words AS ok_mean_word_len,
+               n_stop >= 2 AS ok_stopwords,
+               10 * n_symbols <= n_words AS ok_symbol_ratio,
+               10 * n_alpha_words >= 8 * n_words AS ok_alpha_words,
+               (n_words >= 30 AND n_words <= 100000)
+                 AND (sum_word_chars >= 3 * n_words
+                      AND sum_word_chars <= 10 * n_words)
+                 AND n_stop >= 2
+                 AND 10 * n_symbols <= n_words
+                 AND 10 * n_alpha_words >= 8 * n_words AS keep
+        FROM d
+    """,
+    "q_mannwhitney_u": f"""
+        WITH g AS (
+          SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+                 CAST(sum(g2) AS BIGINT) AS c2,
+                 CAST(sum(g1) + sum(g2) AS BIGINT) AS t
+          FROM (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                         AS v,
+                       CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                            ELSE 0 END AS g1,
+                       CASE WHEN o_orderpriority = '5-LOW' THEN 1
+                            ELSE 0 END AS g2
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))
+          GROUP BY v
+        ),
+        c AS (
+          SELECT *, sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t
+                      AS b
+          FROM g
+        ),
+        a AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2,
+                 CAST(sum(CAST(c1 AS HUGEINT)
+                          * CAST(2 * b + t + 1 AS HUGEINT))
+                      AS DECIMAL(38,0)) AS r1_x2,
+                 CAST(sum(CAST(t AS HUGEINT) * t * t - t)
+                      AS DECIMAL(38,0)) AS tie3
+          FROM c
+        )
+        SELECT n1, n2, r1_x2 AS rank_sum1_x2,
+               CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                    AS DECIMAL(38,0)) AS u1_x2,
+               {pround_sql(
+                   "(CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)"
+                   " / 2.0 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)"
+                   " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0"
+                   " * ((CAST(n1 + n2 AS DOUBLE) + 1.0)"
+                   " - CAST(tie3 AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)"
+                   " * (CAST(n1 + n2 AS DOUBLE) - 1.0))))", 6)} AS z
+        FROM a
+    """,
+    "q_anova_f": "",  # built below (generated per-priority columns)
+    "q_target_encoding": f"""
+        WITH od AS (
+          SELECT o_orderkey, c_nationkey,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        pn AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_nat,
+                      CAST(sum(cents) AS BIGINT) AS s_nat
+               FROM od GROUP BY 1),
+        gl AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+                      CAST(sum(cents) AS BIGINT) AS s_all FROM od)
+        SELECT o_orderkey, c_nationkey AS nationkey,
+               {pround_sql(
+                   "CAST(CAST(s_nat - cents AS HUGEINT) * n_all"
+                   " + 10 * CAST(s_all AS HUGEINT) AS DOUBLE)"
+                   " / CAST(CAST(n_nat - 1 + 10 AS HUGEINT) * n_all"
+                   " AS DOUBLE) / 100.0", 6)} AS nation_target_enc
+        FROM od JOIN pn USING (c_nationkey), gl
+    """,
+})
+
+
+def _anova_oracle() -> str:
+    """Mirror of q_anova_f's fixed-order chains over the pinned priority
+    domain: per-group (n, Σx, Σx²) conditional aggregates into one row,
+    left-associated 5-term chains, divisions last."""
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    k = len(pris)
+    cols = []
+    for j, p in enumerate(pris):
+        hit = f"o_orderpriority = '{p}'"
+        cols.append(
+            f"CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{j}"
+        )
+        cols.append(
+            f"CAST(sum(CASE WHEN {hit} THEN v ELSE 0 END) AS BIGINT)"
+            f" AS s_{j}"
+        )
+        cols.append(
+            f"CAST(sum(CASE WHEN {hit} THEN CAST(v AS HUGEINT) * v"
+            f" ELSE 0 END) AS DECIMAL(38,0)) AS q_{j}"
+        )
+    n_tot = " + ".join(f"n_{j}" for j in range(k))
+    s_tot = " + ".join(f"s_{j}" for j in range(k))
+    terms = " + ".join(
+        f"CAST(CAST(s_{j} AS HUGEINT) * s_{j} AS DOUBLE)"
+        f" / CAST(n_{j} AS DOUBLE)"
+        for j in range(k)
+    )
+    q_tot = " + ".join(f"q_{j}" for j in range(k))
+    grand = (
+        f"CAST(CAST(({s_tot}) AS HUGEINT) * ({s_tot}) AS DOUBLE)"
+        f" / CAST(({n_tot}) AS DOUBLE)"
+    )
+    ssb = f"(({terms}) - {grand})"
+    ssw = f"(CAST(({q_tot}) AS DOUBLE) - ({terms}))"
+    f_stat = (
+        f"({ssb} / {float(k - 1)}) / ({ssw}"
+        f" / (CAST(({n_tot}) AS DOUBLE) - {float(k)}))"
+    )
+    return f"""
+        WITH one AS (
+          SELECT {", ".join(cols)}
+          FROM (SELECT o_orderpriority,
+                       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                         AS v
+                FROM orders)
+        )
+        SELECT CAST(({n_tot}) AS BIGINT) AS n_orders,
+               CAST({k} AS INT) AS k_groups,
+               {pround_sql(f"{ssb} / ({ssb} + {ssw})", 6)} AS eta_squared,
+               {pround_sql(f_stat, 6)} AS f_stat
+        FROM one
+    """
+
+
+ORACLES["q_anova_f"] = _anova_oracle()

@@ -9158,6 +9158,285 @@ def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2, allowMissingColumns=True)
 
 
+# ---------------------------------------------------------------------------
+# Round-5 additions: decontamination, quality-rule bundles, the remaining
+# nonparametric/parametric test family, ML feature encoding.
+# ---------------------------------------------------------------------------
+
+@q("q_decontaminate_ngrams")
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination the way training pipelines actually do
+    it: N-GRAM overlap, not whole-document hashes (q_contamination_check
+    is the exact-hash twin) — a heldout doc is contaminated if ANY of its
+    5-gram shingles appears anywhere in the train split (the GPT-3/PaLM
+    13-gram rule, n scaled to the fixture's short documents).  Shape at
+    100 TB: distinct train shingles are one partial-agg shuffle, the
+    probe is a shuffle-on-shingle LEFT SEMI join (never a broadcast —
+    the shingle set scales with the corpus), and the per-doc verdict is
+    one groupBy.  Exact integers end-to-end."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    tagged = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles("text", 5)).alias("grams"),
+        F.when(bucket < 80, "train").otherwise("heldout").alias("split"),
+    )
+    train_grams = (
+        tagged.filter(F.col("split") == "train")
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    held = tagged.filter(F.col("split") == "heldout").select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    hits = (
+        held.join(train_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = tagged.filter(F.col("split") == "heldout").select(
+        "doc_id", F.size("grams").cast("bigint").alias("n_ngrams")
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias(
+            "n_contaminated_ngrams"
+        ),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
+@q("q_gopher_quality_rules")
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining quality gate: the Gopher-style RULE BUNDLE per document
+    (Rae et al. 2021 §A1.1.2, thresholds adapted to the fixture corpus) —
+    word-count bounds, mean-word-length bounds, a minimum stopword count,
+    a symbol-to-word ceiling, and an alpha-word floor — each emitted as
+    its own boolean plus the conjunction, so downstream mixes can
+    attribute WHY a document fell out (q_repetition_filter carries the
+    companion repetition signals).  Every rule is integer arithmetic
+    (mean-length bounds cross-multiplied: 3n ≤ Σlen ≤ 10n), one scan,
+    no shuffle, pure codegen."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id",
+        token_count_of(toks).cast("bigint").alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("bigint")
+        .alias("sum_word_chars"),
+        stopword_count_of(toks).cast("bigint").alias("n_stop"),
+        punct_count("text").cast("bigint").alias("n_symbols"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+        .cast("bigint").alias("n_alpha_words"),
+    )
+    rules = d.select(
+        "doc_id",
+        ((F.col("n_words") >= 30) & (F.col("n_words") <= 100000)).alias(
+            "ok_word_count"
+        ),
+        (
+            (F.col("sum_word_chars") >= 3 * F.col("n_words"))
+            & (F.col("sum_word_chars") <= 10 * F.col("n_words"))
+        ).alias("ok_mean_word_len"),
+        (F.col("n_stop") >= 2).alias("ok_stopwords"),
+        (10 * F.col("n_symbols") <= F.col("n_words")).alias("ok_symbol_ratio"),
+        (10 * F.col("n_alpha_words") >= 8 * F.col("n_words")).alias(
+            "ok_alpha_words"
+        ),
+    )
+    return rules.select(
+        "*",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_stopwords")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_alpha_words")
+        ).alias("keep"),
+    )
+
+
+@q("q_mannwhitney_u")
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between URGENT- and LOW-priority
+    order totals — completes the engine's nonparametric test family (KS,
+    Spearman, Kendall).  The q_ks_test discipline: collapse to exact-cent
+    value grain with per-arm counts, ONE range-partitioned cumulative sum
+    gives every tied group its exclusive prefix B, and the doubled rank
+    sum 2R₁ = Σ c₁·(2B + t + 1) stays an exact DECIMAL(38,0) (tied ranks
+    are half-integers, so everything is carried ×2).  The normal
+    approximation z applies the standard tie-corrected variance as one
+    fixed-order IEEE expression.  Overflow bound: terms peak near
+    c₁·2N — DECIMAL(38) holds past any real table."""
+    from .operators.rank import global_cumsum
+
+    pri = F.col("o_orderpriority")
+    od = T(spark, sf_dir, "orders").filter(pri.isin("1-URGENT", "5-LOW"))
+    v = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    g = (
+        od.select(
+            v.alias("v"),
+            F.when(pri == "1-URGENT", 1).otherwise(0).alias("g1"),
+            F.when(pri == "5-LOW", 1).otherwise(0).alias("g2"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").cast("bigint").alias("c1"),
+            F.sum("g2").cast("bigint").alias("c2"),
+        )
+        .withColumn("t", F.col("c1") + F.col("c2"))
+    )
+    cum = global_cumsum(g, [F.col("v")], "t", cum_col="cum")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b = F.col("cum") - F.col("t")  # exclusive prefix: items ranked below
+    agg = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(d38(F.col("c1")) * d38(2 * b + F.col("t") + 1))
+        .cast("decimal(38,0)")
+        .alias("r1_x2"),
+        F.sum(
+            d38(F.col("t")) * d38(F.col("t")) * d38(F.col("t"))
+            - d38(F.col("t"))
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1_x2 = F.col("r1_x2") - d38(F.col("n1")) * d38(F.col("n1") + 1)
+    du = u1_x2.cast("double") / F.lit(2.0) - n1d * n2d / F.lit(2.0)
+    var = (
+        n1d * n2d / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - F.col("tie3").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("r1_x2").alias("rank_sum1_x2"),
+        u1_x2.cast("decimal(38,0)").alias("u1_x2"),
+        pround(du / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@q("q_anova_f")
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five order priorities on exact-cent
+    totals — the parametric completion of q_ttest_welch (k groups instead
+    of 2).  The q_cramers_v discipline for non-associative float sums:
+    per-group (n, Σx, Σx²) pivot into ONE row via conditional aggregates
+    against the PINNED priority domain, the between/within sums of
+    squares build from explicit left-to-right 5-term chains — fixed-order
+    IEEE both engines evaluate identically — and only the final ratios
+    become doubles (Σx² is exact DECIMAL(38,0) throughout; Σx a bigint)."""
+    from functools import reduce
+
+    od = T(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    x = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    aggs = []
+    for j, p in enumerate(pris):
+        hit = F.col("o_orderpriority") == p
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(f"n_{j}"),
+            F.sum(F.when(hit, x).otherwise(0)).cast("bigint").alias(f"s_{j}"),
+            F.sum(F.when(hit, d19(x) * d19(x)).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"q_{j}"),
+        ]
+    one = od.agg(*aggs)
+    k = len(pris)
+    ns = [F.col(f"n_{j}") for j in range(k)]
+    ss = [F.col(f"s_{j}") for j in range(k)]
+    qs_ = [F.col(f"q_{j}") for j in range(k)]
+    n_tot = reduce(lambda a, b: a + b, ns)
+    s_tot = reduce(lambda a, b: a + b, ss)
+    # Σ_g S_g²/n_g: numerators exact DECIMAL(38,0), one division per
+    # group, then a fixed-order chain of the five doubles
+    terms = [
+        (d19(s) * d19(s)).cast("decimal(38,0)").cast("double")
+        / n.cast("double")
+        for s, n in zip(ss, ns)
+    ]
+    t_between = reduce(lambda a, b: a + b, terms)
+    q_tot = reduce(lambda a, b: a + b, qs_)  # exact decimal chain
+    grand = (
+        (d19(s_tot) * d19(s_tot)).cast("decimal(38,0)").cast("double")
+        / n_tot.cast("double")
+    )
+    ssb = t_between - grand
+    ssw = q_tot.cast("double") - t_between
+    f_stat = (ssb / F.lit(float(k - 1))) / (
+        ssw / (n_tot.cast("double") - F.lit(float(k)))
+    )
+    return one.select(
+        n_tot.cast("bigint").alias("n_orders"),
+        F.lit(k).cast("int").alias("k_groups"),
+        pround(ssb / (ssb + ssw), 6).alias("eta_squared"),
+        pround(f_stat, 6).alias("f_stat"),
+    )
+
+
+@q("q_target_encoding")
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature engineering: LEAVE-ONE-OUT smoothed target encoding of
+    the customer's nation against order value — the categorical encoder
+    gradient-boosting pipelines ship (LOO + additive smoothing prevents
+    the target leak a naive group mean bakes in).  Exact rational until
+    the final division: with per-nation (n, Σcents) and global (N, S),
+    enc = ((Σ_nation − own)·N + m·S) / ((n_nation − 1 + m)·N) — numerator
+    and denominator are exact DECIMAL products (the global mean μ=S/N is
+    never materialized as a float), one pinned division per row.  Shape:
+    one fact aggregation to the 25-nation grain, broadcast back over the
+    fact scan, one 1-row global aggregate cross-joined — no fact-side
+    window, no second shuffle."""
+    m = 10  # smoothing pseudo-count
+    cu = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    od = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    ).join(F.broadcast(cu), "o_custkey")
+    per_nation = od.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nat"),
+        F.sum("cents").cast("bigint").alias("s_nat"),
+    )
+    glob = od.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("cents").cast("bigint").alias("s_all"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = od.join(F.broadcast(per_nation), "c_nationkey").crossJoin(
+        F.broadcast(glob)
+    )
+    num = (
+        d38(F.col("s_nat") - F.col("cents")) * d38(F.col("n_all"))
+        + F.lit(m) * d38(F.col("s_all"))
+    )
+    den = d38(F.col("n_nat") - 1 + m) * d38(F.col("n_all"))
+    return j.select(
+        "o_orderkey",
+        F.col("c_nationkey").alias("nationkey"),
+        pround(
+            num.cast("double") / den.cast("double") / F.lit(100.0), 6
+        ).alias("nation_target_enc"),
+    )
+
+
 # Engine-portable SQL: valid verbatim under BOTH Spark SQL and DuckDB —
 # the oracle entry is this exact string.
 PORTABLE_STAR_SQL = """
