@@ -5631,3 +5631,57 @@ def _anova_oracle() -> str:
 
 
 ORACLES["q_anova_f"] = _anova_oracle()
+
+
+def _bpe_train_oracle(rounds: int = 3) -> str:
+    """Twin of q_bpe_train_rounds: the same word-frequency grain, the
+    same '|'-delimited symbol strings, the same greedy left-to-right
+    replace() merge, unrolled one CTE triple (pairs → argmax → merge)
+    per round.  Lambda vars j/x — never i (_hex_bigint caveat)."""
+    parts = [
+        f"""w0 AS (
+          SELECT CAST(cnt AS BIGINT) AS cnt,
+                 '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq
+          FROM (SELECT word, count(*) AS cnt
+                FROM (SELECT unnest({_TOKENS}) AS word
+                      FROM documents WHERE trim(text) <> '')
+                WHERE regexp_matches(word, '^[A-Za-z0-9]+$')
+                GROUP BY word))"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""p{r} AS (
+          SELECT pair, sum(cnt) AS c FROM (
+            SELECT cnt, unnest(CASE WHEN len(syms) < 2
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(syms)),
+                            j -> syms[j] || ' ' || syms[j+1]) END) AS pair
+            FROM (SELECT cnt,
+                         list_filter(string_split(seq, '|'),
+                                     x -> x <> '') AS syms
+                  FROM w{p}))
+          GROUP BY pair)"""
+        )
+        parts.append(
+            f"b{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair"
+            f" LIMIT 1)"
+        )
+        parts.append(
+            f"""w{r} AS (
+          SELECT cnt,
+                 replace(seq,
+                   '|' || split_part(pair, ' ', 1) || '|'
+                       || split_part(pair, ' ', 2) || '|',
+                   '|' || replace(pair, ' ', '') || '|') AS seq
+          FROM w{p}, b{r})"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, pair AS merged_pair,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n        ".join(parts) + "\n        " + selects
+
+
+ORACLES["q_bpe_train_rounds"] = _bpe_train_oracle()

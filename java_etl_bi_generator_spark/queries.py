@@ -9437,6 +9437,80 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_bpe_train_rounds")
+def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING, three real merge rounds — the tokenizer-
+    construction step upstream of q_bpe_pair_counts (one round of pair
+    stats) and q_tokenizer_fertility (applying a tokenizer).  The
+    standard scale trick: train on the WORD-FREQUENCY table, never the
+    corpus — symbol sequences live at vocab grain with a count weight,
+    so a 100 TB corpus collapses to one corpus-sized aggregation up
+    front and each round is then a pair-count shuffle over the bounded
+    vocab.  Per round: adjacent-pair counts (weighted by word freq) →
+    global argmax (count desc, pair asc — the deterministic tie-break) →
+    greedy left-to-right merge of that pair in every sequence.  The
+    merge is a plain string replace over '|'-delimited symbol strings
+    (alnum-only words, so the delimiter is safe): non-overlapping
+    left-to-right replacement IS the greedy BPE merge, and Spark and
+    DuckDB replace() agree byte-for-byte.  The per-round argmax is a
+    1-row collect — the model rides the plan as a literal, the
+    kmeans_fit discipline.  Output: (round, merged_pair, pair_count)."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word").rlike("^[A-Za-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "cnt",
+            F.concat(
+                F.lit("|"), F.regexp_replace(F.col("word"), "(.)", "$1|")
+            ).alias("seq"),
+        )
+    )
+    cur = cut_lineage(words)
+    out_rows = []
+    for rnd in range(1, 4):
+        syms = F.filter(F.split(F.col("seq"), r"\|"), lambda x: x != "")
+        pairs = (
+            cur.select(
+                "cnt",
+                F.explode(
+                    # guard: sequence(1, 0) DESCENDS rather than being
+                    # empty, so single-symbol words must short-circuit
+                    F.when(
+                        F.size(syms) < 2, F.array().cast("array<string>")
+                    ).otherwise(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(syms) - 1),
+                            lambda j: F.concat(
+                                F.element_at(syms, j),
+                                F.lit(" "),
+                                F.element_at(syms, j + 1),
+                            ),
+                        )
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1).first()
+        a, b = best["pair"].split(" ")
+        out_rows.append((rnd, best["pair"], int(best["c"])))
+        cur = cut_lineage(
+            cur.select(
+                "cnt",
+                F.expr(
+                    f"replace(seq, '|{a}|{b}|', '|{a}{b}|')"
+                ).alias("seq"),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows, "round int, merged_pair string, pair_count bigint"
+    )
+
+
 # Engine-portable SQL: valid verbatim under BOTH Spark SQL and DuckDB —
 # the oracle entry is this exact string.
 PORTABLE_STAR_SQL = """
