@@ -5685,3 +5685,116 @@ def _bpe_train_oracle(rounds: int = 3) -> str:
 
 
 ORACLES["q_bpe_train_rounds"] = _bpe_train_oracle()
+
+
+ORACLES.update({
+    "q_ab_srm_check": f"""
+        WITH a AS (
+          SELECT CAST(sum(CASE WHEN
+                   {_hex_bigint("md5(CAST(c_custkey AS VARCHAR))", 1, 4)}
+                   % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN
+                   {_hex_bigint("md5(CAST(c_custkey AS VARCHAR))", 1, 4)}
+                   % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM customer
+        )
+        SELECT n_a, n_b,
+               {pround_sql(
+                   "(CAST(n_a AS DOUBLE)"
+                   " - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)"
+                   " * (CAST(n_a AS DOUBLE)"
+                   " - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)"
+                   " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)"
+                   " + (CAST(n_b AS DOUBLE)"
+                   " - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)"
+                   " * (CAST(n_b AS DOUBLE)"
+                   " - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)"
+                   " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)",
+                   6)} AS chi2,
+               (CAST(n_a AS DOUBLE)
+                 - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+               * (CAST(n_a AS DOUBLE)
+                 - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+               / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+               + (CAST(n_b AS DOUBLE)
+                 - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+               * (CAST(n_b AS DOUBLE)
+                 - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+               / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)
+               > 3.841458820694124 AS srm_detected
+        FROM a
+    """,
+    "q_anomaly_robust_z": f"""
+        WITH od AS (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders
+        ),
+        med AS (SELECT median(cents) AS med FROM od),
+        mad AS (SELECT max(med) AS med,
+                       median(abs(CAST(cents AS DOUBLE) - med)) AS mad
+                FROM od, med)
+        SELECT o_orderkey,
+               {pround_sql("cents / 100.0", 2)} AS totalprice,
+               {pround_sql(
+                   "0.6745 * (CAST(cents AS DOUBLE) - med) / mad", 6
+               )} AS modified_z
+        FROM od, mad
+        ORDER BY abs(0.6745 * (CAST(cents AS DOUBLE) - med) / mad) DESC,
+                 o_orderkey ASC
+        LIMIT 20
+    """,
+    "q_curation_funnel": f"""
+        WITH base AS (
+          SELECT doc_id, source, text,
+                 doc_id = min(doc_id) OVER (PARTITION BY text) AS dedup_ok,
+                 CAST({_N_TOKENS} AS BIGINT) AS n_words,
+                 CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                      AS BIGINT) AS sum_word_chars,
+                 CAST({_hits(_STOP_EN)} AS BIGINT) AS n_stop,
+                 CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                      AS BIGINT) AS n_symbols,
+                 CAST(len(list_filter({_TOKENS},
+                      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha_words,
+                 CASE WHEN {_BUCKET} < 80 THEN 'train' ELSE 'heldout' END
+                   AS split
+          FROM documents WHERE trim(text) <> ''
+        ),
+        tagged AS (
+          SELECT *,
+                 (n_words >= 30 AND n_words <= 100000)
+                   AND (sum_word_chars >= 3 * n_words
+                        AND sum_word_chars <= 10 * n_words)
+                   AND n_stop >= 2
+                   AND 10 * n_symbols <= n_words
+                   AND 10 * n_alpha_words >= 8 * n_words AS quality_ok
+          FROM base
+        ),
+        grams AS (
+          SELECT doc_id, split, unnest(list_distinct({_SHINGLES5})) AS g
+          FROM (SELECT doc_id, split, {_TOKENS} AS toks
+                FROM tagged)
+        ),
+        tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+        dirty AS (
+          SELECT DISTINCT h.doc_id
+          FROM grams h JOIN tg USING (g) WHERE h.split = 'heldout'
+        ),
+        flagged AS (
+          SELECT t.*,
+                 t.split = 'train' OR d.doc_id IS NULL AS clean_ok
+          FROM tagged t LEFT JOIN dirty d ON t.doc_id = d.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_in,
+               CAST(sum(CASE WHEN dedup_ok THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_after_dedup,
+               CAST(sum(CASE WHEN dedup_ok AND quality_ok THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_after_quality,
+               CAST(sum(CASE WHEN dedup_ok AND quality_ok AND clean_ok
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_after_decontamination
+        FROM flagged GROUP BY source
+    """,
+})

@@ -9511,6 +9511,171 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ab_srm_check")
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for experimentation: customers
+    assign to A/B arms by md5 hash bucket (the q_abtest_zscore assignment
+    family), and the 1-df χ² against the intended 50/50 split decides
+    whether randomization itself is broken — the FIRST check any A/B
+    readout must pass, since a biased split invalidates every downstream
+    metric.  Exact integer counts; χ² is one fixed-IEEE expression; the
+    flag applies the standard 3.84 (p<0.05) threshold to the UNROUNDED
+    statistic.  One aggregation over customers, no joins."""
+    cu = T(spark, sf_dir, "customer")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    agg = cu.agg(
+        F.sum(F.when(bucket == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(bucket == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    e = (na + nb) / F.lit(2.0)
+    chi2 = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+    return agg.select(
+        "n_a",
+        "n_b",
+        pround(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841458820694124)).alias("srm_detected"),
+    )
+
+
+@q("q_anomaly_robust_z")
+def q_anomaly_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: the MEDIAN/MAD modified z-score
+    (Iglewicz-Hoaglin M = 0.6745·(x−med)/MAD, |M| > 3.5) — immune to the
+    outliers themselves, unlike q_anomaly_zscore's mean/σ, and a
+    different fence family than q_iqr_outliers' quartiles.  Exact-cent
+    medians (midpoints of identical integers are identical doubles in
+    both engines — the q_rolling_median precedent), MAD from one
+    deviation pass against the broadcast median, per-row M as a single
+    fixed-IEEE expression.  The classical |M| > 3.5 fence is structurally
+    empty on this near-uniform fixture (measured max |M| ≈ 1.35 at every
+    SF), so the query emits the TOP-20 most extreme orders instead —
+    non-degenerate at any SF, same math, and the ordering itself is
+    cross-engine exact because M is bit-identical (ties break on key).
+    At 100 TB the two exact percentile passes switch to
+    approx_percentile; this is the oracle-checkable baseline."""
+    od = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    med = od.agg(F.expr("percentile(cents, 0.5)").alias("med"))
+    dev = od.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("cents").cast("double") - F.col("med"))
+    )
+    mad = dev.agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(dev, 0.5)").alias("mad"),
+    )
+    scored = od.crossJoin(F.broadcast(mad)).withColumn(
+        "m",
+        F.lit(0.6745)
+        * (F.col("cents").cast("double") - F.col("med"))
+        / F.col("mad"),
+    )
+    return (
+        scored.orderBy(F.desc(F.abs(F.col("m"))), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            pround(F.col("cents") / F.lit(100.0), 2).alias("totalprice"),
+            pround(F.col("m"), 6).alias("modified_z"),
+        )
+    )
+
+
+@q("q_curation_funnel")
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel as one query: per source, how many
+    documents enter, survive exact dedup (first-wins on content sha),
+    survive the Gopher quality gate, and carry no 5-gram contamination
+    against the train split — the composition readout a dataset card
+    reports.  Reuses the registry's own building blocks (q_dedup_exact /
+    q_gopher_quality_rules / q_decontaminate_ngrams semantics) so the
+    funnel can never drift from the individual gates.  Each stage is a
+    flag computed independently, then ONE aggregation; counts are
+    nested (stage N counts docs passing stages 1..N), matching how
+    funnel stages read."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (F.row_number().over(w) == 1).alias("dedup_ok"),
+        token_count_of(toks).cast("bigint").alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("bigint")
+        .alias("sum_word_chars"),
+        stopword_count_of(toks).cast("bigint").alias("n_stop"),
+        punct_count("text").cast("bigint").alias("n_symbols"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+        .cast("bigint").alias("n_alpha_words"),
+    )
+    quality_ok = (
+        (F.col("n_words") >= 30)
+        & (F.col("n_words") <= 100000)
+        & (F.col("sum_word_chars") >= 3 * F.col("n_words"))
+        & (F.col("sum_word_chars") <= 10 * F.col("n_words"))
+        & (F.col("n_stop") >= 2)
+        & (10 * F.col("n_symbols") <= F.col("n_words"))
+        & (10 * F.col("n_alpha_words") >= 8 * F.col("n_words"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    tagged = base.withColumn("quality_ok", quality_ok).withColumn(
+        "split", F.when(bucket < 80, "train").otherwise("heldout")
+    )
+    grams = tagged.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 5))).alias("g"),
+        "split",
+    )
+    train_grams = grams.filter(F.col("split") == "train").select("g").distinct()
+    dirty = (
+        grams.filter(F.col("split") == "heldout")
+        .join(train_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    flagged = tagged.join(dirty, "doc_id", "left").withColumn(
+        "clean_ok",
+        (F.col("split") == "train") | F.col("contaminated").isNull(),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.sum(F.when(F.col("dedup_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_after_dedup"),
+        F.sum(F.when(F.col("dedup_ok") & F.col("quality_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_after_quality"),
+        F.sum(
+            F.when(
+                F.col("dedup_ok") & F.col("quality_ok") & F.col("clean_ok"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_after_decontamination"),
+    )
+
+
 # Engine-portable SQL: valid verbatim under BOTH Spark SQL and DuckDB —
 # the oracle entry is this exact string.
 PORTABLE_STAR_SQL = """
