@@ -5798,3 +5798,37 @@ ORACLES.update({
         FROM flagged GROUP BY source
     """,
 })
+
+
+ORACLES.update({
+    "q_join_asof_tolerance": """
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, max(value) AS rv FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id,
+               CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+               l.value,
+               CASE WHEN floor(epoch(l.ts)) - floor(epoch(r.ts))
+                         <= 24 * 3600
+                    THEN r.rv END AS recent_purchase_value,
+               CASE WHEN floor(epoch(l.ts)) - floor(epoch(r.ts))
+                         <= 24 * 3600
+                    THEN CAST(floor(epoch(r.ts)) AS BIGINT)
+               END AS matched_ts_epoch
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    # the per-container metadata sweep is the roundtrip oracle re-grouped
+    # — zero drift by construction
+    "q_media_type_stats": f"""
+        SELECT container,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+               CAST(sum(width) AS BIGINT) AS sum_width,
+               CAST(sum(height) AS BIGINT) AS sum_height,
+               CAST(sum(duration_ms) AS BIGINT) AS sum_duration_ms
+        FROM ({ORACLES["q_media_header_roundtrip"]})
+        GROUP BY container
+    """,
+})

@@ -235,6 +235,37 @@ def q_media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection of the id column, one codegen map stage to build blobs,
     a parquet write, and a codegen map stage to parse — no shuffle, no
     Python worker, no decode."""
+    blobs = _media_blobs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="media_roundtrip_") + "/media"
+    blobs.write.parquet(path)
+    media = spark.read.parquet(path)
+    from .sources.multimodal import audio_header_meta, image_header_dims
+
+    parsed = audio_header_meta(image_header_dims(media))
+    return parsed.select(
+        "doc_id",
+        "modality",
+        F.length("content").cast("int").alias("byte_len"),
+        F.lower(F.hex("content")).alias("blob_hex"),
+        F.when(F.col("modality") == "audio", F.col("audio_format"))
+        .otherwise(F.col("format"))
+        .alias("container"),
+        F.col("header_width").alias("width"),
+        F.col("header_height").alias("height"),
+        "sample_rate",
+        "channels",
+        "bits_per_sample",
+        "duration_ms",
+    )
+
+
+def _media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, modality, content) — the deterministic synthetic media
+    table both L5 queries build: minimal valid PNG/GIF/WAV byte streams
+    from doc_id-derived parameters, constructed entirely in codegen
+    expressions (layouts + encoders single-sourced in
+    functions/mediahex.py; the DuckDB oracles rebuild the identical
+    hex)."""
     from .functions.mediahex import (
         DATA_HEX,
         FMT_HEX,
@@ -251,7 +282,6 @@ def q_media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         le16_col,
         le32_col,
     )
-    from .sources.multimodal import audio_header_meta, image_header_dims
 
     d = F.col("doc_id")
     pw = F.lit(16) + (d * 37) % 4080
@@ -289,7 +319,7 @@ def q_media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(DATA_HEX),
         le32_col(data_b),
     )
-    blobs = T(spark, sf_dir, "documents").select(
+    return T(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(d % 3 == 2, "audio").otherwise("image").alias("modality"),
         F.unhex(
@@ -297,25 +327,6 @@ def q_media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(d % 3 == 1, gif_hex)
             .otherwise(wav_hex)
         ).alias("content"),
-    )
-    path = tempfile.mkdtemp(prefix="media_roundtrip_") + "/media"
-    blobs.write.parquet(path)
-    media = spark.read.parquet(path)
-    parsed = audio_header_meta(image_header_dims(media))
-    return parsed.select(
-        "doc_id",
-        "modality",
-        F.length("content").cast("int").alias("byte_len"),
-        F.lower(F.hex("content")).alias("blob_hex"),
-        F.when(F.col("modality") == "audio", F.col("audio_format"))
-        .otherwise(F.col("format"))
-        .alias("container"),
-        F.col("header_width").alias("width"),
-        F.col("header_height").alias("height"),
-        "sample_rate",
-        "channels",
-        "bits_per_sample",
-        "duration_ms",
     )
 
 
@@ -9508,6 +9519,81 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.createDataFrame(
         out_rows, "round int, merged_pair string, pair_count bigint"
+    )
+
+
+@q("q_join_asof_tolerance")
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join: each click matched to the user's most
+    recent purchase at or before it, but only within a 24-hour TOLERANCE
+    (pandas merge_asof's ``tolerance`` semantics) — a stale match is as
+    wrong as no match for features like "value of the last recent
+    purchase".  Composes the existing backward as-of (operators/asof.py)
+    by carrying the matched timestamp as a second value column and
+    nulling both outputs past the gap; same one-shuffle union+window
+    shape, no new machinery.  Oracle: DuckDB native ASOF LEFT JOIN plus
+    the identical gap test."""
+    from .operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rv"))
+        .withColumn("rv_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        left, right, on="user_id", ts_col="ts",
+        right_value_cols=["rv", "rv_ts"], suffix="",
+    )
+    within = (
+        F.unix_timestamp("ts") - F.unix_timestamp("rv_ts")
+    ) <= 24 * 3600
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "value",
+        F.when(within, F.col("rv")).alias("recent_purchase_value"),
+        F.when(within, F.unix_timestamp("rv_ts")).alias(
+            "matched_ts_epoch"
+        ),
+    )
+
+
+@q("q_media_type_stats")
+def q_media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 aggregate twin of q_media_header_roundtrip: the per-container
+    METADATA SWEEP over a binary media table — counts, byte totals, and
+    exact dimension/duration sums per detected container, parsed from
+    header bytes only.  This is the query shape that matters at 100 TB of
+    media: ``byte_len``/dims come from the first ~40 bytes of each blob
+    via codegen expressions, so the sweep never decodes a payload and
+    never leaves the JVM.  Blob construction + parsing share
+    functions/mediahex.py and sources/multimodal.py with the roundtrip
+    query; sums are exact integers (floor-div means left to the reader)."""
+    from .sources.multimodal import audio_header_meta, image_header_dims
+
+    media = _media_blobs(spark, sf_dir)
+    parsed = audio_header_meta(image_header_dims(media))
+    d = parsed.select(
+        F.when(F.col("modality") == "audio", F.col("audio_format"))
+        .otherwise(F.col("format"))
+        .alias("container"),
+        F.length("content").cast("bigint").alias("nbytes"),
+        F.col("header_width").cast("bigint").alias("w"),
+        F.col("header_height").cast("bigint").alias("h"),
+        F.col("duration_ms").cast("bigint").alias("dur"),
+    )
+    return d.groupBy("container").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("nbytes").cast("bigint").alias("total_bytes"),
+        F.sum("w").cast("bigint").alias("sum_width"),
+        F.sum("h").cast("bigint").alias("sum_height"),
+        F.sum("dur").cast("bigint").alias("sum_duration_ms"),
     )
 
 

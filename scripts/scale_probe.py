@@ -45,6 +45,11 @@ DOC_PROBES = [
     "q_text_stats",
     "q_tfidf",
     "q_heavy_hitters",
+    # round 5
+    "q_decontaminate_ngrams",
+    "q_gopher_quality_rules",
+    "q_bpe_train_rounds",
+    "q_curation_funnel",
 ]
 EMB_PROBES = [
     "q_vector_topk",
