@@ -5832,3 +5832,34 @@ ORACLES.update({
         GROUP BY container
     """,
 })
+
+
+ORACLES.update({
+    "q_item_cf_neighbors": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS c_ab
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+        sym AS (
+          SELECT p1 AS item, p2 AS nbr, c_ab FROM pairs
+          UNION ALL SELECT p2, p1, c_ab FROM pairs),
+        sup AS (SELECT l_partkey, count(*) AS c_x FROM li GROUP BY 1),
+        ranked AS (
+          SELECT s.item, s.nbr, s.c_ab, sa.c_x AS c_a, sb.c_x AS c_b,
+                 row_number() OVER (PARTITION BY s.item ORDER BY
+                   CAST(s.c_ab AS DOUBLE)
+                     / sqrt(CAST(sa.c_x * sb.c_x AS DOUBLE)) DESC,
+                   s.nbr ASC) AS rank
+          FROM sym s
+          JOIN sup sa ON sa.l_partkey = s.item
+          JOIN sup sb ON sb.l_partkey = s.nbr)
+        SELECT item, nbr, c_ab,
+               {pround_sql(
+                   "CAST(c_ab AS DOUBLE)"
+                   " / sqrt(CAST(c_a * c_b AS DOUBLE))", 6)} AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """,
+})

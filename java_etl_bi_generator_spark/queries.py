@@ -9597,6 +9597,63 @@ def q_media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_item_cf_neighbors")
+def q_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: each part's TOP-3 nearest
+    neighbors by co-occurrence COSINE c_ab/√(c_a·c_b) — the classical
+    memory-based recommender build (Sarwar et al. 2001), one step past
+    q_basket_pairs' lift readout.  Same single-shuffle basket machinery
+    (pairs quadratic only within a basket, support broadcast back); the
+    pair table symmetrizes (each edge serves both endpoints), and the
+    per-item top-3 is a row_number window over (cosine desc, neighbor
+    asc) — safe to rank on the UNROUNDED cosine because both engines
+    evaluate the identical IEEE expression on identical integers.
+    Support floor ≥ 3 keeps the neighbor lists out of the
+    one-co-purchase noise floor."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = cut_lineage(_baskets(li))
+    pairs = (
+        _pairs_from_baskets(baskets)
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    sym = pairs.select(
+        F.col("p1").alias("item"), F.col("p2").alias("nbr"), "c_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("item"), F.col("p1").alias("nbr"), "c_ab"
+        )
+    )
+    support = (
+        baskets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("c_x"))
+    )
+    j = sym.join(
+        support.select(F.col("pk").alias("item"), F.col("c_x").alias("c_a")),
+        "item",
+    ).join(
+        support.select(F.col("pk").alias("nbr"), F.col("c_x").alias("c_b")),
+        "nbr",
+    )
+    cos = F.col("c_ab").cast("double") / F.sqrt(
+        (F.col("c_a") * F.col("c_b")).cast("double")
+    )
+    w = Window.partitionBy("item").orderBy(cos.desc(), F.asc("nbr"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "item",
+            "nbr",
+            "c_ab",
+            pround(cos, 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 @q("q_ab_srm_check")
 def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for experimentation: customers
