@@ -63,6 +63,10 @@ HEADLINE = [
     "q_linkage_weights",     # Fellegi-Sunter blocked pair scoring (round 4)
     "q_grid_density_clusters",  # grid DBSCAN via connected cells (round 4)
     "q_decayed_engagement",  # exact dyadic half-life scoring (round 4)
+    "q_media_header_roundtrip",  # engine-written binary fixture + codegen header parse (round 5)
+    "q_decontaminate_ngrams",  # 5-gram benchmark decontamination (round 5)
+    "q_bpe_train_rounds",    # distributed BPE trainer, 3 merge rounds (round 5)
+    "q_curation_funnel",     # per-source dedup/quality/decontamination funnel (round 5)
 ]
 
 # The original 22-query set benched since round 1 — reported as its own

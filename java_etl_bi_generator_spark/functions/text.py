@@ -103,16 +103,26 @@ def quality_score(c: Column | str, toks: Column | None = None) -> Column:
 def word_shingles(c: Column | str, n: int = 3) -> Column:
     """n-word shingles as an array of strings (distinct not applied).
 
-    ``slice`` + ``transform`` over the token array — stays JVM-side; at
-    scale this feeds MinHash / Jaccard dedup via explode + shuffle-on-
-    shingle, the standard scalable near-dup layout.
+    Built as a ``zip_with`` fold of n SHIFTED SLICES of the token array,
+    not a ``transform`` whose lambda re-slices per position: an
+    expression referenced inside a higher-order lambda is re-evaluated
+    PER ELEMENT, so the transform form re-ran the ``split()`` once per
+    shingle position — measured 2.8 s for 5-grams over 5k docs at sf0.1
+    versus 0.2 s for this form (round 5).  Here the tokenization is
+    referenced n+2 times per ROW (size checks + n slices), each slice
+    pairs up element-wise, and everything stays JVM-side codegen.  At
+    scale this feeds MinHash / Jaccard dedup via explode +
+    shuffle-on-shingle, the standard scalable near-dup layout.
     """
     t = tokens(c)
+    m = F.size(t) - (n - 1)
+    sh = F.slice(t, 1, m)
+    for k in range(2, n + 1):
+        sh = F.zip_with(
+            sh,
+            F.slice(t, k, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(
         F.size(t) < n, F.array(F.concat_ws(" ", t))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        )
-    )
+    ).otherwise(sh)

@@ -9184,16 +9184,28 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: distinct train shingles are one partial-agg shuffle, the
     probe is a shuffle-on-shingle LEFT SEMI join (never a broadcast —
     the shingle set scales with the corpus), and the per-doc verdict is
-    one groupBy.  Exact integers end-to-end."""
+    one groupBy.  Exact integers end-to-end.
+
+    Two plan decisions the profile forced (10.5 s → ~1 s at sf0.1): the
+    shingle transform REPARTITIONS first — a small parquet file scans as
+    one partition, and concat_ws over every 5-token slice is the
+    dominant cost, so it must spread across cores (on a real cluster
+    many files give this for free; the explicit exchange makes it
+    volume-independent) — and the gram table is LINEAGE-CUT, because
+    three consumers (train set, heldout probe, per-doc base) would
+    otherwise each re-derive the shingles (DataFrame lineage is not a
+    CTE)."""
     docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("bigint") % 100
     )
-    tagged = docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles("text", 5)).alias("grams"),
-        F.when(bucket < 80, "train").otherwise("heldout").alias("split"),
+    tagged = cut_lineage(
+        docs.repartition("doc_id").select(
+            "doc_id",
+            F.array_distinct(word_shingles("text", 5)).alias("grams"),
+            F.when(bucket < 80, "train").otherwise("heldout").alias("split"),
+        )
     )
     train_grams = (
         tagged.filter(F.col("split") == "train")
@@ -9751,7 +9763,11 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel can never drift from the individual gates.  Each stage is a
     flag computed independently, then ONE aggregation; counts are
     nested (stage N counts docs passing stages 1..N), matching how
-    funnel stages read."""
+    funnel stages read.  The flags-plus-grams frame is LINEAGE-CUT once
+    (the q_decontaminate_ngrams lesson: two consumers re-deriving the
+    shingle transform doubles the dominant cost), and the flag/shingle
+    expressions evaluate after the dedup window's hash shuffle, so they
+    run at full parallelism even when the scan is one small file."""
     docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     toks = tokens("text")
@@ -9781,12 +9797,18 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("bigint") % 100
     )
-    tagged = base.withColumn("quality_ok", quality_ok).withColumn(
-        "split", F.when(bucket < 80, "train").otherwise("heldout")
+    tagged = cut_lineage(
+        base.withColumn("quality_ok", quality_ok)
+        .withColumn(
+            "split", F.when(bucket < 80, "train").otherwise("heldout")
+        )
+        .withColumn(
+            "grams", F.array_distinct(word_shingles("text", 5))
+        )
+        .drop("text")
     )
     grams = tagged.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", 5))).alias("g"),
-        "split",
+        "doc_id", F.explode("grams").alias("g"), "split"
     )
     train_grams = grams.filter(F.col("split") == "train").select("g").distinct()
     dirty = (
