@@ -9494,9 +9494,18 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = cut_lineage(words)
     out_rows = []
     for rnd in range(1, 4):
-        syms = F.filter(F.split(F.col("seq"), r"\|"), lambda x: x != "")
+        # symbols projected as a COLUMN before the pair lambda — an
+        # expression referenced inside a HOF lambda re-evaluates per
+        # element (the word_shingles lesson), a bound column does not
+        symd = cur.select(
+            "cnt",
+            F.filter(
+                F.split(F.col("seq"), r"\|"), lambda x: x != ""
+            ).alias("__syms"),
+        )
+        syms = F.col("__syms")
         pairs = (
-            cur.select(
+            symd.select(
                 "cnt",
                 F.explode(
                     # guard: sequence(1, 0) DESCENDS rather than being
