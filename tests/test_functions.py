@@ -241,3 +241,37 @@ def test_estimate_rows_footer_stats(spark, sf_dir):
 
     for t in ("nation", "lineitem"):
         assert estimate_rows(sf_dir, t) == load_table(spark, sf_dir, t).count()
+
+
+def test_word_shingles_matches_naive_reference(spark):
+    """The zip_with-fold shingle construction (round-5 perf rewrite) must
+    equal the naive Python definition for every n and edge case: fewer
+    tokens than n (whole text as one shingle), exactly n, and longer."""
+    from java_etl_bi_generator_spark.functions.text import word_shingles
+
+    texts = [
+        "a",
+        "a b",
+        "a b c",
+        "a b c d",
+        "one two three four five six seven",
+        "  padded   whitespace   text  ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n in (2, 3, 5):
+        got = {
+            r["text"]: list(r["sh"])
+            for r in df.select("text", word_shingles("text", n).alias("sh"))
+            .collect()
+        }
+        for t in texts:
+            toks = t.strip().split()
+            want = (
+                [" ".join(toks)]
+                if len(toks) < n
+                else [
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                ]
+            )
+            assert got[t] == want, (t, n, got[t], want)
