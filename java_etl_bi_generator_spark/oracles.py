@@ -5863,3 +5863,71 @@ ORACLES.update({
         FROM ranked WHERE rank <= 3
     """,
 })
+
+
+ORACLES.update({
+    "q_snaive_backtest": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS y
+          FROM orders GROUP BY 1
+        ),
+        s AS (
+          SELECT d, y, lag(y, 7) OVER (ORDER BY d) AS yhat FROM daily
+        ),
+        e AS (
+          SELECT date_trunc('month', d) AS m,
+                 abs(y - yhat) AS ae,
+                 CAST(floor(abs(y - yhat) * 1000000.0 / y + 0.5)
+                      AS BIGINT) AS ape_u
+          FROM s WHERE yhat IS NOT NULL
+        )
+        SELECT m,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(ae) // count(*) AS BIGINT) AS mae_cents,
+               CAST(sum(ape_u) // count(*) AS BIGINT) AS mape_micro
+        FROM e GROUP BY m
+    """,
+    "q_neyman_allocation": """
+        WITH g AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_h,
+                 CAST(sum(v) AS BIGINT) AS s_h,
+                 CAST(sum(CAST(v AS HUGEINT) * v) AS DECIMAL(38,0)) AS q_h
+          FROM (SELECT o_orderpriority,
+                       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                         AS v FROM orders)
+          GROUP BY 1
+        ),
+        w AS (
+          SELECT o_orderpriority, n_h,
+                 CAST(floor(sqrt(
+                   (CAST(n_h AS DOUBLE) * CAST(q_h AS DOUBLE)
+                    - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE))
+                   / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0))
+                 ) * 1000000.0 + 0.5) AS BIGINT) AS sigma_micro
+          FROM g
+        ),
+        a AS (
+          SELECT *, CAST(n_h AS HUGEINT) * sigma_micro AS wt,
+                 sum(CAST(n_h AS HUGEINT) * sigma_micro) OVER () AS wsum
+          FROM w
+        ),
+        b AS (
+          SELECT *, CAST((10000 * wt) // wsum AS BIGINT) AS base,
+                 (10000 * wt) % wsum AS rem
+          FROM a
+        ),
+        c AS (
+          SELECT *, 10000 - sum(base) OVER () AS leftover,
+                 row_number() OVER (ORDER BY rem DESC, o_orderpriority)
+                   AS rr
+          FROM b
+        )
+        SELECT o_orderpriority, n_h, sigma_micro,
+               CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_sampled
+        FROM c
+    """,
+})

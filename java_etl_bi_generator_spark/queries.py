@@ -9675,6 +9675,128 @@ def q_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_snaive_backtest")
+def q_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTESTING: the seasonal-naive baseline ŷ_t = y_{t−7}
+    (the model every real forecast must beat) scored per month with MAE
+    and MAPE — the rolling-origin evaluation a demand-planning pipeline
+    runs nightly.  Exact end-to-end: daily revenue collapses to exact
+    cents on the bounded day grain (~2.4k rows — windows there are the
+    documented bounded-grain exception), the lag-7 error is integer, MAE
+    is a floor-divided integer mean, and MAPE pins each day's |e|/y to
+    integer micro-units BEFORE the mean (floor(1e6·|e|/y + 0.5)) so no
+    cross-row float sum exists.  Days without a t−7 predecessor drop."""
+    od = T(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    daily = od.groupBy("d").agg(F.sum("cents").alias("y"))
+    w = Window.orderBy("d")
+    scored = (
+        daily.withColumn("yhat", F.lag("y", 7).over(w))
+        .filter(F.col("yhat").isNotNull())
+        .select(
+            F.trunc("d", "month").alias("m"),
+            F.abs(F.col("y") - F.col("yhat")).alias("ae"),
+            F.floor(
+                F.abs(F.col("y") - F.col("yhat"))
+                * F.lit(1000000.0)
+                / F.col("y")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ape_u"),
+        )
+    )
+    fdiv = lambda s, n: F.expr(  # noqa: E731
+        f"({s} - (({s} % {n}) + {n}) % {n}) div {n}"
+    )
+    agg = scored.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("ae").cast("bigint").alias("sae"),
+        F.sum("ape_u").cast("bigint").alias("sape"),
+    )
+    return agg.select(
+        "m",
+        "n_days",
+        fdiv("sae", "n_days").cast("bigint").alias("mae_cents"),
+        fdiv("sape", "n_days").cast("bigint").alias("mape_micro"),
+    )
+
+
+@q("q_neyman_allocation")
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-sampling design: NEYMAN allocation of a 10,000-row sample
+    budget across the order-priority strata — share_h ∝ N_h·σ_h, the
+    variance-minimizing refinement of q_proportional_allocation's
+    population shares.  σ_h comes from exact decimal power sums, turns
+    into a double by one fixed-IEEE expression per stratum (sqrt is
+    correctly rounded, so identical inputs give identical doubles), and
+    pins to integer micro-units; the integer weights N_h·σ_micro then
+    allocate by LARGEST REMAINDER (floor shares + the top remainders get
+    the leftover units), so allocations are exact integers that sum to
+    the budget by construction."""
+    budget = 10_000
+    od = T(spark, sf_dir, "orders")
+    x = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    g = od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(x).cast("bigint").alias("s_h"),
+        F.sum(d19(x) * d19(x)).cast("decimal(38,0)").alias("q_h"),
+    )
+    nd = F.col("n_h").cast("double")
+    var = (
+        nd * F.col("q_h").cast("double")
+        - F.col("s_h").cast("double") * F.col("s_h").cast("double")
+    ) / (nd * (nd - F.lit(1.0)))
+    sig_u = F.floor(F.sqrt(var) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    wtd = g.select(
+        "o_orderpriority",
+        "n_h",
+        sig_u.alias("sigma_micro"),
+        (d19(F.col("n_h")) * d19(sig_u)).cast("decimal(38,0)").alias("w"),
+    )
+    tot = Window.partitionBy()  # 5 strata: the window frame is bounded
+    # exact integral division via `div` (decimal-in, bigint-out) —
+    # decimal/decimal `/` would overflow Spark's result-precision rules
+    # at these magnitudes, and a double roundtrip could flip a floor
+    alloc = (
+        wtd.withColumn("wsum", F.sum("w").over(tot))
+        .withColumn(
+            "quota", (F.lit(budget) * F.col("w")).cast("decimal(38,0)")
+        )
+        .withColumn("base", F.expr("quota div wsum").cast("bigint"))
+        .withColumn("rem", F.expr("quota % wsum"))
+    )
+    alloc = alloc.select(
+        "o_orderpriority",
+        "n_h",
+        "sigma_micro",
+        "base",
+        "rem",
+        (F.lit(budget) - F.sum("base").over(tot)).alias("leftover"),
+        F.row_number()
+        .over(tot.orderBy(F.desc("rem"), F.asc("o_orderpriority")))
+        .alias("rr"),
+    )
+    return alloc.select(
+        "o_orderpriority",
+        "n_h",
+        "sigma_micro",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_sampled"),
+    )
+
+
 @q("q_ab_srm_check")
 def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for experimentation: customers
