@@ -150,8 +150,12 @@ _SHOWCASE: tuple[str, ...] = (
     # (q_rolling_corr and q_grid_density_clusters stay hash-checked in
     # the full sweep; their slots sample the round-5 integer-pinned
     # Lloyd's trainer and the trained-IVF probe, newly hash-checked)
-    "q_dedup_exact", "q_dedup_near", "q_dedup_substrings",
-    "q_domain_mixture", "q_setsim_prefix_join", "q_kmeans_cells",
+    # (q_dedup_substrings and q_setsim_prefix_join — round-4 driver-
+    # certified — stay hash-checked in the full sweep; their slots
+    # sample the round-5 distributed BPE trainer and the end-to-end
+    # curation funnel)
+    "q_dedup_exact", "q_dedup_near", "q_bpe_train_rounds",
+    "q_domain_mixture", "q_curation_funnel", "q_kmeans_cells",
     "q_vector_topk_ivf_trained",
     "q_vector_topk", "q_text_stats", "q_chunk_documents",
     # graph analytics (round 3 + the round-4 k-core peel in the slot
