@@ -5931,3 +5931,21 @@ ORACLES.update({
         FROM c
     """,
 })
+
+
+ORACLES.update({
+    "q_stream_topk": """
+        WITH c AS (
+          SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+                 event_type, count(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY win_start
+                      ORDER BY n_events DESC, event_type ASC) AS rank
+          FROM c
+        )
+        SELECT win_start, event_type, n_events, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 3
+    """,
+})

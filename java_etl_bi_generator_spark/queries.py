@@ -1653,6 +1653,21 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_stream_topk")
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family (hash-checked): per-window top-3 event types maintained
+    by a STREAM — counts live in watermark-bounded streaming state, the
+    rank runs at read time over the maintained aggregate (ranking is not
+    a streaming operator and shouldn't be: a rank can retroactively
+    demote rows; the serving split is how live dashboards work).  On a
+    single-file availableNow backfill the maintained state equals the
+    batch tumbling counts, so the ranked output is checkable against the
+    plain SQL oracle."""
+    from .streaming.windows import streaming_windowed_topk
+
+    return streaming_windowed_topk(spark, f"{sf_dir}/events.parquet")
+
+
 @q("q_stream_join")
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-family (hash-checked): watermarked stream-stream interval join

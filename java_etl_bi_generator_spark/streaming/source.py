@@ -20,10 +20,18 @@ _BASE = "event_id bigint, {ts}, user_id bigint, event_type string, value double,
 
 
 def event_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """File-source stream over one events parquet file, ``ts`` normalized
-    to TIMESTAMP.  Spark's streaming file source wants a directory, so the
-    parent dir is used with a glob for the single table file."""
-    base_dir, file_name = os.path.split(events_path.rstrip("/"))
+    """File-source stream over an events parquet table, ``ts`` normalized
+    to TIMESTAMP.  Spark's streaming file source wants a directory: a
+    single-FILE table (the driver fixtures) streams from its parent dir
+    with a glob on the file name, while a directory table (engine-written
+    multi-part outputs, the volume-sweep generators) streams directly —
+    the glob-on-parent trick would match the directory NAME against file
+    names and see nothing, which silently emptied every streaming query
+    in the 10x sweep until round 5."""
+    if os.path.isdir(events_path.rstrip("/")):
+        base_dir, file_name = events_path.rstrip("/"), None
+    else:
+        base_dir, file_name = os.path.split(events_path.rstrip("/"))
     ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts", "timestamp")
     if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
         schema = _BASE.format(ts="ts bigint")
@@ -34,9 +42,7 @@ def event_stream(spark: SparkSession, events_path: str) -> DataFrame:
     else:
         schema = _BASE.format(ts="ts timestamp")
         ts_expr = F.col("ts")
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", file_name)
-        .parquet(base_dir)
-        .withColumn("ts", ts_expr)
-    )
+    reader = spark.readStream.schema(schema)
+    if file_name is not None:
+        reader = reader.option("pathGlobFilter", file_name)
+    return reader.parquet(base_dir).withColumn("ts", ts_expr)

@@ -123,6 +123,64 @@ def streaming_tumbling_with_watermark(
     return spark.table(query_name)
 
 
+def streaming_windowed_topk(
+    spark,
+    events_path: str,
+    k: int = 3,
+    duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    query_name: str = "q_stream_topk",
+) -> DataFrame:
+    """Per-window top-k event types, the live-dashboard shape: the
+    STREAM maintains the (window, event_type) count state under a
+    watermark (complete mode — ranking is not a streaming-supported
+    operator, and it should not be: a rank can demote rows
+    retroactively, so the serving split puts ranking at READ time over
+    the maintained aggregate, which is how every streaming dashboard
+    does it).  The read side ranks the materialized state per window
+    with a deterministic (count desc, type asc) order.  Same
+    availableNow/memory-sink harness as the tumbling variant; on a real
+    cluster the memory sink is a keep-latest store and the rank runs in
+    the serving query."""
+    from pyspark.sql import Window
+
+    from .source import event_stream
+
+    stream = (
+        event_stream(spark, events_path)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.table(query_name)
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        state.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "win_start",
+            "event_type",
+            "n_events",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def streaming_session_with_watermark(
     spark,
     events_path: str,

@@ -59,6 +59,16 @@ ROW_FLOORS_10X = {
     "q_cohort_ltv": 1500,        # (cohort month x age) grid
     "q_sessionize": 50_000,      # sessions ~ event volume
     "q_window_tumbling": 1_000,  # tumbling buckets track the span
+    # streaming family: round 5 fixed event_stream to handle directory
+    # tables (the glob-on-parent trick silently emptied every streaming
+    # query in this sweep); floors make that class of regression loud
+    "q_stream_watermark": 1_000,
+    "q_stream_session": 50_000,
+    "q_stream_topk": 1_000,
+    "q_stream_join": 5_000,
+    "q_stream_dedup": 1_000,
+    "q_stream_stateful": 500,
+    "q_stream_merge": 500,
 }
 
 
