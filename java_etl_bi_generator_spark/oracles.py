@@ -5949,3 +5949,59 @@ ORACLES.update({
         FROM r WHERE rank <= 3
     """,
 })
+
+
+ORACLES.update({
+    "q_lag_features": """
+        WITH od AS (
+          SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS cents
+          FROM orders
+        ),
+        l AS (
+          SELECT o_orderkey, o_custkey, cents,
+                 lag(cents, 1) OVER (PARTITION BY o_custkey
+                                     ORDER BY d, o_orderkey) AS prev1,
+                 lag(cents, 2) OVER (PARTITION BY o_custkey
+                                     ORDER BY d, o_orderkey) AS prev2,
+                 lag(cents, 3) OVER (PARTITION BY o_custkey
+                                     ORDER BY d, o_orderkey) AS prev3
+          FROM od
+        )
+        SELECT o_orderkey, o_custkey, cents, prev1, prev2,
+               CASE WHEN prev1 IS NOT NULL THEN
+                 CAST(floor(
+                   (coalesce(prev1, 0) + coalesce(prev2, 0)
+                    + coalesce(prev3, 0))
+                   / (CASE WHEN prev1 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN prev2 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN prev3 IS NOT NULL THEN 1 ELSE 0 END)
+                 ) AS BIGINT)
+               END AS prev3_mean_cents
+        FROM l
+    """,
+    "q_calendar_spine_join": """
+        WITH b AS (
+          SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+                 max(CAST(o_orderdate AS DATE)) AS d1
+          FROM orders
+        ),
+        spine AS (
+          SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                 CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+          FROM b
+        ),
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS rev
+          FROM orders GROUP BY 1
+        )
+        SELECT s.d,
+               coalesce(n, 0) AS n_orders,
+               coalesce(rev, 0) AS rev_cents
+        FROM spine s LEFT JOIN daily USING (d)
+    """,
+})

@@ -9816,6 +9816,88 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_lag_features")
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature engineering: per-customer LAG features over the order
+    history — previous and second-previous order values plus the rolling
+    mean of the last (up to) 3 prior orders, the bread-and-butter input
+    block of churn/LTV models.  Customer-partitioned windows (millions of
+    partitions — no low-cardinality funnel), exact cents throughout; the
+    rolling mean is a floor-divided integer over however many of the 3
+    predecessors exist, so no float enters until never."""
+    od = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    lagged = od.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.lag("cents", 1).over(w).alias("prev1"),
+        F.lag("cents", 2).over(w).alias("prev2"),
+        F.lag("cents", 3).over(w).alias("prev3"),
+    )
+    n_prev = (
+        F.when(F.col("prev1").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("prev2").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("prev3").isNotNull(), 1).otherwise(0)
+    )
+    s_prev = (
+        F.coalesce(F.col("prev1"), F.lit(0))
+        + F.coalesce(F.col("prev2"), F.lit(0))
+        + F.coalesce(F.col("prev3"), F.lit(0))
+    )
+    return lagged.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        "prev1",
+        "prev2",
+        F.when(
+            n_prev > 0, F.floor(s_prev / n_prev).cast("bigint")
+        ).alias("prev3_mean_cents"),
+    )
+
+
+@q("q_calendar_spine_join")
+def q_calendar_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free reporting via the reference's OWN calendar generator
+    (G1, FullETLGenerator.java:182-204): the generated date spine LEFT
+    JOINs the daily order aggregate, so days with no orders appear with
+    explicit zeros — the spine-join idiom behind every complete
+    time-series report (a bare GROUP BY silently drops empty days).
+    The spine derives from the fact's min/max bounds with zero driver
+    round-trips (build_calendar_dim_from_bounds), the daily aggregate is
+    one shuffle, and the join broadcasts the skinny aggregate onto the
+    bounded day grain."""
+    from .operators.star import build_calendar_dim_from_bounds
+
+    od = T(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    bounds = od.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = build_calendar_dim_from_bounds(bounds).select(
+        F.to_date("DataCompleta").alias("d")
+    )
+    daily = od.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("rev"),
+    )
+    return spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(F.col("rev"), F.lit(0)).cast("bigint").alias("rev_cents"),
+    )
+
+
 @q("q_ab_srm_check")
 def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail for experimentation: customers
