@@ -59,19 +59,31 @@ def estimate_rows(sf_dir: str, name: str) -> int:
     stats lookup (no Spark job, no scan; pyarrow reads only the footers
     on the driver).  Feeds static routing decisions like
     ``functions.rounding.dsum_auto``'s BIGINT-overflow bound, where a
-    pre-filter table size is the right conservative input.  Handles both
-    a single parquet file and a directory of part files."""
+    pre-filter table size is the right conservative input.  Handles a
+    single parquet file, a flat directory of part files, and
+    nested/Hive-partitioned layouts (os.walk recursion — a top-level-only
+    listing would return 0 for a partitioned table, which dsum_auto
+    would mis-read as 'tiny, long path is safe').  A non-empty directory
+    that still yields 0 rows is reported as unknown via ValueError so
+    callers take their conservative route instead of the 0-row one."""
     import os
 
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{name}.parquet"
     if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
+        total = sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files
             if f.endswith(".parquet")
         )
+        if total == 0 and any(os.scandir(path)):
+            raise ValueError(
+                f"estimate_rows: no parquet footers under non-empty "
+                f"directory {path!r} — row count unknown"
+            )
+        return total
     return pq.ParquetFile(path).metadata.num_rows
 
 

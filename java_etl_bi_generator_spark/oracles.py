@@ -17,12 +17,13 @@ Notable DuckDB-vs-Spark divergences handled here:
   exponent form (``0.63…e0``), which DuckDB types DOUBLE and parses
   with correctly-rounded strtod (see functions/ranking_eval.py).
 
-Queries with no entry here (the q_stream_* set, q_vector_topk_ivf,
-q_kmeans_cells, q_vector_topk_ivf_trained, q_approx_count_distinct,
-q_approx_percentile, q_rolling_distinct_hll) are declared rows-only:
-streaming state, IVF probing, iterative Lloyd's training, and HLL/GK
-sketches are not ANSI-SQL-expressible in DuckDB (or not bit-identical
-across engines).
+Queries with no entry here — exactly q_approx_count_distinct and
+q_approx_percentile — are declared rows-only: Spark's builtin
+HLL++/Greenwald-Khanna sketch internals are engine-specific and not
+reproducible in DuckDB.  Everything else is hash-checked, including the
+streaming set (round 4), the IVF/k-means family (round 5, via
+integer-pinned training — _kmeans_int_ctes below), and the rolling HLL
+(round 6, via the from-scratch register-table sketch — _hll1024_est).
 """
 
 from __future__ import annotations
@@ -5294,6 +5295,31 @@ ORACLES.update({
 })
 
 
+# m=1024 HLL estimate from a per-group (m_obs, s_obs) register summary:
+# exact-bigint s_total (empties at 2^32), raw harmonic estimate, and
+# Flajolet's linear-counting branch when raw <= 2.5m — mirrors
+# queries.q_rolling_distinct_hll._est exactly (same constants, same op
+# order; the greatest() guard keeps the unused branch finite).
+_HLL1024_ALPHA = 0.7213 / (1.0 + 1.079 / 1024)
+
+
+def _hll1024_est(m_obs: str, s_obs: str) -> str:
+    m_empty = f"CAST(1024 - {m_obs} AS BIGINT)"
+    s_total = f"CAST({s_obs} + (1024 - {m_obs}) * 4294967296 AS BIGINT)"
+    raw = (
+        f"CAST({_HLL1024_ALPHA!r} AS DOUBLE) * CAST(1048576 AS DOUBLE)"
+        f" * CAST(4294967296 AS DOUBLE) / {s_total}"
+    )
+    lc = (
+        f"CAST(1024 AS DOUBLE)"
+        f" * ln(CAST(1024 AS DOUBLE) / greatest({m_empty}, 1))"
+    )
+    return (
+        f"CASE WHEN {m_empty} > 0 AND {raw} <= CAST(2560 AS DOUBLE)"
+        f" THEN {lc} ELSE {raw} END"
+    )
+
+
 ORACLES.update({
     "q_rolling_distinct": f"""
         WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
@@ -5309,6 +5335,44 @@ ORACLES.update({
                  AS stickiness
         FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
         GROUP BY d.day
+    """,
+    # Register-table HLL twin of queries.q_rolling_distinct_hll (round 6):
+    # per-(day,bucket) max-rho registers, 7-day range-join merge at day x
+    # bucket grain, exact-bigint harmonic sum, linear-counting branch for
+    # the small range.  Same m=1024 / alpha / op order as Spark; x1024 is
+    # an exact power-of-two scale so only ln()'s last ulp is shared.
+    "q_rolling_distinct_hll": f"""
+        WITH dr AS (
+          SELECT day, bucket, max(rho) AS reg FROM (
+            SELECT CAST(ts AS DATE) AS day,
+                   {_hex_bigint("md5(CAST(user_id AS VARCHAR))", 1, 8)}
+                     % 1024 AS bucket,
+                   33 - length(bin(
+                     {_hex_bigint("md5(CAST(user_id AS VARCHAR))", 9, 8)}
+                   )) AS rho
+            FROM events)
+          GROUP BY 1, 2),
+        days AS (SELECT DISTINCT day FROM dr),
+        mg AS (
+          SELECT d.day, w.bucket, max(w.reg) AS reg_w,
+                 max(CASE WHEN w.day = d.day THEN w.reg END) AS reg_d
+          FROM days d JOIN dr w ON w.day BETWEEN d.day - 6 AND d.day
+          GROUP BY 1, 2),
+        p AS (
+          SELECT day,
+                 CAST(1 AS BIGINT) << CAST(32 - reg_w AS INT) AS pw,
+                 CAST(1 AS BIGINT) << CAST(32 - reg_d AS INT) AS pd
+          FROM mg),
+        s AS (
+          SELECT day, count(pw) AS mw_obs, sum(pw) AS sw_obs,
+                 count(pd) AS md_obs, sum(pd) AS sd_obs
+          FROM p GROUP BY 1)
+        SELECT day,
+               {pround_sql(_hll1024_est('md_obs', 'sd_obs'), 4)}
+                 AS dau_approx,
+               {pround_sql(_hll1024_est('mw_obs', 'sw_obs'), 4)}
+                 AS wau_7d_approx
+        FROM s
     """,
     "q_union_schema_evolution": """
         SELECT doc_id, lang, NULL AS source, NULL AS n_chars
@@ -5399,9 +5463,9 @@ def _kmeans_int_ctes(k: int, iters: int) -> str:
 ORACLES.update({
     "q_kmeans_cells": f"""
         WITH {_kmeans_int_ctes(8, 3)}
-        SELECT a.cell,
+        SELECT CAST(a.cell AS BIGINT) AS cell,
                CAST(count(*) AS BIGINT) AS n_vecs,
-               CAST(sum(d.d) AS DECIMAL(38,0)) AS sum_sq_dist
+               CAST(sum(d.d) AS BIGINT) AS sum_sq_dist
         FROM a4 a JOIN d4 d ON a.vec_id = d.vec_id AND a.cell = d.cell
         GROUP BY 1
     """,
@@ -5635,13 +5699,15 @@ ORACLES["q_anova_f"] = _anova_oracle()
 
 def _bpe_train_oracle(rounds: int = 3) -> str:
     """Twin of q_bpe_train_rounds: the same word-frequency grain, the
-    same '|'-delimited symbol strings, the same greedy left-to-right
-    replace() merge, unrolled one CTE triple (pairs → argmax → merge)
-    per round.  Lambda vars j/x — never i (_hex_bigint caveat)."""
+    same per-symbol-delimited strings ('|a||b||c|' — boundary-preserving
+    so runs of the merged pair collapse like canonical greedy BPE), the
+    same greedy left-to-right replace() merge, unrolled one CTE triple
+    (pairs → argmax → merge) per round.  Lambda vars j/x — never i
+    (_hex_bigint caveat)."""
     parts = [
         f"""w0 AS (
           SELECT CAST(cnt AS BIGINT) AS cnt,
-                 '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq
+                 regexp_replace(word, '(.)', '|\\1|', 'g') AS seq
           FROM (SELECT word, count(*) AS cnt
                 FROM (SELECT unnest({_TOKENS}) AS word
                       FROM documents WHERE trim(text) <> '')
@@ -5671,7 +5737,7 @@ def _bpe_train_oracle(rounds: int = 3) -> str:
             f"""w{r} AS (
           SELECT cnt,
                  replace(seq,
-                   '|' || split_part(pair, ' ', 1) || '|'
+                   '|' || split_part(pair, ' ', 1) || '||'
                        || split_part(pair, ' ', 2) || '|',
                    '|' || replace(pair, ' ', '') || '|') AS seq
           FROM w{p}, b{r})"""

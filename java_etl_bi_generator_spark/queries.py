@@ -78,6 +78,41 @@ from .streaming.windows import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, QueryFn] = {}
 
+# Fixture scratch space (ADVICE round 5): roundtrip queries used to
+# tempfile.mkdtemp() a fresh directory on EVERY invocation and never
+# remove it — repeated bench/parity/sweep runs accumulated unbounded
+# temp directories.  One deterministic per-process root instead, wiped
+# at interpreter exit; each call recreates its named subtree fresh so
+# format writers never hit an existing path.
+_FIXTURE_ROOT = None
+_FIXTURE_SEQ = 0
+
+
+def _fixture_dir(name: str, fresh_name: bool = False) -> str:
+    """Empty scratch directory ``<tmp>/spark_graft_fixtures_<pid>/<name>``,
+    recreated on each call and removed at process exit.  ``fresh_name``
+    appends a per-process sequence number — for fixtures that must not
+    reuse a path within one process even across invocations (embedded
+    Derby keeps a deleted database booted; a stopped stream's checkpoint
+    would replay stale state)."""
+    global _FIXTURE_ROOT, _FIXTURE_SEQ
+    import atexit
+    import os
+    import shutil
+
+    if _FIXTURE_ROOT is None:
+        _FIXTURE_ROOT = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_fixtures_{os.getpid()}"
+        )
+        atexit.register(shutil.rmtree, _FIXTURE_ROOT, ignore_errors=True)
+    if fresh_name:
+        _FIXTURE_SEQ += 1
+        name = f"{name}_{_FIXTURE_SEQ}"
+    d = os.path.join(_FIXTURE_ROOT, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
 
 def q(name: str) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -184,7 +219,7 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2 (FullETLGenerator.java:20,31-38,61-66): write `;`-delimited
     ISO-8859-1 CSV with header, read it back with an explicit schema."""
-    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/nation"
+    path = _fixture_dir("csv_roundtrip") + "/nation"
     write_reference_csv(T(spark, sf_dir, "nation"), path)
     return read_reference_csv(
         spark, path, "n_nationkey int, n_name string, n_regionkey int"
@@ -206,7 +241,7 @@ def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_name", 16, "string"),
         ("n_regionkey", 6, "int"),
     ]
-    path = tempfile.mkdtemp(prefix="fw_roundtrip_") + "/nation"
+    path = _fixture_dir("fw_roundtrip") + "/nation"
     write_fixed_width(
         T(spark, sf_dir, "nation").select(
             "n_nationkey", "n_name", "n_regionkey"
@@ -240,7 +275,7 @@ def q_media_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     a parquet write, and a codegen map stage to parse — no shuffle, no
     Python worker, no decode."""
     blobs = _media_blobs(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="media_roundtrip_") + "/media"
+    path = _fixture_dir("media_roundtrip") + "/media"
     blobs.write.parquet(path)
     media = spark.read.parquet(path)
     from .sources.multimodal import audio_header_meta, image_header_dims
@@ -1710,7 +1745,7 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    tmp = tempfile.mkdtemp(prefix="q_stream_merge_")
+    tmp = _fixture_dir("q_stream_merge", fresh_name=True)
     src = os.path.join(tmp, "src")
     ev.repartition(3).write.parquet(src)
     stream = (
@@ -2035,8 +2070,10 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same three rounds in SQL).  Per iteration the model (k×dim int
     literals) rides the plan and only k×dim sufficient-statistic rows
     shuffle; assignment is a pure map.  Output: per-cell sizes + the
-    EXACT within-cell squared-distance total in micro-units² (DECIMAL(38)
-    accumulation — the quantity Lloyd's monotonically decreases)."""
+    EXACT within-cell squared-distance total in micro-units² (the
+    quantity Lloyd's monotonically decreases) — DECIMAL(38,0)
+    accumulation internally, BIGINT on the wire (all-integer columns so
+    no cross-engine DECIMAL canonicalization enters the value hash)."""
     from .operators.kmeans import (
         kmeans_fit_int,
         nearest_cell_int,
@@ -2054,11 +2091,15 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (
         assigned.withColumn("__d", F.coalesce(*dist_cols))
-        .groupBy("cell")
+        .groupBy(F.col("cell").cast("bigint").alias("cell"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            # Accumulate in DECIMAL(38,0) (overflow-proof), emit BIGINT:
+            # sf0.01 totals are ~6e13 — eight orders of headroom under
+            # 2^63 — and an all-integer output removes every DECIMAL/INT
+            # canonicalization difference between engines from the hash.
             F.sum(F.col("__d").cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
+            .cast("bigint")
             .alias("sum_sq_dist"),
         )
     )
@@ -3693,7 +3734,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema on re-read — no inference pass, which at 100 TB is a
     full extra scan.  Oracle reads the base table: the check is that the
     roundtrip is lossless."""
-    path = tempfile.mkdtemp(prefix="json_roundtrip_") + "/nation"
+    path = _fixture_dir("json_roundtrip") + "/nation"
     T(spark, sf_dir, "nation").write.mode("overwrite").json(path)
     return spark.read.schema(
         "n_nationkey int, n_name string, n_regionkey int"
@@ -3704,7 +3745,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source roundtrip — the other columnar format Spark ships
     a vectorized reader for; schema preserved in-file."""
-    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/region"
+    path = _fixture_dir("orc_roundtrip") + "/region"
     T(spark, sf_dir, "region").write.mode("overwrite").orc(path)
     return spark.read.orc(path)
 
@@ -3720,7 +3761,7 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.jdbc import read_jdbc_partitioned
 
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='jdbc_rt_')}/db;create=true"
+    url = f"jdbc:derby:{_fixture_dir('jdbc_rt', fresh_name=True)}/db;create=true"
     na = T(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -3776,7 +3817,7 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rowTag records, explicit schema on re-read — inference would be an
     extra full scan).  The B2B-integration format the reference's BI
     audience still meets; lossless check against the base table."""
-    path = tempfile.mkdtemp(prefix="xml_roundtrip_") + "/nation"
+    path = _fixture_dir("xml_roundtrip") + "/nation"
     (
         T(spark, sf_dir, "nation")
         .write.mode("overwrite")
@@ -9005,7 +9046,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the on-disk layout pattern that makes 100 TB event stores queryable.
     Result: daily click rollup, hash-checked against DuckDB on the
     original (unpartitioned) table."""
-    path = tempfile.mkdtemp(prefix="part_prune_") + "/events"
+    path = _fixture_dir("part_prune") + "/events"
     ev = T(spark, sf_dir, "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path).filter(F.col("event_type") == "click")
@@ -9038,7 +9079,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     to, tl = f"b_orders_{sfx}", f"b_lineitem_{sfx}"
     if not (spark.catalog.tableExists(to) and spark.catalog.tableExists(tl)):
-        base = tempfile.mkdtemp(prefix="bucketed_")
+        base = _fixture_dir("bucketed", fresh_name=True)
         (
             T(spark, sf_dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -9113,37 +9154,94 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_rolling_distinct_hll")
 def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day distinct users via MERGEABLE HLL sketches — the
-    scale path where q_rolling_distinct's exact plan hits its boundary.
-    Exact rolling distinct must fan the (day, user) grain out 7x, which
-    degrades toward events-grain x7 when daily audiences are near-unique
-    (probe-measured: 123 s at 100M events with ~unique daily users,
-    SCALING.md).  Sketches restore the collapse: one pass builds a
-    per-DAY HLL of users (output = |days| rows of ~KB sketches), the 7x
-    fanout then runs at day grain (|days| x 7 rows), and hll_union_agg
-    merges — same shape at any event volume.  DataSketches HLL is not
-    reproducible in DuckDB => rows-only; accuracy vs exact is pinned to
-    <5% in tests/test_plans_scale.py."""
-    day_sk = (
+    """Rolling 7-day distinct users via MERGEABLE HLL register tables —
+    the scale path where q_rolling_distinct's exact plan hits its
+    boundary, HASH-CHECKED since round 6 by reusing q_hll_distinct's
+    from-scratch engine-exact sketch (Flajolet et al. 2007) instead of
+    the builtin DataSketches HLL (whose serialized internals DuckDB
+    cannot reproduce).  Exact rolling distinct must fan the (day, user)
+    grain out 7x, which degrades toward events-grain x7 when daily
+    audiences are near-unique (probe-measured: 123 s at 100M events,
+    SCALING.md).  Registers restore the collapse: one pass folds events
+    to per-(day, bucket) max-rho registers (<= m rows per day, m=1024 —
+    the mergeable state), the 7x range-join fanout then runs at day x
+    bucket grain regardless of event volume, and the merge is a plain
+    max.  Estimator: exact-bigint harmonic sum (2^(32-reg), empties at
+    2^32) with Flajolet's small-range linear-counting branch
+    (m·ln(m/V) when raw <= 2.5m) — the branch input is a single
+    IEEE-exact divide, identical on both engines; x1024 is an exact
+    power-of-two scale, so only ln()'s last ulp is engine-shared.
+    Accuracy vs exact is additionally pinned in
+    tests/test_plans_scale.py."""
+    m = 1024
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = F.md5(F.col("user_id").cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    day_regs = (
         T(spark, sf_dir, "events")
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(
+            F.to_date("ts").alias("day"),
+            (h1 % m).alias("bucket"),
+            (F.lit(33) - F.length(F.bin(h2))).alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("reg"))
     )
-    win = day_sk.select(F.col("day").alias("uday"), "sk")
-    return (
-        day_sk.select("day")
-        .join(
+    days = day_regs.select("day").distinct()
+    win = day_regs.select(F.col("day").alias("uday"), "bucket", "reg")
+    merged = (
+        days.join(
             win,
             (F.col("uday") >= F.date_sub(F.col("day"), 6))
             & (F.col("uday") <= F.col("day")),
         )
+        .groupBy("day", "bucket")
+        .agg(
+            F.max("reg").alias("reg_w"),
+            F.max(
+                F.when(F.col("uday") == F.col("day"), F.col("reg"))
+            ).alias("reg_d"),
+        )
+    )
+    pow2 = "shiftleft(CAST(1 AS BIGINT), CAST(32 - {} AS INT))"
+    stats = (
+        merged.select(
+            "day",
+            F.expr(pow2.format("reg_w")).alias("pw"),
+            F.expr(pow2.format("reg_d")).alias("pd"),  # NULL-propagating
+        )
         .groupBy("day")
         .agg(
-            F.hll_sketch_estimate(
-                F.hll_union_agg(F.when(F.col("uday") == F.col("day"), F.col("sk")))
-            ).alias("dau_approx"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_7d_approx"),
+            F.count("pw").alias("mw_obs"),
+            F.sum("pw").alias("sw_obs"),
+            F.count("pd").alias("md_obs"),
+            F.sum("pd").alias("sd_obs"),
         )
+    )
+
+    def _est(m_obs: Column, s_obs: Column) -> Column:
+        m_empty = (F.lit(m) - m_obs).cast("bigint")
+        s_total = (s_obs + m_empty * F.lit(4294967296)).cast("bigint")
+        raw = (
+            F.lit(alpha) * F.lit(float(m * m)) * F.lit(4294967296.0)
+            / s_total
+        )
+        lc = F.lit(float(m)) * F.log(
+            F.lit(float(m)) / F.greatest(m_empty, F.lit(1))
+        )
+        return F.when(
+            (m_empty > 0) & (raw <= F.lit(2.5 * m)), lc
+        ).otherwise(raw)
+
+    return stats.select(
+        "day",
+        pround(_est(F.col("md_obs"), F.col("sd_obs")), 4).alias(
+            "dau_approx"
+        ),
+        pround(_est(F.col("mw_obs"), F.col("sw_obs")), 4).alias(
+            "wau_7d_approx"
+        ),
     )
 
 
@@ -9491,10 +9589,15 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab.  Per round: adjacent-pair counts (weighted by word freq) →
     global argmax (count desc, pair asc — the deterministic tie-break) →
     greedy left-to-right merge of that pair in every sequence.  The
-    merge is a plain string replace over '|'-delimited symbol strings
-    (alnum-only words, so the delimiter is safe): non-overlapping
-    left-to-right replacement IS the greedy BPE merge, and Spark and
-    DuckDB replace() agree byte-for-byte.  The per-round argmax is a
+    merge is a plain string replace over symbol strings where EACH
+    symbol carries its own delimiters ('|a||b||c|', alnum-only words so
+    '|' is safe): replacing '|a||b|' with '|ab|' preserves both outer
+    boundaries, so non-overlapping left-to-right replacement IS the
+    canonical greedy BPE merge even across runs of the same pair
+    ('|a||a||a||a|' → '|aa||aa|' — a single-delimiter form would eat
+    the shared '|' and skip alternate occurrences; ADVICE round 5), and
+    Spark and DuckDB replace() agree byte-for-byte.  The per-round
+    argmax is a
     1-row collect — the model rides the plan as a literal, the
     kmeans_fit discipline.  Output: (round, merged_pair, pair_count)."""
     docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
@@ -9505,9 +9608,7 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .select(
             "cnt",
-            F.concat(
-                F.lit("|"), F.regexp_replace(F.col("word"), "(.)", "$1|")
-            ).alias("seq"),
+            F.regexp_replace(F.col("word"), "(.)", "|$1|").alias("seq"),
         )
     )
     cur = cut_lineage(words)
@@ -9553,7 +9654,7 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.select(
                 "cnt",
                 F.expr(
-                    f"replace(seq, '|{a}|{b}|', '|{a}{b}|')"
+                    f"replace(seq, '|{a}||{b}|', '|{a}{b}|')"
                 ).alias("seq"),
             )
         )

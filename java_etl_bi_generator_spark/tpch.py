@@ -49,7 +49,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the DECIMAL(38,0) accumulator automatically — same value either
     way, so the oracle keeps a single form."""
     li = T(spark, sf_dir, "lineitem")
-    est = estimate_rows(sf_dir, "lineitem")
+    try:
+        est = estimate_rows(sf_dir, "lineitem")
+    except ValueError:
+        est = None  # unknown -> dsum_auto's conservative wide route
     f = li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-06-30").cast("date"))
     n = F.count(F.lit(1))
     return f.groupBy("l_returnflag", "l_linestatus").agg(

@@ -22,14 +22,13 @@ from java_etl_bi_generator_spark.queries import registry
 
 # Builtin HLL/GK sketches are not SQL-expressible in DuckDB (the two
 # engines' sketch internals legitimately differ) — the driver records a
-# weaker rows-only check for exactly these.  Round 5 shrank this to 3:
-# the IVF/k-means family gained oracles by pinning training and probing
-# in exact integer micro-unit arithmetic (operators/kmeans.py
-# kmeans_fit_int + the unrolled Lloyd CTEs in oracles.py).
+# weaker rows-only check for exactly these.  Round 5 shrank this to 3
+# (integer-pinned k-means/IVF training); round 6 to 2
+# (q_rolling_distinct_hll now uses the from-scratch register-table HLL,
+# hash-checked via oracles._hll1024_est).
 DOCUMENTED_ROWS_ONLY = {
     "q_approx_count_distinct",
     "q_approx_percentile",
-    "q_rolling_distinct_hll",
 }
 
 # Streaming queries build readStream plans; explain() would need a query

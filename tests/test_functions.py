@@ -275,3 +275,36 @@ def test_word_shingles_matches_naive_reference(spark):
                 ]
             )
             assert got[t] == want, (t, n, got[t], want)
+
+
+def test_bpe_merge_replace_is_canonical_greedy(spark):
+    """The BPE merge primitive (q_bpe_train_rounds): with EACH symbol
+    wrapped in its own delimiters, one left-to-right replace() merges
+    runs of the pair exactly like canonical greedy BPE — 'aaaa' with
+    merge (a,a) -> [aa, aa], not the delimiter-eating [aa, a, a]
+    (ADVICE round 5).  Pinned on Spark and DuckDB: the two engines'
+    replace() must keep agreeing byte-for-byte."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    cases = [
+        ("|a||a||a||a|", "|aa||aa|"),  # even run: both pairs merge
+        ("|a||a||a|", "|aa||a|"),      # odd run: greedy leftmost wins
+        ("|a||b||a||a|", "|a||b||aa|"),  # (a,b) untouched, run merges
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "seq string")
+    got = [
+        r["m"]
+        for r in df.select(
+            F.expr("replace(seq, '|a||a|', '|aa|')").alias("m")
+        ).collect()
+    ]
+    assert got == [w for _, w in cases]
+    duck = [
+        duckdb.sql(
+            f"SELECT replace('{s}', '|a||a|', '|aa|')"
+        ).fetchone()[0]
+        for s, _ in cases
+    ]
+    assert duck == [w for _, w in cases]

@@ -18,11 +18,11 @@ from .conftest import SF_DIR
 # Rows-only queries (no oracle): builtin sketches only — each
 # inherently engine-specific.  (Streaming and LSH gained oracles in
 # round 4; the IVF/k-means family in round 5 via integer-pinned
-# training.)
+# training; the rolling HLL in round 6 via the from-scratch register
+# sketch.)
 ROWS_ONLY = {
     "q_approx_count_distinct",
     "q_approx_percentile",
-    "q_rolling_distinct_hll",
 }
 
 

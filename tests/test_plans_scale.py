@@ -23,14 +23,22 @@ def test_rolling_distinct_hll_tracks_exact(spark, sf_dir):
 
 
 def test_rolling_distinct_hll_fanout_is_day_grain(spark, sf_dir):
-    """The join fans out sketches at day grain — the pre-join aggregate
-    must collapse events to one row per day BEFORE the range join (the
-    property that makes the plan volume-independent)."""
-    plan = registry()["q_rolling_distinct_hll"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    # HLL union runs above the join; the sketch build (hll_sketch_agg)
-    # runs below it — two distinct aggregate levels
-    assert "hll_union_agg" in plan and "hll_sketch_agg" in plan
-    assert plan.index("hll_union_agg") < plan.index("hll_sketch_agg")
+    """The join fans out register tables at (day, bucket) grain — the
+    pre-join aggregate must collapse events to <= m rows per day BEFORE
+    the range join (the property that makes the plan
+    volume-independent).  Physical plans print top-down (join above its
+    children), so nothing ABOVE the join line may touch user_id: the
+    user grain must be gone before the fanout."""
+    plan = (
+        registry()["q_rolling_distinct_hll"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    join_at = plan.index("Join")
+    assert "user_id" not in plan[:join_at]
+    # and the register build (max(rho) keyed by day+bucket) is below it
+    assert "user_id" in plan[join_at:]
 
 
 def test_data_expectations_is_single_pass(spark, sf_dir):
