@@ -111,6 +111,36 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     like_for_like = round(sum(times[n] for n in LIKE_FOR_LIKE), 3)
+
+    # Isolated re-measurement of the heavy tail (round-5 verdict task 6):
+    # the round-4 basket/rfm drift audit proved min-of-3 ROUND-ROBIN
+    # under-converges JIT once 40+ heavy queries share one JVM — isolated
+    # fresh-session min-of-6 re-measured both FASTER than their round-3
+    # numbers (SCALING.md "bench noise audit").  Report both columns: the
+    # round-robin number is the comparable historical series, the
+    # isolated one is the converged per-plan cost.  Disable with
+    # SPARK_GRAFT_BENCH_ISOLATED=0.
+    isolated: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
+        top5 = sorted(times, key=lambda n: times[n], reverse=True)[:5]
+        spark.stop()
+        spark = get_spark(app_name="bench-isolated")
+        for name in top5:
+            try:
+                qs[name](spark, warm_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:
+                pass
+            for _ in range(6):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = round(time.time() - t0, 3)
+                if name not in isolated or dt < isolated[name]:
+                    isolated[name] = dt
+
     print(
         json.dumps(
             {
@@ -119,6 +149,7 @@ def main() -> None:
                 "value_like_for_like_22q": like_for_like,
                 "unit": "sec",
                 "queries": times,
+                "isolated_top5_min_of_6": isolated,
                 "sf": sf,
             }
         )

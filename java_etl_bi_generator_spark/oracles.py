@@ -5604,9 +5604,9 @@ ORACLES.update({
                       AS DECIMAL(38,0)) AS tie3
           FROM c
         )
-        SELECT n1, n2, r1_x2 AS rank_sum1_x2,
+        SELECT n1, n2, CAST(r1_x2 AS BIGINT) AS rank_sum1_x2,
                CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
-                    AS DECIMAL(38,0)) AS u1_x2,
+                    AS BIGINT) AS u1_x2,
                {pround_sql(
                    "(CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)"
                    " / 2.0 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)"

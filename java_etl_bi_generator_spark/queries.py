@@ -130,74 +130,74 @@ def q(name: str) -> Callable[[QueryFn], QueryFn]:
 # sketch/layout operators, and the distributed-rank family (q_rfm) —
 # instead of 50 variations on scan+project.
 _SHOWCASE: tuple[str, ...] = (
-    # reference-derived core (§2.1-2.3, 2.7-2.8; q_month_name_ptbr stays
-    # hash-checked in the full sweep — its slot samples the round-5
-    # multimodal header roundtrip, the first oracle-checked L5 entry)
-    "q_star_flagship", "q_csv_roundtrip", "q_surrogate_key",
+    # Round-6 rotation (VERDICT r5 task 5): 15 slots freed by queries
+    # driver-certified green in CORRECTNESS_r05 (q_surrogate_key,
+    # q_project, q_join_inner, q_join_range, q_join_asof,
+    # q_join_asof_nearest, q_minmax_date, q_groupby_sum, q_bootstrap_ci,
+    # q_scalar_subquery, q_tcloseness_audit, q_sessionize, q_pagerank,
+    # q_linkage_weights, q_zorder_key — all stay hash-checked in the
+    # full sweep) now sample the 14 round-5 queries the driver never
+    # saw, plus q_rolling_distinct_hll (newly hash-checked in round 6
+    # via the from-scratch register HLL).
+    #
+    # reference-derived core (§2.1-2.3, 2.7-2.8)
+    "q_star_flagship", "q_csv_roundtrip",
     "q_dedup_first_row", "q_join_broadcast_left", "q_date_dim_generate",
     "q_locale_decimal_parse", "q_media_header_roundtrip",
-    # scan / project / filter (§2.2; q_distinct and the round-4
-    # grid-DBSCAN sample stay hash-checked in the full sweep — the
-    # freed slot moved to the round-5 IVF promotions below)
-    "q_project", "q_filter",
-    # joins (§2.4) — anti included: its non-empty rewrite needs driver
-    # evidence (the old all-orders variant passed on empty==empty)
-    # (q_join_semi stays hash-checked in the full sweep; its slot
-    # samples the round-4 Fellegi-Sunter linkage scorer instead)
-    "q_join_inner", "q_join_star_3way", "q_linkage_weights", "q_join_anti",
-    "q_join_range", "q_join_asof",
+    # round-5 L5 sibling: per-container metadata sweep over media blobs
+    "q_media_type_stats",
+    # calendar-dim consumer: generated spine joined back to facts
+    "q_calendar_spine_join",
+    # scan / filter (§2.2)
+    "q_filter",
+    # joins (§2.4): star join, non-empty anti, bounded-staleness as-of
+    "q_join_star_3way", "q_join_anti", "q_join_asof_tolerance",
     # UDF surface (§2.13): Arrow-batched mapInPandas, hash-checked
     "q_arrow_doc_stats",
-    # aggregation (§2.5; q_count_distinct stays hash-checked in the full
-    # sweep — its slot samples the round-4 generator source instead;
-    # q_groupby_multi_agg likewise frees its slot for the round-4
-    # Poisson-bootstrap CI)
-    "q_minmax_date", "q_groupby_sum", "q_bootstrap_ci",
+    # aggregation (§2.5) + distributed-rank family
     "q_rollup", "q_rfm",
+    # stratified sampling design (round 5): Neyman allocation
+    "q_neyman_allocation",
     # Python Data Source generator, hash-checked vs pure-SQL splitmix64
     "q_synthetic_events",
-    # set ops (§2.10) — multiset EXCEPT ALL, likewise rewritten non-empty
+    # set ops (§2.10) — multiset EXCEPT ALL, rewritten non-empty
     "q_except",
-    # advanced relational (q_percentile and q_merge_upsert stay
-    # hash-checked in the full sweep; their slots sample the round-4
-    # nearest as-of join and t-closeness audit instead)
-    "q_scalar_subquery", "q_join_asof_nearest", "q_tcloseness_audit",
-    # windows (§2.6; q_window_lag and q_window_running_sum stay
-    # hash-checked in the full sweep; the freed slot samples the round-4
-    # exact-correlation family)
+    # statistical testing family (round 5): rank-sum, one-way ANOVA,
+    # experiment sample-ratio-mismatch gate
+    "q_mannwhitney_u", "q_anova_f", "q_ab_srm_check",
+    # feature engineering (round 5): leakage-safe target encoding,
+    # per-entity lag/rolling features
+    "q_target_encoding", "q_lag_features",
+    # windows (§2.6)
     "q_window_rank",
-    # event-time analytics (§2.11 batch twins + §2.14) + the streaming
-    # incremental-merge sink (hash-checked end-to-end through foreachBatch)
-    "q_window_tumbling", "q_window_session", "q_sessionize", "q_funnel",
-    "q_stream_merge",
+    # event-time analytics (§2.11 batch twins + §2.14) + streaming:
+    # incremental-merge sink and the round-5 windowed top-k split
+    "q_window_tumbling", "q_window_session", "q_funnel",
+    "q_stream_merge", "q_stream_topk",
+    # product health at scale: register-table HLL rolling distinct
+    # (rows-only until round 6 — first driver hash certification)
+    "q_rolling_distinct_hll",
+    # anomaly detection (round 5): robust-z over rolling medians
+    "q_anomaly_robust_z",
+    # forecasting eval (round 5): seasonal-naive backtest
+    "q_snaive_backtest",
+    # recsys (round 5): item-item co-occurrence CF neighbors
+    "q_item_cf_neighbors",
     # SQL front door (engine-portable spark.sql statement)
     "q_sql_interface",
     # TPC-H (§2.14)
     "q_tpch_q1", "q_tpch_q5", "q_tpch_q21",
-    # LLM-pipeline ops (§2.12, 2.14): dedup, similarity, text
-    # (q_dedup_simhash stays hash-checked in the full sweep; its slot
-    # samples the round-4 linear-cost star-edge clustering instead)
-    # (q_dedup_near_clusters and q_triangle_count stay hash-checked in
-    # the full sweep; their slots sample the round-4 substring-dedup and
-    # temperature-mixture additions instead)
-    # (q_tfidf stays hash-checked in the full sweep; its slot samples
-    # the round-4 exact prefix-filter set-similarity join instead)
-    # (q_rolling_corr and q_grid_density_clusters stay hash-checked in
-    # the full sweep; their slots sample the round-5 integer-pinned
-    # Lloyd's trainer and the trained-IVF probe, newly hash-checked)
-    # (q_dedup_substrings and q_setsim_prefix_join — round-4 driver-
-    # certified — stay hash-checked in the full sweep; their slots
-    # sample the round-5 distributed BPE trainer and the end-to-end
-    # curation funnel)
+    # LLM-pipeline ops (§2.12, 2.14): dedup, quality gates, similarity,
+    # text, tokenizer training, curation — q_kmeans_cells stays until
+    # its driver hash is green (VERDICT r5 task 1: BIGINT-hardened this
+    # round); q_gopher_quality_rules is the last unsampled r5 entry
     "q_dedup_exact", "q_dedup_near", "q_bpe_train_rounds",
+    "q_gopher_quality_rules",
     "q_domain_mixture", "q_curation_funnel", "q_kmeans_cells",
     "q_vector_topk_ivf_trained",
     "q_vector_topk", "q_text_stats", "q_chunk_documents",
-    # graph analytics (round 3 + the round-4 k-core peel in the slot
-    # q_hll_distinct held; HLL stays hash-checked in the full sweep)
-    "q_pagerank", "q_kcore",
-    # physical layout (round 2)
-    "q_zorder_key",
+    # graph analytics
+    "q_kcore",
 )
 
 
@@ -8015,7 +8015,14 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerates concordant/discordant CELL pairs, weighting by cnt·cnt —
     the pair join runs on the bounded cell grain, never on data grain.
     C, D and the tie terms accumulate in DECIMAL(38,0) (pair counts are
-    O(N²) — past bigint at ~1e10 rows; DuckDB's HUGEINT matches); the
+    O(N²) — past bigint at ~1e10 rows; DuckDB's HUGEINT matches), and
+    the concordant/discordant OUTPUTS stay DECIMAL(38,0) deliberately:
+    at 100 TB (~2e11 rows/flag) pair counts reach ~1e22 and a BIGINT
+    output would ANSI-overflow, so this is the one registry query whose
+    output carries DECIMAL — kept out of the driver showcase because
+    engine result-canonicalization of DECIMAL is the suspected round-5
+    q_kmeans_cells divergence (local hash-checks are exact either way);
+    the
     doubled-tie identity τ = 2(C−D)/√((t0−t1)(t0−t2)) with
     t = N(N−1)-style terms avoids any integer halving, and the one float
     expression at the end is fixed-order IEEE on identical exact sums,
@@ -8108,9 +8115,13 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators.rank.global_cumsum``), never a single-partition window;
     the final argmax is a struct max (largest |gap|, then smallest value).
     D = max|gap| / (n1·n2) only becomes a double in the emitted row.
-    Bound: the cross-multiplied gap peaks near n1·n2, overflowing bigint
-    at ~3e9 rows PER ARM — ANSI mode fails loudly there; rescale counts
-    (or sample arms) beyond it."""
+    Bounds (round-5 verdict task 8 discipline): the cross-multiplied gap
+    peaks near n1·n2, overflowing bigint at ~3e9 rows PER ARM — ANSI
+    mode fails loudly there; rescale counts (or sample arms) beyond it.
+    Separately, past ~9.5e7 rows per arm n1·n2 exceeds 2^53 and the
+    final int→double conversions round — a ≤2^-52 RELATIVE error on D,
+    invisible at 6-dp display and parity-safe either way (int64→double
+    rounds half-even identically on both engines)."""
     from .operators.rank import global_cumsum
 
     pri = F.col("o_orderpriority")
@@ -8164,7 +8175,9 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ks_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_ks_test sliced by customer market segment — the fairness/drift
     view (a distribution shift invisible in aggregate can sit inside one
-    segment).  Same integer cross-multiplied form, but the signed-gap
+    segment).  Inherits q_ks_test's bounds (bigint gap overflow ~3e9
+    rows/arm/segment; ≤2^-52 relative D error past n1·n2 > 2^53, both
+    documented there).  Same integer cross-multiplied form, but the signed-gap
     cumsum runs per segment via ``operators.rank.grouped_cumsum`` (the
     grouped twin of the global two-phase cumsum): segments are
     low-cardinality with data-grain members, exactly the shape a plain
@@ -9407,11 +9420,15 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spearman, Kendall).  The q_ks_test discipline: collapse to exact-cent
     value grain with per-arm counts, ONE range-partitioned cumulative sum
     gives every tied group its exclusive prefix B, and the doubled rank
-    sum 2R₁ = Σ c₁·(2B + t + 1) stays an exact DECIMAL(38,0) (tied ranks
-    are half-integers, so everything is carried ×2).  The normal
-    approximation z applies the standard tie-corrected variance as one
-    fixed-order IEEE expression.  Overflow bound: terms peak near
-    c₁·2N — DECIMAL(38) holds past any real table."""
+    sum 2R₁ = Σ c₁·(2B + t + 1) accumulates as an exact DECIMAL(38,0)
+    (tied ranks are half-integers, so everything is carried ×2).  The
+    normal approximation z applies the standard tie-corrected variance
+    as one fixed-order IEEE expression.  Outputs are BIGINT (round 6):
+    2R₁ peaks near 2N², inside bigint to ~2e9 rows total, and past that
+    the ANSI cast fails LOUDLY (the q_ks_test discipline — rescale or
+    sample arms beyond it); all-integer outputs keep cross-engine
+    DECIMAL canonicalization out of the driver's value hash, the
+    suspected q_kmeans_cells round-5 divergence."""
     from .operators.rank import global_cumsum
 
     pri = F.col("o_orderpriority")
@@ -9460,8 +9477,8 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n1",
         "n2",
-        F.col("r1_x2").alias("rank_sum1_x2"),
-        u1_x2.cast("decimal(38,0)").alias("u1_x2"),
+        F.col("r1_x2").cast("bigint").alias("rank_sum1_x2"),
+        u1_x2.cast("bigint").alias("u1_x2"),
         pround(du / F.sqrt(var), 6).alias("z"),
     )
 

@@ -95,3 +95,30 @@ def test_fixed_width_nulls_malformed_and_overflow(spark, tmp_path):
         for r in read_fixed_width(spark, str(tmp_path / "fw5"), specs).collect()
     }
     assert got5 == {7: None, 8: None}
+
+
+def test_reference_csv_golden_bytes(spark):
+    """Round-5 verdict task 7 — byte-exact write path: a single part
+    file must carry the EXACT reference byte stream, `;`-joined header
+    line first, accents as single ISO-8859-1 bytes, one \\n terminator
+    per record including the last (FullETLGenerator.java:36-38, 63-66,
+    145-150).  Lifts SURVEY §7.4's byte-exactness non-goal for the
+    write side."""
+    rows = [
+        ("UHE.1", "Usina São João", "Hídrica"),
+        ("EOL.2", "Parque Eólico Osório", "Eólica"),
+    ]
+    df = spark.createDataFrame(rows, ["cod", "nome", "origem"]).coalesce(1)
+    out = tempfile.mkdtemp(prefix="csv_golden_") + "/t"
+    write_reference_csv(df, out)
+    parts = [
+        p for p in glob.glob(out + "/part-*") if not p.endswith(".crc")
+    ]
+    assert len(parts) == 1
+    raw = open(parts[0], "rb").read()
+    expected = (
+        "cod;nome;origem\n"
+        "UHE.1;Usina São João;Hídrica\n"
+        "EOL.2;Parque Eólico Osório;Eólica\n"
+    ).encode("ISO-8859-1")
+    assert raw == expected
