@@ -32,7 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; the 6 rows-only queries are
-    omitted (builtin HLL/GK sketches, float-centroid IVF probing, and
-    Lloyd's k-means training are engine-specific by nature)."""
+    """DuckDB-equivalent SQL per query; exactly 2 rows-only queries are
+    omitted (q_approx_count_distinct / q_approx_percentile — Spark's
+    builtin HLL++/GK sketch internals are engine-specific)."""
     return dict(ORACLES)

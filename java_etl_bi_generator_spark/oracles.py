@@ -5697,13 +5697,12 @@ def _anova_oracle() -> str:
 ORACLES["q_anova_f"] = _anova_oracle()
 
 
-def _bpe_train_oracle(rounds: int = 3) -> str:
-    """Twin of q_bpe_train_rounds: the same word-frequency grain, the
-    same per-symbol-delimited strings ('|a||b||c|' — boundary-preserving
-    so runs of the merged pair collapse like canonical greedy BPE), the
-    same greedy left-to-right replace() merge, unrolled one CTE triple
-    (pairs → argmax → merge) per round.  Lambda vars j/x — never i
-    (_hex_bigint caveat)."""
+def _bpe_ctes(rounds: int) -> list[str]:
+    """Shared CTE chain for the BPE family: w0 (word-frequency grain,
+    per-symbol-delimited strings '|a||b||c|' — boundary-preserving so
+    runs of the merged pair collapse like canonical greedy BPE), then
+    one (pairs → argmax → merge) triple per round ending in w{rounds}.
+    Lambda vars j/x — never i (_hex_bigint caveat)."""
     parts = [
         f"""w0 AS (
           SELECT CAST(cnt AS BIGINT) AS cnt,
@@ -5742,15 +5741,83 @@ def _bpe_train_oracle(rounds: int = 3) -> str:
                    '|' || replace(pair, ' ', '') || '|') AS seq
           FROM w{p}, b{r})"""
         )
+    return parts
+
+
+def _bpe_train_oracle(rounds: int = 3) -> str:
+    """Twin of q_bpe_train_rounds: the shared merge CTEs, merge log out."""
     selects = " UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS round, pair AS merged_pair,"
         f" CAST(c AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return "WITH " + ",\n        ".join(parts) + "\n        " + selects
+    return (
+        "WITH " + ",\n        ".join(_bpe_ctes(rounds)) + "\n        " + selects
+    )
+
+
+def _bpe_encode_oracle(rounds: int = 3) -> str:
+    """Twin of q_bpe_encode: replay the identical merges, then the
+    corpus summary off the final word table — tokens before = character
+    inventory (delimiters stripped), tokens after = surviving symbols."""
+    summary = f"""enc AS (
+          SELECT cnt,
+                 length(replace(seq, '|', '')) AS n_chars,
+                 len(list_filter(string_split(seq, '|'),
+                                 x -> x <> '')) AS n_syms
+          FROM w{rounds})
+        SELECT CAST({rounds} AS INT) AS n_merges,
+               CAST(sum(cnt) AS BIGINT) AS total_words,
+               CAST(sum(cnt * n_chars) AS BIGINT) AS tokens_before,
+               CAST(sum(cnt * n_syms) AS BIGINT) AS tokens_after,
+               {pround_sql(
+                   'CAST(sum(cnt * n_syms) AS DOUBLE)'
+                   ' / CAST(sum(cnt) AS DOUBLE)', 6)} AS fertility,
+               {pround_sql(
+                   'CAST(sum(cnt * n_syms) AS DOUBLE)'
+                   ' / CAST(sum(cnt * n_chars) AS DOUBLE)', 6)}
+                 AS compression
+        FROM enc"""
+    return (
+        "WITH "
+        + ",\n        ".join(_bpe_ctes(rounds) + [summary])
+    )
 
 
 ORACLES["q_bpe_train_rounds"] = _bpe_train_oracle()
+ORACLES["q_bpe_encode"] = _bpe_encode_oracle()
+
+# SemDeDup twin: the shared integer-pinned k-means CTEs (k=8, iters=2 —
+# same trainer as q_vector_topk_ivf_trained), within-cell pair dots from
+# the x table, the exact cross-multiplied cosine threshold in HUGEINT.
+ORACLES["q_semdedup_cells"] = f"""
+    WITH {_kmeans_int_ctes(8, 2)},
+    nrm AS (SELECT vec_id, sum(xi * xi) AS n2 FROM x GROUP BY 1),
+    prs AS (
+      SELECT a.cell, a.vec_id AS ida, b.vec_id AS idb
+      FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    dts AS (
+      SELECT p.cell, p.ida, p.idb, sum(xa.xi * xb.xi) AS dot
+      FROM prs p
+      JOIN x xa ON xa.vec_id = p.ida
+      JOIN x xb ON xb.vec_id = p.idb AND xb.pos = xa.pos
+      GROUP BY 1, 2, 3),
+    dup AS (
+      SELECT DISTINCT d.cell, d.idb
+      FROM dts d
+      JOIN nrm na ON na.vec_id = d.ida
+      JOIN nrm nb ON nb.vec_id = d.idb
+      WHERE na.n2 > 0 AND nb.n2 > 0
+        AND CAST(100 AS HUGEINT) * (CAST(d.dot AS HUGEINT) * abs(d.dot))
+            >= CAST(9 AS HUGEINT) * (CAST(na.n2 AS HUGEINT) * nb.n2)),
+    cns AS (SELECT cell, count(*) AS n_vecs FROM a3 GROUP BY 1),
+    drp AS (SELECT cell, count(*) AS n_dropped FROM dup GROUP BY 1)
+    SELECT CAST(c.cell AS BIGINT) AS cell,
+           CAST(c.n_vecs AS BIGINT) AS n_vecs,
+           CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(c.n_vecs - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM cns c LEFT JOIN drp d ON c.cell = d.cell
+"""
 
 
 ORACLES.update({

@@ -148,8 +148,9 @@ _SHOWCASE: tuple[str, ...] = (
     "q_media_type_stats",
     # calendar-dim consumer: generated spine joined back to facts
     "q_calendar_spine_join",
-    # scan / filter (§2.2)
-    "q_filter",
+    # round-6 additions: SemDeDup over trained cells + tokenizer encode
+    # (q_filter and q_except — r5 driver-green — free these two slots)
+    "q_semdedup_cells", "q_bpe_encode",
     # joins (§2.4): star join, non-empty anti, bounded-staleness as-of
     "q_join_star_3way", "q_join_anti", "q_join_asof_tolerance",
     # UDF surface (§2.13): Arrow-batched mapInPandas, hash-checked
@@ -160,8 +161,6 @@ _SHOWCASE: tuple[str, ...] = (
     "q_neyman_allocation",
     # Python Data Source generator, hash-checked vs pure-SQL splitmix64
     "q_synthetic_events",
-    # set ops (§2.10) — multiset EXCEPT ALL, rewritten non-empty
-    "q_except",
     # statistical testing family (round 5): rank-sum, one-way ANOVA,
     # experiment sample-ratio-mismatch gate
     "q_mannwhitney_u", "q_anova_f", "q_ab_srm_check",
@@ -9617,6 +9616,19 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is a
     1-row collect — the model rides the plan as a literal, the
     kmeans_fit discipline.  Output: (round, merged_pair, pair_count)."""
+    _, merges = _bpe_train(spark, sf_dir, rounds=3)
+    return spark.createDataFrame(
+        merges, "round int, merged_pair string, pair_count bigint"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> tuple[DataFrame, list[tuple[int, str, int]]]:
+    """Shared BPE trainer behind q_bpe_train_rounds (merge log) and
+    q_bpe_encode (the trained symbol table applied to the corpus):
+    returns (final word-frequency frame with merged ``seq``, the merge
+    log [(round, pair, weighted_count)])."""
     docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     words = (
         docs.select(F.explode(tokens("text")).alias("word"))
@@ -9630,7 +9642,7 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = cut_lineage(words)
     out_rows = []
-    for rnd in range(1, 4):
+    for rnd in range(1, rounds + 1):
         # symbols projected as a COLUMN before the pair lambda — an
         # expression referenced inside a HOF lambda re-evaluates per
         # element (the word_shingles lesson), a bound column does not
@@ -9675,9 +9687,7 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("seq"),
             )
         )
-    return spark.createDataFrame(
-        out_rows, "round int, merged_pair string, pair_count bigint"
-    )
+    return cur, out_rows
 
 
 @q("q_join_asof_tolerance")
@@ -10242,6 +10252,155 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(PORTABLE_STAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: semantic dedup over trained cells + tokenizer-encode capstone
+# ---------------------------------------------------------------------------
+
+@q("q_semdedup_cells")
+def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — SEMANTIC dedup of the embedding
+    corpus via cluster-then-prune: train the integer-pinned k-means
+    coarse quantizer (operators/kmeans.py kmeans_fit_int, the
+    bit-identical trainer behind the IVF family), assign every vector
+    to its cell, and inside each cell drop any vector that has a
+    LOWER-id neighbor with cosine >= τ (τ=0.3, fixture-tuned like
+    q_embed_neardup — the synthetic embeddings are near-orthogonal, so
+    a production 0.9 would be vacuous).  The published recipe's scale
+    shape exactly: the pairwise test runs WITHIN cells only (k is
+    chosen ~sqrt(N) in production so cells stay bounded; never
+    all-pairs), and the threshold test is exact integer arithmetic —
+    cos >= τ  ⇔  100·dot·|dot| >= 9·‖a‖²·‖b‖² on micro-unit bigints
+    (the sign-preserving single-square form; dot ≤ ~6e13 → dot² ≤
+    ~4e27, inside DECIMAL(38,0); DuckDB mirrors in HUGEINT) — so
+    survivors are engine-identical.  Output: per-cell census (size,
+    dropped, kept)."""
+    from .operators.kmeans import (
+        kmeans_fit_int,
+        nearest_cell_int,
+        quantize_micro,
+    )
+
+    em = T(spark, sf_dir, "embeddings")
+    model = kmeans_fit_int(em, k=8, iters=2)
+    qv = cut_lineage(
+        em.select(
+            "vec_id", quantize_micro("embedding").alias("__q")
+        ).select(
+            "vec_id",
+            "__q",
+            nearest_cell_int(F.col("__q"), model).cast("bigint").alias("cell"),
+            F.aggregate(
+                F.transform(F.col("__q"), lambda x: x * x),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("n2"),
+        )
+    )
+    a = qv.select(
+        F.col("vec_id").alias("ida"),
+        F.col("cell"),
+        F.col("__q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = qv.select(
+        F.col("vec_id").alias("idb"),
+        F.col("cell"),
+        F.col("__q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    # Sign-preserving single-square form: dot·|dot| == dot² when dot>0
+    # and is <= 0 otherwise, so one inequality replaces (dot>0 AND
+    # dot²-test) — the dot fold appears twice in the pushed-down join
+    # predicate instead of three times (zero-vector pairs are excluded
+    # on the scalar norms, not by re-evaluating the fold).
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("na2") > 0)
+            & (F.col("nb2") > 0)
+            & (
+                F.lit(100).cast("decimal(19,0)")
+                * (d19(F.col("dot")) * d19(F.abs(F.col("dot"))))
+                >= F.lit(9).cast("decimal(19,0)")
+                * (d19(F.col("na2")) * d19(F.col("nb2")))
+            )
+        )
+        .select("cell", F.col("idb").alias("vec_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped"))
+    )
+    census = qv.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    return (
+        census.join(dropped, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("bigint")).alias(
+                "n_dropped"
+            ),
+            (
+                F.col("n_vecs")
+                - F.coalesce(F.col("n_dropped"), F.lit(0).cast("bigint"))
+            ).alias("n_kept"),
+        )
+    )
+
+
+@q("q_bpe_encode")
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer lifecycle CAPSTONE: apply the trained BPE merge table
+    (the q_bpe_train_rounds trainer, 3 rounds) back to the corpus and
+    measure what the tokenizer bought — corpus token count before
+    (characters = the round-0 symbol inventory) and after the merges,
+    fertility (tokens per word), and the compression ratio.  Encoding
+    rides the word-frequency grain like training does (a 100 TB corpus
+    collapses to vocab grain once; the merge replay is |vocab| string
+    replaces), and the summary is one aggregate over that grain.  The
+    DuckDB oracle replays the identical unrolled merge CTEs and the
+    identical summary."""
+    cur, _ = _bpe_train(spark, sf_dir, rounds=3)
+    syms = F.filter(F.split(F.col("seq"), r"\|"), lambda x: x != "")
+    agg = cur.agg(
+        F.sum("cnt").cast("bigint").alias("total_words"),
+        F.sum(
+            F.col("cnt")
+            * F.length(F.regexp_replace(F.col("seq"), r"\|", ""))
+        )
+        .cast("bigint")
+        .alias("tokens_before"),
+        F.sum(F.col("cnt") * F.size(syms)).cast("bigint").alias(
+            "tokens_after"
+        ),
+    )
+    return agg.select(
+        F.lit(3).cast("int").alias("n_merges"),
+        "total_words",
+        "tokens_before",
+        "tokens_after",
+        pround(
+            F.col("tokens_after").cast("double")
+            / F.col("total_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        pround(
+            F.col("tokens_after").cast("double")
+            / F.col("tokens_before").cast("double"),
+            6,
+        ).alias("compression"),
+    )
 
 
 # Register the TPC-H query set (module imports back into this registry).

@@ -378,3 +378,43 @@ def test_kcore_peel_cascades(spark):
         r["node"] for r in kcore_peel(edges, k=3, rounds=1).collect()
     }
     assert 4 in after1 and 5 not in after1 and 6 not in after1
+
+
+def test_semdedup_cells_invariants(spark, sf_dir):
+    """SemDeDup census invariants: cells partition the corpus (sizes sum
+    to N), every cell keeps at least one representative (the lowest id
+    can never be dropped — the drop rule requires a LOWER-id neighbor),
+    and kept + dropped = size per cell."""
+    from java_etl_bi_generator_spark.catalog import load_table
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_semdedup_cells"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vecs"]
+        assert r["n_kept"] >= 1
+        assert r["n_dropped"] >= 0
+
+
+def test_bpe_encode_tracks_training(spark, sf_dir):
+    """The encode summary must be consistent with the trainer's merge
+    log: every merge round strictly reduces corpus tokens, and the
+    total reduction equals the sum of the merged-pair counts (each
+    occurrence of a merged pair removes exactly one token)."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    enc = registry()["q_bpe_encode"](spark, sf_dir).collect()[0]
+    merges = registry()["q_bpe_train_rounds"](spark, sf_dir).collect()
+    assert enc["n_merges"] == len(merges) == 3
+    saved = sum(m["pair_count"] for m in merges)
+    if all(len(set(m["merged_pair"].split(" "))) == 2 for m in merges):
+        # distinct-symbol pairs never overlap: every counted occurrence
+        # merges, so the reduction equals the pair-count sum exactly
+        assert enc["tokens_before"] - enc["tokens_after"] == saved
+    else:
+        # a same-symbol pair overlaps itself in runs ('aaaa' counts 3
+        # pairs, greedy merges 2) — reduction is bounded by the counts
+        assert 0 < enc["tokens_before"] - enc["tokens_after"] <= saved
+    assert 1.0 <= enc["fertility"] or enc["total_words"] == 0
+    assert 0.0 < enc["compression"] <= 1.0
