@@ -114,3 +114,30 @@ def le32_col(col):
 
     c = col.cast("bigint")
     return F.concat(le16_col(c % 65536), le16_col((c / 65536).cast("bigint")))
+
+
+# -- BMP (round 6: the REAL codec-free pixel decode) -------------------------
+#
+# 24-bit uncompressed BI_RGB needs no codec at all: the pixel array is
+# raw BGR byte triples, rows padded to 4 bytes — so a full DECODE
+# (header parse -> stride arithmetic -> per-channel pixel walk) is pure
+# fixed-point arithmetic both engines can run.  Layout (1-based
+# offsets): "BM" @1 | file_size le32 @3 | reserved 4B | pixel-array
+# offset le32 @11 (=54) | DIB size le32 @15 (=40) | width le32 @19 |
+# height le32 @23 | planes le16 @27 (=1) | bpp le16 @29 (=24) |
+# compression le32 @31 (=0) | image size le32 @35 | ppm x/y le32 |
+# colors used/important le32 | pixel rows (bottom-up, stride-padded).
+BMP_SIG_HEX = "424d"  # b"BM"
+
+# doc_id-derived image parameters: tiny dims so the per-image pixel
+# walk is a bounded codegen fold (<= 16 px), every (w, h) combination
+# exercised within 16 consecutive ids.
+BMP_W = "1 + doc_id % 4"
+BMP_H = "1 + (doc_id * 3) % 4"
+# data byte q (0-based offset within the pixel array; padding bytes 0)
+BMP_PX = "(doc_id * 7 + q * 13) % 256"
+
+
+def bmp_stride_sql(w: str) -> str:
+    """Row stride in bytes: 3·w rounded up to a multiple of 4 (SQL)."""
+    return f"((3 * ({w}) + 3) // 4) * 4"

@@ -666,8 +666,122 @@ def _media_roundtrip_oracle() -> str:
     """
 
 
+def _bmp_decode_oracle() -> str:
+    """Twin of q_media_bmp_decode: rebuild the identical BMP hex from
+    the single-sourced derivations (functions/mediahex.py), then DECODE
+    it — header fields via fixed-offset nibble arithmetic, pixel
+    channel sums via a dynamic-position nibble walk over the hex (the
+    hex-pair at 1-based position 2·o+1 is the byte at 0-based offset
+    o).  Lambda var p/q — never i (_hex_bigint caveat); all walk inputs
+    come from the PARSED header columns, mirroring bmp_pixel_stats."""
+    from .functions.mediahex import (
+        BMP_H,
+        BMP_PX,
+        BMP_SIG_HEX,
+        BMP_W,
+        bmp_stride_sql,
+        le16_sql,
+        le32_sql,
+    )
+
+    def chan_sum(ch: int) -> str:
+        off = f"2 * (po + (p // wp) * st + 3 * (p % wp) + {ch})"
+        nib = "'0123456789abcdef'"
+        return (
+            f"list_sum(list_transform(range(0, wp * hp), p -> "
+            f"(strpos({nib}, substr(h, CAST({off} + 1 AS INT), 1)) - 1)"
+            f" * 16"
+            f" + strpos({nib}, substr(h, CAST({off} + 2 AS INT), 1)) - 1"
+            f"))"
+        )
+
+    pixel_hex = (
+        "array_to_string(list_transform(range(0, npb), q -> "
+        "lower(lpad(hex(CASE WHEN q % stride < 3 * w "
+        f"THEN {BMP_PX} ELSE 0 END), 2, '0'))), '')"
+    )
+    return f"""
+        WITH p0 AS (
+          SELECT doc_id, {BMP_W} AS w, {BMP_H} AS hh FROM documents),
+        sized AS (
+          SELECT doc_id, w, hh, {bmp_stride_sql('w')} AS stride,
+                 {bmp_stride_sql('w')} * hh AS npb
+          FROM p0),
+        blobs AS (
+          SELECT doc_id,
+                 '{BMP_SIG_HEX}' || {le32_sql('54 + npb')} || '00000000'
+                 || {le32_sql('54')} || {le32_sql('40')}
+                 || {le32_sql('w')} || {le32_sql('hh')}
+                 || {le16_sql('1')} || {le16_sql('24')}
+                 || {le32_sql('0')} || {le32_sql('npb')}
+                 || {le32_sql('2835')} || {le32_sql('2835')}
+                 || {le32_sql('0')} || {le32_sql('0')}
+                 || {pixel_hex} AS h
+          FROM sized),
+        hdr AS (
+          SELECT doc_id, h,
+                 CAST({_h_le32(11)} AS BIGINT) AS po,
+                 CAST({_h_le32(19)} AS BIGINT) AS wp,
+                 CAST({_h_le32(23)} AS BIGINT) AS hp
+          FROM blobs),
+        dec AS (
+          SELECT *, {bmp_stride_sql('wp')} AS st FROM hdr),
+        sums AS (
+          SELECT doc_id, h, wp, hp,
+                 CAST({chan_sum(0)} AS BIGINT) AS sum_b,
+                 CAST({chan_sum(1)} AS BIGINT) AS sum_g,
+                 CAST({chan_sum(2)} AS BIGINT) AS sum_r
+          FROM dec)
+        SELECT doc_id,
+               CASE WHEN substr(h, 1, 4) = '{BMP_SIG_HEX}'
+                    THEN 'bmp' ELSE 'unknown' END AS container,
+               CAST(length(h) // 2 AS INT) AS byte_len,
+               h AS blob_hex,
+               CAST(wp AS INT) AS width,
+               CAST(hp AS INT) AS height,
+               CAST(wp * hp AS BIGINT) AS n_px,
+               sum_b, sum_g, sum_r,
+               CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS BIGINT)
+                 AS luma_k
+        FROM sums
+    """
+
+
+def _dp_noisy_counts_oracle() -> str:
+    """Twin of q_dp_noisy_counts: identical salted md5 slice, identical
+    hex-threshold CASE chain (single-sourced from functions/privacy.py),
+    identical clamp."""
+    from .functions.privacy import twosided_geometric_hex_thresholds
+
+    thr = twosided_geometric_hex_thresholds(eps=0.5, kmax=16)
+    chain = " ".join(
+        f"WHEN u <= '{t}' THEN CAST({k} AS INT)" for k, t in thr
+    )
+    return f"""
+        WITH g AS (
+          SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+                   AS order_year,
+                 o_orderpriority AS priority,
+                 CAST(count(*) AS BIGINT) AS true_count
+          FROM orders GROUP BY 1, 2),
+        n AS (
+          SELECT *, substr(md5('dp-count-v1' || '|'
+                   || CAST(order_year AS VARCHAR) || '|' || priority),
+                 1, 8) AS u
+          FROM g),
+        k AS (SELECT *, CASE {chain}
+                        ELSE CAST(16 AS INT) END AS noise FROM n)
+        SELECT order_year, priority, true_count, noise,
+               greatest(CAST(true_count + noise AS BIGINT),
+                        CAST(0 AS BIGINT)) AS released_count
+        FROM k
+    """
+
+
 ORACLES: dict[str, str] = {
     # --- sources ---
+    "q_media_bmp_decode": _bmp_decode_oracle(),
+    "q_dp_noisy_counts": _dp_noisy_counts_oracle(),
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_fixedwidth_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_media_header_roundtrip": _media_roundtrip_oracle(),

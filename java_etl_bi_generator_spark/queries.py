@@ -148,15 +148,18 @@ _SHOWCASE: tuple[str, ...] = (
     "q_media_type_stats",
     # calendar-dim consumer: generated spine joined back to facts
     "q_calendar_spine_join",
-    # round-6 additions: SemDeDup over trained cells + tokenizer encode
-    # (q_filter and q_except — r5 driver-green — free these two slots)
+    # round-6 additions (q_filter, q_except, q_rollup, q_window_rank —
+    # all r5 driver-green — free these four slots): SemDeDup over
+    # trained cells, tokenizer encode, the real codec-free BMP pixel
+    # decode, and the DP geometric-noise count release
     "q_semdedup_cells", "q_bpe_encode",
+    "q_media_bmp_decode", "q_dp_noisy_counts",
     # joins (§2.4): star join, non-empty anti, bounded-staleness as-of
     "q_join_star_3way", "q_join_anti", "q_join_asof_tolerance",
     # UDF surface (§2.13): Arrow-batched mapInPandas, hash-checked
     "q_arrow_doc_stats",
     # aggregation (§2.5) + distributed-rank family
-    "q_rollup", "q_rfm",
+    "q_rfm",
     # stratified sampling design (round 5): Neyman allocation
     "q_neyman_allocation",
     # Python Data Source generator, hash-checked vs pure-SQL splitmix64
@@ -167,8 +170,6 @@ _SHOWCASE: tuple[str, ...] = (
     # feature engineering (round 5): leakage-safe target encoding,
     # per-entity lag/rolling features
     "q_target_encoding", "q_lag_features",
-    # windows (§2.6)
-    "q_window_rank",
     # event-time analytics (§2.11 batch twins + §2.14) + streaming:
     # incremental-merge sink and the round-5 windowed top-k split
     "q_window_tumbling", "q_window_session", "q_funnel",
@@ -10356,6 +10357,143 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.coalesce(F.col("n_dropped"), F.lit(0).cast("bigint"))
             ).alias("n_kept"),
         )
+    )
+
+
+@q("q_dp_noisy_counts")
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy COUNT release (governance family): per
+    (order-year, priority) counts with two-sided geometric noise
+    [Ghosh et al. 2009], ε=0.5 — the discrete-Laplace mechanism that
+    keeps released counts integer.  Noise draws use the engine-exact
+    hex-threshold inverse CDF (functions/privacy.py, the
+    poisson1_hex_thresholds discipline): u32 = 8 md5 hex chars of the
+    salted release key, noise = first k whose threshold >= u32 — a
+    lexicographic string compare, no floats at query time, and the
+    per-release-key seed makes re-running a release idempotent (the
+    same window never spends budget twice; different releases must
+    vary the salt).  |noise| truncated at 16 (tail mass ~2e-4 → the
+    documented (ε, δ) relaxation).  Negative releases clamp to 0
+    (post-processing preserves DP).  Output is the CALIBRATION view
+    (true count + noise + release); a production release projects
+    released_count only.  Scale shape: one group-by, then pure per-row
+    codegen — the noise CASE chain rides the plan as 33 literals."""
+    from functools import reduce
+
+    from .functions.privacy import twosided_geometric_hex_thresholds
+
+    od = T(spark, sf_dir, "orders").select(
+        F.year(F.col("o_orderdate").cast("date")).alias("order_year"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    g = od.groupBy("order_year", "priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    u = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit("dp-count-v1"),
+                F.col("order_year").cast("string"),
+                F.col("priority"),
+            )
+        ),
+        1,
+        8,
+    )
+    thr = twosided_geometric_hex_thresholds(eps=0.5, kmax=16)
+    noise = reduce(
+        lambda c, kt: c.when(u <= F.lit(kt[1]), F.lit(kt[0])),
+        thr[1:],
+        F.when(u <= F.lit(thr[0][1]), F.lit(thr[0][0])),
+    ).otherwise(F.lit(thr[-1][0])).cast("int")
+    return g.select(
+        "order_year",
+        "priority",
+        "true_count",
+        noise.alias("noise"),
+        F.greatest(
+            F.col("true_count") + noise.cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("released_count"),
+    )
+
+
+@q("q_media_bmp_decode")
+def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 DECODE made real (round 6): 24-bit uncompressed BMP needs no
+    codec — raw BGR triples in stride-padded rows — so this query runs
+    an honest end-to-end image DECODE entirely in codegen: synthesize a
+    valid BMP per doc_id (dims 1-4 × 1-4, pixel bytes from an integer
+    formula, padding zeroed; layout + derivations single-sourced in
+    functions/mediahex.py), write the ``binary`` column to parquet,
+    read it back, and run sources/multimodal.py ``bmp_pixel_stats`` —
+    which parses pixel-array offset / width / height / bpp from the
+    HEADER BYTES and folds over every pixel reading its channel bytes
+    from the blob (never echoing the construction parameters).  The
+    DuckDB oracle rebuilds the identical hex and re-derives everything
+    with nibble arithmetic over it.  This lifts the 'decode is stubbed'
+    caveat for the one mainstream format where decode is pure
+    arithmetic; JPEG/PNG payload decode stays honestly stubbed (real
+    codecs, sources/multimodal.py:66).  Output: per-doc container,
+    parsed dims, byte-exact blob hex, per-channel sums, integer Rec.601
+    luma numerator."""
+    from .functions.mediahex import (
+        BMP_SIG_HEX,
+        BMP_H,
+        BMP_W,
+        le16_col,
+        le32_col,
+    )
+    from .sources.multimodal import bmp_pixel_stats
+
+    d = F.col("doc_id")
+    params = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(BMP_W).cast("bigint").alias("w"),
+        F.expr(BMP_H).cast("bigint").alias("h"),
+    ).withColumn(
+        "stride", F.expr("((3 * w + 3) div 4) * 4")
+    ).withColumn("npb", F.col("stride") * F.col("h"))
+    pixel_hex = F.expr(
+        """array_join(
+             transform(sequence(0, CAST(npb - 1 AS INT)),
+               q -> lower(lpad(hex(CASE WHEN q % stride < 3 * w
+                                   THEN (doc_id * 7 + q * 13) % 256
+                                   ELSE 0 END), 2, '0'))),
+             '')"""
+    )
+    blob_hex = F.concat(
+        F.lit(BMP_SIG_HEX),
+        le32_col(F.lit(54) + F.col("npb")),      # file size
+        F.lit("00000000"),                        # reserved
+        le32_col(F.lit(54)),                      # pixel-array offset
+        le32_col(F.lit(40)),                      # DIB header size
+        le32_col(F.col("w")),
+        le32_col(F.col("h")),
+        le16_col(F.lit(1)),                       # planes
+        le16_col(F.lit(24)),                      # bpp
+        le32_col(F.lit(0)),                       # BI_RGB
+        le32_col(F.col("npb")),                   # image size
+        le32_col(F.lit(2835)), le32_col(F.lit(2835)),  # ppm
+        le32_col(F.lit(0)), le32_col(F.lit(0)),   # palette counts
+        pixel_hex,
+    )
+    blobs = params.select("doc_id", F.unhex(blob_hex).alias("content"))
+    path = _fixture_dir("bmp_decode") + "/media"
+    blobs.write.parquet(path)
+    media = spark.read.parquet(path)
+    return bmp_pixel_stats(media).select(
+        "doc_id",
+        "container",
+        F.length("content").cast("int").alias("byte_len"),
+        F.lower(F.hex("content")).alias("blob_hex"),
+        "width",
+        "height",
+        "n_px",
+        "sum_b",
+        "sum_g",
+        "sum_r",
+        "luma_k",
     )
 
 

@@ -308,3 +308,39 @@ def test_bpe_merge_replace_is_canonical_greedy(spark):
         for s, _ in cases
     ]
     assert duck == [w for _, w in cases]
+
+
+def test_twosided_geometric_thresholds_properties():
+    """Mechanism sanity: thresholds strictly increase to 'ffffffff',
+    support is symmetric, and the implied pmf is symmetric in k and
+    monotone decreasing in |k| (the geometric shape)."""
+    from java_etl_bi_generator_spark.functions.privacy import (
+        twosided_geometric_hex_thresholds,
+    )
+
+    thr = twosided_geometric_hex_thresholds(eps=0.5, kmax=16)
+    ks = [k for k, _ in thr]
+    assert ks == list(range(-16, 17))
+    ints = [int(t, 16) for _, t in thr]
+    assert all(b > a for a, b in zip(ints, ints[1:]))
+    assert thr[-1][1] == "ffffffff"
+    pmf = [b - a for a, b in zip([0] + ints, ints)]
+    for j in range(16):
+        # symmetry: P(K=-k) == P(K=k) within 1 ulp of the u32 grid
+        assert abs(pmf[j] - pmf[32 - j]) <= 1
+    center = pmf[16]
+    assert all(center >= p for p in pmf)
+
+
+def test_dp_noisy_counts_mechanism(spark, sf_dir):
+    """Release invariants: noise bounded by the truncation, clamp at 0
+    holds, released = true + noise wherever that is non-negative, and
+    the draw is a pure function of the release key (rerun identical)."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_dp_noisy_counts"](spark, sf_dir).collect()
+    again = registry()["q_dp_noisy_counts"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    for r in rows:
+        assert -16 <= r["noise"] <= 16
+        assert r["released_count"] == max(r["true_count"] + r["noise"], 0)

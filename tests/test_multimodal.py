@@ -434,3 +434,49 @@ def test_media_header_roundtrip_matches_derivation(spark, sf_dir):
                     r["bits_per_sample"]) == (ch, rate, bits)
             assert r["duration_ms"] == db * 8 * 1000 // (rate * ch * bits)
             assert int.from_bytes(blob[40:44], "little") == db
+
+
+def test_bmp_pixel_stats_golden_bytes(spark):
+    """Decode a hand-built 2x1 24-bit BMP (stride 8: 6 data bytes + 2
+    pad) and check the parsed dims and channel sums against the bytes
+    written — the decode must read the blob, not echo parameters."""
+    import struct
+
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        bmp_pixel_stats,
+    )
+
+    w, h = 2, 1
+    stride = ((3 * w + 3) // 4) * 4
+    # pixels: (B,G,R) = (10, 20, 30) and (40, 50, 60)
+    row = bytes([10, 20, 30, 40, 50, 60]) + b"\x00" * (stride - 6)
+    header = (
+        b"BM"
+        + struct.pack("<I", 54 + stride * h)
+        + b"\x00\x00\x00\x00"
+        + struct.pack("<I", 54)
+        + struct.pack("<I", 40)
+        + struct.pack("<i", w)
+        + struct.pack("<i", h)
+        + struct.pack("<H", 1)
+        + struct.pack("<H", 24)
+        + struct.pack("<I", 0)
+        + struct.pack("<I", stride * h)
+        + struct.pack("<I", 2835) * 2
+        + struct.pack("<I", 0) * 2
+    )
+    df = spark.createDataFrame(
+        [(1, header + row), (2, b"notabitmap")],
+        "media_id int, content binary",
+    )
+    rows = {r["media_id"]: r for r in bmp_pixel_stats(df).collect()}
+    good = rows[1]
+    assert good["container"] == "bmp"
+    assert (good["width"], good["height"], good["n_px"]) == (2, 1, 2)
+    assert good["sum_b"] == 10 + 40
+    assert good["sum_g"] == 20 + 50
+    assert good["sum_r"] == 30 + 60
+    assert good["luma_k"] == 299 * 90 + 587 * 70 + 114 * 50
+    bad = rows[2]
+    assert bad["container"] == "unknown"
+    assert bad["sum_b"] is None and bad["luma_k"] is None
