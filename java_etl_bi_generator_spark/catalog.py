@@ -63,25 +63,30 @@ def estimate_rows(sf_dir: str, name: str) -> int:
     single parquet file, a flat directory of part files, and
     nested/Hive-partitioned layouts (os.walk recursion — a top-level-only
     listing would return 0 for a partitioned table, which dsum_auto
-    would mis-read as 'tiny, long path is safe').  A non-empty directory
-    that still yields 0 rows is reported as unknown via ValueError so
-    callers take their conservative route instead of the 0-row one."""
+    would mis-read as 'tiny, long path is safe').  A directory holding
+    no ``*.parquet`` files at all has an UNKNOWN row count and raises
+    ValueError so callers take their conservative route; a table whose
+    part files exist but sum to 0 rows (zero-row parts plus _SUCCESS) is
+    a KNOWN empty table and legitimately returns 0."""
     import os
 
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{name}.parquet"
     if os.path.isdir(path):
-        total = sum(
-            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-            for root, _dirs, files in os.walk(path)
-            for f in files
-            if f.endswith(".parquet")
-        )
-        if total == 0 and any(os.scandir(path)):
+        total = 0
+        n_files = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        if n_files == 0:
             raise ValueError(
-                f"estimate_rows: no parquet footers under non-empty "
-                f"directory {path!r} — row count unknown"
+                f"estimate_rows: no parquet footers under directory "
+                f"{path!r} — row count unknown"
             )
         return total
     return pq.ParquetFile(path).metadata.num_rows

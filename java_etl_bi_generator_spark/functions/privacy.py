@@ -18,6 +18,16 @@ per-release noise draw (seeded by the release key) is what makes the
 query hash-checkable cross-engine and idempotent per release window —
 re-running the same release must NOT spend privacy budget twice.
 Releasing multiple DIFFERENT statistics must vary the salt.
+
+SECRECY caveat, equally loud: the (ε, δ)-guarantee only holds if the
+per-release seed/salt is SECRET.  The queries in this repo use a
+public hardcoded salt so the DuckDB oracle can recompute the identical
+noise for cross-engine benchmarking — anyone who knows that salt can
+subtract the noise and recover exact true counts, i.e. the in-repo
+release provides zero actual privacy by construction.  A production
+release must draw its salt from a secret per-release key (e.g. an HSM
+/ KMS secret scoped to the release window) and must never publish the
+calibration columns (true_count / noise).
 """
 
 from __future__ import annotations

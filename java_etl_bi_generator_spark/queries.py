@@ -10376,7 +10376,11 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented (ε, δ) relaxation).  Negative releases clamp to 0
     (post-processing preserves DP).  Output is the CALIBRATION view
     (true count + noise + release); a production release projects
-    released_count only.  Scale shape: one group-by, then pure per-row
+    released_count only.  SECRECY: the hardcoded 'dp-count-v1' salt is
+    public for cross-engine benchmarking ONLY — with a known salt the
+    noise is recomputable and the release provides zero actual privacy;
+    the (ε, δ) guarantee requires a secret per-release seed in
+    production (functions/privacy.py states the same caveat).  Scale shape: one group-by, then pure per-row
     codegen — the noise CASE chain rides the plan as 33 literals."""
     from functools import reduce
 
@@ -10440,6 +10444,7 @@ def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.mediahex import (
         BMP_SIG_HEX,
         BMP_H,
+        BMP_PX,
         BMP_W,
         le16_col,
         le32_col,
@@ -10455,10 +10460,10 @@ def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stride", F.expr("((3 * w + 3) div 4) * 4")
     ).withColumn("npb", F.col("stride") * F.col("h"))
     pixel_hex = F.expr(
-        """array_join(
+        f"""array_join(
              transform(sequence(0, CAST(npb - 1 AS INT)),
                q -> lower(lpad(hex(CASE WHEN q % stride < 3 * w
-                                   THEN (doc_id * 7 + q * 13) % 256
+                                   THEN {BMP_PX}
                                    ELSE 0 END), 2, '0'))),
              '')"""
     )

@@ -24,6 +24,17 @@ REFERENCE_CSV_OPTIONS = {
     "ignoreTrailingWhiteSpace": "true",
 }
 
+# Write side adds the Commons-CSV CSVFormat.DEFAULT record separator:
+# CRLF (Commons-CSV `CRLF = "\r\n"` is DEFAULT's recordSeparator), which
+# the reference inherits unchanged (FullETLGenerator.java:36-38).  Kept
+# out of the read options — Spark's Hadoop line reader already accepts
+# \n, \r\n and \r on input, and pinning lineSep there would reject plain
+# \n sources the reference reads fine.
+REFERENCE_CSV_WRITE_OPTIONS = {
+    **REFERENCE_CSV_OPTIONS,
+    "lineSep": "\r\n",
+}
+
 
 def read_reference_csv(
     spark: SparkSession,
@@ -44,5 +55,8 @@ def read_reference_csv(
 
 def write_reference_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write with the reference dialect (one directory of part files —
-    distributed write; the reference's single-file stream does not scale)."""
-    df.write.options(**REFERENCE_CSV_OPTIONS).mode(mode).csv(path)
+    distributed write; the reference's single-file stream does not scale).
+    Byte-exact to the reference stream: ``;`` fields, ISO-8859-1 bytes,
+    CRLF after every record including the last (Commons-CSV
+    CSVFormat.DEFAULT via FullETLGenerator.java:36-38, 63-66)."""
+    df.write.options(**REFERENCE_CSV_WRITE_OPTIONS).mode(mode).csv(path)

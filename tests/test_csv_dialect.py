@@ -100,8 +100,9 @@ def test_fixed_width_nulls_malformed_and_overflow(spark, tmp_path):
 def test_reference_csv_golden_bytes(spark):
     """Round-5 verdict task 7 — byte-exact write path: a single part
     file must carry the EXACT reference byte stream, `;`-joined header
-    line first, accents as single ISO-8859-1 bytes, one \\n terminator
-    per record including the last (FullETLGenerator.java:36-38, 63-66,
+    line first, accents as single ISO-8859-1 bytes, one \\r\\n (CRLF —
+    Commons-CSV CSVFormat.DEFAULT's recordSeparator) terminator per
+    record including the last (FullETLGenerator.java:36-38, 63-66,
     145-150).  Lifts SURVEY §7.4's byte-exactness non-goal for the
     write side."""
     rows = [
@@ -117,8 +118,8 @@ def test_reference_csv_golden_bytes(spark):
     assert len(parts) == 1
     raw = open(parts[0], "rb").read()
     expected = (
-        "cod;nome;origem\n"
-        "UHE.1;Usina São João;Hídrica\n"
-        "EOL.2;Parque Eólico Osório;Eólica\n"
+        "cod;nome;origem\r\n"
+        "UHE.1;Usina São João;Hídrica\r\n"
+        "EOL.2;Parque Eólico Osório;Eólica\r\n"
     ).encode("ISO-8859-1")
     assert raw == expected

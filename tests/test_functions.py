@@ -243,6 +243,28 @@ def test_estimate_rows_footer_stats(spark, sf_dir):
         assert estimate_rows(sf_dir, t) == load_table(spark, sf_dir, t).count()
 
 
+def test_estimate_rows_edge_cases(spark, tmp_path):
+    """A legitimately empty table (zero-row part files + _SUCCESS) has a
+    KNOWN row count of 0; a directory with no parquet footers at all is
+    UNKNOWN and raises (round-6 ADVICE: the earlier version conflated
+    the two and misreported known-empty as unknown)."""
+    import pytest as _pytest
+
+    from java_etl_bi_generator_spark.catalog import estimate_rows
+
+    root = str(tmp_path)
+    empty = spark.createDataFrame([], "k int, v string")
+    empty.write.mode("overwrite").parquet(f"{root}/empty_tbl.parquet")
+    assert estimate_rows(root, "empty_tbl") == 0
+
+    import os
+
+    os.makedirs(f"{root}/no_footers.parquet", exist_ok=True)
+    open(f"{root}/no_footers.parquet/_SUCCESS", "w").close()
+    with _pytest.raises(ValueError, match="row count unknown"):
+        estimate_rows(root, "no_footers")
+
+
 def test_word_shingles_matches_naive_reference(spark):
     """The zip_with-fold shingle construction (round-5 perf rewrite) must
     equal the naive Python definition for every n and edge case: fewer
