@@ -96,15 +96,13 @@ def _fixture_dir(name: str, fresh_name: bool = False) -> str:
     Derby keeps a deleted database booted; a stopped stream's checkpoint
     would replay stale state)."""
     global _FIXTURE_ROOT, _FIXTURE_SEQ
-    import atexit
     import os
     import shutil
 
+    from .session import fixture_root
+
     if _FIXTURE_ROOT is None:
-        _FIXTURE_ROOT = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_fixtures_{os.getpid()}"
-        )
-        atexit.register(shutil.rmtree, _FIXTURE_ROOT, ignore_errors=True)
+        _FIXTURE_ROOT = fixture_root()
     if fresh_name:
         _FIXTURE_SEQ += 1
         name = f"{name}_{_FIXTURE_SEQ}"
@@ -3761,6 +3759,21 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.jdbc import read_jdbc_partitioned
 
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    # Keep derby.log out of the CWD even on a session we did not build
+    # (derby.system.home from get_spark covers our own JVMs): the
+    # property is read once at Derby engine boot, so set it before the
+    # first connection; a no-op if Derby already booted in this JVM.
+    try:
+        import os
+
+        from .session import fixture_root
+
+        spark._jvm.System.setProperty(  # type: ignore[attr-defined]
+            "derby.stream.error.file",
+            os.path.join(fixture_root(), "derby.log"),
+        )
+    except Exception:
+        pass  # e.g. Spark Connect: no JVM handle — accept the default
     url = f"jdbc:derby:{_fixture_dir('jdbc_rt', fresh_name=True)}/db;create=true"
     na = T(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"

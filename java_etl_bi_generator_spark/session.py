@@ -32,6 +32,30 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Per-process scratch root (round-6 verdict task 7): roundtrip fixtures,
+# the SQL warehouse dir, and embedded Derby's home all live under one
+# deterministic directory wiped at interpreter exit — a parity sweep or
+# bench run must leave no `derby.log` / `spark-warehouse/` droppings in
+# whatever CWD it happened to run from.
+_FIXTURE_ROOT: str | None = None
+
+
+def fixture_root() -> str:
+    """Create-once per-process scratch root, removed at interpreter exit."""
+    global _FIXTURE_ROOT
+    if _FIXTURE_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _FIXTURE_ROOT = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_fixtures_{os.getpid()}"
+        )
+        os.makedirs(_FIXTURE_ROOT, exist_ok=True)
+        atexit.register(shutil.rmtree, _FIXTURE_ROOT, ignore_errors=True)
+    return _FIXTURE_ROOT
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply dynamic confs to a session we did not build (e.g. the driver's)."""
     for k, v in RUNTIME_CONFS.items():
@@ -68,6 +92,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Static confs, effective only when THIS builder launches the JVM
+        # (getOrCreate on a live session ignores them): keep the managed-
+        # table warehouse and Derby's derby.log out of the caller's CWD.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(fixture_root(), "spark-warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={fixture_root()}",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
