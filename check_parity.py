@@ -54,6 +54,15 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str, str
     return len(rows), ",".join(sorted(cols)), h
 
 
+# Vacuity guard (round-6 verdict task 8): a hash-checked query whose result
+# is EMPTY at the checked sf certifies nothing — sha256 of no rows matches
+# sha256 of no rows no matter how wrong the plan is (q_cross_source_dedup
+# was green that way for five rounds).  Any such query FAILS the sweep
+# unless it appears here with a justification.  Keep this list empty:
+# seed deterministic data in-query instead (the `_media_blobs` idiom).
+ZERO_ROW_ALLOWLIST: dict[str, str] = {}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -99,6 +108,12 @@ def main() -> int:
         sn, sc, sh = frame_fingerprint(sp_cols, sp_rows)
         dn, dc, dh = frame_fingerprint(du_cols, du_rows)
         ok = (sn, sc, sh) == (dn, dc, dh)
+        if ok and sn == 0 and name not in ZERO_ROW_ALLOWLIST:
+            print(f"VACU  {name:28s} hash-matched an EMPTY frame — "
+                  f"certifies nothing; seed data in-query or allow-list "
+                  f"with a justification  [{time.time()-t0:.1f}s]")
+            failures.append(name)
+            continue
         status = "PASS" if ok else "FAIL"
         print(f"{status}  {name:28s} rows={sn}/{dn} hash={sh}/{dh}"
               f"  [{time.time()-t0:.1f}s]")

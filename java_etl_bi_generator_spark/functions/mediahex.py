@@ -141,3 +141,19 @@ BMP_PX = "(doc_id * 7 + q * 13) % 256"
 def bmp_stride_sql(w: str) -> str:
     """Row stride in bytes: 3·w rounded up to a multiple of 4 (SQL)."""
     return f"((3 * ({w}) + 3) // 4) * 4"
+
+
+# -- WAV 16-bit PCM (round 7: the codec-free AUDIO decode, twin of BMP) ------
+#
+# 16-bit PCM in a canonical 44-byte-header RIFF/WAVE needs no codec
+# either: the data chunk is raw little-endian SIGNED 16-bit samples,
+# frames interleaved channel-major — so a full audio DECODE (header
+# parse -> frame walk -> per-channel sum / sum-of-squares / peak fold)
+# is pure fixed-point arithmetic both engines can run.  Sample s of
+# frame f, channel c sits at 0-based data offset (f·channels + c)·2;
+# signedness: raw u16 v decodes to v − 65536·(v div 32768).
+PCM_CH = "1 + doc_id % 2"
+PCM_FRAMES = "4 + doc_id % 13"  # 4..16 frames: bounded codegen fold
+PCM_BITS = 16
+# data byte q (0-based offset within the data chunk)
+PCM_SB = "(doc_id * 11 + q * 29) % 256"

@@ -747,6 +747,106 @@ def _bmp_decode_oracle() -> str:
     """
 
 
+def _wav_decode_oracle() -> str:
+    """Twin of q_media_wav_decode: rebuild the identical canonical WAV
+    hex from the single-sourced derivations (functions/mediahex.py),
+    then DECODE it — header fields via fixed-offset nibble arithmetic,
+    per-channel sample folds via a dynamic-position nibble walk over
+    the hex.  All walk inputs (channels / bits / data size → frame
+    count) come from the PARSED header columns, mirroring
+    wav_pcm_stats; signedness via v − 65536·(v // 32768).  Lambda vars
+    f/q/v/x — never i (_hex_bigint caveat)."""
+    from .functions.mediahex import (
+        DATA_HEX,
+        FMT_HEX,
+        PCM_BITS,
+        PCM_CH,
+        PCM_FRAMES,
+        PCM_SB,
+        RIFF_HEX,
+        WAVE_HEX,
+        WAV_RATES,
+        le16_sql,
+        le32_sql,
+    )
+
+    rates = ",".join(str(r) for r in WAV_RATES)
+    nib = "'0123456789abcdef'"
+    off = "2 * (44 + (f * chp + channel) * 2)"
+    raw = (
+        f"((strpos({nib}, substr(h, CAST({off} + 1 AS INT), 1)) - 1) * 16"
+        f" + strpos({nib}, substr(h, CAST({off} + 2 AS INT), 1)) - 1"
+        f" + 256 * ((strpos({nib}, substr(h, CAST({off} + 3 AS INT), 1))"
+        f"           - 1) * 16"
+        f"    + strpos({nib}, substr(h, CAST({off} + 4 AS INT), 1)) - 1))"
+    )
+    samples = (
+        f"list_transform(list_transform(range(0, nfp),"
+        f" f -> CAST({raw} AS BIGINT)), v -> v - 65536 * (v // 32768))"
+    )
+    data_hex = (
+        "array_to_string(list_transform(range(0, db), q -> "
+        f"lower(lpad(hex({PCM_SB}), 2, '0'))), '')"
+    )
+    return f"""
+        WITH p AS (
+          SELECT doc_id, {PCM_CH} AS ch, {PCM_FRAMES} AS nf,
+                 ([{rates}])[CAST(doc_id % 5 AS INT) + 1] AS rate,
+                 ({PCM_FRAMES}) * ({PCM_CH}) * 2 AS db
+          FROM documents),
+        blobs AS (
+          SELECT doc_id,
+                 '{RIFF_HEX}' || {le32_sql('db + 36')} || '{WAVE_HEX}'
+                 || '{FMT_HEX}' || '10000000' || '0100'
+                 || {le16_sql('ch')} || {le32_sql('rate')}
+                 || {le32_sql('rate * ch * 2')} || {le16_sql('ch * 2')}
+                 || {le16_sql(str(PCM_BITS))} || '{DATA_HEX}'
+                 || {le32_sql('db')} || {data_hex} AS h
+          FROM p),
+        hdr AS (
+          SELECT doc_id, h,
+                 CAST({_h_le32(25)} AS BIGINT) AS ratep,
+                 CAST({_h_le16(23)} AS INT) AS chp,
+                 CAST({_h_le16(35)} AS INT) AS bitsp,
+                 CAST({_h_le32(41)} AS BIGINT) AS ds
+          FROM blobs),
+        fr AS (
+          SELECT *, CAST(ds // (chp * (bitsp // 8)) AS BIGINT) AS nfp
+          FROM hdr),
+        chanx AS (
+          SELECT *, unnest(range(0, chp)) AS channel FROM fr),
+        smp AS (
+          SELECT doc_id, h, ratep, chp, bitsp, nfp, channel,
+                 {samples} AS s
+          FROM chanx),
+        agg AS (
+          SELECT doc_id, h, ratep, chp, bitsp, nfp, channel,
+                 CAST(list_sum(s) AS BIGINT) AS sum_s,
+                 CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT)
+                   AS sumsq_s,
+                 CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT)
+                   AS peak_abs
+          FROM smp)
+        SELECT doc_id,
+               CASE WHEN substr(h, 1, 8) = '{RIFF_HEX}'
+                     AND substr(h, 17, 8) = '{WAVE_HEX}'
+                    THEN 'wav' ELSE 'unknown' END AS container,
+               CAST(length(h) // 2 AS INT) AS byte_len,
+               h AS blob_hex,
+               ratep AS sample_rate, chp AS channels,
+               bitsp AS bits_per_sample, nfp AS n_frames,
+               CAST(channel AS INT) AS channel,
+               sum_s, sumsq_s, peak_abs,
+               {pround_sql(
+                   'CAST(sum_s AS DOUBLE) / CAST(nfp AS DOUBLE)', 6
+               )} AS dc_offset,
+               {pround_sql(
+                   'sqrt(CAST(sumsq_s AS DOUBLE) / CAST(nfp AS DOUBLE))', 6
+               )} AS rms
+        FROM agg
+    """
+
+
 def _dp_noisy_counts_oracle() -> str:
     """Twin of q_dp_noisy_counts: identical salted md5 slice, identical
     hex-threshold CASE chain (single-sourced from functions/privacy.py),
@@ -778,9 +878,52 @@ def _dp_noisy_counts_oracle() -> str:
     """
 
 
+def _dp_noisy_sum_oracle() -> str:
+    """Twin of q_dp_noisy_sum: identical cents clip, identical half-up
+    quantization to units of B, identical salted md5 slice and
+    hex-threshold noise chain (single-sourced from functions/privacy.py),
+    identical clamp-then-rescale."""
+    from .functions.privacy import twosided_geometric_hex_thresholds
+
+    B = 60_000_000
+    thr = twosided_geometric_hex_thresholds(eps=0.5, kmax=16)
+    chain = " ".join(
+        f"WHEN u <= '{t}' THEN CAST({k} AS INT)" for k, t in thr
+    )
+    return f"""
+        WITH od AS (
+          SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+                   AS order_year,
+                 o_orderpriority AS priority,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          FROM orders),
+        g AS (
+          SELECT order_year, priority,
+                 CAST(sum(c) AS BIGINT) AS true_sum_cents,
+                 CAST(sum(least(c, {B})) AS BIGINT) AS clipped_sum_cents
+          FROM od GROUP BY 1, 2),
+        n AS (
+          SELECT *, substr(md5('dp-sum-v1' || '|'
+                   || CAST(order_year AS VARCHAR) || '|' || priority),
+                 1, 8) AS u,
+                 CAST((clipped_sum_cents + {B // 2}) // {B} AS BIGINT)
+                   AS units
+          FROM g),
+        k AS (SELECT *, CASE {chain}
+                        ELSE CAST(16 AS INT) END AS noise FROM n)
+        SELECT order_year, priority, true_sum_cents, clipped_sum_cents,
+               units, noise,
+               CAST(greatest(units + noise, 0) * {B} AS BIGINT)
+                 AS released_sum_cents
+        FROM k
+    """
+
+
 ORACLES: dict[str, str] = {
     # --- sources ---
     "q_media_bmp_decode": _bmp_decode_oracle(),
+    "q_dp_noisy_sum": _dp_noisy_sum_oracle(),
+    "q_media_wav_decode": _wav_decode_oracle(),
     "q_dp_noisy_counts": _dp_noisy_counts_oracle(),
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_fixedwidth_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -3687,8 +3830,13 @@ ORACLES: dict[str, str] = {
         FROM per GROUP BY 1
     """,
     "q_cross_source_dedup": """
-        WITH sh AS (
-          SELECT DISTINCT source, sha256(text) AS hash FROM documents)
+        WITH allrows AS (
+          SELECT source, text FROM documents
+          UNION ALL
+          SELECT 'mirror:' || source AS source, text
+          FROM documents WHERE doc_id % 25 = 0),
+        sh AS (
+          SELECT DISTINCT source, sha256(text) AS hash FROM allrows)
         SELECT a.source AS src_a, b.source AS src_b,
                count(*) AS n_shared_hashes
         FROM sh a JOIN sh b

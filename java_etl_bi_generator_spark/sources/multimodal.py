@@ -714,3 +714,83 @@ def bmp_pixel_stats(
         )
     )
     return out.drop("__off", "__bpp", "__stride")
+
+
+def wav_pcm_stats(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """REAL audio PCM DECODE (round 7) — the WAV twin of
+    ``bmp_pixel_stats``: 16-bit PCM in a canonical RIFF/WAVE is raw
+    little-endian SIGNED samples interleaved channel-major, so the
+    whole decode runs as codegen expressions.  Channels / rate / bits /
+    data size are parsed from the HEADER BYTES (the canonical 44-byte
+    layout ``audio_header_meta`` documents: fmt @13, data @37 — never
+    from upstream construction parameters); frame count is derived from
+    the parsed data size; then one row per (doc, channel) folds every
+    frame reading its two sample bytes straight out of the ``binary``
+    column.  Emits exact integer sufficient stats — ``sum_s`` (DC
+    numerator), ``sumsq_s`` (RMS numerator), ``peak_abs`` — so callers
+    derive DC offset / RMS with one pinned division; signedness via
+    v − 65536·(v div 32768).  Non-canonical layouts or non-16-bit
+    payloads yield null stats (the chunk-WALK general case stays with
+    ``audio_meta_arrow``).  At 100 TB the shape is a narrow per-row map
+    plus a bounded per-channel fanout — no shuffle, no Python worker;
+    for hour-long payloads the same fold would ride ``mapInPandas`` for
+    Arrow-batch locality (the JPEG-SOF precedent)."""
+    c = content_col
+    is_wav = (
+        F.expr(f"substring({c}, 1, 4)") == F.lit(b"RIFF")
+    ) & (F.expr(f"substring({c}, 9, 4)") == F.lit(b"WAVE"))
+    canonical = is_wav & (
+        F.expr(f"substring({c}, 13, 4)") == F.lit(b"fmt ")
+    ) & (F.expr(f"substring({c}, 37, 4)") == F.lit(b"data"))
+    parsed = media.withColumns(
+        {
+            "container": F.when(is_wav, F.lit("wav")).otherwise(
+                F.lit("unknown")
+            ),
+            "sample_rate": F.when(canonical, _le32(c, 25)),
+            "channels": F.when(canonical, _le16(c, 23).cast("int")),
+            "bits_per_sample": F.when(canonical, _le16(c, 35).cast("int")),
+            "__ds": F.when(canonical, _le32(c, 41)),
+        }
+    ).withColumn(
+        "n_frames",
+        F.expr(
+            "CAST(__ds div (channels * (bits_per_sample div 8)) AS BIGINT)"
+        ),
+    )
+    decodable = F.col("bits_per_sample") == 16
+    chans = parsed.withColumn(
+        "channel",
+        F.explode_outer(
+            F.when(decodable, F.expr("sequence(0, channels - 1)"))
+        ),
+    )
+    # samples: parse raw u16 per frame from the blob, then sign-decode —
+    # two bounded transforms keep each byte read single-use in codegen
+    samples = F.expr(
+        f"""transform(
+              transform(sequence(0, CAST(n_frames - 1 AS INT)),
+                f -> CAST(conv(hex(substring({c},
+                       CAST(45 + (f * channels + channel) * 2 AS INT), 1)),
+                     16, 10) AS BIGINT)
+                   + 256 * CAST(conv(hex(substring({c},
+                       CAST(46 + (f * channels + channel) * 2 AS INT), 1)),
+                     16, 10) AS BIGINT)),
+              v -> v - 65536 * (v div 32768))"""
+    )
+    with_samples = chans.withColumn(
+        "__smp", F.when(decodable & F.col("channel").isNotNull(), samples)
+    )
+    return with_samples.withColumns(
+        {
+            "sum_s": F.expr(
+                "aggregate(__smp, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ),
+            "sumsq_s": F.expr(
+                "aggregate(__smp, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+            ),
+            "peak_abs": F.expr("array_max(transform(__smp, x -> abs(x)))"),
+        }
+    ).drop("__ds", "__smp")

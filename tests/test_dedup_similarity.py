@@ -418,3 +418,35 @@ def test_bpe_encode_tracks_training(spark, sf_dir):
         assert 0 < enc["tokens_before"] - enc["tokens_after"] <= saved
     assert 1.0 <= enc["fertility"] or enc["total_words"] == 0
     assert 0.0 < enc["compression"] <= 1.0
+
+
+def test_cross_source_dedup_known_pair_counts(spark, tmp_path):
+    """Round-6 verdict task 1: the declared q_cross_source_dedup logic on
+    a synthetic corpus with KNOWN shared hashes — an inverted join
+    condition, a wrong src_a < src_b tie-break, or a broken grouping
+    all fail here (the sf0.01 fixture alone only exercises the seeded
+    mirror rows)."""
+    from java_etl_bi_generator_spark.queries import q_cross_source_dedup
+
+    rows = [
+        (1, "A", "shared-ab"),
+        (2, "B", "shared-ab"),
+        (3, "A", "shared-abc"),
+        (4, "B", "shared-abc"),
+        (5, "C", "shared-abc"),
+        (6, "A", "only-a"),
+        (25, "A", "mirrored"),  # doc_id % 25 == 0 -> seeded mirror:A row
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared_hashes"]
+        for r in q_cross_source_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("A", "B"): 2,          # shared-ab, shared-abc
+        ("A", "C"): 1,          # shared-abc
+        ("B", "C"): 1,          # shared-abc
+        ("A", "mirror:A"): 1,   # the seeded mirror crawl of doc 25
+    }

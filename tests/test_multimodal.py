@@ -480,3 +480,62 @@ def test_bmp_pixel_stats_golden_bytes(spark):
     bad = rows[2]
     assert bad["container"] == "unknown"
     assert bad["sum_b"] is None and bad["luma_k"] is None
+
+
+def test_wav_pcm_stats_golden_bytes(spark):
+    """Round-6 verdict task 4: the WAV-PCM decode on a hand-built blob
+    with KNOWN samples — stereo, 3 frames, signed extremes included —
+    plus a non-WAV blob (all-null stats) and an 8-bit PCM blob (header
+    parses, sample stats null: only the 16-bit path is codegen)."""
+    import struct
+
+    from java_etl_bi_generator_spark.sources.multimodal import wav_pcm_stats
+
+    ch0 = [100, -200, 32767]
+    ch1 = [0, -32768, 5]
+    frames = b"".join(
+        struct.pack("<hh", a, b) for a, b in zip(ch0, ch1)
+    )
+
+    def wav(channels: int, bits: int, data: bytes) -> bytes:
+        byte_rate = 8000 * channels * bits // 8
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, 8000,
+                          byte_rate, channels * bits // 8, bits)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+
+    df = spark.createDataFrame(
+        [
+            (1, wav(2, 16, frames)),
+            (2, b"not audio at all"),
+            (3, wav(1, 8, bytes([1, 2, 3, 4]))),
+        ],
+        "media_id int, content binary",
+    )
+    rows = {
+        (r["media_id"], r["channel"]): r
+        for r in wav_pcm_stats(df).collect()
+    }
+    a = rows[(1, 0)]
+    assert (a["container"], a["sample_rate"], a["channels"]) == ("wav", 8000, 2)
+    assert (a["bits_per_sample"], a["n_frames"]) == (16, 3)
+    assert a["sum_s"] == sum(ch0)
+    assert a["sumsq_s"] == sum(v * v for v in ch0)
+    assert a["peak_abs"] == 32767
+    b = rows[(1, 1)]
+    assert b["sum_s"] == sum(ch1)
+    assert b["sumsq_s"] == sum(v * v for v in ch1)
+    assert b["peak_abs"] == 32768
+    bad = rows[(2, None)]
+    assert bad["container"] == "unknown"
+    assert bad["sum_s"] is None and bad["peak_abs"] is None
+    pcm8 = rows[(3, None)]
+    assert (pcm8["container"], pcm8["bits_per_sample"]) == ("wav", 8)
+    assert pcm8["sum_s"] is None  # 8-bit payload: stats stay null
