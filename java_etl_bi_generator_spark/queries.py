@@ -128,74 +128,47 @@ def q(name: str) -> Callable[[QueryFn], QueryFn]:
 # sketch/layout operators, and the distributed-rank family (q_rfm) —
 # instead of 50 variations on scan+project.
 _SHOWCASE: tuple[str, ...] = (
-    # Round-6 rotation (VERDICT r5 task 5): 15 slots freed by queries
-    # driver-certified green in CORRECTNESS_r05 (q_surrogate_key,
-    # q_project, q_join_inner, q_join_range, q_join_asof,
-    # q_join_asof_nearest, q_minmax_date, q_groupby_sum, q_bootstrap_ci,
-    # q_scalar_subquery, q_tcloseness_audit, q_sessionize, q_pagerank,
-    # q_linkage_weights, q_zorder_key — all stay hash-checked in the
-    # full sweep) now sample the 14 round-5 queries the driver never
-    # saw, plus q_rolling_distinct_hll (newly hash-checked in round 6
-    # via the from-scratch register HLL).
+    # Round-7 rotation (VERDICT r6 task 2: 214/323 registry queries had
+    # never been driver-sampled; union of CORRECTNESS_r01-r06 = 109).
+    # This slate keeps only 4 repeats — q_star_flagship (the headline),
+    # q_csv_roundtrip (the write dialect changed to CRLF this round),
+    # and the two round-7 additions — and fills the other 46 slots with
+    # never-sampled entries, prioritizing the families with zero driver
+    # coverage so far: the streaming set, the TPC-H spine, the vector
+    # family, and the governance audits.  Everything rotated out stays
+    # hash-checked in the full check_parity.py sweep.
     #
-    # reference-derived core (§2.1-2.3, 2.7-2.8)
+    # anchors + round-7 additions
     "q_star_flagship", "q_csv_roundtrip",
-    "q_dedup_first_row", "q_join_broadcast_left", "q_date_dim_generate",
-    "q_locale_decimal_parse", "q_media_header_roundtrip",
-    # round-5 L5 sibling: per-container metadata sweep over media blobs
-    "q_media_type_stats",
-    # calendar-dim consumer: generated spine joined back to facts
-    "q_calendar_spine_join",
-    # round-6 additions (q_filter, q_except, q_rollup, q_window_rank —
-    # all r5 driver-green — free these four slots): SemDeDup over
-    # trained cells, tokenizer encode, the real codec-free BMP pixel
-    # decode, and the DP geometric-noise count release
-    "q_semdedup_cells", "q_bpe_encode",
-    "q_media_bmp_decode", "q_dp_noisy_counts",
-    # joins (§2.4): star join, non-empty anti, bounded-staleness as-of
-    "q_join_star_3way", "q_join_anti", "q_join_asof_tolerance",
-    # UDF surface (§2.13): Arrow-batched mapInPandas, hash-checked
-    "q_arrow_doc_stats",
-    # aggregation (§2.5) + distributed-rank family
-    "q_rfm",
-    # stratified sampling design (round 5): Neyman allocation
-    "q_neyman_allocation",
-    # Python Data Source generator, hash-checked vs pure-SQL splitmix64
-    "q_synthetic_events",
-    # statistical testing family (round 5): rank-sum, one-way ANOVA,
-    # experiment sample-ratio-mismatch gate
-    "q_mannwhitney_u", "q_anova_f", "q_ab_srm_check",
-    # feature engineering (round 5): leakage-safe target encoding,
-    # per-entity lag/rolling features
-    "q_target_encoding", "q_lag_features",
-    # event-time analytics (§2.11 batch twins + §2.14) + streaming:
-    # incremental-merge sink and the round-5 windowed top-k split
-    "q_window_tumbling", "q_window_session", "q_funnel",
-    "q_stream_merge", "q_stream_topk",
-    # product health at scale: register-table HLL rolling distinct
-    # (rows-only until round 6 — first driver hash certification)
-    "q_rolling_distinct_hll",
-    # anomaly detection (round 5): robust-z over rolling medians
-    "q_anomaly_robust_z",
-    # forecasting eval (round 5): seasonal-naive backtest
-    "q_snaive_backtest",
-    # recsys (round 5): item-item co-occurrence CF neighbors
-    "q_item_cf_neighbors",
-    # SQL front door (engine-portable spark.sql statement)
-    "q_sql_interface",
-    # TPC-H (§2.14)
-    "q_tpch_q1", "q_tpch_q5", "q_tpch_q21",
-    # LLM-pipeline ops (§2.12, 2.14): dedup, quality gates, similarity,
-    # text, tokenizer training, curation — q_kmeans_cells stays until
-    # its driver hash is green (VERDICT r5 task 1: BIGINT-hardened this
-    # round); q_gopher_quality_rules is the last unsampled r5 entry
-    "q_dedup_exact", "q_dedup_near", "q_bpe_train_rounds",
-    "q_gopher_quality_rules",
-    "q_domain_mixture", "q_curation_funnel", "q_kmeans_cells",
-    "q_vector_topk_ivf_trained",
-    "q_vector_topk", "q_text_stats", "q_chunk_documents",
-    # graph analytics
-    "q_kcore",
+    "q_cross_source_dedup",      # de-vacuified this round (r6 task 1)
+    "q_media_wav_decode", "q_dp_noisy_sum",
+    # streaming (zero driver coverage before r7)
+    "q_stream_watermark", "q_stream_dedup", "q_stream_stateful",
+    "q_stream_session", "q_stream_join",
+    # TPC-H spine (zero driver coverage before r7)
+    "q_tpch_q3", "q_tpch_q6", "q_tpch_q9", "q_tpch_q18",
+    "q_tpch_q10", "q_tpch_q14",
+    # vector / ANN family
+    "q_vector_topk_lsh", "q_vector_topk_ivf", "q_vector_topk_mmr",
+    "q_ann_recall", "q_knn_grid_join",
+    # governance audits
+    "q_kanonymity_audit", "q_ldiversity_audit", "q_mask_pii",
+    "q_referential_audit", "q_contamination_check", "q_data_expectations",
+    # dedup family beyond the r1-r6 samples
+    "q_dedup_ngram_jaccard", "q_dedup_containment_lsh", "q_dedup_clusters",
+    "q_dedup_keep_best", "q_incremental_dedup",
+    # embedding ops
+    "q_embed_neardup", "q_embed_quantize", "q_embed_centroid",
+    # text / LLM-pipeline ops
+    "q_lang_id", "q_text_quality", "q_doc_fingerprint",
+    "q_decontaminate_ngrams", "q_mlm_masking", "q_pack_sequences",
+    "q_tokenizer_fertility",
+    # deterministic sketches
+    "q_kmv_distinct", "q_countmin_heavy", "q_bloom_semijoin",
+    "q_heavy_hitters",
+    # sources / layout
+    "q_jdbc_roundtrip", "q_json_roundtrip", "q_orc_roundtrip",
+    "q_partition_prune",
 )
 
 
