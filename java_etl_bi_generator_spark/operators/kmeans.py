@@ -216,9 +216,14 @@ def kmeans_fit_int(
     dim = len(centroids[0])
     vecs = embeddings.select(quantize_micro(vec_col).alias("__v"))
     for _ in range(iters):
-        assigned = vecs.withColumn(
-            "__cell", nearest_cell_int(F.col("__v"), centroids)
-        )
+        if k * dim > ARROW_ASSIGN_LITERAL_LIMIT:
+            assigned = assign_cells_arrow_int(
+                vecs, centroids, vec_col="__v", cell_col="__cell"
+            )
+        else:
+            assigned = vecs.withColumn(
+                "__cell", nearest_cell_int(F.col("__v"), centroids)
+            )
         stats = (
             assigned.select(
                 "__cell", F.posexplode("__v").alias("__pos", "__x")
@@ -237,6 +242,59 @@ def kmeans_fit_int(
             nxt[cell] = mean
         centroids = nxt
     return centroids
+
+
+# Model-size switch between the two exact assignment paths: the
+# literal-plan form (nearest_cell_int — zero Python, whole-stage
+# codegen) is unbeatable while the k×dim literal count stays small, but
+# Catalyst's analysis + codegen cost grows with the literal count and
+# measured 165 s to TRAIN k=223/dim=64 on 50k vectors (round-7 SemDeDup
+# probe, SCALING.md) — the k~sqrt(N) regime needs the Arrow path below.
+ARROW_ASSIGN_LITERAL_LIMIT = 4096  # k*dim above this → Arrow argmin
+
+
+def assign_cells_arrow_int(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Exact argmin assignment for LARGE k (the k~sqrt(N) SemDeDup /
+    IVF regime): the k×dim micro-unit model ships to workers in the
+    task closure (a few MB even at k·dim ~ 10⁶ — the standard
+    "broadcast the model" layout), and each Arrow batch computes
+    ``argmin_c(−2·v·c + ‖c‖²)`` as ONE int64 matmul + argmin.  All
+    arithmetic is exact int64 (micro-unit components ≤ ~2e6, dim ≤ a
+    few thousand → |dot| ≤ ~1e15, inside int64) and ``np.argmin``
+    returns the FIRST minimum, matching nearest_cell_int's struct-min
+    ties-to-lowest-index — so the two paths are bit-identical
+    (tests/test_kmeans.py pins this).  ``vec_col`` must already be
+    array<bigint> micro-units (quantize_micro)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    C = np.asarray(centroids, dtype=np.int64)  # k × dim
+    cc = (C * C).sum(axis=1)  # ‖c‖², k
+
+    out_fields = df.schema.fields
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+        + [f"`{cell_col}` int"]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{cell_col: []})
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.int64)  # B × dim
+            # ‖v‖² is constant per row — drop it from the argmin
+            d = cc[None, :] - 2 * (V @ C.T)  # B × k, exact int64
+            pdf = pdf.copy()
+            pdf[cell_col] = np.argmin(d, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(_assign, schema=out_schema)
 
 
 def assign_cells(

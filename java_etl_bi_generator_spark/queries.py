@@ -10280,21 +10280,38 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~4e27, inside DECIMAL(38,0); DuckDB mirrors in HUGEINT) — so
     survivors are engine-identical.  Output: per-cell census (size,
     dropped, kept)."""
+    return semdedup_census(T(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def semdedup_census(em: DataFrame, k: int, iters: int = 2) -> DataFrame:
+    """The SemDeDup cluster-then-prune pipeline, parameterized on k so
+    scripts/scale_probe.py can drive it with the production k~sqrt(N)
+    rule (q_semdedup_cells pins k=8 for the fixture oracle).  See the
+    q_semdedup_cells docstring for semantics and the integer threshold
+    form."""
     from .operators.kmeans import (
+        ARROW_ASSIGN_LITERAL_LIMIT,
+        assign_cells_arrow_int,
         kmeans_fit_int,
         nearest_cell_int,
         quantize_micro,
     )
 
-    em = T(spark, sf_dir, "embeddings")
-    model = kmeans_fit_int(em, k=8, iters=2)
+    model = kmeans_fit_int(em, k=k, iters=iters)
+    base = em.select("vec_id", quantize_micro("embedding").alias("__q"))
+    if len(model) * len(model[0]) > ARROW_ASSIGN_LITERAL_LIMIT:
+        assigned = assign_cells_arrow_int(
+            base, model, vec_col="__q", cell_col="cell"
+        )
+    else:
+        assigned = base.withColumn(
+            "cell", nearest_cell_int(F.col("__q"), model)
+        )
     qv = cut_lineage(
-        em.select(
-            "vec_id", quantize_micro("embedding").alias("__q")
-        ).select(
+        assigned.select(
             "vec_id",
             "__q",
-            nearest_cell_int(F.col("__q"), model).cast("bigint").alias("cell"),
+            F.col("cell").cast("bigint").alias("cell"),
             F.aggregate(
                 F.transform(F.col("__q"), lambda x: x * x),
                 F.lit(0).cast("bigint"),

@@ -120,7 +120,7 @@ def main() -> None:
     mode = "events"
     args = sys.argv[1:]
     if args and args[0] in ("events", "documents", "embeddings", "star",
-                            "graph"):
+                            "graph", "semdedup"):
         mode, args = args[0], args[1:]
     spark = get_spark(app_name="scale_probe")
     qs = registry()
@@ -168,6 +168,57 @@ def main() -> None:
                 .write.parquet(os.path.join(tmp, "documents.parquet"))
             )
             _probe(spark, qs, DOC_PROBES, tmp, "documents", n)
+            shutil.rmtree(tmp, ignore_errors=True)
+    elif mode == "semdedup":
+        # SemDeDup at corpus scale with the PRODUCTION k~sqrt(N) rule
+        # (round-6 verdict task 5): q_semdedup_cells pins k=8 for the
+        # fixture oracle; the docstring's claim that k~sqrt(N) bounds
+        # the within-cell pairwise term (sum of |cell|^2) is what this
+        # probe measures — train time, assign+census time, full
+        # prune time, and the cell-size skew that drives the quadratic
+        # term.  Volumes as args (default 50k then 500k).
+        import math
+
+        from java_etl_bi_generator_spark.queries import semdedup_census
+        from java_etl_bi_generator_spark.sources.synthetic import (
+            SyntheticEmbeddingsDataSource,
+        )
+
+        spark.dataSource.register(SyntheticEmbeddingsDataSource)
+        volumes = [int(float(a)) for a in args] or [50_000, 500_000]
+        print("| vectors | k=sqrt(N) | train_s | census_s | cells | "
+              "avg_cell | max_cell | skew | sum_sz2 | dropped | total_s |")
+        print("|" + "---|" * 11)
+        for n in volumes:
+            tmp = tempfile.mkdtemp(prefix=f"scale_probe_sem_{n}_")
+            (
+                spark.read.format("synthetic_embeddings")
+                .option("rows", n)
+                .option("partitions", 32)
+                .load()
+                .write.parquet(os.path.join(tmp, "embeddings.parquet"))
+            )
+            em = spark.read.parquet(
+                os.path.join(tmp, "embeddings.parquet")
+            )
+            k = int(math.isqrt(n))
+            t0 = time.time()
+            census = semdedup_census(em, k=k, iters=2)
+            t_train = time.time() - t0  # kmeans_fit_int runs eagerly
+            t1 = time.time()
+            rows = census.collect()
+            t_census = time.time() - t1
+            sizes = [r["n_vecs"] for r in rows]
+            dropped = sum(r["n_dropped"] for r in rows)
+            avg = sum(sizes) / max(1, len(sizes))
+            mx = max(sizes) if sizes else 0
+            sz2 = sum(s * s for s in sizes)
+            print(
+                f"| {n:,} | {k} | {t_train:.1f} | {t_census:.1f} | "
+                f"{len(sizes)} | {avg:.1f} | {mx} | {mx / max(1.0, avg):.1f} | "
+                f"{sz2:,} | {dropped} | {t_train + t_census:.1f} |",
+                flush=True,
+            )
             shutil.rmtree(tmp, ignore_errors=True)
     elif mode == "graph":
         # iterative/graph family over the co-purchase graph the star

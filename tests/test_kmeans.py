@@ -222,3 +222,49 @@ def test_kmeans_int_partition_invariant(spark):
     m2 = kmeans_fit_int(df.repartition(13), k=3, iters=3)
     assert m1 == m2
     assert all(isinstance(x, int) for c in m1 for x in c)
+
+
+def test_arrow_assign_matches_literal_path(spark):
+    """The two exact assignment paths — literal-plan nearest_cell_int
+    (small k) and the Arrow int64-matmul argmin (the k~sqrt(N) regime,
+    round-7 SemDeDup probe fix) — must be bit-identical, including
+    equal-distance ties (both take the LOWEST index: struct-min vs
+    np.argmin first-minimum)."""
+    import pyspark.sql.functions as F
+
+    from java_etl_bi_generator_spark.operators.kmeans import (
+        assign_cells_arrow_int,
+        nearest_cell_int,
+        quantize_micro,
+    )
+
+    rows = [
+        (1, [0.1, 0.2, 0.3]),
+        (2, [0.9, -0.5, 0.0]),
+        (3, [-1.0, 1.0, 1.0]),
+        (4, [0.5, 0.5, 0.5]),   # equidistant tie candidate
+        (5, [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).select("vec_id", quantize_micro("embedding").alias("__q"))
+    # centroids 0 and 1 are mirror images so vector 4/5 ties exist
+    model = [
+        [500000, 500000, 500000],
+        [500000, 500000, 500000],   # exact duplicate → every row ties 0/1
+        [-1000000, 1000000, 1000000],
+    ]
+    lit = {
+        r["vec_id"]: r["cell"]
+        for r in df.withColumn(
+            "cell", nearest_cell_int(F.col("__q"), model)
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_arrow_int(
+            df, model, vec_col="__q", cell_col="cell"
+        ).collect()
+    }
+    assert lit == arrow
+    assert arrow[4] == 0  # the duplicate-centroid tie resolves low
