@@ -184,6 +184,24 @@ def nearest_cell_int(
     return F.array_min(cands)["i"]
 
 
+def nearest_cell_int_struct(
+    vec_col: Column | str, centroids: list[list[int]]
+) -> Column:
+    """``struct(d, i)`` of the nearest integer centroid — the exact
+    squared L2 AND the argmin index from one fold (ties to the lower
+    index via struct-min, like nearest_cell_int).  Product quantization
+    consumes both fields: ``i`` is the code, ``d`` the per-subspace
+    quantization error."""
+    v = quantize_micro(vec_col) if isinstance(vec_col, str) else vec_col
+    cands = F.array(
+        *[
+            F.struct(_sq_dist_int(v, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(cands)
+
+
 def kmeans_fit_int(
     embeddings: DataFrame,
     k: int = 8,

@@ -5674,50 +5674,80 @@ ORACLES.update({
 # q_kmeans_cells / q_vector_topk_ivf_trained leave the rows-only set.
 # ---------------------------------------------------------------------------
 
-def _kmeans_int_ctes(k: int, iters: int) -> str:
-    """CTE chain ending in a{iters+1} (assignment under the FINAL model
-    c{iters}) and d{iters+1} (exact per-vector squared distance to every
-    cell of the final model).  The floor division uses the pinned
-    non-negative-remainder form ``(sx - ((sx % n) + n) % n) // n`` —
-    identical to Python's ``//`` on the Spark driver."""
+def _kmeans_int_ctes(
+    k: int,
+    iters: int,
+    prefix: str = "",
+    pos_lo: int | None = None,
+    pos_hi: int | None = None,
+) -> str:
+    """CTE chain ending in {prefix}a{iters+1} (assignment under the FINAL
+    model {prefix}c{iters}) and {prefix}d{iters+1} (exact per-vector
+    squared distance to every cell of the final model).  The floor
+    division uses the pinned non-negative-remainder form
+    ``(sx - ((sx % n) + n) % n) // n`` — identical to Python's ``//`` on
+    the Spark driver.  ``prefix`` + the half-open component window
+    [pos_lo, pos_hi) let several INDEPENDENT chains coexist in one query
+    — the product-quantization oracle trains one sub-quantizer per
+    subspace slice (positions rebased to 0 so the chain is
+    self-contained); defaults reproduce the original whole-vector
+    chain."""
     fdiv = "CAST((sx - ((sx % n) + n) % n) // n AS BIGINT)"
+    z = prefix
+    base_x = (
+        "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)"
+        " AS BIGINT) AS xi FROM embeddings"
+    )
+    if pos_lo is not None or pos_hi is not None:
+        # generate_subscripts/unnest cannot appear in WHERE — slice in
+        # an outer select and rebase the subspace positions to 0
+        lo = pos_lo or 0
+        conds = []
+        if pos_lo is not None:
+            conds.append(f"pos >= {lo}")
+        if pos_hi is not None:
+            conds.append(f"pos < {pos_hi}")
+        x_cte = (
+            f"{z}x AS (SELECT vec_id, pos - {lo} AS pos, xi"
+            f" FROM ({base_x}) WHERE {' AND '.join(conds)})"
+        )
+    else:
+        x_cte = f"{z}x AS ({base_x})"
     parts = [
         # micro-unit quantization: per-component floor(x·1e6 + 0.5)
-        "x AS (SELECT vec_id,"
-        " generate_subscripts(embedding, 1) - 1 AS pos,"
-        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)"
-        " AS BIGINT) AS xi FROM embeddings)",
+        x_cte,
         # seeds: k vectors whose (md5(id), id) sorts first; cell = rank-1
-        f"seeds AS (SELECT vec_id, CAST(row_number() OVER ("
+        f"{z}seeds AS (SELECT vec_id, CAST(row_number() OVER ("
         f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell"
         f" FROM embeddings"
         f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})",
-        "c0 AS (SELECT s.cell, x.pos, x.xi AS ci"
-        " FROM seeds s JOIN x USING (vec_id))",
+        f"{z}c0 AS (SELECT s.cell, x.pos, x.xi AS ci"
+        f" FROM {z}seeds s JOIN {z}x x USING (vec_id))",
     ]
     for t in range(1, iters + 2):
         p = t - 1
         parts.append(
-            f"d{t} AS (SELECT x.vec_id, c.cell,"
+            f"{z}d{t} AS (SELECT x.vec_id, c.cell,"
             f" sum((x.xi - c.ci) * (x.xi - c.ci)) AS d"
-            f" FROM x JOIN c{p} c ON x.pos = c.pos GROUP BY 1, 2)"
+            f" FROM {z}x x JOIN {z}c{p} c ON x.pos = c.pos GROUP BY 1, 2)"
         )
         parts.append(
-            f"a{t} AS (SELECT vec_id, cell FROM ("
+            f"{z}a{t} AS (SELECT vec_id, cell FROM ("
             f"SELECT vec_id, cell, row_number() OVER ("
-            f"PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d{t})"
+            f"PARTITION BY vec_id ORDER BY d, cell) AS rn FROM {z}d{t})"
             f" WHERE rn = 1)"
         )
         if t <= iters:
             parts.append(
-                f"m{t} AS (SELECT a.cell, x.pos, sum(x.xi) AS sx,"
+                f"{z}m{t} AS (SELECT a.cell, x.pos, sum(x.xi) AS sx,"
                 f" count(*) AS n"
-                f" FROM a{t} a JOIN x USING (vec_id) GROUP BY 1, 2)"
+                f" FROM {z}a{t} a JOIN {z}x x USING (vec_id) GROUP BY 1, 2)"
             )
             parts.append(
-                f"c{t} AS (SELECT cell, pos, {fdiv} AS ci FROM m{t}"
-                f" UNION ALL SELECT c.cell, c.pos, c.ci FROM c{p} c"
-                f" WHERE c.cell NOT IN (SELECT cell FROM m{t}))"
+                f"{z}c{t} AS (SELECT cell, pos, {fdiv} AS ci FROM {z}m{t}"
+                f" UNION ALL SELECT c.cell, c.pos, c.ci FROM {z}c{p} c"
+                f" WHERE c.cell NOT IN (SELECT cell FROM {z}m{t}))"
             )
     return ",\n        ".join(parts)
 
@@ -5762,6 +5792,62 @@ ORACLES.update({
         {_cosine_scored_ctes()}
         SELECT vec_id, cosine FROM scored JOIN cand USING (vec_id)
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+})
+
+
+# Product quantization (Jegou 2011) — four INDEPENDENT prefixed Lloyd
+# chains, one per rebased 16-dim subspace slice; codes = the final
+# assignment a3, per-subspace quantization error = d3 at the assigned
+# cell; ADC re-derives the query's 4x16 distance table in SQL from the
+# final models c2 and the query's subvectors.
+_PQ_CHAINS = ",\n        ".join(
+    _kmeans_int_ctes(16, 2, prefix=f"s{s}", pos_lo=s * 16, pos_hi=(s + 1) * 16)
+    for s in range(4)
+)
+
+ORACLES.update({
+    "q_pq_encode": f"""
+        WITH {_PQ_CHAINS},
+        e0 AS (SELECT a.vec_id, a.cell, d.d FROM s0a3 a
+               JOIN s0d3 d ON a.vec_id = d.vec_id AND a.cell = d.cell),
+        e1 AS (SELECT a.vec_id, a.cell, d.d FROM s1a3 a
+               JOIN s1d3 d ON a.vec_id = d.vec_id AND a.cell = d.cell),
+        e2 AS (SELECT a.vec_id, a.cell, d.d FROM s2a3 a
+               JOIN s2d3 d ON a.vec_id = d.vec_id AND a.cell = d.cell),
+        e3 AS (SELECT a.vec_id, a.cell, d.d FROM s3a3 a
+               JOIN s3d3 d ON a.vec_id = d.vec_id AND a.cell = d.cell)
+        SELECT e0.vec_id,
+               CAST(e0.cell AS INT) AS code0, CAST(e1.cell AS INT) AS code1,
+               CAST(e2.cell AS INT) AS code2, CAST(e3.cell AS INT) AS code3,
+               CAST(e0.d + e1.d + e2.d + e3.d AS BIGINT) AS qerr
+        FROM e0 JOIN e1 USING (vec_id) JOIN e2 USING (vec_id)
+             JOIN e3 USING (vec_id)
+    """,
+    "q_pq_adc_topk": f"""
+        WITH {_PQ_CHAINS},
+        q0 AS (SELECT pos, xi AS qi FROM s0x WHERE vec_id = 0),
+        q1 AS (SELECT pos, xi AS qi FROM s1x WHERE vec_id = 0),
+        q2 AS (SELECT pos, xi AS qi FROM s2x WHERE vec_id = 0),
+        q3 AS (SELECT pos, xi AS qi FROM s3x WHERE vec_id = 0),
+        t0 AS (SELECT c.cell, sum((c.ci - q.qi) * (c.ci - q.qi)) AS d
+               FROM s0c2 c JOIN q0 q USING (pos) GROUP BY 1),
+        t1 AS (SELECT c.cell, sum((c.ci - q.qi) * (c.ci - q.qi)) AS d
+               FROM s1c2 c JOIN q1 q USING (pos) GROUP BY 1),
+        t2 AS (SELECT c.cell, sum((c.ci - q.qi) * (c.ci - q.qi)) AS d
+               FROM s2c2 c JOIN q2 q USING (pos) GROUP BY 1),
+        t3 AS (SELECT c.cell, sum((c.ci - q.qi) * (c.ci - q.qi)) AS d
+               FROM s3c2 c JOIN q3 q USING (pos) GROUP BY 1)
+        SELECT a0.vec_id,
+               CAST(t0.d + t1.d + t2.d + t3.d AS BIGINT) AS adc_dist
+        FROM s0a3 a0 JOIN s1a3 a1 USING (vec_id)
+             JOIN s2a3 a2 USING (vec_id) JOIN s3a3 a3_ USING (vec_id)
+             JOIN t0 ON t0.cell = a0.cell
+             JOIN t1 ON t1.cell = a1.cell
+             JOIN t2 ON t2.cell = a2.cell
+             JOIN t3 ON t3.cell = a3_.cell
+        WHERE a0.vec_id != 0
+        ORDER BY adc_dist, a0.vec_id LIMIT 10
     """,
 })
 

@@ -10700,6 +10700,134 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Product quantization (Jégou, Douze & Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search"): split each vector into M
+# subspaces, train an independent k-code quantizer per subspace, store
+# M small codes per vector.  M=4 × 16 codes over the 64-dim fixture =
+# 4 bytes per vector (64 doubles → 4 B: 128× compression), and query
+# distance becomes M table lookups (ADC) — the FAISS workhorse layout.
+_PQ_M, _PQ_K, _PQ_ITERS = 4, 16, 2
+
+
+def _pq_models(em: DataFrame) -> tuple[list[list[list[int]]], int]:
+    """One integer-pinned sub-quantizer (kmeans_fit_int) per subspace
+    slice; returns (M models, subdim).  Training M quantizers costs M
+    small Lloyd runs over subdim-wide slices — each cheaper than one
+    full-dim run, all bit-identical cross-engine."""
+    from .operators.kmeans import kmeans_fit_int
+
+    dim = em.select(F.size("embedding")).first()[0]
+    subdim = dim // _PQ_M
+    models = []
+    for s in range(_PQ_M):
+        sub = em.select(
+            "vec_id",
+            F.slice("embedding", s * subdim + 1, subdim).alias("embedding"),
+        )
+        models.append(kmeans_fit_int(sub, k=_PQ_K, iters=_PQ_ITERS))
+    return models, subdim
+
+
+def _pq_encoded(em: DataFrame) -> tuple[DataFrame, list, int]:
+    """(encoded frame with code0..code{M-1} + per-subspace err cols,
+    models, subdim) — the shared build for both PQ queries."""
+    from .operators.kmeans import nearest_cell_int_struct, quantize_micro
+
+    models, subdim = _pq_models(em)
+    qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
+    cols = [F.col("vec_id")]
+    for s in range(_PQ_M):
+        st = nearest_cell_int_struct(
+            F.slice(F.col("__q"), s * subdim + 1, subdim), models[s]
+        )
+        cols.append(st["i"].cast("int").alias(f"code{s}"))
+        cols.append(st["d"].cast("bigint").alias(f"__err{s}"))
+    return qv.select(*cols), models, subdim
+
+
+@q("q_pq_encode")
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ENCODE [Jégou 2011]: train M=4 independent
+    16-code integer-pinned sub-quantizers (one per 16-dim subspace
+    slice, operators/kmeans.py kmeans_fit_int) and emit each vector's
+    M codes plus its exact total quantization error Σ_s ‖v_s −
+    c_s[code_s]‖² in micro-unit bigints.  The compressed representation
+    behind q_pq_adc_topk — 4 bytes/vector versus 512, the memory step
+    that makes billion-vector ANN fit RAM.  Scale shape: M small Lloyd
+    runs (k×subdim sufficient-stat shuffles), then encode is a pure
+    map with M·k literal centroids (k·subdim = 256 literals per
+    subspace — the literal-plan regime; the Arrow argmin path takes
+    over past ARROW_ASSIGN_LITERAL_LIMIT).  The DuckDB oracle replays
+    all four trainings as independent prefixed CTE chains over rebased
+    subspace slices."""
+    from functools import reduce
+    from operator import add
+
+    enc, _, _ = _pq_encoded(T(spark, sf_dir, "embeddings"))
+    return enc.select(
+        "vec_id",
+        *[f"code{s}" for s in range(_PQ_M)],
+        reduce(add, [F.col(f"__err{s}") for s in range(_PQ_M)])
+        .cast("bigint")
+        .alias("qerr"),
+    )
+
+
+@q("q_pq_adc_topk")
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k [Jégou 2011]: asymmetric distance
+    computation — the query vector stays UNquantized; its exact squared
+    distance to each of the M×16 centroids is computed once (a
+    64-entry table, driver-side integer math on the k-bounded model —
+    the sanctioned model-pull idiom), and each database vector's
+    distance estimate is the sum of M table LOOKUPS on its codes, never
+    vector arithmetic.  Top-10 by (adc_dist, vec_id).  At 100 TB this
+    is the RAM-resident ANN scan: 4 bytes/vector of codes, M
+    element_at lookups per row in codegen, one TakeOrderedAndProject —
+    no embedding column is read at query time at all (column pruning
+    drops it from the scan)."""
+    from functools import reduce
+    from operator import add
+
+    from .operators.kmeans import quantize_micro
+
+    em = T(spark, sf_dir, "embeddings")
+    enc, models, subdim = _pq_encoded(em)
+    q_micro = (
+        em.filter(F.col("vec_id") == 0)
+        .select(quantize_micro("embedding").alias("q"))
+        .first()["q"]
+    )
+    adc = [
+        [
+            sum(
+                (int(qc) - int(cc)) ** 2
+                for qc, cc in zip(
+                    q_micro[s * subdim : (s + 1) * subdim], cent
+                )
+            )
+            for cent in models[s]
+        ]
+        for s in range(_PQ_M)
+    ]
+    dist = reduce(
+        add,
+        [
+            F.element_at(
+                F.array(*[F.lit(int(d)).cast("bigint") for d in adc[s]]),
+                F.col(f"code{s}") + 1,
+            )
+            for s in range(_PQ_M)
+        ],
+    )
+    return (
+        enc.filter(F.col("vec_id") != 0)
+        .select("vec_id", dist.cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
 @q("q_bpe_encode")
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer lifecycle CAPSTONE: apply the trained BPE merge table
