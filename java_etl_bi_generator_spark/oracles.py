@@ -919,10 +919,48 @@ def _dp_noisy_sum_oracle() -> str:
     """
 
 
+def _dp_noisy_max_oracle() -> str:
+    """Twin of q_dp_noisy_max: identical salted noise chain per
+    candidate, identical (noisy desc, priority asc) argmax and
+    (true desc, priority asc) calibration argmax."""
+    from .functions.privacy import twosided_geometric_hex_thresholds
+
+    thr = twosided_geometric_hex_thresholds(eps=0.5, kmax=16)
+    chain = " ".join(
+        f"WHEN u <= '{t}' THEN CAST({k} AS INT)" for k, t in thr
+    )
+    return f"""
+        WITH g AS (
+          SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+                   AS order_year,
+                 o_orderpriority AS priority,
+                 CAST(count(*) AS BIGINT) AS true_count
+          FROM orders GROUP BY 1, 2),
+        n AS (
+          SELECT *, substr(md5('dp-argmax-v1' || '|'
+                   || CAST(order_year AS VARCHAR) || '|' || priority),
+                 1, 8) AS u
+          FROM g),
+        k AS (SELECT *, true_count + CAST(CASE {chain}
+                        ELSE CAST(16 AS INT) END AS BIGINT) AS noisy
+              FROM n),
+        r AS (SELECT *,
+                 row_number() OVER (PARTITION BY order_year
+                   ORDER BY noisy DESC, priority ASC) AS rn,
+                 first(priority) OVER (PARTITION BY order_year
+                   ORDER BY true_count DESC, priority ASC) AS true_argmax
+              FROM k)
+        SELECT order_year, priority AS released_priority, true_argmax,
+               priority = true_argmax AS matches_true
+        FROM r WHERE rn = 1
+    """
+
+
 ORACLES: dict[str, str] = {
     # --- sources ---
     "q_media_bmp_decode": _bmp_decode_oracle(),
     "q_dp_noisy_sum": _dp_noisy_sum_oracle(),
+    "q_dp_noisy_max": _dp_noisy_max_oracle(),
     "q_media_wav_decode": _wav_decode_oracle(),
     "q_dp_noisy_counts": _dp_noisy_counts_oracle(),
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -5848,6 +5886,53 @@ ORACLES.update({
              JOIN t3 ON t3.cell = a3_.cell
         WHERE a0.vec_id != 0
         ORDER BY adc_dist, a0.vec_id LIMIT 10
+    """,
+})
+
+# PQ recall@10: the ADC list above vs the exact integer squared-L2
+# top-10 — both deterministic, so the recall itself hash-checks.
+ORACLES.update({
+    "q_pq_recall": f"""
+        WITH {_PQ_CHAINS},
+        xall AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1
+                   AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS xi
+                 FROM embeddings),
+        qm AS (SELECT pos, xi AS qi FROM xall WHERE vec_id = 0),
+        ex AS (SELECT x.vec_id,
+                      sum((x.xi - q.qi) * (x.xi - q.qi)) AS d
+               FROM xall x JOIN qm q USING (pos)
+               WHERE x.vec_id != 0 GROUP BY 1
+               ORDER BY d, vec_id LIMIT 10),
+        q0 AS (SELECT pos, xi AS qi FROM s0x WHERE vec_id = 0),
+        q1 AS (SELECT pos, xi AS qi FROM s1x WHERE vec_id = 0),
+        q2 AS (SELECT pos, xi AS qi FROM s2x WHERE vec_id = 0),
+        q3 AS (SELECT pos, xi AS qi FROM s3x WHERE vec_id = 0),
+        t0 AS (SELECT c.cell, sum((c.ci - q.qi) * (c.ci - q.qi)) AS d
+               FROM s0c2 c JOIN q0 q USING (pos) GROUP BY 1),
+        t1 AS (SELECT c.cell, sum((c.ci - q.qi) * (c.ci - q.qi)) AS d
+               FROM s1c2 c JOIN q1 q USING (pos) GROUP BY 1),
+        t2 AS (SELECT c.cell, sum((c.ci - q.qi) * (c.ci - q.qi)) AS d
+               FROM s2c2 c JOIN q2 q USING (pos) GROUP BY 1),
+        t3 AS (SELECT c.cell, sum((c.ci - q.qi) * (c.ci - q.qi)) AS d
+               FROM s3c2 c JOIN q3 q USING (pos) GROUP BY 1),
+        adc AS (
+          SELECT a0.vec_id
+          FROM s0a3 a0 JOIN s1a3 a1 USING (vec_id)
+               JOIN s2a3 a2 USING (vec_id) JOIN s3a3 a3_ USING (vec_id)
+               JOIN t0 ON t0.cell = a0.cell
+               JOIN t1 ON t1.cell = a1.cell
+               JOIN t2 ON t2.cell = a2.cell
+               JOIN t3 ON t3.cell = a3_.cell
+          WHERE a0.vec_id != 0
+          ORDER BY CAST(t0.d + t1.d + t2.d + t3.d AS BIGINT), a0.vec_id
+          LIMIT 10),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+              FROM ex JOIN adc USING (vec_id))
+        SELECT CAST(10 AS INT) AS k, hits,
+               {pround_sql('CAST(hits AS DOUBLE) / 10.0', 6)} AS recall
+        FROM h
     """,
 })
 

@@ -167,8 +167,9 @@ _SHOWCASE: tuple[str, ...] = (
     "q_kmv_distinct", "q_countmin_heavy", "q_bloom_semijoin",
     "q_heavy_hitters",
     # sources / layout
-    "q_jdbc_roundtrip", "q_json_roundtrip", "q_orc_roundtrip",
-    "q_partition_prune",
+    "q_jdbc_roundtrip", "q_partition_prune",
+    # round-7 PQ flagships (never sampled — brand new)
+    "q_pq_encode", "q_pq_adc_topk",
 )
 
 
@@ -10599,6 +10600,81 @@ def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_dp_noisy_max")
+def q_dp_noisy_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP SELECTION — report-noisy-max [Dwork & Roth 2014 §3.3]: per
+    order-year, release WHICH priority class had the most orders
+    without releasing any count: add independent two-sided geometric
+    noise (ε=0.5, the q_dp_noisy_counts mechanism / hex-threshold
+    chain, salt 'dp-argmax-v1') to every candidate's count and release
+    only the argmax identity — the selection is ε-DP even though the
+    noisy scores never are.  Integer noise makes ties possible (prob
+    ~α^k); tie-break is deterministic lowest-priority-string, a
+    documented deviation from the measure-zero continuous case.
+    Output: the released identity per year plus CALIBRATION columns
+    (true argmax + whether the mechanism flipped it) — a production
+    release projects (order_year, released_priority) only.  SECRECY:
+    public salt for cross-engine benchmarking ONLY (functions/
+    privacy.py).  Scale shape: one group-by to the (year × 5) grain,
+    then a 5-row-per-year window argmax — the selection cost is the
+    aggregation, invariant to order volume."""
+    from functools import reduce
+
+    from .functions.privacy import twosided_geometric_hex_thresholds
+
+    g = (
+        T(spark, sf_dir, "orders")
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .groupBy("order_year", "priority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    u = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit("dp-argmax-v1"),
+                F.col("order_year").cast("string"),
+                F.col("priority"),
+            )
+        ),
+        1,
+        8,
+    )
+    thr = twosided_geometric_hex_thresholds(eps=0.5, kmax=16)
+    noise = reduce(
+        lambda c_, kt: c_.when(u <= F.lit(kt[1]), F.lit(kt[0])),
+        thr[1:],
+        F.when(u <= F.lit(thr[0][1]), F.lit(thr[0][0])),
+    ).otherwise(F.lit(thr[-1][0])).cast("int")
+    scored = g.select(
+        "order_year",
+        "priority",
+        "true_count",
+        (F.col("true_count") + noise.cast("bigint")).alias("__noisy"),
+    )
+    w_noisy = Window.partitionBy("order_year").orderBy(
+        F.col("__noisy").desc(), F.col("priority").asc()
+    )
+    w_true = Window.partitionBy("order_year").orderBy(
+        F.col("true_count").desc(), F.col("priority").asc()
+    )
+    ranked = scored.select(
+        "order_year",
+        "priority",
+        F.row_number().over(w_noisy).alias("__rn"),
+        F.first("priority").over(w_true).alias("true_argmax"),
+    )
+    return ranked.filter(F.col("__rn") == 1).select(
+        "order_year",
+        F.col("priority").alias("released_priority"),
+        "true_argmax",
+        (F.col("priority") == F.col("true_argmax")).alias("matches_true"),
+    )
+
+
 @q("q_media_wav_decode")
 def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 DECODE, audio twin of q_media_bmp_decode (round-6 verdict
@@ -10825,6 +10901,47 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", dist.cast("bigint").alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
         .limit(10)
+    )
+
+
+@q("q_pq_recall")
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality gate (the q_ann_recall discipline applied to product
+    quantization): recall@10 of the ADC top-10 against the EXACT
+    integer squared-L2 top-10 for the same query vector — the
+    self-evaluation number every compressed index ships with, declared
+    as a query because both lists are deterministic integer arithmetic
+    (trained codes + micro-unit distances), so the recall itself is
+    hash-checkable.  One row: k, hits, recall.  Scale: both lists are
+    TakeOrderedAndProject scans; the eval joins two 10-row frames."""
+    from .operators.kmeans import quantize_micro
+
+    em = T(spark, sf_dir, "embeddings")
+    qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
+    q_micro = (
+        qv.filter(F.col("vec_id") == 0).select("__q").first()["__q"]
+    )
+    qlit = F.array(*[F.lit(int(x)).cast("bigint") for x in q_micro])
+    d_exact = F.aggregate(
+        F.zip_with(F.col("__q"), qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        qv.filter(F.col("vec_id") != 0)
+        .select("vec_id", d_exact.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    adc = q_pq_adc_topk(spark, sf_dir).select("vec_id")
+    hits = exact.join(adc, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits")
+    )
+    return hits.select(
+        F.lit(10).cast("int").alias("k"),
+        "hits",
+        pround(F.col("hits").cast("double") / 10.0, 6).alias("recall"),
     )
 
 
