@@ -6571,3 +6571,20 @@ ORACLES.update({
         FROM spine s LEFT JOIN daily USING (d)
     """,
 })
+
+# CCNet perplexity bucketing: rank the bigram-LM scores (the
+# q_bigram_logprob oracle, inlined) and cut exact integer thirds.
+ORACLES.update({
+    "q_perplexity_buckets": f"""
+        WITH base AS ({ORACLES['q_bigram_logprob']}),
+        r AS (SELECT doc_id, avg_logprob,
+                     row_number() OVER (ORDER BY avg_logprob DESC, doc_id)
+                       AS rank,
+                     count(*) OVER () AS n_docs
+              FROM base)
+        SELECT doc_id, avg_logprob, CAST(rank AS BIGINT) AS rank,
+               (['head', 'middle', 'tail'])[
+                 CAST(((rank - 1) * 3) // n_docs AS INT) + 1] AS ppl_bucket
+        FROM r
+    """,
+})

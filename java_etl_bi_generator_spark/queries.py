@@ -2723,6 +2723,42 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_perplexity_buckets")
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: CCNet-style perplexity bucketing [Wenzek et al. 2020] — rank
+    every document by its bigram-LM score (q_bigram_logprob: the
+    KenLM-style quality signal; higher avg logprob = more natural text)
+    and split the corpus into the head / middle / tail THIRDS CCNet
+    feeds to pretraining with different sampling weights.  Ranking uses
+    the distributed two-phase ``global_rank`` (operators/rank.py) —
+    never a single-partition window — on (avg_logprob DESC, doc_id):
+    the score is a pinned double (per-row micro-unit ln, pround), so
+    the order and hence the buckets are engine-identical.  Bucket b of
+    rank r among n docs = floor(3·(r−1)/n) → 'head'/'middle'/'tail'.
+    Output per doc: score, rank, bucket.  Scale: one LM scoring pass
+    (q_bigram_logprob's shape) + one range-partitioned rank."""
+    from .operators.rank import global_rank
+
+    scored = q_bigram_logprob(spark, sf_dir)
+    ranked = global_rank(
+        scored,
+        [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
+        rank_col="rank",
+        total_col="n_docs",
+    )
+    # exact integer thirds (div, not double /): 0=head, 1=middle, 2=tail
+    bucket_ix = F.expr("CAST(((rank - 1) * 3) div n_docs AS INT)")
+    return ranked.select(
+        "doc_id",
+        "avg_logprob",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            bucket_ix + 1,
+        ).alias("ppl_bucket"),
+    )
+
+
 @q("q_fuzzy_match")
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: fuzzy part-name matching via a *blocked*
