@@ -67,6 +67,8 @@ HEADLINE = [
     "q_decontaminate_ngrams",  # 5-gram benchmark decontamination (round 5)
     "q_bpe_train_rounds",    # distributed BPE trainer, 3 merge rounds (round 5)
     "q_curation_funnel",     # per-source dedup/quality/decontamination funnel (round 5)
+    "q_media_wav_decode",    # 16-bit PCM codegen audio decode (round 7)
+    "q_pq_adc_topk",         # product-quantization ADC top-k (round 7)
 ]
 
 # The original 22-query set benched since round 1 — reported as its own
