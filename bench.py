@@ -68,7 +68,10 @@ HEADLINE = [
     "q_bpe_train_rounds",    # distributed BPE trainer, 3 merge rounds (round 5)
     "q_curation_funnel",     # per-source dedup/quality/decontamination funnel (round 5)
     "q_media_wav_decode",    # 16-bit PCM codegen audio decode (round 7)
-    "q_pq_adc_topk",         # product-quantization ADC top-k (round 7)
+    # NOT q_pq_*: the declared PQ queries retrain their sub-quantizers
+    # inline (train-once cost in production), which would dominate a
+    # per-query headline — their scale behavior is covered by
+    # volume_sweep.py and scripts/scale_probe.py instead.
 ]
 
 # The original 22-query set benched since round 1 — reported as its own

@@ -208,20 +208,28 @@ def kmeans_fit_int(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
 ) -> list[list[int]]:
     """Integer-pinned Lloyd's: returns k × dim micro-unit centroids that
     any engine reproduces bit-for-bit from the same input.  Per
     iteration: one scan (assignment is a pure map over plan-literal
     centroids), one k×dim sufficient-statistics shuffle, one k×dim
     collect; Python's ``//`` floor division on the driver matches the
-    pinned SQL remainder form exactly."""
+    pinned SQL remainder form exactly.  ``pre_quantized=True`` takes
+    ``vec_col`` as array<bigint> micro-units directly — the IVF-PQ
+    residual trainer needs this: residuals are exact integer
+    differences, and re-quantizing a double form could drift by one
+    micro-unit."""
     if k < 1:
         raise ValueError(f"kmeans_fit_int: k must be >= 1, got {k}")
+    qcol = (
+        F.col(vec_col) if pre_quantized else quantize_micro(vec_col)
+    )
     seeds = (
         embeddings.select(
             F.md5(F.col(id_col).cast("string")).alias("__h"),
             F.col(id_col).alias("__id"),
-            quantize_micro(vec_col).alias("__v"),
+            qcol.alias("__v"),
         )
         .orderBy("__h", "__id")
         .limit(k)
@@ -232,7 +240,7 @@ def kmeans_fit_int(
     centroids = [list(r["__v"]) for r in seeds]
     k = len(centroids)
     dim = len(centroids[0])
-    vecs = embeddings.select(quantize_micro(vec_col).alias("__v"))
+    vecs = embeddings.select(qcol.alias("__v"))
     for _ in range(iters):
         if k * dim > ARROW_ASSIGN_LITERAL_LIMIT:
             assigned = assign_cells_arrow_int(

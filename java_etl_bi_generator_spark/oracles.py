@@ -5718,6 +5718,7 @@ def _kmeans_int_ctes(
     prefix: str = "",
     pos_lo: int | None = None,
     pos_hi: int | None = None,
+    x_src: str | None = None,
 ) -> str:
     """CTE chain ending in {prefix}a{iters+1} (assignment under the FINAL
     model {prefix}c{iters}) and {prefix}d{iters+1} (exact per-vector
@@ -5729,11 +5730,16 @@ def _kmeans_int_ctes(
     — the product-quantization oracle trains one sub-quantizer per
     subspace slice (positions rebased to 0 so the chain is
     self-contained); defaults reproduce the original whole-vector
-    chain."""
+    chain.  ``x_src`` names an EARLIER CTE providing (vec_id, pos, xi)
+    long form to train on instead of the embeddings table — the IVF-PQ
+    residual trainer's input (seeds still order by md5 over the
+    embeddings ids: same id set)."""
     fdiv = "CAST((sx - ((sx % n) + n) % n) // n AS BIGINT)"
     z = prefix
     base_x = (
-        "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,"
+        f"SELECT vec_id, pos, xi FROM {x_src}"
+        if x_src is not None
+        else "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,"
         " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)"
         " AS BIGINT) AS xi FROM embeddings"
     )
@@ -5747,43 +5753,43 @@ def _kmeans_int_ctes(
         if pos_hi is not None:
             conds.append(f"pos < {pos_hi}")
         x_cte = (
-            f"{z}x AS (SELECT vec_id, pos - {lo} AS pos, xi"
+            f"{z}x AS MATERIALIZED (SELECT vec_id, pos - {lo} AS pos, xi"
             f" FROM ({base_x}) WHERE {' AND '.join(conds)})"
         )
     else:
-        x_cte = f"{z}x AS ({base_x})"
+        x_cte = f"{z}x AS MATERIALIZED ({base_x})"
     parts = [
         # micro-unit quantization: per-component floor(x·1e6 + 0.5)
         x_cte,
         # seeds: k vectors whose (md5(id), id) sorts first; cell = rank-1
-        f"{z}seeds AS (SELECT vec_id, CAST(row_number() OVER ("
+        f"{z}seeds AS MATERIALIZED (SELECT vec_id, CAST(row_number() OVER ("
         f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell"
         f" FROM embeddings"
         f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})",
-        f"{z}c0 AS (SELECT s.cell, x.pos, x.xi AS ci"
+        f"{z}c0 AS MATERIALIZED (SELECT s.cell, x.pos, x.xi AS ci"
         f" FROM {z}seeds s JOIN {z}x x USING (vec_id))",
     ]
     for t in range(1, iters + 2):
         p = t - 1
         parts.append(
-            f"{z}d{t} AS (SELECT x.vec_id, c.cell,"
+            f"{z}d{t} AS MATERIALIZED (SELECT x.vec_id, c.cell,"
             f" sum((x.xi - c.ci) * (x.xi - c.ci)) AS d"
             f" FROM {z}x x JOIN {z}c{p} c ON x.pos = c.pos GROUP BY 1, 2)"
         )
         parts.append(
-            f"{z}a{t} AS (SELECT vec_id, cell FROM ("
+            f"{z}a{t} AS MATERIALIZED (SELECT vec_id, cell FROM ("
             f"SELECT vec_id, cell, row_number() OVER ("
             f"PARTITION BY vec_id ORDER BY d, cell) AS rn FROM {z}d{t})"
             f" WHERE rn = 1)"
         )
         if t <= iters:
             parts.append(
-                f"{z}m{t} AS (SELECT a.cell, x.pos, sum(x.xi) AS sx,"
+                f"{z}m{t} AS MATERIALIZED (SELECT a.cell, x.pos, sum(x.xi) AS sx,"
                 f" count(*) AS n"
                 f" FROM {z}a{t} a JOIN {z}x x USING (vec_id) GROUP BY 1, 2)"
             )
             parts.append(
-                f"{z}c{t} AS (SELECT cell, pos, {fdiv} AS ci FROM {z}m{t}"
+                f"{z}c{t} AS MATERIALIZED (SELECT cell, pos, {fdiv} AS ci FROM {z}m{t}"
                 f" UNION ALL SELECT c.cell, c.pos, c.ci FROM {z}c{p} c"
                 f" WHERE c.cell NOT IN (SELECT cell FROM {z}m{t}))"
             )
@@ -5886,6 +5892,67 @@ ORACLES.update({
              JOIN t3 ON t3.cell = a3_.cell
         WHERE a0.vec_id != 0
         ORDER BY adc_dist, a0.vec_id LIMIT 10
+    """,
+})
+
+# IVF-PQ / IVFADC (Jegou 2011 SIV): coarse chain (default prefix) ->
+# residual long form -> four residual-sourced prefixed chains (x_src) ->
+# probe + per-probed-cell ADC tables on the query residual.
+_IVFPQ_RES_CHAINS = ",\n        ".join(
+    _kmeans_int_ctes(
+        16, 2, prefix=f"r{s}", pos_lo=s * 16, pos_hi=(s + 1) * 16,
+        x_src="res",
+    )
+    for s in range(4)
+)
+
+ORACLES.update({
+    "q_ivfpq_topk": f"""
+        WITH {_kmeans_int_ctes(8, 2)},
+        res AS MATERIALIZED (SELECT x.vec_id, x.pos, x.xi - c.ci AS xi
+                FROM x JOIN a3 a USING (vec_id)
+                     JOIN c2 c ON c.cell = a.cell AND c.pos = x.pos),
+        {_IVFPQ_RES_CHAINS},
+        qm AS (SELECT pos, xi AS qi FROM x WHERE vec_id = 0),
+        cd AS (SELECT c.cell, sum((c.ci - qm.qi) * (c.ci - qm.qi)) AS d
+               FROM c2 c JOIN qm USING (pos) GROUP BY 1),
+        probe AS (SELECT cell FROM cd ORDER BY d, cell LIMIT 3),
+        qr AS (SELECT c.cell AS pc, c.pos, q.qi - c.ci AS qi
+               FROM c2 c JOIN qm q USING (pos)
+                    JOIN probe p ON p.cell = c.cell),
+        qr0 AS (SELECT pc, pos - 0 AS pos, qi FROM qr
+                WHERE pos >= 0 AND pos < 16),
+        qr1 AS (SELECT pc, pos - 16 AS pos, qi FROM qr
+                WHERE pos >= 16 AND pos < 32),
+        qr2 AS (SELECT pc, pos - 32 AS pos, qi FROM qr
+                WHERE pos >= 32 AND pos < 48),
+        qr3 AS (SELECT pc, pos - 48 AS pos, qi FROM qr
+                WHERE pos >= 48 AND pos < 64),
+        t0 AS (SELECT q.pc, c.cell, sum((c.ci - q.qi) * (c.ci - q.qi))
+                 AS d
+               FROM r0c2 c JOIN qr0 q USING (pos) GROUP BY 1, 2),
+        t1 AS (SELECT q.pc, c.cell, sum((c.ci - q.qi) * (c.ci - q.qi))
+                 AS d
+               FROM r1c2 c JOIN qr1 q USING (pos) GROUP BY 1, 2),
+        t2 AS (SELECT q.pc, c.cell, sum((c.ci - q.qi) * (c.ci - q.qi))
+                 AS d
+               FROM r2c2 c JOIN qr2 q USING (pos) GROUP BY 1, 2),
+        t3 AS (SELECT q.pc, c.cell, sum((c.ci - q.qi) * (c.ci - q.qi))
+                 AS d
+               FROM r3c2 c JOIN qr3 q USING (pos) GROUP BY 1, 2)
+        SELECT a.vec_id,
+               CAST(t0.d + t1.d + t2.d + t3.d AS BIGINT) AS adc_dist
+        FROM a3 a JOIN probe p USING (cell)
+             JOIN r0a3 e0 ON e0.vec_id = a.vec_id
+             JOIN r1a3 e1 ON e1.vec_id = a.vec_id
+             JOIN r2a3 e2 ON e2.vec_id = a.vec_id
+             JOIN r3a3 e3 ON e3.vec_id = a.vec_id
+             JOIN t0 ON t0.pc = a.cell AND t0.cell = e0.cell
+             JOIN t1 ON t1.pc = a.cell AND t1.cell = e1.cell
+             JOIN t2 ON t2.pc = a.cell AND t2.cell = e2.cell
+             JOIN t3 ON t3.pc = a.cell AND t3.cell = e3.cell
+        WHERE a.vec_id != 0
+        ORDER BY adc_dist, a.vec_id LIMIT 10
     """,
 })
 

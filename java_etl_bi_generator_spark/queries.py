@@ -10940,6 +10940,142 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ivfpq_topk")
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ / IVFADC [Jégou 2011 §IV] — the composite index FAISS
+    ships as its production default, completing the ANN ladder (Flat →
+    IVF → PQ → IVF-PQ): a k=8 integer-pinned COARSE quantizer prunes
+    the search to nprobe=3 cells, and within them distance runs on
+    M=4×16-code PQ RESIDUAL codes (each vector stored as its coarse
+    cell + 4 bytes of codes of v − c_cell — residuals have ~half the
+    energy of raw vectors, so the same code budget quantizes finer).
+    Query side: the coarse probe is exact driver-side model math; per
+    probed cell the query RESIDUAL's 4×16 ADC table is computed once
+    (k-bounded model pull), and every candidate's distance is M table
+    lookups selected by a 3-branch CASE on its cell.  All arithmetic is
+    exact int64 micro-units end-to-end, so the DuckDB oracle — coarse
+    chain, residual CTE, four residual-sourced prefixed chains, probe,
+    per-cell ADC tables — reproduces the top-10 bit-for-bit.  At 100 TB:
+    codes+cell ≈ 5 B/vector in RAM, scan touches nprobe/ncells of the
+    corpus (partition pruning when stored cell-partitioned, the
+    write_ivf_index layout), zero vector arithmetic per candidate."""
+    from functools import reduce
+    from operator import add
+
+    from .operators.kmeans import (
+        kmeans_fit_int,
+        nearest_cell_int,
+        nearest_cell_int_struct,
+        quantize_micro,
+    )
+
+    NPROBE, COARSE_K = 3, 8
+    em = T(spark, sf_dir, "embeddings")
+    coarse = kmeans_fit_int(em, k=COARSE_K, iters=2)
+    dim = len(coarse[0])
+    subdim = dim // _PQ_M
+    qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
+    coarse_lit = F.array(
+        *[
+            F.array(*[F.lit(int(c)).cast("bigint") for c in cent])
+            for cent in coarse
+        ]
+    )
+    rv = cut_lineage(
+        qv.withColumn("cell", nearest_cell_int(F.col("__q"), coarse))
+        .withColumn(
+            "__r",
+            F.zip_with(
+                F.col("__q"),
+                F.element_at(coarse_lit, F.col("cell") + 1),
+                lambda x, y: x - y,
+            ),
+        )
+        .select("vec_id", "cell", "__r")
+    )
+    models = [
+        kmeans_fit_int(
+            rv.select(
+                "vec_id",
+                F.slice("__r", s * subdim + 1, subdim).alias("embedding"),
+            ),
+            k=_PQ_K,
+            iters=_PQ_ITERS,
+            pre_quantized=True,
+        )
+        for s in range(_PQ_M)
+    ]
+    enc = rv.select(
+        "vec_id",
+        "cell",
+        *[
+            nearest_cell_int_struct(
+                F.slice(F.col("__r"), s * subdim + 1, subdim), models[s]
+            )["i"].cast("int").alias(f"code{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    q_micro = [
+        int(x)
+        for x in qv.filter(F.col("vec_id") == 0).first()["__q"]
+    ]
+    probed = [
+        i
+        for _, i in sorted(
+            (
+                sum((q - c) ** 2 for q, c in zip(q_micro, cent)),
+                i,
+            )
+            for i, cent in enumerate(coarse)
+        )[:NPROBE]
+    ]
+    tables = {}
+    for c in probed:
+        qr = [q - cc for q, cc in zip(q_micro, coarse[c])]
+        tables[c] = [
+            [
+                sum(
+                    (a - b) ** 2
+                    for a, b in zip(
+                        qr[s * subdim : (s + 1) * subdim], cent
+                    )
+                )
+                for cent in models[s]
+            ]
+            for s in range(_PQ_M)
+        ]
+
+    def dist_for(c: int):
+        return reduce(
+            add,
+            [
+                F.element_at(
+                    F.array(
+                        *[
+                            F.lit(int(d)).cast("bigint")
+                            for d in tables[c][s]
+                        ]
+                    ),
+                    F.col(f"code{s}") + 1,
+                )
+                for s in range(_PQ_M)
+            ],
+        )
+
+    dist = F.when(F.col("cell") == probed[0], dist_for(probed[0]))
+    for c in probed[1:]:
+        dist = dist.when(F.col("cell") == c, dist_for(c))
+    return (
+        enc.filter(
+            F.col("cell").isin([int(c) for c in probed])
+            & (F.col("vec_id") != 0)
+        )
+        .select("vec_id", dist.cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
 @q("q_pq_recall")
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ quality gate (the q_ann_recall discipline applied to product
