@@ -375,3 +375,84 @@ def probe_ivf_index(
     probed = [i for _, i in scored[:nprobe]]
     df = spark.read.parquet(path).filter(F.col(cell_col).isin(probed))
     return brute_force_topk(df, query_vec, k, id_col, vec_col)
+
+
+def pq_fit_int(
+    embeddings: DataFrame,
+    m: int,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pre_quantized: bool = False,
+) -> list[list[list[int]]]:
+    """Train M product-quantizer codebooks in ONE distributed pass per
+    Lloyd round — output-IDENTICAL to M independent ``kmeans_fit_int``
+    runs over the subspace slices (same md5-ordered seed vectors sliced
+    per subspace, same exact integer distance/update arithmetic; the
+    equivalence is pinned by tests/test_kmeans.py), but the M seed
+    collects fuse into one and each round runs one scan + one
+    (m·k·subdim)-row sufficient-stats shuffle instead of M scans and M
+    shuffles — the fixed-job-overhead reduction that matters when a
+    query trains inline (q_pq_*, q_ivfpq_topk).  Returns m × k × subdim
+    micro-unit centroids."""
+    if k < 1 or m < 1:
+        raise ValueError(f"pq_fit_int: m and k must be >= 1, got {m}, {k}")
+    qcol = F.col(vec_col) if pre_quantized else quantize_micro(vec_col)
+    seeds = (
+        embeddings.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__id"),
+            qcol.alias("__v"),
+        )
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("pq_fit_int: no input vectors to seed from")
+    dim = len(seeds[0]["__v"])
+    if dim % m != 0:
+        raise ValueError(f"pq_fit_int: dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    models = [
+        [
+            list(r["__v"])[s * subdim : (s + 1) * subdim]
+            for r in seeds
+        ]
+        for s in range(m)
+    ]
+    vecs = embeddings.select(qcol.alias("__v"))
+    for _ in range(iters):
+        cells = F.array(
+            *[
+                nearest_cell_int(
+                    F.slice(F.col("__v"), s * subdim + 1, subdim),
+                    models[s],
+                )
+                for s in range(m)
+            ]
+        )
+        stats = (
+            vecs.withColumn("__cells", cells)
+            .select("__cells", F.posexplode("__v").alias("__pos", "__x"))
+            .select(
+                F.expr(f"CAST(__pos div {subdim} AS INT)").alias("__s"),
+                F.element_at(
+                    F.col("__cells"),
+                    F.expr(f"CAST(__pos div {subdim} AS INT)") + 1,
+                ).alias("__cell"),
+                F.expr(f"__pos % {subdim}").alias("__p"),
+                F.col("__x"),
+            )
+            .groupBy("__s", "__cell", "__p")
+            .agg(F.sum("__x").alias("__sum"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        nxt = [[list(c) for c in ms] for ms in models]
+        for r in stats:
+            nxt[r["__s"]][r["__cell"]][r["__p"]] = (
+                int(r["__sum"]) // int(r["__n"])
+            )
+        models = nxt
+    return models

@@ -10822,22 +10822,16 @@ _PQ_M, _PQ_K, _PQ_ITERS = 4, 16, 2
 
 
 def _pq_models(em: DataFrame) -> tuple[list[list[list[int]]], int]:
-    """One integer-pinned sub-quantizer (kmeans_fit_int) per subspace
-    slice; returns (M models, subdim).  Training M quantizers costs M
-    small Lloyd runs over subdim-wide slices — each cheaper than one
-    full-dim run, all bit-identical cross-engine."""
-    from .operators.kmeans import kmeans_fit_int
+    """M integer-pinned sub-quantizer codebooks; returns (models,
+    subdim).  Trained by the FUSED trainer (operators/kmeans.py
+    pq_fit_int — one scan + one m·k·subdim stats shuffle per round),
+    output-identical to M independent kmeans_fit_int runs over the
+    slices (the form the DuckDB oracle unrolls; equivalence pinned in
+    tests/test_kmeans.py)."""
+    from .operators.kmeans import pq_fit_int
 
-    dim = em.select(F.size("embedding")).first()[0]
-    subdim = dim // _PQ_M
-    models = []
-    for s in range(_PQ_M):
-        sub = em.select(
-            "vec_id",
-            F.slice("embedding", s * subdim + 1, subdim).alias("embedding"),
-        )
-        models.append(kmeans_fit_int(sub, k=_PQ_K, iters=_PQ_ITERS))
-    return models, subdim
+    models = pq_fit_int(em, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    return models, len(models[0][0])
 
 
 def _pq_encoded(em: DataFrame) -> tuple[DataFrame, list, int]:
@@ -10993,18 +10987,15 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "cell", "__r")
     )
-    models = [
-        kmeans_fit_int(
-            rv.select(
-                "vec_id",
-                F.slice("__r", s * subdim + 1, subdim).alias("embedding"),
-            ),
-            k=_PQ_K,
-            iters=_PQ_ITERS,
-            pre_quantized=True,
-        )
-        for s in range(_PQ_M)
-    ]
+    from .operators.kmeans import pq_fit_int
+
+    models = pq_fit_int(
+        rv.select("vec_id", F.col("__r").alias("embedding")),
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        pre_quantized=True,
+    )
     enc = rv.select(
         "vec_id",
         "cell",

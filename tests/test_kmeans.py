@@ -268,3 +268,29 @@ def test_arrow_assign_matches_literal_path(spark):
     }
     assert lit == arrow
     assert arrow[4] == 0  # the duplicate-centroid tie resolves low
+
+
+def test_pq_fit_fused_matches_independent_runs(spark, sf_dir):
+    """pq_fit_int (one scan + one fused stats shuffle per round) must be
+    output-IDENTICAL to M independent kmeans_fit_int runs over the
+    subspace slices — the form the DuckDB PQ oracles unroll."""
+    import pyspark.sql.functions as F
+
+    from java_etl_bi_generator_spark.catalog import load_table
+    from java_etl_bi_generator_spark.operators.kmeans import (
+        kmeans_fit_int,
+        pq_fit_int,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    m, k, iters = 4, 16, 2
+    fused = pq_fit_int(em, m=m, k=k, iters=iters)
+    dim = len(fused[0][0]) * m
+    subdim = dim // m
+    for s in range(m):
+        sub = em.select(
+            "vec_id",
+            F.slice("embedding", s * subdim + 1, subdim).alias("embedding"),
+        )
+        independent = kmeans_fit_int(sub, k=k, iters=iters)
+        assert fused[s] == independent, f"subspace {s} diverged"
