@@ -17,7 +17,7 @@ form — else ``localCheckpoint``).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..lineage import cut_lineage
 
@@ -322,3 +322,44 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("node"), "deg")
     )
+
+
+def label_propagation_mode(sym: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous mode-label propagation [Raghavan, Albert & Kumara
+    2007] — the near-linear community detector: every node starts as
+    its own community, and each round adopts the label MOST FREQUENT
+    among its neighbors, ties broken to the SMALLEST label (the
+    deterministic synchronous variant; the paper's random asynchronous
+    order is not reproducible across engines).  Fixed ``rounds`` keeps
+    the trajectory engine-identical (unrolled CTE oracle), the same
+    bounded-iteration contract as kcore_peel / pagerank_integer.
+    Distinct from connected_components: mode-adoption lets DENSE
+    regions keep their own label against a bridge edge, so one thin
+    connection does not merge two communities.
+
+    Scale shape: per round one edges⋈labels shuffle + one (node, label)
+    count + one per-node argmax window — all on the edge grain;
+    ``cut_lineage`` per round stops plan replay (the connected_components
+    lesson).  Returns (node, label)."""
+    edges = cut_lineage(sym.select("src", "dst"))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("__n").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        counts = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("__n"), "label")
+            .groupBy("__n", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = cut_lineage(
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__n").alias("node"), "label")
+        )
+    return labels

@@ -6655,3 +6655,35 @@ ORACLES.update({
         FROM r
     """,
 })
+
+# Synchronous mode-LPA, 4 unrolled rounds mirroring
+# operators/graph.py::label_propagation_mode over the co-purchase graph.
+def _lpa_sql(rounds: int = 4) -> str:
+    levels = []
+    for r in range(1, rounds + 1):
+        levels.append(f"""
+        n{r} AS (SELECT e.src AS node, l.label, count(*) AS c
+                 FROM e0 e JOIN l{r - 1} l ON l.node = e.dst
+                 GROUP BY 1, 2),
+        l{r} AS (SELECT node, label FROM (
+                   SELECT node, label, row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                   FROM n{r}) WHERE rn = 1)""")
+    return (
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 10 = 0),
+        ep AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+        e0 AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM ep
+               UNION ALL SELECT p2 AS src, p1 AS dst FROM ep),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),"""
+        + ",".join(levels)
+        + f"""
+        SELECT node, label AS community FROM l{rounds}"""
+    )
+
+
+ORACLES.update({"q_lpa_communities": _lpa_sql(4)})

@@ -9090,6 +9090,25 @@ def q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", F.col("dist").alias("distance"))
 
 
+@q("q_lpa_communities")
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 4 rounds of synchronous mode-label
+    propagation [Raghavan 2007] over the undirected co-purchase graph
+    (operators/graph.py::label_propagation_mode — most-frequent
+    neighbor label, ties to the smallest).  Completes the graph family
+    (components / k-core / PageRank / BFS / triangles) with the
+    community detector: unlike q_dedup_clusters' connected components,
+    a single bridge edge does NOT merge two dense regions.  Integer
+    counts + deterministic tie-break make the bounded trajectory
+    bit-identical to the unrolled 4-level CTE oracle.  Output: (node,
+    community)."""
+    from .operators.graph import label_propagation_mode
+
+    return label_propagation_mode(
+        _copurchase_sym(spark, sf_dir), rounds=4
+    ).select("node", F.col("label").alias("community"))
+
+
 @q("q_partition_prune")
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical layout: Hive-style partitioned write + partition-pruned

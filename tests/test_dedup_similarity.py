@@ -450,3 +450,29 @@ def test_cross_source_dedup_known_pair_counts(spark, tmp_path):
         ("B", "C"): 1,          # shared-abc
         ("A", "mirror:A"): 1,   # the seeded mirror crawl of doc 25
     }
+
+
+def test_lpa_bridge_does_not_merge_dense_communities(spark):
+    """The docstring's distinguishing claim vs connected components: two
+    4-cliques joined by ONE bridge edge stay two communities under
+    mode-LPA (each node's clique neighbors outvote the bridge), while
+    connected components would merge them."""
+    from java_etl_bi_generator_spark.operators.graph import (
+        label_propagation_mode,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13])
+    edges += [(4, 10), (10, 4)]  # the bridge
+    sym = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation_mode(sym, rounds=4).collect()
+    }
+    left = {got[n] for n in (1, 2, 3, 4)}
+    right = {got[n] for n in (10, 11, 12, 13)}
+    assert left == {1}, left    # clique label converges to min id
+    assert right == {10}, right
+    assert left != right        # the bridge did NOT merge them
