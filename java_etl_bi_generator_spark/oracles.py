@@ -6687,3 +6687,32 @@ def _lpa_sql(rounds: int = 4) -> str:
 
 
 ORACLES.update({"q_lpa_communities": _lpa_sql(4)})
+
+# Streaming mergeable-HLL daily distinct: the batch daily registers ARE
+# the stream's converged state (max-merge commutes over micro-batches),
+# so the oracle is the daily column of the q_rolling_distinct_hll sketch.
+ORACLES.update({
+    "q_stream_hll_distinct": f"""
+        WITH dr AS (
+          SELECT day, bucket, max(rho) AS reg FROM (
+            SELECT CAST(ts AS DATE) AS day,
+                   {_hex_bigint("md5(CAST(user_id AS VARCHAR))", 1, 8)}
+                     % 1024 AS bucket,
+                   33 - length(bin(
+                     {_hex_bigint("md5(CAST(user_id AS VARCHAR))", 9, 8)}
+                   )) AS rho
+            FROM events)
+          GROUP BY 1, 2),
+        p AS (
+          SELECT day,
+                 CAST(1 AS BIGINT) << CAST(32 - reg AS INT) AS pd
+          FROM dr),
+        s AS (
+          SELECT day, count(pd) AS md_obs, sum(pd) AS sd_obs
+          FROM p GROUP BY 1)
+        SELECT day,
+               {pround_sql(_hll1024_est('md_obs', 'sd_obs'), 4)}
+                 AS dau_approx
+        FROM s
+    """,
+})

@@ -1748,6 +1748,89 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_stream_hll_distinct")
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T+ sketch capstone (hash-checked): daily distinct users maintained
+    by a STREAM as a mergeable HLL register table — the streaming face
+    of q_rolling_distinct_hll.  The events feed is split into 3 files
+    and streamed one file per micro-batch (availableNow); the stream's
+    state is the per-(day, bucket) MAX-rho register table (bounded:
+    days × m rows, m=1024 — never per-user state), and because max is
+    commutative/idempotent over batch boundaries the final maintained
+    state equals the batch registers EXACTLY, so the read-time estimate
+    hash-checks against the batch daily-HLL oracle — certifying the
+    multi-batch merge semantics, not just that the stream ran (the
+    q_stream_merge discipline).  Serving split as in q_stream_topk: the
+    stream maintains registers, the Flajolet estimator (identical
+    harmonic/linear-counting arithmetic to q_rolling_distinct_hll) runs
+    at read time.  At 100 TB/day this is THE streaming-distinct shape:
+    state is m registers per day regardless of event volume."""
+    import os
+
+    m = 1024
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = _fixture_dir("q_stream_hll", fresh_name=True)
+    src = os.path.join(tmp, "src")
+    ev.repartition(3).write.parquet(src)
+    h = F.md5(F.col("user_id").cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs = (
+        stream.select(
+            F.to_date("ts").alias("day"),
+            (h1 % m).alias("bucket"),
+            (F.lit(33) - F.length(F.bin(h2))).alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    qname = "tbl_" + os.path.basename(tmp)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stats = (
+        spark.table(qname)
+        .select(
+            "day",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(32 - reg AS INT))"
+            ).alias("pd"),
+        )
+        .groupBy("day")
+        .agg(F.count("pd").alias("md_obs"), F.sum("pd").alias("sd_obs"))
+    )
+    m_empty = (F.lit(m) - F.col("md_obs")).cast("bigint")
+    s_total = (F.col("sd_obs") + m_empty * F.lit(4294967296)).cast(
+        "bigint"
+    )
+    raw = (
+        F.lit(alpha) * F.lit(float(m * m)) * F.lit(4294967296.0) / s_total
+    )
+    lc = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.greatest(m_empty, F.lit(1))
+    )
+    est = F.when((m_empty > 0) & (raw <= F.lit(2.5 * m)), lc).otherwise(
+        raw
+    )
+    return stats.select("day", pround(est, 4).alias("dau_approx"))
+
+
 @q("q_synthetic_events")
 def q_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python Data Source API (hash-checked): 2000 rows from the
