@@ -6716,3 +6716,31 @@ ORACLES.update({
         FROM s
     """,
 })
+
+# Histogram-sketch quantiles: order-free mergeable buckets, integer
+# ceil rank, bucket lower bound in cents — mirrors
+# queries.q_approx_percentile_hist exactly.
+ORACLES.update({
+    "q_approx_percentile_hist": """
+        WITH h AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) // 50 AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bucket,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM h)
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_rows,
+               CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100
+                        THEN bucket * 50 END) AS BIGINT) AS p50_cents,
+               CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100
+                        THEN bucket * 50 END) AS BIGINT) AS p95_cents,
+               CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100
+                        THEN bucket * 50 END) AS BIGINT) AS p99_cents
+        FROM cum GROUP BY event_type
+    """,
+})

@@ -5410,6 +5410,59 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_approx_percentile_hist")
+def q_approx_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-family approximation, ENGINE-EXACT variant: per-event-type
+    p50/p95/p99 of value from a fixed-width HISTOGRAM sketch — the
+    order-free mergeable quantile path that, unlike GK/KLL (whose state
+    depends on merge order, so cross-engine hashes can never match),
+    is bit-identical on any engine and any partitioning: bucket =
+    cents div 50 (ie 0.50-wide value bins), counts are plain adds
+    (commutative — the HLL-promotion discipline applied to quantiles),
+    and percentile p reads the first bucket whose running count
+    reaches ceil(p·n), reported as the bucket's inclusive lower bound
+    in cents.  State per group is bounded by the value range / bin
+    width, independent of row count; the builtin-GK twin
+    (q_approx_percentile) stays rows-only by design.  One shuffle to
+    (type, bucket) grain; the cumulative scan runs on ≤1k buckets per
+    group."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) div 50"
+        ).alias("bucket"),
+    )
+    hist = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+
+    def pct(p_num: int, p_den: int, name: str) -> F.Column:
+        # first bucket whose cum >= ceil(p*n): integer ceil via div
+        need = F.expr(f"(n * {p_num} + {p_den} - 1) div {p_den}")
+        return F.min(
+            F.when(F.col("cum") >= need, F.col("bucket") * 50)
+        ).cast("bigint").alias(name)
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        pct(50, 100, "p50_cents"),
+        pct(95, 100, "p95_cents"),
+        pct(99, 100, "p99_cents"),
+    )
+
+
 @q("q_approx_percentile")
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-family approximation: ``approx_percentile`` (Greenwald-Khanna
