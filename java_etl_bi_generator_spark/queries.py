@@ -163,9 +163,11 @@ _SHOWCASE: tuple[str, ...] = (
     "q_lang_id", "q_text_quality", "q_doc_fingerprint",
     "q_decontaminate_ngrams", "q_mlm_masking", "q_pack_sequences",
     "q_tokenizer_fertility",
-    # deterministic sketches
-    "q_kmv_distinct", "q_countmin_heavy", "q_bloom_semijoin",
-    "q_heavy_hitters",
+    # deterministic sketches + round-7 capstones (swapped for the
+    # equally-never-sampled q_kmv_distinct / q_countmin_heavy /
+    # q_heavy_hitters, which stay hash-checked in the full sweep)
+    "q_bloom_semijoin", "q_stream_hll_distinct",
+    "q_lpa_communities", "q_perplexity_buckets",
     # sources / layout
     "q_jdbc_roundtrip", "q_partition_prune",
     # round-7 PQ flagships (never sampled — brand new)
