@@ -6744,3 +6744,31 @@ ORACLES.update({
         FROM cum GROUP BY event_type
     """,
 })
+
+# Matryoshka truncation recall: exact integer L2 top-10 on the first 16
+# components vs the full 64 — mirrors queries.q_embed_truncation_recall.
+ORACLES.update({
+    "q_embed_truncation_recall": f"""
+        WITH xall AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings),
+        qm AS (SELECT pos, xi AS qi FROM xall WHERE vec_id = 0),
+        fullk AS (
+          SELECT x.vec_id, sum((x.xi - q.qi) * (x.xi - q.qi)) AS d
+          FROM xall x JOIN qm q USING (pos)
+          WHERE x.vec_id != 0 GROUP BY 1
+          ORDER BY d, vec_id LIMIT 10),
+        trunck AS (
+          SELECT x.vec_id, sum((x.xi - q.qi) * (x.xi - q.qi)) AS d
+          FROM xall x JOIN qm q USING (pos)
+          WHERE x.vec_id != 0 AND x.pos < 16 GROUP BY 1
+          ORDER BY d, vec_id LIMIT 10),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+              FROM fullk JOIN trunck USING (vec_id))
+        SELECT CAST(16 AS INT) AS trunc_dim, CAST(10 AS INT) AS k, hits,
+               {pround_sql('CAST(hits AS DOUBLE) / 10.0', 6)} AS recall
+        FROM h
+    """,
+})

@@ -11224,6 +11224,58 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_embed_truncation_recall")
+def q_embed_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation eval [Kusupati et al. 2022]:
+    recall@10 of exact nearest-neighbor search run on only the FIRST 16
+    of 64 embedding components against the full-dimension exact top-10
+    — the question every embedding-storage budget decision asks (can we
+    keep 1/4 of the vector?), answerable as a hash-checked query
+    because both lists are exact integer squared-L2 over micro-units
+    (the q_pq_recall discipline).  Scale: two TakeOrderedAndProject
+    scans — the truncated one reads 4× fewer bytes once vectors are
+    stored column-sliced — joined on 10 rows."""
+    from .operators.kmeans import quantize_micro
+
+    TRUNC = 16
+    em = T(spark, sf_dir, "embeddings")
+    qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
+    q_micro = qv.filter(F.col("vec_id") == 0).first()["__q"]
+
+    def topk(width: int):
+        qlit = F.array(
+            *[F.lit(int(x)).cast("bigint") for x in q_micro[:width]]
+        )
+        d = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__q"), 1, width),
+                qlit,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            qv.filter(F.col("vec_id") != 0)
+            .select("vec_id", d.alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    full = topk(len(q_micro))
+    trunc = topk(TRUNC)
+    hits = full.join(trunc, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits")
+    )
+    return hits.select(
+        F.lit(TRUNC).cast("int").alias("trunc_dim"),
+        F.lit(10).cast("int").alias("k"),
+        "hits",
+        pround(F.col("hits").cast("double") / 10.0, 6).alias("recall"),
+    )
+
+
 @q("q_pq_recall")
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ quality gate (the q_ann_recall discipline applied to product

@@ -72,6 +72,7 @@ GRAPH_PROBES = [
     "q_shortest_path_weighted",
     "q_triangle_count",
     "q_degree_distribution",
+    "q_lpa_communities",  # round 7: mode-LPA, 4 bounded rounds
 ]
 
 
