@@ -210,3 +210,68 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # 10:55 flushed by batch 1's watermark; 11:30 still pending at end
     assert got == {base: 2, base + 300: 1, base + 3300: 1}
     assert dropped == 1
+
+
+def test_stream_hll_merges_across_real_microbatches(spark, tmp_path):
+    """q_stream_hll_distinct's claim pinned structurally: the 3-file
+    source really produces >= 2 non-empty micro-batches, and the
+    stream's converged register state equals the batch register table
+    EXACTLY (max-merge commutes over batch boundaries) — the mergeable-
+    sketch property, not just a single-batch replay."""
+    import pyspark.sql.functions as F
+
+    from java_etl_bi_generator_spark.catalog import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = f"{tmp_path}/src"
+    ev.repartition(3).write.parquet(src)
+    m = 1024
+    h = F.md5(F.col("user_id").cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+
+    def regs(df):
+        return (
+            df.select(
+                F.to_date("ts").alias("day"),
+                (h1 % m).alias("bucket"),
+                (F.lit(33) - F.length(F.bin(h2))).alias("rho"),
+            )
+            .groupBy("day", "bucket")
+            .agg(F.max("rho").alias("reg"))
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        regs(stream)
+        .writeStream.format("memory")
+        .queryName("t_hll_microbatches")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    nonempty = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(nonempty) >= 2, "expected real multi-batch processing"
+    got = sorted(
+        (str(r["day"]), r["bucket"], r["reg"])
+        for r in spark.table("t_hll_microbatches").collect()
+    )
+    want = sorted(
+        (str(r["day"]), r["bucket"], r["reg"])
+        for r in regs(ev).collect()
+    )
+    assert got == want
