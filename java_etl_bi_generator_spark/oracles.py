@@ -6772,3 +6772,27 @@ ORACLES.update({
         FROM h
     """,
 })
+
+# IVF-PQ recall@10: the composite-index list (nested-WITH reuse of the
+# q_ivfpq_topk oracle) vs the exact integer squared-L2 top-10.
+ORACLES.update({
+    "q_ivfpq_recall": f"""
+        WITH ivf AS (SELECT vec_id FROM ({ORACLES['q_ivfpq_topk']}) t),
+        xall AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings),
+        qm AS (SELECT pos, xi AS qi FROM xall WHERE vec_id = 0),
+        ex AS (
+          SELECT x.vec_id, sum((x.xi - q.qi) * (x.xi - q.qi)) AS d
+          FROM xall x JOIN qm q USING (pos)
+          WHERE x.vec_id != 0 GROUP BY 1
+          ORDER BY d, vec_id LIMIT 10),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+              FROM ex JOIN ivf USING (vec_id))
+        SELECT CAST(10 AS INT) AS k, hits,
+               {pround_sql('CAST(hits AS DOUBLE) / 10.0', 6)} AS recall
+        FROM h
+    """,
+})

@@ -11224,6 +11224,44 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ivfpq_recall")
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ quality gate: recall@10 of the composite index
+    (q_ivfpq_topk — coarse pruning AND residual-code quantization
+    stacked) against the exact integer squared-L2 top-10.  The number a
+    production deployment tunes nprobe/M/k against — declared as a
+    query because both lists are deterministic integer arithmetic, so
+    the recall itself hash-checks (the q_pq_recall / q_ann_recall
+    discipline, now covering every retriever in the ladder)."""
+    from .operators.kmeans import quantize_micro
+
+    em = T(spark, sf_dir, "embeddings")
+    qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
+    q_micro = qv.filter(F.col("vec_id") == 0).first()["__q"]
+    qlit = F.array(*[F.lit(int(x)).cast("bigint") for x in q_micro])
+    d_exact = F.aggregate(
+        F.zip_with(F.col("__q"), qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        qv.filter(F.col("vec_id") != 0)
+        .select("vec_id", d_exact.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    ivf = q_ivfpq_topk(spark, sf_dir).select("vec_id")
+    hits = exact.join(ivf, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits")
+    )
+    return hits.select(
+        F.lit(10).cast("int").alias("k"),
+        "hits",
+        pround(F.col("hits").cast("double") / 10.0, 6).alias("recall"),
+    )
+
+
 @q("q_embed_truncation_recall")
 def q_embed_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style dimension-truncation eval [Kusupati et al. 2022]:
