@@ -6796,3 +6796,37 @@ ORACLES.update({
         FROM h
     """,
 })
+
+# Interpolated Kneser-Ney bigram probabilities — identical counts at the
+# bigram-type grain and the identical pinned IEEE probability expression.
+ORACLES.update({
+    "q_kneser_ney_bigram": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) <> ''),
+        big AS (
+          SELECT z[1] AS w1, z[2] AS w2
+          FROM (SELECT unnest(list_zip(toks[1:len(toks) - 1],
+                                       toks[2:len(toks)])) AS z
+                FROM docs WHERE len(toks) >= 2)),
+        tf AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+          FROM big GROUP BY 1, 2),
+        typed AS (
+          SELECT w1, w2, c,
+                 sum(c) OVER (PARTITION BY w1) AS c1,
+                 count(*) OVER (PARTITION BY w1) AS n1l,
+                 count(*) OVER (PARTITION BY w2) AS nl,
+                 count(*) OVER () AS T
+          FROM tf)
+        SELECT w1, w2, c,
+               {pround_sql(
+                   '(CAST(c AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)'
+                   ' + ((0.75 * CAST(n1l AS DOUBLE))'
+                   ' / CAST(c1 AS DOUBLE))'
+                   ' * (CAST(nl AS DOUBLE) / CAST(T AS DOUBLE))', 6
+               )} AS p_kn
+        FROM typed
+        ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 200
+    """,
+})

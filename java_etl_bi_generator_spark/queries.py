@@ -2844,6 +2844,65 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_kneser_ney_bigram")
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: interpolated Kneser-Ney bigram probabilities [Kneser & Ney
+    1995; Chen & Goodman 1998] — the smoother real LM pipelines use
+    where q_bigram_logprob demonstrates add-one: absolute discount
+    d=0.75 off every seen bigram, mass redistributed through the
+    CONTINUATION probability (how many distinct left-contexts a word
+    follows — 'Francisco' is frequent but only ever follows 'San', so
+    its continuation mass is tiny).  P_KN(w2|w1) = (c−d)/c(w1) +
+    d·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··).  Every count is an exact
+    integer at the corpus bigram-TYPE grain (one fact shuffle to
+    (w1,w2); context totals / fanouts / continuation counts are windows
+    over that bounded vocab-grain table; the type total is a broadcast
+    scalar), and the probability is one pinned per-row IEEE expression
+    written identically in the oracle.  Output: top-200 bigrams by
+    (count desc, w1, w2) with their KN probabilities."""
+    base = _tokenized_docs(spark, sf_dir)
+    big = base.filter(F.size("__toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(slice(__toks, 1, size(__toks) - 1), "
+                "(t, i) -> struct(t AS w1, element_at(__toks, i + 2) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    tf = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    typed = tf.select(
+        "w1",
+        "w2",
+        "c",
+        F.sum("c").over(w1w).alias("c1"),          # c(w1 ·)
+        F.count(F.lit(1)).over(w1w).alias("n1l"),  # N1+(w1 ·)
+        F.count(F.lit(1)).over(w2w).alias("nl"),   # N1+(· w2)
+    )
+    total_types = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("T")
+    )
+    scored = typed.crossJoin(F.broadcast(total_types)).select(
+        "w1",
+        "w2",
+        "c",
+        pround(
+            F.expr(
+                "(CAST(c AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)"
+                " + ((0.75 * CAST(n1l AS DOUBLE)) / CAST(c1 AS DOUBLE))"
+                " * (CAST(nl AS DOUBLE) / CAST(T AS DOUBLE))"
+            ),
+            6,
+        ).alias("p_kn"),
+    )
+    return scored.orderBy(
+        F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(200)
+
+
 @q("q_fuzzy_match")
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: fuzzy part-name matching via a *blocked*
