@@ -152,18 +152,40 @@ def main() -> None:
     total = round(sum(best.values()), 3)
     like_for_like = round(sum(best[n] for n in LIKE_FOR_LIKE), 3)
 
+    # The driver records only the LAST ~2000 chars of stdout and parses the
+    # final JSON line it finds there (round-7 verdict task 1: the r7 line
+    # carried three 43-entry maps, outgrew the capture, and the round's
+    # headline was lost — "parsed": null).  So: the full per-query detail
+    # goes to a sidecar file, and the ONE stdout JSON line stays compact
+    # (headline totals + the best-known per-query map, ~1.4 KB at 44
+    # queries) and is printed LAST so the tail always contains it whole.
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "value_like_for_like_22q": like_for_like,
+        "value_round_robin": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": best,
+        "queries_round_robin": times,
+        "isolated_heavy_min_of_6": isolated,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "value_like_for_like_22q": like_for_like,
-                "value_round_robin": round(sum(times.values()), 3),
                 "unit": "sec",
-                # best-known per query (min of round-robin and isolated)
+                # best-known per query (min of round-robin and isolated);
+                # per-column detail in BENCH_DETAIL.json
                 "queries": best,
-                "queries_round_robin": times,
-                "isolated_heavy_min_of_6": isolated,
                 "sf": sf,
             }
         )

@@ -1710,7 +1710,13 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch boundaries, the published state equals the batch arg-max — so
     unlike the other q_stream_* entries this one is fully
     oracle-checkable, proving the sink's multi-batch semantics, not just
-    that it ran."""
+    that it ran.
+
+    Note: the ``repartition(3).write`` below is CERTIFICATION
+    SCAFFOLDING — it copies the fixture once so availableNow can replay
+    it as 3 real micro-batches.  A production deployment points
+    ``readStream`` at the live source directly; the copy is not part of
+    the operator's cost."""
     import os
     import tempfile
 
@@ -1766,7 +1772,13 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream maintains registers, the Flajolet estimator (identical
     harmonic/linear-counting arithmetic to q_rolling_distinct_hll) runs
     at read time.  At 100 TB/day this is THE streaming-distinct shape:
-    state is m registers per day regardless of event volume."""
+    state is m registers per day regardless of event volume.
+
+    Note: the ``repartition(3).write`` below is CERTIFICATION
+    SCAFFOLDING — it copies the fixture once so availableNow can replay
+    it as 3 real micro-batches.  A production deployment points
+    ``readStream`` at the live source directly; the copy is not part of
+    the operator's cost."""
     import os
 
     m = 1024
@@ -7279,8 +7291,8 @@ def q_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     source ``mirror:<source>`` — the `_media_blobs` in-query fixture
     idiom), guaranteeing known non-empty (src, mirror:src) cells at
     every sf while still reporting any genuine cross-source duplicates
-    the corpus does contain.  tests/test_dedup.py pins exact pair
-    counts on a synthetic frame with known shared hashes."""
+    the corpus does contain.  tests/test_dedup_similarity.py pins exact
+    pair counts on a synthetic frame with known shared hashes."""
     docs = T(spark, sf_dir, "documents")
     mirror = docs.filter(F.col("doc_id") % 25 == 0).select(
         F.concat(F.lit("mirror:"), F.col("source")).alias("source"),
@@ -11036,26 +11048,49 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distance becomes M table lookups (ADC) — the FAISS workhorse layout.
 _PQ_M, _PQ_K, _PQ_ITERS = 4, 16, 2
 
+# Per-process memo of fitted ANN models keyed on sf_dir (round-7 verdict
+# task 3): the PQ/IVF-PQ family shares one training per corpus instead of
+# re-running the same coarse k-means + M-codebook Lloyd's up to 4× per
+# registry sweep (20-35 s each at sf0.1).  Only plain-Python INTEGER
+# centroid lists are cached — never DataFrames, which are bound to a
+# SparkSession — so the cache is valid across sessions within a process
+# (the `_tokenized_docs` shared-computation idiom, lifted to model grain).
+# Training is integer-pinned and deterministic, so a cache hit is
+# bit-identical to a retrain.
+_PQ_MODEL_CACHE: dict[str, tuple[list, int]] = {}
+_IVFPQ_INDEX_CACHE: dict[str, tuple[list, list]] = {}
 
-def _pq_models(em: DataFrame) -> tuple[list[list[list[int]]], int]:
+
+def _pq_models(
+    em: DataFrame, cache_key: str | None = None
+) -> tuple[list[list[list[int]]], int]:
     """M integer-pinned sub-quantizer codebooks; returns (models,
     subdim).  Trained by the FUSED trainer (operators/kmeans.py
     pq_fit_int — one scan + one m·k·subdim stats shuffle per round),
     output-identical to M independent kmeans_fit_int runs over the
     slices (the form the DuckDB oracle unrolls; equivalence pinned in
-    tests/test_kmeans.py)."""
+    tests/test_kmeans.py).  Memoized on ``cache_key`` (the sf_dir)."""
     from .operators.kmeans import pq_fit_int
 
+    if cache_key is not None and cache_key in _PQ_MODEL_CACHE:
+        return _PQ_MODEL_CACHE[cache_key]
     models = pq_fit_int(em, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
-    return models, len(models[0][0])
+    out = (models, len(models[0][0]))
+    if cache_key is not None:
+        _PQ_MODEL_CACHE[cache_key] = out
+    return out
 
 
-def _pq_encoded(em: DataFrame) -> tuple[DataFrame, list, int]:
+def _pq_encoded(
+    em: DataFrame, cache_key: str | None = None
+) -> tuple[DataFrame, list, int]:
     """(encoded frame with code0..code{M-1} + per-subspace err cols,
-    models, subdim) — the shared build for both PQ queries."""
+    models, subdim) — the shared build for both PQ queries.  The encode
+    itself is a pure map over literal centroids and is rebuilt per call
+    (DataFrames are session-bound); only the TRAINING memoizes."""
     from .operators.kmeans import nearest_cell_int_struct, quantize_micro
 
-    models, subdim = _pq_models(em)
+    models, subdim = _pq_models(em, cache_key=cache_key)
     qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
     cols = [F.col("vec_id")]
     for s in range(_PQ_M):
@@ -11065,6 +11100,56 @@ def _pq_encoded(em: DataFrame) -> tuple[DataFrame, list, int]:
         cols.append(st["i"].cast("int").alias(f"code{s}"))
         cols.append(st["d"].cast("bigint").alias(f"__err{s}"))
     return qv.select(*cols), models, subdim
+
+
+_IVFPQ_COARSE_K = 8
+
+
+def _ivfpq_index(
+    em: DataFrame, cache_key: str | None = None
+) -> tuple[list, list]:
+    """(coarse centroids, residual PQ codebooks) for the IVF-PQ index —
+    the full training stack (k=8 coarse Lloyd's, then M=4×16-code
+    residual codebooks), memoized on ``cache_key`` (the sf_dir) so
+    q_ivfpq_topk and q_ivfpq_recall share ONE training per corpus per
+    process instead of re-running it (round-7 verdict task 3).  Both
+    models are plain integer lists — deterministic, session-independent."""
+    from .operators.kmeans import (
+        kmeans_fit_int,
+        nearest_cell_int,
+        pq_fit_int,
+        quantize_micro,
+    )
+
+    if cache_key is not None and cache_key in _IVFPQ_INDEX_CACHE:
+        return _IVFPQ_INDEX_CACHE[cache_key]
+    coarse = kmeans_fit_int(em, k=_IVFPQ_COARSE_K, iters=2)
+    qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
+    coarse_lit = F.array(
+        *[
+            F.array(*[F.lit(int(c)).cast("bigint") for c in cent])
+            for cent in coarse
+        ]
+    )
+    rv = cut_lineage(
+        qv.withColumn("cell", nearest_cell_int(F.col("__q"), coarse))
+        .withColumn(
+            "__r",
+            F.zip_with(
+                F.col("__q"),
+                F.element_at(coarse_lit, F.col("cell") + 1),
+                lambda x, y: x - y,
+            ),
+        )
+        .select("vec_id", F.col("__r").alias("embedding"))
+    )
+    models = pq_fit_int(
+        rv, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, pre_quantized=True
+    )
+    out = (coarse, models)
+    if cache_key is not None:
+        _IVFPQ_INDEX_CACHE[cache_key] = out
+    return out
 
 
 @q("q_pq_encode")
@@ -11085,7 +11170,9 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
     from operator import add
 
-    enc, _, _ = _pq_encoded(T(spark, sf_dir, "embeddings"))
+    enc, _, _ = _pq_encoded(
+        T(spark, sf_dir, "embeddings"), cache_key=sf_dir
+    )
     return enc.select(
         "vec_id",
         *[f"code{s}" for s in range(_PQ_M)],
@@ -11114,7 +11201,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.kmeans import quantize_micro
 
     em = T(spark, sf_dir, "embeddings")
-    enc, models, subdim = _pq_encoded(em)
+    enc, models, subdim = _pq_encoded(em, cache_key=sf_dir)
     q_micro = (
         em.filter(F.col("vec_id") == 0)
         .select(quantize_micro("embedding").alias("q"))
@@ -11173,15 +11260,14 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from operator import add
 
     from .operators.kmeans import (
-        kmeans_fit_int,
         nearest_cell_int,
         nearest_cell_int_struct,
         quantize_micro,
     )
 
-    NPROBE, COARSE_K = 3, 8
+    NPROBE = 3
     em = T(spark, sf_dir, "embeddings")
-    coarse = kmeans_fit_int(em, k=COARSE_K, iters=2)
+    coarse, models = _ivfpq_index(em, cache_key=sf_dir)
     dim = len(coarse[0])
     subdim = dim // _PQ_M
     qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
@@ -11202,15 +11288,6 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("vec_id", "cell", "__r")
-    )
-    from .operators.kmeans import pq_fit_int
-
-    models = pq_fit_int(
-        rv.select("vec_id", F.col("__r").alias("embedding")),
-        m=_PQ_M,
-        k=_PQ_K,
-        iters=_PQ_ITERS,
-        pre_quantized=True,
     )
     enc = rv.select(
         "vec_id",

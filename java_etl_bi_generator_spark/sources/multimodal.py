@@ -760,7 +760,18 @@ def wav_pcm_stats(
             "CAST(__ds div (channels * (bits_per_sample div 8)) AS BIGINT)"
         ),
     )
-    decodable = F.col("bits_per_sample") == 16
+    # Gate decodability on POSITIVE extents, not just the sample format:
+    # with channels=0 or an empty data chunk (n_frames=0) Spark's
+    # sequence(start, stop) defaults to step -1 when start > stop, so
+    # sequence(0, -1) would yield [0, -1] and produce garbage non-null
+    # stats from bogus byte offsets (round-7 ADVICE).  Degenerate blobs
+    # must fall into the null-stats path like other non-decodable layouts
+    # (DuckDB's range(0, 0) = [] semantics).
+    decodable = (
+        (F.col("bits_per_sample") == 16)
+        & (F.col("channels") > 0)
+        & (F.col("n_frames") > 0)
+    )
     chans = parsed.withColumn(
         "channel",
         F.explode_outer(
