@@ -157,3 +157,48 @@ PCM_FRAMES = "4 + doc_id % 13"  # 4..16 frames: bounded codegen fold
 PCM_BITS = 16
 # data byte q (0-based offset within the data chunk)
 PCM_SB = "(doc_id * 11 + q * 29) % 256"
+
+
+# -- MP4 / ISO-BMFF canonical header (round 8) -------------------------------
+#
+# The general ISO-BMFF box walk has VARIABLE offsets (boxes in any
+# order, any size) and stays in the bounded-Arrow path
+# (sources/multimodal.py mp4_box_meta).  But the engine writes its own
+# fixtures, so the fixture uses a FIXED canonical layout — ftyp
+# (20 bytes: size | 'ftyp' | major brand | minor version | exactly one
+# compatible brand) immediately followed by moov (8-byte box header)
+# whose first child is a version-0 mvhd (108 bytes) — making the header
+# parse pure fixed-offset nibble arithmetic both engines can run in
+# codegen (the q_media_header_roundtrip discipline; round-7 verdict
+# task 4).  Fixed 1-based byte offsets: ftyp size @1 (=20), 'ftyp' @5,
+# major brand @9, minor version @13, compatible brand @17, moov size
+# @21 (=116), 'moov' @25, mvhd size @29 (=108), 'mvhd' @33,
+# version+flags @37 (=0), creation @41, modification @45, timescale
+# @49, duration @53 (all be32), rate @57 (1.0 fixed-point), volume @61
+# (1.0), 10 reserved bytes @63, unity matrix @73 (36 B), predefined
+# @109 (24 B zeros), next_track_id @133.  Total blob: 136 bytes.
+FTYP_HEX = "66747970"  # b"ftyp"
+MOOV_HEX = "6d6f6f76"  # b"moov"
+MVHD_HEX = "6d766864"  # b"mvhd"
+MP4_BRANDS = ["isom", "mp42", "avc1", "dash"]  # index doc_id % 4
+MP4_BRAND_HEX = [bytes(b, "ascii").hex() for b in MP4_BRANDS]
+MP4_TIMESCALES = [600, 1000, 90000, 44100, 48000]  # index doc_id % 5
+MP4_MINOR = "(doc_id * 3) % 512"
+MP4_CREATED = "3000000000 + (doc_id * 17) % 100000"  # > 2^31: parse as i64
+MP4_DURATION = "1 + (doc_id * 131) % 1000000"
+MP4_NEXT_TRACK = 2
+# rate 1.0 + volume 1.0 + 10 reserved bytes + unity matrix
+# {0x10000,0,0, 0,0x10000,0, 0,0,0x40000000} + 24 predefined bytes —
+# constant for every canonical file (76 bytes).
+MVHD_TAIL_HEX = (
+    "00010000"
+    + "0100"
+    + "00" * 10
+    + "00010000"
+    + "00000000" * 3
+    + "00010000"
+    + "00000000" * 3
+    + "40000000"
+    + "00" * 24
+)
+assert len(MVHD_TAIL_HEX) == 152

@@ -956,6 +956,110 @@ def _dp_noisy_max_oracle() -> str:
     """
 
 
+def _mp4_header_oracle() -> str:
+    """Twin of q_media_mp4_header: rebuild the identical canonical
+    MP4/ISO-BMFF hex from the single-sourced layout
+    (functions/mediahex.py), then re-derive every output field with
+    fixed-offset nibble arithmetic OVER THE HEX (brand decoded from its
+    bytes with unhex, integers via the _hex_bigint be32 reads) — the
+    parse is real, not an echo of the construction parameters."""
+    from .functions.mediahex import (
+        FTYP_HEX,
+        MOOV_HEX,
+        MP4_BRAND_HEX,
+        MP4_TIMESCALES,
+        MVHD_HEX,
+        MVHD_TAIL_HEX,
+        be32_sql,
+    )
+
+    brands = ",".join(f"'{h}'" for h in MP4_BRAND_HEX)
+    tss = ",".join(str(t) for t in MP4_TIMESCALES)
+
+    def be32(pos: int) -> str:  # 1-based BYTE offset in hex column h
+        return _hex_bigint("h", 2 * pos - 1, 8)
+
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 (['{FTYP_HEX}'])[1] AS _f,
+                 ([{brands}])[CAST(doc_id % 4 AS INT) + 1] AS bh,
+                 ([{tss}])[CAST(doc_id % 5 AS INT) + 1] AS tsc,
+                 (doc_id * 3) % 512 AS minor,
+                 3000000000 + (doc_id * 17) % 100000 AS created,
+                 1 + (doc_id * 131) % 1000000 AS dur
+          FROM documents),
+        blobs AS (
+          SELECT doc_id,
+                 '00000014' || '{FTYP_HEX}' || bh || {be32_sql('minor')}
+                 || bh || '00000074' || '{MOOV_HEX}'
+                 || '0000006c' || '{MVHD_HEX}' || '00000000'
+                 || {be32_sql('created')} || {be32_sql('created')}
+                 || {be32_sql('tsc')} || {be32_sql('dur')}
+                 || '{MVHD_TAIL_HEX}' || '00000002' AS h
+          FROM p)
+        SELECT doc_id,
+               CAST(length(h) // 2 AS INT) AS byte_len,
+               h AS blob_hex,
+               CASE WHEN substr(h, 9, 8) = '{FTYP_HEX}'
+                    THEN 'mp4' ELSE 'unknown' END AS container,
+               decode(unhex(substr(h, 17, 8))) AS major_brand,
+               CAST({be32(13)} AS INT) AS minor_version,
+               CAST({be32(41)} AS BIGINT) AS creation_time,
+               CAST({be32(49)} AS BIGINT) AS timescale,
+               CAST({be32(53)} AS BIGINT) AS duration,
+               CAST({be32(53)} * 1000 // {be32(49)} AS BIGINT)
+                 AS duration_ms,
+               CAST({be32(133)} AS INT) AS next_track_id
+        FROM blobs
+    """
+
+
+def _dp_quantile_oracle() -> str:
+    """Twin of q_dp_quantile: identical cents-div-50 histogram, identical
+    salted md5 slice + hex-threshold noise chain (single-sourced from
+    functions/privacy.py), identical clamp, monotone cumsum, and integer
+    ceil-rank bucket reads."""
+    from .functions.privacy import twosided_geometric_hex_thresholds
+
+    thr = twosided_geometric_hex_thresholds(eps=0.5, kmax=16)
+    chain = " ".join(
+        f"WHEN u <= '{t}' THEN CAST({k} AS INT)" for k, t in thr
+    )
+    return f"""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) // 50 AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        n AS (
+          SELECT *, substr(md5('dp-quantile-v1' || '|' || event_type
+                   || '|' || CAST(bucket AS VARCHAR)), 1, 8) AS u
+          FROM h),
+        k AS (
+          SELECT event_type, bucket,
+                 greatest(c + CAST(CASE {chain}
+                          ELSE CAST(16 AS INT) END AS BIGINT),
+                          CAST(0 AS BIGINT)) AS nc
+          FROM n),
+        cum AS (
+          SELECT event_type, bucket,
+                 sum(nc) OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(nc) OVER (PARTITION BY event_type) AS n
+          FROM k)
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_released,
+               CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100
+                        THEN bucket * 50 END) AS BIGINT) AS p50_cents_dp,
+               CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100
+                        THEN bucket * 50 END) AS BIGINT) AS p95_cents_dp,
+               CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100
+                        THEN bucket * 50 END) AS BIGINT) AS p99_cents_dp
+        FROM cum GROUP BY event_type
+    """
+
+
 ORACLES: dict[str, str] = {
     # --- sources ---
     "q_media_bmp_decode": _bmp_decode_oracle(),
@@ -963,6 +1067,8 @@ ORACLES: dict[str, str] = {
     "q_dp_noisy_max": _dp_noisy_max_oracle(),
     "q_media_wav_decode": _wav_decode_oracle(),
     "q_dp_noisy_counts": _dp_noisy_counts_oracle(),
+    "q_dp_quantile": _dp_quantile_oracle(),
+    "q_media_mp4_header": _mp4_header_oracle(),
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_fixedwidth_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_media_header_roundtrip": _media_roundtrip_oracle(),
@@ -6742,6 +6848,33 @@ ORACLES.update({
                CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100
                         THEN bucket * 50 END) AS BIGINT) AS p99_cents
         FROM cum GROUP BY event_type
+    """,
+})
+
+# Streaming histogram quantiles: counts are commutative adds, so the
+# converged 3-micro-batch state equals the batch histogram exactly —
+# the oracle is the plain batch computation at the day grain (mirrors
+# queries.q_stream_hist_quantile's read-time percentile arithmetic).
+ORACLES.update({
+    "q_stream_hist_quantile": """
+        WITH h AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) // 50 AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        cum AS (
+          SELECT day, bucket,
+                 sum(c) OVER (PARTITION BY day ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY day) AS n
+          FROM h)
+        SELECT day,
+               CAST(max(n) AS BIGINT) AS n_rows,
+               CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100
+                        THEN bucket * 50 END) AS BIGINT) AS p50_cents,
+               CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100
+                        THEN bucket * 50 END) AS BIGINT) AS p95_cents
+        FROM cum GROUP BY day
     """,
 })
 

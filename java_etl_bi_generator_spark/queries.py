@@ -128,51 +128,45 @@ def q(name: str) -> Callable[[QueryFn], QueryFn]:
 # sketch/layout operators, and the distributed-rank family (q_rfm) —
 # instead of 50 variations on scan+project.
 _SHOWCASE: tuple[str, ...] = (
-    # Round-7 rotation (VERDICT r6 task 2: 214/323 registry queries had
-    # never been driver-sampled; union of CORRECTNESS_r01-r06 = 109).
-    # This slate keeps only 4 repeats — q_star_flagship (the headline),
-    # q_csv_roundtrip (the write dialect changed to CRLF this round),
-    # and the two round-7 additions — and fills the other 46 slots with
-    # never-sampled entries, prioritizing the families with zero driver
-    # coverage so far: the streaming set, the TPC-H spine, the vector
-    # family, and the governance audits.  Everything rotated out stays
-    # hash-checked in the full check_parity.py sweep.
+    # Round-8 rotation (VERDICT r7 task 2: 180/337 registry queries had
+    # never been driver-sampled; union of CORRECTNESS_r01-r07 = 157).
+    # This slate keeps ONE repeat — q_star_flagship (the headline) —
+    # adds the three round-8 capstones (brand new, so also
+    # never-sampled), and fills the other 46 slots with never-sampled
+    # entries, prioritizing the families with zero driver coverage so
+    # far: the round-4 stats/drift set, the BI-ratio family, the
+    # format/layout roundtrips, the round-7 capstones the driver has
+    # not seen, and the never-sampled TPC-H tail.  Everything rotated
+    # out stays hash-checked in the full check_parity.py sweep.
     #
-    # anchors + round-7 additions
-    "q_star_flagship", "q_csv_roundtrip",
-    "q_cross_source_dedup",      # de-vacuified this round (r6 task 1)
-    "q_media_wav_decode", "q_dp_noisy_sum",
-    # streaming (zero driver coverage before r7)
-    "q_stream_watermark", "q_stream_dedup", "q_stream_stateful",
-    "q_stream_session", "q_stream_join",
-    # TPC-H spine (zero driver coverage before r7)
-    "q_tpch_q3", "q_tpch_q6", "q_tpch_q9", "q_tpch_q18",
-    "q_tpch_q10", "q_tpch_q14",
-    # vector / ANN family
-    "q_vector_topk_lsh", "q_vector_topk_ivf", "q_vector_topk_mmr",
-    "q_ann_recall", "q_knn_grid_join",
-    # governance audits
-    "q_kanonymity_audit", "q_ldiversity_audit", "q_mask_pii",
-    "q_referential_audit", "q_contamination_check", "q_data_expectations",
-    # dedup family beyond the r1-r6 samples
-    "q_dedup_ngram_jaccard", "q_dedup_containment_lsh", "q_dedup_clusters",
-    "q_dedup_keep_best", "q_incremental_dedup",
-    # embedding ops
-    "q_embed_neardup", "q_embed_quantize", "q_embed_centroid",
-    # text / LLM-pipeline ops
-    "q_lang_id", "q_text_quality", "q_doc_fingerprint",
-    "q_decontaminate_ngrams", "q_mlm_masking", "q_pack_sequences",
-    "q_tokenizer_fertility",
-    # deterministic sketches + round-7 capstones (swapped for the
-    # equally-never-sampled q_kmv_distinct / q_countmin_heavy /
-    # q_heavy_hitters, which stay hash-checked in the full sweep)
-    "q_bloom_semijoin", "q_stream_hll_distinct",
-    "q_lpa_communities", "q_perplexity_buckets",
-    # sources / layout
-    "q_jdbc_roundtrip", "q_partition_prune",
-    # round-7 PQ flagships (never sampled — brand new)
-    "q_pq_encode", "q_pq_adc_topk",
+    # anchor + round-8 capstones (brand new)
+    "q_star_flagship",
+    "q_dp_quantile", "q_stream_hist_quantile", "q_media_mp4_header",
+    # stats / drift / experimentation (zero driver coverage before r8)
+    "q_ks_test", "q_ks_by_segment", "q_psi_drift", "q_js_divergence",
+    "q_kendall_tau", "q_ttest_welch", "q_abtest_zscore", "q_chi2_cells",
+    "q_cramers_v", "q_mutual_information",
+    # BI ratios / concentration (zero driver coverage before r8)
+    "q_gini", "q_pareto", "q_mix_shift", "q_hhi", "q_lorenz_deciles",
+    "q_weighted_median", "q_benford",
+    # formats / physical layout
+    "q_xml_roundtrip", "q_fixedwidth_roundtrip", "q_managed_table",
+    "q_json_roundtrip", "q_orc_roundtrip", "q_union_schema_evolution",
+    "q_bucketed_join", "q_skew_join_salted",
+    # round-7 capstones the driver has never seen
+    "q_ivfpq_topk", "q_ivfpq_recall", "q_pq_recall",
+    "q_embed_truncation_recall", "q_approx_percentile_hist",
+    "q_kneser_ney_bigram", "q_dp_noisy_max",
+    # TPC-H never-sampled tail
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q11",
+    # ranking / retrieval eval
+    "q_auc_exact", "q_ndcg_at_10", "q_bm25", "q_rrf_fusion",
+    # graph never-sampled
+    "q_bfs_levels", "q_shortest_path_weighted",
+    # change-tracking / interval ops
+    "q_latest_per_key", "q_scd2_asof", "q_interval_merge",
 )
+assert len(_SHOWCASE) == 50, len(_SHOWCASE)
 
 
 def registry() -> dict[str, QueryFn]:
@@ -1843,6 +1837,93 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw
     )
     return stats.select("day", pround(est, 4).alias("dau_approx"))
+
+
+@q("q_stream_hist_quantile")
+def q_stream_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T+ sketch capstone #2 (round-7 verdict task 6): daily value
+    quantiles maintained by a STREAM as a fixed-width histogram state
+    table — the streaming face of q_approx_percentile_hist, mirroring
+    the q_stream_hll_distinct discipline exactly.  The events feed is
+    split into 3 files and streamed one file per micro-batch
+    (availableNow); the stream's state is the per-(day, bucket) COUNT
+    table (bucket = cents div 50 — bounded: days × value-range/0.50
+    rows, never per-event state), and because counts are COMMUTATIVE
+    ADDS over batch boundaries the converged maintained state equals
+    the batch histogram EXACTLY, so the read-time quantiles hash-check
+    against the batch oracle — certifying the multi-batch merge
+    semantics, not just that the stream ran.  Serving split as in
+    q_stream_hll_distinct: the stream maintains bins, the integer
+    ceil-rank percentile read (identical arithmetic to
+    q_approx_percentile_hist) runs at read time on ≤1k bins per day.
+    At 100 TB/day this is THE streaming-quantile shape (order-free and
+    mergeable, unlike GK/KLL whose state is merge-order-dependent):
+    state is bins/day regardless of event volume.
+
+    Note: the ``repartition(3).write`` below is CERTIFICATION
+    SCAFFOLDING — it copies the fixture once so availableNow can replay
+    it as 3 real micro-batches.  A production deployment points
+    ``readStream`` at the live source directly; the copy is not part of
+    the operator's cost."""
+    import os
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = _fixture_dir("q_stream_histq", fresh_name=True)
+    src = os.path.join(tmp, "src")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hist = (
+        stream.select(
+            F.to_date("ts").alias("day"),
+            F.expr(
+                "CAST(floor(value * 100 + 0.5) AS BIGINT) div 50"
+            ).alias("bucket"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    qname = "tbl_" + os.path.basename(tmp)
+    q_ = (
+        hist.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    w_cum = (
+        Window.partitionBy("day")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("day")
+    cum = spark.table(qname).select(
+        "day",
+        "bucket",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+
+    def pct(p_num: int, p_den: int, name: str) -> F.Column:
+        need = F.expr(f"(n * {p_num} + {p_den} - 1) div {p_den}")
+        return F.min(
+            F.when(F.col("cum") >= need, F.col("bucket") * 50)
+        ).cast("bigint").alias(name)
+
+    return cum.groupBy("day").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        pct(50, 100, "p50_cents"),
+        pct(95, 100, "p95_cents"),
+    )
 
 
 @q("q_synthetic_events")
@@ -10939,6 +11020,98 @@ def q_dp_noisy_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_dp_quantile")
+def q_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP QUANTILE release (round-7 verdict task 5) — completes the DP
+    dashboard (counts/sums/argmax → quantiles): per-event-type noisy
+    p50/p95/p99 of value, built by composing the order-free histogram
+    sketch (q_approx_percentile_hist: bucket = cents div 50, counts are
+    commutative adds) with the two-sided geometric mechanism
+    (functions/privacy.py, ε=0.5, salt 'dp-quantile-v1', the
+    hex-threshold inverse CDF — no floats at query time).  ε-COMPOSITION:
+    each row lands in exactly ONE (event_type, bucket) bin, so noising
+    every bin independently releases the WHOLE histogram for a single ε
+    by parallel composition [Dwork & Roth 2014 Thm 3.16-style disjoint
+    partition], plus the documented truncation δ (~2e-4 at kmax=16);
+    all three quantiles — and any future re-read of the same noisy
+    histogram — are post-processing, free of further budget.
+    Post-processing chain: clamp each noisy bin to ≥0 (making the
+    cumulative sum MONOTONE by construction), then percentile p reads
+    the first bucket whose noisy running count reaches ceil(p·ñ), as
+    the bucket's inclusive lower bound in cents.  CAVEATS (both
+    documented at functions/privacy.py): the public salt makes this the
+    cross-engine CALIBRATION view, not a private release; and noising
+    only OBSERVED bins leaks the support — a production release
+    iterates the full bucket domain (fixed value range / bin width) so
+    empty bins also get noise.  Scale shape: one shuffle to the
+    (type, bucket) grain, noise as a 33-literal CASE in codegen, the
+    cumulative scan on ≤1k buckets per group — state bounded by the
+    value range, independent of row count."""
+    from functools import reduce
+
+    from .functions.privacy import twosided_geometric_hex_thresholds
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) div 50"
+        ).alias("bucket"),
+    )
+    hist = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    u = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit("dp-quantile-v1"),
+                F.col("event_type"),
+                F.col("bucket").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    thr = twosided_geometric_hex_thresholds(eps=0.5, kmax=16)
+    noise = reduce(
+        lambda c_, kt: c_.when(u <= F.lit(kt[1]), F.lit(kt[0])),
+        thr[1:],
+        F.when(u <= F.lit(thr[0][1]), F.lit(thr[0][0])),
+    ).otherwise(F.lit(thr[-1][0])).cast("int")
+    noisy = hist.select(
+        "event_type",
+        "bucket",
+        F.greatest(
+            F.col("c") + noise.cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("nc"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = noisy.select(
+        "event_type",
+        "bucket",
+        F.sum("nc").over(w_cum).alias("cum"),
+        F.sum("nc").over(w_tot).alias("n"),
+    )
+
+    def pct(p_num: int, p_den: int, name: str) -> F.Column:
+        need = F.expr(f"(n * {p_num} + {p_den} - 1) div {p_den}")
+        return F.min(
+            F.when(F.col("cum") >= need, F.col("bucket") * 50)
+        ).cast("bigint").alias(name)
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_released"),
+        pct(50, 100, "p50_cents_dp"),
+        pct(95, 100, "p95_cents_dp"),
+        pct(99, 100, "p99_cents_dp"),
+    )
+
+
 @q("q_media_wav_decode")
 def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 DECODE, audio twin of q_media_bmp_decode (round-6 verdict
@@ -11037,6 +11210,83 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("rms"),
+    )
+
+
+@q("q_media_mp4_header")
+def q_media_mp4_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 VIDEO-container twin of q_media_header_roundtrip (round-7
+    verdict task 4): the engine writes a canonical fixed-layout
+    MP4/ISO-BMFF fixture — 20-byte ftyp (major brand, minor version,
+    one compatible brand) then moov whose first child is a version-0
+    mvhd — as codegen hex (layout + parameter derivations
+    single-sourced in functions/mediahex.py), writes the ``binary``
+    column to parquet, reads it back, and parses it with the UNTOUCHED
+    production parser ``mp4_header_meta_canonical``
+    (sources/multimodal.py) — fixed-offset nibble arithmetic over the
+    HEADER BYTES (fourcc gates, declared box sizes, version byte),
+    never echoing construction parameters.  This promotes the MP4 walk
+    from pytest-only to hash-checked: the canonical layout is what the
+    fixture writer emits, while non-canonical streams (reordered boxes,
+    mvhd v1, fragmented) keep the bounded-Arrow ``mp4_box_meta`` walk
+    (pytest-pinned — mapInPandas is not oracle-runnable).  The DuckDB
+    oracle rebuilds the identical hex and re-derives every field with
+    the same nibble arithmetic.  At 100 TB the shape is the metadata
+    scan: one codegen map to build, a parquet roundtrip, one codegen
+    map to parse — no shuffle, no Python worker, no codec."""
+    from .functions.mediahex import (
+        FTYP_HEX,
+        MOOV_HEX,
+        MP4_BRAND_HEX,
+        MP4_TIMESCALES,
+        MVHD_HEX,
+        MVHD_TAIL_HEX,
+        be32_col,
+    )
+    from .sources.multimodal import mp4_header_meta_canonical
+
+    d = F.col("doc_id")
+    brand = F.element_at(
+        F.array(*[F.lit(h) for h in MP4_BRAND_HEX]), (d % 4).cast("int") + 1
+    )
+    tsc = F.element_at(
+        F.array(*[F.lit(t) for t in MP4_TIMESCALES]), (d % 5).cast("int") + 1
+    )
+    minor = (d * 3) % 512
+    created = F.lit(3000000000) + (d * 17) % 100000
+    dur = F.lit(1) + (d * 131) % 1000000
+    blob_hex = F.concat(
+        F.lit("00000014" + FTYP_HEX),
+        brand,
+        be32_col(minor),
+        brand,
+        F.lit("00000074" + MOOV_HEX),
+        F.lit("0000006c" + MVHD_HEX + "00000000"),
+        be32_col(created),
+        be32_col(created),
+        be32_col(tsc),
+        be32_col(dur),
+        F.lit(MVHD_TAIL_HEX + "00000002"),
+    )
+    blobs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(blob_hex).alias("content")
+    )
+    path = _fixture_dir("mp4_header") + "/media"
+    blobs.write.parquet(path)
+    media = spark.read.parquet(path)
+    parsed = mp4_header_meta_canonical(media)
+    return parsed.select(
+        "doc_id",
+        F.length("content").cast("int").alias("byte_len"),
+        F.lower(F.hex("content")).alias("blob_hex"),
+        "container",
+        "major_brand",
+        "minor_version",
+        "creation_time",
+        "timescale",
+        "duration",
+        "duration_ms",
+        "next_track_id",
     )
 
 
@@ -11255,7 +11505,16 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell ADC tables — reproduces the top-10 bit-for-bit.  At 100 TB:
     codes+cell ≈ 5 B/vector in RAM, scan touches nprobe/ncells of the
     corpus (partition pruning when stored cell-partitioned, the
-    write_ivf_index layout), zero vector arithmetic per candidate."""
+    write_ivf_index layout), zero vector arithmetic per candidate.
+    TRAINING cost is measured, not asserted (scripts/scale_probe.py pq;
+    SCALING.md round-8 table): 50k vectors → 24.3 s, 500k → 61.0 s on
+    local[32] — linear in N per Lloyd's round (k fixed, unlike
+    SemDeDup's k~√N), so full-corpus training holds to ~10M vectors
+    single-node; beyond that, sample-then-train (FAISS's bounded
+    30-256 points/centroid) keeps training constant-cost, and the
+    deterministic integer trainer preserves bit-identical replay on a
+    fixed-seed sample.  Within one process the fitted index is
+    memoized per sf_dir (_ivfpq_index), shared with q_ivfpq_recall."""
     from functools import reduce
     from operator import add
 

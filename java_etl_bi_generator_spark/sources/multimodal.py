@@ -535,6 +535,64 @@ def audio_meta_arrow(media: DataFrame, batch_size: int = 256) -> DataFrame:
     )
 
 
+def _be32l(col: str, pos: int) -> F.Column:
+    """Big-endian uint32 at 1-based byte offset ``pos``, as BIGINT —
+    for fields that exceed int32 (e.g. ISO-BMFF creation times, which
+    count seconds since 1904 and passed 2^31 in 1972)."""
+    return F.conv(F.hex(F.expr(f"substring({col}, {pos}, 4)")), 16, 10).cast(
+        "bigint"
+    )
+
+
+def mp4_header_meta_canonical(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """REAL MP4/ISO-BMFF metadata for CANONICAL files, parsed with
+    codegen expressions only (same posture as ``image_header_dims`` /
+    ``audio_header_meta``): the canonical layout — 20-byte ftyp with
+    exactly one compatible brand, then moov whose first child is a
+    version-0 mvhd (functions/mediahex.py documents every offset) —
+    pins every field to a FIXED offset, so major brand @9, minor
+    version @13, creation @41, timescale @49, duration @53 and
+    next_track_id @133 parse as fixed-offset ``substring``/``conv``
+    nibble arithmetic inside whole-stage codegen; duration_ms is the
+    integer ``duration·1000 div timescale``.  Non-canonical streams
+    (boxes reordered, mvhd v1, fragmented) fall to NULL fields here and
+    go through the bounded-Arrow box walk ``mp4_box_meta`` instead —
+    this function is the scan-path fast lane, that one the general
+    decoder.  Gates verify the layout from the BYTES (fourcc positions,
+    declared box sizes, version byte), never trusting the writer."""
+    c = content_col
+    is_mp4 = F.expr(f"substring({c}, 5, 4)") == F.lit(b"ftyp")
+    canonical = (
+        is_mp4
+        & (_be32(c, 1) == 20)
+        & (F.expr(f"substring({c}, 25, 4)") == F.lit(b"moov"))
+        & (_be32(c, 29) == 108)
+        & (F.expr(f"substring({c}, 33, 4)") == F.lit(b"mvhd"))
+        & (F.expr(f"substring({c}, 37, 4)") == F.lit(b"\x00\x00\x00\x00"))
+    )
+    parsed = media.withColumns(
+        {
+            "container": F.when(is_mp4, F.lit("mp4")).otherwise(
+                F.lit("unknown")
+            ),
+            "major_brand": F.when(
+                canonical, F.expr(f"CAST(substring({c}, 9, 4) AS STRING)")
+            ),
+            "minor_version": F.when(canonical, _be32(c, 13)),
+            "creation_time": F.when(canonical, _be32l(c, 41)),
+            "timescale": F.when(canonical, _be32l(c, 49)),
+            "duration": F.when(canonical, _be32l(c, 53)),
+            "next_track_id": F.when(canonical, _be32(c, 133)),
+        }
+    )
+    return parsed.withColumn(
+        "duration_ms",
+        F.expr("CAST(duration * 1000 div timescale AS BIGINT)"),
+    )
+
+
 def mp4_box_meta(b: bytes) -> tuple[str | None, int | None]:
     """(major brand, duration in ms) from an ISO-BMFF/MP4 byte stream —
     a REAL top-level box walk (size.be32 + fourcc), no codec: ``ftyp``
@@ -755,9 +813,16 @@ def wav_pcm_stats(
             "__ds": F.when(canonical, _le32(c, 41)),
         }
     ).withColumn(
+        # guard the frame-count division: channels=0 or bits<8 would be
+        # an ANSI-mode divide-by-zero CRASH on a degenerate-but-valid
+        # header (round-7 ADVICE adjacent) — such blobs get NULL frames
+        # and fall into the null-stats path below.
         "n_frames",
         F.expr(
-            "CAST(__ds div (channels * (bits_per_sample div 8)) AS BIGINT)"
+            "CASE WHEN coalesce(channels, 0) > 0"
+            "      AND coalesce(bits_per_sample, 0) >= 8"
+            " THEN CAST(__ds div (channels * (bits_per_sample div 8))"
+            "      AS BIGINT) END"
         ),
     )
     # Gate decodability on POSITIVE extents, not just the sample format:

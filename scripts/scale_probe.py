@@ -121,7 +121,7 @@ def main() -> None:
     mode = "events"
     args = sys.argv[1:]
     if args and args[0] in ("events", "documents", "embeddings", "star",
-                            "graph", "semdedup"):
+                            "graph", "semdedup", "pq"):
         mode, args = args[0], args[1:]
     spark = get_spark(app_name="scale_probe")
     qs = registry()
@@ -218,6 +218,55 @@ def main() -> None:
                 f"| {n:,} | {k} | {t_train:.1f} | {t_census:.1f} | "
                 f"{len(sizes)} | {avg:.1f} | {mx} | {mx / max(1.0, avg):.1f} | "
                 f"{sz2:,} | {dropped} | {t_train + t_census:.1f} |",
+                flush=True,
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+    elif mode == "pq":
+        # PQ / IVF-PQ TRAINING-cost curve (round-7 verdict task 7): the
+        # per-query encode/search path is linear maps + table lookups,
+        # but training runs Lloyd's over ALL N vectors — this measures
+        # where full-corpus training stops being sensible and
+        # sample-then-train becomes mandatory (FAISS trains on 30-256
+        # points per centroid, i.e. a bounded SAMPLE, for exactly this
+        # reason; the SemDeDup N^1.5 lesson: measure before claiming).
+        # Defaults M=4, k=16, iters=2 (the query constants), coarse k=8.
+        from java_etl_bi_generator_spark.queries import (
+            _PQ_ITERS,
+            _PQ_K,
+            _PQ_M,
+            _ivfpq_index,
+        )
+        from java_etl_bi_generator_spark.operators.kmeans import (
+            pq_fit_int,
+        )
+        from java_etl_bi_generator_spark.sources.synthetic import (
+            SyntheticEmbeddingsDataSource,
+        )
+
+        spark.dataSource.register(SyntheticEmbeddingsDataSource)
+        volumes = [int(float(a)) for a in args] or [50_000, 500_000]
+        print("| vectors | pq_train_s | ivfpq_train_s (coarse+residual) |")
+        print("|" + "---|" * 3)
+        for n in volumes:
+            tmp = tempfile.mkdtemp(prefix=f"scale_probe_pq_{n}_")
+            (
+                spark.read.format("synthetic_embeddings")
+                .option("rows", n)
+                .option("partitions", 32)
+                .load()
+                .write.parquet(os.path.join(tmp, "embeddings.parquet"))
+            )
+            em = spark.read.parquet(
+                os.path.join(tmp, "embeddings.parquet")
+            )
+            t0 = time.time()
+            pq_fit_int(em, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+            t_pq = time.time() - t0
+            t1 = time.time()
+            _ivfpq_index(em, cache_key=None)  # uncached: measure train
+            t_ivfpq = time.time() - t1
+            print(
+                f"| {n:,} | {t_pq:.1f} | {t_ivfpq:.1f} |",
                 flush=True,
             )
             shutil.rmtree(tmp, ignore_errors=True)

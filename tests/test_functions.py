@@ -366,3 +366,44 @@ def test_dp_noisy_counts_mechanism(spark, sf_dir):
     for r in rows:
         assert -16 <= r["noise"] <= 16
         assert r["released_count"] == max(r["true_count"] + r["noise"], 0)
+
+
+def test_dp_quantile_release_invariants(spark, sf_dir):
+    """q_dp_quantile release invariants: the draw is a pure function of
+    the release key (rerun identical), released quantiles are bucket
+    lower bounds (multiples of 50 cents) and monotone p50 <= p95 <= p99,
+    and the noisy total stays within kmax=16 noise per observed bin of
+    the true total."""
+    import pyspark.sql.functions as F
+
+    from java_etl_bi_generator_spark.catalog import load_table
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_dp_quantile"](spark, sf_dir).collect()
+    again = registry()["q_dp_quantile"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    ev = load_table(spark, sf_dir, "events")
+    true_n = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bins = {
+        r["event_type"]: r["b"]
+        for r in ev.select(
+            "event_type",
+            F.expr(
+                "CAST(floor(value * 100 + 0.5) AS BIGINT) div 50"
+            ).alias("bucket"),
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("bucket").alias("b"))
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(true_n)
+    for r in rows:
+        assert r["p50_cents_dp"] % 50 == 0
+        assert r["p50_cents_dp"] <= r["p95_cents_dp"] <= r["p99_cents_dp"]
+        slack = 16 * bins[r["event_type"]]
+        assert abs(r["n_released"] - true_n[r["event_type"]]) <= slack

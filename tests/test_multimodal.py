@@ -539,3 +539,128 @@ def test_wav_pcm_stats_golden_bytes(spark):
     pcm8 = rows[(3, None)]
     assert (pcm8["container"], pcm8["bits_per_sample"]) == ("wav", 8)
     assert pcm8["sum_s"] is None  # 8-bit payload: stats stay null
+
+
+def test_wav_pcm_stats_degenerate_blobs(spark):
+    """Round-7 ADVICE: canonical WAVs with degenerate extents —
+    channels=0 or an empty data chunk (n_frames=0) — must fall into the
+    null-stats path like other non-decodable layouts, not produce
+    garbage rows from sequence(0,-1) (or an ANSI divide-by-zero crash
+    for channels=0)."""
+    import struct
+
+    from java_etl_bi_generator_spark.sources.multimodal import wav_pcm_stats
+
+    def wav(channels: int, bits: int, data: bytes) -> bytes:
+        byte_rate = 8000 * channels * bits // 8
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, 8000,
+                          byte_rate, channels * bits // 8, bits)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+
+    df = spark.createDataFrame(
+        [
+            (1, wav(0, 16, b"")),               # zero channels
+            (2, wav(1, 16, b"")),               # empty data chunk
+            (3, wav(2, 16, struct.pack("<hh", 7, -7))),  # healthy control
+        ],
+        "media_id int, content binary",
+    )
+    rows = {
+        (r["media_id"], r["channel"]): r
+        for r in wav_pcm_stats(df).collect()
+    }
+    zero_ch = rows[(1, None)]
+    assert zero_ch["container"] == "wav" and zero_ch["channels"] == 0
+    assert zero_ch["n_frames"] is None  # guarded division, no crash
+    assert zero_ch["sum_s"] is None and zero_ch["peak_abs"] is None
+    empty = rows[(2, None)]
+    assert empty["n_frames"] == 0
+    assert empty["sum_s"] is None and empty["sumsq_s"] is None
+    ok = rows[(3, 0)]
+    assert ok["sum_s"] == 7 and ok["peak_abs"] == 7
+    assert rows[(3, 1)]["sum_s"] == -7
+
+
+def _canonical_mp4(
+    brand: bytes = b"isom",
+    minor: int = 7,
+    created: int = 3_000_000_123,
+    tsc: int = 600,
+    dur: int = 1234,
+    next_id: int = 2,
+    version: int = 0,
+) -> bytes:
+    import struct
+
+    matrix = struct.pack(
+        ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    ftyp = struct.pack(">I", 20) + b"ftyp" + brand \
+        + struct.pack(">I", minor) + brand
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd"
+        + bytes([version, 0, 0, 0])
+        + struct.pack(">IIII", created, created, tsc, dur)
+        + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24
+        + struct.pack(">I", next_id)
+    )
+    return ftyp + struct.pack(">I", 116) + b"moov" + mvhd
+
+
+def test_mp4_header_meta_canonical_golden_bytes(spark):
+    """Round-7 verdict task 4: the fixed-offset canonical MP4 parse on
+    hand-built blobs with KNOWN fields — including a creation time past
+    2^31 (i64 parse), an mvhd v1 (nulls: 64-bit fields break the fixed
+    offsets), a reordered layout (free box first: nulls), and a
+    non-MP4 blob (container unknown)."""
+    import struct
+
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        mp4_header_meta_canonical,
+    )
+
+    good = _canonical_mp4()
+    v1 = _canonical_mp4(version=1)
+    reordered = struct.pack(">I", 8) + b"free" + good
+    df = spark.createDataFrame(
+        [(1, good), (2, v1), (3, reordered), (4, b"plain text")],
+        "media_id int, content binary",
+    )
+    rows = {r["media_id"]: r for r in mp4_header_meta_canonical(df).collect()}
+    g = rows[1]
+    assert g["container"] == "mp4" and g["major_brand"] == "isom"
+    assert g["minor_version"] == 7
+    assert g["creation_time"] == 3_000_000_123  # > 2^31: bigint parse
+    assert (g["timescale"], g["duration"]) == (600, 1234)
+    assert g["duration_ms"] == 1234 * 1000 // 600
+    assert g["next_track_id"] == 2
+    assert rows[2]["container"] == "mp4"  # still ISO-BMFF...
+    assert rows[2]["timescale"] is None   # ...but v1 exits the fast lane
+    assert rows[3]["container"] == "unknown"  # ftyp not first: Arrow walk
+    assert rows[3]["duration"] is None
+    assert rows[4]["container"] == "unknown"
+
+
+def test_mp4_header_meta_stays_in_codegen(spark):
+    """The canonical MP4 parse must be pure codegen — no Python worker,
+    no BatchEvalPython / ArrowEvalPython in the plan (the scan-path
+    guarantee the docstring claims)."""
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        mp4_header_meta_canonical,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _canonical_mp4())], "media_id int, content binary"
+    )
+    plan = mp4_header_meta_canonical(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

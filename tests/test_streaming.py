@@ -275,3 +275,65 @@ def test_stream_hll_merges_across_real_microbatches(spark, tmp_path):
         for r in regs(ev).collect()
     )
     assert got == want
+
+
+def test_stream_hist_counts_merge_across_microbatches(spark, tmp_path):
+    """q_stream_hist_quantile's claim pinned structurally: the 3-file
+    source produces >= 2 non-empty micro-batches, and the stream's
+    converged (day, bucket) count state equals the batch histogram
+    EXACTLY (counts are commutative adds over batch boundaries) — the
+    mergeable-sketch property, not just a single-batch replay."""
+    import pyspark.sql.functions as F
+
+    from java_etl_bi_generator_spark.catalog import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = f"{tmp_path}/src"
+    ev.repartition(3).write.parquet(src)
+
+    def hist(df):
+        return (
+            df.select(
+                F.to_date("ts").alias("day"),
+                F.expr(
+                    "CAST(floor(value * 100 + 0.5) AS BIGINT) div 50"
+                ).alias("bucket"),
+            )
+            .groupBy("day", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        hist(stream)
+        .writeStream.format("memory")
+        .queryName("t_hist_microbatches")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_batches >= 2  # really multi-batch, not one gulp
+    streamed = {
+        (r["day"], r["bucket"]): r["c"]
+        for r in spark.table("t_hist_microbatches").collect()
+    }
+    batch = {
+        (r["day"], r["bucket"]): r["c"]
+        for r in hist(ev).collect()
+    }
+    assert streamed == batch
