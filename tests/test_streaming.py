@@ -337,3 +337,59 @@ def test_stream_hist_counts_merge_across_microbatches(spark, tmp_path):
         for r in hist(ev).collect()
     }
     assert streamed == batch
+
+
+def test_stream_cms_counters_merge_across_microbatches(spark, tmp_path):
+    """q_stream_cms_heavy's claim pinned structurally: the converged
+    streaming (j, slot) counter state equals the batch count-min
+    counters EXACTLY (increments are commutative adds over batch
+    boundaries)."""
+    import pyspark.sql.functions as F
+
+    from java_etl_bi_generator_spark.catalog import load_table
+    from java_etl_bi_generator_spark.queries import _h32
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = f"{tmp_path}/src"
+    ev.repartition(3).write.parquet(src)
+    js = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("j")
+    slot = (_h32(F.concat_ws(":", "j", "user_id")) % 256).alias("slot")
+
+    def counters(df):
+        return (
+            df.select("user_id", js)
+            .select("j", slot)
+            .groupBy("j", "slot")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        counters(stream)
+        .writeStream.format("memory")
+        .queryName("t_cms_microbatches")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(1 for p in q.recentProgress if p["numInputRows"] > 0) >= 2
+    streamed = {
+        (r["j"], r["slot"]): r["c"]
+        for r in spark.table("t_cms_microbatches").collect()
+    }
+    batch = {
+        (r["j"], r["slot"]): r["c"] for r in counters(ev).collect()
+    }
+    assert streamed == batch
