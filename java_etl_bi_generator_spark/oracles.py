@@ -5606,6 +5606,186 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+# Temporal split + leakage audit (mirrors queries.q_temporal_split):
+# integer 70/85% span boundaries, strict epoch-second comparison,
+# train-user overlap per split.
+ORACLES.update({
+    "q_temporal_split": """
+        WITH ev AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+          FROM events),
+        b AS (SELECT min(s) AS mn, max(s) AS mx FROM ev),
+        bb AS (SELECT mn + ((mx - mn) * 7) // 10 AS b1,
+                      mn + ((mx - mn) * 17) // 20 AS b2 FROM b),
+        tagged AS (
+          SELECT user_id,
+                 CASE WHEN s < b1 THEN 'train'
+                      WHEN s < b2 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM ev, bb),
+        ps AS (
+          SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM tagged GROUP BY 1),
+        su AS (SELECT DISTINCT split, user_id FROM tagged),
+        tu AS (SELECT user_id FROM su WHERE split = 'train'),
+        ov AS (
+          SELECT split, CAST(count(*) AS BIGINT) AS ovl
+          FROM su JOIN tu USING (user_id) GROUP BY 1)
+        SELECT ps.split, ps.n_events, ps.n_users,
+               CAST(coalesce(ov.ovl, 0) AS BIGINT)
+                 AS n_users_seen_in_train
+        FROM ps LEFT JOIN ov ON ov.split = ps.split
+    """,
+    "q_gdpr_erasure": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS rows_before,
+               CAST(count(*) - sum(CASE WHEN user_id % 97 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_after,
+               CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rows_erased,
+               CAST(count(DISTINCT CASE WHEN user_id % 97 = 0
+                    THEN user_id END) AS BIGINT) AS users_erased
+        FROM events GROUP BY 1
+    """,
+})
+
+# Pretraining mixing weights (mirrors queries.q_domain_mixing_weights):
+# exact token mass per source, up-to-uniform cap, pinned divisions.
+ORACLES.update({
+    "q_domain_mixing_weights": f"""
+        WITH ps AS (
+          SELECT source, CAST(sum({_N_TOKENS}) AS BIGINT) AS tokens,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                     CAST(count(*) AS BIGINT) AS n_sources FROM ps),
+        j AS (
+          SELECT ps.source, ps.n_docs, ps.tokens,
+                 CAST(t.total_tokens AS DOUBLE)
+                   / CAST(t.n_sources AS DOUBLE) AS target,
+                 CAST(ps.tokens AS DOUBLE)
+                   / CAST(t.total_tokens AS DOUBLE) AS share
+          FROM ps, t),
+        k AS (
+          SELECT *, CASE WHEN CAST(tokens AS DOUBLE) > target
+                         THEN target / CAST(tokens AS DOUBLE)
+                         ELSE 1.0 END AS w
+          FROM j)
+        SELECT source, n_docs, tokens,
+               {pround_sql('share', 6)} AS natural_share,
+               {pround_sql('w', 6)} AS mix_weight,
+               CAST(floor(CAST(tokens AS DOUBLE) * w) AS BIGINT)
+                 AS tokens_after_cap
+        FROM k
+    """,
+})
+
+
+# Hashing trick (mirrors queries.q_hashing_trick): portable md5-slice
+# slot + sign hashes, 64-slot signed-mass profile.
+ORACLES.update({
+    "q_hashing_trick": f"""
+        WITH ev AS (
+          SELECT CAST({_hex_bigint(
+              "md5('ht-v1' || '|' || event_type)", 1, 8)} % 64 AS INT)
+                   AS slot,
+                 event_type,
+                 (1 - 2 * ({_hex_bigint(
+                     "md5('ht-sign-v1' || '|' || event_type)", 1, 8)} % 2))
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT) AS sc
+          FROM events)
+        SELECT slot,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_features,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(sc) AS BIGINT) AS sum_signed_cents
+        FROM ev GROUP BY slot
+    """,
+})
+
+
+# CUPED variance reduction (mirrors queries.q_cuped): exact integer
+# power sums at the user grain in HUGEINT (Spark side: decimal(38,0)
+# — same exact integers), then the identical fixed-order double
+# divisions, pround-pinned at the end.
+ORACLES.update({
+    "q_cuped": f"""
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS HUGEINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS HUGEINT) AS y
+          FROM events GROUP BY 1),
+        s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx,
+                 sum(y * y) AS syy
+          FROM pu),
+        sc AS (
+          SELECT CAST(n AS BIGINT) AS n_users,
+                 CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+                 CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+                 CAST(n AS DOUBLE) AS nd
+          FROM s),
+        sc2 AS (
+          SELECT n_users,
+                 CASE WHEN vx > 0 THEN cxy / vx END AS theta,
+                 CASE WHEN vx > 0 AND vy > 0
+                      THEN (cxy * cxy) / (vx * vy)
+                      ELSE 0.0 END AS rho2,
+                 vy / (nd * nd) AS var_y
+          FROM sc)
+        SELECT n_users,
+               {pround_sql('theta', 6)} AS theta,
+               {pround_sql('rho2', 6)} AS var_reduction,
+               {pround_sql('var_y', 6)} AS var_y_cents2,
+               {pround_sql('var_y * (1.0 - rho2)', 6)}
+                 AS var_y_cuped_cents2
+        FROM sc2
+    """,
+})
+
+
+# HITS hubs & authorities (mirrors queries.q_hits): 2 unrolled
+# unnormalized integer iterations over the canonically oriented
+# (p1 < p2) co-purchase edges.
+ORACLES_HITS = {
+    "q_hits": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 10 = 0),
+        e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+        a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a
+               FROM e GROUP BY 1),
+        h1 AS (SELECT e.src, CAST(sum(a1.a) AS BIGINT) AS h
+               FROM e JOIN a1 USING (dst) GROUP BY 1),
+        a2 AS (SELECT e.dst, CAST(sum(h1.h) AS BIGINT) AS a2
+               FROM e JOIN h1 USING (src) GROUP BY 1),
+        h2 AS (SELECT e.src, CAST(sum(a2.a2) AS BIGINT) AS h2
+               FROM e JOIN a2 USING (dst) GROUP BY 1),
+        nodes AS (SELECT src AS node FROM e
+                  UNION SELECT dst AS node FROM e),
+        scored AS (
+          SELECT n.node,
+                 CAST(coalesce(a2.a2, 0) AS BIGINT) AS authority,
+                 CAST(coalesce(h2.h2, 0) AS BIGINT) AS hub
+          FROM nodes n
+          LEFT JOIN a2 ON a2.dst = n.node
+          LEFT JOIN h2 ON h2.src = n.node)
+        SELECT node, authority, hub FROM scored
+        ORDER BY authority DESC, hub DESC, node LIMIT 20
+    """,
+}
+ORACLES.update(ORACLES_HITS)
+
+
 def _lsh_bucket_sql(col: str, num_planes: int = 8, dim: int = 64) -> str:
     """The hyperplane-LSH bucket id of ``col`` as a SQL expression that
     is BIT-IDENTICAL to operators/similarity.py::hyperplane_signature:

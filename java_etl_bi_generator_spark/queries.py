@@ -2495,6 +2495,56 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_domain_mixing_weights")
+def q_domain_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining DATA-MIXING weights — the knob between curation and
+    tokenization in every LLM data pipeline (The Pile / LLaMA-style
+    fixed-ratio mixing): per source, the token mass, its natural share,
+    and the up-to-uniform CAP weight w = min(1, target/actual) with
+    target = total_tokens/n_sources — an over-represented source is
+    downsampled to the uniform share, an under-represented one keeps
+    weight 1 (capping, not upsampling: repeating data has its own
+    cost).  tokens_after_cap = floor(actual·w) shows the post-mixing
+    budget per source.  Every number derives from exact integer token
+    counts (the shared whitespace tokenization, _N_TOKENS oracle twin);
+    shares and weights are pinned fixed-order divisions.  Scale shape:
+    one token-count map + one shuffle to the SOURCE grain (a handful of
+    rows), then arithmetic on that tiny frame — corpus-size-invariant
+    output."""
+    from .functions.text import token_count
+
+    docs = T(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    j = per_src.join(F.broadcast(tot))
+    target = F.col("total_tokens").cast("double") / F.col(
+        "n_sources"
+    ).cast("double")
+    share = F.col("tokens").cast("double") / F.col(
+        "total_tokens"
+    ).cast("double")
+    w = F.when(
+        F.col("tokens").cast("double") > target,
+        target / F.col("tokens").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens",
+        pround(share, 6).alias("natural_share"),
+        pround(w, 6).alias("mix_weight"),
+        F.floor(F.col("tokens").cast("double") * w)
+        .cast("bigint")
+        .alias("tokens_after_cap"),
+    ).orderBy("source")
+
+
 @q("q_corpus_filter")
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: end-to-end quality filter — the keep-set a pretraining pipeline
@@ -3440,6 +3490,65 @@ def q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__toks").cast("bigint").alias("n_tokens"),
         n_masked.cast("bigint").alias("n_masked"),
         F.md5(F.array_join(masked, " ")).alias("masked_md5"),
+    )
+
+
+@q("q_temporal_split")
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based train/val/test split with a LEAKAGE AUDIT — the
+    companion to q_split_assign's hash split that forecasting /
+    churn / recommendation training must use instead (a hash split on
+    time-series data lets the model see the future): boundaries at 70%
+    and 85% of the observed time span (derived from min/max epoch
+    seconds — one 1-row aggregate, broadcast as a scalar; integer
+    arithmetic throughout), events assigned by strict epoch-second
+    comparison.  The audit column is what ML-ops dashboards actually
+    page on: per split, how many of its users ALSO appear in train —
+    for val/test that's the user-overlap that makes user-level metrics
+    optimistic (temporal splits prevent FUTURE leakage, not
+    entity-memorization leakage; surfacing the overlap is the honest
+    statement of what remains).  Scale shape: one min/max scan, one
+    (split, user) distinct shuffle, one broadcast semi-join against
+    train's user set — event-volume-invariant output of 3 rows."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("s")
+    )
+    bounds = ev.agg(
+        F.min("s").alias("mn"), F.max("s").alias("mx")
+    ).select(
+        F.expr("mn + ((mx - mn) * 7) div 10").alias("b1"),
+        F.expr("mn + ((mx - mn) * 17) div 20").alias("b2"),
+    )
+    tagged = ev.join(F.broadcast(bounds)).withColumn(
+        "split",
+        F.when(F.col("s") < F.col("b1"), "train")
+        .when(F.col("s") < F.col("b2"), "val")
+        .otherwise("test"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    su = tagged.select("split", "user_id").distinct()
+    train_users = su.filter(F.col("split") == "train").select("user_id")
+    overlap = (
+        su.join(F.broadcast(train_users), "user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users_seen_in_train")
+        )
+    )
+    return (
+        per_split.join(overlap, "split", "left")
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            F.coalesce("n_users_seen_in_train", F.lit(0))
+            .cast("bigint")
+            .alias("n_users_seen_in_train"),
+        )
+        .orderBy("split")
     )
 
 
@@ -4392,6 +4501,47 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_gdpr_erasure")
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten ERASURE with an audit trail (governance
+    family, the destructive op next to q_mask_pii's reversible
+    pseudonymization): the erasure request set (deterministic fixture
+    stand-in: user_id % 97 == 0 — production reads a requests table)
+    anti-joins the fact table, and the output is the per-event-type
+    audit every DPO report needs: rows before, rows after, rows erased,
+    and how many distinct requested users actually had data there
+    (requests for absent users must still be honored silently — the
+    audit distinguishes them).  Scale shape: the request set broadcasts
+    (erasure sets are small by nature); one anti-join + one aggregate —
+    and on parquet data lakes the same plan drives the
+    rewrite-affected-files compaction, so the audit IS the erasure
+    plan's dry run.  All counts exact."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type")
+    erase = F.col("user_id") % 97 == 0
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+            F.sum(F.when(erase, 1).otherwise(0))
+            .cast("bigint")
+            .alias("rows_erased"),
+            F.countDistinct(F.when(erase, F.col("user_id")))
+            .cast("bigint")
+            .alias("users_erased"),
+        )
+        .select(
+            "event_type",
+            "rows_before",
+            (F.col("rows_before") - F.col("rows_erased")).alias(
+                "rows_after"
+            ),
+            "rows_erased",
+            "users_erased",
+        )
+        .orderBy("event_type")
+    )
+
+
 @q("q_mask_pii")
 def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-governance masking: digit redaction (suppression), a stable
@@ -5311,6 +5461,47 @@ def q_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (tot_active / tot_n.cast("double")),
             6,
         ).alias("lift"),
+    )
+
+
+@q("q_hashing_trick")
+def q_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering at 100 TB cardinality: the HASHING TRICK
+    [Weinberger et al. 2009] next to q_onehot — where one-hot needs the
+    category vocabulary (unbounded for user agents / URLs / SKUs, and a
+    pipeline-breaking retrain when it grows), feature hashing maps every
+    categorical to slot = h(key) mod 64 with a ±1 sign from an
+    independent hash bit, so the model input dimensionality is FIXED at
+    64 regardless of cardinality and needs no vocabulary pass, no
+    broadcast dictionary, no retrain on new categories — the signed sum
+    makes collision noise zero-mean.  Hashes ride the portable _h32
+    md5 slice (no engine-specific hash functions).  Output: the
+    corpus-level slot profile — per slot the distinct categories that
+    landed there (COLLISIONS as visible data, the trick's cost),
+    row count, and the signed cents mass.  Scale shape: pure codegen
+    map + one 64-group aggregate — invariant to category cardinality,
+    which is the entire point."""
+    ev = T(spark, sf_dir, "events")
+    key = F.concat_ws("|", F.lit("ht-v1"), F.col("event_type"))
+    skey = F.concat_ws("|", F.lit("ht-sign-v1"), F.col("event_type"))
+    slot = (_h32(key) % 64).cast("int")
+    sign = (F.lit(1) - F.lit(2) * (_h32(skey) % 2)).cast("bigint")
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    return (
+        ev.select(
+            slot.alias("slot"),
+            "event_type",
+            (sign * cents).alias("sc"),
+        )
+        .groupBy("slot")
+        .agg(
+            F.countDistinct("event_type").cast("bigint").alias(
+                "n_features"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("sc").cast("bigint").alias("sum_signed_cents"),
+        )
+        .orderBy("slot")
     )
 
 
@@ -6619,6 +6810,79 @@ def q_abtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("mean_a"), 6).alias("mean_a"),
         pround(F.col("mean_b"), 6).alias("mean_b"),
         pround(z, 6).alias("z_stat"),
+    )
+
+
+@q("q_cuped")
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction [Deng, Xu, Kohavi & Walker 2013] — the
+    experimentation-platform workhorse next to q_abtest_zscore: per
+    user, Y = purchase cents and the pre-exposure covariate X = view
+    cents; θ = cov(X,Y)/var(X), and the adjusted metric
+    Y' = Y − θ(X − X̄) has population variance var(Y)·(1 − ρ²) — so the
+    whole readout collapses to CLOSED FORM over exact integer power
+    sums (n, ΣX, ΣY, ΣXY, ΣX², ΣY² at the user grain, summed in
+    decimal(38,0) so n·ΣXY-scale products can't overflow), never
+    materializing per-user adjusted rows.  Output: n_users, θ, the
+    variance-reduction fraction ρ², and var(Y) before/after in cents²
+    — every division a fixed-order IEEE op on exact integers (pround
+    pinned), θ NULL when var(X)=0 (degenerate fixture).  Scale shape:
+    one shuffle to the user grain, one 1-row aggregate — the
+    A/B-readout shape, invariant to event volume."""
+    ev = T(spark, sf_dir, "events")
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", cents).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    sums = per_user.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+    )
+    scored = sums.select(
+        "*",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("cxy"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("vx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("vy"),
+        F.col("n").cast("double").alias("nd"),
+    )
+    theta = F.when(F.col("vx") > 0, F.col("cxy") / F.col("vx"))
+    rho2 = F.when(
+        (F.col("vx") > 0) & (F.col("vy") > 0),
+        (F.col("cxy") * F.col("cxy")) / (F.col("vx") * F.col("vy")),
+    ).otherwise(F.lit(0.0))
+    var_y = F.col("vy") / (F.col("nd") * F.col("nd"))
+    return scored.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        pround(theta, 6).alias("theta"),
+        pround(rho2, 6).alias("var_reduction"),
+        pround(var_y, 6).alias("var_y_cents2"),
+        pround(var_y * (F.lit(1.0) - rho2), 6).alias(
+            "var_y_cuped_cents2"
+        ),
     )
 
 
@@ -9403,6 +9667,54 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(sym, iterations=5, symmetric=True).select(
         "node", F.col("rank").alias("rank_scaled")
     )
+
+
+@q("q_hits")
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities [Kleinberg 1999] — the link-analysis
+    companion to PageRank, completing the pair: 2 full unnormalized
+    iterations (a←Aᵀh, h←Aa twice) over the canonically ORIENTED
+    co-purchase graph (src < dst — HITS needs direction; the canonical
+    orientation is deterministic and documented as the fixture's
+    convention), in EXACT int64 (h₀=1, so a₁=in-degree, and each
+    half-step is one sum — no normalization, which only rescales the
+    ranking and would force float division; magnitudes after 2 rounds
+    are bounded by N·d_max³, safe in int64 at any realistic degree —
+    at extreme scale periodic integer rescaling slots in per round).
+    Top-20 by (authority, hub, node).  One edge-grain shuffle per
+    half-step, degree-bounded — the q_pagerank scale shape; the edge
+    frame is lineage-cut because FOUR half-steps consume it (the
+    re-expansion lesson)."""
+    e = cut_lineage(_copurchase_edges(spark, sf_dir))
+    a1 = e.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    h1 = e.join(a1, "dst").groupBy("src").agg(
+        F.sum("a").cast("bigint").alias("h")
+    )
+    a2 = e.join(h1, "src").groupBy("dst").agg(
+        F.sum("h").cast("bigint").alias("a2")
+    )
+    h2 = e.join(a2, "dst").groupBy("src").agg(
+        F.sum("a2").cast("bigint").alias("h2")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out = (
+        nodes.join(a2.withColumnRenamed("dst", "node"), "node", "left")
+        .join(h2.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("a2", F.lit(0)).cast("bigint").alias("authority"),
+            F.coalesce("h2", F.lit(0)).cast("bigint").alias("hub"),
+        )
+    )
+    return out.orderBy(
+        F.col("authority").desc(), F.col("hub").desc(), "node"
+    ).limit(20)
 
 
 @q("q_triangle_count")
