@@ -5606,6 +5606,35 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+# UDTF sentence segmentation (mirrors queries.q_udtf_sentences): split
+# on '.', trim, drop empties, index among kept segments — unnest twin
+# of the Python table function's deterministic logic.
+ORACLES.update({
+    "q_udtf_sentences": r"""
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 50 = 0 AND trim(text) != ''),
+        segs AS (
+          SELECT doc_id, trim(s) AS seg, ord
+          FROM (SELECT doc_id,
+                       unnest(string_split(text, '.')) AS s,
+                       generate_subscripts(string_split(text, '.'), 1)
+                         AS ord
+                FROM d)),
+        kept AS (
+          SELECT doc_id, seg,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+                   AS seg_idx
+          FROM segs WHERE seg != '')
+        SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+               CAST(length(seg) AS INT) AS seg_chars,
+               CAST(len(string_split_regex(seg, '\s+')) AS INT)
+                 AS seg_tokens
+        FROM kept
+    """,
+})
+
+
 # Temporal split + leakage audit (mirrors queries.q_temporal_split):
 # integer 70/85% span boundaries, strict epoch-second comparison,
 # train-user overlap per split.

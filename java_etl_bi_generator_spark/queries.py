@@ -2469,6 +2469,51 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_udtf_sentences")
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 UDTF shape — the third escape hatch next to the Arrow UDF
+    (q_arrow_doc_stats) and the applyInPandas UDAF (q_pandas_udaf): a
+    Python user-defined TABLE function (Spark 4 ``@udtf``) that takes a
+    document row and EMITS one row per '.'-terminated segment with
+    per-segment stats — the one-to-many shape (parse trees, log-line
+    extraction, sentence splitting) that scalar UDFs can't express and
+    that lateral ``explode`` can only express when the split is a
+    single builtin.  Logic inside is deterministic string arithmetic,
+    so the output hash-checks against DuckDB's unnest-over-split twin —
+    keeping even the UDTF surface oracle-certified.  Posture: UDTFs
+    evaluate row-at-a-time in a Python worker — an ESCAPE HATCH for
+    genuinely imperative segmentation, never the hot path (the
+    docstring contract every UDF-family query here carries); the demo
+    runs on the bounded doc_id % 50 == 0 subset for exactly that
+    reason, and the segmentation itself (split on '.', trim, drop
+    empties) is builtin-expressible — what the UDTF buys is the
+    per-segment PYTHON computation slot."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id bigint, seg_idx int, seg_chars int, seg_tokens int"
+    ))
+    class SentenceStats:
+        def eval(self, row):  # TABLE argument: one Row per input row
+            doc_id, text = row["doc_id"], row["text"]
+            if text is None:
+                return
+            idx = 0
+            for raw in text.split("."):
+                seg = raw.strip()
+                if not seg:
+                    continue
+                yield doc_id, idx, len(seg), len(seg.split())
+                idx += 1
+
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 50 == 0) & (F.trim(F.col("text")) != "")
+    )
+    return SentenceStats(docs.select("doc_id", "text").asTable()).orderBy(
+        "doc_id", "seg_idx"
+    )
+
+
 @q("q_text_quality")
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: heuristic quality score (fixed-order IEEE expression, pinned)."""

@@ -72,3 +72,22 @@ def test_apply_in_pandas_group_logic(spark):
         .collect()
     }
     assert got == want
+
+
+def test_udtf_sentences_one_to_many_and_determinism(spark, sf_dir):
+    """The UDTF escape hatch (q_udtf_sentences): emits >= 1 row per
+    non-empty doc in the bounded subset, indexes segments densely from
+    0, and two runs are identical (deterministic table function)."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    df = registry()["q_udtf_sentences"](spark, sf_dir)
+    rows = df.collect()
+    again = registry()["q_udtf_sentences"](spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    assert rows, "bounded subset must be non-empty"
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["seg_idx"])
+        assert r["seg_chars"] >= 1 and r["seg_tokens"] >= 1
+    for doc_id, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(len(idxs))), doc_id
