@@ -68,6 +68,9 @@ HEADLINE = [
     "q_bpe_train_rounds",    # distributed BPE trainer, 3 merge rounds (round 5)
     "q_curation_funnel",     # per-source dedup/quality/decontamination funnel (round 5)
     "q_media_wav_decode",    # 16-bit PCM codegen audio decode (round 7)
+    "q_dp_quantile",         # DP histogram quantile release (round 8)
+    "q_media_mp4_header",    # canonical MP4 codegen header parse (round 8)
+    "q_hits",                # HITS hubs/authorities, 2 int64 rounds (round 8)
     # NOT q_pq_*: the declared PQ queries retrain their sub-quantizers
     # inline (train-once cost in production), which would dominate a
     # per-query headline — their scale behavior is covered by

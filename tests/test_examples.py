@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("graph_analytics.py", ["/root/testdata/sf0.001"]),
         ("drift_monitoring.py", ["/root/testdata/sf0.001"]),
         ("privacy_audit.py", ["/root/testdata/sf0.001"]),
+        ("dp_release.py", ["/root/testdata/sf0.001"]),
         ("timeseries_report.py", ["/root/testdata/sf0.001"]),
         ("retrieval_eval.py", ["/root/testdata/sf0.001"]),
         ("stats_diagnostics.py", ["/root/testdata/sf0.001"]),
