@@ -5635,6 +5635,143 @@ ORACLES.update({
 })
 
 
+# Difference-in-differences (mirrors queries.q_did): md5 arm bucket,
+# 70% span boundary, exact-cents cell means, pinned divisions.
+ORACLES.update({
+    "q_did": f"""
+        WITH ev AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase'),
+        b AS (SELECT min(s) + ((max(s) - min(s)) * 7) // 10 AS b1
+              FROM ev),
+        cells AS (
+          SELECT CASE WHEN {_hex_bigint(
+              "md5(CAST(user_id AS VARCHAR))", 1, 4)} % 2 = 0
+                 THEN 'A' ELSE 'B' END AS arm,
+                 CASE WHEN s < b1 THEN 'pre' ELSE 'post' END AS period,
+                 CAST(sum(c) AS BIGINT) AS sc,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM ev, b GROUP BY 1, 2),
+        m AS (SELECT arm, period,
+                     CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+              FROM cells),
+        wide AS (
+          SELECT
+            max(CASE WHEN arm = 'A' AND period = 'pre'
+                THEN mean END) AS mean_a_pre,
+            max(CASE WHEN arm = 'A' AND period = 'post'
+                THEN mean END) AS mean_a_post,
+            max(CASE WHEN arm = 'B' AND period = 'pre'
+                THEN mean END) AS mean_b_pre,
+            max(CASE WHEN arm = 'B' AND period = 'post'
+                THEN mean END) AS mean_b_post
+          FROM m)
+        SELECT {pround_sql('mean_a_pre', 6)} AS mean_a_pre,
+               {pround_sql('mean_a_post', 6)} AS mean_a_post,
+               {pround_sql('mean_b_pre', 6)} AS mean_b_pre,
+               {pround_sql('mean_b_post', 6)} AS mean_b_post,
+               {pround_sql(
+                   '(mean_b_post - mean_b_pre)'
+                   ' - (mean_a_post - mean_a_pre)', 6)} AS did_cents
+        FROM wide
+    """,
+})
+
+
+def _skew_stats_sql(table: str, col: str, label: str) -> str:
+    """One skew-report row (mirrors queries.q_skew_report's stats())."""
+    return f"""
+        SELECT '{label}' AS join_key,
+               CAST(max(n_keys) AS BIGINT) AS n_keys,
+               CAST(max(n_rows) AS BIGINT) AS n_rows,
+               CAST(max(max_freq) AS BIGINT) AS max_freq,
+               CAST(max(avg_freq) AS BIGINT) AS avg_freq,
+               CAST(sum(CASE WHEN f > 10 * avg_freq THEN 1 ELSE 0 END)
+                    AS BIGINT) AS keys_over_10x_avg,
+               {pround_sql(
+                   'CAST(max(max_freq) AS DOUBLE)'
+                   ' / CAST(max(avg_freq) AS DOUBLE)', 6)}
+                 AS max_over_avg
+        FROM (
+          SELECT f, n_keys, n_rows, max_freq, n_rows // n_keys AS avg_freq
+          FROM (SELECT CAST(count(*) AS BIGINT) AS f
+                FROM {table} GROUP BY {col}) fr,
+               (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(f) AS BIGINT) AS n_rows,
+                       CAST(max(f) AS BIGINT) AS max_freq
+                FROM (SELECT CAST(count(*) AS BIGINT) AS f
+                      FROM {table} GROUP BY {col})) t)
+    """
+
+
+ORACLES.update({
+    "q_skew_report": (
+        _skew_stats_sql("orders", "o_custkey", "orders.o_custkey")
+        + " UNION ALL "
+        + _skew_stats_sql("lineitem", "l_partkey", "lineitem.l_partkey")
+    ),
+})
+
+
+def _shapley_attribution_oracle() -> str:
+    """Twin of q_shapley_attribution: identical coalition bitmask,
+    identical v(S) subset census, identical 1/24-unit integer Shapley
+    terms (the literal term table is generated by the same Python
+    loop)."""
+    from itertools import combinations
+    from math import factorial
+
+    CH = ["click", "error", "signup", "view"]
+    k = len(CH)
+    rows = []
+    for i, c in enumerate(CH):
+        for r in range(k):
+            for S in combinations([j for j in range(k) if j != i], r):
+                s_mask = sum(1 << j for j in S)
+                w = factorial(r) * factorial(k - r - 1)
+                rows.append(
+                    f"('{c}', {s_mask}, {s_mask | (1 << i)}, {w})"
+                )
+    values = ",\n               ".join(rows)
+    bits = " + ".join(
+        f"max(CASE WHEN event_type = '{c}' THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(CH)
+    )
+    return f"""
+        WITH u AS (
+          SELECT user_id, {bits} AS mask,
+                 max(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY 1),
+        census AS (
+          SELECT mask, CAST(count(*) AS BIGINT) AS n
+          FROM u WHERE conv = 1 GROUP BY 1),
+        subsets AS (SELECT CAST(unnest(range(16)) AS INT) AS s),
+        v AS (
+          SELECT s, CAST(coalesce(sum(n), 0) AS BIGINT) AS v
+          FROM subsets LEFT JOIN census
+            ON (CAST(census.mask AS INT) & s) = CAST(census.mask AS INT)
+          GROUP BY s),
+        terms(channel, s, s_with, w) AS (
+          VALUES {values}),
+        phi AS (
+          SELECT t.channel,
+                 CAST(sum(t.w * (vw.v - vs.v)) AS BIGINT) AS phi_x24
+          FROM terms t
+          JOIN v vs ON vs.s = t.s
+          JOIN v vw ON vw.s = t.s_with
+          GROUP BY 1)
+        SELECT channel, phi_x24,
+               {pround_sql('CAST(phi_x24 AS DOUBLE) / 24.0', 6)}
+                 AS shapley_conversions
+        FROM phi
+    """
+
+
+ORACLES.update({"q_shapley_attribution": _shapley_attribution_oracle()})
+
+
 # Temporal split + leakage audit (mirrors queries.q_temporal_split):
 # integer 70/85% span boundaries, strict epoch-second comparison,
 # train-user overlap per split.

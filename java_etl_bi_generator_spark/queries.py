@@ -4000,6 +4000,95 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_shapley_attribution")
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution [Shapley 1953; the
+    data-driven attribution model GA4 ships] — the game-theoretic
+    answer to q_attribution_last_touch / _positional's heuristics: the
+    players are the 4 non-purchase channels, a user's coalition is the
+    SET of channels they touched, the characteristic function
+    v(S) = converted users whose coalition ⊆ S, and channel i's credit
+    is φ(i) = Σ_{S∌i} |S|!·(k−|S|−1)!/k! · [v(S∪{i}) − v(S)].  With
+    k=4 every Shapley weight is a rational with denominator 4! = 24, so
+    the whole computation is EXACT INTEGER arithmetic in 1/24 units
+    (φ_x24), the fraction emitted as a pinned division only at the end
+    — and efficiency (Σφ = v(full)) is assertable in integers.  Scale
+    shape: one shuffle to the user grain (coalition bitmask + converted
+    flag), one 16-row coalition census, then the 2^k×k Shapley sum as
+    driver-free LITERAL arithmetic on the ≤16-row frame via a tiny
+    cross join — user volume only ever touches the first aggregate;
+    the exponential term is in k (channels, fixed small), never N."""
+    from itertools import combinations
+    from math import factorial
+
+    CH = ["click", "error", "signup", "view"]  # bit i = CH[i]
+    k = len(CH)
+    ev = T(spark, sf_dir, "events")
+    mask = None
+    for i, c in enumerate(CH):
+        b = F.max(
+            F.when(F.col("event_type") == c, F.lit(1 << i)).otherwise(0)
+        )
+        mask = b if mask is None else (mask + b)
+    users = ev.groupBy("user_id").agg(
+        mask.alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    census = cut_lineage(
+        users.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # v(S) = Σ_{mask ⊆ S} n(mask): 16 subsets as literal rows, one
+    # bounded join — v computed by the subset-bitmask condition.
+    subsets = spark.range(1 << k).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            census,
+            F.expr("CAST(mask AS INT) & s") == F.col("mask").cast("int"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    # Shapley in 1/24 units: for each channel i and each S not
+    # containing i, weight_x24 = |S|!(k-|S|-1)!  (k!=24 divided out).
+    rows = []
+    for i, c in enumerate(CH):
+        for r in range(k):
+            for S in combinations([j for j in range(k) if j != i], r):
+                s_mask = sum(1 << j for j in S)
+                w = factorial(r) * factorial(k - r - 1)
+                rows.append((c, s_mask, s_mask | (1 << i), w))
+    terms = spark.createDataFrame(
+        rows, "channel string, s int, s_with int, w_x24 bigint"
+    )
+    vb = F.broadcast(v)
+    phi = (
+        terms.join(vb.withColumnRenamed("s", "js"), F.col("s") == F.col("js"))
+        .withColumnRenamed("v", "v_s")
+        .drop("js")
+        .join(vb.withColumnRenamed("s", "jw"), F.col("s_with") == F.col("jw"))
+        .withColumnRenamed("v", "v_sw")
+        .drop("jw")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w_x24") * (F.col("v_sw") - F.col("v_s")))
+            .cast("bigint")
+            .alias("phi_x24")
+        )
+    )
+    return phi.select(
+        "channel",
+        "phi_x24",
+        pround(F.col("phi_x24").cast("double") / 24.0, 6).alias(
+            "shapley_conversions"
+        ),
+    ).orderBy("channel")
+
+
 @q("q_attribution_positional")
 def q_attribution_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch U-shaped (40/20/40) attribution with EXACT credits:
@@ -6928,6 +7017,139 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(var_y * (F.lit(1.0) - rho2), 6).alias(
             "var_y_cuped_cents2"
         ),
+    )
+
+
+@q("q_did")
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout next
+    to q_abtest_zscore (randomized) and q_cuped (variance-reduced):
+    arms by the stable md5 user bucket, pre/post periods by the 70%
+    span boundary (the q_temporal_split discipline — integer epoch
+    arithmetic from one min/max scan), metric = mean purchase cents per
+    (arm, period) cell from exact integer sums, and
+    DiD = (B_post − B_pre) − (A_post − A_pre) — the estimate that
+    differences away both the arm-level baseline gap and the shared
+    time trend.  Every mean is one pinned division of exact integers;
+    the 2×2 cell pivot is a 4-row frame.  Scale shape: one filtered
+    scan + one 4-group aggregate — event-volume-invariant output of
+    one row."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("long")).alias("mn"),
+        F.max(F.col("ts").cast("long")).alias("mx"),
+    ).select(F.expr("mn + ((mx - mn) * 7) div 10").alias("b1"))
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    cells = (
+        ev.join(F.broadcast(bounds))
+        .groupBy(
+            arm.alias("arm"),
+            F.when(F.col("ts").cast("long") < F.col("b1"), "pre")
+            .otherwise("post")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(cents).cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .withColumn(
+            "mean", F.col("s").cast("double") / F.col("n").cast("double")
+        )
+    )
+
+    def cell(a: str, p: str, name: str):
+        return F.max(
+            F.when(
+                (F.col("arm") == a) & (F.col("period") == p),
+                F.col("mean"),
+            )
+        ).alias(name)
+
+    wide = cells.agg(
+        cell("A", "pre", "mean_a_pre"),
+        cell("A", "post", "mean_a_post"),
+        cell("B", "pre", "mean_b_pre"),
+        cell("B", "post", "mean_b_post"),
+    )
+    did = (F.col("mean_b_post") - F.col("mean_b_pre")) - (
+        F.col("mean_a_post") - F.col("mean_a_pre")
+    )
+    return wide.select(
+        pround(F.col("mean_a_pre"), 6).alias("mean_a_pre"),
+        pround(F.col("mean_a_post"), 6).alias("mean_a_post"),
+        pround(F.col("mean_b_pre"), 6).alias("mean_b_pre"),
+        pround(F.col("mean_b_post"), 6).alias("mean_b_post"),
+        pround(did, 6).alias("did_cents"),
+    )
+
+
+@q("q_skew_report")
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW pre-flight — the report a pipeline runs BEFORE a
+    big shuffle decides between plain hash join, salting, and AQE skew
+    handling (operators/skew.py implements the cures; this measures
+    the disease): per candidate key, distinct keys, row count, the
+    heaviest key's frequency and share, the floor-div average
+    frequency, and how many keys exceed 10× average (the salting
+    candidates).  A max/avg ratio near 1 means hash partitioning
+    balances; a 100× ratio at 100 TB means one reducer gets 100× the
+    data and the stage runs at straggler speed — this number IS the
+    decision input.  Scale shape: one groupBy per key to the key grain
+    then a broadcast-scalar second pass over the (small) frequency
+    table; exact integers throughout."""
+
+    def stats(df: DataFrame, col: str, label: str) -> DataFrame:
+        freq = cut_lineage(
+            df.groupBy(F.col(col)).agg(
+                F.count(F.lit(1)).cast("bigint").alias("f")
+            )
+        )
+        tot = freq.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("f").cast("bigint").alias("n_rows"),
+            F.max("f").cast("bigint").alias("max_freq"),
+        ).select("*", F.expr("n_rows div n_keys").alias("avg_freq"))
+        return (
+            freq.join(F.broadcast(tot))
+            .agg(
+                F.lit(label).alias("join_key"),
+                F.max("n_keys").alias("n_keys"),
+                F.max("n_rows").alias("n_rows"),
+                F.max("max_freq").alias("max_freq"),
+                F.max("avg_freq").alias("avg_freq"),
+                F.sum(
+                    F.when(F.col("f") > 10 * F.col("avg_freq"), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("keys_over_10x_avg"),
+            )
+            .select(
+                "*",
+                pround(
+                    F.col("max_freq").cast("double")
+                    / F.col("avg_freq").cast("double"),
+                    6,
+                ).alias("max_over_avg"),
+            )
+        )
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    return stats(orders, "o_custkey", "orders.o_custkey").unionByName(
+        stats(li, "l_partkey", "lineitem.l_partkey")
     )
 
 
