@@ -5635,6 +5635,127 @@ ORACLES.update({
 })
 
 
+# Churn label generation (mirrors queries.q_churn_labels): 80% span
+# pivot, pre-period-only features, label from post-period presence.
+ORACLES.update({
+    "q_churn_labels": f"""
+        WITH ev AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                 CAST(ts AS DATE) AS d,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events),
+        b AS (SELECT min(s) + ((max(s) - min(s)) * 8) // 10 AS b
+              FROM ev),
+        pu AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN s < b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pre_events,
+                 CAST(count(DISTINCT CASE WHEN s < b THEN d END)
+                   AS BIGINT) AS pre_days,
+                 CAST(sum(CASE WHEN s < b THEN c ELSE 0 END) AS BIGINT)
+                   AS pre_cents,
+                 CAST(sum(CASE WHEN s >= b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS post_events
+          FROM ev, b GROUP BY 1),
+        g AS (
+          SELECT CASE WHEN 4 * post_events < pre_events
+                 THEN 'churning' ELSE 'stable' END AS label,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(pre_events) AS BIGINT) AS se,
+                 CAST(sum(pre_days) AS BIGINT) AS sd,
+                 CAST(sum(pre_cents) AS BIGINT) AS sc
+          FROM pu WHERE pre_events > 0 GROUP BY 1)
+        SELECT label, n_users,
+               {pround_sql(
+                   'CAST(se AS DOUBLE) / CAST(n_users AS DOUBLE)', 6)}
+                 AS avg_pre_events,
+               {pround_sql(
+                   'CAST(sd AS DOUBLE) / CAST(n_users AS DOUBLE)', 6)}
+                 AS avg_pre_days,
+               {pround_sql(
+                   'CAST(sc AS DOUBLE) / CAST(n_users AS DOUBLE)', 6)}
+                 AS avg_pre_cents
+        FROM g
+    """,
+})
+
+# OOV rate vs the corpus top-1000 vocabulary (mirrors
+# queries.q_oov_rate): same whitespace tokens, same (freq DESC, token)
+# vocabulary cut, one pinned division per source.
+ORACLES.update({
+    "q_oov_rate": rf"""
+        WITH tk AS (
+          SELECT source,
+                 unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) != ''),
+        vocab AS (
+          SELECT token FROM (
+            SELECT token, count(*) AS freq FROM tk GROUP BY 1)
+          ORDER BY freq DESC, token LIMIT 1000),
+        j AS (
+          SELECT tk.source,
+                 CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+          FROM tk LEFT JOIN vocab v ON v.token = tk.token)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               {pround_sql(
+                   'CAST(sum(oov) AS DOUBLE)'
+                   ' / CAST(count(*) AS DOUBLE)', 6)} AS oov_rate
+        FROM j GROUP BY 1
+    """,
+})
+
+
+# Cohen's kappa (mirrors queries.q_cohens_kappa): same confusion cells
+# as q_langid_confusion, chance-corrected agreement via the exact
+# cross-multiplied integer form, one pinned division.
+def _cohens_kappa_oracle() -> str:
+    return f"""
+        WITH cm AS (
+          SELECT lang AS t,
+                 CASE WHEN en_hits >= pt_hits AND en_hits >= es_hits
+                      THEN 'en'
+                      WHEN pt_hits >= es_hits THEN 'pt'
+                      ELSE 'es' END AS p,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (
+            SELECT lang,
+                   {_hits(_STOP_EN)} AS en_hits,
+                   {_hits(_STOP_PT)} AS pt_hits,
+                   {_hits(_STOP_ES)} AS es_hits
+            FROM documents) z
+          GROUP BY 1, 2),
+        m AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN t = p THEN c ELSE 0 END) AS BIGINT)
+                   AS agree
+          FROM cm),
+        rr AS (SELECT t AS cls, CAST(sum(c) AS BIGINT) AS r
+               FROM cm GROUP BY 1),
+        pp AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS pc
+               FROM cm GROUP BY 1),
+        rp AS (
+          SELECT CAST(sum(coalesce(r, 0) * coalesce(pc, 0)) AS BIGINT)
+            AS sum_rp
+          FROM rr FULL JOIN pp USING (cls))
+        SELECT m.n, m.agree,
+               {pround_sql(
+                   'CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)', 6)}
+                 AS p_observed,
+               {pround_sql(
+                   'CAST(sum_rp AS DOUBLE)'
+                   ' / CAST(n * n AS DOUBLE)', 6)} AS p_expected,
+               {pround_sql(
+                   'CAST(n * agree - sum_rp AS DOUBLE)'
+                   ' / CAST(n * n - sum_rp AS DOUBLE)', 6)} AS kappa
+        FROM m, rp
+    """
+
+
+ORACLES.update({"q_cohens_kappa": _cohens_kappa_oracle()})
+
+
 # Difference-in-differences (mirrors queries.q_did): md5 arm bucket,
 # 70% span boundary, exact-cents cell means, pinned divisions.
 ORACLES.update({

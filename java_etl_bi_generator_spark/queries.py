@@ -6839,6 +6839,204 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_churn_labels")
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN-RISK label generation — the supervised-dataset builder
+    upstream of every churn model: pivot at 80% of the event-time span
+    (integer epoch arithmetic, the q_temporal_split discipline), a user
+    is LABELABLE if they have ≥1 pre-pivot event, and labeled CHURNING
+    if their post-pivot event RATE fell below the pre-pivot rate —
+    exactly, post/0.2 < pre/0.8 ⟺ 4·post_events < pre_events, an
+    integer cross-multiplication, no division.  (The absolute-absence
+    definition — zero post-pivot events — is the production variant for
+    sparse-activity products, but this fixture's users average ~65
+    events each, so absence never occurs and would yield a degenerate
+    single-class output; the rate-decline label is the standard
+    alternative for high-frequency products and both classes
+    materialize at every SF.)  Features (event count, active days,
+    spend cents) come strictly from the PRE period so the label never
+    leaks into them — the mistake this op exists to prevent.  Output
+    per label: cohort size and pinned feature means — the
+    class-balance + feature-shift readout a training run sanity-checks
+    before fitting.  Scale shape: one min/max scan, one shuffle to the
+    user grain with conditional aggregates, then a 2-row summary."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        F.to_date("ts").alias("d"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    bounds = ev.agg(
+        F.min("s").alias("mn"), F.max("s").alias("mx")
+    ).select(F.expr("mn + ((mx - mn) * 8) div 10").alias("b"))
+    per_user = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("s") < F.col("b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pre_events"),
+            F.countDistinct(
+                F.when(F.col("s") < F.col("b"), F.col("d"))
+            )
+            .cast("bigint")
+            .alias("pre_days"),
+            F.sum(
+                F.when(F.col("s") < F.col("b"), F.col("c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pre_cents"),
+            F.sum(F.when(F.col("s") >= F.col("b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("post_events"),
+        )
+        .filter(F.col("pre_events") > 0)
+    )
+    lab = F.when(
+        F.lit(4) * F.col("post_events") < F.col("pre_events"), "churning"
+    ).otherwise("stable")
+    g = per_user.groupBy(lab.alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("pre_events").cast("bigint").alias("sum_events"),
+        F.sum("pre_days").cast("bigint").alias("sum_days"),
+        F.sum("pre_cents").cast("bigint").alias("sum_cents"),
+    )
+    nd = F.col("n_users").cast("double")
+    return g.select(
+        "label",
+        "n_users",
+        pround(F.col("sum_events").cast("double") / nd, 6).alias(
+            "avg_pre_events"
+        ),
+        pround(F.col("sum_days").cast("double") / nd, 6).alias(
+            "avg_pre_days"
+        ),
+        pround(F.col("sum_cents").cast("double") / nd, 6).alias(
+            "avg_pre_cents"
+        ),
+    ).orderBy("label")
+
+
+@q("q_oov_rate")
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary OOV diagnostic: fix the vocabulary at the
+    corpus top-1000 tokens by total frequency (deterministic token
+    tie-break) and report each source's out-of-vocabulary token rate —
+    the number that decides whether a tokenizer/vocab transfers to a
+    new data source or needs retraining (a source with 30% OOV will
+    fragment into bytes and inflate sequence lengths).  Exact integer
+    token counts, one pinned division per source.  Scale shape: one
+    token explode (shared, lineage-cut), a frequency shuffle with
+    map-side combine, a top-1000 TakeOrderedAndProject, then a
+    BROADCAST anti-membership join of the token stream against the
+    1000-row vocab — the corpus-side scan never shuffles on token a
+    second time."""
+    tk = cut_lineage(
+        T(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("source", F.explode(tokens("text")).alias("token"))
+    )
+    vocab = (
+        tk.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(1000)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    joined = tk.join(F.broadcast(vocab), "token", "left")
+    g = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        pround(
+            F.col("n_oov").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("oov_rate"),
+    ).orderBy("source")
+
+
+@q("q_cohens_kappa")
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement — Cohen's κ [Cohen 1960] between the
+    stopword language-ID heuristic and the labeled ``lang`` column: the
+    chance-corrected statistic the raw accuracy in q_langid_confusion
+    can't give (a degenerate classifier that always answers the
+    majority class scores high accuracy but κ≈0).  κ = (p_o − p_e) /
+    (1 − p_e) with p_o = observed agreement and p_e = Σ_c
+    P(true=c)·P(pred=c), all from ONE confusion-matrix aggregate —
+    exact integer cell counts, the two probabilities and κ as pinned
+    fixed-order divisions.  Works on the cross-multiplied integer form
+    (n·Σ_agree − Σ_c r_c·p_c over n² − Σ_c r_c·p_c) so both numerator
+    and denominator are exact int64 before the ONE division.  Scale
+    shape: one shuffle to the (true, pred) grain (≤9 cells), arithmetic
+    on that tiny frame."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens("text")
+    )
+    toks = F.col("__toks")
+    en = stopword_count_of(toks, STOPWORDS_EN)
+    pt = stopword_count_of(
+        toks, ("de", "a", "o", "que", "e", "do", "da", "em", "um", "para")
+    )
+    es = stopword_count_of(
+        toks, ("de", "la", "que", "el", "en", "y", "a", "los", "se", "del")
+    )
+    pred = (
+        F.when((en >= pt) & (en >= es), "en")
+        .when(pt >= es, "pt")
+        .otherwise("es")
+    )
+    cm = cut_lineage(
+        docs.groupBy(
+            F.col("lang").alias("t"), pred.alias("p")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    margins = cm.groupBy().agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rp = (
+        cm.groupBy("t")
+        .agg(F.sum("c").cast("bigint").alias("r"))
+        .join(
+            cm.groupBy("p").agg(F.sum("c").cast("bigint").alias("pc")),
+            F.col("t") == F.col("p"),
+            "full",
+        )
+        .select(
+            (F.coalesce("r", F.lit(0)) * F.coalesce("pc", F.lit(0))).alias(
+                "rp"
+            )
+        )
+        .agg(F.sum("rp").cast("bigint").alias("sum_rp"))
+    )
+    j = margins.join(F.broadcast(rp))
+    num = (F.col("n") * F.col("agree") - F.col("sum_rp")).cast("double")
+    den = (F.col("n") * F.col("n") - F.col("sum_rp")).cast("double")
+    return j.select(
+        "n",
+        "agree",
+        pround(
+            F.col("agree").cast("double") / F.col("n").cast("double"), 6
+        ).alias("p_observed"),
+        pround(
+            F.col("sum_rp").cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("p_expected"),
+        pround(num / den, 6).alias("kappa"),
+    )
+
+
 @q("q_ttest_welch")
 def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance two-sample t statistic PER customer
