@@ -5756,6 +5756,60 @@ def _cohens_kappa_oracle() -> str:
 ORACLES.update({"q_cohens_kappa": _cohens_kappa_oracle()})
 
 
+def _class_prf1_oracle() -> str:
+    """Twin of q_class_prf1: same confusion cells, same
+    division-stable F1 = 2tp/(2tp+fp+fn), NULL on empty denominators."""
+    return f"""
+        WITH cm AS (
+          SELECT lang AS t,
+                 CASE WHEN en_hits >= pt_hits AND en_hits >= es_hits
+                      THEN 'en'
+                      WHEN pt_hits >= es_hits THEN 'pt'
+                      ELSE 'es' END AS p,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM (
+            SELECT lang,
+                   {_hits(_STOP_EN)} AS en_hits,
+                   {_hits(_STOP_PT)} AS pt_hits,
+                   {_hits(_STOP_ES)} AS es_hits
+            FROM documents) z
+          GROUP BY 1, 2),
+        classes AS (SELECT t AS cls FROM cm
+                    UNION SELECT p AS cls FROM cm),
+        tp AS (SELECT t AS cls, c AS tp FROM cm WHERE t = p),
+        pt_ AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS pred_n
+                FROM cm GROUP BY 1),
+        tt AS (SELECT t AS cls, CAST(sum(c) AS BIGINT) AS true_n
+               FROM cm GROUP BY 1),
+        j AS (
+          SELECT classes.cls,
+                 CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+                 CAST(coalesce(pt_.pred_n, 0) - coalesce(tp.tp, 0)
+                      AS BIGINT) AS fp,
+                 CAST(coalesce(tt.true_n, 0) - coalesce(tp.tp, 0)
+                      AS BIGINT) AS fn
+          FROM classes
+          LEFT JOIN tp ON tp.cls = classes.cls
+          LEFT JOIN pt_ ON pt_.cls = classes.cls
+          LEFT JOIN tt ON tt.cls = classes.cls)
+        SELECT cls, tp, fp, fn,
+               {pround_sql(
+                   'CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)'
+                   ' / CAST(tp + fp AS DOUBLE) END', 6)} AS precision,
+               {pround_sql(
+                   'CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)'
+                   ' / CAST(tp + fn AS DOUBLE) END', 6)} AS recall,
+               {pround_sql(
+                   'CASE WHEN 2 * tp + fp + fn > 0'
+                   ' THEN 2.0 * CAST(tp AS DOUBLE)'
+                   ' / CAST(2 * tp + fp + fn AS DOUBLE) END', 6)} AS f1
+        FROM j
+    """
+
+
+ORACLES.update({"q_class_prf1": _class_prf1_oracle()})
+
+
 # Difference-in-differences (mirrors queries.q_did): md5 arm bucket,
 # 70% span boundary, exact-cents cell means, pinned divisions.
 ORACLES.update({
@@ -7481,6 +7535,52 @@ def _lpa_sql(rounds: int = 4) -> str:
 
 
 ORACLES.update({"q_lpa_communities": _lpa_sql(4)})
+
+# Newman modularity of the LPA partition (mirrors
+# queries.q_graph_modularity): labels from the nested LPA chain, exact
+# integer Q·4m², one pinned division.
+ORACLES.update({
+    "q_graph_modularity": f"""
+        WITH labels AS (
+          SELECT node, community AS c FROM ({_lpa_sql(4)}) z),
+        li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+               WHERE l_partkey % 10 = 0),
+        e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT src, dst FROM e
+                UNION ALL SELECT dst, src FROM e),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        intra AS (
+          SELECT ls.c, CAST(count(*) AS BIGINT) AS l_c
+          FROM e
+          JOIN labels ls ON ls.node = e.src
+          JOIN labels ld ON ld.node = e.dst
+          WHERE ls.c = ld.c GROUP BY 1),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                FROM sym GROUP BY 1),
+        dmass AS (
+          SELECT l.c, CAST(sum(deg.d) AS BIGINT) AS d_c
+          FROM deg JOIN labels l ON l.node = deg.src GROUP BY 1),
+        per_c AS (
+          SELECT dmass.c, CAST(coalesce(intra.l_c, 0) AS BIGINT) AS l_c,
+                 dmass.d_c
+          FROM dmass LEFT JOIN intra ON intra.c = dmass.c),
+        tot AS (
+          SELECT max(m) AS m,
+                 CAST(count(*) AS BIGINT) AS n_communities,
+                 CAST(sum(l_c) AS BIGINT) AS intra_edges,
+                 CAST(sum(4 * m * l_c - d_c * d_c) AS BIGINT) AS q_x4m2
+          FROM per_c, mm)
+        SELECT CAST(m AS BIGINT) AS m, n_communities, intra_edges,
+               q_x4m2,
+               {pround_sql(
+                   'CAST(q_x4m2 AS DOUBLE) / (4.0 * CAST(m AS DOUBLE)'
+                   ' * CAST(m AS DOUBLE))', 6)} AS modularity
+        FROM tot
+    """,
+})
 
 # Streaming mergeable-HLL daily distinct: the batch daily registers ARE
 # the stream's converged state (max-merge commutes over micro-batches),

@@ -6962,6 +6962,96 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@q("q_class_prf1")
+def q_class_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class PRECISION / RECALL / F1 of the lang-ID heuristic
+    against the labels — the standard multi-class eval card next to the
+    confusion matrix (q_langid_confusion) and the chance-corrected
+    agreement (q_cohens_kappa): per class, tp from the diagonal, fp
+    from its predicted column, fn from its true row, then P = tp/(tp+fp),
+    R = tp/(tp+fn), and F1 in the division-stable form 2tp/(2tp+fp+fn)
+    (never P·R/(P+R), which double-rounds) — every ratio a pinned
+    division of exact integer counts, NULL where a class was never
+    predicted / never true (honest undefined, not 0).  Scale shape: one
+    shuffle to the ≤9-cell confusion grain, then arithmetic on that
+    tiny frame — corpus-size-invariant."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens("text")
+    )
+    toks = F.col("__toks")
+    en = stopword_count_of(toks, STOPWORDS_EN)
+    pt = stopword_count_of(
+        toks, ("de", "a", "o", "que", "e", "do", "da", "em", "um", "para")
+    )
+    es = stopword_count_of(
+        toks, ("de", "la", "que", "el", "en", "y", "a", "los", "se", "del")
+    )
+    pred = (
+        F.when((en >= pt) & (en >= es), "en")
+        .when(pt >= es, "pt")
+        .otherwise("es")
+    )
+    cm = cut_lineage(
+        docs.groupBy(F.col("lang").alias("t"), pred.alias("p")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+    )
+    classes = (
+        cm.select(F.col("t").alias("cls"))
+        .union(cm.select(F.col("p").alias("cls")))
+        .distinct()
+    )
+    tp = cm.filter(F.col("t") == F.col("p")).select(
+        F.col("t").alias("cls"), F.col("c").alias("tp")
+    )
+    pred_tot = cm.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("c").cast("bigint").alias("pred_n")
+    )
+    true_tot = cm.groupBy(F.col("t").alias("cls")).agg(
+        F.sum("c").cast("bigint").alias("true_n")
+    )
+    j = (
+        classes.join(tp, "cls", "left")
+        .join(pred_tot, "cls", "left")
+        .join(true_tot, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("pred_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fp"),
+            (F.coalesce("true_n", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    tpd = F.col("tp").cast("double")
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        tpd / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        tpd / (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    f1 = F.when(
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        (F.lit(2.0) * tpd)
+        / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+            "double"
+        ),
+    )
+    return j.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        pround(prec, 6).alias("precision"),
+        pround(rec, 6).alias("recall"),
+        pround(f1, 6).alias("f1"),
+    ).orderBy("cls")
+
+
 @q("q_cohens_kappa")
 def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-rater agreement — Cohen's κ [Cohen 1960] between the
@@ -10258,6 +10348,83 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_mode(
         _copurchase_sym(spark, sf_dir), rounds=4
     ).select("node", F.col("label").alias("community"))
+
+
+@q("q_graph_modularity")
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community QUALITY — Newman modularity [Newman & Girvan 2004] of
+    the q_lpa_communities partition, closing the detect→evaluate loop
+    the way q_ann_recall does for retrieval: Q = Σ_c [L_c/m −
+    (D_c/2m)²] with L_c = intra-community edges, D_c = community degree
+    mass, m = edge count.  Every term is a rational with denominator
+    4m², so the statistic is computed EXACTLY as the integer
+    Q·4m² = Σ_c (4m·L_c − D_c²) and divided ONCE, pinned, at the end —
+    cross-engine equality of a float graph statistic via the
+    cross-multiplication discipline.  Output one row: m, communities,
+    intra-edge total, the exact scaled integer, and Q.  Scale shape:
+    the LPA rounds dominate (edge-grain shuffles); the evaluation
+    itself is two broadcasts of (label) aggregates and a ≤|C|-row
+    sum."""
+    from .operators.graph import label_propagation_mode
+
+    e = cut_lineage(_copurchase_edges(spark, sf_dir))
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = cut_lineage(
+        label_propagation_mode(sym, rounds=4).select(
+            "node", F.col("label").alias("c")
+        )
+    )
+    lsrc = labels.withColumnRenamed("node", "src").withColumnRenamed(
+        "c", "c_src"
+    )
+    ldst = labels.withColumnRenamed("node", "dst").withColumnRenamed(
+        "c", "c_dst"
+    )
+    intra = (
+        e.join(lsrc, "src")
+        .join(ldst, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("l_c"))
+    )
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    dmass = (
+        deg.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy("c")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    m_row = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    per_c = dmass.join(intra, "c", "left").select(
+        "c",
+        F.coalesce("l_c", F.lit(0)).cast("bigint").alias("l_c"),
+        "d_c",
+    )
+    tot = per_c.join(F.broadcast(m_row)).agg(
+        F.max("m").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("l_c").cast("bigint").alias("intra_edges"),
+        F.sum(
+            F.lit(4) * F.col("m") * F.col("l_c")
+            - F.col("d_c") * F.col("d_c")
+        )
+        .cast("bigint")
+        .alias("q_x4m2"),
+    )
+    return tot.select(
+        "m",
+        "n_communities",
+        "intra_edges",
+        "q_x4m2",
+        pround(
+            F.col("q_x4m2").cast("double")
+            / (F.lit(4.0) * F.col("m").cast("double") * F.col("m").cast("double")),
+            6,
+        ).alias("modularity"),
+    )
 
 
 @q("q_partition_prune")
