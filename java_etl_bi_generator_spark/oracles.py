@@ -6632,6 +6632,95 @@ ORACLES.update({
     """,
 })
 
+# Blocking-quality eval (mirrors queries.q_blocking_quality): exact
+# Jaccard >= 1/2 truth pairs over min-id representatives vs the LSH
+# banding candidates; PC and RR as pinned divisions of exact counts.
+ORACLES.update({
+    "q_blocking_quality": f"""
+        WITH uniq AS (
+          SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        ),
+        tdocs AS (SELECT doc_id, {_TOKENS} AS toks FROM uniq),
+        tsh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                             || toks[i+2])
+            END)) AS sh FROM tdocs
+        ),
+        tsizes AS (SELECT doc_id, count(*) AS n_sh FROM tsh
+                   GROUP BY doc_id),
+        tinter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS n_inter
+          FROM tsh a JOIN tsh b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT id_a, id_b FROM tinter
+          JOIN tsizes sa ON sa.doc_id = id_a
+          JOIN tsizes sb ON sb.doc_id = id_b
+          WHERE 2 * n_inter >= (sa.n_sh + sb.n_sh - n_inter)),
+        {_lsh_bands_cte("uniq")},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM uniq),
+        tc AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth),
+        cc AS (SELECT CAST(count(*) AS BIGINT) AS candidate_pairs
+               FROM cand),
+        gc AS (SELECT CAST(count(*) AS BIGINT) AS caught_pairs
+               FROM truth JOIN cand USING (id_a, id_b))
+        SELECT n_docs, true_pairs, candidate_pairs, caught_pairs,
+               {pround_sql(
+                   'CASE WHEN true_pairs > 0'
+                   ' THEN CAST(caught_pairs AS DOUBLE)'
+                   ' / CAST(true_pairs AS DOUBLE) END', 6)}
+                 AS pair_completeness,
+               {pround_sql(
+                   '1.0 - CAST(candidate_pairs AS DOUBLE)'
+                   ' / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)', 6)}
+                 AS reduction_ratio
+        FROM nn, tc, cc, gc
+    """,
+})
+
+
+# ColBERT-style MaxSim late interaction (mirrors
+# queries.q_maxsim_late_interaction): 4x16 sub-vector slices, exact
+# int64 micro-unit dots, per-query-token max, summed, top-10.
+ORACLES.update({
+    "q_maxsim_late_interaction": """
+        WITH x AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings),
+        sub AS (
+          SELECT vec_id, CAST(pos // 16 AS INT) AS s, pos % 16 AS p, xi
+          FROM x),
+        qm AS (SELECT s, p, xi AS qi FROM sub WHERE vec_id = 0),
+        dots AS (
+          SELECT d.vec_id, q.s AS qs, d.s AS ds,
+                 CAST(sum(d.xi * q.qi) AS BIGINT) AS dot
+          FROM sub d JOIN qm q ON q.p = d.p
+          WHERE d.vec_id != 0
+          GROUP BY 1, 2, 3),
+        best AS (
+          SELECT vec_id, qs, max(dot) AS b
+          FROM dots GROUP BY 1, 2),
+        scored AS (
+          SELECT vec_id, CAST(sum(b) AS BIGINT) AS maxsim_micro2
+          FROM best GROUP BY 1)
+        SELECT vec_id, maxsim_micro2 FROM scored
+        ORDER BY maxsim_micro2 DESC, vec_id LIMIT 10
+    """,
+})
+
+
 # Sample-then-train PQ (mirrors queries.q_pq_train_sampled): the four
 # prefixed Lloyd chains train on the deterministic 25% sample (x AND
 # seeds filtered to vec_id % 4 = 0), then the FULL corpus encodes

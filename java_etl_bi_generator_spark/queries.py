@@ -2112,6 +2112,79 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(docs, "text", "doc_id", n=3, t_num=4, t_den=5)
 
 
+@q("q_blocking_quality")
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKING-SCHEME evaluation [Christen 2012's pair-completeness /
+    reduction-ratio, the record-linkage standard] — the number that
+    decides whether the MinHash-LSH banding config is safe to trust at
+    100 TB: ground truth = the EXACT Jaccard ≥ 0.5 pairs (the
+    deterministic prefix-filter join, q_setsim machinery at a looser
+    threshold), blocking = the 16-hash/4-band LSH candidate pairs, and
+    the report is PC = caught/truth (what fraction of true near-dups
+    the blocking can still see — recall of the CANDIDATE stage, the
+    only unrecoverable loss in the whole dedup pipeline) and
+    RR = 1 − candidates/(n choose 2) (what fraction of the quadratic
+    pair space it never has to score).  Both sides are deterministic —
+    exact integer Jaccard and md5-family banding — so the evaluation
+    itself hash-checks.  Exact duplicates collapse first (min-id
+    representative), as both pipelines mandate.  Scale shape: the two
+    pair generators' own documented shapes (prefix-bounded /
+    bucket-bounded joins); the eval adds one pair-key join and a 1-row
+    aggregate.  COST NOTE (measured, volume_sweep 10×: 57.8 s at 50k
+    docs vs sub-3 s for most ops): the looser t=0.5 truth threshold
+    makes the prefix cover ~half of each doc's shingles, so exact truth
+    generation dominates — which is precisely WHY pipelines run
+    blocking at all; a production-scale eval computes truth on a
+    deterministic document SAMPLE (the q_pq_train_sampled discipline)
+    rather than the full corpus."""
+    from .operators.dedup import exact_dedup, minhash_lsh_candidates
+
+    docs = cut_lineage(
+        exact_dedup(T(spark, sf_dir, "documents"), "text", "doc_id")
+    )
+    truth = cut_lineage(
+        prefix_jaccard_pairs(
+            docs, "text", "doc_id", n=3, t_num=1, t_den=2
+        ).select("id_a", "id_b")
+    )
+    cand = cut_lineage(
+        minhash_lsh_candidates(docs, "text", "doc_id").select(
+            "id_a", "id_b"
+        )
+    )
+    n_row = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    t_row = truth.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
+    c_row = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("candidate_pairs")
+    )
+    g_row = (
+        truth.join(cand, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("caught_pairs"))
+    )
+    j = (
+        n_row.join(F.broadcast(t_row))
+        .join(F.broadcast(c_row))
+        .join(F.broadcast(g_row))
+    )
+    total_pairs = F.expr("n_docs * (n_docs - 1) div 2")
+    pc = F.when(
+        F.col("true_pairs") > 0,
+        F.col("caught_pairs").cast("double")
+        / F.col("true_pairs").cast("double"),
+    )
+    rr = F.lit(1.0) - F.col("candidate_pairs").cast(
+        "double"
+    ) / total_pairs.cast("double")
+    return j.select(
+        "n_docs",
+        "true_pairs",
+        "candidate_pairs",
+        "caught_pairs",
+        pround(pc, 6).alias("pair_completeness"),
+        pround(rr, 6).alias("reduction_ratio"),
+    )
+
+
 @q("q_dedup_containment_lsh")
 def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 at corpus scale: directed containment verified ONLY on LSH
@@ -12581,6 +12654,58 @@ def _ivfpq_index(
     if cache_key is not None:
         _IVFPQ_INDEX_CACHE[cache_key] = out
     return out
+
+
+@q("q_maxsim_late_interaction")
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VECTOR late-interaction retrieval — the ColBERT MaxSim
+    operator [Khattab & Zaharia 2020]: documents and query are BAGS of
+    sub-vectors (here the 64-dim embedding sliced into 4×16-dim
+    "token" vectors, the same decomposition PQ uses), and the score is
+    Σ_{q∈query} max_{d∈doc} ⟨q, d⟩ — each query token matches its best
+    document token, which is what makes late interaction beat single-
+    vector dot products on multi-aspect queries.  All 4×4 sub-vector
+    dot products are exact int64 micro-unit zip_with folds laid out as
+    16 codegen expressions, the per-query-token max is a ``greatest``,
+    the score their sum — NO explode, NO shuffle before the final
+    top-10 TakeOrderedAndProject.  At 100 TB this is the late-
+    interaction scan shape: per-row arithmetic linear in (query tokens
+    × doc tokens), one ordered projection out; the IVF/PQ family
+    upstream prunes candidates when the corpus is too big to scan."""
+    from .operators.kmeans import quantize_micro
+
+    M, SUB = 4, 16
+    em = T(spark, sf_dir, "embeddings")
+    qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
+    q_micro = qv.filter(F.col("vec_id") == 0).first()["__q"]
+
+    def dot(qs: int, ds: int) -> F.Column:
+        qlit = F.array(
+            *[
+                F.lit(int(x)).cast("bigint")
+                for x in q_micro[qs * SUB : (qs + 1) * SUB]
+            ]
+        )
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__q"), ds * SUB + 1, SUB),
+                qlit,
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    score = None
+    for qs in range(M):
+        best = F.greatest(*[dot(qs, ds) for ds in range(M)])
+        score = best if score is None else (score + best)
+    return (
+        qv.filter(F.col("vec_id") != 0)
+        .select("vec_id", score.cast("bigint").alias("maxsim_micro2"))
+        .orderBy(F.col("maxsim_micro2").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 @q("q_pq_encode")
