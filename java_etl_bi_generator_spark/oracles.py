@@ -6632,6 +6632,78 @@ ORACLES.update({
     """,
 })
 
+# Embedding-drift monitor (mirrors queries.q_embed_drift): vec_id
+# parity split, floor-div integer micro-unit means, top-10 by |delta|.
+ORACLES.update({
+    "q_embed_drift": f"""
+        WITH x AS (
+          SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END
+                   AS side,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings),
+        per AS (
+          SELECT side, pos,
+                 CAST((sx - ((sx % n) + n) % n) // n AS BIGINT)
+                   AS mean_micro
+          FROM (SELECT side, pos, sum(xi) AS sx, count(*) AS n
+                FROM x GROUP BY 1, 2)),
+        wide AS (
+          SELECT pos,
+                 max(CASE WHEN side = 'ref' THEN mean_micro END)
+                   AS ref_micro,
+                 max(CASE WHEN side = 'cur' THEN mean_micro END)
+                   AS cur_micro
+          FROM per GROUP BY 1),
+        d AS (
+          SELECT pos, ref_micro, cur_micro,
+                 abs(cur_micro - ref_micro) AS abs_delta
+          FROM wide),
+        t AS (SELECT CAST(sum(abs_delta * abs_delta) AS BIGINT)
+                AS total_sq FROM d)
+        SELECT pos, ref_micro, cur_micro, abs_delta,
+               {pround_sql(
+                   'CAST(abs_delta * abs_delta AS DOUBLE)'
+                   ' / CAST(total_sq AS DOUBLE)', 6)} AS share_of_shift
+        FROM d, t
+        ORDER BY abs_delta DESC, pos LIMIT 10
+    """,
+})
+
+# Fairness disparate-impact audit (mirrors queries.q_fairness_parity):
+# nation selection rates, deterministic arg-max reference, exact
+# integer cross-multiplied 80%-rule flag.
+ORACLES.update({
+    "q_fairness_parity": f"""
+        WITH g AS (
+          SELECT c_nationkey,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN o_orderpriority IN
+                      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                      AS BIGINT) AS positives
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1),
+        ref AS (
+          SELECT positives AS pos_max, n AS n_max FROM g
+          ORDER BY CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) DESC,
+                   c_nationkey ASC
+          LIMIT 1)
+        SELECT c_nationkey, n, positives,
+               {pround_sql(
+                   'CAST(positives AS DOUBLE) / CAST(n AS DOUBLE)', 6)}
+                 AS selection_rate,
+               {pround_sql(
+                   '(CAST(positives AS DOUBLE) / CAST(n AS DOUBLE))'
+                   ' / (CAST(pos_max AS DOUBLE)'
+                   ' / CAST(n_max AS DOUBLE))', 6)} AS di_ratio,
+               5 * positives * n_max < 4 * pos_max * n
+                 AS below_80pct_rule
+        FROM g, ref
+    """,
+})
+
+
 # Blocking-quality eval (mirrors queries.q_blocking_quality): exact
 # Jaccard >= 1/2 truth pairs over min-id representatives vs the LSH
 # banding candidates; PC and RR as pinned divisions of exact counts.

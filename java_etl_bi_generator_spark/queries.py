@@ -4749,6 +4749,67 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_fairness_parity")
+def q_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAIRNESS audit — demographic parity / the EEOC 80% disparate-
+    impact rule, the governance check next to k-anonymity (does the
+    release leak?) asking the other question (does the OUTCOME skew?):
+    group = customer nation, positive outcome = urgent-or-high order
+    priority, and each group's selection rate is compared to the
+    best-off group's — di_ratio = rate_g / rate_max, flagged when it
+    falls below 0.8.  The flag is decided in EXACT integer
+    cross-multiplication (5·pos_g·n_max < 4·pos_max·n_g), never on the
+    rounded ratio — a borderline group must flag identically on every
+    engine.  The reference group is the deterministic arg-max
+    (rate desc, nation asc) over the ≤25-row group frame.  Output per
+    nation: counts, pinned rate, pinned di_ratio, flag.  Scale shape:
+    one broadcast dim join + one group-by to the nation grain; the
+    parity comparison runs on that bounded frame."""
+    od = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cu = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pos = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    g = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(pos).cast("bigint").alias("positives"),
+        )
+    )
+    w = Window.orderBy(
+        (
+            F.col("positives").cast("double") / F.col("n").cast("double")
+        ).desc(),
+        F.col("c_nationkey").asc(),
+    )
+    ref = (
+        g.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("positives").alias("pos_max"), F.col("n").alias("n_max")
+        )
+    )
+    j = g.join(F.broadcast(ref))
+    rate = F.col("positives").cast("double") / F.col("n").cast("double")
+    max_rate = F.col("pos_max").cast("double") / F.col("n_max").cast(
+        "double"
+    )
+    flagged = (
+        F.lit(5) * F.col("positives") * F.col("n_max")
+        < F.lit(4) * F.col("pos_max") * F.col("n")
+    )
+    return j.select(
+        "c_nationkey",
+        "n",
+        "positives",
+        pround(rate, 6).alias("selection_rate"),
+        pround(rate / max_rate, 6).alias("di_ratio"),
+        flagged.alias("below_80pct_rule"),
+    ).orderBy("c_nationkey")
+
+
 @q("q_mask_pii")
 def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-governance masking: digit redaction (suppression), a stable
@@ -4802,6 +4863,84 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(
             F.element_at(F.col("embedding").cast("array<double>"), 1) / norm, 6
         ).alias("v0_unit"),
+    )
+
+
+@q("q_embed_drift")
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-drift monitor — the vector-space face of the tabular
+    drift family (q_psi_drift / q_js_divergence): split the corpus into
+    reference vs current by vec_id parity (production: yesterday's
+    batch vs today's), compute each side's per-dimension integer-
+    micro-unit mean, and report the top-10 most-drifted dimensions by
+    |Δmean| plus each dimension's share of the total squared shift —
+    the alarm that fires when an upstream encoder silently changes
+    (retrain, version bump, preprocessing change) and every downstream
+    ANN index goes quietly stale.  Means are floor-div integer
+    micro-units (exact, partition-order-free); Δ and shares are pinned
+    divisions at the end.  Scale shape: one posexplode + (side, pos)
+    aggregate — map-side partials keep the shuffle at 2×dim rows —
+    then arithmetic on the 64-row frame."""
+    emb = T(spark, sf_dir, "embeddings")
+    qv = F.floor(F.col("v") * 1000000.0 + F.lit(0.5)).cast("bigint")
+    side = F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("cur")
+    per = (
+        emb.select(
+            side.alias("side"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        .groupBy("side", "pos")
+        .agg(
+            F.sum(qv).cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "side",
+            "pos",
+            F.expr("(s - ((s % n) + n) % n) div n").alias("mean_micro"),
+        )
+    )
+    wide = (
+        per.groupBy("pos")
+        .agg(
+            F.max(
+                F.when(F.col("side") == "ref", F.col("mean_micro"))
+            ).alias("ref_micro"),
+            F.max(
+                F.when(F.col("side") == "cur", F.col("mean_micro"))
+            ).alias("cur_micro"),
+        )
+        .select(
+            "pos",
+            "ref_micro",
+            "cur_micro",
+            F.abs(F.col("cur_micro") - F.col("ref_micro")).alias(
+                "abs_delta"
+            ),
+        )
+    )
+    tot = wide.agg(
+        F.sum(F.col("abs_delta") * F.col("abs_delta"))
+        .cast("bigint")
+        .alias("total_sq")
+    )
+    return (
+        wide.join(F.broadcast(tot))
+        .select(
+            "pos",
+            "ref_micro",
+            "cur_micro",
+            "abs_delta",
+            pround(
+                (F.col("abs_delta") * F.col("abs_delta")).cast("double")
+                / F.col("total_sq").cast("double"),
+                6,
+            ).alias("share_of_shift"),
+        )
+        .orderBy(F.col("abs_delta").desc(), "pos")
+        .limit(10)
     )
 
 

@@ -307,3 +307,35 @@ def test_basket_pairs_and_rfm_plan_shapes_pinned(spark, sf_dir):
     assert plan.count("Exchange") <= 10
     # the distributed-rank contract: never a global single-partition sort
     assert "No Partition Defined" not in plan
+
+
+def test_round8_new_query_plan_shapes(spark, sf_dir):
+    """Round-8 plan pins: the new operators' load-bearing physical
+    claims fail loudly if a future change regresses them."""
+    # q_oov_rate: the 1000-row vocab joins BROADCAST — the token stream
+    # must not shuffle on token a second time for the membership join.
+    plan = explain_formatted(registry()["q_oov_rate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
+    # q_maxsim_late_interaction: all 16 sub-vector dots are codegen
+    # expressions — no explode (Generate), no join, one ordered
+    # projection.
+    plan = explain_formatted(
+        registry()["q_maxsim_late_interaction"](spark, sf_dir)
+    )
+    assert "Generate" not in plan  # no explode
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # q_hashing_trick: fixed 64-slot profile — one aggregate, no join,
+    # partial aggregation present (map-side combine).
+    plan = explain_formatted(registry()["q_hashing_trick"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+    # q_shapley_attribution: the 16-row coalition machinery must stay
+    # broadcast (the user-grain census is behind a lineage cut, so the
+    # fact scan shows as the RDD boundary — assert the join strategy).
+    plan = explain_formatted(
+        registry()["q_shapley_attribution"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
