@@ -6632,6 +6632,99 @@ ORACLES.update({
     """,
 })
 
+# Padding-waste analysis (mirrors queries.q_padding_waste): exact
+# integer ceil arithmetic at max_len=128, bucketed + corpus totals.
+ORACLES.update({
+    "q_padding_waste": f"""
+        WITH d AS (SELECT {_N_TOKENS} AS n_tok FROM documents),
+        per AS (
+          SELECT n_tok // 128 AS bucket, n_tok,
+                 ((n_tok + 127) // 128) * 128 AS padded
+          FROM d WHERE n_tok > 0),
+        g AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS tokens,
+                 CAST(sum(padded) AS BIGINT) AS padded_tokens
+          FROM per GROUP BY 1),
+        t AS (
+          SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                 CAST(sum(padded_tokens) AS BIGINT) AS total_padded
+          FROM g)
+        SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, tokens,
+               padded_tokens,
+               {pround_sql(
+                   'CAST(padded_tokens - tokens AS DOUBLE)'
+                   ' / CAST(padded_tokens AS DOUBLE)', 6)}
+                 AS waste_share,
+               total_tokens, total_padded,
+               CAST((total_tokens + 127) // 128 AS BIGINT)
+                 AS packed_rows
+        FROM g, t
+    """,
+})
+
+# Deterministic negative sampling (mirrors queries.q_negative_sampling):
+# sampled-user x bounded-item grid, anti-join interactions, md5 rank.
+ORACLES.update({
+    "q_negative_sampling": """
+        WITH inter AS (
+          SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_custkey % 100 = 0 AND l_partkey % 10 = 0),
+        users AS (
+          SELECT DISTINCT o_custkey AS custkey FROM orders
+          WHERE o_custkey % 100 = 0),
+        items AS (SELECT p_partkey AS partkey FROM part
+                  WHERE p_partkey % 10 = 0),
+        neg AS (
+          SELECT u.custkey, it.partkey
+          FROM users u, items it
+          WHERE NOT EXISTS (
+            SELECT 1 FROM inter i
+            WHERE i.custkey = u.custkey AND i.partkey = it.partkey)),
+        r AS (
+          SELECT custkey, partkey,
+                 row_number() OVER (PARTITION BY custkey
+                   ORDER BY md5(concat_ws('|', custkey, partkey)),
+                            partkey) AS rank
+          FROM neg)
+        SELECT custkey, partkey, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 3
+    """,
+})
+
+# Hard-negative mining (mirrors queries.q_hard_negatives): 5 probes,
+# exact integer L2, different-label top-3 each.
+ORACLES.update({
+    "q_hard_negatives": """
+        WITH x AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        px AS (SELECT vec_id, pos, xi FROM x WHERE vec_id < 5),
+        dd AS (
+          SELECT px.vec_id AS probe_id, cx.vec_id,
+                 CAST(sum((cx.xi - px.xi) * (cx.xi - px.xi)) AS BIGINT)
+                   AS d_micro2
+          FROM x cx JOIN px ON px.pos = cx.pos
+          GROUP BY 1, 2),
+        f AS (
+          SELECT dd.probe_id, dd.vec_id, cl.label, dd.d_micro2,
+                 row_number() OVER (PARTITION BY dd.probe_id
+                   ORDER BY dd.d_micro2, dd.vec_id) AS rn
+          FROM dd
+          JOIN lab pl ON pl.vec_id = dd.probe_id
+          JOIN lab cl ON cl.vec_id = dd.vec_id
+          WHERE cl.label != pl.label AND dd.vec_id != dd.probe_id)
+        SELECT CAST(probe_id AS BIGINT) AS probe_id, vec_id, label,
+               d_micro2
+        FROM f WHERE rn <= 3
+    """,
+})
+
+
 # Embedding-drift monitor (mirrors queries.q_embed_drift): vec_id
 # parity split, floor-div integer micro-unit means, top-10 by |delta|.
 ORACLES.update({

@@ -5932,6 +5932,64 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_padding_waste")
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-BATCH efficiency analysis — the number that justifies
+    q_pack_sequences' existence: at a fixed max_len=128 context, a
+    naive one-doc-per-row loader pads every document to the boundary,
+    so padded = ceil(tokens/128)·128 per doc and the padding share IS
+    wasted compute (a 30%-padding corpus burns 30% of training FLOPs
+    on pad tokens); the packed alternative needs only
+    ceil(total_tokens/128) rows corpus-wide.  Output per length bucket
+    (tokens div 128): docs, real tokens, padded tokens, pinned waste
+    share — plus the two corpus totals every training-cost estimate
+    starts from, repeated on each row (single-grain output).  Exact
+    integer ceil arithmetic throughout.  Scale shape: one token-count
+    map + one bounded-bucket aggregate + a broadcast 1-row total."""
+    docs = T(spark, sf_dir, "documents").select(
+        token_count_of(tokens("text")).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    L = 128
+    per = docs.select(
+        F.expr(f"n_tok div {L}").alias("bucket"),
+        "n_tok",
+        F.expr(f"((n_tok + {L} - 1) div {L}) * {L}").alias("padded"),
+    )
+    g = per.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens"),
+        F.sum("padded").cast("bigint").alias("padded_tokens"),
+    )
+    tot = g.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.sum("padded_tokens").cast("bigint").alias("total_padded"),
+    ).select(
+        "total_tokens",
+        "total_padded",
+        F.expr(f"(total_tokens + {L} - 1) div {L}").alias(
+            "packed_rows"
+        ),
+    )
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            "tokens",
+            "padded_tokens",
+            pround(
+                (F.col("padded_tokens") - F.col("tokens")).cast("double")
+                / F.col("padded_tokens").cast("double"),
+                6,
+            ).alias("waste_share"),
+            "total_tokens",
+            "total_padded",
+            "packed_rows",
+        )
+        .orderBy("bucket")
+    )
+
+
 @q("q_pack_sequences")
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: contiguous sequence packing — assign documents (in stable
@@ -11353,6 +11411,113 @@ def q_media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").cast("bigint").alias("sum_height"),
         F.sum("dur").cast("bigint").alias("sum_duration_ms"),
     )
+
+
+@q("q_negative_sampling")
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECOMMENDER training-data op: deterministic NEGATIVE sampling —
+    for each sampled user, k=3 items they did NOT purchase, selected by
+    the portable md5 rank over (user, item) so the sample is stable
+    under reshuffles and incremental appends (the q_corpus_sample
+    discipline applied to the implicit-feedback negatives every
+    ranking-loss trainer needs; random.choice would be neither
+    reproducible nor engine-portable).  Candidate grid = sampled users
+    (custkey % 100 == 0) × the bounded item subset (partkey % 10 == 0)
+    — the grid is |users|·|items| BY CONSTRUCTION and documented as
+    such (production shards the item side or samples it; the anti-join
+    against interactions is the real per-user work either way).
+    Scale shape: broadcast item list, anti-join on the interaction
+    pairs, per-user top-k window over the k-bounded candidate set."""
+    od = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = cut_lineage(
+        od.filter(F.col("o_custkey") % 100 == 0)
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    users = (
+        od.filter(F.col("o_custkey") % 100 == 0)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    items = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(F.col("p_partkey").alias("partkey"))
+    )
+    grid = users.join(F.broadcast(items))
+    neg = grid.join(inter, ["custkey", "partkey"], "left_anti")
+    rk = F.row_number().over(
+        Window.partitionBy("custkey").orderBy(
+            F.md5(F.concat_ws("|", "custkey", "partkey")), "partkey"
+        )
+    )
+    return (
+        neg.withColumn("rank", rk)
+        .filter(F.col("rank") <= 3)
+        .select("custkey", "partkey", F.col("rank").cast("int").alias("rank"))
+        .orderBy("custkey", "rank")
+    )
+
+
+@q("q_hard_negatives")
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE training-data op: HARD-negative mining — for each of
+    5 probe vectors, the 3 nearest neighbors with a DIFFERENT label
+    (exact integer squared-L2 in micro-units): near-but-wrong examples
+    are what make contrastive/triplet losses converge (random negatives
+    are trivially separable and contribute ~zero gradient — the reason
+    every dense-retriever recipe mines hard negatives).  The 5 probe
+    vectors are a k-bounded driver pull (the sanctioned model-pull
+    idiom); each probe's search is a label-filtered
+    TakeOrderedAndProject scan, unioned.  Scale shape: 5 ordered scans
+    (production batches thousands of probes through the ANN index
+    instead — q_ivfpq_topk — then exact-reranks; this is the exact
+    ground-truth variant that also EVALUATES that index)."""
+    from .operators.kmeans import quantize_micro
+
+    em = T(spark, sf_dir, "embeddings")
+    qv = cut_lineage(
+        em.select(
+            "vec_id", "label", quantize_micro("embedding").alias("__q")
+        )
+    )
+    probes = qv.filter(F.col("vec_id") < 5).collect()  # 5-row pull
+    parts = []
+    for p in probes:
+        qlit = F.array(
+            *[F.lit(int(x)).cast("bigint") for x in p["__q"]]
+        )
+        d = F.aggregate(
+            F.zip_with(
+                F.col("__q"), qlit, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        parts.append(
+            qv.filter(
+                (F.col("label") != F.lit(int(p["label"])))
+                & (F.col("vec_id") != F.lit(int(p["vec_id"])))
+            )
+            .select(
+                F.lit(int(p["vec_id"])).alias("probe_id"),
+                "vec_id",
+                "label",
+                d.alias("d_micro2"),
+            )
+            .orderBy("d_micro2", "vec_id")
+            .limit(3)
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
 
 
 @q("q_item_cf_neighbors")
