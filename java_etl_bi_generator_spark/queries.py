@@ -144,13 +144,17 @@ _SHOWCASE: tuple[str, ...] = (
     "q_dp_quantile", "q_stream_hist_quantile", "q_media_mp4_header",
     "q_dp_above_threshold", "q_stream_cms_heavy", "q_media_jpeg_header",
     "q_ivfpq_rerank", "q_pq_train_sampled",
+    # round-8 wave-2 capstones (brand new; q_ks_by_segment /
+    # q_cramers_v / q_mutual_information / q_lorenz_deciles / q_benford
+    # yielded their slots — all stay hash-checked in the full sweep)
+    "q_shapley_attribution", "q_maxsim_late_interaction",
+    "q_graph_modularity", "q_cuped", "q_blocking_quality",
     # stats / drift / experimentation (zero driver coverage before r8)
-    "q_ks_test", "q_ks_by_segment", "q_psi_drift", "q_js_divergence",
+    "q_ks_test", "q_psi_drift", "q_js_divergence",
     "q_kendall_tau", "q_ttest_welch", "q_abtest_zscore", "q_chi2_cells",
-    "q_cramers_v", "q_mutual_information",
     # BI ratios / concentration (zero driver coverage before r8)
-    "q_gini", "q_pareto", "q_mix_shift", "q_hhi", "q_lorenz_deciles",
-    "q_weighted_median", "q_benford",
+    "q_gini", "q_pareto", "q_mix_shift", "q_hhi",
+    "q_weighted_median",
     # formats / physical layout (q_json_roundtrip / q_orc_roundtrip
     # yielded their slots to the round-8 capstones above; both stay
     # hash-checked in the full sweep)
