@@ -6632,6 +6632,84 @@ ORACLES.update({
     """,
 })
 
+# TPC-H refresh stream RF1/RF2 (mirrors queries.q_tpch_refresh):
+# modulus delete, re-keyed +1-day insert copy, before/after audit.
+ORACLES.update({
+    "q_tpch_refresh": """
+        WITH od AS (
+          SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                 o_orderpriority,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+          FROM orders),
+        ins AS (
+          SELECT o_orderkey + 10000000000 AS o_orderkey,
+                 d + INTERVAL 1 DAY AS d, o_orderpriority, cents
+          FROM od WHERE o_orderkey % 100 = 0),
+        upd AS (
+          SELECT * FROM od WHERE o_orderkey % 97 != 0
+          UNION ALL SELECT * FROM ins),
+        base AS (
+          SELECT CAST(year(d) AS INT) AS order_year,
+                 o_orderpriority AS priority,
+                 CAST(count(*) AS BIGINT) AS n_base,
+                 CAST(sum(cents) AS BIGINT) AS cents_base
+          FROM od GROUP BY 1, 2),
+        after AS (
+          SELECT CAST(year(d) AS INT) AS order_year,
+                 o_orderpriority AS priority,
+                 CAST(count(*) AS BIGINT) AS n_updated,
+                 CAST(sum(cents) AS BIGINT) AS cents_updated
+          FROM upd GROUP BY 1, 2)
+        SELECT order_year, priority,
+               CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+               CAST(coalesce(n_updated, 0) AS BIGINT) AS n_updated,
+               CAST(coalesce(n_updated, 0) - coalesce(n_base, 0)
+                    AS BIGINT) AS delta_rows,
+               CAST(coalesce(cents_base, 0) AS BIGINT) AS cents_base,
+               CAST(coalesce(cents_updated, 0) AS BIGINT)
+                 AS cents_updated
+        FROM base FULL JOIN after USING (order_year, priority)
+    """,
+})
+
+
+# SCD2 dimension build (mirrors queries.q_scd2_build): change
+# collapsing via lag, dense versions via running sum, intervals via
+# lead over the version grain.
+ORACLES.update({
+    "q_scd2_build": """
+        WITH ev AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                 event_id, event_type AS attr
+          FROM events WHERE user_id % 7 = 0),
+        marked AS (
+          SELECT *, CASE WHEN lag(attr) OVER w IS NULL
+                          OR lag(attr) OVER w != attr
+                     THEN 1 ELSE 0 END AS chg
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        grp AS (
+          SELECT *, sum(chg) OVER (PARTITION BY user_id
+                   ORDER BY s, event_id
+                   ROWS UNBOUNDED PRECEDING) AS ver
+          FROM marked),
+        versions AS (
+          SELECT user_id, ver, min(attr) AS attr,
+                 CAST(min(s) AS BIGINT) AS valid_from_s,
+                 CAST(count(*) AS BIGINT) AS n_source_rows
+          FROM grp GROUP BY 1, 2)
+        SELECT user_id, CAST(ver AS INT) AS version, attr,
+               valid_from_s,
+               lead(valid_from_s) OVER w2 AS valid_to_s,
+               lead(valid_from_s) OVER w2 IS NULL AS is_current,
+               n_source_rows
+        FROM versions
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_s, ver)
+    """,
+})
+
+
 # Padding-waste analysis (mirrors queries.q_padding_waste): exact
 # integer ceil arithmetic at max_len=128, bucketed + corpus totals.
 ORACLES.update({

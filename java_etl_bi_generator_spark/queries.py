@@ -7886,6 +7886,136 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_tpch_refresh")
+def q_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H REFRESH stream (RF1/RF2) — the part of the benchmark
+    beyond the 22 queries: the spec alternates query runs with an
+    INSERT batch of new orders and a DELETE batch of old ones, because
+    a warehouse that can only answer queries over a frozen snapshot is
+    half a warehouse.  Deterministic fixture-scale refresh: RF2 deletes
+    o_orderkey % 97 == 0 from the base; RF1 inserts a re-keyed copy of
+    o_orderkey % 100 == 0 (key + 10^10 — collision-free at any SF
+    without a driver max() pull — dates shifted +1 day, the spec's
+    'new sales look like old sales' shape).  Output: the per-(year,
+    priority) order count and exact cents BEFORE and AFTER with row
+    deltas — the audit that certifies the refresh applied exactly
+    (TPC-H's own ACID-ish check).  Scale shape: the delete is a
+    modulus filter (at scale: an anti-join against a delete-key
+    table), the insert a union — one aggregate over each side, joined
+    on the bounded (year × 5) grain."""
+    od = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderpriority",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    inserts = od.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000_000)).alias("o_orderkey"),
+        F.date_add(F.col("d"), 1).alias("d"),
+        "o_orderpriority",
+        "cents",
+    )
+    updated = od.filter(F.col("o_orderkey") % 97 != 0).unionByName(
+        inserts
+    )
+
+    def summarize(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        return df.groupBy(
+            F.year("d").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
+            F.sum("cents").cast("bigint").alias(c_name),
+        )
+
+    base = summarize(od, "n_base", "cents_base")
+    upd = summarize(updated, "n_updated", "cents_updated")
+    j = base.join(upd, ["order_year", "priority"], "full")
+    return j.select(
+        "order_year",
+        "priority",
+        F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+        F.coalesce("n_updated", F.lit(0))
+        .cast("bigint")
+        .alias("n_updated"),
+        (
+            F.coalesce("n_updated", F.lit(0))
+            - F.coalesce("n_base", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("delta_rows"),
+        F.coalesce("cents_base", F.lit(0))
+        .cast("bigint")
+        .alias("cents_base"),
+        F.coalesce("cents_updated", F.lit(0))
+        .cast("bigint")
+        .alias("cents_updated"),
+    ).orderBy("order_year", "priority")
+
+
+@q("q_scd2_build")
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension BUILD — the producing half of the pair
+    whose consuming half is q_scd2_asof's point-in-time read: from the
+    user event stream, materialize the slowly-changing attribute
+    history of each user's event_type with CHANGE COLLAPSING — a
+    version row opens only when the attribute actually changes
+    (lag != current), not per event, which is what separates an SCD2
+    build from a raw log copy (a 67-events/user log collapses to a
+    handful of version rows).  Validity from change-ts to the next
+    change's ts (epoch seconds; NULL = current), version numbers dense
+    per user, is_current on the open row.  Output bounded to
+    user_id % 7 == 0 for a stable showcase grain; counts of collapsed
+    source rows ride along so the compression is visible data.  Scale
+    shape: one shuffle on the user key, two window passes (lag to
+    detect changes, lead to close intervals) — the canonical
+    event-sourcing→dimension pipeline, no driver materialization."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 7 == 0)
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("s"),
+            "event_id",
+            F.col("event_type").alias("attr"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    marked = ev.withColumn(
+        "__chg",
+        F.when(
+            F.lag("attr").over(w).isNull()
+            | (F.lag("attr").over(w) != F.col("attr")),
+            1,
+        ).otherwise(0),
+    )
+    grp = marked.withColumn(
+        "__ver",
+        F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    versions = grp.groupBy("user_id", "__ver").agg(
+        # every row in a version group carries the SAME attr by
+        # construction (a group is a maximal run of equal values)
+        F.min("attr").alias("attr"),
+        F.min("s").cast("bigint").alias("valid_from_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_source_rows"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_s", "__ver")
+    return versions.select(
+        "user_id",
+        F.col("__ver").cast("int").alias("version"),
+        "attr",
+        "valid_from_s",
+        F.lead("valid_from_s").over(w2).alias("valid_to_s"),
+        F.lead("valid_from_s").over(w2).isNull().alias("is_current"),
+        "n_source_rows",
+    )
+
+
 @q("q_scd2_asof")
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal (point-in-time) read: reconstruct each customer's state AS
