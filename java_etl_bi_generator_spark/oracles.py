@@ -5854,6 +5854,34 @@ ORACLES.update({
 })
 
 
+# ANALYZE TABLE stats sweep (mirrors queries.q_analyze_table_stats):
+# one wide pass, unpivoted to the (column, stat) catalog grain.
+def _analyze_stats_sql() -> str:
+    cols = {
+        "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
+        "o_custkey": "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus": "o_orderstatus",
+        "o_orderpriority": "o_orderpriority",
+        "o_orderdate": "CAST(o_orderdate AS VARCHAR)",
+    }
+    parts = [
+        f"""
+        SELECT '{name}' AS "column",
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {expr}) AS BIGINT) AS ndv,
+               min({expr}) AS min_str,
+               max({expr}) AS max_str
+        FROM orders"""
+        for name, expr in cols.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+ORACLES.update({"q_analyze_table_stats": _analyze_stats_sql()})
+
+
 def _skew_stats_sql(table: str, col: str, label: str) -> str:
     """One skew-report row (mirrors queries.q_skew_report's stats())."""
     return f"""

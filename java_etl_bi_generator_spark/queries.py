@@ -7657,6 +7657,53 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_analyze_table_stats")
+def q_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE as a query — the column-statistics sweep every
+    cost-based optimizer (and every data-quality dashboard) feeds on:
+    per column of `orders`, the row count, null count, exact NDV, and
+    min/max rendered to a canonical string — one WIDE aggregate pass
+    (all columns' stats in a single scan, the one-pass profile shape;
+    Spark's own ANALYZE .. COMPUTE STATISTICS FOR COLUMNS runs this
+    exact plan), then unpivoted to the (column, stat) grain the
+    catalog stores.  Exact NDV here (count distinct); at 100 TB the
+    same surface swaps in the HLL register sketch
+    (q_rolling_distinct_hll's path) per column — documented, not
+    silently approximated.  Scale shape: one scan, one wide partial
+    aggregate; the unpivot is driver-free literal stacking."""
+    od = T(spark, sf_dir, "orders")
+    cols = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "o_orderdate": F.col("o_orderdate").cast("string"),
+    }
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for name, c in cols.items():
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{name}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{name}__ndv"),
+            F.min(c).alias(f"{name}__min"),
+            F.max(c).alias(f"{name}__max"),
+        ]
+    wide = od.agg(*aggs)
+    stacked = None
+    for name in cols:
+        row = wide.select(
+            F.lit(name).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{name}__nulls").alias("n_nulls"),
+            F.col(f"{name}__ndv").alias("ndv"),
+            F.col(f"{name}__min").alias("min_str"),
+            F.col(f"{name}__max").alias("max_str"),
+        )
+        stacked = row if stacked is None else stacked.unionAll(row)
+    return stacked.orderBy("column")
+
+
 @q("q_skew_report")
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-KEY SKEW pre-flight — the report a pipeline runs BEFORE a
