@@ -6903,6 +6903,60 @@ ORACLES.update({
 })
 
 
+# Content-defined chunking (mirrors queries.q_cdc_chunking): boundary
+# after any token with hash % 16 == 0; a token's chunk index is the
+# count of boundaries strictly before its position; identical md5
+# chunk identities and the identical 1-row dedup-mass summary.
+ORACLES.update({
+    "q_cdc_chunking": f"""
+        WITH d AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) != ''),
+        tok AS (
+          SELECT doc_id, unnest(toks) AS t,
+                 generate_subscripts(toks, 1) AS pos
+          FROM d),
+        hb AS (
+          SELECT doc_id, pos, t,
+                 {_hex_bigint('md5(t)', 1, 8)} % 16 AS h
+          FROM tok),
+        cid AS (
+          SELECT doc_id, pos, t,
+                 coalesce(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk_no
+          FROM hb),
+        chunks AS (
+          SELECT doc_id, chunk_no,
+                 CAST(count(*) AS BIGINT) AS n_tok,
+                 md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_hash
+          FROM cid GROUP BY 1, 2),
+        grp AS (
+          SELECT chunk_hash, CAST(count(*) AS BIGINT) AS c,
+                 CAST(max(n_tok) AS BIGINT) AS tok
+          FROM chunks GROUP BY 1),
+        s AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+                 CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+                 CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)
+                      AS BIGINT) AS dup_chunk_copies,
+                 CAST(sum(CASE WHEN c > 1 THEN (c - 1) * tok
+                          ELSE 0 END) AS BIGINT) AS dup_token_mass,
+                 CAST(sum(c * tok) AS BIGINT) AS tok_tot
+          FROM grp),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d)
+        SELECT n_docs, n_chunks, n_distinct_chunks, dup_chunk_copies,
+               dup_token_mass,
+               {pround_sql(
+                   'CAST(tok_tot AS DOUBLE)'
+                   ' / CAST(n_chunks AS DOUBLE)', 6)}
+                 AS mean_chunk_tokens
+        FROM s, nd
+    """,
+})
+
+
 # Blocking-quality eval (mirrors queries.q_blocking_quality): exact
 # Jaccard >= 1/2 truth pairs over min-id representatives vs the LSH
 # banding candidates; PC and RR as pinned divisions of exact counts.

@@ -3005,6 +3005,107 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "text", "doc_id", shingle_n=2, window=4)
 
 
+@q("q_cdc_chunking")
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING — the rsync/LBFS/backup-dedup boundary
+    rule [Muthitacharoen et al. SOSP 2001] at the token grain: a chunk
+    boundary falls AFTER any token whose portable hash ≡ 0 (mod 16), so
+    boundaries move WITH the content — insert a word and only the
+    surrounding chunk's identity changes, where fixed-size blocks would
+    shift every downstream block (the whole point of CDC, and why
+    storage dedup and incremental-crawl pipelines use it instead of
+    q_chunk_documents' fixed windows).  Expected chunk length = the
+    modulus (16 tokens).  Each chunk's identity is the md5 of its token
+    span; the output is the 1-row corpus dedup-storage summary — chunk
+    counts, distinct chunks, duplicate copies and the duplicate TOKEN
+    MASS (what a chunk store would not re-store), mean chunk length —
+    honest zeros when the corpus has no repeated chunks.  All chunking
+    is per-row array HOFs (hash array hoisted once, boundaries via
+    filter, spans via zip_with over the shifted boundary list — the
+    word_shingles discipline); one explode to chunk grain, one
+    chunk-hash aggregate.  Scale shape: linear maps + one shuffle on
+    chunk_hash — the classic dedup-store ingest plan."""
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", tokens("text").alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+    )
+    # per-token boundary flag array, hoisted ONCE (md5 per element is
+    # inherent — each token needs its own hash; everything else binds)
+    hashed = docs.withColumn(
+        "__hb",
+        F.expr(
+            "transform(__toks, t -> "
+            "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 16)"
+        ),
+    )
+    bounded = hashed.withColumn(
+        "__bounds",
+        F.expr("filter(sequence(1, __n), i -> element_at(__hb, i) = 0)"),
+    )
+    spans = bounded.withColumn(
+        "__spans",
+        F.expr(
+            """filter(
+                 zip_with(
+                   concat(array(1), transform(__bounds, b -> b + 1)),
+                   concat(__bounds, array(__n)),
+                   (s, e) -> struct(s AS s, e AS e)),
+                 sp -> sp.s IS NOT NULL AND sp.e IS NOT NULL
+                       AND sp.e >= sp.s)"""
+        ),
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.explode("__spans").alias("sp"),
+        F.col("__toks").alias("__toks"),
+    ).select(
+        "doc_id",
+        (F.col("sp.e") - F.col("sp.s") + 1).cast("bigint").alias("n_tok"),
+        F.md5(
+            F.array_join(
+                F.expr("slice(__toks, sp.s, sp.e - sp.s + 1)"), " "
+            )
+        ).alias("chunk_hash"),
+    )
+    groups = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.max("n_tok").cast("bigint").alias("tok"),
+    )
+    g = groups.agg(
+        F.sum("c").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("dup_chunk_copies"),
+        F.sum(
+            F.when(
+                F.col("c") > 1, (F.col("c") - 1) * F.col("tok")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dup_token_mass"),
+        F.sum(F.col("c") * F.col("tok")).cast("bigint").alias("__tok_tot"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        g.join(F.broadcast(nd))
+        .select(
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            "dup_chunk_copies",
+            "dup_token_mass",
+            pround(
+                F.col("__tok_tot").cast("double")
+                / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("mean_chunk_tokens"),
+        )
+    )
+
+
 @q("q_overlap_candidates")
 def q_overlap_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: document-overlap candidates from winnowing fingerprints — pairs
