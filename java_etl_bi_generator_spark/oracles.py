@@ -5679,6 +5679,41 @@ ORACLES.update({
     """,
 })
 
+# Vocabulary coverage curve (mirrors queries.q_vocab_coverage_curve):
+# vocab-grain rank/cumsum, exact mass at each cut, pinned division.
+ORACLES.update({
+    "q_vocab_coverage_curve": rf"""
+        WITH tk AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) != ''),
+        freq AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS f
+          FROM tk GROUP BY 1),
+        ranked AS (
+          SELECT f,
+                 row_number() OVER (ORDER BY f DESC, token ASC) AS r,
+                 sum(f) OVER (ORDER BY f DESC, token ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM freq),
+        tot AS (
+          SELECT CAST(sum(f) AS BIGINT) AS total_tokens,
+                 CAST(count(*) AS BIGINT) AS vocab_size
+          FROM freq),
+        cuts AS (
+          SELECT k,
+                 CAST(count(*) AS BIGINT) AS vocab_tokens,
+                 CAST(max(cum) AS BIGINT) AS covered_tokens
+          FROM ranked, (SELECT unnest([100, 1000, 10000]) AS k) kk
+          WHERE r <= k GROUP BY k)
+        SELECT CAST(k AS INT) AS k, vocab_tokens, covered_tokens,
+               total_tokens, vocab_size,
+               {pround_sql(
+                   'CAST(covered_tokens AS DOUBLE)'
+                   ' / CAST(total_tokens AS DOUBLE)', 6)} AS coverage
+        FROM cuts, tot
+    """,
+})
+
 # OOV rate vs the corpus top-1000 vocabulary (mirrors
 # queries.q_oov_rate): same whitespace tokens, same (freq DESC, token)
 # vocabulary cut, one pinned division per source.

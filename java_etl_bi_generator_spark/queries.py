@@ -7292,6 +7292,69 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+@q("q_vocab_coverage_curve")
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY coverage curve — the sizing question upstream of
+    q_oov_rate's transfer diagnostic: what fraction of corpus token
+    MASS does a top-k vocabulary cover, at k ∈ {100, 1000, 10000}?
+    The Zipf head means the curve saturates fast, and where it crosses
+    ~99.5% is the vocab size every tokenizer budget debate converges
+    on.  One token-frequency aggregate (vocab grain, bounded), a dense
+    rank by (freq desc, token asc), the cumulative mass at each cut —
+    all exact integers, coverage as the one pinned division per row.
+    The rank/cumsum run at the VOCAB grain (tens of thousands of rows),
+    never the corpus grain, so the single-partition window is the
+    bounded-domain exception the rank discipline allows — documented,
+    not accidental.  Output: one row per cut."""
+    tk = (
+        T(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(F.explode(tokens("text")).alias("token"))
+    )
+    freq = tk.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("token"))
+    ranked = freq.select(
+        "f",
+        F.row_number().over(w).alias("r"),
+        F.sum("f").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    tot = freq.agg(
+        F.sum("f").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    cuts = None
+    for k in (100, 1000, 10000):
+        row = (
+            ranked.filter(F.col("r") <= k)
+            .agg(
+                F.lit(k).cast("int").alias("k"),
+                F.count(F.lit(1)).cast("bigint").alias("vocab_tokens"),
+                F.max("cum").cast("bigint").alias("covered_tokens"),
+            )
+        )
+        cuts = row if cuts is None else cuts.unionAll(row)
+    return (
+        cuts.join(F.broadcast(tot))
+        .select(
+            "k",
+            "vocab_tokens",
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            pround(
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
 @q("q_oov_rate")
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary OOV diagnostic: fix the vocabulary at the
