@@ -747,6 +747,82 @@ def _bmp_decode_oracle() -> str:
     """
 
 
+def _bmp_histogram_oracle() -> str:
+    """Twin of q_media_bmp_histogram: rebuild the identical BMP hex,
+    parse the header, walk each channel's pixel bytes with nibble
+    arithmetic, and bin into 4 × 64-level intensity bins — exact
+    integer counts, unpivoted to one row per (doc, channel) via
+    UNION ALL over the channel index.  Lambda vars p/q/v — never i."""
+    from .functions.mediahex import (
+        BMP_H,
+        BMP_PX,
+        BMP_SIG_HEX,
+        BMP_W,
+        bmp_stride_sql,
+        le16_sql,
+        le32_sql,
+    )
+
+    nib = "'0123456789abcdef'"
+    off = "2 * (po + (p // wp) * st + 3 * (p % wp) + chidx)"
+    px = (
+        f"list_transform(range(0, wp * hp), p -> CAST("
+        f"(strpos({nib}, substr(h, CAST({off} + 1 AS INT), 1)) - 1) * 16"
+        f" + strpos({nib}, substr(h, CAST({off} + 2 AS INT), 1)) - 1"
+        f" AS BIGINT))"
+    )
+    bins = ", ".join(
+        f"CAST(length(list_filter(px, v -> v // 64 = {k})) AS BIGINT)"
+        f" AS bin_{k}"
+        for k in range(4)
+    )
+    pixel_hex = (
+        "array_to_string(list_transform(range(0, npb), q -> "
+        "lower(lpad(hex(CASE WHEN q % stride < 3 * w "
+        f"THEN {BMP_PX} ELSE 0 END), 2, '0'))), '')"
+    )
+    return f"""
+        WITH p0 AS (
+          SELECT doc_id, {BMP_W} AS w, {BMP_H} AS hh FROM documents),
+        sized AS (
+          SELECT doc_id, w, hh, {bmp_stride_sql('w')} AS stride,
+                 {bmp_stride_sql('w')} * hh AS npb
+          FROM p0),
+        blobs AS (
+          SELECT doc_id,
+                 '{BMP_SIG_HEX}' || {le32_sql('54 + npb')} || '00000000'
+                 || {le32_sql('54')} || {le32_sql('40')}
+                 || {le32_sql('w')} || {le32_sql('hh')}
+                 || {le16_sql('1')} || {le16_sql('24')}
+                 || {le32_sql('0')} || {le32_sql('npb')}
+                 || {le32_sql('2835')} || {le32_sql('2835')}
+                 || {le32_sql('0')} || {le32_sql('0')}
+                 || {pixel_hex} AS h
+          FROM sized),
+        hdr AS (
+          SELECT doc_id, h,
+                 CAST({_h_le32(11)} AS BIGINT) AS po,
+                 CAST({_h_le32(19)} AS BIGINT) AS wp,
+                 CAST({_h_le32(23)} AS BIGINT) AS hp
+          FROM blobs),
+        dec AS (
+          SELECT *, {bmp_stride_sql('wp')} AS st FROM hdr),
+        chans AS (
+          SELECT doc_id, h, po, wp, hp, st,
+                 unnest([0, 1, 2]) AS chidx,
+                 unnest(['b', 'g', 'r']) AS channel
+          FROM dec),
+        pxl AS (
+          SELECT doc_id, channel, wp, hp, {px} AS px FROM chans)
+        SELECT doc_id, channel,
+               CAST(wp AS INT) AS width,
+               CAST(hp AS INT) AS height,
+               CAST(wp * hp AS BIGINT) AS n_px,
+               {bins}
+        FROM pxl
+    """
+
+
 def _wav_decode_oracle() -> str:
     """Twin of q_media_wav_decode: rebuild the identical canonical WAV
     hex from the single-sourced derivations (functions/mediahex.py),
@@ -844,6 +920,114 @@ def _wav_decode_oracle() -> str:
                    'sqrt(CAST(sumsq_s AS DOUBLE) / CAST(nfp AS DOUBLE))', 6
                )} AS rms
         FROM agg
+    """
+
+
+def _wav_features_oracle() -> str:
+    """Twin of q_media_wav_features: rebuild the identical canonical WAV
+    hex (single-sourced from functions/mediahex.py), replay the decode
+    into the per-channel sample list, then compute the FEATURES in SQL:
+    zero crossings over consecutive-sample sign flips, attack/decay
+    energy split on the half index, peak, and the pinned zcr-rate /
+    crest-factor divisions.  Lambda vars f/q/v/x — never i."""
+    from .functions.mediahex import (
+        DATA_HEX,
+        FMT_HEX,
+        PCM_BITS,
+        PCM_CH,
+        PCM_FRAMES,
+        PCM_SB,
+        RIFF_HEX,
+        WAVE_HEX,
+        WAV_RATES,
+        le16_sql,
+        le32_sql,
+    )
+
+    rates = ",".join(str(r) for r in WAV_RATES)
+    nib = "'0123456789abcdef'"
+    off = "2 * (44 + (f * chp + channel) * 2)"
+    raw = (
+        f"((strpos({nib}, substr(h, CAST({off} + 1 AS INT), 1)) - 1) * 16"
+        f" + strpos({nib}, substr(h, CAST({off} + 2 AS INT), 1)) - 1"
+        f" + 256 * ((strpos({nib}, substr(h, CAST({off} + 3 AS INT), 1))"
+        f"           - 1) * 16"
+        f"    + strpos({nib}, substr(h, CAST({off} + 4 AS INT), 1)) - 1))"
+    )
+    samples = (
+        f"list_transform(list_transform(range(0, nfp),"
+        f" f -> CAST({raw} AS BIGINT)), v -> v - 65536 * (v // 32768))"
+    )
+    data_hex = (
+        "array_to_string(list_transform(range(0, db), q -> "
+        f"lower(lpad(hex({PCM_SB}), 2, '0'))), '')"
+    )
+    return f"""
+        WITH p AS (
+          SELECT doc_id, {PCM_CH} AS ch, {PCM_FRAMES} AS nf,
+                 ([{rates}])[CAST(doc_id % 5 AS INT) + 1] AS rate,
+                 ({PCM_FRAMES}) * ({PCM_CH}) * 2 AS db
+          FROM documents),
+        blobs AS (
+          SELECT doc_id,
+                 '{RIFF_HEX}' || {le32_sql('db + 36')} || '{WAVE_HEX}'
+                 || '{FMT_HEX}' || '10000000' || '0100'
+                 || {le16_sql('ch')} || {le32_sql('rate')}
+                 || {le32_sql('rate * ch * 2')} || {le16_sql('ch * 2')}
+                 || {le16_sql(str(PCM_BITS))} || '{DATA_HEX}'
+                 || {le32_sql('db')} || {data_hex} AS h
+          FROM p),
+        hdr AS (
+          SELECT doc_id, h,
+                 CAST({_h_le32(25)} AS BIGINT) AS ratep,
+                 CAST({_h_le16(23)} AS INT) AS chp,
+                 CAST({_h_le16(35)} AS INT) AS bitsp,
+                 CAST({_h_le32(41)} AS BIGINT) AS ds
+          FROM blobs),
+        fr AS (
+          SELECT *, CAST(ds // (chp * (bitsp // 8)) AS BIGINT) AS nfp
+          FROM hdr),
+        chanx AS (
+          SELECT *, unnest(range(0, chp)) AS channel FROM fr),
+        smp AS (
+          SELECT doc_id, ratep, nfp, channel, {samples} AS s
+          FROM chanx),
+        feat AS (
+          SELECT doc_id, channel, ratep, nfp,
+                 CAST(list_sum(list_transform(range(1, nfp), f ->
+                        CASE WHEN (s[CAST(f AS INT)] >= 0)
+                                  != (s[CAST(f + 1 AS INT)] >= 0)
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS zcr_count,
+                 CAST(list_sum(list_transform(
+                        s[1:CAST(nfp // 2 AS INT)], x -> x * x))
+                      AS BIGINT) AS energy_first,
+                 CAST(list_sum(list_transform(
+                        s[CAST(nfp // 2 + 1 AS INT):CAST(nfp AS INT)],
+                        x -> x * x)) AS BIGINT) AS energy_second,
+                 CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT)
+                   AS sumsq_s,
+                 CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT)
+                   AS peak_abs
+          FROM smp)
+        SELECT doc_id,
+               CAST(channel AS INT) AS channel,
+               ratep AS sample_rate,
+               nfp AS n_frames,
+               CAST((1000000 * nfp) // ratep AS BIGINT) AS duration_us,
+               zcr_count,
+               {pround_sql(
+                   'CAST(zcr_count AS DOUBLE)'
+                   ' / CAST(nfp - 1 AS DOUBLE)', 6
+               )} AS zcr_rate,
+               energy_first,
+               energy_second,
+               peak_abs,
+               CASE WHEN sumsq_s > 0 THEN {pround_sql(
+                   'CAST(peak_abs AS DOUBLE)'
+                   ' / sqrt(CAST(sumsq_s AS DOUBLE)'
+                   '        / CAST(nfp AS DOUBLE))', 6
+               )} END AS crest_factor
+        FROM feat
     """
 
 
@@ -1166,9 +1350,11 @@ def _dp_quantile_oracle() -> str:
 ORACLES: dict[str, str] = {
     # --- sources ---
     "q_media_bmp_decode": _bmp_decode_oracle(),
+    "q_media_bmp_histogram": _bmp_histogram_oracle(),
     "q_dp_noisy_sum": _dp_noisy_sum_oracle(),
     "q_dp_noisy_max": _dp_noisy_max_oracle(),
     "q_media_wav_decode": _wav_decode_oracle(),
+    "q_media_wav_features": _wav_features_oracle(),
     "q_dp_noisy_counts": _dp_noisy_counts_oracle(),
     "q_dp_quantile": _dp_quantile_oracle(),
     "q_media_mp4_header": _mp4_header_oracle(),

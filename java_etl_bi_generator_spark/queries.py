@@ -12538,25 +12538,15 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_media_bmp_decode")
-def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 DECODE made real (round 6): 24-bit uncompressed BMP needs no
-    codec — raw BGR triples in stride-padded rows — so this query runs
-    an honest end-to-end image DECODE entirely in codegen: synthesize a
-    valid BMP per doc_id (dims 1-4 × 1-4, pixel bytes from an integer
-    formula, padding zeroed; layout + derivations single-sourced in
-    functions/mediahex.py), write the ``binary`` column to parquet,
-    read it back, and run sources/multimodal.py ``bmp_pixel_stats`` —
-    which parses pixel-array offset / width / height / bpp from the
-    HEADER BYTES and folds over every pixel reading its channel bytes
-    from the blob (never echoing the construction parameters).  The
-    DuckDB oracle rebuilds the identical hex and re-derives everything
-    with nibble arithmetic over it.  This lifts the 'decode is stubbed'
-    caveat for the one mainstream format where decode is pure
-    arithmetic; JPEG/PNG payload decode stays honestly stubbed (real
-    codecs, sources/multimodal.py:66).  Output: per-doc container,
-    parsed dims, byte-exact blob hex, per-channel sums, integer Rec.601
-    luma numerator."""
+def _bmp_canonical_media(
+    spark: SparkSession, sf_dir: str, fixture: str
+) -> DataFrame:
+    """Shared canonical-BMP fixture builder for the image decode family
+    (q_media_bmp_decode / q_media_bmp_histogram): synthesize a valid
+    24-bit BI_RGB BMP per doc_id (dims 1-4 × 1-4, pixel bytes from an
+    integer formula, stride padding zeroed; layout + derivations
+    single-sourced in functions/mediahex.py), write the ``binary``
+    column to parquet, and read it back."""
     from .functions.mediahex import (
         BMP_SIG_HEX,
         BMP_H,
@@ -12565,9 +12555,7 @@ def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         le16_col,
         le32_col,
     )
-    from .sources.multimodal import bmp_pixel_stats
 
-    d = F.col("doc_id")
     params = T(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(BMP_W).cast("bigint").alias("w"),
@@ -12600,9 +12588,33 @@ def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_hex,
     )
     blobs = params.select("doc_id", F.unhex(blob_hex).alias("content"))
-    path = _fixture_dir("bmp_decode") + "/media"
+    path = _fixture_dir(fixture) + "/media"
     blobs.write.parquet(path)
-    media = spark.read.parquet(path)
+    return spark.read.parquet(path)
+
+
+@q("q_media_bmp_decode")
+def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 DECODE made real (round 6): 24-bit uncompressed BMP needs no
+    codec — raw BGR triples in stride-padded rows — so this query runs
+    an honest end-to-end image DECODE entirely in codegen: synthesize a
+    valid BMP per doc_id (dims 1-4 × 1-4, pixel bytes from an integer
+    formula, padding zeroed; layout + derivations single-sourced in
+    functions/mediahex.py), write the ``binary`` column to parquet,
+    read it back, and run sources/multimodal.py ``bmp_pixel_stats`` —
+    which parses pixel-array offset / width / height / bpp from the
+    HEADER BYTES and folds over every pixel reading its channel bytes
+    from the blob (never echoing the construction parameters).  The
+    DuckDB oracle rebuilds the identical hex and re-derives everything
+    with nibble arithmetic over it.  This lifts the 'decode is stubbed'
+    caveat for the one mainstream format where decode is pure
+    arithmetic; JPEG/PNG payload decode stays honestly stubbed (real
+    codecs, sources/multimodal.py:66).  Output: per-doc container,
+    parsed dims, byte-exact blob hex, per-channel sums, integer Rec.601
+    luma numerator."""
+    from .sources.multimodal import bmp_pixel_stats
+
+    media = _bmp_canonical_media(spark, sf_dir, "bmp_decode")
     return bmp_pixel_stats(media).select(
         "doc_id",
         "container",
@@ -12615,6 +12627,37 @@ def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_g",
         "sum_r",
         "luma_k",
+    )
+
+
+@q("q_media_bmp_histogram")
+def q_media_bmp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 IMAGE FEATURE EXTRACTION (round 8): per-channel intensity
+    HISTOGRAM over the real BMP pixel decode — the exposure/contrast
+    feature a vision training-data pipeline gates on right after
+    decoding (all-dark, blown-out, and low-dynamic-range detection).
+    Same canonical fixture as q_media_bmp_decode (single-sourced via
+    ``_bmp_canonical_media``); sources/multimodal.py
+    ``bmp_channel_histogram`` walks the pixel bytes at PARSED-header
+    offsets and bins each channel into 4 bins of 64 levels — exact
+    integer counts whose total equals n_px, unpivoted to one row per
+    (doc, channel) with ``stack``.  The DuckDB oracle replays the
+    identical walk with nibble arithmetic over the rebuilt hex.  Scale
+    shape: narrow per-row codegen map + constant 3-way unpivot — no
+    shuffle, no Python worker."""
+    from .sources.multimodal import bmp_channel_histogram
+
+    media = _bmp_canonical_media(spark, sf_dir, "bmp_histogram")
+    return bmp_channel_histogram(media).select(
+        "doc_id",
+        "channel",
+        "width",
+        "height",
+        "n_px",
+        "bin_0",
+        "bin_1",
+        "bin_2",
+        "bin_3",
     )
 
 
@@ -12948,25 +12991,16 @@ def q_dp_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_media_wav_decode")
-def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 DECODE, audio twin of q_media_bmp_decode (round-6 verdict
-    task 4): 16-bit PCM in a canonical RIFF/WAVE needs no codec — raw
-    little-endian signed samples interleaved channel-major — so this
-    runs an honest end-to-end AUDIO decode entirely in codegen:
-    synthesize a valid 44-byte-header WAV per doc_id (1-2 channels,
-    4-16 frames, data bytes from an integer formula; layout +
+def _wav_canonical_media(
+    spark: SparkSession, sf_dir: str, fixture: str
+) -> DataFrame:
+    """Shared canonical-WAV fixture builder for the audio decode family
+    (q_media_wav_decode / q_media_wav_features): synthesize a valid
+    44-byte-header 16-bit PCM WAV per doc_id (layout + parameter
     derivations single-sourced in functions/mediahex.py), write the
-    ``binary`` column to parquet, read it back, and run
-    sources/multimodal.py ``wav_pcm_stats`` — which parses channels /
-    rate / bits / data size from the HEADER BYTES, derives the frame
-    count, and folds every frame's sample bytes out of the blob (never
-    echoing construction params).  Output per (doc, channel): exact
-    integer sum / sum-of-squares / peak plus the two derived audio
-    health numbers — DC offset (mean sample) and RMS — as pinned
-    doubles.  The DuckDB oracle rebuilds the identical hex and replays
-    the decode with nibble arithmetic.  JPEG/PNG/MP3 payload decode
-    stays honestly stubbed (real codecs, sources/multimodal.py:66)."""
+    ``binary`` column to parquet, and read it back — so every consumer
+    decodes REAL bytes that round-tripped through the columnar format,
+    never an in-memory construction."""
     from .functions.mediahex import (
         DATA_HEX,
         FMT_HEX,
@@ -12980,7 +13014,6 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         le16_col,
         le32_col,
     )
-    from .sources.multimodal import wav_pcm_stats
 
     d = F.col("doc_id")
     params = (
@@ -13019,9 +13052,33 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         data_hex,
     )
     blobs = params.select("doc_id", F.unhex(blob_hex).alias("content"))
-    path = _fixture_dir("wav_decode") + "/media"
+    path = _fixture_dir(fixture) + "/media"
     blobs.write.parquet(path)
-    media = spark.read.parquet(path)
+    return spark.read.parquet(path)
+
+
+@q("q_media_wav_decode")
+def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 DECODE, audio twin of q_media_bmp_decode (round-6 verdict
+    task 4): 16-bit PCM in a canonical RIFF/WAVE needs no codec — raw
+    little-endian signed samples interleaved channel-major — so this
+    runs an honest end-to-end AUDIO decode entirely in codegen:
+    synthesize a valid 44-byte-header WAV per doc_id (1-2 channels,
+    4-16 frames, data bytes from an integer formula; layout +
+    derivations single-sourced in functions/mediahex.py), write the
+    ``binary`` column to parquet, read it back, and run
+    sources/multimodal.py ``wav_pcm_stats`` — which parses channels /
+    rate / bits / data size from the HEADER BYTES, derives the frame
+    count, and folds every frame's sample bytes out of the blob (never
+    echoing construction params).  Output per (doc, channel): exact
+    integer sum / sum-of-squares / peak plus the two derived audio
+    health numbers — DC offset (mean sample) and RMS — as pinned
+    doubles.  The DuckDB oracle rebuilds the identical hex and replays
+    the decode with nibble arithmetic.  JPEG/PNG/MP3 payload decode
+    stays honestly stubbed (real codecs, sources/multimodal.py:66)."""
+    from .sources.multimodal import wav_pcm_stats
+
+    media = _wav_canonical_media(spark, sf_dir, "wav_decode")
     return wav_pcm_stats(media).select(
         "doc_id",
         "container",
@@ -13046,6 +13103,58 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("rms"),
+    )
+
+
+@q("q_media_wav_features")
+def q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 AUDIO FEATURE EXTRACTION (round 8): the step a multimodal
+    training-data pipeline runs AFTER the decode is certified — per
+    (doc, channel) signal features computed straight off the decoded
+    16-bit PCM of the canonical WAV fixture (same blobs as
+    q_media_wav_decode, single-sourced via ``_wav_canonical_media``):
+    zero-crossing count + rate (the classic speech/music/noise
+    discriminator), attack/decay energy split (sum-of-squares over the
+    first n÷2 frames vs the rest — exact bigints that total the RMS
+    numerator), and crest factor (peak/RMS, the clipping/dynamics
+    health number mastering pipelines gate on).  Every feature is
+    exact-integer until the two pinned divisions, so the DuckDB oracle
+    replays the identical decode + feature arithmetic over the hex and
+    the hash-check certifies the FEATURES, not just the decode.  Scale
+    shape: narrow per-row codegen map + bounded per-channel fanout —
+    no shuffle, no Python worker; hour-long payloads would ride the
+    same fold under ``mapInPandas`` (the JPEG-SOF precedent)."""
+    from .sources.multimodal import wav_pcm_features
+
+    media = _wav_canonical_media(spark, sf_dir, "wav_features")
+    feats = wav_pcm_features(media)
+    return feats.select(
+        "doc_id",
+        "channel",
+        "sample_rate",
+        "n_frames",
+        F.expr("CAST((1000000 * n_frames) div sample_rate AS BIGINT)")
+        .alias("duration_us"),
+        "zcr_count",
+        pround(
+            F.col("zcr_count").cast("double")
+            / (F.col("n_frames") - F.lit(1)).cast("double"),
+            6,
+        ).alias("zcr_rate"),
+        "energy_first",
+        "energy_second",
+        "peak_abs",
+        F.when(
+            F.col("sumsq_s") > 0,
+            pround(
+                F.col("peak_abs").cast("double")
+                / F.sqrt(
+                    F.col("sumsq_s").cast("double")
+                    / F.col("n_frames").cast("double")
+                ),
+                6,
+            ),
+        ).alias("crest_factor"),
     )
 
 

@@ -779,20 +779,7 @@ def bmp_pixel_stats(
     applies but you would mapInPandas the walk for Arrow-batch locality
     (the JPEG-SOF precedent)."""
     c = content_col
-    sig_ok = F.hex(F.expr(f"substring({c}, 1, 2)")) == "424D"
-    parsed = media.withColumns(
-        {
-            "container": F.when(sig_ok, F.lit("bmp")).otherwise(
-                F.lit("unknown")
-            ),
-            "__off": _le32(c, 11),
-            "width": _le32(c, 19).cast("int"),
-            "height": _le32(c, 23).cast("int"),
-            "__bpp": _le16(c, 29),
-        }
-    ).withColumn(
-        "__stride", F.expr("((3 * width + 3) div 4) * 4").cast("bigint")
-    )
+    parsed = _bmp_parsed(media, c)
 
     def chan_sum(ch: int) -> F.Column:
         # byte value at PARSED offset __off + row*stride + 3*px + ch
@@ -834,6 +821,98 @@ def bmp_pixel_stats(
     return out.drop("__off", "__bpp", "__stride")
 
 
+def _bmp_parsed(media: DataFrame, c: str) -> DataFrame:
+    """Shared BMP header parse (signature / pixel-array offset / dims /
+    bpp / stride) for ``bmp_pixel_stats`` and ``bmp_channel_histogram``
+    — every walk input comes from these PARSED columns, never from
+    upstream construction parameters."""
+    sig_ok = F.hex(F.expr(f"substring({c}, 1, 2)")) == "424D"
+    return media.withColumns(
+        {
+            "container": F.when(sig_ok, F.lit("bmp")).otherwise(
+                F.lit("unknown")
+            ),
+            "__off": _le32(c, 11),
+            "width": _le32(c, 19).cast("int"),
+            "height": _le32(c, 23).cast("int"),
+            "__bpp": _le16(c, 29),
+        }
+    ).withColumn(
+        "__stride", F.expr("((3 * width + 3) div 4) * 4").cast("bigint")
+    )
+
+
+def bmp_channel_histogram(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """IMAGE FEATURE EXTRACTION over the real BMP decode — the per-
+    channel intensity HISTOGRAM (4 bins of 64 intensity levels), the
+    feature a vision training-data pipeline computes right after the
+    decode to gate on exposure/contrast (all-dark, blown-out, or
+    low-dynamic-range images).  One row per (doc, channel b/g/r) with
+    exact integer bin counts whose total equals ``n_px``; the pixel
+    walk reads channel bytes straight out of the ``binary`` column at
+    offsets derived from the PARSED header (``_bmp_parsed``), then each
+    bin is a ``size(filter(...))`` over the materialized value array —
+    all codegen, no shuffle, no Python worker.  Non-BMP / non-24bpp
+    blobs yield null bins (the ``bmp_pixel_stats`` discipline)."""
+    c = content_col
+    parsed = _bmp_parsed(media, c)
+
+    def chan_px(ch: int) -> F.Column:
+        return F.expr(
+            f"""transform(
+              sequence(0, CAST(width * height - 1 AS INT)),
+              p -> CAST(conv(hex(substring({c},
+                CAST(__off + (p div width) * __stride
+                     + 3 * (p % width) + {ch} + 1 AS INT), 1)), 16, 10)
+                AS BIGINT))"""
+        )
+
+    ok = (F.col("container") == "bmp") & (F.col("__bpp") == 24)
+    with_px = parsed.withColumns(
+        {
+            "__px_b": F.when(ok, chan_px(0)),
+            "__px_g": F.when(ok, chan_px(1)),
+            "__px_r": F.when(ok, chan_px(2)),
+        }
+    ).withColumn(
+        "n_px",
+        F.when(ok, (F.col("width") * F.col("height")).cast("bigint")),
+    )
+
+    def bins(col: str) -> str:
+        return ", ".join(
+            f"CAST(size(filter({col}, v -> v div 64 = {k})) AS BIGINT)"
+            for k in range(4)
+        )
+
+    unpivoted = with_px.select(
+        "*",
+        F.expr(
+            f"""stack(3,
+              'b', {bins('__px_b')},
+              'g', {bins('__px_g')},
+              'r', {bins('__px_r')})
+              AS (channel, bin_0, bin_1, bin_2, bin_3)"""
+        ),
+    )
+    nulled = [
+        F.when(F.col("n_px").isNotNull(), F.col(f"bin_{k}")).alias(
+            f"bin_{k}"
+        )
+        for k in range(4)
+    ]
+    return unpivoted.select(
+        *[
+            f
+            for f in unpivoted.columns
+            if f not in {"bin_0", "bin_1", "bin_2", "bin_3"}
+        ],
+        *nulled,
+    ).drop("__off", "__bpp", "__stride", "__px_b", "__px_g", "__px_r")
+
+
 def wav_pcm_stats(
     media: DataFrame, content_col: str = "content"
 ) -> DataFrame:
@@ -855,6 +934,29 @@ def wav_pcm_stats(
     plus a bounded per-channel fanout — no shuffle, no Python worker;
     for hour-long payloads the same fold would ride ``mapInPandas`` for
     Arrow-batch locality (the JPEG-SOF precedent)."""
+    with_samples = _wav_channel_samples(media, content_col)
+    return with_samples.withColumns(
+        {
+            "sum_s": F.expr(
+                "aggregate(__smp, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ),
+            "sumsq_s": F.expr(
+                "aggregate(__smp, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+            ),
+            "peak_abs": F.expr("array_max(transform(__smp, x -> abs(x)))"),
+        }
+    ).drop("__ds", "__smp")
+
+
+def _wav_channel_samples(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Shared canonical-WAV decode front half: header parse (container /
+    rate / channels / bits / data size → frame count), decodability
+    gate on positive extents, per-channel fanout, and the signed 16-bit
+    sample fold into ``__smp`` (array<bigint> per (doc, channel)).
+    ``wav_pcm_stats`` and ``wav_pcm_features`` both build on this frame
+    so the byte-walk arithmetic is single-sourced."""
     c = content_col
     is_wav = (
         F.expr(f"substring({c}, 1, 4)") == F.lit(b"RIFF")
@@ -916,17 +1018,65 @@ def wav_pcm_stats(
                      16, 10) AS BIGINT)),
               v -> v - 65536 * (v div 32768))"""
     )
-    with_samples = chans.withColumn(
+    return chans.withColumn(
         "__smp", F.when(decodable & F.col("channel").isNotNull(), samples)
     )
+
+
+def wav_pcm_features(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """AUDIO FEATURE EXTRACTION over the real PCM decode — the step a
+    training-data pipeline runs AFTER ``wav_pcm_stats`` certifies the
+    decode: per (doc, channel), exact-integer signal features computed
+    straight off the decoded sample array:
+
+    - ``zcr_count``  — zero crossings (sign flips between consecutive
+      samples, non-negative counted as +), the classic speech/music/
+      noise discriminator, exact bigint;
+    - ``energy_first`` / ``energy_second`` — sum-of-squares over the
+      first ``n div 2`` frames vs the rest (attack/decay split), exact
+      bigints whose total equals ``sumsq_s``;
+    - ``sumsq_s`` / ``peak_abs`` — carried so callers derive RMS and
+      crest factor with one pinned division.
+
+    Same scale shape as the stats pass: a narrow per-row codegen map
+    plus bounded per-channel fanout — no shuffle, no Python worker.
+    Non-decodable layouts keep the null-stats discipline."""
+    with_samples = _wav_channel_samples(media, content_col)
+    zcr = F.expr(
+        """aggregate(
+             zip_with(slice(__smp, 1, CAST(n_frames - 1 AS INT)),
+                      slice(__smp, 2, CAST(n_frames - 1 AS INT)),
+                      (u, v) -> CASE WHEN (u >= 0) != (v >= 0)
+                                THEN CAST(1 AS BIGINT)
+                                ELSE CAST(0 AS BIGINT) END),
+             CAST(0 AS BIGINT), (a, w) -> a + w)"""
+    )
+    e1 = F.expr(
+        """aggregate(slice(__smp, 1, CAST(n_frames div 2 AS INT)),
+                     CAST(0 AS BIGINT), (a, x) -> a + x * x)"""
+    )
+    e2 = F.expr(
+        """aggregate(slice(__smp, CAST(n_frames div 2 + 1 AS INT),
+                           CAST(n_frames - n_frames div 2 AS INT)),
+                     CAST(0 AS BIGINT), (a, x) -> a + x * x)"""
+    )
+    has = F.col("__smp").isNotNull()
     return with_samples.withColumns(
         {
-            "sum_s": F.expr(
-                "aggregate(__smp, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            "zcr_count": F.when(has & (F.col("n_frames") > 1), zcr),
+            "energy_first": F.when(has, e1),
+            "energy_second": F.when(has, e2),
+            "sumsq_s": F.when(
+                has,
+                F.expr(
+                    "aggregate(__smp, CAST(0 AS BIGINT),"
+                    " (a, x) -> a + x * x)"
+                ),
             ),
-            "sumsq_s": F.expr(
-                "aggregate(__smp, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+            "peak_abs": F.when(
+                has, F.expr("array_max(transform(__smp, x -> abs(x)))")
             ),
-            "peak_abs": F.expr("array_max(transform(__smp, x -> abs(x)))"),
         }
     ).drop("__ds", "__smp")

@@ -482,6 +482,57 @@ def test_bmp_pixel_stats_golden_bytes(spark):
     assert bad["sum_b"] is None and bad["luma_k"] is None
 
 
+def test_bmp_channel_histogram_golden_bytes(spark):
+    """Round-8 image features: the per-channel 4x64-level histogram on
+    a hand-built 2x1 BMP with pixels chosen one per bin boundary — bin
+    counts must total n_px, and non-BMP blobs yield null bins."""
+    import struct
+
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        bmp_channel_histogram,
+    )
+
+    w, h = 2, 1
+    stride = ((3 * w + 3) // 4) * 4
+    # pixels: (B,G,R) = (0, 64, 128) and (255, 63, 192)
+    row = bytes([0, 64, 128, 255, 63, 192]) + b"\x00" * (stride - 6)
+    header = (
+        b"BM"
+        + struct.pack("<I", 54 + stride * h)
+        + b"\x00\x00\x00\x00"
+        + struct.pack("<I", 54)
+        + struct.pack("<I", 40)
+        + struct.pack("<i", w)
+        + struct.pack("<i", h)
+        + struct.pack("<H", 1)
+        + struct.pack("<H", 24)
+        + struct.pack("<I", 0)
+        + struct.pack("<I", stride * h)
+        + struct.pack("<I", 2835) * 2
+        + struct.pack("<I", 0) * 2
+    )
+    df = spark.createDataFrame(
+        [(1, header + row), (2, b"notabitmap")],
+        "media_id int, content binary",
+    )
+    rows = {
+        (r["media_id"], r["channel"]): r
+        for r in bmp_channel_histogram(df).collect()
+    }
+    b = rows[(1, "b")]        # bytes 0, 255 -> bins 0 and 3
+    assert [b[f"bin_{k}"] for k in range(4)] == [1, 0, 0, 1]
+    g = rows[(1, "g")]        # bytes 64, 63 -> bins 1 and 0
+    assert [g[f"bin_{k}"] for k in range(4)] == [1, 1, 0, 0]
+    r = rows[(1, "r")]        # bytes 128, 192 -> bins 2 and 3
+    assert [r[f"bin_{k}"] for k in range(4)] == [0, 0, 1, 1]
+    assert all(
+        sum(rows[(1, c)][f"bin_{k}"] for k in range(4)) == 2
+        for c in ("b", "g", "r")
+    )
+    bad = rows[(2, "b")]
+    assert bad["bin_0"] is None and bad["n_px"] is None
+
+
 def test_wav_pcm_stats_golden_bytes(spark):
     """Round-6 verdict task 4: the WAV-PCM decode on a hand-built blob
     with KNOWN samples — stereo, 3 frames, signed extremes included —
@@ -539,6 +590,60 @@ def test_wav_pcm_stats_golden_bytes(spark):
     pcm8 = rows[(3, None)]
     assert (pcm8["container"], pcm8["bits_per_sample"]) == ("wav", 8)
     assert pcm8["sum_s"] is None  # 8-bit payload: stats stay null
+
+
+def test_wav_pcm_features_golden_bytes(spark):
+    """Round-8 audio features on a hand-built blob with KNOWN samples:
+    zero crossings counted as sign flips (non-negative = +, so the 0
+    sample counts as positive), energy split at n div 2, and nulls for
+    non-decodable blobs — same fixtures as the stats golden test."""
+    import struct
+
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        wav_pcm_features,
+    )
+
+    ch0 = [100, -200, 32767]     # + - +  -> 2 crossings
+    ch1 = [0, -32768, 5]         # + - +  -> 2 crossings (0 counts +)
+    frames = b"".join(
+        struct.pack("<hh", a, b) for a, b in zip(ch0, ch1)
+    )
+
+    def wav(channels: int, bits: int, data: bytes) -> bytes:
+        byte_rate = 8000 * channels * bits // 8
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, 8000,
+                          byte_rate, channels * bits // 8, bits)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+
+    df = spark.createDataFrame(
+        [(1, wav(2, 16, frames)), (2, b"not audio at all")],
+        "media_id int, content binary",
+    )
+    rows = {
+        (r["media_id"], r["channel"]): r
+        for r in wav_pcm_features(df).collect()
+    }
+    a = rows[(1, 0)]
+    assert a["zcr_count"] == 2
+    assert a["energy_first"] == 100 * 100               # first 1 frame
+    assert a["energy_second"] == 200 * 200 + 32767 * 32767
+    assert a["sumsq_s"] == a["energy_first"] + a["energy_second"]
+    assert a["peak_abs"] == 32767
+    b = rows[(1, 1)]
+    assert b["zcr_count"] == 2
+    assert b["energy_first"] == 0
+    assert b["energy_second"] == 32768 * 32768 + 25
+    assert b["peak_abs"] == 32768
+    bad = rows[(2, None)]
+    assert bad["zcr_count"] is None and bad["energy_first"] is None
 
 
 def test_wav_pcm_stats_degenerate_blobs(spark):
