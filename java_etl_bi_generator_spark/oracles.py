@@ -747,6 +747,66 @@ def _bmp_decode_oracle() -> str:
     """
 
 
+def _bradley_terry_oracle() -> str:
+    """Twin of q_bradley_terry: identical pair construction (within-
+    order brand pairs, ties to the lexically smaller brand), then the
+    three Hunter-MM rounds unrolled as CTE pairs in the same
+    scaled-bigint arithmetic (S=10^4, all intermediates exact
+    integers), and the one pinned normalization division at the end."""
+    s2 = 10_000 * 10_000
+    rounds = []
+    prev = "p0"
+    for r in (1, 2, 3):
+        rounds.append(f"""
+        d{r} AS (
+          SELECT e.i AS i,
+                 CAST(SUM((e.n * {s2}) // (pi.P + pj.P)) AS BIGINT) AS D
+          FROM edges e
+          JOIN {prev} pi ON e.i = pi.i
+          JOIN {prev} pj ON e.j = pj.i
+          GROUP BY e.i),
+        p{r} AS (
+          SELECT w.i,
+                 GREATEST(CAST((w.W * {s2}) // d.D AS BIGINT),
+                          CAST(1 AS BIGINT)) AS P
+          FROM wins w JOIN d{r} d ON w.i = d.i)""")
+        prev = f"p{r}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+        WITH base AS (
+          SELECT l_orderkey, p_brand,
+                 MAX(CAST(floor(l_extendedprice * 100 + 0.5)
+                          AS BIGINT)) AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY l_orderkey, p_brand),
+        pairs AS (
+          SELECT a.p_brand AS b1, b.p_brand AS b2,
+                 CASE WHEN a.cents >= b.cents THEN 1 ELSE 0 END AS w1
+          FROM base a JOIN base b
+            ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand),
+        games AS (
+          SELECT b1, b2, COUNT(*) AS n, CAST(SUM(w1) AS BIGINT) AS w1
+          FROM pairs GROUP BY b1, b2),
+        edges AS (
+          SELECT b1 AS i, b2 AS j, n, w1 AS w FROM games
+          UNION ALL
+          SELECT b2 AS i, b1 AS j, n, n - w1 AS w FROM games),
+        wins AS (
+          SELECT i, CAST(SUM(w) AS BIGINT) AS W,
+                 CAST(SUM(n) AS BIGINT) AS games
+          FROM edges GROUP BY i),
+        p0 AS (SELECT i, CAST(10000 AS BIGINT) AS P FROM wins),
+        {rounds_sql},
+        tot AS (SELECT CAST(SUM(P) AS BIGINT) AS t FROM p3)
+        SELECT w.i AS brand, w.games, w.W AS wins,
+               p3.P AS p_scaled,
+               {pround_sql(
+                   'CAST(p3.P AS DOUBLE) / CAST(t AS DOUBLE)', 6
+               )} AS strength
+        FROM wins w JOIN p3 ON w.i = p3.i CROSS JOIN tot
+    """
+
+
 def _bmp_histogram_oracle() -> str:
     """Twin of q_media_bmp_histogram: rebuild the identical BMP hex,
     parse the header, walk each channel's pixel bytes with nibble
@@ -1351,6 +1411,7 @@ ORACLES: dict[str, str] = {
     # --- sources ---
     "q_media_bmp_decode": _bmp_decode_oracle(),
     "q_media_bmp_histogram": _bmp_histogram_oracle(),
+    "q_bradley_terry": _bradley_terry_oracle(),
     "q_dp_noisy_sum": _dp_noisy_sum_oracle(),
     "q_dp_noisy_max": _dp_noisy_max_oracle(),
     "q_media_wav_decode": _wav_decode_oracle(),

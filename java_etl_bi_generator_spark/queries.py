@@ -14000,5 +14000,101 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_bradley_terry")
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-MODEL FITTING [Bradley-Terry 1952; Hunter 2004 MM] —
+    the statistical core of RLHF reward modeling and pairwise-eval
+    leaderboards (Chatbot-Arena-style): fit a latent strength per item
+    from pairwise win counts.  Comparisons come from the data itself:
+    within each order, every pair of part brands "competes" (winner =
+    the brand with the higher max line value; ties to the lexically
+    smaller brand, so the outcome is total-ordered).  Three unrolled
+    Hunter-MM rounds run in SCALED-BIGINT arithmetic (S = 10^4;
+    T_ij = n_ij·S² div (P_i+P_j), P_i' = W_i·S² div ΣT — every
+    intermediate an exact integer, so cross-engine hashes match with
+    no float-order caveat), and only the final normalized strength is
+    a pinned division.  Scale shape: the pair explode is bounded by
+    items-per-order (≤ C(7,2) per order), the game table collapses to
+    the brand-pair grain (≤ 25², tiny), and each MM round is a
+    broadcast join on the 25-row strength frame — at 100 TB only the
+    first aggregation touches data grain."""
+    S = 10_000
+    li = T(spark, sf_dir, "lineitem")
+    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("l_orderkey", "p_brand")
+        .agg(
+            F.max(
+                F.floor(
+                    F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.p_brand") < F.col("b.p_brand")),
+    ).select(
+        F.col("a.p_brand").alias("b1"),
+        F.col("b.p_brand").alias("b2"),
+        F.when(F.col("a.cents") >= F.col("b.cents"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("w1"),
+    )
+    games = pairs.groupBy("b1", "b2").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w1").alias("w1")
+    )
+    edges = games.select(
+        F.col("b1").alias("i"), F.col("b2").alias("j"), "n",
+        F.col("w1").alias("w"),
+    ).unionAll(
+        games.select(
+            F.col("b2").alias("i"), F.col("b1").alias("j"), "n",
+            (F.col("n") - F.col("w1")).alias("w"),
+        )
+    )
+    wins = edges.groupBy("i").agg(
+        F.sum("w").alias("W"), F.sum("n").alias("games")
+    )
+    p = wins.select("i", F.lit(S).cast("bigint").alias("P"))
+    for _ in range(3):
+        pi = p.select(F.col("i").alias("ii"), F.col("P").alias("Pi"))
+        pj = p.select(F.col("i").alias("jj"), F.col("P").alias("Pj"))
+        d = (
+            edges.join(F.broadcast(pi), F.col("i") == F.col("ii"))
+            .join(F.broadcast(pj), F.col("j") == F.col("jj"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(f"(n * {S * S}) div (Pi + Pj)")
+                ).alias("D")
+            )
+        )
+        p = wins.join(F.broadcast(d), "i").select(
+            "i",
+            F.greatest(
+                F.expr(f"(W * {S * S}) div D"), F.lit(1).cast("bigint")
+            ).alias("P"),
+        )
+    tot = p.agg(F.sum("P").alias("t"))
+    return (
+        wins.join(p, "i")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").alias("brand"),
+            "games",
+            F.col("W").alias("wins"),
+            F.col("P").alias("p_scaled"),
+            pround(
+                F.col("P").cast("double") / F.col("t").cast("double"), 6
+            ).alias("strength"),
+        )
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

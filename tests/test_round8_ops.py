@@ -151,3 +151,31 @@ def test_fairness_reference_group_has_ratio_one(spark, sf_dir):
     )
     for r in rows:
         assert 0.0 < r["di_ratio"] <= 1.0
+
+
+def test_bradley_terry_mm_properties(spark, sf_dir):
+    """The fitted Bradley-Terry strengths must satisfy the model's own
+    invariants: one strength per brand, every scaled strength >= 1
+    (the collapse clamp), normalized strengths summing to 1 within the
+    pinning grid, wins <= games per brand, and the global win/game
+    totals consistent (each game produces exactly one win, and every
+    game is counted once from each side)."""
+    rows = registry()["q_bradley_terry"](spark, sf_dir).collect()
+    assert len(rows) == len({r["brand"] for r in rows})
+    assert all(r["p_scaled"] >= 1 for r in rows)
+    assert all(0.0 < r["strength"] < 1.0 for r in rows)
+    assert abs(sum(r["strength"] for r in rows) - 1.0) < 1e-4
+    assert all(0 <= r["wins"] <= r["games"] for r in rows)
+    # Σ wins = Σ games / 2: edges double-count games (one row per
+    # direction) and single-count wins (each game has one winner).
+    assert sum(r["wins"] for r in rows) * 2 == sum(r["games"] for r in rows)
+
+
+def test_bradley_terry_strength_tracks_dominance(spark, sf_dir):
+    """MM fixed-point sanity: the brand with the highest win RATE must
+    out-rank the brand with the lowest in fitted strength (BT is
+    monotone in head-to-head dominance when the schedule is dense —
+    all 25 brands meet, so the comparison graph is near-complete)."""
+    rows = registry()["q_bradley_terry"](spark, sf_dir).collect()
+    by_rate = sorted(rows, key=lambda r: r["wins"] / r["games"])
+    assert by_rate[-1]["strength"] > by_rate[0]["strength"]
