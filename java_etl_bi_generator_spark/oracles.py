@@ -2591,6 +2591,38 @@ ORACLES: dict[str, str] = {
                                THEN o_totalprice END)) AS q_value
         FROM sel GROUP BY p
     """,
+    "q_isotonic_calibration": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        b AS (
+          SELECT CAST(LEAST(s6 // 50000, 19) AS INT) AS bucket,
+                 COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos
+          FROM j GROUP BY 1),
+        pre AS (
+          SELECT bucket, n, pos,
+                 SUM(n) OVER (ORDER BY bucket) AS cn,
+                 SUM(pos) OVER (ORDER BY bucket) AS cpos
+          FROM b),
+        pr AS (
+          SELECT p1.bucket AS jb,
+                 CAST(p2.cpos - (p1.cpos - p1.pos) AS DOUBLE)
+                 / CAST(p2.cn - (p1.cn - p1.n) AS DOUBLE) AS mean_jk
+          FROM pre p1 JOIN pre p2 ON p2.bucket >= p1.bucket),
+        mj AS (SELECT jb, MIN(mean_jk) AS m FROM pr GROUP BY jb),
+        iso AS (
+          SELECT jb AS bucket,
+                 MAX(m) OVER (ORDER BY jb
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS iso
+          FROM mj)
+        SELECT b.bucket AS bucket,
+               b.n AS n_customers,
+               b.pos AS n_active,
+               {pround_sql(
+                   'CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)', 6
+               )} AS raw_rate,
+               {pround_sql('iso.iso', 6)} AS iso_rate
+        FROM b JOIN iso ON b.bucket = iso.bucket
+    """,
     "q_score_calibration": f"""
         WITH {_CHURN_SCORED_LABELED_SQL},
         r AS (

@@ -5615,6 +5615,74 @@ def _churn_scored_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_isotonic_calibration")
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION (pool-adjacent-violators) of the fused
+    logistic score — the post-hoc monotone recalibration every
+    production scoring pipeline runs when the reliability diagram
+    (q_score_calibration) shows mis-calibration, and the operator
+    Spark MLlib ships as ``IsotonicRegression``.  Implemented via the
+    PAV **minimax closed form** iso_i = max_{j≤i} min_{k≥i..} of the
+    weighted bucket-range mean — no sequential pooling loop: scores
+    collapse to 20 equal-width buckets (exact integer n/pos per
+    bucket), prefix sums give every range mean as ONE double division
+    over exact integers, the j≤k pair frame is bounded 20×20, and the
+    running min/max are order-free — so the whole fit hash-checks
+    cross-engine.  Scale shape: data grain is touched once (the
+    bucket aggregation); everything after lives at the constant
+    bucket grain (the documented bounded-grain exemption)."""
+    scored = _churn_scored_labeled(spark, sf_dir)
+    g = (
+        scored.withColumn(
+            "bucket", F.expr("CAST(least(__s6 div 50000, 19) AS INT)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+    )
+    w = Window.orderBy("bucket")
+    pre = g.select(
+        "bucket", "n", "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cpos"),
+    )
+    jf = pre.select(
+        F.col("bucket").alias("jb"),
+        (F.col("cn") - F.col("n")).alias("cn_prev"),
+        (F.col("cpos") - F.col("pos")).alias("cpos_prev"),
+    )
+    kf = pre.select(
+        F.col("bucket").alias("kb"),
+        F.col("cn").alias("cn_k"),
+        F.col("cpos").alias("cpos_k"),
+    )
+    pair_means = jf.join(kf, F.col("kb") >= F.col("jb")).select(
+        "jb",
+        (
+            (F.col("cpos_k") - F.col("cpos_prev")).cast("double")
+            / (F.col("cn_k") - F.col("cn_prev")).cast("double")
+        ).alias("mean_jk"),
+    )
+    mj = pair_means.groupBy("jb").agg(F.min("mean_jk").alias("m"))
+    w2 = Window.orderBy("jb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    iso = mj.select(
+        F.col("jb").alias("bucket"), F.max("m").over(w2).alias("iso")
+    )
+    return g.join(iso, "bucket").select(
+        "bucket",
+        F.col("n").alias("n_customers"),
+        F.col("pos").alias("n_active"),
+        pround(
+            F.col("pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("raw_rate"),
+        pround(F.col("iso"), 6).alias("iso_rate"),
+    )
+
+
 @q("q_ml_score_inference")
 def q_ml_score_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML inference fused into the relational plan (the pure-SQL

@@ -179,3 +179,43 @@ def test_bradley_terry_strength_tracks_dominance(spark, sf_dir):
     rows = registry()["q_bradley_terry"](spark, sf_dir).collect()
     by_rate = sorted(rows, key=lambda r: r["wins"] / r["games"])
     assert by_rate[-1]["strength"] > by_rate[0]["strength"]
+
+
+def test_isotonic_calibration_matches_reference_pav(spark, sf_dir):
+    """The minimax closed form must reproduce the textbook sequential
+    pool-adjacent-violators fit on the same bucket data — computed
+    here with an independent in-Python PAV over the query's own
+    (n, pos) buckets — and the fitted curve must be non-decreasing.
+    (Parity vs DuckDB can't catch a formula error when both engines
+    share the formula; this reference implementation can.)"""
+    rows = sorted(
+        registry()["q_isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    # reference: weighted sequential PAV on (pos/n, weight=n)
+    blocks = [
+        {"w": r["n_customers"], "s": float(r["n_active"])} for r in rows
+    ]
+    stack: list[dict] = []
+    for b in blocks:
+        stack.append(dict(b))
+        while len(stack) > 1 and (
+            stack[-2]["s"] / stack[-2]["w"] > stack[-1]["s"] / stack[-1]["w"]
+        ):
+            b2 = stack.pop()
+            stack[-1]["w"] += b2["w"]
+            stack[-1]["s"] += b2["s"]
+    # expand block means back to bucket grain
+    ref: list[float] = []
+    idx = 0
+    for blk in stack:
+        covered = 0
+        while covered < blk["w"]:
+            covered += rows[idx]["n_customers"]
+            ref.append(blk["s"] / blk["w"])
+            idx += 1
+    assert len(ref) == len(rows)
+    for r, expect in zip(rows, ref):
+        assert abs(r["iso_rate"] - expect) < 1e-5, (r["bucket"], expect)
+    fitted = [r["iso_rate"] for r in rows]
+    assert fitted == sorted(fitted)
