@@ -747,6 +747,71 @@ def _bmp_decode_oracle() -> str:
     """
 
 
+def _ewma_oracle() -> str:
+    """Twin of q_ewma_daily: identical dyadic integer weights
+    W_k = 3^k·4^(7−k), identical lag taps with warm-up exclusion from
+    both numerator and denominator, one pinned division."""
+    wts = [3**k * 4 ** (7 - k) for k in range(8)]
+    lags = ",\n                 ".join(
+        f"lag(cents, {k}) OVER (ORDER BY d) AS l{k}" for k in range(8)
+    )
+    num = " + ".join(f"{w} * coalesce(l{k}, 0)" for k, w in enumerate(wts))
+    den = " + ".join(
+        f"CASE WHEN l{k} IS NOT NULL THEN {w} ELSE 0 END"
+        for k, w in enumerate(wts)
+    )
+    return f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        lagged AS (
+          SELECT d, n_orders, cents,
+                 {lags}
+          FROM daily)
+        SELECT d, n_orders, cents / 100.0 AS revenue,
+               {pround_sql(
+                   f'CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)'
+                   ' / 100.0', 4
+               )} AS ewma_revenue
+        FROM lagged
+    """
+
+
+def _quality_linear_scorer_oracle() -> str:
+    """Twin of q_quality_linear_scorer: same tokenization, same md5
+    slot/weight derivations (weights in [-1000, 1000] from the 1024-row
+    generated model), exact bigint margin, pinned score/sigmoid."""
+    z = "(CAST(margin AS DOUBLE) / (1000.0 * CAST(dl AS DOUBLE)))"
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, len({_TOKENS}) AS dl,
+                 unnest({_TOKENS}) AS tok
+          FROM documents WHERE trim(text) <> ''),
+        sl AS (
+          SELECT doc_id, dl,
+                 CAST({_hex_bigint("md5('qls-v1|' || tok)", 1, 8)} % 1024
+                      AS INT) AS slot
+          FROM tok),
+        model AS (
+          SELECT CAST(r AS INT) AS slot,
+                 CAST({_hex_bigint(
+                     "md5('qls-w-v1|' || CAST(r AS VARCHAR))", 1, 8
+                 )} % 2001 - 1000 AS BIGINT) AS w
+          FROM (SELECT unnest(range(0, 1024)) AS r) g),
+        sc AS (
+          SELECT doc_id, dl, CAST(SUM(w) AS BIGINT) AS margin
+          FROM sl JOIN model USING (slot) GROUP BY doc_id, dl)
+        SELECT doc_id, dl AS n_tokens, margin AS margin_x1000,
+               {pround_sql(z, 6)} AS score,
+               {pround_sql(f'1.0 / (1.0 + exp(-{z}))', 6)} AS prob,
+               CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS INT)
+                 AS quality_pass
+        FROM sc
+    """
+
+
 def _bradley_terry_oracle() -> str:
     """Twin of q_bradley_terry: identical pair construction (within-
     order brand pairs, ties to the lexically smaller brand), then the
@@ -1412,6 +1477,8 @@ ORACLES: dict[str, str] = {
     "q_media_bmp_decode": _bmp_decode_oracle(),
     "q_media_bmp_histogram": _bmp_histogram_oracle(),
     "q_bradley_terry": _bradley_terry_oracle(),
+    "q_quality_linear_scorer": _quality_linear_scorer_oracle(),
+    "q_ewma_daily": _ewma_oracle(),
     "q_dp_noisy_sum": _dp_noisy_sum_oracle(),
     "q_dp_noisy_max": _dp_noisy_max_oracle(),
     "q_media_wav_decode": _wav_decode_oracle(),

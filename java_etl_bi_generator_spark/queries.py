@@ -6870,6 +6870,58 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ewma_daily")
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the daily revenue series with EXACT integer
+    weights — the monitoring/forecasting primitive (EWMA control
+    charts, demand smoothing) made hash-checkable: α = 1/4 gives
+    dyadic-rational weights, so the 8-tap truncated kernel
+    w_k ∝ (3/4)^k scales to the exact integers W_k = 3^k·4^(7−k)
+    (>97% of the infinite kernel's mass).  Numerator and denominator
+    accumulate as exact bigints over lag() taps (missing leading taps
+    excluded from BOTH, the standard adjusted-EWMA warm-up), and the
+    smoothed value is one pinned division — no recursive float state,
+    no summation-order caveat.  The window runs on the bounded DAY
+    grain (~2.4k rows — the documented bounded-grain exemption); the
+    only data-grain operation is the daily aggregation."""
+    from functools import reduce
+
+    wts = [3**k * 4 ** (7 - k) for k in range(8)]
+    od = T(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.orderBy("d")
+    num = reduce(
+        lambda a, b: a + b,
+        [
+            F.coalesce(F.lag("cents", k).over(w), F.lit(0)) * F.lit(wk)
+            for k, wk in enumerate(wts)
+        ],
+    )
+    den = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.lag("cents", k).over(w).isNotNull(), F.lit(wk))
+            .otherwise(F.lit(0))
+            for k, wk in enumerate(wts)
+        ],
+    )
+    return daily.select(
+        "d",
+        "n_orders",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        pround(
+            num.cast("double") / den.cast("double") / F.lit(100.0), 4
+        ).alias("ewma_revenue"),
+    )
+
+
 @q("q_cusum_changepoint")
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitoring / changepoint scan: CUSUM of the daily order-revenue
@@ -8524,6 +8576,68 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__toks",
         ),
         eager=False,
+    )
+
+
+@q("q_quality_linear_scorer")
+def q_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY A TRAINED TEXT CLASSIFIER AT CORPUS SCALE — the fastText
+    shape [Joulin et al. 2016] that CCNet/LLaMA-style pipelines use for
+    quality filtering: a linear model over hashed bag-of-words features,
+    scored as one broadcast join + one aggregation.  The "model" is a
+    1024-slot weight table generated deterministically (slot weights
+    from the portable md5 slice, scaled integers in [-1000, 1000] — in
+    production this frame IS the trained model, loaded instead of
+    generated; the plumbing is identical).  Per doc: tokens hash to
+    slots (hashing trick, no vocabulary pass), the margin accumulates
+    as an EXACT bigint (Σ scaled weights — no float summation-order
+    caveat), and only the final normalized score and its sigmoid are
+    pinned divisions.  Scale shape: the model broadcasts (1024 rows
+    regardless of corpus size), the only shuffle is the per-doc margin
+    aggregation — the canonical inference plan for a 100 TB corpus."""
+    D = 1024
+    base = _tokenized_docs(spark, sf_dir)
+    model = spark.range(D).select(
+        F.col("id").cast("int").alias("slot"),
+        (
+            _h32(
+                F.concat_ws(
+                    "|", F.lit("qls-w-v1"), F.col("id").cast("string")
+                )
+            )
+            % 2001
+            - 1000
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    slotted = base.select(
+        "doc_id", "dl", F.explode("__toks").alias("tok")
+    ).select(
+        "doc_id",
+        "dl",
+        (_h32(F.concat_ws("|", F.lit("qls-v1"), F.col("tok"))) % D)
+        .cast("int")
+        .alias("slot"),
+    )
+    scored = (
+        slotted.join(F.broadcast(model), "slot")
+        .groupBy("doc_id", "dl")
+        .agg(F.sum("w").alias("margin_x1000"))
+    )
+    z = F.col("margin_x1000").cast("double") / (
+        F.lit(1000.0) * F.col("dl").cast("double")
+    )
+    return scored.select(
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        "margin_x1000",
+        pround(z, 6).alias("score"),
+        pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("prob"),
+        F.when(F.col("margin_x1000") > 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("quality_pass"),
     )
 
 

@@ -219,3 +219,33 @@ def test_isotonic_calibration_matches_reference_pav(spark, sf_dir):
         assert abs(r["iso_rate"] - expect) < 1e-5, (r["bucket"], expect)
     fitted = [r["iso_rate"] for r in rows]
     assert fitted == sorted(fitted)
+
+
+def test_quality_linear_scorer_margin_bounds(spark, sf_dir):
+    """Hashed linear scorer invariants: |margin| <= 1000 * n_tokens
+    (weights live in [-1000, 1000]), the pass flag is exactly
+    margin > 0, and the sigmoid is monotone in the normalized score."""
+    rows = registry()["q_quality_linear_scorer"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["margin_x1000"]) <= 1000 * r["n_tokens"]
+        assert r["quality_pass"] == (1 if r["margin_x1000"] > 0 else 0)
+        assert 0.0 < r["prob"] < 1.0
+    by_score = sorted(rows, key=lambda r: r["score"])
+    probs = [r["prob"] for r in by_score]
+    assert probs == sorted(probs)
+
+
+def test_ewma_is_convex_combination(spark, sf_dir):
+    """EWMA invariants: the first day's smoothed value equals its own
+    revenue (single-tap warm-up), and every smoothed value lies within
+    the global [min, max] revenue envelope (the weights are a convex
+    combination of trailing observations)."""
+    rows = sorted(
+        registry()["q_ewma_daily"](spark, sf_dir).collect(),
+        key=lambda r: r["d"],
+    )
+    assert abs(rows[0]["ewma_revenue"] - rows[0]["revenue"]) < 0.01
+    lo = min(r["revenue"] for r in rows)
+    hi = max(r["revenue"] for r in rows)
+    assert all(lo - 1e-6 <= r["ewma_revenue"] <= hi + 1e-6 for r in rows)
