@@ -4620,6 +4620,57 @@ ORACLES: dict[str, str] = {
                {pround_sql('-p * ln(p)', 6)} AS surprisal
         FROM t
     """,
+    "q_theil_decomposition": f"""
+        WITH rev AS (
+          SELECT o_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+          FROM orders GROUP BY 1),
+        seg AS (
+          SELECT c.c_mktsegment AS segment, rev.x
+          FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey),
+        g AS (
+          SELECT segment, CAST(count(*) AS BIGINT) AS n_g,
+                 sum(x) AS s_g
+          FROM seg GROUP BY segment),
+        gm AS (
+          SELECT segment, n_g,
+                 CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mu_g,
+                 CAST(SUM(s_g) OVER () AS DOUBLE)
+                   / CAST(SUM(n_g) OVER () AS DOUBLE) AS mu,
+                 CAST(s_g AS DOUBLE)
+                   / CAST(SUM(s_g) OVER () AS DOUBLE) AS share
+          FROM g),
+        w AS (
+          SELECT seg.segment,
+                 CAST(SUM(CAST(floor(
+                   (CAST(seg.x AS DOUBLE) / gm.mu_g)
+                   * ln(CAST(seg.x AS DOUBLE) / gm.mu_g)
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_t9
+          FROM seg JOIN gm ON seg.segment = gm.segment
+          GROUP BY seg.segment),
+        o AS (
+          SELECT gm.segment, gm.n_g AS n_customers, gm.share,
+                 CAST(w.sum_t9 AS DOUBLE)
+                   / (CAST(gm.n_g AS DOUBLE) * 1000000000.0) AS t_within,
+                 CAST(floor(gm.share * ln(gm.mu_g / gm.mu)
+                            * 1000000000.0) AS BIGINT) AS b9
+          FROM gm JOIN w ON gm.segment = w.segment),
+        o2 AS (
+          SELECT *, CAST(floor(share * t_within * 1000000000.0)
+                         AS BIGINT) AS ww9
+          FROM o)
+        SELECT segment, n_customers,
+               {pround_sql('share', 6)} AS revenue_share,
+               {pround_sql('t_within', 6)} AS theil_within,
+               {pround_sql(
+                   'CAST(SUM(b9) OVER () AS DOUBLE) / 1000000000.0', 6
+               )} AS theil_between,
+               {pround_sql(
+                   'CAST(SUM(b9) OVER () + SUM(ww9) OVER () AS DOUBLE)'
+                   ' / 1000000000.0', 6
+               )} AS theil_total
+        FROM o2
+    """,
     "q_gini": f"""
         WITH rev AS (
           SELECT o_custkey,
@@ -4646,6 +4697,40 @@ ORACLES: dict[str, str] = {
     # nDCG@10: both engines consume the SAME repr-exact discount
     # literals and the SAME left-associated 10-term chain — unrounded
     # floats are safe (see functions/ranking_eval.py).
+    "q_mrr": f"""
+        WITH qs AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                 label AS qlabel
+          FROM embeddings WHERE vec_id < 5),
+        cand AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+          FROM embeddings),
+        scored AS (
+          SELECT qid, qlabel, vec_id, label,
+                 {pround_sql(
+                     'list_dot_product(cv, qv)'
+                     ' / (sqrt(list_dot_product(cv, cv))'
+                     '    * sqrt(list_dot_product(qv, qv)))', 6
+                 )} AS cos
+          FROM cand CROSS JOIN qs WHERE vec_id != qid),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS r
+          FROM scored),
+        fr AS (
+          SELECT qid, qlabel, MIN(r) AS first_rel_rank
+          FROM ranked WHERE label = qlabel GROUP BY qid, qlabel)
+        SELECT qid, qlabel, first_rel_rank,
+               {pround_sql(
+                   '1.0 / CAST(first_rel_rank AS DOUBLE)', 6
+               )} AS rr,
+               {pround_sql(
+                   'CAST(SUM(CAST(floor(1000000.0 / '
+                   'CAST(first_rel_rank AS DOUBLE)) AS BIGINT)) OVER ()'
+                   ' AS DOUBLE) / 5000000.0', 6
+               )} AS mrr
+        FROM fr
+    """,
     "q_ndcg_at_10": f"""
         WITH {_cosine_scored_ctes()},
         top10 AS (

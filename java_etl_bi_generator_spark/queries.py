@@ -8525,6 +8525,101 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_theil_decomposition")
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality analytics, the DECOMPOSABLE index: Theil-T of customer
+    revenue split into between-segment and within-segment components —
+    the additive decomposition T = Σ s_g·T_g + Σ s_g·ln(μ_g/μ) that
+    Gini famously lacks, and the reason Theil is the concentration
+    metric for drill-downs ("is inequality driven by segment mix or
+    within segments?").  Float discipline: revenue sums are exact
+    decimals; every logarithmic term is floored to a ×1e9 bigint AT THE
+    ROW GRAIN before any cross-row sum (the dsum discipline applied to
+    entropy terms), so all aggregations are exact integer adds and the
+    emitted numbers are engine-identical.  Scale shape: one data-grain
+    aggregation (customer revenue), one join back for per-row terms,
+    then everything lives at the 5-segment grain."""
+    od = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    seg = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "x"
+    )
+    g = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("x").alias("s_g"),
+    )
+    wall = Window.partitionBy()
+    gm = g.select(
+        "segment",
+        "n_g",
+        "s_g",
+        F.sum("n_g").over(wall).alias("n"),
+        F.sum("s_g").over(wall).alias("S"),
+    ).select(
+        "segment",
+        "n_g",
+        (F.col("s_g").cast("double") / F.col("n_g").cast("double")).alias(
+            "mu_g"
+        ),
+        (F.col("S").cast("double") / F.col("n").cast("double")).alias(
+            "mu"
+        ),
+        (F.col("s_g").cast("double") / F.col("S").cast("double")).alias(
+            "share"
+        ),
+    )
+    rows = seg.join(F.broadcast(gm.select("segment", "mu_g")), "segment")
+    xr = F.col("x").cast("double") / F.col("mu_g")
+    within = rows.groupBy("segment").agg(
+        F.sum(
+            F.floor(xr * F.log(xr) * F.lit(1000000000.0)).cast("bigint")
+        ).alias("sum_t9")
+    )
+    out = gm.join(F.broadcast(within), "segment").select(
+        "segment",
+        F.col("n_g").alias("n_customers"),
+        "share",
+        (
+            F.col("sum_t9").cast("double")
+            / (F.col("n_g").cast("double") * F.lit(1000000000.0))
+        ).alias("t_within"),
+        F.floor(
+            F.col("share")
+            * F.log(F.col("mu_g") / F.col("mu"))
+            * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("b9"),
+    )
+    out = out.withColumn(
+        "ww9",
+        F.floor(F.col("share") * F.col("t_within") * F.lit(1000000000.0))
+        .cast("bigint"),
+    )
+    return out.select(
+        "segment",
+        "n_customers",
+        pround(F.col("share"), 6).alias("revenue_share"),
+        pround(F.col("t_within"), 6).alias("theil_within"),
+        pround(
+            F.sum("b9").over(wall).cast("double") / F.lit(1000000000.0),
+            6,
+        ).alias("theil_between"),
+        pround(
+            (F.sum("b9").over(wall) + F.sum("ww9").over(wall)).cast(
+                "double"
+            )
+            / F.lit(1000000000.0),
+            6,
+        ).alias("theil_total"),
+    )
+
+
 @q("q_gini")
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inequality analytics: Gini coefficient of customer revenue via the
@@ -8786,6 +8881,79 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf"))
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(10)
+    )
+
+
+@q("q_mrr")
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation, BATCH form: Mean Reciprocal Rank of
+    the cosine retriever over a 5-query eval set (vec_id 0-4; relevant
+    = same label, self excluded) — the eval-harness metric for "where
+    does the first right answer land", complementing q_ndcg_at_10's
+    graded single-query view.  Float discipline: per-pair cosines are
+    pinned, ranks are exact integers from a total order (pinned cosine
+    desc, vec_id asc), each reciprocal rank is ONE division, and the
+    MRR aggregates floor(1e6/rank) as exact bigints before a single
+    pinned division — no float summation order anywhere.  Scale shape:
+    the 5-query set broadcasts; scoring is one pass over the
+    embeddings (at 100 TB the candidate pass swaps to the IVF/PQ
+    retrievers — same eval frame); ranks shuffle once on qid."""
+    from .functions.vectors import cosine_similarity
+
+    em = T(spark, sf_dir, "embeddings")
+    qs = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = em.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("cv"),
+        "label",
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            pround(cosine_similarity("cv", "qv"), 6).alias("cos"),
+        )
+    )
+    ranked = scored.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("cos").desc(), F.col("vec_id").asc()
+            )
+        ),
+    )
+    fr = (
+        ranked.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("qid", "qlabel")
+        .agg(F.min("r").alias("first_rel_rank"))
+    )
+    return fr.select(
+        "qid",
+        "qlabel",
+        "first_rel_rank",
+        pround(
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"), 6
+        ).alias("rr"),
+        pround(
+            F.sum(
+                F.floor(
+                    F.lit(1000000.0)
+                    / F.col("first_rel_rank").cast("double")
+                ).cast("bigint")
+            )
+            .over(Window.partitionBy())
+            .cast("double")
+            / F.lit(5000000.0),
+            6,
+        ).alias("mrr"),
     )
 
 

@@ -249,3 +249,34 @@ def test_ewma_is_convex_combination(spark, sf_dir):
     lo = min(r["revenue"] for r in rows)
     hi = max(r["revenue"] for r in rows)
     assert all(lo - 1e-6 <= r["ewma_revenue"] <= hi + 1e-6 for r in rows)
+
+
+def test_mrr_rank_semantics(spark, sf_dir):
+    """MRR invariants: 5 query rows, first_rel_rank >= 1, rr = 1/rank
+    within pinning, and the reported MRR equals the recomputed mean of
+    the per-query reciprocal ranks."""
+    rows = registry()["q_mrr"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["first_rel_rank"] >= 1
+        assert abs(r["rr"] - 1.0 / r["first_rel_rank"]) < 1e-5
+    mrr = rows[0]["mrr"]
+    expect = sum(1.0 / r["first_rel_rank"] for r in rows) / 5.0
+    assert abs(mrr - expect) < 1e-5
+    assert len({r["mrr"] for r in rows}) == 1
+
+
+def test_theil_decomposition_is_additive_and_nonneg(spark, sf_dir):
+    """Theil axioms: total = between + Σ share·within (additivity, up to
+    the 1e-9 flooring grid), every within-component >= 0 (it is a
+    KL divergence), shares sum to 1, and between >= 0."""
+    rows = registry()["q_theil_decomposition"](spark, sf_dir).collect()
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["theil_within"] >= -1e-9
+    t = rows[0]
+    assert t["theil_between"] >= -1e-6
+    recomposed = t["theil_between"] + sum(
+        r["revenue_share"] * r["theil_within"] for r in rows
+    )
+    assert abs(t["theil_total"] - recomposed) < 1e-4
