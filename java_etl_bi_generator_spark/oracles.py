@@ -4620,6 +4620,71 @@ ORACLES: dict[str, str] = {
                {pround_sql('-p * ln(p)', 6)} AS surprisal
         FROM t
     """,
+    "q_heaps_law": f"""
+        WITH docs AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) <> ''),
+        maxd AS (SELECT MAX(doc_id) AS m FROM docs),
+        cps AS (
+          SELECT pct, (m * pct) // 100 AS cut
+          FROM (SELECT unnest([25, 50, 75, 100]) AS pct) p
+          CROSS JOIN maxd),
+        fs AS (
+          SELECT tok, MIN(doc_id) AS fseen
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) t
+          GROUP BY tok),
+        vocab AS (
+          SELECT pct, cut, CAST(COUNT(*) AS BIGINT) AS vocab_cum
+          FROM fs CROSS JOIN cps WHERE fseen <= cut
+          GROUP BY pct, cut),
+        ntok AS (
+          SELECT pct, cut, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens_cum
+          FROM docs CROSS JOIN cps WHERE doc_id <= cut
+          GROUP BY pct, cut),
+        j AS (
+          SELECT v.pct, v.cut, n.n_tokens_cum, v.vocab_cum
+          FROM vocab v JOIN ntok n ON v.pct = n.pct AND v.cut = n.cut)
+        SELECT pct, cut, n_tokens_cum, vocab_cum,
+               {pround_sql(
+                   'ln(CAST(vocab_cum AS DOUBLE)'
+                   ' / CAST(lag(vocab_cum) OVER (ORDER BY pct)'
+                   '        AS DOUBLE))'
+                   ' / ln(CAST(n_tokens_cum AS DOUBLE)'
+                   ' / CAST(lag(n_tokens_cum) OVER (ORDER BY pct)'
+                   '        AS DOUBLE))', 6
+               )} AS beta
+        FROM j
+    """,
+    "q_ece": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        b AS (
+          SELECT CAST(LEAST(s6 // 50000, 19) AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_b,
+                 CAST(SUM(label) AS BIGINT) AS pos,
+                 CAST(SUM(s6) AS BIGINT) AS s6_sum
+          FROM j GROUP BY 1),
+        e_t AS (
+          SELECT n_b,
+                 abs(CAST(pos AS DOUBLE) / CAST(n_b AS DOUBLE)
+                     - CAST(s6_sum AS DOUBLE)
+                       / (1000000.0 * CAST(n_b AS DOUBLE))) AS gap
+          FROM b),
+        e_a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 CAST(SUM(n_b) AS BIGINT) AS n,
+                 CAST(SUM(CAST(floor(
+                   CAST(n_b AS DOUBLE) * gap * 1000000000.0
+                 ) AS BIGINT)) AS BIGINT) AS wgap9,
+                 MAX({pround_sql('gap', 6)}) AS mce
+          FROM e_t)
+        SELECT n_buckets, n,
+               {pround_sql(
+                   'CAST(wgap9 AS DOUBLE)'
+                   ' / (CAST(n AS DOUBLE) * 1000000000.0)', 6
+               )} AS ece,
+               mce
+        FROM e_a
+    """,
     "q_theil_decomposition": f"""
         WITH rev AS (
           SELECT o_custkey,

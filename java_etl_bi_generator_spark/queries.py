@@ -8674,6 +8674,120 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_heaps_law")
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER PLANNING: the Heaps'-law vocabulary-growth curve
+    V(N) ≈ K·N^β measured on the corpus itself — the number that
+    decides how large a vocabulary a tokenizer needs and how fast OOV
+    decays as the corpus grows.  Four cumulative checkpoints (25/50/
+    75/100% of the doc-id range): cumulative token count N_p (exact Σ
+    dl) and cumulative vocabulary V_p via each type's FIRST-SEEN doc
+    (min doc_id per token — one token-grain aggregation, then each
+    checkpoint is a filter-count, never a re-tokenization), plus the
+    inter-checkpoint growth exponent β = ln(V_p/V_{p−1})/ln(N_p/N_{p−1})
+    — exact integer counts into two single logs, pinned.  Scale shape:
+    one tokenize pass, one token-grain shuffle; the checkpoint frame is
+    4 rows broadcast everywhere."""
+    base = _tokenized_docs(spark, sf_dir)
+    maxd = base.agg(F.max("doc_id").alias("m"))
+    cps = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 100)])).alias("pct"))
+        .crossJoin(F.broadcast(maxd))
+        .select("pct", F.expr("(m * pct) div 100").alias("cut"))
+    )
+    fs = (
+        base.select("doc_id", F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fseen"))
+    )
+    vocab = (
+        fs.crossJoin(F.broadcast(cps))
+        .filter(F.col("fseen") <= F.col("cut"))
+        .groupBy("pct", "cut")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_cum"))
+    )
+    ntok = (
+        base.select("doc_id", "dl")
+        .crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") <= F.col("cut"))
+        .groupBy("pct", "cut")
+        .agg(F.sum("dl").cast("bigint").alias("n_tokens_cum"))
+    )
+    joined = vocab.join(ntok, ["pct", "cut"])
+    w = Window.orderBy("pct")
+    return joined.select(
+        "pct",
+        "cut",
+        "n_tokens_cum",
+        "vocab_cum",
+        pround(
+            F.log(
+                F.col("vocab_cum").cast("double")
+                / F.lag("vocab_cum").over(w).cast("double")
+            )
+            / F.log(
+                F.col("n_tokens_cum").cast("double")
+                / F.lag("n_tokens_cum").over(w).cast("double")
+            ),
+            6,
+        ).alias("beta"),
+    )
+
+
+@q("q_ece")
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL CALIBRATION SUMMARY: Expected Calibration Error of the
+    fused logistic score [Guo et al. 2017] — the single number model
+    monitoring alerts on, completing the calibration family
+    (q_score_calibration draws the diagram, q_isotonic_calibration
+    fixes it, this one gates it): ECE = Σ_b (n_b/n)·|acc_b − conf_b|
+    over the 20 equal-width score buckets, plus MCE (the worst
+    bucket's gap).  Float discipline: per-bucket confidence is the
+    exact Σ s6 integer over 10^6·n_b, each bucket's weighted gap is
+    floored to a ×1e9 bigint before the cross-bucket sum (the dsum
+    discipline), and MCE is a max over per-bucket pinned doubles —
+    both order-free.  Scale shape: one data-grain aggregation to the
+    20-bucket grain, then constant-size arithmetic."""
+    scored = _churn_scored_labeled(spark, sf_dir)
+    g = (
+        scored.withColumn(
+            "bucket", F.expr("CAST(least(__s6 div 50000, 19) AS INT)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("label").cast("bigint").alias("pos"),
+            F.sum("__s6").cast("bigint").alias("s6_sum"),
+        )
+    )
+    conf = F.col("s6_sum").cast("double") / (
+        F.lit(1000000.0) * F.col("n_b").cast("double")
+    )
+    acc = F.col("pos").cast("double") / F.col("n_b").cast("double")
+    gap = F.abs(acc - conf)
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("n_b").cast("double") * gap * F.lit(1000000000.0)
+            ).cast("bigint")
+        ).alias("wgap9"),
+        F.max(pround(gap, 6)).alias("mce"),
+    )
+    return agg.select(
+        "n_buckets",
+        "n",
+        pround(
+            F.col("wgap9").cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000000.0)),
+            6,
+        ).alias("ece"),
+        "mce",
+    )
+
+
 @q("q_quality_linear_scorer")
 def q_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY A TRAINED TEXT CLASSIFIER AT CORPUS SCALE — the fastText

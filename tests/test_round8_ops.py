@@ -280,3 +280,37 @@ def test_theil_decomposition_is_additive_and_nonneg(spark, sf_dir):
         r["revenue_share"] * r["theil_within"] for r in rows
     )
     assert abs(t["theil_total"] - recomposed) < 1e-4
+
+
+def test_heaps_law_growth_monotone_and_sublinear(spark, sf_dir):
+    """Vocabulary growth invariants: checkpoints are cumulative (both
+    N and V non-decreasing), vocabulary never exceeds tokens, and the
+    growth exponent lies in (0, 1] — Heaps' law is sublinear: new types
+    arrive, but slower than new tokens."""
+    rows = sorted(
+        registry()["q_heaps_law"](spark, sf_dir).collect(),
+        key=lambda r: r["pct"],
+    )
+    assert [r["pct"] for r in rows] == [25, 50, 75, 100]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_tokens_cum"] >= a["n_tokens_cum"]
+        assert b["vocab_cum"] >= a["vocab_cum"]
+    for r in rows:
+        assert r["vocab_cum"] <= r["n_tokens_cum"]
+        if r["beta"] is not None:
+            # 0.0 happens when the (small synthetic) vocabulary
+            # saturates between checkpoints — ln(V_p/V_{p-1}) = 0
+            assert 0.0 <= r["beta"] <= 1.0
+    assert rows[0]["beta"] is None  # warm-up checkpoint has no slope
+
+
+def test_ece_bounds_and_mce_dominance(spark, sf_dir):
+    """Calibration-error invariants: 0 <= ECE <= MCE <= 1 (ECE is a
+    weighted mean of the per-bucket gaps, MCE their max), and bucket
+    counts account for every scored customer."""
+    r = registry()["q_ece"](spark, sf_dir).first()
+    assert 0.0 <= r["ece"] <= r["mce"] + 1e-9 <= 1.0 + 1e-9
+    assert 1 <= r["n_buckets"] <= 20
+    from java_etl_bi_generator_spark.queries import _churn_scored_labeled
+
+    assert r["n"] == _churn_scored_labeled(spark, sf_dir).count()
