@@ -8531,6 +8531,17 @@ ORACLES.update({
 # the stream's converged state (max-merge commutes over micro-batches),
 # so the oracle is the daily column of the q_rolling_distinct_hll sketch.
 ORACLES.update({
+    "q_stream_static_enrich": """
+        SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+               e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents_sum,
+               CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) / 100.0 AS value_sum
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
     "q_stream_hll_distinct": f"""
         WITH dr AS (
           SELECT day, bucket, max(rho) AS reg FROM (

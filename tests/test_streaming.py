@@ -393,3 +393,73 @@ def test_stream_cms_counters_merge_across_microbatches(spark, tmp_path):
         (r["j"], r["slot"]): r["c"] for r in counters(ev).collect()
     }
     assert streamed == batch
+
+
+def test_stream_static_enrich_multibatch_equals_batch(spark, tmp_path):
+    """q_stream_static_enrich's claim pinned structurally: the 3-file
+    source produces >= 2 non-empty micro-batches, and the maintained
+    (segment, event_type) state after the stream converges equals the
+    plain batch join+aggregate EXACTLY — count and integer cents adds
+    commute over batch boundaries, so the stream-static join loses
+    nothing at the trigger seams."""
+    import pyspark.sql.functions as F
+
+    from java_etl_bi_generator_spark.catalog import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = f"{tmp_path}/src"
+    ev.repartition(3).write.parquet(src)
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+    def enrich(df):
+        return (
+            df.join(F.broadcast(dim), "user_id", "left")
+            .select(
+                F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
+                "event_type",
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .groupBy("segment", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("c"),
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        enrich(stream)
+        .writeStream.format("memory")
+        .queryName("t_static_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(nonempty) >= 2, "expected real multi-batch processing"
+    got = sorted(
+        (r["segment"], r["event_type"], r["n"], r["c"])
+        for r in spark.table("t_static_enrich").collect()
+    )
+    expect = sorted(
+        (r["segment"], r["event_type"], r["n"], r["c"])
+        for r in enrich(ev).collect()
+    )
+    assert got == expect
