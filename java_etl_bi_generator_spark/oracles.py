@@ -31,6 +31,7 @@ from __future__ import annotations
 from .functions.ranking_eval import ndcg_weight_sql
 from .functions.resample import poisson1_hex_thresholds
 from .functions.rounding import dsum_sql, pround_sql
+from .functions.phonetic import soundex_sql
 
 _PTBR_MONTHS = (
     "['janeiro','fevereiro','março','abril','maio','junho','julho',"
@@ -4684,6 +4685,53 @@ ORACLES: dict[str, str] = {
                )} AS ece,
                mce
         FROM e_a
+    """,
+    "q_phonetic_blocking": f"""
+        WITH pt AS (
+          SELECT p_partkey,
+                 regexp_extract(p_name, '^([a-z]+)', 1) AS w
+          FROM part),
+        coded AS (
+          SELECT p_partkey, w,
+                 {soundex_sql('w')} AS code
+          FROM pt)
+        SELECT code,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+               MIN(w) AS first_word,
+               CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+                 AS candidate_pairs
+        FROM coded GROUP BY code
+    """,
+    "q_simpson_paradox": """
+        WITH li AS (
+          SELECT l_returnflag AS segment,
+                 CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x,
+                 CAST(l_quantity AS BIGINT) AS y
+          FROM lineitem),
+        g AS (
+          SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM li GROUP BY segment),
+        seg AS (
+          SELECT segment, n,
+                 n * sxy - sx * sy AS cov_num,
+                 CAST(sign(n * sxy - sx * sy) AS INT) AS slope_sign
+          FROM g),
+        pooled AS (
+          SELECT SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy)
+                   AS pooled_cov_num
+          FROM g)
+        SELECT segment, n, cov_num, slope_sign,
+               CAST(sign(pooled_cov_num) AS INT) AS pooled_sign,
+               CAST(CASE WHEN MAX(slope_sign) OVER ()
+                              = MIN(slope_sign) OVER ()
+                          AND CAST(sign(pooled_cov_num) AS INT)
+                              != slope_sign
+                    THEN 1 ELSE 0 END AS INT) AS paradox
+        FROM seg CROSS JOIN pooled
     """,
     "q_theil_decomposition": f"""
         WITH rev AS (

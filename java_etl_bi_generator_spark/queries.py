@@ -8594,6 +8594,107 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_phonetic_blocking")
+def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD-LINKAGE BLOCKING, the phonetic family: simplified
+    American Soundex (functions/phonetic.py — letter classes, adjacent-
+    duplicate collapse, zero strip; the h/w-transparency refinement is
+    documented out: RE2 engines have no backreferences) applied to the
+    first word of every part name, then the blocking profile the
+    Fellegi-Sunter pipeline (q_linkage_weights) consumes: per phonetic
+    block, the member count, distinct surface forms, the candidate
+    pair count n·(n−1)/2 inside the block, and the lexically-first
+    example.  The report's Σ pairs vs (N choose 2) is the reduction
+    ratio a phonetic blocker buys — same evaluation discipline as
+    q_blocking_quality for the MinHash blocker.  Scale shape: pure
+    codegen map to a code column, one block-grain aggregation."""
+    from .functions.phonetic import soundex_col
+
+    pt = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), "^([a-z]+)", 1).alias("w"),
+    )
+    coded = pt.select("p_partkey", "w", soundex_col("w").alias("code"))
+    return (
+        coded.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.countDistinct("w").cast("bigint").alias("n_words"),
+            F.min("w").alias("first_word"),
+        )
+        .withColumn(
+            "candidate_pairs",
+            F.expr("n_parts * (n_parts - 1) div 2").cast("bigint"),
+        )
+    )
+
+
+@q("q_simpson_paradox")
+def q_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATION-REVERSAL GUARDRAIL (Simpson's paradox detector) —
+    the BI sanity check that must run before any pooled trend ships:
+    the discount↔quantity association computed per return-flag segment
+    AND pooled, with the paradox flag raised when the pooled slope
+    sign contradicts every segment's sign (the mix effect masquerading
+    as a trend).  All association numerators are EXACT bigints
+    (cov numerator n·Σxy − Σx·Σy over ×100-scaled discounts and raw
+    quantities — sign-exact, no float covariance), so the verdict is
+    engine-identical, not a rounding artifact.  Scale shape: one
+    data-grain aggregation to the 3-segment grain; the pooled pass
+    reuses the same power sums via a second tiny aggregate."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("segment"),
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    g = li.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    seg = g.select(
+        "segment",
+        "n",
+        cov_num.alias("cov_num"),
+        F.signum(cov_num).cast("int").alias("slope_sign"),
+    )
+    pooled = g.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+    ).select(
+        (
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        ).alias("pooled_cov_num")
+    )
+    wall = Window.partitionBy()
+    return (
+        seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "segment",
+            "n",
+            "cov_num",
+            "slope_sign",
+            F.signum(F.col("pooled_cov_num")).cast("int").alias(
+                "pooled_sign"
+            ),
+        )
+        .withColumn(
+            "paradox",
+            (
+                (F.max("slope_sign").over(wall)
+                 == F.min("slope_sign").over(wall))
+                & (F.col("pooled_sign") != F.col("slope_sign"))
+            ).cast("int"),
+        )
+    )
+
+
 @q("q_theil_decomposition")
 def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inequality analytics, the DECOMPOSABLE index: Theil-T of customer

@@ -426,3 +426,30 @@ def test_dp_above_threshold_svt_invariants(spark, sf_dir):
     assert r["n_candidates"] >= 1
     if r["released_year"] is not None:
         assert 1 <= r["queries_tested"] <= r["n_candidates"]
+
+
+def test_soundex_simplified_known_codes(spark):
+    """Pin the simplified-Soundex spec (functions/phonetic.py) against
+    hand-computed codes: classic matches where h/w transparency is not
+    involved (robert/rupert R163, tymczak T522), and the DOCUMENTED
+    divergence where it is (ashcraft -> A226 here, classic A261)."""
+    import pyspark.sql.functions as F
+
+    from java_etl_bi_generator_spark.functions.phonetic import soundex_col
+
+    df = spark.createDataFrame(
+        [("robert",), ("rupert",), ("ashcraft",), ("tymczak",),
+         ("pfister",), ("honeyman",)],
+        "w string",
+    )
+    got = {
+        r["w"]: r["code"]
+        for r in df.select("w", soundex_col("w").alias("code")).collect()
+    }
+    assert got["robert"] == "R163"
+    assert got["rupert"] == "R163"
+    assert got["tymczak"] == "T522"
+    assert got["honeyman"] == "H555"
+    assert got["pfister"] == "P236"    # classic match (pf collapse)
+    # documented divergence from classic (h/w transparency omitted):
+    assert got["ashcraft"] == "A226"   # classic: A261
