@@ -4686,6 +4686,70 @@ ORACLES: dict[str, str] = {
                mce
         FROM e_a
     """,
+    "q_gaps_and_islands": """
+        WITH days AS (
+          SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+          FROM orders),
+        isl AS (
+          SELECT o_custkey, d,
+                 (d - DATE '1970-01-01')
+                 - row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY d) AS grp
+          FROM days),
+        st AS (
+          SELECT o_custkey, grp, CAST(count(*) AS BIGINT) AS len
+          FROM isl GROUP BY 1, 2)
+        SELECT o_custkey,
+               CAST(SUM(len) AS BIGINT) AS active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MAX(len) AS BIGINT) AS longest_streak
+        FROM st GROUP BY o_custkey
+        HAVING MAX(len) >= 2
+    """,
+    "q_causal_ipw": f"""
+        WITH b0 AS (
+          SELECT c_mktsegment, c_custkey FROM customer),
+        b1 AS (
+          SELECT CAST(CASE c_mktsegment
+                      WHEN 'AUTOMOBILE' THEN 8 WHEN 'BUILDING' THEN 6
+                      WHEN 'FURNITURE' THEN 5 WHEN 'HOUSEHOLD' THEN 4
+                      WHEN 'MACHINERY' THEN 2 ELSE 5 END AS BIGINT) AS k,
+                 {_hex_bigint(
+                     "md5('ipw-v1|' || CAST(c_custkey AS VARCHAR))", 1, 8
+                 )} % 10 AS u
+          FROM b0),
+        b2 AS (SELECT *, CASE WHEN u < k THEN 1 ELSE 0 END AS t FROM b1),
+        b3 AS (
+          SELECT *, CAST(k * 1000 + t * 5000 AS BIGINT) AS y,
+                 CAST(k AS DOUBLE) / 10.0 AS p
+          FROM b2),
+        b4 AS (
+          SELECT *,
+                 CAST(floor(CAST(t AS DOUBLE) * CAST(y AS DOUBLE)
+                            / p * 1000.0) AS BIGINT) AS tt,
+                 CAST(floor(CAST(1 - t AS DOUBLE) * CAST(y AS DOUBLE)
+                            / (1.0 - p) * 1000.0) AS BIGINT) AS tc
+          FROM b3),
+        ag AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(t) AS BIGINT) AS n_treated,
+                 CAST(SUM(CASE WHEN t = 1 THEN y END) AS BIGINT) AS yt,
+                 CAST(SUM(CASE WHEN t = 0 THEN y END) AS BIGINT) AS yc,
+                 CAST(SUM(tt) AS BIGINT) AS stt,
+                 CAST(SUM(tc) AS BIGINT) AS stc
+          FROM b4)
+        SELECT n, n_treated,
+               {pround_sql(
+                   '(CAST(yt AS DOUBLE) / CAST(n_treated AS DOUBLE)'
+                   ' - CAST(yc AS DOUBLE)'
+                   '   / CAST(n - n_treated AS DOUBLE)) / 100.0', 4
+               )} AS naive_diff,
+               {pround_sql(
+                   'CAST(stt - stc AS DOUBLE)'
+                   ' / (1000.0 * CAST(n AS DOUBLE)) / 100.0', 4
+               )} AS ate_ipw
+        FROM ag
+    """,
     "q_phonetic_blocking": f"""
         WITH pt AS (
           SELECT p_partkey,

@@ -8594,6 +8594,127 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_gaps_and_islands")
+def q_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS — the canonical consecutive-runs idiom (activity
+    streaks, sensor uptime, session stitching at the day grain): per
+    customer, collapse order dates to distinct active days, assign each
+    day its island via the date-minus-row_number trick (consecutive
+    days share epoch_day − rn), then report days active, number of
+    streaks, and the longest streak.  Exact integers end to end.
+    Scale shape: the window partitions BY CUSTOMER (distributed — no
+    global window), islands collapse with one more keyed aggregation;
+    three shuffles on the same key, all data-grain bounded."""
+    od = T(spark, sf_dir, "orders")
+    days = od.select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    islands = days.select(
+        "o_custkey",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = islands.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return (
+        streaks.groupBy("o_custkey")
+        .agg(
+            F.sum("len").cast("bigint").alias("active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+        )
+        .filter(F.col("longest_streak") >= 2)
+    )
+
+
+@q("q_causal_ipw")
+def q_causal_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAUSAL ADJUSTMENT under confounded assignment: inverse-propensity
+    weighting with known design propensities — the estimator
+    observational ML-data pipelines need when treatment correlates with
+    a covariate.  The experiment is self-certifying: treatment assigns
+    by deterministic hash with SEGMENT-dependent propensity (0.8 down
+    to 0.2 — deliberately confounded), and the outcome is a
+    segment-dependent base (k·1000¢ — a pure function of the
+    CONFOUNDER, so the bias is visible rather than drowned in revenue
+    noise) plus an injected +5000¢ true effect for the treated.  The
+    naive treated-vs-control difference inherits the segment-mix bias;
+    the Horvitz-Thompson IPW estimate recovers ≈ 5000¢ (pinned by
+    tests/test_round8_ops.py — the residual is finite-sample
+    assignment noise only).  Float discipline: per-row IPW terms are
+    floored to ×1e3 bigints before summation (dsum), propensities are
+    exact tenths.  Scale shape: codegen assignment over the customer
+    frame, one global aggregate."""
+    probs = {
+        "AUTOMOBILE": 8, "BUILDING": 6, "FURNITURE": 5,
+        "HOUSEHOLD": 4, "MACHINERY": 2,
+    }
+    base = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    k = F.coalesce(
+        *[
+            F.when(F.col("c_mktsegment") == s, F.lit(v))
+            for s, v in probs.items()
+        ],
+        F.lit(5),
+    ).cast("bigint")
+    u = (
+        _h32(
+            F.concat_ws(
+                "|", F.lit("ipw-v1"), F.col("c_custkey").cast("string")
+            )
+        )
+        % 10
+    )
+    t = (u < k).cast("bigint")
+    y = (k * F.lit(1000) + t * F.lit(5000)).cast("bigint")
+    p = k.cast("double") / F.lit(10.0)
+    term_t = F.floor(
+        t.cast("double") * y.cast("double") / p * F.lit(1000.0)
+    ).cast("bigint")
+    term_c = F.floor(
+        (F.lit(1) - t).cast("double")
+        * y.cast("double")
+        / (F.lit(1.0) - p)
+        * F.lit(1000.0)
+    ).cast("bigint")
+    agg = base.select(
+        t.alias("t"), y.alias("y"),
+        term_t.alias("tt"), term_c.alias("tc"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("n_treated"),
+        F.sum(F.when(F.col("t") == 1, F.col("y"))).cast("bigint").alias(
+            "y_treated"
+        ),
+        F.sum(F.when(F.col("t") == 0, F.col("y"))).cast("bigint").alias(
+            "y_control"
+        ),
+        F.sum("tt").cast("bigint").alias("sum_tt3"),
+        F.sum("tc").cast("bigint").alias("sum_tc3"),
+    )
+    naive = F.col("y_treated").cast("double") / F.col(
+        "n_treated"
+    ).cast("double") - F.col("y_control").cast("double") / (
+        F.col("n") - F.col("n_treated")
+    ).cast("double")
+    ipw = (F.col("sum_tt3") - F.col("sum_tc3")).cast("double") / (
+        F.lit(1000.0) * F.col("n").cast("double")
+    )
+    return agg.select(
+        "n",
+        "n_treated",
+        pround(naive / F.lit(100.0), 4).alias("naive_diff"),
+        pround(ipw / F.lit(100.0), 4).alias("ate_ipw"),
+    )
+
+
 @q("q_phonetic_blocking")
 def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECORD-LINKAGE BLOCKING, the phonetic family: simplified

@@ -314,3 +314,52 @@ def test_ece_bounds_and_mce_dominance(spark, sf_dir):
     from java_etl_bi_generator_spark.queries import _churn_scored_labeled
 
     assert r["n"] == _churn_scored_labeled(spark, sf_dir).count()
+
+
+def test_causal_ipw_recovers_injected_effect(spark, sf_dir):
+    """The self-certifying causal check: the true effect is +50.00 by
+    construction.  The naive difference must show the designed
+    confounding bias (high-propensity segments have higher base
+    outcomes, so naive > true effect by a clear margin), and the IPW
+    estimate must land strictly closer to the truth than naive."""
+    r = registry()["q_causal_ipw"](spark, sf_dir).first()
+    true_effect = 50.0
+    assert r["naive_diff"] - true_effect > 5.0, "bias should be visible"
+    assert abs(r["ate_ipw"] - true_effect) < abs(
+        r["naive_diff"] - true_effect
+    )
+    assert abs(r["ate_ipw"] - true_effect) < 15.0
+    assert 0 < r["n_treated"] < r["n"]
+
+
+def test_gaps_and_islands_streak_arithmetic(spark, sf_dir):
+    """Islands invariants: per customer, longest <= active_days,
+    n_streaks >= 1, active_days >= n_streaks (every streak has >= 1
+    day), and one hand-verified customer: recompute that customer's
+    streaks in Python from their distinct order dates."""
+    rows = registry()["q_gaps_and_islands"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["longest_streak"] <= r["active_days"]
+        assert r["n_streaks"] >= 1
+        assert r["active_days"] >= r["n_streaks"]
+    pick = rows[0]["o_custkey"]
+    days = sorted(
+        d["d"]
+        for d in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") == pick)
+        .select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .collect()
+    )
+    streaks, cur = [], 1
+    for a, b in zip(days, days[1:]):
+        if (b - a).days == 1:
+            cur += 1
+        else:
+            streaks.append(cur)
+            cur = 1
+    streaks.append(cur)
+    assert rows[0]["active_days"] == len(days)
+    assert rows[0]["longest_streak"] == max(streaks)
+    assert rows[0]["n_streaks"] == len(streaks)
