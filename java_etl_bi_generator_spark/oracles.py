@@ -4686,6 +4686,112 @@ ORACLES: dict[str, str] = {
                mce
         FROM e_a
     """,
+    "q_bloom_fpr_eval": f"""
+        WITH members AS (
+          SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+        mk AS (SELECT c_custkey, unnest([0, 1, 2]) AS kk FROM members),
+        bits AS (
+          SELECT DISTINCT {_hex_bigint(
+              "md5(CAST(kk AS VARCHAR) || ':'"
+              " || CAST(c_custkey AS VARCHAR))", 1, 8
+          )} % 65536 AS pos
+          FROM mk),
+        pk AS (SELECT DISTINCT o_custkey FROM orders),
+        pr AS (
+          SELECT o_custkey,
+                 {_hex_bigint(
+                     "md5(CAST(kk AS VARCHAR) || ':'"
+                     " || CAST(o_custkey AS VARCHAR))", 1, 8
+                 )} % 65536 AS pos
+          FROM (SELECT o_custkey, unnest([0, 1, 2]) AS kk FROM pk) t),
+        passing AS (
+          SELECT o_custkey FROM pr JOIN bits USING (pos)
+          GROUP BY o_custkey HAVING count(*) = 3),
+        flagged AS (
+          SELECT CASE WHEN p.o_custkey IS NULL THEN 0 ELSE 1 END AS pp,
+                 CASE WHEN m.c_custkey IS NULL THEN 0 ELSE 1 END AS mm
+          FROM pk
+          LEFT JOIN passing p ON pk.o_custkey = p.o_custkey
+          LEFT JOIN members m ON pk.o_custkey = m.c_custkey),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits),
+        ag AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_probed,
+                 CAST(SUM(mm) AS BIGINT) AS n_members_probed,
+                 CAST(SUM(CASE WHEN pp = 1 AND mm = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS fp_count
+          FROM flagged)
+        SELECT n_probed, n_members_probed, fp_count, bits_set,
+               {pround_sql(
+                   'CAST(fp_count AS DOUBLE)'
+                   ' / CAST(n_probed - n_members_probed AS DOUBLE)', 6
+               )} AS fpr_measured,
+               {pround_sql(
+                   '(CAST(bits_set AS DOUBLE) / 65536.0)'
+                   ' * (CAST(bits_set AS DOUBLE) / 65536.0)'
+                   ' * (CAST(bits_set AS DOUBLE) / 65536.0)', 6
+               )} AS fpr_expected
+        FROM ag CROSS JOIN nb
+    """,
+    "q_partition_balance": f"""
+        WITH g AS (
+          SELECT {_hex_bigint(
+              "md5('pb-v1|' || CAST(user_id AS VARCHAR))", 1, 8
+          )} % 32 AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        wn AS (
+          SELECT bucket, c,
+                 SUM(c) OVER () AS n,
+                 MAX(c) OVER () AS cmax,
+                 COUNT(*) OVER () AS nb
+          FROM g),
+        t AS (
+          SELECT n, cmax, nb,
+                 CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * 1000000000.0) AS BIGINT) AS h9
+          FROM wn),
+        ag AS (
+          SELECT n, cmax, nb, CAST(SUM(h9) AS BIGINT) AS h9_sum
+          FROM t GROUP BY n, cmax, nb)
+        SELECT CAST(nb AS BIGINT) AS n_buckets,
+               CAST(n AS BIGINT) AS n_rows,
+               {pround_sql(
+                   'CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE)', 6
+               )} AS max_share,
+               {pround_sql(
+                   'CAST(h9_sum AS DOUBLE) / 1000000000.0'
+                   f' / {__import__("math").log(32)!r}', 6
+               )} AS balance
+        FROM ag
+    """,
+    "q_reconciliation": """
+        WITH line AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(floor(
+                   l_extendedprice * (1.0 - l_discount)
+                   * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS line_cents
+          FROM lineitem GROUP BY 1),
+        hdr AS (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS hdr_cents
+          FROM orders),
+        j AS (
+          SELECT hdr_cents, coalesce(line_cents, 0) AS line_cents
+          FROM hdr LEFT JOIN line ON hdr.o_orderkey = line.l_orderkey)
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN abs(hdr_cents - line_cents) = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+               CAST(SUM(CASE WHEN abs(hdr_cents - line_cents) != 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+               CAST(MAX(abs(hdr_cents - line_cents)) AS BIGINT)
+                 AS max_abs_diff_cents,
+               CAST(SUM(abs(hdr_cents - line_cents)) AS BIGINT)
+                 AS total_abs_diff_cents
+        FROM j
+    """,
     "q_gaps_and_islands": """
         WITH days AS (
           SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d

@@ -11355,6 +11355,195 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_bloom_fpr_eval")
+def q_bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom filter's OWN EVAL (the ship-your-own-eval discipline of
+    the ANN recall gates, applied to q_bloom_semijoin): measured
+    false-positive rate — passing non-members over probed non-members —
+    next to the load-factor prediction (bits_set/m)^k, so a planner can
+    decide whether m=65536/k=3 is safe for THIS key distribution before
+    trusting the pre-filter at 100 TB.  Every count is exact (same md5
+    bit positions as the filter itself); the two rates are pinned
+    divisions, expected = cubed load factor written as explicit
+    products (no engine pow)."""
+    m, k = 65536, 3
+    members = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    ks = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    bits = (
+        members.select("c_custkey", ks)
+        .select(
+            (_h32(F.concat_ws(":", "i", "c_custkey")) % m).alias("pos")
+        )
+        .distinct()
+    )
+    probe_keys = (
+        T(spark, sf_dir, "orders").select("o_custkey").distinct()
+    )
+    probes = probe_keys.select("o_custkey", ks).select(
+        "o_custkey",
+        (_h32(F.concat_ws(":", "i", "o_custkey")) % m).alias("pos"),
+    )
+    passing = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == k)
+        .select("o_custkey", F.lit(1).alias("__pass"))
+    )
+    flagged = (
+        probe_keys.join(F.broadcast(passing), "o_custkey", "left")
+        .join(
+            members.withColumn("__m", F.lit(1)),
+            probe_keys.o_custkey == members.c_custkey,
+            "left",
+        )
+        .select(
+            F.coalesce("__pass", F.lit(0)).alias("p"),
+            F.coalesce("__m", F.lit(0)).alias("mm"),
+        )
+    )
+    nbits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+        F.sum("mm").cast("bigint").alias("n_members_probed"),
+        F.sum(
+            F.when((F.col("p") == 1) & (F.col("mm") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp_count"),
+    ).crossJoin(F.broadcast(nbits))
+    load = F.col("bits_set").cast("double") / F.lit(float(m))
+    return agg.select(
+        "n_probed",
+        "n_members_probed",
+        "fp_count",
+        "bits_set",
+        pround(
+            F.col("fp_count").cast("double")
+            / (F.col("n_probed") - F.col("n_members_probed")).cast(
+                "double"
+            ),
+            6,
+        ).alias("fpr_measured"),
+        pround(load * load * load, 6).alias("fpr_expected"),
+    )
+
+
+@q("q_partition_balance")
+def q_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-BALANCE pre-flight, the entropy view (q_skew_report's
+    max/avg ratio sees the single worst key; this sees the whole
+    distribution): hash the candidate shuffle key into 32 portable
+    buckets (md5 — never the engine's internal hash) and report the
+    normalized partition entropy H/ln(32) plus the max bucket share.
+    balance = 1 means perfectly even reducers; 0.8 at 100 TB means the
+    effective parallelism of every downstream stage is a fraction of
+    the cluster — the number capacity planning reads.  Entropy terms
+    are floored to ×1e9 bigints per bucket before summation (dsum);
+    shares are exact counts."""
+    B = 32
+    ev = T(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            (
+                _h32(
+                    F.concat_ws(
+                        "|", F.lit("pb-v1"), F.col("user_id").cast("string")
+                    )
+                )
+                % B
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wall = Window.partitionBy()
+    withn = g.select(
+        "bucket", "c", F.sum("c").over(wall).alias("n"),
+        F.max("c").over(wall).alias("cmax"),
+        F.count(F.lit(1)).over(wall).alias("nb"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = withn.select(
+        "n", "cmax", "nb",
+        F.floor(-(p * F.log(p)) * F.lit(1000000000.0))
+        .cast("bigint")
+        .alias("h9"),
+    )
+    agg = terms.groupBy("n", "cmax", "nb").agg(
+        F.sum("h9").cast("bigint").alias("h9_sum")
+    )
+    import math
+
+    return agg.select(
+        F.col("nb").cast("bigint").alias("n_buckets"),
+        F.col("n").alias("n_rows"),
+        pround(
+            F.col("cmax").cast("double") / F.col("n").cast("double"), 6
+        ).alias("max_share"),
+        pround(
+            F.col("h9_sum").cast("double")
+            / F.lit(1000000000.0)
+            / F.lit(math.log(B)),
+            6,
+        ).alias("balance"),
+    )
+
+
+@q("q_reconciliation")
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE RECONCILIATION — the dual-source consistency audit
+    every finance-grade pipeline runs: the order header's o_totalprice
+    against the line-level reconstruction Σ extendedprice·(1−discount)·
+    (1+tax) per order, both in exact cents (per-line charge floored to
+    cents before the sum — the auditable rounding rule), reported as
+    match/mismatch counts and the mismatch magnitude profile (max and
+    total absolute drift).  A non-zero mismatch count is DATA, not
+    error — the report is how you find out whether the generator (or a
+    real upstream) maintains the invariant.  Scale shape: one line-
+    grain aggregation, one key-grain join, one global rollup."""
+    li = T(spark, sf_dir, "lineitem")
+    line = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax"))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            )
+        )
+        .cast("bigint")
+        .alias("line_cents")
+    )
+    hdr = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("hdr_cents"),
+    )
+    j = hdr.join(line, hdr.o_orderkey == line.l_orderkey, "left").select(
+        "hdr_cents",
+        F.coalesce("line_cents", F.lit(0)).alias("line_cents"),
+    )
+    diff = F.abs(F.col("hdr_cents") - F.col("line_cents"))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(diff == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_match"),
+        F.sum(F.when(diff != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.max(diff).cast("bigint").alias("max_abs_diff_cents"),
+        F.sum(diff).cast("bigint").alias("total_abs_diff_cents"),
+    )
+
+
 # Morton / Z-order interleave of two 8-bit dims into a 16-bit key — the
 # expression is generated once here and mirrored verbatim (div → //) in the
 # oracle so both engines evaluate the same integer arithmetic.

@@ -363,3 +363,36 @@ def test_gaps_and_islands_streak_arithmetic(spark, sf_dir):
     assert rows[0]["active_days"] == len(days)
     assert rows[0]["longest_streak"] == max(streaks)
     assert rows[0]["n_streaks"] == len(streaks)
+
+
+def test_bloom_fpr_eval_consistency(spark, sf_dir):
+    """FPR eval invariants: members always pass their own filter (no
+    false negatives, so n_members_probed members that were probed are
+    not counted as fp), fp_count <= non-member probe count, and the
+    expected rate is the cubed load factor in [0, 1]."""
+    r = registry()["q_bloom_fpr_eval"](spark, sf_dir).first()
+    assert 0 <= r["fp_count"] <= r["n_probed"] - r["n_members_probed"]
+    assert 0.0 <= r["fpr_expected"] <= 1.0
+    assert 0.0 <= r["fpr_measured"] <= 1.0
+    assert 0 < r["bits_set"] <= 65536
+
+
+def test_partition_balance_entropy_bounds(spark, sf_dir):
+    """Entropy balance lies in (0, 1]; max_share >= 1/n_buckets (the
+    even split's share); a near-uniform md5 bucketing of user_id should
+    land well above 0.9 balance."""
+    r = registry()["q_partition_balance"](spark, sf_dir).first()
+    assert 0.0 < r["balance"] <= 1.0 + 1e-9
+    assert r["max_share"] >= 1.0 / r["n_buckets"] - 1e-9
+    # at sf0.001 only ~150 users feed 32 buckets and per-user event
+    # counts are heavy-tailed, so balance sits well below the uniform
+    # limit (0.75 measured) — the test pins the lower bound only
+    assert r["balance"] > 0.5
+
+
+def test_reconciliation_counts_partition(spark, sf_dir):
+    """match + mismatch = orders, and a zero mismatch count implies
+    zero drift mass (and vice versa)."""
+    r = registry()["q_reconciliation"](spark, sf_dir).first()
+    assert r["n_match"] + r["n_mismatch"] == r["n_orders"]
+    assert (r["n_mismatch"] == 0) == (r["total_abs_diff_cents"] == 0)
