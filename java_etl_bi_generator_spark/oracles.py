@@ -4621,6 +4621,40 @@ ORACLES: dict[str, str] = {
                {pround_sql('-p * ln(p)', 6)} AS surprisal
         FROM t
     """,
+    "q_vector_medoid": f"""
+        WITH em AS (
+          SELECT vec_id, label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+                   AS qv
+          FROM embeddings),
+        p AS (
+          SELECT a.label, a.vec_id,
+                 CAST(list_sum(list_transform(
+                   range(1, len(a.qv) + 1),
+                   f -> (a.qv[CAST(f AS INT)] - b.qv[CAST(f AS INT)])
+                      * (a.qv[CAST(f AS INT)] - b.qv[CAST(f AS INT)])))
+                   AS BIGINT) AS d
+          FROM em a JOIN em b
+            ON a.label = b.label AND a.vec_id != b.vec_id),
+        sums AS (
+          SELECT label, vec_id, CAST(SUM(d) AS BIGINT) AS sum_d,
+                 CAST(count(*) AS BIGINT) AS n_others
+          FROM p GROUP BY 1, 2),
+        best AS (
+          SELECT label, MIN(sum_d) AS best FROM sums GROUP BY label)
+        SELECT s.label,
+               MIN(s.vec_id) AS medoid_id,
+               s.n_others + 1 AS n_vectors,
+               s.sum_d AS sum_sq_dist_micro2,
+               {pround_sql(
+                   'CAST(s.sum_d AS DOUBLE)'
+                   ' / CAST(s.n_others AS DOUBLE) / 1e12', 6
+               )} AS mean_sq_dist
+        FROM sums s JOIN best t
+          ON s.label = t.label AND s.sum_d = t.best
+        GROUP BY s.label, s.sum_d, s.n_others
+    """,
     "q_heaps_law": f"""
         WITH docs AS (
           SELECT doc_id, {_TOKENS} AS toks FROM documents

@@ -149,17 +149,20 @@ _SHOWCASE: tuple[str, ...] = (
     # yielded their slots — all stay hash-checked in the full sweep)
     "q_shapley_attribution", "q_maxsim_late_interaction",
     "q_graph_modularity", "q_cuped", "q_blocking_quality",
+    # round-8 second-session capstones (brand new, never-sampled by
+    # construction; q_kendall_tau / q_hhi / q_weighted_median /
+    # q_managed_table / q_union_schema_evolution yielded their slots —
+    # all stay hash-checked in the full sweep)
+    "q_bradley_terry", "q_causal_ipw", "q_isotonic_calibration",
+    "q_media_wav_features", "q_stream_static_enrich",
     # stats / drift / experimentation (zero driver coverage before r8)
     "q_ks_test", "q_psi_drift", "q_js_divergence",
-    "q_kendall_tau", "q_ttest_welch", "q_abtest_zscore", "q_chi2_cells",
+    "q_ttest_welch", "q_abtest_zscore", "q_chi2_cells",
     # BI ratios / concentration (zero driver coverage before r8)
-    "q_gini", "q_pareto", "q_mix_shift", "q_hhi",
-    "q_weighted_median",
-    # formats / physical layout (q_json_roundtrip / q_orc_roundtrip
-    # yielded their slots to the round-8 capstones above; both stay
-    # hash-checked in the full sweep)
-    "q_xml_roundtrip", "q_fixedwidth_roundtrip", "q_managed_table",
-    "q_union_schema_evolution", "q_bucketed_join", "q_skew_join_salted",
+    "q_gini", "q_pareto", "q_mix_shift",
+    # formats / physical layout
+    "q_xml_roundtrip", "q_fixedwidth_roundtrip",
+    "q_bucketed_join", "q_skew_join_salted",
     # round-7 capstones the driver has never seen
     "q_ivfpq_topk", "q_ivfpq_recall", "q_pq_recall",
     "q_embed_truncation_recall", "q_approx_percentile_hist",
@@ -8962,6 +8965,74 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__toks",
         ),
         eager=False,
+    )
+
+
+@q("q_vector_medoid")
+def q_vector_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST CLUSTER CENTERS: the exact 1-medoid per label cell — the
+    member vector minimizing total squared distance to its cell (k-
+    medoids' assignment-fixed step, and the representative-selection
+    primitive semantic-dedup pipelines use where a MEAN centroid can be
+    off-manifold).  Distances are exact bigints over micro-quantized
+    components (the quantize_micro discipline), argmin ties break on
+    vec_id — a total order, so the winner is engine-identical.  Scale
+    shape: the pair frame is WITHIN-CELL only (the SemDeDup bounded-
+    census discipline — cells come from a k~√N clustering at 100 TB,
+    never a global cross join); cell size returns for free as
+    n_others+1."""
+    from .operators.kmeans import quantize_micro
+
+    em = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize_micro("embedding").alias("qv")
+    )
+    a = em.select(
+        F.col("label"), F.col("vec_id"), F.col("qv").alias("qa")
+    )
+    b = em.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("vb"),
+        F.col("qv").alias("qb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("vb"))
+    )
+    d = F.expr(
+        """aggregate(
+             zip_with(qa, qb, (u, v) -> (u - v) * (u - v)),
+             CAST(0 AS BIGINT), (acc, w) -> acc + w)"""
+    )
+    sums = pairs.select("label", "vec_id", d.alias("d")).groupBy(
+        "label", "vec_id"
+    ).agg(
+        F.sum("d").cast("bigint").alias("sum_d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_others"),
+    )
+    best = (
+        sums.groupBy("label")
+        .agg(F.min("sum_d").alias("best"))
+        .select(F.col("label").alias("lbest"), "best")
+    )
+    return (
+        sums.join(
+            F.broadcast(best),
+            (F.col("label") == F.col("lbest"))
+            & (F.col("sum_d") == F.col("best")),
+        )
+        .groupBy("label", "best", "n_others")
+        .agg(F.min("vec_id").alias("medoid_id"))
+        .select(
+            "label",
+            "medoid_id",
+            (F.col("n_others") + 1).alias("n_vectors"),
+            F.col("best").alias("sum_sq_dist_micro2"),
+            pround(
+                F.col("best").cast("double")
+                / F.col("n_others").cast("double")
+                / F.lit(1e12),
+                6,
+            ).alias("mean_sq_dist"),
+        )
     )
 
 

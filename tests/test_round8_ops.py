@@ -396,3 +396,41 @@ def test_reconciliation_counts_partition(spark, sf_dir):
     r = registry()["q_reconciliation"](spark, sf_dir).first()
     assert r["n_match"] + r["n_mismatch"] == r["n_orders"]
     assert (r["n_mismatch"] == 0) == (r["total_abs_diff_cents"] == 0)
+
+
+def test_medoid_minimizes_within_cell(spark, sf_dir):
+    """Medoid definition pinned independently: for one cell, recompute
+    every member's total squared distance in Python over the micro-
+    quantized vectors — the reported medoid must attain the minimum
+    (ties to the smallest vec_id), and mean_sq_dist must equal
+    sum/(n-1) within pinning."""
+    rows = registry()["q_vector_medoid"](spark, sf_dir).collect()
+    assert rows
+    pick = rows[0]
+    from java_etl_bi_generator_spark.operators.kmeans import quantize_micro
+
+    cell = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label") == pick["label"])
+        .select("vec_id", quantize_micro("embedding").alias("qv"))
+        .collect()
+    )
+    vecs = {r["vec_id"]: [int(x) for x in r["qv"]] for r in cell}
+    assert len(vecs) == pick["n_vectors"]
+
+    def total(vid):
+        v = vecs[vid]
+        return sum(
+            sum((a - b) ** 2 for a, b in zip(v, w))
+            for ovid, w in vecs.items()
+            if ovid != vid
+        )
+
+    totals = {vid: total(vid) for vid in vecs}
+    mn = min(totals.values())
+    expect_id = min(v for v, t in totals.items() if t == mn)
+    assert pick["medoid_id"] == expect_id
+    assert pick["sum_sq_dist_micro2"] == mn
+    assert abs(
+        pick["mean_sq_dist"] - mn / (len(vecs) - 1) / 1e12
+    ) < 1e-5
