@@ -4720,6 +4720,58 @@ ORACLES: dict[str, str] = {
                mce
         FROM e_a
     """,
+    "q_join_cardinality_estimate": f"""
+        WITH a AS (
+          SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+          FROM orders GROUP BY 1),
+        b AS (
+          SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+          FROM lineitem GROUP BY 1),
+        j AS (
+          SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_join_rows,
+                 CAST(MAX(ca * cb) AS BIGINT) AS max_key_contribution,
+                 CAST(count(*) AS BIGINT) AS n_matching_keys
+          FROM a JOIN b USING (k)),
+        ta AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                      CAST(count(*) AS BIGINT) AS ndv_a FROM a),
+        tb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb,
+                      CAST(count(*) AS BIGINT) AS ndv_b FROM b)
+        SELECT na, nb, ndv_a, ndv_b, n_matching_keys, exact_join_rows,
+               CAST((na * nb) // GREATEST(ndv_a, ndv_b) AS BIGINT)
+                 AS independence_estimate,
+               max_key_contribution,
+               {pround_sql(
+                   'CAST(max_key_contribution AS DOUBLE)'
+                   ' / CAST(exact_join_rows AS DOUBLE)', 6
+               )} AS top_key_share
+        FROM j CROSS JOIN ta CROSS JOIN tb
+    """,
+    "q_burstiness": f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(SUM(c) AS BIGINT) AS sx,
+                 CAST(SUM(c * c) AS BIGINT) AS sxx
+          FROM daily GROUP BY 1)
+        SELECT event_type, n_days, sx,
+               {pround_sql(
+                   'CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)', 6
+               )} AS mean_daily,
+               {pround_sql(
+                   'CAST(n_days * sxx - sx * sx AS DOUBLE)'
+                   ' / CAST(n_days * (n_days - 1) AS DOUBLE)', 6
+               )} AS var_daily,
+               {pround_sql(
+                   '(CAST(n_days * sxx - sx * sx AS DOUBLE)'
+                   ' / CAST(n_days * (n_days - 1) AS DOUBLE))'
+                   ' / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))', 6
+               )} AS fano_factor
+        FROM g
+    """,
     "q_bloom_fpr_eval": f"""
         WITH members AS (
           SELECT c_custkey FROM customer WHERE c_acctbal > 9000),

@@ -11426,6 +11426,105 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_join_cardinality_estimate")
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE PREDICTION — the cost-based-optimizer calculation as a
+    first-class query (what ANALYZE feeds and AQE re-derives at
+    runtime): the EXACT output cardinality of orders ⋈ lineitem on
+    orderkey is Σ_k cA(k)·cB(k) over the key-frequency tables, computed
+    WITHOUT running the join, next to the naive independence estimate
+    |A|·|B|/max(ndv) every textbook optimizer starts from and the top
+    heavy key's contribution (the skew share AQE's skew-join handling
+    keys on).  All counts exact bigints.  Scale shape: two key-grain
+    aggregations and one key-grain join — linear in the frequency
+    tables, never materializing the join itself (the entire point at
+    100 TB: predict a 10¹² -row blowup for the cost of two groupBys)."""
+    a = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    )
+    b = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    j = a.join(b, "k")
+    agg = j.agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias(
+            "exact_join_rows"
+        ),
+        F.max(F.col("ca") * F.col("cb")).cast("bigint").alias(
+            "max_key_contribution"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+    )
+    tot = (
+        a.agg(
+            F.sum("ca").cast("bigint").alias("na"),
+            F.count(F.lit(1)).cast("bigint").alias("ndv_a"),
+        )
+        .crossJoin(
+            b.agg(
+                F.sum("cb").cast("bigint").alias("nb"),
+                F.count(F.lit(1)).cast("bigint").alias("ndv_b"),
+            )
+        )
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        "ndv_a",
+        "ndv_b",
+        "n_matching_keys",
+        "exact_join_rows",
+        F.expr("(na * nb) div greatest(ndv_a, ndv_b)").alias(
+            "independence_estimate"
+        ),
+        "max_key_contribution",
+        pround(
+            F.col("max_key_contribution").cast("double")
+            / F.col("exact_join_rows").cast("double"),
+            6,
+        ).alias("top_key_share"),
+    )
+
+
+@q("q_burstiness")
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAFFIC-SHAPE diagnostic: the Fano factor (variance-to-mean
+    ratio of daily counts) per event type — the burstiness number
+    capacity planning reads: ≈1 is Poisson arrivals, ≫1 is bursty
+    (flash crowds, batch upstreams), ≪1 is metronomic.  Variance from
+    exact integer power sums (n·Σx² − (Σx)² over daily counts — no
+    float accumulation), one pinned division pair at the end.  Scale
+    shape: data grain collapses to (type, day) then to type — two
+    keyed aggregations, both map-side combinable."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n_days").cast("double")
+    var = (
+        F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double") / (
+        F.col("n_days") * (F.col("n_days") - 1)
+    ).cast("double")
+    return g.select(
+        "event_type",
+        "n_days",
+        "sx",
+        pround(mean, 6).alias("mean_daily"),
+        pround(var, 6).alias("var_daily"),
+        pround(var / mean, 6).alias("fano_factor"),
+    )
+
+
 @q("q_bloom_fpr_eval")
 def q_bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bloom filter's OWN EVAL (the ship-your-own-eval discipline of

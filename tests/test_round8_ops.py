@@ -434,3 +434,32 @@ def test_medoid_minimizes_within_cell(spark, sf_dir):
     assert abs(
         pick["mean_sq_dist"] - mn / (len(vecs) - 1) / 1e12
     ) < 1e-5
+
+
+def test_join_cardinality_estimate_is_exact(spark, sf_dir):
+    """The predicted cardinality must equal the join actually run, and
+    the independence estimate must be a genuine estimate (positive,
+    same order of magnitude here since orderkey is near-unique on the
+    orders side)."""
+    r = registry()["q_join_cardinality_estimate"](spark, sf_dir).first()
+    actual = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert r["exact_join_rows"] == actual
+    assert 0 < r["independence_estimate"]
+    assert 0 < r["top_key_share"] <= 1.0
+
+
+def test_burstiness_fano_positive(spark, sf_dir):
+    """Fano factors are positive and finite, and mean·n_days = total
+    events per type (the power sums reconcile)."""
+    rows = registry()["q_burstiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["fano_factor"] > 0
+        assert abs(r["mean_daily"] * r["n_days"] - r["sx"]) < 0.5
