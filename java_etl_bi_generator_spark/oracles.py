@@ -1479,6 +1479,49 @@ ORACLES: dict[str, str] = {
     "q_media_bmp_histogram": _bmp_histogram_oracle(),
     "q_bradley_terry": _bradley_terry_oracle(),
     "q_quality_linear_scorer": _quality_linear_scorer_oracle(),
+    "q_sax_symbolic": f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        bounds AS (
+          SELECT MIN(d) AS d0,
+                 (MAX(d) - MIN(d)) AS span,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS sx,
+                 SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                   AS sxx
+          FROM daily),
+        seg AS (
+          SELECT LEAST(CAST((d - d0) * 8 // (span + 1) AS INT), 7)
+                   AS segment,
+                 cents, n, sx, sxx
+          FROM daily CROSS JOIN bounds),
+        g AS (
+          SELECT segment, n, sx, sxx,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(SUM(cents) AS BIGINT) AS seg_cents
+          FROM seg GROUP BY 1, 2, 3, 4),
+        zc AS (
+          SELECT segment, n_days,
+                 CAST(seg_cents AS DOUBLE) / CAST(n_days AS DOUBLE)
+                   AS paa,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                 CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                      AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) AS vr
+          FROM g)
+        SELECT segment, n_days,
+               {pround_sql('paa / 100.0', 4)} AS paa_revenue,
+               {pround_sql('(paa - mu) / sqrt(vr)', 6)} AS z,
+               CASE WHEN (paa - mu) / sqrt(vr) < -0.6745 THEN 'a'
+                    WHEN (paa - mu) / sqrt(vr) < 0.0 THEN 'b'
+                    WHEN (paa - mu) / sqrt(vr) < 0.6745 THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM zc
+    """,
     "q_ewma_daily": _ewma_oracle(),
     "q_dp_noisy_sum": _dp_noisy_sum_oracle(),
     "q_dp_noisy_max": _dp_noisy_max_oracle(),

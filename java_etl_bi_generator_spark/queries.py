@@ -6942,6 +6942,84 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_sax_symbolic")
+def q_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES INDEXING: SAX (Symbolic Aggregate approXimation,
+    Lin/Keogh 2003) of the daily revenue series — the dimensionality
+    reduction that turns a 2.4k-point series into an 8-letter word so
+    similarity search over millions of series becomes string matching:
+    PAA (piecewise aggregate approximation — mean per eighth of the
+    date range), z-scored against the series' own mean/σ, quantized to
+    {a,b,c,d} at the standard-normal quartile breakpoints ±0.6745
+    (fixed repr-exact literals).  Float discipline: PAA and the global
+    moments come from exact integer cents sums; z and the letter
+    comparisons are single divisions against pinned literals.  Scale
+    shape: data grain collapses to days, days to 8 segments, the
+    global moments broadcast as a 1-row scalar."""
+    od = T(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    bounds = daily.agg(
+        F.min("d").alias("d0"),
+        F.datediff(F.max("d"), F.min("d")).alias("span"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        # per-row product and the sum both in DECIMAL(38,0): daily
+        # cents² exceeds bigint at 10x volume (the sweep would overflow
+        # an integer accumulator)
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    seg = daily.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.expr("CAST(datediff(d, d0) * 8 div (span + 1) AS INT)"),
+            F.lit(7),
+        ).alias("segment"),
+        "cents",
+        "n",
+        "sx",
+        "sxx",
+    )
+    g = seg.groupBy("segment", "n", "sx", "sxx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("seg_cents"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)")
+        * F.col("sx").cast("decimal(38,0)")
+    ).cast("double") / (
+        F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    paa = F.col("seg_cents").cast("double") / F.col("n_days").cast(
+        "double"
+    )
+    z = (paa - mean) / F.sqrt(var)
+    sym = (
+        F.when(z < F.lit(-0.6745), F.lit("a"))
+        .when(z < F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(0.6745), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return g.select(
+        "segment",
+        "n_days",
+        pround(paa / F.lit(100.0), 4).alias("paa_revenue"),
+        pround(z, 6).alias("z"),
+        sym.alias("symbol"),
+    )
+
+
 @q("q_ewma_daily")
 def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA smoothing of the daily revenue series with EXACT integer

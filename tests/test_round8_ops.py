@@ -463,3 +463,31 @@ def test_burstiness_fano_positive(spark, sf_dir):
     for r in rows:
         assert r["fano_factor"] > 0
         assert abs(r["mean_daily"] * r["n_days"] - r["sx"]) < 0.5
+
+
+def test_sax_word_properties(spark, sf_dir):
+    """SAX invariants: exactly 8 segments covering every day, z-scores
+    consistent with symbols (letter boundaries at -0.6745/0/0.6745),
+    and the weighted mean of PAA values equals the series mean (the
+    PAA is a partition of the series)."""
+    rows = sorted(
+        registry()["q_sax_symbolic"](spark, sf_dir).collect(),
+        key=lambda r: r["segment"],
+    )
+    assert [r["segment"] for r in rows] == list(range(8))
+    for r in rows:
+        z, sym = r["z"], r["symbol"]
+        if z < -0.6745:
+            assert sym == "a"
+        elif z < 0.0:
+            assert sym == "b"
+        elif z < 0.6745:
+            assert sym == "c"
+        else:
+            assert sym == "d"
+    total_days = sum(r["n_days"] for r in rows)
+    wmean = sum(r["paa_revenue"] * r["n_days"] for r in rows) / total_days
+    # weighted PAA mean == series mean implies weighted z mean ~ 0
+    wz = sum(r["z"] * r["n_days"] for r in rows) / total_days
+    assert abs(wz) < 1e-3
+    assert wmean > 0
