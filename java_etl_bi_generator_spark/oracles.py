@@ -780,13 +780,11 @@ def _ewma_oracle() -> str:
     """
 
 
-def _quality_linear_scorer_oracle() -> str:
-    """Twin of q_quality_linear_scorer: same tokenization, same md5
-    slot/weight derivations (weights in [-1000, 1000] from the 1024-row
-    generated model), exact bigint margin, pinned score/sigmoid."""
-    z = "(CAST(margin AS DOUBLE) / (1000.0 * CAST(dl AS DOUBLE)))"
-    return f"""
-        WITH tok AS (
+def _qls_margin_ctes() -> str:
+    """Shared CTE chain computing the hashed-linear-model margin per
+    doc (twin of queries._qls_margins) — consumed by the scorer AND
+    the preference-pair oracle."""
+    return f"""tok AS (
           SELECT doc_id, len({_TOKENS}) AS dl,
                  unnest({_TOKENS}) AS tok
           FROM documents WHERE trim(text) <> ''),
@@ -803,13 +801,54 @@ def _quality_linear_scorer_oracle() -> str:
           FROM (SELECT unnest(range(0, 1024)) AS r) g),
         sc AS (
           SELECT doc_id, dl, CAST(SUM(w) AS BIGINT) AS margin
-          FROM sl JOIN model USING (slot) GROUP BY doc_id, dl)
+          FROM sl JOIN model USING (slot) GROUP BY doc_id, dl)"""
+
+
+def _quality_linear_scorer_oracle() -> str:
+    """Twin of q_quality_linear_scorer: same tokenization, same md5
+    slot/weight derivations (weights in [-1000, 1000] from the 1024-row
+    generated model), exact bigint margin, pinned score/sigmoid."""
+    z = "(CAST(margin AS DOUBLE) / (1000.0 * CAST(dl AS DOUBLE)))"
+    return f"""
+        WITH {_qls_margin_ctes()}
         SELECT doc_id, dl AS n_tokens, margin AS margin_x1000,
                {pround_sql(z, 6)} AS score,
                {pround_sql(f'1.0 / (1.0 + exp(-{z}))', 6)} AS prob,
                CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS INT)
                  AS quality_pass
         FROM sc
+    """
+
+
+def _preference_pairs_oracle() -> str:
+    """Twin of q_preference_pairs: the shared margin CTEs joined to the
+    (lang, source) strata, two rank-1 window picks, pairs only for
+    strata of >= 2 docs."""
+    return f"""
+        WITH {_qls_margin_ctes()},
+        jd AS (
+          SELECT sc.doc_id, sc.margin, d.lang, d.source
+          FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+        ranked AS (
+          SELECT lang, source, doc_id, margin,
+                 row_number() OVER (PARTITION BY lang, source
+                   ORDER BY margin DESC, doc_id ASC) AS rc,
+                 row_number() OVER (PARTITION BY lang, source
+                   ORDER BY margin ASC, doc_id ASC) AS rr,
+                 count(*) OVER (PARTITION BY lang, source) AS n_docs
+          FROM jd),
+        ch AS (
+          SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+                 doc_id AS chosen_doc, margin AS chosen_margin
+          FROM ranked WHERE rc = 1 AND n_docs >= 2),
+        rj AS (
+          SELECT lang, source, doc_id AS rejected_doc,
+                 margin AS rejected_margin
+          FROM ranked WHERE rr = 1 AND n_docs >= 2)
+        SELECT ch.lang, ch.source, ch.n_docs,
+               chosen_doc, chosen_margin, rejected_doc, rejected_margin,
+               chosen_margin - rejected_margin AS margin_gap
+        FROM ch JOIN rj ON ch.lang = rj.lang AND ch.source = rj.source
     """
 
 
@@ -1479,6 +1518,7 @@ ORACLES: dict[str, str] = {
     "q_media_bmp_histogram": _bmp_histogram_oracle(),
     "q_bradley_terry": _bradley_terry_oracle(),
     "q_quality_linear_scorer": _quality_linear_scorer_oracle(),
+    "q_preference_pairs": _preference_pairs_oracle(),
     "q_sax_symbolic": f"""
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS d,

@@ -9228,22 +9228,11 @@ def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_quality_linear_scorer")
-def q_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPLY A TRAINED TEXT CLASSIFIER AT CORPUS SCALE — the fastText
-    shape [Joulin et al. 2016] that CCNet/LLaMA-style pipelines use for
-    quality filtering: a linear model over hashed bag-of-words features,
-    scored as one broadcast join + one aggregation.  The "model" is a
-    1024-slot weight table generated deterministically (slot weights
-    from the portable md5 slice, scaled integers in [-1000, 1000] — in
-    production this frame IS the trained model, loaded instead of
-    generated; the plumbing is identical).  Per doc: tokens hash to
-    slots (hashing trick, no vocabulary pass), the margin accumulates
-    as an EXACT bigint (Σ scaled weights — no float summation-order
-    caveat), and only the final normalized score and its sigmoid are
-    pinned divisions.  Scale shape: the model broadcasts (1024 rows
-    regardless of corpus size), the only shuffle is the per-doc margin
-    aggregation — the canonical inference plan for a 100 TB corpus."""
+def _qls_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, margin_x1000): the hashed-linear-model margin per
+    document — shared by q_quality_linear_scorer (the scoring surface)
+    and q_preference_pairs (the DPO dataset construction), so the
+    model arithmetic is single-sourced."""
     D = 1024
     base = _tokenized_docs(spark, sf_dir)
     model = spark.range(D).select(
@@ -9269,11 +9258,92 @@ def q_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("slot"),
     )
-    scored = (
+    return (
         slotted.join(F.broadcast(model), "slot")
         .groupBy("doc_id", "dl")
         .agg(F.sum("w").alias("margin_x1000"))
     )
+
+
+@q("q_preference_pairs")
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR DATASET CONSTRUCTION (the DPO/RLHF data shape):
+    within each (lang, source) stratum, pair the highest-margin
+    document as `chosen` against the lowest-margin as `rejected`
+    (quality margins from the shared hashed linear scorer
+    ``_qls_margins``; ties total-ordered on doc_id), emitting the
+    margin gap the preference loss will see.  Strata with fewer than
+    2 documents cannot form a pair and are dropped — visible in
+    n_docs, not silently.  Scale shape: one scorer pass, then two
+    rank-1 window picks per stratum (windows PARTITIONED by stratum —
+    distributed); at 100 TB this is exactly how preference corpora
+    are assembled from quality-scored crawls."""
+    m = _qls_margins(spark, sf_dir)
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    j = m.join(docs, "doc_id")
+    wc = Window.partitionBy("lang", "source").orderBy(
+        F.col("margin_x1000").desc(), F.col("doc_id").asc()
+    )
+    wr = Window.partitionBy("lang", "source").orderBy(
+        F.col("margin_x1000").asc(), F.col("doc_id").asc()
+    )
+    ranked = j.select(
+        "lang",
+        "source",
+        "doc_id",
+        "margin_x1000",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wr).alias("rr"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang", "source"))
+        .alias("n_docs"),
+    ).filter(F.col("n_docs") >= 2)
+    chosen = ranked.filter(F.col("rc") == 1).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("margin_x1000").alias("chosen_margin"),
+    )
+    rejected = ranked.filter(F.col("rr") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("margin_x1000").alias("rejected_margin"),
+    )
+    return chosen.join(rejected, ["lang", "source"]).select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "chosen_doc",
+        "chosen_margin",
+        "rejected_doc",
+        "rejected_margin",
+        (F.col("chosen_margin") - F.col("rejected_margin")).alias(
+            "margin_gap"
+        ),
+    )
+
+
+@q("q_quality_linear_scorer")
+def q_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY A TRAINED TEXT CLASSIFIER AT CORPUS SCALE — the fastText
+    shape [Joulin et al. 2016] that CCNet/LLaMA-style pipelines use for
+    quality filtering: a linear model over hashed bag-of-words features,
+    scored as one broadcast join + one aggregation.  The "model" is a
+    1024-slot weight table generated deterministically (slot weights
+    from the portable md5 slice, scaled integers in [-1000, 1000] — in
+    production this frame IS the trained model, loaded instead of
+    generated; the plumbing is identical).  Per doc: tokens hash to
+    slots (hashing trick, no vocabulary pass), the margin accumulates
+    as an EXACT bigint (Σ scaled weights — no float summation-order
+    caveat), and only the final normalized score and its sigmoid are
+    pinned divisions.  Scale shape: the model broadcasts (1024 rows
+    regardless of corpus size), the only shuffle is the per-doc margin
+    aggregation — the canonical inference plan for a 100 TB corpus."""
+    scored = _qls_margins(spark, sf_dir)
     z = F.col("margin_x1000").cast("double") / (
         F.lit(1000.0) * F.col("dl").cast("double")
     )

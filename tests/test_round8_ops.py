@@ -491,3 +491,36 @@ def test_sax_word_properties(spark, sf_dir):
     wz = sum(r["z"] * r["n_days"] for r in rows) / total_days
     assert abs(wz) < 1e-3
     assert wmean > 0
+
+
+def test_preference_pairs_dominance(spark, sf_dir):
+    """DPO-pair invariants: chosen_margin >= rejected_margin in every
+    stratum (gap >= 0), chosen != rejected whenever the stratum has
+    >= 2 docs, and each pair's members really belong to the stratum
+    and attain the stratum's max/min margins."""
+    rows = registry()["q_preference_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["margin_gap"] >= 0
+        assert r["n_docs"] >= 2
+        assert r["chosen_doc"] != r["rejected_doc"] or r["margin_gap"] == 0
+    # spot-check one stratum against the raw margins
+    from java_etl_bi_generator_spark.queries import _qls_margins
+
+    pick = rows[0]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    m = (
+        _qls_margins(spark, sf_dir)
+        .join(docs, "doc_id")
+        .filter(
+            (F.col("lang") == pick["lang"])
+            & (F.col("source") == pick["source"])
+        )
+        .collect()
+    )
+    margins = {r["doc_id"]: r["margin_x1000"] for r in m}
+    assert pick["chosen_margin"] == max(margins.values())
+    assert pick["rejected_margin"] == min(margins.values())
+    assert len(margins) == pick["n_docs"]
