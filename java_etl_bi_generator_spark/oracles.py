@@ -804,6 +804,43 @@ def _qls_margin_ctes() -> str:
           FROM sl JOIN model USING (slot) GROUP BY doc_id, dl)"""
 
 
+def _sprt_oracle() -> str:
+    """Twin of q_sprt_sequential: identical repr-exact LLR increment
+    literals, identical hash arm, identical ordered cumulative sum."""
+    import math
+
+    l1 = repr(math.log(0.35 / 0.30))
+    l0 = repr(math.log(0.65 / 0.70))
+    bound = repr(math.log(19.0))
+    return f"""
+        WITH tr AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority
+          FROM orders
+          WHERE {_hex_bigint(
+              "md5('sprt-v1|' || CAST(o_custkey AS VARCHAR))", 1, 8
+          )} % 2 = 0),
+        daily AS (
+          SELECT d, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN o_orderpriority
+                                IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c
+          FROM tr GROUP BY d),
+        cum AS (
+          SELECT d, n, c,
+                 SUM(CAST(c AS DOUBLE) * {l1}
+                     + CAST(n - c AS DOUBLE) * {l0})
+                   OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS s
+          FROM daily)
+        SELECT d, n, c,
+               {pround_sql('s', 6)} AS llr,
+               CASE WHEN s >= {bound} THEN 'accept_h1'
+                    WHEN s <= -{bound} THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM cum
+    """
+
+
 def _quality_linear_scorer_oracle() -> str:
     """Twin of q_quality_linear_scorer: same tokenization, same md5
     slot/weight derivations (weights in [-1000, 1000] from the 1024-row
@@ -1518,6 +1555,7 @@ ORACLES: dict[str, str] = {
     "q_media_bmp_histogram": _bmp_histogram_oracle(),
     "q_bradley_terry": _bradley_terry_oracle(),
     "q_quality_linear_scorer": _quality_linear_scorer_oracle(),
+    "q_sprt_sequential": _sprt_oracle(),
     "q_preference_pairs": _preference_pairs_oracle(),
     "q_sax_symbolic": f"""
         WITH daily AS (

@@ -7896,6 +7896,66 @@ def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_sprt_sequential")
+def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL TESTING (Wald's SPRT) — the always-valid monitoring
+    view the fixed-horizon z-test (q_abtest_zscore) cannot give:
+    per-day cumulative log-likelihood ratio of the treated arm's
+    conversion (priority URGENT/HIGH) under H1: p=0.35 vs H0: p=0.30,
+    with the ±ln(19) decision boundaries (α=β=0.05) and the running
+    verdict — the dashboard that lets an experimenter stop EARLY
+    without p-hacking.  Float discipline: the two per-unit LLR
+    increments are FIXED repr-exact literals computed once in Python
+    and embedded in BOTH engines (the NDCG_WEIGHTS discipline); each
+    day contributes c·L1 + (n−c)·L0 from exact integer counts, and the
+    cumulative sum runs over the bounded, totally-ordered day grain —
+    deterministic in both engines.  Scale shape: data grain collapses
+    to days; everything after is the ~2.4k-day series."""
+    import math
+
+    l1 = repr(math.log(0.35 / 0.30))        # conversion increment
+    l0 = repr(math.log(0.65 / 0.70))        # non-conversion increment
+    bound = repr(math.log(19.0))            # ln((1-β)/α), α=β=0.05
+    od = T(spark, sf_dir, "orders")
+    treated = od.filter(
+        _h32(
+            F.concat_ws(
+                "|", F.lit("sprt-v1"), F.col("o_custkey").cast("string")
+            )
+        )
+        % 2
+        == 0
+    )
+    daily = treated.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    day_llr = (
+        F.col("c").cast("double") * F.lit(float(l1))
+        + (F.col("n") - F.col("c")).cast("double") * F.lit(float(l0))
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(day_llr).over(w)
+    return daily.select(
+        "d",
+        "n",
+        "c",
+        pround(cum, 6).alias("llr"),
+        F.when(cum >= F.lit(float(bound)), F.lit("accept_h1"))
+        .when(cum <= -F.lit(float(bound)), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
 @q("q_abtest_zscore")
 def q_abtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experimentation surface: two-sample z statistic for purchase value

@@ -524,3 +524,21 @@ def test_preference_pairs_dominance(spark, sf_dir):
     assert pick["chosen_margin"] == max(margins.values())
     assert pick["rejected_margin"] == min(margins.values())
     assert len(margins) == pick["n_docs"]
+
+
+def test_sprt_reaches_and_holds_decision(spark, sf_dir):
+    """Self-certifying sequential test: the treated arm's true
+    conversion (~2/5 of priorities are URGENT/HIGH) exceeds H1's 0.35,
+    so the cumulative LLR must drift upward and the verdict must reach
+    accept_h1 and never return to accept_h0 afterwards; daily counts
+    satisfy c <= n."""
+    rows = sorted(
+        registry()["q_sprt_sequential"](spark, sf_dir).collect(),
+        key=lambda r: r["d"],
+    )
+    assert all(0 <= r["c"] <= r["n"] for r in rows)
+    decisions = [r["decision"] for r in rows]
+    assert "accept_h1" in decisions
+    first_h1 = decisions.index("accept_h1")
+    assert "accept_h0" not in decisions[first_h1:]
+    assert rows[-1]["llr"] > rows[0]["llr"]
