@@ -4841,6 +4841,22 @@ ORACLES: dict[str, str] = {
                mce
         FROM e_a
     """,
+    "q_table_checksum": f"""
+        WITH c AS (
+          SELECT {_hex_bigint(
+              "md5(CAST(o_orderkey AS VARCHAR) || '|'"
+              " || CAST(o_custkey AS VARCHAR) || '|'"
+              " || CAST(CAST(floor(o_totalprice * 100.0 + 0.5)"
+              "         AS BIGINT) AS VARCHAR) || '|'"
+              " || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|'"
+              " || o_orderpriority)", 1, 8
+          )} AS h
+          FROM orders)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(h) AS HUGEINT) AS checksum_sum,
+               CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+        FROM c
+    """,
     "q_join_cardinality_estimate": f"""
         WITH a AS (
           SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca

@@ -11634,6 +11634,41 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_table_checksum")
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INVARIANT TABLE CHECKSUM — the replication/migration
+    verification primitive (pt-table-checksum's job, Spark-first):
+    every row canonicalizes to a pinned string (ints, cents, ISO
+    dates — never engine-formatted floats), hashes through the
+    portable md5 slice, and folds into TWO commutative digests — a
+    wide-integer SUM (catches any multiset change; accumulated in
+    DECIMAL(38,0) so 10^12 rows cannot overflow) and a BIT-XOR
+    (catches value corruption independent of the sum) — plus the row
+    count.  Both digests are mergeable across partitions/shards with
+    no ordering requirement: two sides of a replication agree iff the
+    triple agrees.  Scale shape: one scan, one 1-row aggregate —
+    map-side combinable, no shuffle of data rows."""
+    od = T(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .cast("string"),
+        F.to_date("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = _h32(canon)
+    return od.select(h.alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum_sum"),
+        F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
+    )
+
+
 @q("q_join_cardinality_estimate")
 def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-SIZE PREDICTION — the cost-based-optimizer calculation as a
