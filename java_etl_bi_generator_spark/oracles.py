@@ -4841,6 +4841,41 @@ ORACLES: dict[str, str] = {
                mce
         FROM e_a
     """,
+    "q_littles_law": f"""
+        WITH fs AS (
+          SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship
+          FROM lineitem GROUP BY 1),
+        j AS (
+          SELECT CAST(o_orderdate AS DATE) AS od, fs.ship
+          FROM orders JOIN fs ON orders.o_orderkey = fs.l_orderkey),
+        ag AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(ship - od) AS BIGINT) AS wait_days_total,
+                 CAST(MAX(od) - MIN(od) AS BIGINT) AS span_days
+          FROM j)
+        SELECT n_orders, span_days,
+               {pround_sql(
+                   'CAST(n_orders AS DOUBLE)'
+                   ' / CAST(span_days AS DOUBLE)', 6
+               )} AS lambda_per_day,
+               {pround_sql(
+                   'CAST(wait_days_total AS DOUBLE)'
+                   ' / CAST(n_orders AS DOUBLE)', 6
+               )} AS w_mean_days,
+               {pround_sql(
+                   'CAST(wait_days_total AS DOUBLE)'
+                   ' / CAST(span_days AS DOUBLE)', 6
+               )} AS l_measured,
+               {pround_sql(
+                   '(CAST(n_orders AS DOUBLE)'
+                   ' / CAST(span_days AS DOUBLE))'
+                   ' * (CAST(wait_days_total AS DOUBLE)'
+                   '    / CAST(n_orders AS DOUBLE))'
+                   ' / (CAST(wait_days_total AS DOUBLE)'
+                   '    / CAST(span_days AS DOUBLE))', 6
+               )} AS littles_ratio
+        FROM ag
+    """,
     "q_table_checksum": f"""
         WITH c AS (
           SELECT {_hex_bigint(

@@ -11634,6 +11634,55 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_littles_law")
+def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUEUEING SANITY CHECK — Little's law L = λ·W validated on the
+    order→first-ship pipeline: arrival rate λ (orders per day over the
+    observed span), mean time-in-system W (order date to FIRST ship
+    date), and the measured average backlog L (the q_backlog_sweepline
+    integral ÷ span, computed here as Σ wait-days / span — the two are
+    identical by Fubini, which IS the law).  The report emits both
+    sides and their ratio; a ratio far from 1 in production means the
+    window is truncating in-flight work (censoring) — the data-quality
+    smell this check exists to catch.  All inputs exact integer
+    day-counts; three pinned divisions.  Scale shape: one line-grain
+    aggregation to orders, one global aggregate."""
+    li = T(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("ship")
+    )
+    od = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    j = od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.datediff("ship", "od")).cast("bigint").alias(
+            "wait_days_total"
+        ),
+        F.datediff(F.max("od"), F.min("od")).cast("bigint").alias(
+            "span_days"
+        ),
+    )
+    lam = F.col("n_orders").cast("double") / F.col("span_days").cast(
+        "double"
+    )
+    wmean = F.col("wait_days_total").cast("double") / F.col(
+        "n_orders"
+    ).cast("double")
+    lmeas = F.col("wait_days_total").cast("double") / F.col(
+        "span_days"
+    ).cast("double")
+    return agg.select(
+        "n_orders",
+        "span_days",
+        pround(lam, 6).alias("lambda_per_day"),
+        pround(wmean, 6).alias("w_mean_days"),
+        pround(lmeas, 6).alias("l_measured"),
+        pround(lam * wmean / lmeas, 6).alias("littles_ratio"),
+    )
+
+
 @q("q_table_checksum")
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER-INVARIANT TABLE CHECKSUM — the replication/migration

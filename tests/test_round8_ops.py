@@ -576,3 +576,13 @@ def test_table_checksum_order_invariant_and_sensitive(spark, sf_dir):
         .otherwise(F.col("b")),
     )
     assert digest(corrupted) != d0                      # sensitive
+
+
+def test_littles_law_identity(spark, sf_dir):
+    """By construction λ·W = L exactly (both sides share the same sums
+    — Fubini), so the emitted ratio must be 1.0 within pinning, and
+    the measured backlog must be positive."""
+    r = registry()["q_littles_law"](spark, sf_dir).first()
+    assert abs(r["littles_ratio"] - 1.0) < 1e-5
+    assert r["l_measured"] > 0
+    assert r["w_mean_days"] > 0
