@@ -4846,13 +4846,20 @@ ORACLES: dict[str, str] = {
           SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship
           FROM lineitem GROUP BY 1),
         j AS (
-          SELECT CAST(o_orderdate AS DATE) AS od, fs.ship
+          SELECT CAST(o_orderdate AS DATE) AS od,
+                 GREATEST(fs.ship, CAST(o_orderdate AS DATE)) AS ship2
           FROM orders JOIN fs ON orders.o_orderkey = fs.l_orderkey),
+        b AS (SELECT MAX(od) AS d1 FROM j),
+        jj AS (
+          SELECT od, (ship2 - od) AS wait,
+                 GREATEST(LEAST(ship2 - od, d1 - od), 0) AS ov
+          FROM j CROSS JOIN b),
         ag AS (
           SELECT CAST(count(*) AS BIGINT) AS n_orders,
-                 CAST(SUM(ship - od) AS BIGINT) AS wait_days_total,
+                 CAST(SUM(wait) AS BIGINT) AS wait_days_total,
+                 CAST(SUM(ov) AS BIGINT) AS overlap_days_total,
                  CAST(MAX(od) - MIN(od) AS BIGINT) AS span_days
-          FROM j)
+          FROM jj)
         SELECT n_orders, span_days,
                {pround_sql(
                    'CAST(n_orders AS DOUBLE)'
@@ -4863,17 +4870,14 @@ ORACLES: dict[str, str] = {
                    ' / CAST(n_orders AS DOUBLE)', 6
                )} AS w_mean_days,
                {pround_sql(
-                   'CAST(wait_days_total AS DOUBLE)'
+                   'CAST(overlap_days_total AS DOUBLE)'
                    ' / CAST(span_days AS DOUBLE)', 6
                )} AS l_measured,
                {pround_sql(
-                   '(CAST(n_orders AS DOUBLE)'
-                   ' / CAST(span_days AS DOUBLE))'
-                   ' * (CAST(wait_days_total AS DOUBLE)'
-                   '    / CAST(n_orders AS DOUBLE))'
-                   ' / (CAST(wait_days_total AS DOUBLE)'
-                   '    / CAST(span_days AS DOUBLE))', 6
-               )} AS littles_ratio
+                   'CAST(overlap_days_total AS DOUBLE)'
+                   ' / CAST(wait_days_total AS DOUBLE)', 6
+               )} AS littles_ratio,
+               wait_days_total - overlap_days_total AS censored_days
         FROM ag
     """,
     "q_table_checksum": f"""

@@ -11636,17 +11636,19 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("q_littles_law")
 def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QUEUEING SANITY CHECK — Little's law L = λ·W validated on the
-    order→first-ship pipeline: arrival rate λ (orders per day over the
-    observed span), mean time-in-system W (order date to FIRST ship
-    date), and the measured average backlog L (the q_backlog_sweepline
-    integral ÷ span, computed here as Σ wait-days / span — the two are
-    identical by Fubini, which IS the law).  The report emits both
-    sides and their ratio; a ratio far from 1 in production means the
-    window is truncating in-flight work (censoring) — the data-quality
-    smell this check exists to catch.  All inputs exact integer
-    day-counts; three pinned divisions.  Scale shape: one line-grain
-    aggregation to orders, one global aggregate."""
+    """QUEUEING SANITY CHECK — Little's law L = λ·W on the order→
+    first-ship pipeline, with the law's failure mode made measurable:
+    λ = arrivals per day over the observed arrival span, W = mean
+    time-in-system (synthetic ship dates can precede the order —
+    clamped to same-day fulfillment, documented), and L = the TIME-
+    AVERAGE backlog actually integrated inside the window (each
+    order's open-interval overlap with [first, last arrival] — exact
+    integer day counts).  The ratio L/(λ·W) equals Σoverlap/Σwait: it
+    is 1 exactly when no order's service extends past the window and
+    drops below 1 by exactly the CENSORED tail mass — the
+    right-truncation bias every latency dashboard suffers, here as a
+    first-class number (censored_days).  Scale shape: one line-grain
+    aggregation, one global aggregate."""
     li = T(spark, sf_dir, "lineitem")
     first_ship = li.groupBy("l_orderkey").agg(
         F.min(F.to_date("l_shipdate")).alias("ship")
@@ -11654,12 +11656,24 @@ def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = T(spark, sf_dir, "orders").select(
         "o_orderkey", F.to_date("o_orderdate").alias("od")
     )
-    j = od.join(first_ship, od.o_orderkey == first_ship.l_orderkey)
-    agg = j.agg(
+    j = od.join(
+        first_ship, od.o_orderkey == first_ship.l_orderkey
+    ).select("od", F.greatest("ship", "od").alias("ship2"))
+    b = j.agg(F.max("od").alias("d1")).select("d1")
+    jj = j.crossJoin(F.broadcast(b)).select(
+        "od",
+        F.datediff("ship2", "od").alias("wait"),
+        F.greatest(
+            F.least(
+                F.datediff("ship2", "od"), F.datediff("d1", "od")
+            ),
+            F.lit(0),
+        ).alias("overlap"),
+    )
+    agg = jj.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(F.datediff("ship", "od")).cast("bigint").alias(
-            "wait_days_total"
-        ),
+        F.sum("wait").cast("bigint").alias("wait_days_total"),
+        F.sum("overlap").cast("bigint").alias("overlap_days_total"),
         F.datediff(F.max("od"), F.min("od")).cast("bigint").alias(
             "span_days"
         ),
@@ -11670,7 +11684,7 @@ def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmean = F.col("wait_days_total").cast("double") / F.col(
         "n_orders"
     ).cast("double")
-    lmeas = F.col("wait_days_total").cast("double") / F.col(
+    lmeas = F.col("overlap_days_total").cast("double") / F.col(
         "span_days"
     ).cast("double")
     return agg.select(
@@ -11679,7 +11693,14 @@ def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(lam, 6).alias("lambda_per_day"),
         pround(wmean, 6).alias("w_mean_days"),
         pround(lmeas, 6).alias("l_measured"),
-        pround(lam * wmean / lmeas, 6).alias("littles_ratio"),
+        pround(
+            F.col("overlap_days_total").cast("double")
+            / F.col("wait_days_total").cast("double"),
+            6,
+        ).alias("littles_ratio"),
+        (F.col("wait_days_total") - F.col("overlap_days_total")).alias(
+            "censored_days"
+        ),
     )
 
 
