@@ -804,6 +804,45 @@ def _qls_margin_ctes() -> str:
           FROM sl JOIN model USING (slot) GROUP BY doc_id, dl)"""
 
 
+def _power_analysis_oracle() -> str:
+    """Twin of q_power_analysis: identical repr-exact (z_a+z_b)^2
+    literal, identical DECIMAL power sums and expression order."""
+    c2 = '7.848879734349091'
+    return f"""
+        WITH j AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        g AS (
+          SELECT segment,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS sx,
+                 SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                   AS sxx
+          FROM j GROUP BY 1),
+        v AS (
+          SELECT segment, n, sx,
+                 CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                      AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) AS vr,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+          FROM g)
+        SELECT segment, n,
+               {pround_sql('mu / 100.0', 4)} AS mean_value,
+               {pround_sql('sqrt(vr) / 100.0', 4)} AS sd_value,
+               {pround_sql(
+                   f'sqrt({c2} * vr * 2.0 / CAST(n AS DOUBLE)) / 100.0',
+                   4
+               )} AS mde_value,
+               CAST(ceil(2.0 * vr * {c2}
+                         / ((mu * 0.05) * (mu * 0.05))) AS BIGINT)
+                 AS n_required_per_arm
+        FROM v
+    """
+
+
 def _sprt_oracle() -> str:
     """Twin of q_sprt_sequential: identical repr-exact LLR increment
     literals, identical hash arm, identical ordered cumulative sum."""
@@ -1556,6 +1595,7 @@ ORACLES: dict[str, str] = {
     "q_bradley_terry": _bradley_terry_oracle(),
     "q_quality_linear_scorer": _quality_linear_scorer_oracle(),
     "q_sprt_sequential": _sprt_oracle(),
+    "q_power_analysis": _power_analysis_oracle(),
     "q_preference_pairs": _preference_pairs_oracle(),
     "q_sax_symbolic": f"""
         WITH daily AS (

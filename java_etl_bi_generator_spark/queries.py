@@ -7896,6 +7896,67 @@ def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_power_analysis")
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPERIMENT DESIGN — the calculation that must run BEFORE
+    q_abtest_zscore ever can: per market segment, the minimum
+    detectable effect at the current sample size and the sample size
+    required to detect a 5%-of-mean lift, both at α=0.05/power=0.8
+    (two-sample, equal split): MDE = c·σ·√(2/n) and n_req = 2σ²c²/δ²
+    with c = z₀.₉₇₅+z₀.₈ embedded as ONE repr-exact literal in both
+    engines.  Variance from exact decimal power sums (n·Σx²−(Σx)²
+    accumulated in DECIMAL(38,0) — cents² overflows bigint at volume),
+    everything after is single divisions.  Scale shape: one data-grain
+    aggregation to the 5-segment grain."""
+    c2 = repr((1.9599639845400545 + 0.8416212335729143) ** 2)
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    j = od.join(F.broadcast(cu), "o_custkey").select(
+        "segment",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    var = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)")
+        * F.col("sx").cast("decimal(38,0)")
+    ).cast("double") / (
+        F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    mean = F.col("sx").cast("double") / F.col("n").cast("double")
+    delta = mean * F.lit(0.05)
+    return g.select(
+        "segment",
+        "n",
+        pround(mean / F.lit(100.0), 4).alias("mean_value"),
+        pround(F.sqrt(var) / F.lit(100.0), 4).alias("sd_value"),
+        pround(
+            F.sqrt(F.lit(float(c2)) * var * F.lit(2.0) / F.col("n").cast("double"))
+            / F.lit(100.0),
+            4,
+        ).alias("mde_value"),
+        F.ceil(
+            F.lit(2.0) * var * F.lit(float(c2)) / (delta * delta)
+        )
+        .cast("bigint")
+        .alias("n_required_per_arm"),
+    )
+
+
 @q("q_sprt_sequential")
 def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEQUENTIAL TESTING (Wald's SPRT) — the always-valid monitoring

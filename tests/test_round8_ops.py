@@ -590,3 +590,22 @@ def test_littles_law_censoring_bounds(spark, sf_dir):
     lhs = r["lambda_per_day"] * r["w_mean_days"] * r["littles_ratio"]
     assert abs(lhs - r["l_measured"]) < 1e-3
     assert r["censored_days"] >= 0
+
+
+def test_power_analysis_scaling_laws(spark, sf_dir):
+    """Design arithmetic pins: MDE shrinks as 1/sqrt(n) (verified by
+    recomputing from the emitted sd and n), and detecting a SMALLER
+    effect needs MORE samples — n_required consistent with the emitted
+    sd/mean via the same constant."""
+    rows = registry()["q_power_analysis"](spark, sf_dir).collect()
+    c2 = (1.9599639845400545 + 0.8416212335729143) ** 2
+    for r in rows:
+        expect_mde = (c2 * (r["sd_value"] ** 2) * 2.0 / r["n"]) ** 0.5
+        assert abs(r["mde_value"] - expect_mde) < max(
+            1e-3, expect_mde * 1e-3
+        )
+        delta = r["mean_value"] * 0.05
+        expect_n = 2.0 * (r["sd_value"] ** 2) * c2 / (delta * delta)
+        assert abs(r["n_required_per_arm"] - expect_n) <= max(
+            2.0, expect_n * 1e-3
+        )
