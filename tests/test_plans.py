@@ -339,3 +339,40 @@ def test_round8_new_query_plan_shapes(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_quality_scorer_broadcasts_model(spark, sf_dir):
+    """The 1024-slot weight table must BROADCAST onto the token stream
+    — a shuffled model join would serialize the corpus scan behind a
+    pointless exchange at 100 TB."""
+    plan = explain_simple(
+        registry()["q_quality_linear_scorer"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bradley_terry_broadcasts_strengths(spark, sf_dir):
+    """Every MM round joins the 25-row strength frame — all three
+    rounds must broadcast it (the brand-pair game table never
+    re-shuffles on the model side)."""
+    plan = explain_simple(registry()["q_bradley_terry"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 6  # 2 per round x 3 rounds
+
+
+def test_join_cardinality_never_materializes_join(spark, sf_dir):
+    """The estimator's plan must contain the two key-grain aggregates
+    and only key-grain joins — no join of the fact tables themselves
+    (the entire point is predicting without running it)."""
+    df = registry()["q_join_cardinality_estimate"](spark, sf_dir)
+    plan = explain_simple(df)
+    # the only scans are orders/lineitem feeding immediate aggregates:
+    # every join input is already an aggregate, so the plan has at
+    # least 4 HashAggregates (partial+final per side) before any join
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_table_checksum_single_pass(spark, sf_dir):
+    """One scan, one global aggregate — no exchange other than the
+    final 1-row gather."""
+    plan = explain_simple(registry()["q_table_checksum"](spark, sf_dir))
+    assert plan.count("Exchange") <= 1
