@@ -7310,6 +7310,42 @@ def _bellman_sql(iterations: int, weighted: bool, out_col: str) -> str:
 
 
 ORACLES.update({
+    "q_pii_extraction": """
+        WITH base AS (
+          SELECT 'reach ' || c_name || ' at user'
+                 || CAST(c_custkey AS VARCHAR) || '@example.'
+                 || (['com', 'org', 'net'])[CAST(c_custkey % 3 AS INT) + 1]
+                 || ' or +55 (11) 9'
+                 || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                 || '-'
+                 || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+                 || CASE WHEN c_custkey % 5 = 0
+                         THEN ' ssn 987-65-4321' ELSE '' END
+                 || ' re order updates' AS t
+          FROM customer),
+        allk AS (
+          SELECT 'email' AS kind,
+                 regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                   AS ms
+          FROM base
+          UNION ALL
+          SELECT 'phone',
+                 regexp_extract_all(t,
+                   '\+[0-9]{2} \([0-9]{2}\) [0-9]{4,5}-[0-9]{4}')
+          FROM base
+          UNION ALL
+          SELECT 'ssn',
+                 regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')
+          FROM base)
+        SELECT kind,
+               CAST(SUM(len(ms)) AS BIGINT) AS n_matches,
+               CAST(SUM(CASE WHEN len(ms) > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rows_exposed,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT ms[1]) AS BIGINT) AS n_distinct_first
+        FROM allk GROUP BY kind
+    """,
     "q_embed_random_projection": f"""
         SELECT vec_id, {_random_projection_sql('embedding')}
         FROM embeddings

@@ -5004,6 +5004,72 @@ def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_pii_extraction")
+def q_pii_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance DETECTION (the step before q_mask_pii's
+    redaction): scan free text with general PII patterns — email,
+    phone, SSN-shaped — and report the per-kind exposure profile
+    (total matches, rows exposed, distinct values).  The corpus is an
+    engine-written fixture (the mediahex discipline: deterministic
+    contact blurbs derived from customer rows, SSNs planted on every
+    5th row only), so the detector's counts are verifiable against
+    the construction — certifying the PATTERNS, not echoing them: the
+    email/phone regexes are the general shapes, not the planted
+    template.  Portable regex subset only ([0-9] classes, bounded
+    quantifiers — Java regex and RE2 agree).  Scale shape: pure
+    per-row codegen (`regexp_extract_all`), one kind-grain aggregate."""
+    cu = T(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("reach "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+            (F.col("c_custkey") % 3).cast("int") + 1,
+        ),
+        F.lit(" or +55 (11) 9"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(
+            ((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"
+        ),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.lit(" ssn 987-65-4321")
+        ).otherwise(F.lit("")),
+        F.lit(" re order updates"),
+    )
+    pats = {
+        "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "phone": "\\+[0-9]{2} \\([0-9]{2}\\) [0-9]{4,5}-[0-9]{4}",
+        "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    }
+    base = cu.select(text.alias("t"))
+    kinds = [
+        base.select(
+            F.lit(kind).alias("kind"),
+            F.regexp_extract_all(
+                F.col("t"), F.lit(pat), F.lit(0)
+            ).alias("ms"),
+        )
+        for kind, pat in pats.items()
+    ]
+    from functools import reduce
+
+    allk = reduce(lambda a, b: a.unionAll(b), kinds)
+    return allk.groupBy("kind").agg(
+        F.sum(F.size("ms")).cast("bigint").alias("n_matches"),
+        F.sum(F.when(F.size("ms") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_exposed"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct(F.expr("try_element_at(ms, 1)"))
+        .cast("bigint")
+        .alias("n_distinct_first"),
+    )
+
+
 @q("q_embed_random_projection")
 def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3-prep: Johnson-Lindenstrauss ±1 random projection 64→8 dims

@@ -609,3 +609,25 @@ def test_power_analysis_scaling_laws(spark, sf_dir):
         assert abs(r["n_required_per_arm"] - expect_n) <= max(
             2.0, expect_n * 1e-3
         )
+
+
+def test_pii_extraction_matches_construction(spark, sf_dir):
+    """The detector's counts must reconcile with the planted fixture:
+    every row carries exactly one email and one phone, SSNs appear on
+    exactly the custkey%5==0 rows — so n_matches == n_rows_exposed for
+    email/phone, and the ssn exposure equals the planted count."""
+    rows = {
+        r["kind"]: r
+        for r in registry()["q_pii_extraction"](spark, sf_dir).collect()
+    }
+    n = rows["email"]["n_rows"]
+    assert rows["email"]["n_matches"] == n
+    assert rows["email"]["n_rows_exposed"] == n
+    assert rows["phone"]["n_matches"] == n
+    planted = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .count()
+    )
+    assert rows["ssn"]["n_rows_exposed"] == planted
+    assert rows["ssn"]["n_distinct_first"] <= 1  # single planted value
