@@ -15599,8 +15599,14 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w1"),
     )
-    games = pairs.groupBy("b1", "b2").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("w1").alias("w1")
+    # cut lineage at the brand-pair grain (≤ 25² rows): every MM round
+    # joins `edges` twice, and without the cut each join re-derives the
+    # DATA-GRAIN pair aggregation from lineitem — ~10 redundant scans
+    # (observed as a 2,900-node plan before the cut)
+    games = cut_lineage(
+        pairs.groupBy("b1", "b2").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("w1").alias("w1")
+        )
     )
     edges = games.select(
         F.col("b1").alias("i"), F.col("b2").alias("j"), "n",
