@@ -29,6 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("retrieval_eval.py", ["/root/testdata/sf0.001"]),
         ("stats_diagnostics.py", ["/root/testdata/sf0.001"]),
         ("model_evaluation.py", ["/root/testdata/sf0.001"]),
+        ("preference_modeling.py", ["/root/testdata/sf0.001"]),
         ("sql_shell.py",
          ["SELECT count(*) AS n FROM lineitem", "/root/testdata/sf0.001"]),
     ],
