@@ -2820,6 +2820,55 @@ ORACLES: dict[str, str] = {
                                THEN o_totalprice END)) AS q_value
         FROM sel GROUP BY p
     """,
+    "q_calibration_applied": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        b AS (
+          SELECT CAST(LEAST(s6 // 50000, 19) AS INT) AS bucket,
+                 COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos
+          FROM j GROUP BY 1),
+        pre AS (
+          SELECT bucket, n, pos,
+                 SUM(n) OVER (ORDER BY bucket) AS cn,
+                 SUM(pos) OVER (ORDER BY bucket) AS cpos
+          FROM b),
+        pr AS (
+          SELECT p1.bucket AS jb,
+                 CAST(p2.cpos - (p1.cpos - p1.pos) AS DOUBLE)
+                 / CAST(p2.cn - (p1.cn - p1.n) AS DOUBLE) AS mean_jk
+          FROM pre p1 JOIN pre p2 ON p2.bucket >= p1.bucket),
+        mj AS (SELECT jb, MIN(mean_jk) AS m FROM pr GROUP BY jb),
+        iso AS (
+          SELECT jb AS bucket,
+                 MAX(m) OVER (ORDER BY jb
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS iso
+          FROM mj),
+        app AS (
+          SELECT j.s6, j.label, iso.iso
+          FROM j JOIN iso
+            ON CAST(LEAST(j.s6 // 50000, 19) AS INT) = iso.bucket),
+        ag AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(floor(
+                   (CAST(s6 AS DOUBLE) / 1000000.0 - CAST(label AS DOUBLE))
+                   * (CAST(s6 AS DOUBLE) / 1000000.0 - CAST(label AS DOUBLE))
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS se_raw9,
+                 CAST(SUM(CAST(floor(
+                   (iso - CAST(label AS DOUBLE))
+                   * (iso - CAST(label AS DOUBLE))
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS se_iso9
+          FROM app)
+        SELECT n,
+               {pround_sql(
+                   'CAST(se_raw9 AS DOUBLE)'
+                   ' / (CAST(n AS DOUBLE) * 1000000000.0)', 6
+               )} AS brier_raw,
+               {pround_sql(
+                   'CAST(se_iso9 AS DOUBLE)'
+                   ' / (CAST(n AS DOUBLE) * 1000000000.0)', 6
+               )} AS brier_calibrated
+        FROM ag
+    """,
     "q_isotonic_calibration": f"""
         WITH {_CHURN_SCORED_LABELED_SQL},
         b AS (

@@ -5769,6 +5769,23 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine.  Scale shape: data grain is touched once (the
     bucket aggregation); everything after lives at the constant
     bucket grain (the documented bounded-grain exemption)."""
+    g, iso = _isotonic_fit(spark, sf_dir)
+    return g.join(iso, "bucket").select(
+        "bucket",
+        F.col("n").alias("n_customers"),
+        F.col("pos").alias("n_active"),
+        pround(
+            F.col("pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("raw_rate"),
+        pround(F.col("iso"), 6).alias("iso_rate"),
+    )
+
+
+def _isotonic_fit(spark: SparkSession, sf_dir: str):
+    """Shared PAV fit: returns (bucket frame g with n/pos, iso frame
+    with the fitted monotone rate per bucket) — consumed by the fit
+    surface (q_isotonic_calibration) and the apply surface
+    (q_calibration_applied)."""
     scored = _churn_scored_labeled(spark, sf_dir)
     g = (
         scored.withColumn(
@@ -5810,14 +5827,52 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     iso = mj.select(
         F.col("jb").alias("bucket"), F.max("m").over(w2).alias("iso")
     )
-    return g.join(iso, "bucket").select(
-        "bucket",
-        F.col("n").alias("n_customers"),
-        F.col("pos").alias("n_active"),
+    return g, iso
+
+
+@q("q_calibration_applied")
+def q_calibration_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION, the APPLY surface: route every customer's raw score
+    through the fitted isotonic map (broadcast 20-row bucket→rate
+    table — the model-serving join) and certify the fix with the
+    Brier score before vs after.  PAV is the L2-optimal monotone fit,
+    so on its own training data brier_after ≤ brier_raw BY THEOREM —
+    tests/test_round8_ops.py pins that inequality; this query emits
+    the exact numbers.  Float discipline: per-row squared errors are
+    floored to ×1e9 bigints before summation (dsum; the raw score is
+    the exact s6 integer over 10⁶, the iso rate a deterministic
+    double), so both Briers are engine-identical.  Scale shape: one
+    data-grain pass with a broadcast map join, one global aggregate."""
+    g, iso = _isotonic_fit(spark, sf_dir)
+    scored = _churn_scored_labeled(spark, sf_dir).withColumn(
+        "bucket", F.expr("CAST(least(__s6 div 50000, 19) AS INT)")
+    )
+    j = scored.join(F.broadcast(iso), "bucket")
+    s_raw = F.col("__s6").cast("double") / F.lit(1000000.0)
+    y = F.col("label").cast("double")
+    e_raw = (s_raw - y) * (s_raw - y)
+    e_iso = (F.col("iso") - y) * (F.col("iso") - y)
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(e_raw * F.lit(1000000000.0)).cast("bigint"))
+        .cast("bigint")
+        .alias("se_raw9"),
+        F.sum(F.floor(e_iso * F.lit(1000000000.0)).cast("bigint"))
+        .cast("bigint")
+        .alias("se_iso9"),
+    )
+    return agg.select(
+        "n",
         pround(
-            F.col("pos").cast("double") / F.col("n").cast("double"), 6
-        ).alias("raw_rate"),
-        pround(F.col("iso"), 6).alias("iso_rate"),
+            F.col("se_raw9").cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000000.0)),
+            6,
+        ).alias("brier_raw"),
+        pround(
+            F.col("se_iso9").cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000000.0)),
+            6,
+        ).alias("brier_calibrated"),
     )
 
 

@@ -631,3 +631,13 @@ def test_pii_extraction_matches_construction(spark, sf_dir):
     )
     assert rows["ssn"]["n_rows_exposed"] == planted
     assert rows["ssn"]["n_distinct_first"] <= 1  # single planted value
+
+
+def test_calibration_applied_improves_brier(spark, sf_dir):
+    """PAV is the L2-optimal monotone fit on its own training data, so
+    the calibrated Brier can never exceed the raw one (up to the 1e-9
+    flooring grid); both lie in [0, 1]."""
+    r = registry()["q_calibration_applied"](spark, sf_dir).first()
+    assert 0.0 <= r["brier_calibrated"] <= r["brier_raw"] + 1e-6
+    assert r["brier_raw"] <= 1.0
+    assert r["n"] > 0
