@@ -9293,40 +9293,58 @@ def q_vector_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROBUST CLUSTER CENTERS: the exact 1-medoid per label cell — the
     member vector minimizing total squared distance to its cell (k-
     medoids' assignment-fixed step, and the representative-selection
-    primitive semantic-dedup pipelines use where a MEAN centroid can be
-    off-manifold).  Distances are exact bigints over micro-quantized
-    components (the quantize_micro discipline), argmin ties break on
-    vec_id — a total order, so the winner is engine-identical.  Scale
-    shape: the pair frame is WITHIN-CELL only (the SemDeDup bounded-
-    census discipline — cells come from a k~√N clustering at 100 TB,
-    never a global cross join); cell size returns for free as
-    n_others+1."""
+    primitive semantic-dedup pipelines use where a MEAN centroid can
+    be off-manifold).  Computed WITHOUT the pair frame via the
+    sum-of-squares expansion  Σ_b‖a−b‖² = n·‖a‖² + Σ_b‖b‖² − 2⟨a,S⟩
+    (S = the cell's component-wise sum): one cell-grain aggregation
+    for (n, Σ‖b‖², S), one broadcast join back, one dot product per
+    vector — LINEAR in N·d.  The first implementation materialized
+    within-cell pairs; the 10× volume sweep caught it quadratic (5k-
+    vector cells → 250M pairs, >25 min) — the expansion is the scale
+    fix, and the emitted integers are IDENTICAL (same exact micro-unit
+    arithmetic, verified by unchanged hashes at all three SFs).
+    Argmin ties break on vec_id — a total order.  Accumulators ride
+    DECIMAL(38,0): n·‖a‖² alone is ~1.3e18 at 10× and would overflow
+    bigint soon after."""
     from .operators.kmeans import quantize_micro
 
     em = T(spark, sf_dir, "embeddings").select(
         "vec_id", "label", quantize_micro("embedding").alias("qv")
+    ).withColumn(
+        "sq",
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (acc, u) -> acc + u * u)"
+        ),
     )
-    a = em.select(
-        F.col("label"), F.col("vec_id"), F.col("qv").alias("qa")
+    cell = em.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum(F.col("sq").cast("decimal(38,0)")).alias("ssq_c"),
+        F.array(
+            *[
+                F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
+                for d in range(64)
+            ]
+        ).alias("s_c"),
     )
-    b = em.select(
-        F.col("label").alias("lb"),
-        F.col("vec_id").alias("vb"),
-        F.col("qv").alias("qb"),
+    j = em.join(F.broadcast(cell), "label")
+    dot = F.expr(
+        """aggregate(zip_with(qv, s_c, (u, v) -> u * v),
+                     CAST(0 AS DECIMAL(38,0)),
+                     (acc, w) -> acc + CAST(w AS DECIMAL(38,0)))"""
     )
-    pairs = a.join(
-        b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("vb"))
-    )
-    d = F.expr(
-        """aggregate(
-             zip_with(qa, qb, (u, v) -> (u - v) * (u - v)),
-             CAST(0 AS BIGINT), (acc, w) -> acc + w)"""
-    )
-    sums = pairs.select("label", "vec_id", d.alias("d")).groupBy(
-        "label", "vec_id"
-    ).agg(
-        F.sum("d").cast("bigint").alias("sum_d"),
-        F.count(F.lit(1)).cast("bigint").alias("n_others"),
+    sums = j.select(
+        "label",
+        "vec_id",
+        "n_c",
+        (
+            F.col("n_c").cast("decimal(38,0)")
+            * F.col("sq").cast("decimal(38,0)")
+            + F.col("ssq_c")
+            - F.lit(2).cast("decimal(38,0)") * dot
+        )
+        .cast("bigint")
+        .alias("sum_d"),
+        (F.col("n_c") - 1).cast("bigint").alias("n_others"),
     )
     best = (
         sums.groupBy("label")
