@@ -71,6 +71,9 @@ HEADLINE = [
     "q_dp_quantile",         # DP histogram quantile release (round 8)
     "q_media_mp4_header",    # canonical MP4 codegen header parse (round 8)
     "q_hits",                # HITS hubs/authorities, 2 int64 rounds (round 8)
+    "q_bradley_terry",       # 3 integer MM rounds over order-pair games (r8b)
+    "q_quality_linear_scorer",  # hashed-linear corpus scoring (r8b)
+    "q_vector_medoid",       # linear sum-of-squares medoid per cell (r8b)
     # NOT q_pq_*: the declared PQ queries retrain their sub-quantizers
     # inline (train-once cost in production), which would dominate a
     # per-query headline — their scale behavior is covered by
