@@ -5785,6 +5785,37 @@ ORACLES: dict[str, str] = {
                    ' / sqrt(var_a / n_a + var_b / n_b)', 6)} AS z_stat
         FROM a CROSS JOIN b
     """,
+    "q_session_paths": """
+        WITH g AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(epoch_ms(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS NULL
+                      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        sess AS (
+          SELECT user_id, event_id, ts, event_type,
+                 SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS session_seq
+          FROM g),
+        paths AS (
+          SELECT user_id, session_seq,
+                 array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:8],
+                   '>') AS path
+          FROM sess GROUP BY user_id, session_seq)
+        SELECT path,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path ASC
+        LIMIT 10
+    """,
     "q_markov_transitions": f"""
         WITH p AS (
           SELECT lag(event_type) OVER

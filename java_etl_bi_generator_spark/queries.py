@@ -8438,6 +8438,53 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_session_paths")
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATH MINING — the whole-journey view q_markov_transitions'
+    first-order matrix cannot give (a Markov chain forgets where the
+    session started): sessionize with the 30-minute-gap rule (the
+    q_sessionize islands), render each session's first 8 event types
+    as an ordered `>`-joined path (total order: ts then event_id, so
+    the string is deterministic), and report the top-10 most common
+    journeys with support and distinct-user counts.  Tie-break on the
+    path text — a total order, hash-stable.  Scale shape: one shuffle
+    on user_id for sessionization, one path-grain aggregation, and a
+    TakeOrderedAndProject top-10 — the path cardinality, not the
+    event volume, bounds the final stage."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    prev_ms = F.lag(ms).over(w)
+    is_new = F.when(
+        prev_ms.isNull() | ((ms - prev_ms) > 1800000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("__is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("__is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            """array_join(
+                 slice(transform(
+                   sort_array(collect_list(
+                     struct(ts, event_id, event_type))),
+                   x -> x.event_type), 1, 8), '>')"""
+        ).alias("path"),
+        F.count(F.lit(1)).cast("bigint").alias("session_len"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
 @q("q_markov_transitions")
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence modeling: first-order event-type transition matrix

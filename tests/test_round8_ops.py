@@ -641,3 +641,16 @@ def test_calibration_applied_improves_brier(spark, sf_dir):
     assert 0.0 <= r["brier_calibrated"] <= r["brier_raw"] + 1e-6
     assert r["brier_raw"] <= 1.0
     assert r["n"] > 0
+
+
+def test_session_paths_consistency(spark, sf_dir):
+    """Path strings are >=1 segment, <=8 segments (the cap), users
+    never exceed sessions, and the top-1 path's support is the max."""
+    rows = registry()["q_session_paths"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        segs = r["path"].split(">")
+        assert 1 <= len(segs) <= 8
+        assert r["n_users"] <= r["n_sessions"]
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
