@@ -1164,6 +1164,65 @@ def _wav_decode_oracle() -> str:
     """
 
 
+def _binaryfile_ingest_oracle() -> str:
+    """Twin of q_binaryfile_ingest: rebuild the identical canonical WAV
+    hex for doc_id < 64 (single-sourced derivations) and emit the
+    filesystem-roundtrip view — byte length, hex, parsed header, one
+    row per channel."""
+    from .functions.mediahex import (
+        DATA_HEX,
+        FMT_HEX,
+        PCM_BITS,
+        PCM_CH,
+        PCM_FRAMES,
+        PCM_SB,
+        RIFF_HEX,
+        WAVE_HEX,
+        WAV_RATES,
+        le16_sql,
+        le32_sql,
+    )
+
+    rates = ",".join(str(r) for r in WAV_RATES)
+    data_hex = (
+        "array_to_string(list_transform(range(0, db), q -> "
+        f"lower(lpad(hex({PCM_SB}), 2, '0'))), '')"
+    )
+    return f"""
+        WITH p AS (
+          SELECT doc_id, {PCM_CH} AS ch, {PCM_FRAMES} AS nf,
+                 ([{rates}])[CAST(doc_id % 5 AS INT) + 1] AS rate,
+                 ({PCM_FRAMES}) * ({PCM_CH}) * 2 AS db
+          FROM documents WHERE doc_id < 64),
+        blobs AS (
+          SELECT doc_id,
+                 '{RIFF_HEX}' || {le32_sql('db + 36')} || '{WAVE_HEX}'
+                 || '{FMT_HEX}' || '10000000' || '0100'
+                 || {le16_sql('ch')} || {le32_sql('rate')}
+                 || {le32_sql('rate * ch * 2')} || {le16_sql('ch * 2')}
+                 || {le16_sql(str(PCM_BITS))} || '{DATA_HEX}'
+                 || {le32_sql('db')} || {data_hex} AS h
+          FROM p),
+        hdr AS (
+          SELECT doc_id, h,
+                 CAST({_h_le32(25)} AS BIGINT) AS ratep,
+                 CAST({_h_le16(23)} AS INT) AS chp,
+                 CAST({_h_le16(35)} AS INT) AS bitsp,
+                 CAST({_h_le32(41)} AS BIGINT) AS ds
+          FROM blobs),
+        fr AS (
+          SELECT *, CAST(ds // (chp * (bitsp // 8)) AS BIGINT) AS nfp
+          FROM hdr)
+        SELECT doc_id,
+               CAST(length(h) // 2 AS BIGINT) AS byte_len,
+               h AS blob_hex,
+               ratep AS sample_rate, chp AS channels,
+               bitsp AS bits_per_sample, nfp AS n_frames,
+               CAST(unnest(range(0, chp)) AS INT) AS channel
+        FROM fr
+    """
+
+
 def _wav_features_oracle() -> str:
     """Twin of q_media_wav_features: rebuild the identical canonical WAV
     hex (single-sourced from functions/mediahex.py), replay the decode
@@ -1645,6 +1704,7 @@ ORACLES: dict[str, str] = {
     "q_dp_noisy_max": _dp_noisy_max_oracle(),
     "q_media_wav_decode": _wav_decode_oracle(),
     "q_media_wav_features": _wav_features_oracle(),
+    "q_binaryfile_ingest": _binaryfile_ingest_oracle(),
     "q_dp_noisy_counts": _dp_noisy_counts_oracle(),
     "q_dp_quantile": _dp_quantile_oracle(),
     "q_media_mp4_header": _mp4_header_oracle(),

@@ -14780,6 +14780,57 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_binaryfile_ingest")
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S+ the RAW-FILE INGESTION source — how media actually arrives at
+    100 TB (a bucket of files, not a parquet column): Spark's
+    ``binaryFile`` data source reads a directory of .wav files into
+    (path, length, content) rows; this query then derives doc ids from
+    FILENAMES (regexp over the path — the partition-discovery
+    discipline), verifies byte-exactness via the hex of the content
+    that round-tripped through the filesystem, and parses the audio
+    header from the BYTES READ BACK.  Fixture: the canonical WAV blobs
+    for doc_id < 64 written as individual files (a driver-side loop —
+    bounded certification scaffolding, documented like the stream
+    copies; production points binaryFile at the real bucket).  The
+    DuckDB oracle rebuilds the identical hex from the single-sourced
+    derivations — the filesystem roundtrip certifies against
+    construction, never against itself."""
+    import os
+
+    from .sources.multimodal import wav_pcm_stats
+
+    blobs = (
+        _wav_canonical_media(spark, sf_dir, "binfile_build")
+        .filter(F.col("doc_id") < 64)
+        .collect()
+    )
+    d = _fixture_dir("binfile_ingest")
+    for row in blobs:
+        with open(os.path.join(d, f"{row['doc_id']:05d}.wav"), "wb") as f:
+            f.write(bytes(row["content"]))
+    bf = spark.read.format("binaryFile").load(d + "/*.wav")
+    media = bf.select(
+        F.regexp_extract(
+            F.col("path"), "([0-9]{5})\\.wav$", 1
+        )
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("byte_len"),
+        "content",
+    )
+    return wav_pcm_stats(media).select(
+        "doc_id",
+        "byte_len",
+        F.lower(F.hex("content")).alias("blob_hex"),
+        "sample_rate",
+        "channels",
+        "bits_per_sample",
+        "n_frames",
+        "channel",
+    )
+
+
 @q("q_media_wav_features")
 def q_media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 AUDIO FEATURE EXTRACTION (round 8): the step a multimodal
