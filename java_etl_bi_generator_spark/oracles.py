@@ -1654,6 +1654,99 @@ ORACLES: dict[str, str] = {
     "q_bradley_terry": _bradley_terry_oracle(),
     "q_quality_linear_scorer": _quality_linear_scorer_oracle(),
     "q_sprt_sequential": _sprt_oracle(),
+    "q_conformal_interval": f"""
+        WITH base AS (
+          SELECT c.c_mktsegment AS segment,
+                 year(CAST(o_orderdate AS DATE)) AS yr,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        model AS (
+          SELECT segment,
+                 CAST(SUM(cents) // count(*) AS BIGINT) AS yhat
+          FROM base WHERE yr <= 1996 GROUP BY segment),
+        calib AS (
+          SELECT b.segment, abs(b.cents - m.yhat) AS r
+          FROM base b JOIN model m ON b.segment = m.segment
+          WHERE b.yr = 1997),
+        ranked AS (
+          SELECT segment, r,
+                 row_number() OVER (PARTITION BY segment ORDER BY r)
+                   AS rk,
+                 count(*) OVER (PARTITION BY segment) AS n_cal
+          FROM calib),
+        qhat AS (
+          SELECT segment, r AS qhat, n_cal FROM ranked
+          WHERE rk = CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9)
+                          AS BIGINT)),
+        hold AS (
+          SELECT b.segment, m.yhat, q.qhat, q.n_cal,
+                 CAST(count(*) AS BIGINT) AS n_test,
+                 CAST(SUM(CASE WHEN abs(b.cents - m.yhat) <= q.qhat
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+          FROM base b
+          JOIN model m ON b.segment = m.segment
+          JOIN qhat q ON b.segment = q.segment
+          WHERE b.yr = 1998
+          GROUP BY b.segment, m.yhat, q.qhat, q.n_cal)
+        SELECT segment,
+               yhat / 100.0 AS point_pred,
+               qhat / 100.0 AS interval_halfwidth,
+               CAST(n_cal AS BIGINT) AS n_cal,
+               n_test, n_covered,
+               {pround_sql(
+                   'CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)',
+                   6
+               )} AS coverage
+        FROM hold
+    """,
+    "q_mase_forecast_eval": f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        lagged AS (
+          SELECT d, cents,
+                 lag(cents, 1) OVER (ORDER BY d) AS l0,
+                 lag(cents, 2) OVER (ORDER BY d) AS l1,
+                 lag(cents, 3) OVER (ORDER BY d) AS l2,
+                 lag(cents, 4) OVER (ORDER BY d) AS l3,
+                 lag(cents, 5) OVER (ORDER BY d) AS l4,
+                 lag(cents, 6) OVER (ORDER BY d) AS l5,
+                 lag(cents, 7) OVER (ORDER BY d) AS l6,
+                 lag(cents, 8) OVER (ORDER BY d) AS l7,
+                 lag(cents, 7) OVER (ORDER BY d) AS naive_fc
+          FROM daily),
+        fc AS (
+          SELECT d, cents, naive_fc,
+                 CASE WHEN (CASE WHEN l0 IS NOT NULL THEN 16384 ELSE 0 END + CASE WHEN l1 IS NOT NULL THEN 12288 ELSE 0 END + CASE WHEN l2 IS NOT NULL THEN 9216 ELSE 0 END + CASE WHEN l3 IS NOT NULL THEN 6912 ELSE 0 END + CASE WHEN l4 IS NOT NULL THEN 5184 ELSE 0 END + CASE WHEN l5 IS NOT NULL THEN 3888 ELSE 0 END + CASE WHEN l6 IS NOT NULL THEN 2916 ELSE 0 END + CASE WHEN l7 IS NOT NULL THEN 2187 ELSE 0 END) > 0
+                      THEN CAST(floor(CAST(16384 * coalesce(l0, 0) + 12288 * coalesce(l1, 0) + 9216 * coalesce(l2, 0) + 6912 * coalesce(l3, 0) + 5184 * coalesce(l4, 0) + 3888 * coalesce(l5, 0) + 2916 * coalesce(l6, 0) + 2187 * coalesce(l7, 0) AS DOUBLE)
+                                      / CAST(CASE WHEN l0 IS NOT NULL THEN 16384 ELSE 0 END + CASE WHEN l1 IS NOT NULL THEN 12288 ELSE 0 END + CASE WHEN l2 IS NOT NULL THEN 9216 ELSE 0 END + CASE WHEN l3 IS NOT NULL THEN 6912 ELSE 0 END + CASE WHEN l4 IS NOT NULL THEN 5184 ELSE 0 END + CASE WHEN l5 IS NOT NULL THEN 3888 ELSE 0 END + CASE WHEN l6 IS NOT NULL THEN 2916 ELSE 0 END + CASE WHEN l7 IS NOT NULL THEN 2187 ELSE 0 END AS DOUBLE))
+                                AS BIGINT) END AS ewma_fc
+          FROM lagged),
+        sc AS (
+          SELECT * FROM fc
+          WHERE ewma_fc IS NOT NULL AND naive_fc IS NOT NULL),
+        ag AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(SUM(abs(cents - ewma_fc)) AS BIGINT) AS me,
+                 CAST(SUM(abs(cents - naive_fc)) AS BIGINT) AS mn
+          FROM sc)
+        SELECT n_days,
+               {pround_sql(
+                   'CAST(me AS DOUBLE) / CAST(n_days AS DOUBLE)'
+                   ' / 100.0', 4
+               )} AS mae_ewma,
+               {pround_sql(
+                   'CAST(mn AS DOUBLE) / CAST(n_days AS DOUBLE)'
+                   ' / 100.0', 4
+               )} AS mae_naive,
+               {pround_sql(
+                   'CAST(me AS DOUBLE) / CAST(mn AS DOUBLE)', 6
+               )} AS mase
+        FROM ag
+    """,
     "q_power_analysis": _power_analysis_oracle(),
     "q_preference_pairs": _preference_pairs_oracle(),
     "q_sax_symbolic": f"""

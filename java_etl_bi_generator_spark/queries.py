@@ -8017,6 +8017,176 @@ def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_conformal_interval")
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-FREE UNCERTAINTY — split conformal prediction
+    [Vovk; Lei et al. 2018], the modern ML-serving guarantee: fit a
+    point model on TRAIN (pre-1997 per-segment mean order value),
+    take the conformal quantile q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    absolute residual on the 1997 CALIBRATION year (exact integer
+    cents, exact rank — no approximate quantile), and measure the
+    claimed (1−α)=90% coverage on the 1998 HOLDOUT.  Everything is
+    counts, integer cents, and exact ranks, so the guarantee check is
+    engine-identical; coverage ≥ 88% is pinned in pytest (the finite-
+    sample guarantee holds in expectation — exchangeability approx).
+    Scale shape: three temporal slices of one table, one segment-grain
+    model broadcast, one ordered rank per segment on the CALIBRATION
+    slice only (windows partitioned by segment)."""
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    base = od.join(F.broadcast(cu), "o_custkey").select(
+        "segment",
+        F.year(F.to_date("o_orderdate")).alias("yr"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    model = (
+        base.filter(F.col("yr") <= 1996)
+        .groupBy("segment")
+        .agg(
+            F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias(
+                "yhat"
+            )
+        )
+    )
+    calib = (
+        base.filter(F.col("yr") == 1997)
+        .join(F.broadcast(model), "segment")
+        .select(
+            "segment", F.abs(F.col("cents") - F.col("yhat")).alias("r")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("r")
+    ranked = calib.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_cal",
+        F.count(F.lit(1)).over(Window.partitionBy("segment")),
+    )
+    qhat = ranked.filter(
+        F.col("rk")
+        == F.ceil(
+            (F.col("n_cal") + 1).cast("double") * F.lit(0.9)
+        ).cast("bigint")
+    ).select("segment", F.col("r").alias("qhat"), "n_cal")
+    hold = (
+        base.filter(F.col("yr") == 1998)
+        .join(F.broadcast(model), "segment")
+        .join(F.broadcast(qhat), "segment")
+        .groupBy("segment", "yhat", "qhat", "n_cal")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("yhat"))
+                    <= F.col("qhat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return hold.select(
+        "segment",
+        (F.col("yhat") / F.lit(100.0)).alias("point_pred"),
+        (F.col("qhat") / F.lit(100.0)).alias("interval_halfwidth"),
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        "n_test",
+        "n_covered",
+        pround(
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+@q("q_mase_forecast_eval")
+def q_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST-QUALITY evaluation: MASE [Hyndman & Koehler 2006] of
+    the 7-tap EWMA one-step forecast against the SEASONAL-NAIVE
+    baseline (ŷ_t = y_{t−7}) on the daily revenue series — the
+    scale-free metric that makes forecast errors comparable across
+    series (MASE < 1 = beats the weekly-naive).  The EWMA forecast for
+    day t uses taps t−1..t−8 (strictly past — no leakage), both MAE
+    numerators accumulate as exact integer cents, and the single
+    division is pinned.  Scale shape: one data-grain aggregation to
+    days, lag taps on the bounded day grain."""
+    from functools import reduce
+
+    wts = [3**k * 4 ** (7 - k) for k in range(8)]
+    od = T(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    num = reduce(
+        lambda a, b: a + b,
+        [
+            F.coalesce(F.lag("cents", k + 1).over(w), F.lit(0))
+            * F.lit(wk)
+            for k, wk in enumerate(wts)
+        ],
+    )
+    den = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(
+                F.lag("cents", k + 1).over(w).isNotNull(), F.lit(wk)
+            ).otherwise(F.lit(0))
+            for k, wk in enumerate(wts)
+        ],
+    )
+    # EWMA forecast in exact integer cents: floor(num/den)
+    fc = daily.select(
+        "d",
+        "cents",
+        F.when(den > 0, F.floor(num.cast("double") / den.cast("double")))
+        .cast("bigint")
+        .alias("ewma_fc"),
+        F.lag("cents", 7).over(w).alias("naive_fc"),
+    )
+    scored = fc.filter(
+        F.col("ewma_fc").isNotNull() & F.col("naive_fc").isNotNull()
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("cents") - F.col("ewma_fc")))
+        .cast("bigint")
+        .alias("mae_ewma_cents"),
+        F.sum(F.abs(F.col("cents") - F.col("naive_fc")))
+        .cast("bigint")
+        .alias("mae_naive_cents"),
+    )
+    return agg.select(
+        "n_days",
+        pround(
+            F.col("mae_ewma_cents").cast("double")
+            / F.col("n_days").cast("double")
+            / F.lit(100.0),
+            4,
+        ).alias("mae_ewma"),
+        pround(
+            F.col("mae_naive_cents").cast("double")
+            / F.col("n_days").cast("double")
+            / F.lit(100.0),
+            4,
+        ).alias("mae_naive"),
+        pround(
+            F.col("mae_ewma_cents").cast("double")
+            / F.col("mae_naive_cents").cast("double"),
+            6,
+        ).alias("mase"),
+    )
+
+
 @q("q_power_analysis")
 def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXPERIMENT DESIGN — the calculation that must run BEFORE
