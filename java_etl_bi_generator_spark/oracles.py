@@ -1749,6 +1749,43 @@ ORACLES: dict[str, str] = {
     """,
     "q_power_analysis": _power_analysis_oracle(),
     "q_preference_pairs": _preference_pairs_oracle(),
+    "q_mann_kendall": f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        sg AS (
+          SELECT CAST(SUM(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT)
+                   AS s
+          FROM daily a JOIN daily b ON a.d < b.d),
+        ties AS (
+          SELECT CAST(coalesce(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                      AS BIGINT) AS tie_term
+          FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                FROM daily GROUP BY y HAVING count(*) > 1) g),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        o AS (
+          SELECT n, s, tie_term,
+                 CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                   / 18.0 AS vr
+          FROM sg CROSS JOIN ties CROSS JOIN nn)
+        SELECT n, s, tie_term,
+               {pround_sql(
+                   "CASE WHEN s > 0"
+                   " THEN CAST(s - 1 AS DOUBLE) / sqrt(vr)"
+                   " WHEN s < 0"
+                   " THEN CAST(s + 1 AS DOUBLE) / sqrt(vr)"
+                   " ELSE 0.0 END", 6
+               )} AS z,
+               CAST(CASE WHEN abs(CASE WHEN s > 0
+                          THEN CAST(s - 1 AS DOUBLE) / sqrt(vr)
+                          WHEN s < 0
+                          THEN CAST(s + 1 AS DOUBLE) / sqrt(vr)
+                          ELSE 0.0 END) > 1.959964
+                    THEN 1 ELSE 0 END AS INT) AS trend_at_95pct
+        FROM o
+    """,
     "q_sax_symbolic": f"""
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS d,

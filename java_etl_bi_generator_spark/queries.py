@@ -7063,6 +7063,83 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_mann_kendall")
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NONPARAMETRIC TREND TEST (Mann-Kendall) on the daily revenue
+    series — the monotone-trend detector that needs no distributional
+    assumption and shrugs at outliers, completing the temporal
+    monitoring set (CUSUM finds level shifts, SPRT monitors a rate,
+    this asks "is the series drifting at all?"): S = Σ_{i<j}
+    sign(y_j − y_i) over all day pairs (exact integer — ties
+    contribute 0), variance n(n−1)(2n+5)/18 with the tie correction
+    Σ t(t−1)(2t+5)/18 over tied-value groups, and the
+    continuity-corrected z.  Scale shape: data grain collapses to
+    days FIRST; the pair frame is day-grain² (~2.9M comparisons at
+    2.4k days — bounded by the calendar, not the data; the documented
+    bounded-grain exemption), tie groups one aggregation."""
+    od = T(spark, sf_dir, "orders")
+    daily = cut_lineage(
+        od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                )
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    a = daily.select(
+        F.col("d").alias("di"), F.col("y").alias("yi")
+    )
+    b = daily.select(
+        F.col("d").alias("dj"), F.col("y").alias("yj")
+    )
+    pairs = a.join(b, F.col("di") < F.col("dj"))
+    sagg = pairs.agg(
+        F.sum(F.signum(F.col("yj") - F.col("yi")).cast("bigint"))
+        .cast("bigint")
+        .alias("s")
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    out = sagg.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n))
+    var = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("double") / F.lit(18.0)
+    z = F.when(
+        F.col("s") > 0, (F.col("s") - 1).cast("double") / F.sqrt(var)
+    ).when(
+        F.col("s") < 0, (F.col("s") + 1).cast("double") / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n",
+        "s",
+        "tie_term",
+        pround(z, 6).alias("z"),
+        (F.abs(z) > F.lit(1.959964)).cast("int").alias(
+            "trend_at_95pct"
+        ),
+    )
+
+
 @q("q_sax_symbolic")
 def q_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-SERIES INDEXING: SAX (Symbolic Aggregate approXimation,

@@ -680,3 +680,38 @@ def test_mase_reconciles_with_maes(spark, sf_dir):
     r = registry()["q_mase_forecast_eval"](spark, sf_dir).first()
     assert r["mae_ewma"] > 0 and r["mae_naive"] > 0
     assert abs(r["mase"] - r["mae_ewma"] / r["mae_naive"]) < 1e-3
+
+
+def test_mann_kendall_statistic_reference(spark, sf_dir):
+    """Recompute S and the tie term in Python over the daily series —
+    the query's exact integers must match, and |S| <= n(n-1)/2."""
+    r = registry()["q_mann_kendall"](spark, sf_dir).first()
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+        .collect()
+    )
+    ys = [row["y"] for row in sorted(daily, key=lambda x: x["d"])]
+    s = sum(
+        (0 if ys[j] == ys[i] else (1 if ys[j] > ys[i] else -1))
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    assert r["s"] == s
+    assert r["n"] == len(ys)
+    assert abs(r["s"]) <= r["n"] * (r["n"] - 1) // 2
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(ys).values()
+        if t > 1
+    )
+    assert r["tie_term"] == tie
