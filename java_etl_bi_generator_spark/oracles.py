@@ -5159,6 +5159,31 @@ ORACLES: dict[str, str] = {
                wait_days_total - overlap_days_total AS censored_days
         FROM ag
     """,
+    "q_encoding_advisor": f"""
+        WITH fl AS (
+          SELECT o_orderpriority, o_orderstatus, o_custkey,
+                 CASE WHEN lag(o_orderpriority) OVER (ORDER BY o_orderdate, o_orderkey) IS NULL OR o_orderpriority != lag(o_orderpriority) OVER (ORDER BY o_orderdate, o_orderkey) THEN 1 ELSE 0 END AS chg_o_orderpriority,
+                 CASE WHEN lag(o_orderstatus) OVER (ORDER BY o_orderdate, o_orderkey) IS NULL OR o_orderstatus != lag(o_orderstatus) OVER (ORDER BY o_orderdate, o_orderkey) THEN 1 ELSE 0 END AS chg_o_orderstatus,
+                 CASE WHEN lag(o_custkey) OVER (ORDER BY o_orderdate, o_orderkey) IS NULL OR o_custkey != lag(o_custkey) OVER (ORDER BY o_orderdate, o_orderkey) THEN 1 ELSE 0 END AS chg_o_custkey
+          FROM orders),
+        ag AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(chg_o_orderpriority) AS BIGINT) AS runs_o_orderpriority, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv_o_orderpriority,
+                 CAST(SUM(chg_o_orderstatus) AS BIGINT) AS runs_o_orderstatus, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_o_orderstatus,
+                 CAST(SUM(chg_o_custkey) AS BIGINT) AS runs_o_custkey, CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_o_custkey
+          FROM fl),
+        st AS (
+          SELECT 'o_orderpriority' AS column_name, n_rows, ndv_o_orderpriority AS ndv, runs_o_orderpriority AS n_runs FROM ag
+          UNION ALL
+          SELECT 'o_orderstatus' AS column_name, n_rows, ndv_o_orderstatus AS ndv, runs_o_orderstatus AS n_runs FROM ag
+          UNION ALL
+          SELECT 'o_custkey' AS column_name, n_rows, ndv_o_custkey AS ndv, runs_o_custkey AS n_runs FROM ag)
+        SELECT column_name, n_rows, ndv, n_runs,
+               {pround_sql(
+                   'CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE)', 4
+               )} AS avg_run_length
+        FROM st
+    """,
     "q_table_checksum": f"""
         WITH c AS (
           SELECT {_hex_bigint(

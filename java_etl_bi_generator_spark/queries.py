@@ -12198,6 +12198,74 @@ def q_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_encoding_advisor")
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL-DESIGN ADVISOR — the run-length/dictionary encoding
+    profile that decides a sort key (the q_zorder_key question asked
+    column-by-column): for orders laid out in the candidate order
+    (o_orderdate, o_orderkey — a total order, so the profile is
+    deterministic), each categorical column reports NDV, the number of
+    RUNS the layout would produce (1 + Σ value-changes via lag over
+    the candidate order), average run length, and the implied RLE
+    ratio — rows per run is exactly what parquet's RLE/dictionary
+    encoders harvest.  A column with n_runs ≈ n_rows gains nothing
+    from this sort; priority/status columns with long runs justify it, and the
+    high-NDV o_custkey is the deliberate counterexample (runs ≈ rows
+    — no sort order helps it).
+    Exact integers + one pinned division.  Scale shape: one window
+    pass per column over the SAME candidate-order sort (one shuffle,
+    shared), then a 3-row summary."""
+    od = T(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    cols = ["o_orderpriority", "o_orderstatus", "o_custkey"]
+    flagged = od.select(
+        *[
+            F.when(
+                F.lag(c).over(w).isNull()
+                | (F.col(c) != F.lag(c).over(w)),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"chg_{c}")
+            for c in cols
+        ],
+        *[F.col(c).alias(f"v_{c}") for c in cols],
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.sum(f"chg_{c}").cast("bigint").alias(f"runs_{c}")
+            for c in cols
+        ],
+        *[
+            F.countDistinct(f"v_{c}").cast("bigint").alias(f"ndv_{c}")
+            for c in cols
+        ],
+    )
+    stacked = agg.select(
+        "n_rows",
+        F.expr(
+            "stack(3, "
+            + ", ".join(
+                f"'{c}', runs_{c}, ndv_{c}" for c in cols
+            )
+            + ") AS (column_name, n_runs, ndv)"
+        ),
+    )
+    return stacked.select(
+        "column_name",
+        "n_rows",
+        "ndv",
+        "n_runs",
+        pround(
+            F.col("n_rows").cast("double") / F.col("n_runs").cast(
+                "double"
+            ),
+            4,
+        ).alias("avg_run_length"),
+    )
+
+
 @q("q_table_checksum")
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER-INVARIANT TABLE CHECKSUM — the replication/migration

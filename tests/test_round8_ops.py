@@ -715,3 +715,21 @@ def test_mann_kendall_statistic_reference(spark, sf_dir):
         if t > 1
     )
     assert r["tie_term"] == tie
+
+
+def test_encoding_advisor_run_arithmetic(spark, sf_dir):
+    """Run-length invariants: ndv <= n_runs <= n_rows for every column
+    (a new run starts at least at every distinct-value boundary... no —
+    runs >= ndv since each value needs >= 1 run), avg_run_length
+    reconciles, and the high-NDV counterexample (o_custkey) has more
+    runs than the low-cardinality columns."""
+    rows = {
+        r["column_name"]: r
+        for r in registry()["q_encoding_advisor"](spark, sf_dir).collect()
+    }
+    for r in rows.values():
+        assert r["ndv"] <= r["n_runs"] <= r["n_rows"]
+        assert abs(
+            r["avg_run_length"] - r["n_rows"] / r["n_runs"]
+        ) < 1e-3
+    assert rows["o_custkey"]["n_runs"] > rows["o_orderstatus"]["n_runs"]
