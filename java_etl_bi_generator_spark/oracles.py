@@ -3799,7 +3799,11 @@ ORACLES: dict[str, str] = {
           FROM j GROUP BY l_partkey
         )
         SELECT partkey, part_value FROM v
-        WHERE part_value > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM j)
+        WHERE part_value >
+              (SELECT CAST(sum(val) AS DOUBLE)
+                      * (2.0 / CAST((SELECT count(*) FROM part)
+                                    AS DOUBLE))
+               FROM j)
     """,
     "q_tpch_q12": """
         SELECT l_returnflag,

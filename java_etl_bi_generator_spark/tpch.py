@@ -373,9 +373,16 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_tpch_q11")
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 important stock (adapted: part value := sum of shipped
-    l_quantity * p_retailprice from ASIA-region suppliers; threshold 0.001
-    of the total).  The scalar total is an exact decimal sum so the
-    threshold comparison is cross-engine stable."""
+    l_quantity * p_retailprice from ASIA-region suppliers; threshold
+    2.0/|part| of the total — the spec's FRACTION = 0.0001/SF intent
+    expressed through the data itself: a FIXED fraction goes vacuously
+    empty as the catalog grows (the sf0.1 vacuity guard caught exactly
+    that — every part's share shrinks as 1/|part| while the cutoff
+    stands still), while 2/|part| keeps "worth 2× an average part" the
+    selection rule at every scale.  Identical to the old 0.001 at the
+    driver's sf0.01 gate (|part| = 2000 there).  The scalar total is an
+    exact decimal sum so the threshold comparison is cross-engine
+    stable."""
     li = T(spark, sf_dir, "lineitem")
     pt = T(spark, sf_dir, "part")
     su = T(spark, sf_dir, "supplier")
@@ -399,10 +406,18 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr(val)).alias("dec_sum")
         )
     )
-    tot = vdec.agg(F.sum("dec_sum").alias("__tot"))
+    tot = vdec.agg(F.sum("dec_sum").alias("__tot")).crossJoin(
+        F.broadcast(
+            pt.agg(F.count(F.lit(1)).cast("bigint").alias("__np"))
+        )
+    )
     return (
         vdec.crossJoin(F.broadcast(tot))
-        .withColumn("threshold", F.col("__tot").cast("double") * F.lit(0.001))
+        .withColumn(
+            "threshold",
+            F.col("__tot").cast("double")
+            * (F.lit(2.0) / F.col("__np").cast("double")),
+        )
         .filter(F.col("dec_sum").cast("double") > F.col("threshold"))
         .select("partkey", F.col("dec_sum").cast("double").alias("part_value"))
     )
