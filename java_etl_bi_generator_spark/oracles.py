@@ -5094,6 +5094,42 @@ ORACLES: dict[str, str] = {
                )} AS beta
         FROM j
     """,
+    "q_roc_curve": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        b AS (
+          SELECT CAST(LEAST(s6 // 50000, 19) AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(label) AS BIGINT) AS pos
+          FROM j GROUP BY 1),
+        cum AS (
+          SELECT bucket,
+                 SUM(pos) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS tp,
+                 SUM(n) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - SUM(pos) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS fp,
+                 SUM(pos) OVER () AS p_all,
+                 SUM(n) OVER () - SUM(pos) OVER () AS n_all
+          FROM b)
+        SELECT bucket AS threshold_bucket,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(p_all - tp AS BIGINT) AS fn,
+               CAST(n_all - fp AS BIGINT) AS tn,
+               {pround_sql(
+                   'CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE)', 6
+               )} AS tpr,
+               {pround_sql(
+                   'CAST(fp AS DOUBLE) / CAST(n_all AS DOUBLE)', 6
+               )} AS fpr,
+               CASE WHEN tp + fp > 0 THEN {pround_sql(
+                   'CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)', 6
+               )} END AS precision
+        FROM cum
+    """,
     "q_ece": f"""
         WITH {_CHURN_SCORED_LABELED_SQL},
         b AS (

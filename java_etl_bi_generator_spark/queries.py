@@ -9729,6 +9729,66 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_roc_curve")
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROC CURVE itself — the 20-point operating-characteristic
+    table behind q_auc_exact's single number (the threshold-picking
+    view: which cutoff buys which TPR at which FPR): thresholds at the
+    20 equal-width score-bucket boundaries, TP/FP/TN/FN as exact
+    integers from DESCENDING cumulative sums over the bucket grain
+    (one data-grain aggregation, then constant-size window arithmetic
+    — never a per-threshold pass over the data), TPR/FPR/precision as
+    pinned divisions.  Scale shape: identical to the calibration
+    family — bucket aggregate + bounded-grain windows."""
+    scored = _churn_scored_labeled(spark, sf_dir)
+    g = (
+        scored.withColumn(
+            "bucket", F.expr("CAST(least(__s6 div 50000, 19) AS INT)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+    )
+    wdesc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = g.select(
+        "bucket",
+        F.sum("pos").over(wdesc).alias("tp"),
+        (F.sum("n").over(wdesc) - F.sum("pos").over(wdesc)).alias("fp"),
+        F.sum("pos").over(wall).alias("p_all"),
+        (F.sum("n").over(wall) - F.sum("pos").over(wall)).alias(
+            "n_all"
+        ),
+    )
+    return cum.select(
+        F.col("bucket").alias("threshold_bucket"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        (F.col("p_all") - F.col("tp")).cast("bigint").alias("fn"),
+        (F.col("n_all") - F.col("fp")).cast("bigint").alias("tn"),
+        pround(
+            F.col("tp").cast("double") / F.col("p_all").cast("double"),
+            6,
+        ).alias("tpr"),
+        pround(
+            F.col("fp").cast("double") / F.col("n_all").cast("double"),
+            6,
+        ).alias("fpr"),
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            pround(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp")).cast("double"),
+                6,
+            ),
+        ).alias("precision"),
+    )
+
+
 @q("q_ece")
 def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MODEL CALIBRATION SUMMARY: Expected Calibration Error of the

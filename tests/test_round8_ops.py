@@ -733,3 +733,33 @@ def test_encoding_advisor_run_arithmetic(spark, sf_dir):
             r["avg_run_length"] - r["n_rows"] / r["n_runs"]
         ) < 1e-3
     assert rows["o_custkey"]["n_runs"] > rows["o_orderstatus"]["n_runs"]
+
+
+def test_roc_curve_monotone_and_consistent(spark, sf_dir):
+    """ROC invariants: walking thresholds downward both TPR and FPR
+    are non-decreasing, every confusion cell reconciles
+    (tp+fn = positives constant, fp+tn = negatives constant), the
+    loosest threshold classifies everything positive (tpr = fpr = 1),
+    and the trapezoid area under the points is consistent with
+    q_auc_exact within the bucket-discretization error."""
+    rows = sorted(
+        registry()["q_roc_curve"](spark, sf_dir).collect(),
+        key=lambda r: -r["threshold_bucket"],
+    )
+    p_all = rows[0]["tp"] + rows[0]["fn"]
+    n_all = rows[0]["fp"] + rows[0]["tn"]
+    tprs, fprs = [0.0], [0.0]
+    for r in rows:
+        assert r["tp"] + r["fn"] == p_all
+        assert r["fp"] + r["tn"] == n_all
+        tprs.append(r["tpr"])
+        fprs.append(r["fpr"])
+    assert tprs == sorted(tprs)
+    assert fprs == sorted(fprs)
+    assert rows[-1]["tpr"] == 1.0 and rows[-1]["fpr"] == 1.0
+    auc_trap = sum(
+        (fprs[k + 1] - fprs[k]) * (tprs[k + 1] + tprs[k]) / 2.0
+        for k in range(len(tprs) - 1)
+    )
+    auc = registry()["q_auc_exact"](spark, sf_dir).first()["auc"]
+    assert abs(auc_trap - auc) < 0.02, (auc_trap, auc)
