@@ -1749,6 +1749,41 @@ ORACLES: dict[str, str] = {
     """,
     "q_power_analysis": _power_analysis_oracle(),
     "q_preference_pairs": _preference_pairs_oracle(),
+    "q_seasonality_strength": f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        g AS (
+          SELECT dayofweek(d) AS dow,
+                 CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(SUM(c) AS BIGINT) AS s_g,
+                 CAST(SUM(c * c) AS BIGINT) AS ss_g
+          FROM daily GROUP BY 1),
+        t AS (
+          SELECT SUM(n_g) AS n, SUM(s_g) AS sx, SUM(ss_g) AS sxx,
+                 CAST(SUM(CAST(floor(
+                   CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                   * 1000000.0) AS BIGINT)) AS BIGINT) AS bg6_sum
+          FROM g)
+        SELECT CAST(n AS BIGINT) AS n_days,
+               {pround_sql(
+                   'CAST(sxx AS DOUBLE)'
+                   ' - CAST(sx * sx AS DOUBLE) / CAST(n AS DOUBLE)', 4
+               )} AS ss_total,
+               {pround_sql(
+                   'CAST(bg6_sum AS DOUBLE) / 1000000.0'
+                   ' - CAST(sx * sx AS DOUBLE) / CAST(n AS DOUBLE)', 4
+               )} AS ss_between_dow,
+               {pround_sql(
+                   '(CAST(bg6_sum AS DOUBLE) / 1000000.0'
+                   '  - CAST(sx * sx AS DOUBLE) / CAST(n AS DOUBLE))'
+                   ' / (CAST(sxx AS DOUBLE)'
+                   '    - CAST(sx * sx AS DOUBLE) / CAST(n AS DOUBLE))',
+                   6
+               )} AS eta_squared
+        FROM t
+    """,
     "q_mann_kendall": f"""
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS d,

@@ -7063,6 +7063,62 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_seasonality_strength")
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW seasonal is the series — the variance-decomposition R² of
+    the day-of-week model (q_seasonal_profile shows the pattern, this
+    scores it): between-group share η² = SS_between/SS_total over
+    daily order counts grouped by weekday — the number that decides
+    whether a forecaster needs weekly terms at all.  Pure integer
+    power sums (per-DOW n, Σx, Σx² with the cross-multiplication
+    discipline: SS terms scaled by the group sizes so every
+    intermediate is an exact integer), one pinned division.  Scale
+    shape: day-grain collapse, 7-group aggregate, 1-row output."""
+    od = T(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    g = daily.groupBy(F.dayofweek("d").alias("dow")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("c").cast("bigint").alias("s_g"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss_g"),
+    )
+    # s_g²/n_g is not an integer, so each group's term is floored to a
+    # ×1e6 bigint BEFORE the 7-term sum (the dsum discipline at the
+    # group grain); SS_total stays in exact integers until one division
+    wall = Window.partitionBy()
+    terms = g.select(
+        "n_g",
+        "s_g",
+        "ss_g",
+        F.sum("n_g").over(wall).alias("n"),
+        F.sum("s_g").over(wall).alias("sx"),
+        F.sum("ss_g").over(wall).alias("sxx"),
+        F.floor(
+            (F.col("s_g") * F.col("s_g")).cast("double")
+            / F.col("n_g").cast("double")
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("bg6"),
+    )
+    agg = terms.groupBy("n", "sx", "sxx").agg(
+        F.sum("bg6").cast("bigint").alias("bg6_sum")
+    )
+    sst = F.col("sxx").cast("double") - (
+        F.col("sx") * F.col("sx")
+    ).cast("double") / F.col("n").cast("double")
+    ssb = F.col("bg6_sum").cast("double") / F.lit(1000000.0) - (
+        F.col("sx") * F.col("sx")
+    ).cast("double") / F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_days"),
+        pround(sst, 4).alias("ss_total"),
+        pround(ssb, 4).alias("ss_between_dow"),
+        pround(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
 @q("q_mann_kendall")
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NONPARAMETRIC TREND TEST (Mann-Kendall) on the daily revenue

@@ -763,3 +763,12 @@ def test_roc_curve_monotone_and_consistent(spark, sf_dir):
     )
     auc = registry()["q_auc_exact"](spark, sf_dir).first()["auc"]
     assert abs(auc_trap - auc) < 0.02, (auc_trap, auc)
+
+
+def test_seasonality_strength_bounds(spark, sf_dir):
+    """Variance decomposition invariants: 0 <= SS_between <= SS_total
+    (up to the 1e-6 flooring grid), so eta-squared lies in [0, 1]."""
+    r = registry()["q_seasonality_strength"](spark, sf_dir).first()
+    assert r["ss_total"] > 0
+    assert -1e-3 <= r["ss_between_dow"] <= r["ss_total"] + 1e-3
+    assert -1e-6 <= r["eta_squared"] <= 1.0 + 1e-6
