@@ -5067,19 +5067,36 @@ ORACLES: dict[str, str] = {
                    x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
                    AS qv
           FROM embeddings),
-        p AS (
-          SELECT a.label, a.vec_id,
-                 CAST(list_sum(list_transform(
-                   range(1, len(a.qv) + 1),
-                   f -> (a.qv[CAST(f AS INT)] - b.qv[CAST(f AS INT)])
-                      * (a.qv[CAST(f AS INT)] - b.qv[CAST(f AS INT)])))
-                   AS BIGINT) AS d
-          FROM em a JOIN em b
-            ON a.label = b.label AND a.vec_id != b.vec_id),
+        vec AS (
+          SELECT vec_id, label, qv,
+                 CAST(list_sum(list_transform(qv, u -> u * u))
+                      AS HUGEINT) AS sq
+          FROM em),
+        cell AS (
+          SELECT label, CAST(count(*) AS HUGEINT) AS n_c,
+                 CAST(sum(sq) AS HUGEINT) AS ssq_c
+          FROM vec GROUP BY label),
+        flat AS (
+          SELECT vec_id, label, CAST(f AS INT) AS pos,
+                 qv[CAST(f AS INT)] AS u
+          FROM em, unnest(range(1, len(qv) + 1)) AS t(f)),
+        comp AS (
+          SELECT label, pos, CAST(sum(u) AS HUGEINT) AS s
+          FROM flat GROUP BY 1, 2),
+        dotv AS (
+          SELECT f.label, f.vec_id,
+                 CAST(sum(CAST(f.u AS HUGEINT) * c.s) AS HUGEINT) AS dot
+          FROM flat f JOIN comp c
+            ON f.label = c.label AND f.pos = c.pos
+          GROUP BY 1, 2),
         sums AS (
-          SELECT label, vec_id, CAST(SUM(d) AS BIGINT) AS sum_d,
-                 CAST(count(*) AS BIGINT) AS n_others
-          FROM p GROUP BY 1, 2),
+          SELECT v.label, v.vec_id,
+                 CAST(c.n_c * v.sq + c.ssq_c - 2 * d.dot
+                      AS BIGINT) AS sum_d,
+                 CAST(c.n_c - 1 AS BIGINT) AS n_others
+          FROM vec v
+          JOIN cell c ON v.label = c.label
+          JOIN dotv d ON v.label = d.label AND v.vec_id = d.vec_id),
         best AS (
           SELECT label, MIN(sum_d) AS best FROM sums GROUP BY label)
         SELECT s.label,

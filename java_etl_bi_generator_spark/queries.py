@@ -9655,7 +9655,13 @@ def q_vector_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, verified by unchanged hashes at all three SFs).
     Argmin ties break on vec_id — a total order.  Accumulators ride
     DECIMAL(38,0): n·‖a‖² alone is ~1.3e18 at 10× and would overflow
-    bigint soon after."""
+    bigint soon after.  SINGLETON CELLS (n=1) emit a row with
+    sum_sq_dist_micro2=0, n_others=0 and mean_sq_dist NULL (0/0 is
+    NULL in both engines) — the DuckDB oracle uses the SAME linear
+    expansion (HUGEINT accumulators), so a 1-vector label produces
+    the identical row there too (ADVICE r8: the old pairwise oracle
+    dropped singleton cells AND was itself quadratic; pinned by
+    tests/test_round9_ops.py::test_medoid_singleton_cell)."""
     from .operators.kmeans import quantize_micro
 
     em = T(spark, sf_dir, "embeddings").select(
@@ -9715,8 +9721,10 @@ def q_vector_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_others") + 1).alias("n_vectors"),
             F.col("best").alias("sum_sq_dist_micro2"),
             pround(
-                F.col("best").cast("double")
-                / F.col("n_others").cast("double")
+                F.try_divide(
+                    F.col("best").cast("double"),
+                    F.col("n_others").cast("double"),
+                )
                 / F.lit(1e12),
                 6,
             ).alias("mean_sq_dist"),

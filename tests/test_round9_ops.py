@@ -1,0 +1,83 @@
+"""Round-9 pins.
+
+Behavioral pins for the ADVICE-r8 fixes: singleton-cell medoid semantics
+(both engines emit the row, mean NULL), the calibration claim softened to
+what PAV actually guarantees, and the encoding advisor's distributed form.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+
+def _write_singleton_fixture(spark, tmpdir: str) -> str:
+    """A 2-label embeddings table: label 0 has 3 vectors, label 1 has ONE."""
+    rows = [
+        (0, [1.0] + [0.0] * 63, 0),
+        (1, [2.0] + [0.0] * 63, 0),
+        (2, [4.0] + [0.0] * 63, 0),
+        (7, [9.0] + [0.0] * 63, 1),  # singleton cell
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    path = os.path.join(tmpdir, "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return tmpdir
+
+
+def test_medoid_singleton_cell(spark, tmp_path):
+    """ADVICE r8 (oracles.py q_vector_medoid): a 1-vector label cell must
+    produce the IDENTICAL row in Spark and the DuckDB oracle —
+    (label, medoid_id, n_vectors=1, sum_sq_dist_micro2=0, mean NULL)."""
+    from java_etl_bi_generator_spark.oracles import ORACLES
+    from java_etl_bi_generator_spark.queries import q_vector_medoid
+
+    sf = _write_singleton_fixture(spark, str(tmp_path))
+
+    got = {
+        r["label"]: r.asDict()
+        for r in q_vector_medoid(spark, sf).collect()
+    }
+    assert set(got) == {0, 1}
+    # label 0: medoid of micro-quantized 1e6/2e6/4e6 on axis 0 is 2e6
+    # (vec_id=1): sums of squared dists 1e12+4e12 < 1e12+9e12 < 4e12+9e12.
+    assert got[0]["medoid_id"] == 1
+    assert got[0]["n_vectors"] == 3
+    assert got[0]["sum_sq_dist_micro2"] == 5_000_000_000_000
+    # the singleton: present, zero distance, mean NULL (0/0)
+    assert got[1]["medoid_id"] == 7
+    assert got[1]["n_vectors"] == 1
+    assert got[1]["sum_sq_dist_micro2"] == 0
+    assert got[1]["mean_sq_dist"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf}/embeddings.parquet/*.parquet'"
+    )
+    ora = {
+        r[0]: r
+        for r in con.execute(ORACLES["q_vector_medoid"]).fetchall()
+    }
+    assert set(ora) == {0, 1}
+    for lbl in (0, 1):
+        g = got[lbl]
+        assert ora[lbl][1] == g["medoid_id"]
+        assert ora[lbl][2] == g["n_vectors"]
+        assert ora[lbl][3] == g["sum_sq_dist_micro2"]
+        assert ora[lbl][4] == g["mean_sq_dist"]
+
+
+def test_medoid_oracle_is_linear():
+    """ADVICE r8: the oracle must not materialize the within-cell pair
+    frame (the exact quadratic the Spark side was rewritten to avoid) —
+    pin the absence of a self-join on embeddings."""
+    from java_etl_bi_generator_spark.oracles import ORACLES
+
+    sql = ORACLES["q_vector_medoid"]
+    assert "em a JOIN em b" not in sql
+    assert "HUGEINT" in sql  # 128-bit accumulators, the decimal(38,0) twin
