@@ -5835,10 +5835,17 @@ def q_calibration_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CALIBRATION, the APPLY surface: route every customer's raw score
     through the fitted isotonic map (broadcast 20-row bucket→rate
     table — the model-serving join) and certify the fix with the
-    Brier score before vs after.  PAV is the L2-optimal monotone fit,
-    so on its own training data brier_after ≤ brier_raw BY THEOREM —
-    tests/test_round8_ops.py pins that inequality; this query emits
-    the exact numbers.  Float discipline: per-row squared errors are
+    Brier score before vs after.  What PAV actually guarantees (ADVICE
+    r8): it is L2-optimal among BUCKET-CONSTANT monotone functions of
+    the bucketed score, so brier_calibrated ≤ the Brier of ANY such
+    recalibration — including the bucket-mean raw score — BY THEOREM
+    on its own training data.  brier_raw here is against the PER-ROW
+    raw score (not bucket-constant), so brier_calibrated ≤ brier_raw
+    is an EMPIRICAL property of this data (within-bucket score-label
+    correlation could flip it elsewhere); tests/test_round8_ops.py
+    pins both facts — the theorem against the bucket-constant
+    reference, the empirical one against these fixtures.  Float
+    discipline: per-row squared errors are
     floored to ×1e9 bigints before summation (dsum; the raw score is
     the exact s6 integer over 10⁶, the iso rate a deterministic
     double), so both Briers are engine-identical.  Scale shape: one
@@ -12336,36 +12343,79 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from this sort; priority/status columns with long runs justify it, and the
     high-NDV o_custkey is the deliberate counterexample (runs ≈ rows
     — no sort order helps it).
-    Exact integers + one pinned division.  Scale shape: one window
-    pass per column over the SAME candidate-order sort (one shuffle,
-    shared), then a 3-row summary."""
+    Exact integers + one pinned division.  Scale shape (ADVICE r8 —
+    the first form ran ONE unpartitioned window, funneling the whole
+    fact table through a single reducer): runs are now counted
+    DISTRIBUTED with boundary stitching — the data-grain lag runs
+    inside Window.partitionBy(o_orderdate) (the repo's bounded
+    day-grain exemption; the candidate order is day-major so per-day
+    runs are exact), each day emits (runs, first-value, last-value)
+    per column, and a DAY-grain lag (≤ ~2.4k rows regardless of data
+    volume) subtracts one run wherever a day's first value equals the
+    previous day's last — total runs identical to the global-sort
+    form (hashes unchanged), no single-task data-grain sort left."""
     od = T(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderdate", "o_orderkey")
+    wd = Window.partitionBy("o_orderdate").orderBy("o_orderkey")
     cols = ["o_orderpriority", "o_orderstatus", "o_custkey"]
     flagged = od.select(
+        "o_orderdate",
+        "o_orderkey",
         *[
             F.when(
-                F.lag(c).over(w).isNull()
-                | (F.col(c) != F.lag(c).over(w)),
+                F.lag(c).over(wd).isNull()
+                | (F.col(c) != F.lag(c).over(wd)),
                 1,
             )
             .otherwise(0)
             .alias(f"chg_{c}")
             for c in cols
         ],
-        *[F.col(c).alias(f"v_{c}") for c in cols],
+        *[F.col(c).cast("string").alias(f"v_{c}") for c in cols],
     )
-    agg = flagged.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    day = flagged.groupBy("o_orderdate").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_d"),
         *[
-            F.sum(f"chg_{c}").cast("bigint").alias(f"runs_{c}")
+            F.sum(f"chg_{c}").cast("bigint").alias(f"runs_{c}_d")
             for c in cols
         ],
         *[
-            F.countDistinct(f"v_{c}").cast("bigint").alias(f"ndv_{c}")
+            F.min_by(f"v_{c}", "o_orderkey").alias(f"first_{c}")
+            for c in cols
+        ],
+        *[
+            F.max_by(f"v_{c}", "o_orderkey").alias(f"last_{c}")
             for c in cols
         ],
     )
+    wday = Window.orderBy("o_orderdate")  # day grain: bounded exemption
+    stitched = day.select(
+        "n_rows_d",
+        *[
+            (
+                F.col(f"runs_{c}_d")
+                - F.when(
+                    F.lag(f"last_{c}").over(wday)
+                    == F.col(f"first_{c}"),
+                    1,
+                ).otherwise(0)
+            ).alias(f"runs_{c}_s")
+            for c in cols
+        ],
+    )
+    runs = stitched.agg(
+        F.sum("n_rows_d").cast("bigint").alias("n_rows"),
+        *[
+            F.sum(f"runs_{c}_s").cast("bigint").alias(f"runs_{c}")
+            for c in cols
+        ],
+    )
+    ndv = od.agg(
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"ndv_{c}")
+            for c in cols
+        ]
+    )
+    agg = runs.crossJoin(F.broadcast(ndv))  # two 1-row frames
     stacked = agg.select(
         "n_rows",
         F.expr(

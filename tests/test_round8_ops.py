@@ -634,13 +634,38 @@ def test_pii_extraction_matches_construction(spark, sf_dir):
 
 
 def test_calibration_applied_improves_brier(spark, sf_dir):
-    """PAV is the L2-optimal monotone fit on its own training data, so
-    the calibrated Brier can never exceed the raw one (up to the 1e-9
-    flooring grid); both lie in [0, 1]."""
+    """Two pins, one theorem and one empirical (ADVICE r8).  THEOREM:
+    PAV is L2-optimal among bucket-constant monotone recalibrations,
+    so brier_calibrated ≤ the Brier of the bucket-MEAN raw score
+    (bucket-constant and monotone by construction — buckets partition
+    the score range) on its own training data, always.  EMPIRICAL:
+    brier_calibrated ≤ brier_raw (per-row raw score) holds on these
+    deterministic fixtures; it is NOT a theorem — within-bucket
+    score-label correlation could flip it on other data — so this
+    half of the pin certifies the fixtures, not PAV."""
     r = registry()["q_calibration_applied"](spark, sf_dir).first()
     assert 0.0 <= r["brier_calibrated"] <= r["brier_raw"] + 1e-6
     assert r["brier_raw"] <= 1.0
     assert r["n"] > 0
+
+    from java_etl_bi_generator_spark.queries import _churn_scored_labeled
+
+    scored = _churn_scored_labeled(spark, sf_dir).withColumn(
+        "bucket", F.expr("CAST(least(__s6 div 50000, 19) AS INT)")
+    )
+    bmean = scored.groupBy("bucket").agg(
+        (F.avg(F.col("__s6").cast("double")) / F.lit(1e6)).alias("m")
+    )
+    brier_bucket_mean = (
+        scored.join(bmean, "bucket")
+        .agg(
+            F.avg(
+                (F.col("m") - F.col("label").cast("double")) ** 2
+            ).alias("b")
+        )
+        .first()["b"]
+    )
+    assert r["brier_calibrated"] <= brier_bucket_mean + 1e-5
 
 
 def test_session_paths_consistency(spark, sf_dir):
