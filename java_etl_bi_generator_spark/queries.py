@@ -2985,32 +2985,64 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-initial journey string in strict (ts, event_id) order, then
     regex predicates over it — did a view lead to a purchase with no
     intervening purchase, and how many purchases total.  The journey is
-    built with ``array_sort(collect_list(struct(...)))`` (struct field
-    order = sort key, deterministic under the unique event_id tie-break)
-    — one shuffle on user_id, state bounded by per-user event count; a
-    100 TB deployment bounds it further by sessionizing first (the
-    journey then spans one session, not a user's lifetime)."""
+    NEVER materialized whole (VERDICT r8 item 2 — the first form
+    collected every user's FULL event list into one task before
+    pattern-matching, so a degenerate bot user funneled one task's
+    memory): the regex predicates are algebraized into WINDOWED FLAGS
+    — ``v[^p]*p`` matches iff some purchase has a view after the
+    previous purchase, i.e. ``last_v_pos > last_p_pos`` at a p-row
+    (running max positions over the strict-past frame), and the
+    purchase count is a plain conditional sum — while the only
+    collect left is the 40-event journey prefix, pre-truncated by
+    ``row_number() <= 40`` INSIDE the aggregate, so per-user state is
+    bounded by the constant 40, not the user's lifetime.  Output is
+    value-identical to the regex form (the DuckDB oracle still runs
+    the actual regex — the two engines verify each other through
+    different algorithms).  One shuffle on user_id, shared by the
+    window pass and the aggregation."""
     ev = T(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id",
         F.substring("event_type", 1, 1).alias("c"),
     )
-    j = ev.groupBy("user_id").agg(
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    past = w.rowsBetween(Window.unboundedPreceding, -1)
+    pos = F.row_number().over(w)
+    last_v = F.max(F.when(F.col("c") == "v", pos)).over(past)
+    last_p = F.max(F.when(F.col("c") == "p", pos)).over(past)
+    flagged = ev.select(
+        "user_id",
+        "c",
+        pos.alias("__pos"),
+        (
+            (F.col("c") == "p")
+            & (F.coalesce(last_v, F.lit(0)) > F.coalesce(last_p, F.lit(0)))
+        ).alias("__vp"),
+    )
+    j = flagged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__pos") <= 40,
+                            F.struct("__pos", "c"),
+                        )
+                    )
+                ),
                 lambda s: s["c"],
             ),
             "",
-        ).alias("__j"),
+        ).alias("journey_prefix"),
+        F.sum((F.col("c") == "p").cast("bigint")).alias("n_purchases"),
+        F.max(F.col("__vp")).cast("int").alias("view_to_purchase"),
     )
     return j.select(
         "user_id",
         "n_events",
-        F.substring("__j", 1, 40).alias("journey_prefix"),
-        (F.length("__j")
-         - F.length(F.regexp_replace("__j", "p", ""))).alias("n_purchases"),
-        F.col("__j").rlike("v[^p]*p").cast("int").alias("view_to_purchase"),
+        "journey_prefix",
+        "n_purchases",
+        "view_to_purchase",
     )
 
 
@@ -8758,9 +8790,13 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the string is deterministic), and report the top-10 most common
     journeys with support and distinct-user counts.  Tie-break on the
     path text — a total order, hash-stable.  Scale shape: one shuffle
-    on user_id for sessionization, one path-grain aggregation, and a
+    on user_id for sessionization, a ranked PRE-TRUNCATION to 8
+    events per session before the collect (VERDICT r8 item 2 — the
+    collect's per-group state is bounded by the constant 8, immune to
+    bot sessions), one path-grain aggregation, and a
     TakeOrderedAndProject top-10 — the path cardinality, not the
-    event volume, bounds the final stage."""
+    event volume, bounds the final stage.  Plan pin: the ranked
+    filter precedes the aggregation (tests/test_round9_ops.py)."""
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts"))
@@ -8774,15 +8810,30 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    paths = sess.groupBy("user_id", "session_seq").agg(
-        F.expr(
-            """array_join(
-                 slice(transform(
-                   sort_array(collect_list(
-                     struct(ts, event_id, event_type))),
-                   x -> x.event_type), 1, 8), '>')"""
-        ).alias("path"),
-        F.count(F.lit(1)).cast("bigint").alias("session_len"),
+    # VERDICT r8 item 2: pre-truncate to the first 8 events per session
+    # BEFORE the collect — a ranked filter, not a slice after the fact —
+    # so a degenerate bot session cannot funnel one task's memory and
+    # the shuffle carries at most 8 structs per session.  No extra
+    # shuffle: the rank window's partition keys (user_id, session_seq)
+    # are a superset of the session window's hash keys (user_id), so
+    # the existing distribution satisfies it — only a sort is added.
+    wr = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    sess = sess.withColumn("__rn", F.row_number().over(wr))
+    paths = (
+        sess.filter(F.col("__rn") <= 8)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.expr(
+                """array_join(
+                     transform(
+                       sort_array(collect_list(
+                         struct(ts, event_id, event_type))),
+                       x -> x.event_type), '>')"""
+            ).alias("path"),
+            F.count(F.lit(1)).cast("bigint").alias("truncated_len"),
+        )
     )
     return (
         paths.groupBy("path")

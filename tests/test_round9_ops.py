@@ -81,3 +81,49 @@ def test_medoid_oracle_is_linear():
     sql = ORACLES["q_vector_medoid"]
     assert "em a JOIN em b" not in sql
     assert "HUGEINT" in sql  # 128-bit accumulators, the decimal(38,0) twin
+
+
+def test_session_paths_truncates_before_collect(spark, sf_dir):
+    """VERDICT r8 item 2: the ranked 8-event filter must PRECEDE the
+    path collect (deeper in the plan tree = earlier execution), and
+    Catalyst must plan it as a WindowGroupLimit — the per-partition
+    top-8 that keeps a bot session from funneling one task."""
+    from java_etl_bi_generator_spark.plans import explain_simple
+    from java_etl_bi_generator_spark.queries import registry
+
+    plan = explain_simple(registry()["q_session_paths"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    collect_at = plan.index("partial_collect_list")
+    filter_at = plan.index("Filter (__rn")
+    assert filter_at > collect_at  # filter is a descendant of the agg
+
+
+def test_event_pattern_has_no_unbounded_collect(spark, sf_dir):
+    """VERDICT r8 item 2: the journey regex is algebraized — the only
+    collect carries the CASE-guarded 40-event prefix, and no rlike
+    remains in the plan (the DuckDB oracle still runs the regex, so
+    parity verifies the two algorithms against each other)."""
+    from java_etl_bi_generator_spark.plans import explain_simple
+    from java_etl_bi_generator_spark.queries import registry
+
+    plan = explain_simple(registry()["q_event_pattern"](spark, sf_dir))
+    assert "rlike" not in plan.lower()
+    assert "__pos" in plan and "<= 40" in plan
+    for i, line in enumerate(plan.splitlines()):
+        if "collect_list" in line:
+            assert "CASE WHEN" in line and "<= 40" in line
+
+
+def test_encoding_advisor_data_window_is_partitioned(spark, sf_dir):
+    """ADVICE r8: the data-grain run-length lag must ride a day-
+    partitioned window (hashpartitioning on o_orderdate), leaving the
+    single-partition exchange to the ~2.4k-row DAY-grain stitch only
+    — i.e. it must sit ABOVE the day aggregate in the plan tree."""
+    from java_etl_bi_generator_spark.plans import explain_simple
+    from java_etl_bi_generator_spark.queries import registry
+
+    plan = explain_simple(registry()["q_encoding_advisor"](spark, sf_dir))
+    assert "hashpartitioning(o_orderdate" in plan
+    single = plan.index("Exchange SinglePartition")
+    day_agg = plan.index("SortAggregate(key=[o_orderdate")
+    assert single < day_agg  # the funnel consumes day-grain rows only
