@@ -63,6 +63,38 @@ WAV_BITS = [8, 16, 32]  # index (doc_id % 7) % 3
 WAV_DATA = "1000 + (doc_id * 97) % 100000"
 
 
+# -- WAVE_FORMAT_EXTENSIBLE canonical fixture (round 9, VERDICT r8
+# task 3: promote the general RIFF walk the way MP4/JPEG were
+# promoted).  The NON-CANONICAL layouts audio_meta_arrow exists for —
+# a LIST/INFO chunk BEFORE ``fmt ``, and the 40-byte
+# WAVE_FORMAT_EXTENSIBLE fmt — written as ONE fixed layout so every
+# field sits at a constant offset and the parse runs in whole-stage
+# codegen.  Layout (1-based byte offsets):
+#   "RIFF" @1 | riff_size le32 @5 (= data_size + 94) | "WAVE" @9
+#   "LIST" @13 | 26 le32 @17 | "INFO" @21 | "ISFT" @25 | 14 le32 @29
+#   | "extensible-wav" @33 (14 B, even — no pad byte)
+#   "fmt " @47 | 40 le32 @51 | 0xFFFE le16 @55 | channels le16 @57
+#   | rate le32 @59 | byte_rate le32 @63 | block_align le16 @67
+#   | container bits le16 @69 | cbSize=22 le16 @71 | valid_bits le16
+#   @73 | channel_mask le32 @75 | PCM subformat GUID (16 B) @79
+#   "data" @95 | data_size le32 @99 | zero payload @103
+LIST_HEX = "4c495354"  # b"LIST"
+INFO_ISFT_HEX = (
+    "494e464f" "49534654" "0e000000" "657874656e7369626c652d776176"
+)  # "INFO" + "ISFT" + le32(14) + b"extensible-wav"
+WAVEXT_FMT_HEX = "666d7420" "28000000" "feff"  # "fmt " + le32(40) + 0xFFFE
+WAVEXT_CBSIZE_HEX = "1600"  # le16(22)
+PCM_GUID_HEX = "0100000000001000800000aa00389b71"  # KSDATAFORMAT PCM
+
+# doc_id-derived parameters (bits multiples of 8 so block_align and
+# byte_rate are exact integers; frames bounded at 48 so blob_hex stays
+# ~1 KB per row at any SF).
+WAVEXT_CH = "1 + doc_id % 3"
+WAVEXT_BITS = "16 + 8 * (doc_id % 3)"
+WAVEXT_VALID = f"({WAVEXT_BITS}) - 4 * (doc_id % 2)"
+WAVEXT_FRAMES = "1 + (doc_id * 13) % 48"
+
+
 # -- SQL-side hex encoders (DuckDB) -----------------------------------------
 
 def be32_sql(expr: str) -> str:

@@ -1602,6 +1602,88 @@ def _jpeg_header_oracle() -> str:
     """
 
 
+def _wav_extensible_oracle() -> str:
+    """Twin of q_media_wav_extensible: rebuild the identical canonical
+    WAVE_FORMAT_EXTENSIBLE hex from the single-sourced layout
+    (functions/mediahex.py), then re-derive every output field with
+    fixed-offset LITTLE-ENDIAN nibble arithmetic OVER THE HEX — the
+    parse is real, not an echo of the construction parameters."""
+    from .functions.mediahex import (
+        INFO_ISFT_HEX,
+        LIST_HEX,
+        PCM_GUID_HEX,
+        WAVEXT_BITS,
+        WAVEXT_CBSIZE_HEX,
+        WAVEXT_CH,
+        WAVEXT_FMT_HEX,
+        WAVEXT_FRAMES,
+        WAVEXT_VALID,
+        WAV_RATES,
+        le16_sql,
+        le32_sql,
+    )
+
+    rates = ",".join(str(r) for r in WAV_RATES)
+
+    def u8(pos: int) -> str:  # byte at 1-based offset pos, from hex col h
+        return _hex_bigint("h", 2 * pos - 1, 2)
+
+    def le16(pos: int) -> str:
+        return f"({u8(pos)} + 256 * {u8(pos + 1)})"
+
+    def le32(pos: int) -> str:
+        return (
+            f"({u8(pos)} + 256 * {u8(pos + 1)} + 65536 * {u8(pos + 2)}"
+            f" + 16777216 * {u8(pos + 3)})"
+        )
+
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 {WAVEXT_CH} AS ch,
+                 {WAVEXT_BITS} AS bits,
+                 {WAVEXT_VALID} AS vbits,
+                 ([{rates}])[CAST(doc_id % 5 AS INT) + 1] AS rate,
+                 ({WAVEXT_CH}) * ({WAVEXT_BITS}) // 8 AS blk,
+                 (1 << ({WAVEXT_CH})) - 1 AS mask,
+                 ({WAVEXT_FRAMES}) * (({WAVEXT_CH}) * ({WAVEXT_BITS})
+                   // 8) AS dsz
+          FROM documents),
+        blobs AS (
+          SELECT doc_id,
+                 '52494646' || {le32_sql('dsz + 94')}
+                 || '57415645' || '{LIST_HEX}' || '1a000000'
+                 || '{INFO_ISFT_HEX}' || '{WAVEXT_FMT_HEX}'
+                 || {le16_sql('ch')} || {le32_sql('rate')}
+                 || {le32_sql('rate * blk')} || {le16_sql('blk')}
+                 || {le16_sql('bits')} || '{WAVEXT_CBSIZE_HEX}'
+                 || {le16_sql('vbits')} || {le32_sql('mask')}
+                 || '{PCM_GUID_HEX}' || '64617461' || {le32_sql('dsz')}
+                 || repeat('00', CAST(dsz AS INT)) AS h
+          FROM p)
+        SELECT doc_id,
+               CAST(length(h) // 2 AS INT) AS byte_len,
+               h AS blob_hex,
+               CASE WHEN substr(h, 1, 8) = '52494646'
+                     AND substr(h, 17, 8) = '57415645'
+                    THEN 'wav' ELSE 'unknown' END AS audio_format,
+               CASE WHEN substr(h, 25, 8) = '{LIST_HEX}'
+                     AND substr(h, 157, 32) = '{PCM_GUID_HEX}'
+                    THEN 'extensible_pcm' END AS subformat,
+               CAST({le16(57)} AS INT) AS channels,
+               CAST({le32(59)} AS BIGINT) AS sample_rate,
+               CAST({le32(63)} AS BIGINT) AS byte_rate,
+               CAST({le16(67)} AS INT) AS block_align,
+               CAST({le16(69)} AS INT) AS bits_per_sample,
+               CAST({le16(73)} AS INT) AS valid_bits,
+               CAST({le32(75)} AS BIGINT) AS channel_mask,
+               CAST({le32(99)} AS BIGINT) AS data_size,
+               CAST({le32(99)} * 8 * 1000 // ({le32(59)} * {le16(57)}
+                 * {le16(69)}) AS BIGINT) AS duration_ms
+        FROM blobs
+    """
+
+
 def _dp_quantile_oracle() -> str:
     """Twin of q_dp_quantile: identical cents-div-50 histogram, identical
     salted md5 slice + hex-threshold noise chain (single-sourced from
@@ -1873,6 +1955,7 @@ ORACLES: dict[str, str] = {
     "q_dp_noisy_counts": _dp_noisy_counts_oracle(),
     "q_dp_quantile": _dp_quantile_oracle(),
     "q_media_mp4_header": _mp4_header_oracle(),
+    "q_media_wav_extensible": _wav_extensible_oracle(),
     "q_dp_above_threshold": _dp_above_threshold_oracle(),
     "q_media_jpeg_header": _jpeg_header_oracle(),
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",

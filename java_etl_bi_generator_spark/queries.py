@@ -15599,6 +15599,98 @@ def q_media_mp4_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_media_wav_extensible")
+def q_media_wav_extensible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: the general RIFF walk promoted to hash-checked (VERDICT r8
+    task 3 — the q_media_mp4_header discipline applied to the last
+    Arrow-only audio walk): the non-canonical WAV layouts
+    ``audio_meta_arrow`` exists for — LIST/INFO BEFORE ``fmt ``, and
+    the 40-byte WAVE_FORMAT_EXTENSIBLE fmt (tag 0xFFFE, cbSize 22,
+    valid-bits + channel-mask + PCM subformat GUID) — written as ONE
+    FIXED layout (functions/mediahex.py documents every offset) so
+    the engine builds it as codegen hex, roundtrips the ``binary``
+    column through parquet, and parses it with the UNTOUCHED
+    production parser ``wav_extensible_meta_canonical``
+    (sources/multimodal.py): every field as fixed-offset nibble
+    arithmetic over the HEADER BYTES, gated on fourccs / declared
+    sizes / the GUID — never echoing construction parameters.  The
+    general variable-offset walk itself stays pytest-pinned
+    (tests/test_multimodal.py asserts it agrees with this parser on
+    these fixtures — the promotion point); the DuckDB oracle rebuilds
+    the identical hex and re-derives every field with the same
+    arithmetic.  Scale shape: codegen map → parquet roundtrip →
+    codegen map; no shuffle, no Python worker, no codec."""
+    from .functions.mediahex import (
+        INFO_ISFT_HEX,
+        LIST_HEX,
+        PCM_GUID_HEX,
+        WAVEXT_BITS,
+        WAVEXT_CBSIZE_HEX,
+        WAVEXT_CH,
+        WAVEXT_FMT_HEX,
+        WAVEXT_FRAMES,
+        WAVEXT_VALID,
+        WAV_RATES,
+        le16_col,
+        le32_col,
+    )
+    from .sources.multimodal import wav_extensible_meta_canonical
+
+    d = F.col("doc_id")
+    ch = F.expr(WAVEXT_CH)
+    bits = F.expr(WAVEXT_BITS)
+    valid = F.expr(WAVEXT_VALID)
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in WAV_RATES]), (d % 5).cast("int") + 1
+    )
+    block = ch * bits / F.lit(8)
+    byte_rate = rate * block
+    mask = F.expr(f"shiftleft(1, CAST({WAVEXT_CH} AS INT)) - 1")
+    data_size = F.expr(WAVEXT_FRAMES) * block
+    riff_size = data_size + F.lit(94)
+    blob_hex = F.concat(
+        F.lit("52494646"),  # RIFF
+        le32_col(riff_size),
+        F.lit("57415645" + LIST_HEX + "1a000000" + INFO_ISFT_HEX),
+        F.lit(WAVEXT_FMT_HEX),
+        le16_col(ch),
+        le32_col(rate),
+        le32_col(byte_rate),
+        le16_col(block),
+        le16_col(bits),
+        F.lit(WAVEXT_CBSIZE_HEX),
+        le16_col(valid),
+        le32_col(mask),
+        F.lit(PCM_GUID_HEX + "64617461"),  # GUID + "data"
+        le32_col(data_size),
+        F.expr(f"repeat('00', CAST(({WAVEXT_FRAMES}) AS INT) * "
+               f"CAST(({WAVEXT_CH}) * ({WAVEXT_BITS}) / 8 AS INT))"),
+    )
+    blobs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(blob_hex).alias("content")
+    )
+    path = _fixture_dir("wav_extensible") + "/media"
+    blobs.write.parquet(path)
+    media = spark.read.parquet(path)
+    parsed = wav_extensible_meta_canonical(media)
+    return parsed.select(
+        "doc_id",
+        F.length("content").cast("int").alias("byte_len"),
+        F.lower(F.hex("content")).alias("blob_hex"),
+        "audio_format",
+        "subformat",
+        "channels",
+        "sample_rate",
+        "byte_rate",
+        "block_align",
+        "bits_per_sample",
+        "valid_bits",
+        "channel_mask",
+        "data_size",
+        "duration_ms",
+    )
+
+
 # Product quantization (Jégou, Douze & Schmid 2011, "Product
 # Quantization for Nearest Neighbor Search"): split each vector into M
 # subspaces, train an independent k-code quantizer per subspace, store

@@ -127,3 +127,26 @@ def test_encoding_advisor_data_window_is_partitioned(spark, sf_dir):
     single = plan.index("Exchange SinglePartition")
     day_agg = plan.index("SortAggregate(key=[o_orderdate")
     assert single < day_agg  # the funnel consumes day-grain rows only
+
+
+def test_wav_extensible_general_walk_agrees(spark, sf_dir):
+    """The promotion point (VERDICT r8 task 3): the general variable-
+    offset RIFF walk (wav_chunk_meta — handles LIST-before-fmt and the
+    40-byte extensible fmt) must agree with the fixed-offset codegen
+    parser on the canonical extensible fixtures, field for field."""
+    from java_etl_bi_generator_spark.queries import registry
+    from java_etl_bi_generator_spark.sources.multimodal import (
+        wav_chunk_meta,
+    )
+
+    rows = registry()["q_media_wav_extensible"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        b = bytes.fromhex(r["blob_hex"])
+        rate, ch, bits, dur = wav_chunk_meta(b)
+        assert rate == r["sample_rate"]
+        assert ch == r["channels"]
+        assert bits == r["bits_per_sample"]
+        assert dur == r["duration_ms"]
+        assert r["valid_bits"] <= r["bits_per_sample"]
+        assert r["byte_len"] == 102 + r["data_size"]
