@@ -30,6 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("stats_diagnostics.py", ["/root/testdata/sf0.001"]),
         ("model_evaluation.py", ["/root/testdata/sf0.001"]),
         ("preference_modeling.py", ["/root/testdata/sf0.001"]),
+        ("llm_corpus_pipeline.py", ["/root/testdata/sf0.001"]),
         ("sql_shell.py",
          ["SELECT count(*) AS n FROM lineitem", "/root/testdata/sf0.001"]),
     ],

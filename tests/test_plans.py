@@ -14,6 +14,7 @@ from java_etl_bi_generator_spark.queries import registry
 
 
 def test_projection_prunes_scan(spark, sf_dir):
+    """Column pruning: only the projected 4 of lineitem's 11 columns reach ReadSchema."""
     df = registry()["q_project"](spark, sf_dir)
     schemas = scan_read_schemas(df)
     assert len(schemas) == 1
@@ -22,6 +23,7 @@ def test_projection_prunes_scan(spark, sf_dir):
 
 
 def test_filter_is_pushed_to_scan(spark, sf_dir):
+    """Both predicates reach the parquet scan as PushedFilters (EqualTo + GreaterThan)."""
     df = registry()["q_filter"](spark, sf_dir)
     plan = explain_formatted(df)
     assert "PushedFilters:" in plan
@@ -30,6 +32,7 @@ def test_filter_is_pushed_to_scan(spark, sf_dir):
 
 
 def test_star_join_broadcasts_dims(spark, sf_dir):
+    """All dimension sides broadcast; the fact table never shuffles for the star join."""
     df = registry()["q_star_flagship"](spark, sf_dir)
     plan = explain_simple(df)
     assert plan.count("BroadcastHashJoin") == 4  # orders/customer/nation/region
@@ -37,12 +40,14 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
 
 
 def test_topk_plans_take_ordered(spark, sf_dir):
+    """Top-k plans as TakeOrderedAndProject (per-partition heaps), not a global sort."""
     assert plan_contains(
         registry()["q_topk"](spark, sf_dir), "TakeOrderedAndProject"
     )
 
 
 def test_groupby_has_partial_aggregation(spark, sf_dir):
+    """Map-side partial aggregation before the exchange (partial_sum in the plan)."""
     plan = explain_simple(registry()["q_groupby_sum"](spark, sf_dir))
     # partial + final HashAggregate around one exchange: map-side combine
     assert plan.count("HashAggregate") == 2
@@ -50,6 +55,7 @@ def test_groupby_has_partial_aggregation(spark, sf_dir):
 
 
 def test_whole_stage_codegen_covers_scan_agg(spark, sf_dir):
+    """Scan -> partial agg fused inside one WholeStageCodegen span."""
     from java_etl_bi_generator_spark.plans.plan_tools import _explain
 
     # codegen mode reports generated subtrees even under AQE's lazy plan
@@ -58,6 +64,7 @@ def test_whole_stage_codegen_covers_scan_agg(spark, sf_dir):
 
 
 def test_tpch_q2_scans_lineitem_once(spark, sf_dir):
+    """Q2's correlated min-cost subquery shares one lineitem/partsupp scan."""
     # The window-min decorrelation must not fall back to a groupBy +
     # join-back (which duplicates the candidate subtree: two lineitem
     # scans). One scan of the fact table, one Window, no SortMergeJoin.
@@ -68,18 +75,21 @@ def test_tpch_q2_scans_lineitem_once(spark, sf_dir):
 
 
 def test_tpch_q21_scans_lineitem_once(spark, sf_dir):
+    """Q21's exists/not-exists pair collapses to one lineitem scan."""
     plan = explain_simple(registry()["q_tpch_q21"](spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1
     assert "Window" in plan
 
 
 def test_tpch_q17_single_fact_scan_with_broadcast(spark, sf_dir):
+    """Q17 reads lineitem once; the part side broadcasts."""
     plan = explain_simple(registry()["q_tpch_q17"](spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in plan
 
 
 def test_heavy_hitters_scans_documents_once(spark, sf_dir):
+    """One documents scan feeds the whole heavy-hitters plan."""
     # The corpus total is derived from the counts table, not a second
     # scan + explode of the documents table.  The counts table is an
     # eager checkpoint, so the final plan shows 0 parquet scans (the one
@@ -90,6 +100,7 @@ def test_heavy_hitters_scans_documents_once(spark, sf_dir):
 
 
 def test_fuzzy_match_blocks_before_distance(spark, sf_dir):
+    """Blocking join precedes the edit-distance compute -- never all-pairs."""
     # The levenshtein join must be an equi-join on the blocking key, not a
     # nested-loop over all pairs.
     plan = explain_simple(registry()["q_fuzzy_match"](spark, sf_dir))
@@ -98,6 +109,7 @@ def test_fuzzy_match_blocks_before_distance(spark, sf_dir):
 
 
 def test_null_aware_anti_join_is_hash_not_nested_loop(spark, sf_dir):
+    """NOT IN anti join plans as a hash join (null-aware), not BroadcastNestedLoop."""
     # Single-column NOT IN must plan as a null-aware broadcast hash join;
     # a BroadcastNestedLoopJoin here is quadratic at scale.
     plan = explain_simple(registry()["q_join_null_aware_anti"](spark, sf_dir))
@@ -107,6 +119,7 @@ def test_null_aware_anti_join_is_hash_not_nested_loop(spark, sf_dir):
 
 
 def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    """Per-group mean/std join back by broadcast; no data-grain re-shuffle for the z-score pass."""
     # The 5-row stats side must broadcast; the events stream is never
     # shuffled for the join.
     plan = explain_simple(registry()["q_anomaly_zscore"](spark, sf_dir))
@@ -115,6 +128,7 @@ def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
 
 
 def test_sessionize_single_shuffle(spark, sf_dir):
+    """Sessionization is ONE hash exchange on user_id; windows reuse the partitioning."""
     # Both window passes (lag + running sum) share one user_id partitioning:
     # exactly one exchange in the plan.
     plan = explain_simple(registry()["q_sessionize"](spark, sf_dir))
@@ -122,6 +136,7 @@ def test_sessionize_single_shuffle(spark, sf_dir):
 
 
 def test_tfidf_single_corpus_scan(spark, sf_dir):
+    """TF, DF and N all derive from ONE tokenized-corpus scan."""
     # tf, df and N: df re-aggregates the tf table and N is a broadcast
     # scalar from the raw docs scan — the explode runs once.
     plan = explain_simple(registry()["q_tfidf"](spark, sf_dir))
@@ -141,6 +156,7 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 
 
 def test_partition_prune_binds_partition_filters(spark, sf_dir):
+    """Partition predicates bind as PartitionFilters on the partitioned scan, pruning directories."""
     plan = explain_formatted(registry()["q_partition_prune"](spark, sf_dir))
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert "(event_type" in plan and "= click)" in plan

@@ -10,6 +10,7 @@ from java_etl_bi_generator_spark.queries import registry
 
 
 def test_rolling_distinct_hll_tracks_exact(spark, sf_dir):
+    """The HLL register estimate stays within its documented error band of the exact WAU."""
     exact = {
         r["day"]: (r["dau"], r["wau_7d"])
         for r in registry()["q_rolling_distinct"](spark, sf_dir).collect()
