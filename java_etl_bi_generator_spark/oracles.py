@@ -5194,6 +5194,87 @@ ORACLES: dict[str, str] = {
           ON s.label = t.label AND s.sum_d = t.best
         GROUP BY s.label, s.sum_d, s.n_others
     """,
+    "q_zipf_law": f"""
+        WITH vocab AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest({_TOKENS}) AS tok FROM documents
+                WHERE trim(text) <> '') t
+          GROUP BY tok),
+        top AS (
+          SELECT tok, c FROM vocab ORDER BY c DESC, tok LIMIT 100),
+        ranked AS (
+          SELECT CAST(row_number() OVER (ORDER BY c DESC, tok)
+                      AS BIGINT) AS r, c
+          FROM top),
+        terms AS (
+          SELECT r, c,
+                 ln(CAST(r AS DOUBLE)) AS x,
+                 ln(CAST(c AS DOUBLE)) AS y
+          FROM ranked),
+        sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(SUM(CAST(floor(x * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sx9,
+                 CAST(SUM(CAST(floor(y * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sy9,
+                 CAST(SUM(CAST(floor(x * x * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sxx9,
+                 CAST(SUM(CAST(floor(x * y * 1e9) AS BIGINT)) AS BIGINT)
+                   AS sxy9
+          FROM terms),
+        fit AS (
+          SELECT k,
+                 (CAST(k AS DOUBLE) * (CAST(sxy9 AS DOUBLE) / 1e9)
+                  - (CAST(sx9 AS DOUBLE) / 1e9)
+                    * (CAST(sy9 AS DOUBLE) / 1e9))
+                 / (CAST(k AS DOUBLE) * (CAST(sxx9 AS DOUBLE) / 1e9)
+                    - (CAST(sx9 AS DOUBLE) / 1e9)
+                      * (CAST(sx9 AS DOUBLE) / 1e9)) AS slope,
+                 CAST(sx9 AS DOUBLE) / 1e9 AS sx,
+                 CAST(sy9 AS DOUBLE) / 1e9 AS sy
+          FROM sums)
+        SELECT k AS n_points,
+               {pround_sql('slope', 6)} AS zipf_slope,
+               {pround_sql('(sy - slope * sx) / CAST(k AS DOUBLE)', 6)}
+                 AS log_intercept
+        FROM fit
+    """,
+    "q_semantic_outliers": f"""
+        WITH em AS (
+          SELECT vec_id, label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+                   AS qv
+          FROM embeddings),
+        flat AS (
+          SELECT vec_id, label, CAST(f AS INT) AS pos,
+                 qv[CAST(f AS INT)] AS u
+          FROM em, unnest(range(1, len(qv) + 1)) AS t(f)),
+        cell AS (
+          SELECT label, pos,
+                 CAST(floor(CAST(sum(u) AS DOUBLE)
+                            / CAST(count(DISTINCT vec_id) AS DOUBLE))
+                      AS BIGINT) AS c
+          FROM flat GROUP BY 1, 2),
+        d AS (
+          SELECT f.label, f.vec_id,
+                 CAST(SUM((f.u - c.c) * (f.u - c.c)) AS BIGINT)
+                   AS dist2_micro2
+          FROM flat f JOIN cell c
+            ON f.label = c.label AND f.pos = c.pos
+          GROUP BY 1, 2),
+        r AS (
+          SELECT label, vec_id, dist2_micro2,
+                 CAST(row_number() OVER (PARTITION BY label
+                   ORDER BY dist2_micro2 DESC, vec_id ASC) AS INT)
+                   AS outlier_rank
+          FROM d)
+        SELECT label, outlier_rank, vec_id, dist2_micro2,
+               {pround_sql(
+                   'CAST(dist2_micro2 AS DOUBLE) / 1e12', 6
+               )} AS dist2
+        FROM r WHERE outlier_rank <= 3
+    """,
     "q_heaps_law": f"""
         WITH docs AS (
           SELECT doc_id, {_TOKENS} AS toks FROM documents
@@ -5264,6 +5345,53 @@ ORACLES: dict[str, str] = {
                    'CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)', 6
                )} END AS precision
         FROM cum
+    """,
+    "q_pr_curve": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        b AS (
+          SELECT CAST(LEAST(s6 // 50000, 19) AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(label) AS BIGINT) AS pos
+          FROM j GROUP BY 1),
+        cum AS (
+          SELECT bucket,
+                 SUM(pos) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS tp,
+                 SUM(n) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - SUM(pos) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS fp,
+                 SUM(pos) OVER () AS p_all
+          FROM b),
+        c2 AS (
+          SELECT bucket, tp, fp, p_all,
+                 CASE WHEN tp + fp > 0
+                      THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                      ELSE 0.0 END AS prec,
+                 CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE) AS rec,
+                 CAST(floor(
+                   (CAST(tp - COALESCE(lag(tp) OVER (ORDER BY bucket
+                      DESC), 0) AS DOUBLE) / CAST(p_all AS DOUBLE))
+                   * (CASE WHEN tp + fp > 0
+                        THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                        ELSE 0.0 END)
+                   * 1e9) AS BIGINT) AS t9
+          FROM cum)
+        SELECT bucket AS threshold_bucket,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(p_all - tp AS BIGINT) AS fn,
+               {pround_sql('prec', 6)} AS precision,
+               {pround_sql('rec', 6)} AS recall,
+               CASE WHEN prec + rec > 0 THEN {pround_sql(
+                   '2.0 * prec * rec / (prec + rec)', 6
+               )} END AS f1,
+               {pround_sql(
+                   'CAST(SUM(t9) OVER () AS DOUBLE) / 1e9', 6
+               )} AS avg_precision
+        FROM c2
     """,
     "q_ece": f"""
         WITH {_CHURN_SCORED_LABELED_SQL},
@@ -6466,6 +6594,39 @@ ORACLES: dict[str, str] = {
         d AS (SELECT node, count(DISTINCT nbr) AS degree FROM sym GROUP BY 1)
         SELECT degree, count(*) AS n_nodes FROM d GROUP BY 1
     """,
+    "q_graph_assortativity": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (
+          SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e),
+        d AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+              FROM sym GROUP BY 1),
+        ed AS (
+          SELECT da.d AS d1, db.d AS d2
+          FROM e JOIN d da ON e.p1 = da.node
+                 JOIN d db ON e.p2 = db.node),
+        sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(SUM(CAST(d1 + d2 AS HUGEINT)) AS HUGEINT) AS s1,
+                 CAST(SUM(CAST(d1 AS HUGEINT) * d1
+                          + CAST(d2 AS HUGEINT) * d2) AS HUGEINT) AS s2,
+                 CAST(SUM(CAST(d1 AS HUGEINT) * d2) AS HUGEINT) AS s3
+          FROM ed)
+        SELECT m,
+               s1 AS s_sum,
+               s3 AS s_prod,
+               CASE WHEN 2 * CAST(m AS HUGEINT) * s2 - s1 * s1 != 0
+                    THEN {pround_sql(
+                        'CAST(4 * CAST(m AS HUGEINT) * s3 - s1 * s1'
+                        ' AS DOUBLE)'
+                        ' / CAST(2 * CAST(m AS HUGEINT) * s2 - s1 * s1'
+                        ' AS DOUBLE)', 6
+                    )} END AS assortativity
+        FROM sums
+    """,
     "q_chunk_dup_stats": f"""
         WITH docs AS (
           SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n
@@ -7500,6 +7661,36 @@ ORACLES.update({"q_shapley_attribution": _shapley_attribution_oracle()})
 # integer 70/85% span boundaries, strict epoch-second comparison,
 # train-user overlap per split.
 ORACLES.update({
+    "q_data_freshness": f"""
+        WITH ev AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                 CAST(ts AS DATE) AS day
+          FROM events),
+        hw AS (SELECT max(s) AS hw_s, max(day) AS hw_day FROM ev),
+        pt AS (
+          SELECT event_type,
+                 CAST(max(s) AS BIGINT) AS last_seen_s,
+                 max(hw_s) AS hw,
+                 CAST(SUM(CASE WHEN day = hw_day THEN 1 ELSE 0 END)
+                      AS BIGINT) AS latest_day_events,
+                 CAST(SUM(CASE WHEN day >= hw_day - INTERVAL 7 DAY
+                                AND day < hw_day THEN 1 ELSE 0 END)
+                      AS BIGINT) AS trailing_7d_events
+          FROM ev, hw GROUP BY event_type)
+        SELECT event_type,
+               last_seen_s,
+               CAST(hw - last_seen_s AS BIGINT) AS staleness_s,
+               latest_day_events,
+               trailing_7d_events,
+               CASE WHEN trailing_7d_events > 0 THEN {pround_sql(
+                   '7.0 * CAST(latest_day_events AS DOUBLE)'
+                   ' / CAST(trailing_7d_events AS DOUBLE)', 6
+               )} END AS volume_vs_trailing_mean,
+               7 * latest_day_events * 2 < trailing_7d_events
+                 AS partial_load_suspect
+        FROM pt
+    """,
     "q_temporal_split": """
         WITH ev AS (
           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
@@ -7543,6 +7734,28 @@ ORACLES.update({
 # Pretraining mixing weights (mirrors queries.q_domain_mixing_weights):
 # exact token mass per source, up-to-uniform cap, pinned divisions.
 ORACLES.update({
+    "q_token_budget": f"""
+        WITH ps AS (
+          SELECT source, CAST(sum({_N_TOKENS}) AS BIGINT) AS tokens
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                     CAST(count(*) AS BIGINT) AS n_sources,
+                     CAST(2 * sum(tokens) AS BIGINT) AS budget FROM ps),
+        j AS (
+          SELECT ps.source, ps.tokens, t.budget, t.n_sources,
+                 t.budget // t.n_sources AS target,
+                 least(t.budget // t.n_sources, 4 * ps.tokens) AS alloc
+          FROM ps, t)
+        SELECT source,
+               tokens,
+               CAST(target AS BIGINT) AS uniform_target,
+               CAST(alloc AS BIGINT) AS tokens_allocated,
+               CAST(alloc * 1000 // tokens AS BIGINT) AS epochs_milli,
+               {pround_sql(
+                   'CAST(alloc AS DOUBLE) / CAST(budget AS DOUBLE)', 6
+               )} AS budget_share
+        FROM j
+    """,
     "q_domain_mixing_weights": f"""
         WITH ps AS (
           SELECT source, CAST(sum({_N_TOKENS}) AS BIGINT) AS tokens,

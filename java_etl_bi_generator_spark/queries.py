@@ -2734,6 +2734,52 @@ def q_domain_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@q("q_token_budget")
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRETRAINING TOKEN-BUDGET ALLOCATION — the step after
+    q_domain_mixing_weights: given a training budget of B = 2× the
+    corpus (the multi-epoch regime small corpora train in), allocate
+    tokens per source under the two production constraints — aim at
+    the UNIFORM share B/n_sources, but never repeat a source more
+    than 4 epochs (Muennighoff et al. 2023 measure repeated-data
+    value decaying past ~4 epochs) — and report the per-source epoch
+    multiplier the sampler needs.  EXACT integer arithmetic end to
+    end: target = B div n, allocated = least(target, 4·tokens),
+    epochs_milli = allocated·1000 div tokens (a ×1000 integer, no
+    float epochs), share pinned once.  Scale shape: one token-count
+    scan to the source grain, then arithmetic on that handful of
+    rows — corpus-size-invariant output."""
+    from .functions.text import token_count
+
+    docs = T(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    ).select(
+        "*",
+        (F.lit(2) * F.col("total_tokens")).cast("bigint").alias("budget"),
+    )
+    j = per_src.join(F.broadcast(tot))
+    target = F.expr("budget div n_sources")
+    alloc = F.least(target, F.lit(4) * F.col("tokens"))
+    return j.select(
+        "source",
+        "tokens",
+        target.cast("bigint").alias("uniform_target"),
+        alloc.cast("bigint").alias("tokens_allocated"),
+        F.expr(
+            "CAST(least(budget div n_sources, 4 * tokens) * 1000 "
+            "div tokens AS BIGINT)"
+        ).alias("epochs_milli"),
+        pround(
+            alloc.cast("double") / F.col("budget").cast("double"), 6
+        ).alias("budget_share"),
+    ).orderBy("source")
+
+
 @q("q_corpus_filter")
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: end-to-end quality filter — the keep-set a pretraining pipeline
@@ -6558,6 +6604,69 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+@q("q_graph_assortativity")
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY [Newman 2002, "Assortative mixing in
+    networks"] of the co-purchase graph — do high-degree parts link to
+    other high-degree parts (r>0, social-network shape) or to leaves
+    (r<0, hub-and-spoke)?  The one-number structural complement to
+    q_degree_distribution's histogram and q_graph_modularity's
+    community quality.  Pearson correlation of endpoint degrees over
+    edges, computed EXACTLY by cross-multiplication (the modularity
+    discipline): with integer edge sums S1=Σ(j+k), S2=Σ(j²+k²),
+    S3=Σj·k over the M distinct canonical edges,
+    r = (4M·S3 − S1²) / (2M·S2 − S1²) — every term a DECIMAL(38,0)
+    integer, ONE pinned division at the end, so the float statistic
+    hash-checks cross-engine.  Scale shape: basket-bounded pair
+    expansion, one node-grain degree aggregate joined back to edges
+    (AQE broadcasts it), one 1-row sum."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cut_lineage(_basket_pair_rows(li).distinct())
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("node"), F.col("p2").alias("nbr")),
+                F.struct(F.col("p2").alias("node"), F.col("p1").alias("nbr")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.nbr")
+    deg = sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    d1 = deg.select(F.col("node").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("d").alias("d2"))
+    ed = edges.join(d1, "p1").join(d2, "p2")
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(dd(F.col("d1") + F.col("d2"))).cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(
+            dd(F.col("d1")) * dd(F.col("d1"))
+            + dd(F.col("d2")) * dd(F.col("d2"))
+        ).cast("decimal(38,0)").alias("s2"),
+        F.sum(dd(F.col("d1")) * dd(F.col("d2"))).cast("decimal(38,0)")
+        .alias("s3"),
+    )
+    num = (
+        F.lit(4).cast("decimal(38,0)") * dd(F.col("m")) * F.col("s3")
+        - F.col("s1") * F.col("s1")
+    )
+    den = (
+        F.lit(2).cast("decimal(38,0)") * dd(F.col("m")) * F.col("s2")
+        - F.col("s1") * F.col("s1")
+    )
+    return sums.select(
+        "m",
+        F.col("s1").cast("decimal(38,0)").alias("s_sum"),
+        F.col("s3").cast("decimal(38,0)").alias("s_prod"),
+        F.when(
+            den != 0,
+            pround(num.cast("double") / den.cast("double"), 6),
+        ).alias("assortativity"),
+    )
+
+
 @q("q_chunk_dup_stats")
 def q_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus QA metric: chunk-level duplication rate — total chunks,
@@ -6888,6 +6997,67 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("sum_value"),
         )
     )
+
+
+@q("q_data_freshness")
+def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPELINE SLA AUDIT — the freshness/completeness page every data
+    platform runs against every feed (the observability twin of
+    q_reconciliation's cross-table check): per event type, (1)
+    FRESHNESS — seconds between the feed's last event and the
+    dataset's global high-water mark (a type whose staleness grows is
+    a dead upstream), and (2) COMPLETENESS — the high-water day's
+    volume against the trailing-7-day total, as the exact integer
+    ratio 7·latest vs total (a latest day under ~half the trailing
+    mean is the classic partial-load incident).  Exact epoch-second
+    integers throughout; one pinned division for the ratio.  Scale
+    shape: one 1-row high-water aggregate broadcast back, two
+    type-grain aggregates off one scan — output is type-grain
+    regardless of event volume."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("long").alias("s"),
+        F.to_date("ts").alias("day"),
+    )
+    hw = ev.agg(
+        F.max("s").alias("hw_s"), F.max("day").alias("hw_day")
+    )
+    j = ev.join(F.broadcast(hw))
+    per_type = j.groupBy("event_type").agg(
+        F.max("s").cast("bigint").alias("last_seen_s"),
+        F.max("hw_s").alias("__hw"),
+        F.sum(
+            F.when(F.col("day") == F.col("hw_day"), 1).otherwise(0)
+        ).cast("bigint").alias("latest_day_events"),
+        F.sum(
+            F.when(
+                (F.col("day") >= F.date_sub(F.col("hw_day"), 7))
+                & (F.col("day") < F.col("hw_day")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("trailing_7d_events"),
+    )
+    return per_type.select(
+        "event_type",
+        "last_seen_s",
+        (F.col("__hw") - F.col("last_seen_s")).cast("bigint").alias(
+            "staleness_s"
+        ),
+        "latest_day_events",
+        "trailing_7d_events",
+        F.when(
+            F.col("trailing_7d_events") > 0,
+            pround(
+                F.lit(7.0) * F.col("latest_day_events").cast("double")
+                / F.col("trailing_7d_events").cast("double"),
+                6,
+            ),
+        ).alias("volume_vs_trailing_mean"),
+        (
+            7 * F.col("latest_day_events") * 2
+            < F.col("trailing_7d_events")
+        ).alias("partial_load_suspect"),
+    ).orderBy("event_type")
 
 
 @q("q_interarrival_stats")
@@ -9785,6 +9955,115 @@ def q_vector_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_zipf_law")
+def q_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER/CORPUS DIAGNOSTIC, Heaps' companion: the ZIPF exponent
+    — the log-log rank-frequency slope over the top-100 vocabulary
+    (Zipf 1949: natural language sits near slope −1; a corpus of
+    boilerplate or template spam bends much steeper, making this a
+    cheap corpus-health gate before tokenizer training).  OLS fit of
+    ln(freq) on ln(rank): ranks come from orderBy+limit(100) (plans
+    TakeOrderedAndProject — per-partition heaps, never a data-grain
+    global sort) followed by a row_number over the ≤100-row frame (the
+    bounded-grain exemption); each OLS moment term ln(r)·ln(f),
+    ln(r)², ln(r), ln(f) is ONE pinned double over exact integer
+    counts, floored to a ×1e9 bigint before the order-free sum (the
+    dsum discipline), and slope/intercept are a single fixed-order
+    IEEE expression over those four integer sums.  Scale shape: one
+    token-grain shuffle with map-side combine (stopword skew absorbed
+    partially), then constant-size arithmetic."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = vocab.orderBy(F.col("c").desc(), F.col("tok")).limit(100)
+    wr = Window.orderBy(F.col("c").desc(), F.col("tok"))  # <=100 rows
+    ranked = top.select(
+        F.row_number().over(wr).cast("bigint").alias("r"), "c"
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    t9 = lambda e: F.floor(e * F.lit(1e9)).cast("bigint")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(t9(x)).cast("bigint").alias("sx9"),
+        F.sum(t9(y)).cast("bigint").alias("sy9"),
+        F.sum(t9(x * x)).cast("bigint").alias("sxx9"),
+        F.sum(t9(x * y)).cast("bigint").alias("sxy9"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx9").cast("double") / F.lit(1e9)
+    sy = F.col("sy9").cast("double") / F.lit(1e9)
+    sxx = F.col("sxx9").cast("double") / F.lit(1e9)
+    sxy = F.col("sxy9").cast("double") / F.lit(1e9)
+    slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    return sums.select(
+        F.col("k").alias("n_points"),
+        pround(slope, 6).alias("zipf_slope"),
+        pround((sy - slope * sx) / kd, 6).alias("log_intercept"),
+    )
+
+
+@q("q_semantic_outliers")
+def q_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING QA — the mislabel/outlier sweep run before semantic
+    dedup or clustering trusts its labels: per label cell, the top-3
+    vectors FARTHEST from the cell's centroid (high distance = likely
+    mislabeled, corrupted, or out-of-distribution — the "prune the
+    tail" heuristic SemDeDup-style pipelines apply inside a cluster).
+    Exact arithmetic: vectors quantize to micro-int (the kmeans
+    discipline), the centroid component is floor(s_i/n) computed as an
+    exact double floor (component sums stay far under 2⁵³), and the
+    squared distance is an integer fold — so the ranking is total-
+    ordered (dist² desc, vec_id asc) and hash-checks.  Top-3 per cell
+    via operators/rank.py::grouped_topk — per-partition heaps, never a
+    full-cell window at data grain.  Scale shape: one cell-grain
+    aggregate broadcast back, one integer fold per vector, bounded
+    rank."""
+    from .operators.kmeans import quantize_micro
+    from .operators.rank import grouped_topk
+
+    em = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize_micro("embedding").alias("qv")
+    )
+    cell = em.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.array(
+            *[
+                F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
+                for d in range(64)
+            ]
+        ).alias("s_c"),
+    )
+    j = em.join(F.broadcast(cell), "label")
+    dist2 = F.expr(
+        """aggregate(
+             zip_with(qv, s_c, (u, s)
+               -> u - CAST(floor(CAST(s AS DOUBLE)
+                                 / CAST(n_c AS DOUBLE)) AS BIGINT)),
+             CAST(0 AS BIGINT), (acc, t) -> acc + t * t)"""
+    )
+    scored = j.select("label", "vec_id", dist2.alias("dist2_micro2"))
+    top = grouped_topk(
+        scored,
+        ["label"],
+        [F.col("dist2_micro2").desc(), F.col("vec_id").asc()],
+        k=3,
+        rank_col="outlier_rank",
+    )
+    return top.select(
+        "label",
+        F.col("outlier_rank").cast("int").alias("outlier_rank"),
+        "vec_id",
+        "dist2_micro2",
+        pround(
+            F.col("dist2_micro2").cast("double") / F.lit(1e12), 6
+        ).alias("dist2"),
+    )
+
+
 @q("q_heaps_law")
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKENIZER PLANNING: the Heaps'-law vocabulary-growth curve
@@ -9903,6 +10182,82 @@ def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("precision"),
+    )
+
+
+@q("q_pr_curve")
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRECISION-RECALL curve + AVERAGE PRECISION — q_roc_curve's
+    class-imbalance twin (on rare positives the ROC flatters a model;
+    the PR view is what retrieval/fraud/safety teams threshold on):
+    the same 20 score-bucket thresholds, TP/FP from descending
+    cumulative sums over the bucket grain, precision/recall/F1 as
+    pinned divisions, and AP = Σ_k Δrecall_k · precision_k folded with
+    the dsum discipline (each bucket's term floored to a ×1e9 bigint
+    before the order-free cross-bucket sum) — the step-function AP
+    retrieval evals report (Manning et al., IR book §8.4).  Scale
+    shape: one data-grain aggregation to 20 buckets, then
+    constant-size window arithmetic; AP rides a full-frame window over
+    the SAME bounded grain."""
+    scored = _churn_scored_labeled(spark, sf_dir)
+    g = (
+        scored.withColumn(
+            "bucket", F.expr("CAST(least(__s6 div 50000, 19) AS INT)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+    )
+    wdesc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = g.select(
+        "bucket",
+        F.sum("pos").over(wdesc).alias("tp"),
+        (F.sum("n").over(wdesc) - F.sum("pos").over(wdesc)).alias("fp"),
+        F.sum("pos").over(wall).alias("p_all"),
+    )
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) > 0,
+        F.col("tp").cast("double")
+        / (F.col("tp") + F.col("fp")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.col("tp").cast("double") / F.col("p_all").cast("double")
+    d_tp = F.col("tp") - F.coalesce(
+        F.lag("tp").over(Window.orderBy(F.col("bucket").desc())), F.lit(0)
+    )
+    term9 = F.floor(
+        (d_tp.cast("double") / F.col("p_all").cast("double"))
+        * prec
+        * F.lit(1e9)
+    ).cast("bigint")
+    curved = cum.select(
+        "bucket", "tp", "fp", "p_all",
+        prec.alias("__prec"),
+        rec.alias("__rec"),
+        term9.alias("__t9"),
+    )
+    return curved.select(
+        F.col("bucket").alias("threshold_bucket"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        (F.col("p_all") - F.col("tp")).cast("bigint").alias("fn"),
+        pround(F.col("__prec"), 6).alias("precision"),
+        pround(F.col("__rec"), 6).alias("recall"),
+        F.when(
+            (F.col("__prec") + F.col("__rec")) > 0,
+            pround(
+                F.lit(2.0) * F.col("__prec") * F.col("__rec")
+                / (F.col("__prec") + F.col("__rec")),
+                6,
+            ),
+        ).alias("f1"),
+        pround(
+            F.sum("__t9").over(wall).cast("double") / F.lit(1e9), 6
+        ).alias("avg_precision"),
     )
 
 
