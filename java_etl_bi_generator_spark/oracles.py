@@ -2403,6 +2403,46 @@ ORACLES: dict[str, str] = {
          AND p.ts <= c.ts + INTERVAL 30 MINUTE
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     """,
+    "q_stream_join_outer": """
+        WITH c AS (
+          SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT event_id AS purchase_id, user_id AS p_user_id,
+                 ts AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'),
+        wm AS (
+          -- global watermark = min of the two per-stream watermarks,
+          -- each = that stream's max event time (ms-truncated, the
+          -- engine's watermark granularity) minus the 1 h delay; in
+          -- MICROseconds to match Spark's internal event-time longs
+          SELECT least((SELECT max(epoch_ms(click_ts)) FROM c),
+                       (SELECT max(epoch_ms(purchase_ts)) FROM p))
+                 * 1000 - 3600000000 AS wm_us),
+        matched AS (
+          SELECT c.click_id, c.user_id, c.click_ts,
+                 p.purchase_id, p.purchase_ts, p.purchase_value
+          FROM c JOIN p
+            ON p.p_user_id = c.user_id
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
+        unmatched AS (
+          SELECT c.click_id, c.user_id, c.click_ts
+          FROM c ANTI JOIN matched m ON c.click_id = m.click_id)
+        SELECT click_id, user_id,
+               CAST(floor(epoch(click_ts)) AS BIGINT) AS click_epoch,
+               purchase_id,
+               CAST(floor(epoch(purchase_ts)) AS BIGINT)
+                 AS purchase_epoch,
+               purchase_value
+        FROM matched
+        UNION ALL
+        SELECT u.click_id, u.user_id,
+               CAST(floor(epoch(u.click_ts)) AS BIGINT) AS click_epoch,
+               NULL, NULL, NULL
+        FROM unmatched u, wm
+        WHERE epoch_us(u.click_ts) + 1800000000 < wm.wm_us
+    """,
     "q_window_sliding": (
         "SELECT win_start, count(*) AS n_events, "
         f"{dsum_sql('value')} AS sum_value FROM ("

@@ -1685,6 +1685,27 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_interval_join(spark, f"{sf_dir}/events.parquet")
 
 
+@q("q_stream_join_outer")
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T+ (hash-checked): LEFT OUTER watermarked stream-stream join —
+    the abandoned-click feed (clicks that provably got no purchase in
+    the 30-minute window) plus the converted pairs, null-padded rows
+    emitted by STATE EVICTION when the global watermark passes a
+    click's join window.  What the hash-check certifies is the
+    eviction rule itself: the DuckDB oracle computes the same
+    "click_ts + 30 min < min(per-stream max) − 1 h" predicate in
+    batch SQL (the global watermark is the MIN across both inputs'
+    watermarks — streaming/joins.py documents the contract), so the
+    trailing clicks deliberately retained in state at stream end are
+    absent from BOTH engines.  Scale shape: symmetric hash-join state
+    bounded by the watermark horizon on each side."""
+    from .streaming.joins import streaming_interval_join_outer
+
+    return streaming_interval_join_outer(
+        spark, f"{sf_dir}/events.parquet"
+    )
+
+
 @q("q_stream_dedup")
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 (hash-checked on the key set): dropDuplicatesWithinWatermark

@@ -105,3 +105,76 @@ def streaming_dedup(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_interval_join_outer(
+    spark: SparkSession,
+    events_path: str,
+    interval: str = "30 minutes",
+    query_name: str = "q_stream_join_outer",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join — clicks with
+    their purchase when one lands inside the interval, and NULL-padded
+    rows for clicks the engine has PROVEN can no longer match (their
+    join window fell behind the global watermark), the state-eviction
+    semantics that make outer stream joins possible at all
+    (SPARK-26154 family).  Deterministic output contract under
+    availableNow on finite data: inner pairs are the batch interval
+    join (one batch holds both sides fully), and a click is emitted
+    null-padded iff
+
+        click_ts + interval < min(max_click_ts, max_purchase_ts) − 1 h
+
+    — the global watermark is the MIN of the two per-stream watermarks
+    (each that stream's max event time, ms-truncated, minus the 1 h
+    delay), so the trailing clicks near the stream end stay in state
+    and are deliberately NOT emitted.  The DuckDB oracle reproduces
+    exactly that rule in batch SQL, making the eviction semantics
+    themselves the thing the hash-check verifies."""
+    clicks = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"interval {interval}")
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        "user_id",
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        "purchase_id",
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        "purchase_value",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
