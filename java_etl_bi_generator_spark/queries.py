@@ -142,7 +142,18 @@ _SHOWCASE: tuple[str, ...] = (
     #
     # anchor
     "q_star_flagship",
-    # round-8b batch, never sampled (verdict priority #1)
+    # round-9 capstones (brand new, never-sampled by construction):
+    # the promoted extensible-RIFF walk, the PR curve + AP, the Zipf
+    # exponent, degree assortativity, the freshness SLA audit, the
+    # token-budget allocator, embedding outliers, and the left-outer
+    # watermarked stream-stream join whose hash-check certifies the
+    # state-eviction rule itself
+    "q_media_wav_extensible", "q_pr_curve", "q_zipf_law",
+    "q_graph_assortativity", "q_data_freshness", "q_token_budget",
+    "q_semantic_outliers", "q_stream_join_outer",
+    # round-8b batch, never sampled (verdict priority #1) — including
+    # the three carrying this round's ADVICE fixes (q_vector_medoid,
+    # q_calibration_applied, q_encoding_advisor)
     "q_preference_pairs", "q_vector_medoid", "q_pii_extraction",
     "q_binaryfile_ingest", "q_table_checksum", "q_did",
     "q_simpson_paradox", "q_calibration_applied",
@@ -152,22 +163,21 @@ _SHOWCASE: tuple[str, ...] = (
     "q_roc_curve", "q_ece",
     # stats / drift / experimentation tail
     "q_kendall_tau", "q_ks_by_segment", "q_cramers_v",
-    "q_mutual_information", "q_benford", "q_bootstrap_ci_by_segment",
-    "q_power_analysis", "q_sprt_sequential", "q_theil_decomposition",
+    "q_mutual_information", "q_benford",
     # ranking / scoring eval
-    "q_brier_score", "q_log_loss", "q_gains_lift", "q_auc_by_segment",
+    "q_brier_score", "q_log_loss", "q_auc_by_segment",
     # BI concentration
-    "q_hhi", "q_lorenz_deciles", "q_weighted_median", "q_woe_iv",
+    "q_hhi", "q_lorenz_deciles", "q_weighted_median",
     # graph
     "q_hits", "q_degree_distribution",
     # formats / physical layout
     "q_managed_table", "q_orc_roundtrip", "q_json_roundtrip",
     "q_union_schema_evolution",
-    # TPC-H never-sampled tail + the refresh stream
+    # TPC-H never-sampled tail
     "q_tpch_q12", "q_tpch_q13", "q_tpch_q16", "q_tpch_q19",
     "q_tpch_q22",
     # text / LLM metrics
-    "q_oov_rate", "q_vocab_coverage_curve", "q_cohens_kappa",
+    "q_oov_rate",
 )
 assert len(_SHOWCASE) == 50, len(_SHOWCASE)
 

@@ -135,8 +135,8 @@ def main() -> None:
         for name in names:
             fn = qs[name]
 
-            def run(sf):
-                return fn(spark, sf).count()
+            def run(spark_, sf, _fn=fn):
+                return _fn(spark_, sf).count()
 
             t1 = _time(run, spark, d1)
             tF = _time(run, spark, dF)
