@@ -150,3 +150,116 @@ def test_wav_extensible_general_walk_agrees(spark, sf_dir):
         assert dur == r["duration_ms"]
         assert r["valid_bits"] <= r["bits_per_sample"]
         assert r["byte_len"] == 102 + r["data_size"]
+
+
+def test_pr_curve_shape(spark, sf_dir):
+    """Recall is non-increasing as the threshold bucket rises, AP lies
+    in [0,1] and is constant across rows, and the top bucket's
+    precision (if any predictions) is within [0,1]."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_pr_curve"](spark, sf_dir).collect()
+    # sf0.001 leaves some of the 20 score buckets empty
+    assert 10 <= len(rows) <= 20
+    ap = {r["avg_precision"] for r in rows}
+    assert len(ap) == 1 and 0.0 <= ap.pop() <= 1.0
+    by_bucket = sorted(rows, key=lambda r: r["threshold_bucket"])
+    recalls = [r["recall"] for r in by_bucket]
+    assert recalls == sorted(recalls, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["precision"] <= 1.0
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    """A natural-ish corpus has a strictly negative rank-frequency
+    slope; 100 points fit."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    r = registry()["q_zipf_law"](spark, sf_dir).first()
+    # top-100 cap; the sf0.001 vocabulary is smaller than 100
+    assert 10 <= r["n_points"] <= 100
+    assert r["zipf_slope"] < 0
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    """r is a correlation: within [-1, 1]."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    r = registry()["q_graph_assortativity"](spark, sf_dir).first()
+    assert r["m"] > 0
+    assert -1.0 <= r["assortativity"] <= 1.0
+
+
+def test_data_freshness_consistency(spark, sf_dir):
+    """Staleness is non-negative, exactly one feed touches the global
+    high-water mark (staleness 0), and counts are non-negative."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_data_freshness"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert all(r["staleness_s"] >= 0 for r in rows)
+    assert any(r["staleness_s"] == 0 for r in rows)
+    assert all(r["latest_day_events"] >= 0 for r in rows)
+
+
+def test_token_budget_caps(spark, sf_dir):
+    """Allocation never exceeds the uniform target nor 4 epochs, and
+    epochs_milli is consistent with the allocation."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_token_budget"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["tokens_allocated"] <= r["uniform_target"]
+        assert r["tokens_allocated"] <= 4 * r["tokens"]
+        assert r["epochs_milli"] == r["tokens_allocated"] * 1000 // r["tokens"]
+
+
+def test_semantic_outliers_ranked(spark, sf_dir):
+    """Exactly 3 ranked outliers per label, distances non-increasing
+    within a label."""
+    from collections import defaultdict
+
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_semantic_outliers"](spark, sf_dir).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["label"]].append((r["outlier_rank"], r["dist2_micro2"]))
+    for label, rs in per.items():
+        rs.sort()
+        assert [x[0] for x in rs] == [1, 2, 3]
+        dists = [x[1] for x in rs]
+        assert dists == sorted(dists, reverse=True)
+
+
+def test_stream_join_outer_contract(spark, sf_dir):
+    """The inner rows equal q_stream_join's pairs; every null-padded
+    click is genuinely unmatched in batch; no click near the stream
+    end (inside watermark horizon + window) is emitted null-padded."""
+    import pyspark.sql.functions as F
+
+    from java_etl_bi_generator_spark.catalog import load_table
+    from java_etl_bi_generator_spark.queries import registry
+
+    out = registry()["q_stream_join_outer"](spark, sf_dir)
+    inner = out.filter(F.col("purchase_id").isNotNull())
+    ref = registry()["q_stream_join"](spark, sf_dir)
+    assert inner.count() == ref.count()
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    mx_c = (
+        ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    )
+    mx_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    wm_epoch = min(mx_c, mx_p).timestamp() - 3600
+    nulls = out.filter(F.col("purchase_id").isNull())
+    late = nulls.filter(
+        F.col("click_epoch") + 1800 > F.lit(wm_epoch)
+    ).count()
+    assert late == 0
