@@ -74,6 +74,11 @@ HEADLINE = [
     "q_bradley_terry",       # 3 integer MM rounds over order-pair games (r8b)
     "q_quality_linear_scorer",  # hashed-linear corpus scoring (r8b)
     "q_vector_medoid",       # linear sum-of-squares medoid per cell (r8b)
+    "q_graph_assortativity",  # exact degree assortativity (round 9)
+    "q_pr_curve",            # PR curve + dsum-folded AP (round 9)
+    "q_zipf_law",            # rank-frequency OLS exponent (round 9)
+    "q_semantic_outliers",   # per-cell centroid-distance outliers (round 9)
+    "q_media_wav_extensible",  # extensible-fmt RIFF codegen walk (round 9)
     # NOT q_pq_*: the declared PQ queries retrain their sub-quantizers
     # inline (train-once cost in production), which would dominate a
     # per-query headline — their scale behavior is covered by

@@ -6095,6 +6095,43 @@ ORACLES: dict[str, str] = {
                event_type AS last_type, ms AS last_ms
         FROM r WHERE rn = 1
     """,
+    "q_moore_lewis": f"""
+        WITH docs AS (
+          SELECT doc_id, source, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) <> ''),
+        tfa AS (
+          SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, source, unnest(toks) AS token FROM docs)
+          GROUP BY 1, 2, 3),
+        cg AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c_gen
+               FROM tfa GROUP BY 1),
+        ctg AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c_tgt
+                FROM tfa WHERE source = 'src7' GROUP BY 1),
+        sc AS (SELECT CAST(sum(tf) AS BIGINT) AS t_gen,
+                      CAST(count(DISTINCT token) AS BIGINT) AS v,
+                      CAST(sum(CASE WHEN source = 'src7' THEN tf
+                               ELSE 0 END) AS BIGINT) AS t_tgt
+               FROM tfa),
+        j AS (
+          SELECT t.doc_id, t.source, t.tf,
+                 CAST(floor(ln((COALESCE(g.c_tgt, 0) + 1.0)
+                               / (sc.t_tgt + CAST(sc.v AS DOUBLE)))
+                            * 1000000 + 0.5) AS BIGINT)
+                 - CAST(floor(ln((c.c_gen + 1.0)
+                                 / (sc.t_gen + CAST(sc.v AS DOUBLE)))
+                              * 1000000 + 0.5) AS BIGINT) AS diff
+          FROM tfa t
+          JOIN cg c USING (token)
+          LEFT JOIN ctg g USING (token)
+          CROSS JOIN sc)
+        SELECT doc_id, source,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               {pround_sql(
+                   'CAST(sum(tf * diff) AS DOUBLE) / 1e6'
+                   ' / CAST(sum(tf) AS DOUBLE)', 4)} AS ml_score,
+               sum(tf * diff) > 0 AS selected
+        FROM j GROUP BY 1, 2
+    """,
     "q_unigram_logprob": f"""
         WITH docs AS (
           SELECT doc_id, {_TOKENS} AS toks FROM documents
@@ -6314,6 +6351,27 @@ ORACLES: dict[str, str] = {
                    ' / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))',
                    6)} AS welch_df
         FROM m
+    """,
+    "q_srm_check": f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        arms AS (
+          SELECT CASE WHEN {_hex_bigint(
+              "md5(CAST(user_id AS VARCHAR))", 1, 4)} % 2 = 0
+                 THEN 'A' ELSE 'B' END AS arm
+          FROM u),
+        w AS (
+          SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+          FROM arms)
+        SELECT n_a, n_b,
+               {pround_sql(
+                   'CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)'
+                   ' / CAST(n_a + n_b AS DOUBLE)', 6)} AS chi2,
+               100 * (n_a - n_b) * (n_a - n_b) > 384 * (n_a + n_b)
+                 AS srm_alarm
+        FROM w
     """,
     "q_abtest_zscore": f"""
         WITH arms AS (

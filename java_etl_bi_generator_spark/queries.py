@@ -150,7 +150,8 @@ _SHOWCASE: tuple[str, ...] = (
     # state-eviction rule itself
     "q_media_wav_extensible", "q_pr_curve", "q_zipf_law",
     "q_graph_assortativity", "q_data_freshness", "q_token_budget",
-    "q_semantic_outliers", "q_stream_join_outer",
+    "q_semantic_outliers", "q_stream_join_outer", "q_moore_lewis",
+    "q_srm_check",
     # round-8b batch, never sampled (verdict priority #1) — including
     # the three carrying this round's ADVICE fixes (q_vector_medoid,
     # q_calibration_applied, q_encoding_advisor)
@@ -174,8 +175,7 @@ _SHOWCASE: tuple[str, ...] = (
     "q_managed_table", "q_orc_roundtrip", "q_json_roundtrip",
     "q_union_schema_evolution",
     # TPC-H never-sampled tail
-    "q_tpch_q12", "q_tpch_q13", "q_tpch_q16", "q_tpch_q19",
-    "q_tpch_q22",
+    "q_tpch_q12", "q_tpch_q19", "q_tpch_q22",
     # text / LLM metrics
     "q_oov_rate",
 )
@@ -3328,6 +3328,84 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("freq") * 1000 > F.col("total"))
         .select("token", "freq")
+    )
+
+
+@q("q_moore_lewis")
+def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN DATA SELECTION by cross-entropy difference [Moore & Lewis
+    2010, "Intelligent Selection of Language Model Training Data"] —
+    the classic recipe for harvesting target-domain-like documents out
+    of a general crawl: score every document by
+    avg_logP_target − avg_logP_general under two unigram LMs (target =
+    the 'src7' feed, general = the whole corpus), add-one smoothed
+    over the SHARED corpus vocabulary so unseen-in-target tokens are
+    defined; positive scores read "more target-like than general" and
+    are the selection set.  Float discipline: each per-token ln is
+    pinned to ×1e6 micro-units BEFORE the per-doc sum (the
+    q_unigram_logprob discipline), so the accumulation is
+    order-independent integer arithmetic and the score hash-checks.
+    Scale shape: one scan+explode to the (doc, token) tf table, token
+    counts for the general model from a window over it, target counts
+    from a token-grain join (the target model is vocabulary-sized, not
+    corpus-sized), scalars broadcast."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tf = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens("text")).alias("token")
+        )
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = cut_lineage(tf)  # three consumers below
+    c_gen = F.sum("tf").over(Window.partitionBy("token"))
+    tgt_counts = (
+        tf.filter(F.col("source") == "src7")
+        .groupBy("token")
+        .agg(F.sum("tf").cast("bigint").alias("c_tgt"))
+    )
+    scalars = tf.agg(
+        F.sum("tf").cast("bigint").alias("t_gen"),
+        F.countDistinct("token").cast("bigint").alias("v"),
+        F.sum(F.when(F.col("source") == "src7", F.col("tf")).otherwise(0))
+        .cast("bigint")
+        .alias("t_tgt"),
+    )
+    j = (
+        tf.withColumn("c_gen", c_gen)
+        .join(tgt_counts, "token", "left")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("c_tgt", F.coalesce("c_tgt", F.lit(0)))
+    )
+    lp = lambda c, t: F.floor(  # noqa: E731
+        F.log(
+            (c.cast("double") + F.lit(1.0))
+            / (t.cast("double") + F.col("v").cast("double"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    diff = lp(F.col("c_tgt"), F.col("t_tgt")) - lp(
+        F.col("c_gen"), F.col("t_gen")
+    )
+    return (
+        j.groupBy("doc_id", "source")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * diff).cast("bigint").alias("__d6"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            pround(
+                F.col("__d6").cast("double")
+                / F.lit(1e6)
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("ml_score"),
+            (F.col("__d6") > 0).alias("selected"),
+        )
     )
 
 
@@ -8673,6 +8751,53 @@ def q_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(cum <= -F.lit(float(bound)), F.lit("accept_h0"))
         .otherwise(F.lit("continue"))
         .alias("decision"),
+    )
+
+
+@q("q_srm_check")
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO MISMATCH — the pre-readout gate every
+    experimentation platform runs BEFORE trusting any A/B metric
+    (Fabijan et al. 2019 catalogue SRM as the most common silent
+    experiment corruption): assign users to the same md5 50/50 arms
+    the z-test uses, then test the USER-grain assignment counts
+    against the declared ratio with the 1-df chi-square GOF statistic
+    χ² = (n_a − n_b)²/(n_a + n_b).  The alarm is decided in EXACT
+    integer cross-multiplication — 100·(n_a−n_b)² > 384·(n_a+n_b)
+    ⟺ χ² > 3.84 (p < .05) — so borderline experiments flag
+    identically on every engine; χ² itself is one pinned division.
+    Grain matters: counts are DISTINCT USERS (assignment grain), not
+    events — an event-grain SRM would conflate engagement imbalance
+    with assignment corruption.  Scale shape: one distinct-user
+    shuffle, a 2-row aggregate, constant arithmetic."""
+    ev = T(spark, sf_dir, "events").select("user_id").distinct()
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+            16, 10,
+        ).cast("bigint") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    counts = ev.groupBy(arm.alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wide = counts.agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    tot = F.col("n_a") + F.col("n_b")
+    return wide.select(
+        "n_a",
+        "n_b",
+        pround(
+            (d * d).cast("double") / tot.cast("double"), 6
+        ).alias("chi2"),
+        (F.lit(100) * d * d > F.lit(384) * tot).alias("srm_alarm"),
     )
 
 
