@@ -6352,6 +6352,44 @@ ORACLES: dict[str, str] = {
                    6)} AS welch_df
         FROM m
     """,
+    "q_seasonal_decompose": f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT day, cents,
+                 CAST(sum(cents) OVER w AS BIGINT) AS trend_x7,
+                 count(*) OVER w AS n_win,
+                 CAST(datediff('day', DATE '1970-01-01', day) % 7
+                      AS INT) AS dow
+          FROM daily
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        t2 AS (
+          SELECT *, CAST(7 * cents - trend_x7 AS BIGINT) AS detr_x7
+          FROM t WHERE n_win = 7),
+        dm AS (
+          SELECT dow, CAST(sum(detr_x7) AS BIGINT) AS s_dow,
+                 CAST(count(*) AS BIGINT) AS n_dow
+          FROM t2 GROUP BY 1)
+        SELECT day, dow,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               {pround_sql(
+                   'CAST(trend_x7 AS DOUBLE) / 7.0 / 100.0', 4
+               )} AS trend,
+               {pround_sql(
+                   'CAST(s_dow AS DOUBLE)'
+                   ' / (7.0 * CAST(n_dow AS DOUBLE)) / 100.0', 4
+               )} AS seasonal,
+               {pround_sql(
+                   '(CAST(detr_x7 AS DOUBLE) / 7.0'
+                   ' - CAST(s_dow AS DOUBLE)'
+                   '   / (7.0 * CAST(n_dow AS DOUBLE))) / 100.0', 4
+               )} AS residual
+        FROM t2 JOIN dm USING (dow)
+    """,
     "q_srm_check": f"""
         WITH u AS (SELECT DISTINCT user_id FROM events),
         arms AS (

@@ -151,7 +151,7 @@ _SHOWCASE: tuple[str, ...] = (
     "q_media_wav_extensible", "q_pr_curve", "q_zipf_law",
     "q_graph_assortativity", "q_data_freshness", "q_token_budget",
     "q_semantic_outliers", "q_stream_join_outer", "q_moore_lewis",
-    "q_srm_check",
+    "q_srm_check", "q_seasonal_decompose",
     # round-8b batch, never sampled (verdict priority #1) — including
     # the three carrying this round's ADVICE fixes (q_vector_medoid,
     # q_calibration_applied, q_encoding_advisor)
@@ -175,7 +175,7 @@ _SHOWCASE: tuple[str, ...] = (
     "q_managed_table", "q_orc_roundtrip", "q_json_roundtrip",
     "q_union_schema_evolution",
     # TPC-H never-sampled tail
-    "q_tpch_q12", "q_tpch_q19", "q_tpch_q22",
+    "q_tpch_q19", "q_tpch_q22",
     # text / LLM metrics
     "q_oov_rate",
 )
@@ -6960,6 +6960,68 @@ def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_months",
         pround(avg_m / F.lit(100.0), 6).alias("avg_revenue"),
         pround(avg_m / avg_all, 6).alias("seasonal_index"),
+    )
+
+
+@q("q_seasonal_decompose")
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SEASONAL DECOMPOSITION of the daily revenue series —
+    the classical y = trend + seasonal + residual split
+    (moving-average decomposition, the first pass of every
+    forecasting pipeline and what STL iterates on): trend = centered
+    7-day moving average (full windows only — edge days emit no row
+    rather than a biased trend), weekly seasonal = the day-of-week
+    mean of the detrended series, residual = the remainder.  EXACT
+    integer core: the series is daily cents, the trend is carried as
+    the INTEGER 7-day window sum (trend_x7 — never an averaged
+    double), the detrended value as the integer 7y − trend_x7, and
+    day-of-week means as integer (sum, count) pairs; every emitted
+    double is ONE fixed-order expression over those integers.
+    Day-of-week from epoch-day mod 7 (engine-neutral — no locale
+    dayofweek).  Scale shape: one fact collapse to the ~2.4k-row day
+    grain, then bounded day-grain windows (the documented
+    exemption)."""
+    od = T(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        ).cast("bigint").alias("cents")
+    )
+    wd = Window.orderBy("day").rowsBetween(-3, 3)  # day grain: bounded
+    t = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(wd).cast("bigint").alias("trend_x7"),
+        F.count(F.lit(1)).over(wd).alias("__n_win"),
+        (F.unix_date(F.col("day")) % 7).cast("int").alias("dow"),
+    ).filter(F.col("__n_win") == 7)
+    t = t.withColumn(
+        "detr_x7",
+        (F.lit(7) * F.col("cents") - F.col("trend_x7")).cast("bigint"),
+    )
+    dow_mean = t.groupBy("dow").agg(
+        F.sum("detr_x7").cast("bigint").alias("s_dow"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dow"),
+    )
+    j = t.join(F.broadcast(dow_mean), "dow")
+    trend = F.col("trend_x7").cast("double") / F.lit(7.0) / F.lit(100.0)
+    seasonal = (
+        F.col("s_dow").cast("double")
+        / (F.lit(7.0) * F.col("n_dow").cast("double"))
+        / F.lit(100.0)
+    )
+    residual = (
+        F.col("detr_x7").cast("double") / F.lit(7.0)
+        - F.col("s_dow").cast("double")
+        / (F.lit(7.0) * F.col("n_dow").cast("double"))
+    ) / F.lit(100.0)
+    return j.select(
+        "day",
+        "dow",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        pround(trend, 4).alias("trend"),
+        pround(seasonal, 4).alias("seasonal"),
+        pround(residual, 4).alias("residual"),
     )
 
 
