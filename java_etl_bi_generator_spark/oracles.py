@@ -1959,6 +1959,38 @@ ORACLES: dict[str, str] = {
     "q_dp_above_threshold": _dp_above_threshold_oracle(),
     "q_media_jpeg_header": _jpeg_header_oracle(),
     "q_csv_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_csv_malformed_audit": """
+        WITH lines AS (
+          SELECT CASE
+                   WHEN n_nationkey % 11 = 0 THEN
+                     'X' || CAST(n_nationkey AS VARCHAR) || ';'
+                     || n_name || ';' || CAST(n_regionkey AS VARCHAR)
+                   WHEN n_nationkey % 7 = 0 THEN
+                     CAST(n_nationkey AS VARCHAR) || ';' || n_name
+                   WHEN n_nationkey % 13 = 0 THEN
+                     CAST(n_nationkey AS VARCHAR) || ';' || n_name
+                     || ';' || CAST(n_regionkey AS VARCHAR) || ';zz'
+                   ELSE CAST(n_nationkey AS VARCHAR) || ';' || n_name
+                     || ';' || CAST(n_regionkey AS VARCHAR)
+                 END AS line
+          FROM nation),
+        parsed AS (
+          SELECT line,
+                 string_split(line, ';') AS p,
+                 len(string_split(line, ';')) AS np
+          FROM lines)
+        SELECT p[2] AS n_name,
+               TRY_CAST(p[1] AS INT) AS n_nationkey,
+               CASE WHEN np >= 3 THEN TRY_CAST(p[3] AS INT) END
+                 AS n_regionkey,
+               (np != 3 OR TRY_CAST(p[1] AS INT) IS NULL
+                OR (np >= 3 AND TRY_CAST(p[3] AS INT) IS NULL))
+                 AS is_corrupt,
+               CASE WHEN np != 3 OR TRY_CAST(p[1] AS INT) IS NULL
+                      OR (np >= 3 AND TRY_CAST(p[3] AS INT) IS NULL)
+                    THEN line END AS corrupt_line
+        FROM parsed
+    """,
     "q_fixedwidth_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_media_header_roundtrip": _media_roundtrip_oracle(),
     # --- projection / filter ---
@@ -4088,6 +4120,47 @@ ORACLES: dict[str, str] = {
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM e
+    """,
+    "q_sequence_pairs": f"""
+        WITH e AS (
+          SELECT event_id, user_id, ts, event_type,
+                 lag(epoch_ms(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ms
+          FROM events),
+        s AS (
+          SELECT event_id, user_id, ts, event_type,
+                 CAST(sum(CASE WHEN prev_ms IS NULL
+                                 OR epoch_ms(ts) - prev_ms > 1800000
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
+          FROM e),
+        firsts AS (
+          SELECT user_id, session_seq, event_type,
+                 min(ts) AS fts,
+                 first(event_id ORDER BY ts, event_id) AS fid
+          FROM s GROUP BY 1, 2, 3),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM firsts a JOIN firsts b
+            ON a.user_id = b.user_id
+           AND a.session_seq = b.session_seq
+           AND (a.fts < b.fts
+                OR (a.fts = b.fts AND a.fid < b.fid))),
+        counts AS (
+          SELECT type_a, type_b,
+                 CAST(count(*) AS BIGINT) AS n_sessions
+          FROM pairs GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total
+          FROM (SELECT DISTINCT user_id, session_seq FROM firsts))
+        SELECT type_a, type_b, n_sessions,
+               {pround_sql(
+                   'CAST(n_sessions AS DOUBLE)'
+                   ' / CAST(n_total AS DOUBLE)', 6)} AS support
+        FROM counts, tot
     """,
     "q_string_agg": """
         SELECT c_nationkey, count(*) AS n_customers,

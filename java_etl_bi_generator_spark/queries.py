@@ -151,7 +151,8 @@ _SHOWCASE: tuple[str, ...] = (
     "q_media_wav_extensible", "q_pr_curve", "q_zipf_law",
     "q_graph_assortativity", "q_data_freshness", "q_token_budget",
     "q_semantic_outliers", "q_stream_join_outer", "q_moore_lewis",
-    "q_srm_check", "q_seasonal_decompose",
+    "q_srm_check", "q_seasonal_decompose", "q_sequence_pairs",
+    "q_csv_malformed_audit",
     # round-8b batch, never sampled (verdict priority #1) — including
     # the three carrying this round's ADVICE fixes (q_vector_medoid,
     # q_calibration_applied, q_encoding_advisor)
@@ -161,7 +162,7 @@ _SHOWCASE: tuple[str, ...] = (
     "q_media_bmp_histogram", "q_heaps_law", "q_encoding_advisor",
     "q_quality_linear_scorer", "q_conformal_interval",
     "q_mase_forecast_eval", "q_mann_kendall", "q_seasonality_strength",
-    "q_roc_curve", "q_ece",
+    "q_ece",
     # stats / drift / experimentation tail
     "q_kendall_tau", "q_ks_by_segment", "q_cramers_v",
     "q_mutual_information", "q_benford",
@@ -175,7 +176,7 @@ _SHOWCASE: tuple[str, ...] = (
     "q_managed_table", "q_orc_roundtrip", "q_json_roundtrip",
     "q_union_schema_evolution",
     # TPC-H never-sampled tail
-    "q_tpch_q19", "q_tpch_q22",
+    "q_tpch_q22",
     # text / LLM metrics
     "q_oov_rate",
 )
@@ -204,6 +205,62 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_reference_csv(T(spark, sf_dir, "nation"), path)
     return read_reference_csv(
         spark, path, "n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+@q("q_csv_malformed_audit")
+def q_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family INGEST HYGIENE: the malformed-row audit a production
+    CSV loader runs before trusting a feed — PERMISSIVE mode with
+    ``columnNameOfCorruptRecord``, so bad rows become visible data
+    instead of a crash (FAILFAST) or a silent drop (DROPMALFORMED).
+    The engine writes a fixture with three deliberate corruption
+    classes derived from nation keys (key%11==0 → non-numeric key;
+    elif key%7==0 → short row, missing the last field; elif key%13==0
+    → extra trailing field) and re-reads it through the real CSV
+    parser.  Pinned semantics (prototype-verified on Spark 4): ALL
+    three classes set the corrupt-record column to the raw line while
+    still parsing the fields they can (a short row's present fields
+    survive; a bad int parses null).  The DuckDB oracle rebuilds the
+    identical lines and RE-PARSES them with its own string machinery
+    (string_split + try_cast + arity check) — two independent parsers
+    agreeing on byte-identical input.  Scale shape: text write, CSV
+    scan, no shuffle."""
+    nat = T(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    base = F.concat_ws(
+        ";", k.cast("string"), "n_name", F.col("n_regionkey").cast("string")
+    )
+    line = (
+        F.when(
+            k % 11 == 0,
+            F.concat_ws(
+                ";", F.concat(F.lit("X"), k.cast("string")), F.col("n_name"),
+                F.col("n_regionkey").cast("string"),
+            ),
+        )
+        .when(k % 7 == 0, F.concat_ws(";", k.cast("string"), "n_name"))
+        .when(k % 13 == 0, F.concat(base, F.lit(";zz")))
+        .otherwise(base)
+    )
+    path = _fixture_dir("csv_malformed") + "/feed"
+    nat.select(line.alias("value")).coalesce(1).write.text(path)
+    df = (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, "
+            "_corrupt string"
+        )
+        .option("sep", ";")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return df.select(
+        "n_name",
+        "n_nationkey",
+        "n_regionkey",
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+        F.col("_corrupt").alias("corrupt_line"),
     )
 
 
@@ -9226,6 +9283,80 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(10)
+    )
+
+
+@q("q_sequence_pairs")
+def q_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PATTERN MINING, 2-sequences (the SPADE/GSP first
+    rung): for every ordered pair of event types (a → b), in how many
+    SESSIONS does a's first occurrence precede b's first occurrence —
+    the "what leads to what" table q_markov_transitions' adjacent-step
+    matrix cannot give (a → b here may have any number of steps
+    between).  Sessionized with the 30-minute gap rule, then each
+    session collapses to its FIRST occurrence per type (≤5 rows per
+    session — the within-session pair frame is bounded 5×5 by the
+    type alphabet, never by session length), ordered by the total
+    (ts, event_id) key.  Support = pair sessions / total sessions,
+    one pinned division.  Scale shape: one user shuffle for
+    sessionization, a (session, type) aggregate, a bounded
+    within-session self-join, a type-pair aggregate — nothing grows
+    with session length."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    prev_ms = F.lag(ms).over(w)
+    is_new = F.when(
+        prev_ms.isNull() | ((ms - prev_ms) > 1800000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("__is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("__is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    firsts = cut_lineage(
+        sess.groupBy("user_id", "session_seq", "event_type").agg(
+            F.min(F.struct("ts", "event_id")).alias("f")
+        )
+    )
+    a = firsts.select(
+        "user_id", "session_seq",
+        F.col("event_type").alias("type_a"),
+        F.col("f.ts").alias("ts_a"), F.col("f.event_id").alias("id_a"),
+    )
+    b = firsts.select(
+        F.col("user_id").alias("u2"), F.col("session_seq").alias("s2"),
+        F.col("event_type").alias("type_b"),
+        F.col("f.ts").alias("ts_b"), F.col("f.event_id").alias("id_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("session_seq") == F.col("s2"))
+        & (
+            (F.col("ts_a") < F.col("ts_b"))
+            | (
+                (F.col("ts_a") == F.col("ts_b"))
+                & (F.col("id_a") < F.col("id_b"))
+            )
+        ),
+    )
+    counts = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    total = firsts.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "type_a",
+        "type_b",
+        "n_sessions",
+        pround(
+            F.col("n_sessions").cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("support"),
     )
 
 
