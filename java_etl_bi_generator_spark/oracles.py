@@ -6425,6 +6425,48 @@ ORACLES: dict[str, str] = {
                    6)} AS welch_df
         FROM m
     """,
+    "q_seasonal_anomalies": f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT day, cents,
+                 CAST(sum(cents) OVER w AS BIGINT) AS trend_x7,
+                 count(*) OVER w AS n_win,
+                 CAST(datediff('day', DATE '1970-01-01', day) % 7
+                      AS INT) AS dow
+          FROM daily
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        t2 AS (
+          SELECT *, CAST(7 * cents - trend_x7 AS BIGINT) AS detr_x7
+          FROM t WHERE n_win = 7),
+        dm AS (
+          SELECT dow, CAST(sum(detr_x7) AS BIGINT) AS s_dow,
+                 CAST(count(*) AS BIGINT) AS n_dow
+          FROM t2 GROUP BY 1),
+        scored AS (
+          SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                 CAST(n_dow * detr_x7 - s_dow AS DOUBLE)
+                 / (7.0 * CAST(n_dow AS DOUBLE) * 100.0) AS r
+          FROM t2 JOIN dm USING (dow)),
+        ranked AS (
+          SELECT *, abs(r) AS ar,
+                 row_number() OVER (ORDER BY abs(r) ASC, day ASC) AS rn,
+                 count(*) OVER () AS n
+          FROM scored),
+        mad AS (
+          SELECT ar AS m FROM ranked WHERE rn = (n + 1) // 2)
+        SELECT day, revenue,
+               {pround_sql('r', 4)} AS residual,
+               {pround_sql('m', 4)} AS mad,
+               {pround_sql('abs(r) / m', 4)} AS score,
+               abs(r) > 3.0 * m AS is_anomalous
+        FROM scored, mad
+        ORDER BY abs(r) DESC, day ASC LIMIT 10
+    """,
     "q_seasonal_decompose": f"""
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS day,
@@ -6790,6 +6832,47 @@ ORACLES: dict[str, str] = {
         JOIN sup sa ON sa.l_partkey = p.p1
         JOIN sup sb ON sb.l_partkey = p.p2
         CROSS JOIN no n
+    """,
+    "q_catalog_coverage": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        counts AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        sym AS (
+          SELECT p1 AS a, p2 AS b, c FROM counts
+          UNION ALL SELECT p2, p1, c FROM counts),
+        recs AS (
+          SELECT a, b FROM (
+            SELECT a, b,
+                   row_number() OVER (PARTITION BY a
+                     ORDER BY c DESC, b ASC) AS rn
+            FROM sym) WHERE rn <= 3),
+        ni AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+                 AS n_items FROM li),
+        exposure AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS x FROM recs GROUP BY 1),
+        nr AS (SELECT CAST(count(*) AS BIGINT) AS n_recommended
+               FROM exposure),
+        ranked AS (
+          SELECT x, CAST(row_number() OVER (ORDER BY x ASC, b ASC)
+                         AS BIGINT) AS i
+          FROM exposure),
+        g AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(i * x) AS DOUBLE) AS six
+          FROM ranked)
+        SELECT ni.n_items, nr.n_recommended,
+               {pround_sql(
+                   'CAST(nr.n_recommended AS DOUBLE)'
+                   ' / CAST(ni.n_items AS DOUBLE)', 6)} AS coverage_at_3,
+               {pround_sql(
+                   '2.0 * g.six / (g.n * g.sx) - (g.n + 1.0) / g.n', 6
+               )} AS exposure_gini
+        FROM g, ni, nr
     """,
     "q_degree_distribution": """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -152,7 +152,8 @@ _SHOWCASE: tuple[str, ...] = (
     "q_graph_assortativity", "q_data_freshness", "q_token_budget",
     "q_semantic_outliers", "q_stream_join_outer", "q_moore_lewis",
     "q_srm_check", "q_seasonal_decompose", "q_sequence_pairs",
-    "q_csv_malformed_audit",
+    "q_csv_malformed_audit", "q_seasonal_anomalies",
+    "q_catalog_coverage",
     # round-8b batch, never sampled (verdict priority #1) — including
     # the three carrying this round's ADVICE fixes (q_vector_medoid,
     # q_calibration_applied, q_encoding_advisor)
@@ -161,11 +162,11 @@ _SHOWCASE: tuple[str, ...] = (
     "q_simpson_paradox", "q_calibration_applied",
     "q_media_bmp_histogram", "q_heaps_law", "q_encoding_advisor",
     "q_quality_linear_scorer", "q_conformal_interval",
-    "q_mase_forecast_eval", "q_mann_kendall", "q_seasonality_strength",
+    "q_mann_kendall", "q_seasonality_strength",
     "q_ece",
     # stats / drift / experimentation tail
     "q_kendall_tau", "q_ks_by_segment", "q_cramers_v",
-    "q_mutual_information", "q_benford",
+    "q_mutual_information",
     # ranking / scoring eval
     "q_brier_score", "q_log_loss", "q_auc_by_segment",
     # BI concentration
@@ -6740,6 +6741,83 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_catalog_coverage")
+def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECOMMENDER AUDIT — catalog coverage and exposure inequality of
+    the "customers who bought a also bought b" top-3 recommendations
+    (co-purchase counts, ties broken on item id): what share of the
+    purchasable catalog ever appears in ANY recommendation list
+    (coverage@3), and how unequally exposure is distributed across the
+    items that do appear (Gini over per-item recommendation-slot
+    counts — the popularity-bias number next to accuracy metrics in
+    every rec-sys eval, Castells et al.).  Top-3 per item via
+    operators/rank.py::grouped_topk (per-partition heaps over the
+    bounded pair table); exposure Gini via the DISTRIBUTED global
+    rank, exact bigint rank × bigint count sums, one pinned division
+    each.  Scale shape: basket-bounded pair expansion, item-grain
+    aggregates, a ≤3·|catalog| recommendation table — nothing at
+    order volume past the first collapse."""
+    from .operators.rank import global_rank, grouped_topk
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = cut_lineage(_baskets(li))
+    counts = (
+        _pairs_from_baskets(baskets)
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    sym = counts.select(
+        F.col("p1").alias("a"), F.col("p2").alias("b"), "c"
+    ).unionAll(
+        counts.select(
+            F.col("p2").alias("a"), F.col("p1").alias("b"), "c"
+        )
+    )
+    recs = cut_lineage(
+        grouped_topk(
+            sym, ["a"], [F.col("c").desc(), F.col("b").asc()], k=3
+        ).select("a", "b")
+    )
+    n_items = (
+        li.select("l_partkey").distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    )
+    exposure = recs.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    n_rec = exposure.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recommended")
+    )
+    ranked = global_rank(
+        exposure, [F.col("x").asc(), F.col("b").asc()], rank_col="__i"
+    )
+    gagg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("__i").cast("decimal(19,0)") * F.col("x"))
+        .cast("double")
+        .alias("six"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    return (
+        gagg.crossJoin(F.broadcast(n_items))
+        .crossJoin(F.broadcast(n_rec))
+        .select(
+            "n_items",
+            "n_recommended",
+            pround(
+                F.col("n_recommended").cast("double")
+                / F.col("n_items").cast("double"),
+                6,
+            ).alias("coverage_at_3"),
+            pround(gini, 6).alias("exposure_gini"),
+        )
+    )
+
+
 @q("q_degree_distribution")
 def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph profile of the co-purchase graph: how many parts have k
@@ -7020,24 +7098,12 @@ def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_seasonal_decompose")
-def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADDITIVE SEASONAL DECOMPOSITION of the daily revenue series —
-    the classical y = trend + seasonal + residual split
-    (moving-average decomposition, the first pass of every
-    forecasting pipeline and what STL iterates on): trend = centered
-    7-day moving average (full windows only — edge days emit no row
-    rather than a biased trend), weekly seasonal = the day-of-week
-    mean of the detrended series, residual = the remainder.  EXACT
-    integer core: the series is daily cents, the trend is carried as
-    the INTEGER 7-day window sum (trend_x7 — never an averaged
-    double), the detrended value as the integer 7y − trend_x7, and
-    day-of-week means as integer (sum, count) pairs; every emitted
-    double is ONE fixed-order expression over those integers.
-    Day-of-week from epoch-day mod 7 (engine-neutral — no locale
-    dayofweek).  Scale shape: one fact collapse to the ~2.4k-row day
-    grain, then bounded day-grain windows (the documented
-    exemption)."""
+def _seasonal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of the moving-average decomposition: the full-window
+    day-grain frame (day, dow, cents, trend_x7, detr_x7, s_dow, n_dow)
+    with every accumulator an exact integer — consumed by the
+    decomposition surface (q_seasonal_decompose) and the anomaly
+    detector built on its residuals (q_seasonal_anomalies)."""
     od = T(spark, sf_dir, "orders")
     daily = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(
@@ -7060,7 +7126,87 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("detr_x7").cast("bigint").alias("s_dow"),
         F.count(F.lit(1)).cast("bigint").alias("n_dow"),
     )
-    j = t.join(F.broadcast(dow_mean), "dow")
+    return t.join(F.broadcast(dow_mean), "dow")
+
+
+@q("q_seasonal_anomalies")
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY-AWARE ANOMALY DETECTION — the detect step closing
+    q_seasonal_decompose's loop (the modularity/recall pattern: every
+    model here ships with its evaluator or detector): a raw z-score
+    scan (q_anomaly_zscore) flags every strong weekday as anomalous,
+    so the residual AFTER removing trend and weekly seasonality is
+    scored against the MEDIAN absolute residual (MAD-style — robust:
+    the anomalies themselves cannot inflate a median the way they
+    inflate a stddev), and the top-10 days by |residual|/MAD are
+    emitted with the >3×MAD flag.  Determinism: the residual is one
+    pinned expression over exact integers (n_dow·detr_x7 − s_dow over
+    7·n_dow·100), the median is a RANK SELECTION (the (n+1) div 2-th
+    smallest — no averaging of two middles, no float accumulation),
+    and the top-10 ties break on day.  Scale shape: everything past
+    the one fact collapse runs at the bounded ~2.4k-row day grain
+    (the documented exemption)."""
+    j = _seasonal_frame(spark, sf_dir)
+    r = (
+        (
+            F.col("n_dow") * F.col("detr_x7") - F.col("s_dow")
+        ).cast("double")
+        / (F.lit(7.0) * F.col("n_dow").cast("double") * F.lit(100.0))
+    )
+    scored = j.select(
+        "day",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        r.alias("__r"),
+        F.abs(r).alias("__ar"),
+    )
+    wr = Window.orderBy(F.col("__ar").asc(), F.col("day").asc())
+    ranked = scored.withColumn("__rn", F.row_number().over(wr))
+    med = ranked.crossJoin(
+        F.broadcast(
+            ranked.agg(
+                F.count(F.lit(1)).cast("bigint").alias("__n")
+            ).select(F.expr("(__n + 1) div 2").alias("__k"))
+        )
+    )
+    mad = med.filter(F.col("__rn") == F.col("__k")).select(
+        F.col("__ar").alias("__mad")
+    )
+    return (
+        scored.crossJoin(F.broadcast(mad))
+        .orderBy(F.col("__ar").desc(), F.col("day").asc())
+        .limit(10)
+        .select(
+            "day",
+            "revenue",
+            pround(F.col("__r"), 4).alias("residual"),
+            pround(F.col("__mad"), 4).alias("mad"),
+            pround(F.col("__ar") / F.col("__mad"), 4).alias("score"),
+            (F.col("__ar") > F.lit(3.0) * F.col("__mad")).alias(
+                "is_anomalous"
+            ),
+        )
+    )
+
+
+@q("q_seasonal_decompose")
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SEASONAL DECOMPOSITION of the daily revenue series —
+    the classical y = trend + seasonal + residual split
+    (moving-average decomposition, the first pass of every
+    forecasting pipeline and what STL iterates on): trend = centered
+    7-day moving average (full windows only — edge days emit no row
+    rather than a biased trend), weekly seasonal = the day-of-week
+    mean of the detrended series, residual = the remainder.  EXACT
+    integer core: the series is daily cents, the trend is carried as
+    the INTEGER 7-day window sum (trend_x7 — never an averaged
+    double), the detrended value as the integer 7y − trend_x7, and
+    day-of-week means as integer (sum, count) pairs; every emitted
+    double is ONE fixed-order expression over those integers.
+    Day-of-week from epoch-day mod 7 (engine-neutral — no locale
+    dayofweek).  Scale shape: one fact collapse to the ~2.4k-row day
+    grain, then bounded day-grain windows (the documented
+    exemption)."""
+    j = _seasonal_frame(spark, sf_dir)
     trend = F.col("trend_x7").cast("double") / F.lit(7.0) / F.lit(100.0)
     seasonal = (
         F.col("s_dow").cast("double")
