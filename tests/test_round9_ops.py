@@ -263,3 +263,106 @@ def test_stream_join_outer_contract(spark, sf_dir):
         F.col("click_epoch") + 1800 > F.lit(wm_epoch)
     ).count()
     assert late == 0
+
+
+def test_moore_lewis_target_scores_higher(spark, sf_dir):
+    """The target domain's own documents must average a higher
+    Moore-Lewis score than the rest of the corpus — the selection
+    property the method exists for."""
+    import pyspark.sql.functions as F
+
+    from java_etl_bi_generator_spark.queries import registry
+
+    df = registry()["q_moore_lewis"](spark, sf_dir)
+    means = (
+        df.groupBy((F.col("source") == "src7").alias("is_tgt"))
+        .agg(F.avg("ml_score").alias("m"))
+        .collect()
+    )
+    m = {r["is_tgt"]: r["m"] for r in means}
+    assert m[True] > m[False]
+
+
+def test_srm_check_balanced_fixture(spark, sf_dir):
+    """The md5 50/50 split on the fixture population must not trip the
+    SRM alarm (the same hash assignment the z-test relies on), and
+    chi2 must reconcile with the emitted counts."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    r = registry()["q_srm_check"](spark, sf_dir).first()
+    assert r["srm_alarm"] is False
+    expect = (r["n_a"] - r["n_b"]) ** 2 / (r["n_a"] + r["n_b"])
+    assert abs(r["chi2"] - expect) < 1e-6
+
+
+def test_seasonal_decompose_identity(spark, sf_dir):
+    """y = trend + seasonal + residual must reconcile per day within
+    the 1e-4 rounding grid, and edge days (incomplete 7-day windows)
+    must be absent."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_seasonal_decompose"](spark, sf_dir).collect()
+    assert len(rows) > 100
+    for r in rows[:200]:
+        recon = r["trend"] + r["seasonal"] + r["residual"]
+        assert abs(recon - r["revenue"]) < 3e-4
+
+
+def test_seasonal_anomalies_scored_descending(spark, sf_dir):
+    """Top-10 by score, non-increasing; flags consistent with the 3x
+    threshold."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_seasonal_anomalies"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["is_anomalous"] == (r["score"] > 3.0) or abs(
+            r["score"] - 3.0
+        ) < 1e-3  # rounding at the exact boundary
+
+
+def test_sequence_pairs_bounded_support(spark, sf_dir):
+    """Supports lie in (0, 1]; no self-pairs at the first-occurrence
+    grain (a type's first occurrence cannot precede itself)."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_sequence_pairs"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 < r["support"] <= 1.0
+        assert r["type_a"] != r["type_b"]
+
+
+def test_csv_malformed_audit_classes(spark, sf_dir):
+    """All three planted corruption classes are flagged, clean rows are
+    not, and partially-parsed fields survive (the PERMISSIVE
+    contract pinned by the round-9 prototype)."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_csv_malformed_audit"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    by_corrupt = [r for r in rows if r["is_corrupt"]]
+    # nation keys 0..24: %11 -> {0,11,22}; %7 (not %11) -> {7,14,21};
+    # %13 (neither) -> {13}
+    assert len(by_corrupt) == 7
+    for r in by_corrupt:
+        assert r["corrupt_line"] is not None
+        # short rows still parse their present fields
+        assert r["n_name"] is not None
+    for r in rows:
+        if not r["is_corrupt"]:
+            assert r["n_nationkey"] is not None
+            assert r["n_regionkey"] is not None
+
+
+def test_catalog_coverage_bounds(spark, sf_dir):
+    """Coverage in (0, 1]; recommended items cannot exceed the catalog;
+    exposure Gini in [0, 1)."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    r = registry()["q_catalog_coverage"](spark, sf_dir).first()
+    assert 0 < r["n_recommended"] <= r["n_items"]
+    assert 0.0 < r["coverage_at_3"] <= 1.0
+    assert 0.0 <= r["exposure_gini"] < 1.0
