@@ -5352,6 +5352,48 @@ ORACLES: dict[str, str] = {
                  AS log_intercept
         FROM fit
     """,
+    "q_knn_probe_accuracy": f"""
+        WITH em AS (
+          SELECT vec_id, label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+                   AS qv
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id AS p_id, label AS p_label, qv AS p_q
+          FROM em WHERE vec_id % 37 = 0 AND vec_id < 20000),
+        pairs AS (
+          SELECT p.p_id, p.p_label, e.label, e.vec_id,
+                 CAST(list_sum(list_transform(
+                   range(1, len(e.qv) + 1),
+                   f -> (e.qv[CAST(f AS INT)] - p.p_q[CAST(f AS INT)])
+                      * (e.qv[CAST(f AS INT)] - p.p_q[CAST(f AS INT)])))
+                   AS BIGINT) AS d2
+          FROM em e CROSS JOIN probes p
+          WHERE e.vec_id != p.p_id),
+        top3 AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY p_id
+              ORDER BY d2 ASC, vec_id ASC) AS rn
+            FROM pairs) WHERE rn <= 3),
+        votes AS (
+          SELECT p_id, p_label, label, count(*) AS v
+          FROM top3 GROUP BY 1, 2, 3),
+        pred AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY p_id
+              ORDER BY v DESC, label ASC) AS r
+            FROM votes) WHERE r = 1)
+        SELECT p_label AS label,
+               CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN label = p_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               {pround_sql(
+                   'CAST(SUM(CASE WHEN label = p_label THEN 1 ELSE 0'
+                   ' END) AS DOUBLE) / CAST(count(*) AS DOUBLE)', 6
+               )} AS knn_accuracy
+        FROM pred GROUP BY p_label
+    """,
     "q_semantic_outliers": f"""
         WITH em AS (
           SELECT vec_id, label,

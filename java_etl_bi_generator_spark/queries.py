@@ -153,7 +153,7 @@ _SHOWCASE: tuple[str, ...] = (
     "q_semantic_outliers", "q_stream_join_outer", "q_moore_lewis",
     "q_srm_check", "q_seasonal_decompose", "q_sequence_pairs",
     "q_csv_malformed_audit", "q_seasonal_anomalies",
-    "q_catalog_coverage",
+    "q_catalog_coverage", "q_knn_probe_accuracy",
     # round-8b batch, never sampled (verdict priority #1) — including
     # the three carrying this round's ADVICE fixes (q_vector_medoid,
     # q_calibration_applied, q_encoding_advisor)
@@ -174,7 +174,7 @@ _SHOWCASE: tuple[str, ...] = (
     # graph
     "q_hits", "q_degree_distribution",
     # formats / physical layout
-    "q_managed_table", "q_orc_roundtrip", "q_json_roundtrip",
+    "q_managed_table", "q_orc_roundtrip",
     "q_union_schema_evolution",
     # TPC-H never-sampled tail
     "q_tpch_q22",
@@ -14959,6 +14959,90 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionAll(x)
     return out
+
+
+@q("q_knn_probe_accuracy")
+def q_knn_probe_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPRESENTATION-QUALITY EVAL: kNN-probe accuracy — predict every
+    probe vector's label by the MAJORITY of its 3 exact nearest
+    neighbors (self excluded) and report per-label accuracy; the
+    standard no-training-required readout of embedding quality
+    (the kNN probe used across representation-learning evals, e.g.
+    Caron et al. 2021 §4): if labels aren't recoverable from
+    neighborhoods, no downstream head will fix it.  Fully distributed
+    (unlike the 5-probe driver loop of q_hard_negatives): the ~1/37
+    probe subset is BROADCAST against the corpus, distances are exact
+    integer micro-unit squared-L2 codegen folds, top-3 per probe via
+    operators/rank.py::grouped_topk heaps, and the majority vote
+    resolves over ≤3 rows per probe (count desc, label asc — a total
+    order).  Scale shape: |probes|×N bounded by the broadcast probe
+    set; past ~10⁴ probes production routes through the IVF-PQ index
+    and THIS exact form becomes its ground-truth evaluator (the
+    q_ivfpq_recall pairing)."""
+    from .operators.kmeans import quantize_micro
+    from .operators.rank import grouped_topk
+
+    em = T(spark, sf_dir, "embeddings")
+    qv = cut_lineage(
+        em.select(
+            "vec_id", "label", quantize_micro("embedding").alias("__q")
+        )
+    )
+    # Probe set BOUNDED BY COUNT, not by fraction: the %37 subset
+    # alone scales with the corpus, turning the broadcast pair frame
+    # quadratic (the 10x gate measured 16.5x/decade on the fractional
+    # form); the vec_id cap pins |probes| <= ~540 at ANY corpus size
+    # (non-binding at the fixture SFs, so hashes are unchanged).
+    probes = qv.filter(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 20000)
+    ).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("label").alias("p_label"),
+        F.col("__q").alias("p_q"),
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("__q"), F.col("p_q"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        qv.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select("p_id", "p_label", "label", d.alias("d2"), "vec_id")
+    )
+    top3 = grouped_topk(
+        pairs, ["p_id"], [F.col("d2").asc(), F.col("vec_id").asc()], k=3
+    )
+    votes = top3.groupBy("p_id", "p_label", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("p_id").orderBy(
+        F.col("v").desc(), F.col("label").asc()
+    )
+    pred = votes.withColumn("__r", F.row_number().over(wv)).filter(
+        F.col("__r") == 1
+    )
+    scored = pred.select(
+        "p_label",
+        (F.col("label") == F.col("p_label")).cast("bigint").alias("__ok"),
+    )
+    return (
+        scored.groupBy("p_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum("__ok").cast("bigint").alias("n_correct"),
+        )
+        .select(
+            F.col("p_label").alias("label"),
+            "n_probes",
+            "n_correct",
+            pround(
+                F.col("n_correct").cast("double")
+                / F.col("n_probes").cast("double"),
+                6,
+            ).alias("knn_accuracy"),
+        )
+    )
 
 
 @q("q_item_cf_neighbors")
