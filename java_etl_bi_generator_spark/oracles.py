@@ -5359,40 +5359,84 @@ ORACLES: dict[str, str] = {
                    x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
                    AS qv
           FROM embeddings),
+        em2 AS (
+          SELECT vec_id, label, qv,
+                 4 * CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END
+                 + 2 * CASE WHEN qv[2] > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN qv[3] > 0 THEN 1 ELSE 0 END AS sign3
+          FROM em),
         probes AS (
-          SELECT vec_id AS p_id, label AS p_label, qv AS p_q
-          FROM em WHERE vec_id % 37 = 0 AND vec_id < 20000),
+          SELECT vec_id AS p_id, label AS p_label, sign3 AS p_sign3,
+                 qv AS p_q
+          FROM em2 WHERE vec_id % 37 = 0 AND vec_id < 20000),
         pairs AS (
-          SELECT p.p_id, p.p_label, e.label, e.vec_id,
+          SELECT p.p_id, p.p_label, p.p_sign3, e.label, e.sign3,
+                 e.vec_id,
                  CAST(list_sum(list_transform(
                    range(1, len(e.qv) + 1),
                    f -> (e.qv[CAST(f AS INT)] - p.p_q[CAST(f AS INT)])
                       * (e.qv[CAST(f AS INT)] - p.p_q[CAST(f AS INT)])))
                    AS BIGINT) AS d2
-          FROM em e CROSS JOIN probes p
+          FROM em2 e CROSS JOIN probes p
           WHERE e.vec_id != p.p_id),
         top3 AS (
           SELECT * FROM (
             SELECT *, row_number() OVER (PARTITION BY p_id
               ORDER BY d2 ASC, vec_id ASC) AS rn
             FROM pairs) WHERE rn <= 3),
-        votes AS (
-          SELECT p_id, p_label, label, count(*) AS v
-          FROM top3 GROUP BY 1, 2, 3),
-        pred AS (
-          SELECT * FROM (
-            SELECT *, row_number() OVER (PARTITION BY p_id
-              ORDER BY v DESC, label ASC) AS r
-            FROM votes) WHERE r = 1)
-        SELECT p_label AS label,
-               CAST(count(*) AS BIGINT) AS n_probes,
-               CAST(SUM(CASE WHEN label = p_label THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_correct,
+        pf AS (
+          SELECT CAST(t AS INT) AS t, CAST(pr AS INT) AS pr FROM (
+            SELECT p_id, p_label AS t, label AS pr,
+                   row_number() OVER (PARTITION BY p_id
+                     ORDER BY count(*) DESC, label ASC) AS r
+            FROM top3 GROUP BY p_id, p_label, label) WHERE r = 1),
+        ps AS (
+          SELECT CAST(t AS INT) AS t, CAST(pr AS INT) AS pr FROM (
+            SELECT p_id, p_sign3 AS t, sign3 AS pr,
+                   row_number() OVER (PARTITION BY p_id
+                     ORDER BY count(*) DESC, sign3 ASC) AS r
+            FROM top3 GROUP BY p_id, p_sign3, sign3) WHERE r = 1),
+        statf AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(SUM(CASE WHEN pr = t THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_correct,
+                 CAST((SELECT sum(COALESCE(a.n_t, 0)
+                                  * COALESCE(b.n_p, 0))
+                       FROM (SELECT t AS l, count(*) AS n_t FROM pf
+                             GROUP BY 1) a
+                       FULL JOIN (SELECT pr AS l, count(*) AS n_p
+                                  FROM pf GROUP BY 1) b USING (l))
+                      AS BIGINT) AS s_null
+          FROM pf),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(SUM(CASE WHEN pr = t THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_correct,
+                 CAST((SELECT sum(COALESCE(a.n_t, 0)
+                                  * COALESCE(b.n_p, 0))
+                       FROM (SELECT t AS l, count(*) AS n_t FROM ps
+                             GROUP BY 1) a
+                       FULL JOIN (SELECT pr AS l, count(*) AS n_p
+                                  FROM ps GROUP BY 1) b USING (l))
+                      AS BIGINT) AS s_null
+          FROM ps),
+        u AS (
+          SELECT 'fixture' AS label_kind, * FROM statf
+          UNION ALL SELECT 'sign3', * FROM stats)
+        SELECT label_kind, n_probes, n_correct,
                {pround_sql(
-                   'CAST(SUM(CASE WHEN label = p_label THEN 1 ELSE 0'
-                   ' END) AS DOUBLE) / CAST(count(*) AS DOUBLE)', 6
-               )} AS knn_accuracy
-        FROM pred GROUP BY p_label
+                   'CAST(n_correct AS DOUBLE)'
+                   ' / CAST(n_probes AS DOUBLE)', 6)} AS knn_accuracy,
+               {pround_sql(
+                   'CAST(s_null AS DOUBLE) / (CAST(n_probes AS DOUBLE)'
+                   ' * CAST(n_probes AS DOUBLE))', 6)} AS null_accuracy,
+               {pround_sql(
+                   '(CAST(n_correct AS DOUBLE)'
+                   ' / CAST(n_probes AS DOUBLE))'
+                   ' / (CAST(s_null AS DOUBLE)'
+                   ' / (CAST(n_probes AS DOUBLE)'
+                   '    * CAST(n_probes AS DOUBLE)))', 6)} AS lift
+        FROM u
     """,
     "q_semantic_outliers": f"""
         WITH em AS (

@@ -14965,39 +14965,53 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_probe_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REPRESENTATION-QUALITY EVAL: kNN-probe accuracy — predict every
     probe vector's label by the MAJORITY of its 3 exact nearest
-    neighbors (self excluded) and report per-label accuracy; the
-    standard no-training-required readout of embedding quality
-    (the kNN probe used across representation-learning evals, e.g.
-    Caron et al. 2021 §4): if labels aren't recoverable from
-    neighborhoods, no downstream head will fix it.  Fully distributed
-    (unlike the 5-probe driver loop of q_hard_negatives): the ~1/37
-    probe subset is BROADCAST against the corpus, distances are exact
-    integer micro-unit squared-L2 codegen folds, top-3 per probe via
-    operators/rank.py::grouped_topk heaps, and the majority vote
-    resolves over ≤3 rows per probe (count desc, label asc — a total
-    order).  Scale shape: |probes|×N bounded by the broadcast probe
-    set; past ~10⁴ probes production routes through the IVF-PQ index
-    and THIS exact form becomes its ground-truth evaluator (the
-    q_ivfpq_recall pairing)."""
+    neighbors (self excluded); the no-training-required readout of
+    embedding quality (the kNN probe used across representation-
+    learning evals, e.g. Caron et al. 2021 §4): if labels aren't
+    recoverable from neighborhoods, no downstream head will fix it.
+    Each label kind is reported AGAINST ITS EXACT PERMUTATION NULL —
+    null_accuracy = Σ_l P(true=l)·P(pred=l) from the observed
+    marginals, the accuracy an independence-preserving label shuffle
+    would score — because on THIS fixture the correct answer is "no
+    signal": the label column is assigned independently of geometry,
+    and even the 'sign3' geometric signature (3-bit sign of the first
+    components) is barely recoverable — 64-dim isotropic vectors
+    concentrate distances (Beyer et al. 1999, "When is nearest
+    neighbor meaningful?"), so a single coordinate's sign correlates
+    weakly with the neighbor's.  lift = observed/null ≈ 1 on both
+    kinds is therefore the CORRECT reading here (pinned by test);
+    on a genuinely clustered embedding table the same query reads
+    lift ≫ 1 — the comparison column is what makes the metric a
+    decision rather than a number.  Fully
+    distributed: a COUNT-BOUNDED probe set broadcasts against the
+    corpus (a fractional probe set made the pair frame quadratic —
+    the 10× gate caught it at 16.5×/decade; the vec_id cap pins
+    |probes| ≤ ~540 at any corpus size, non-binding at fixture SFs),
+    distances are exact integer micro-unit codegen folds, top-3 per
+    probe via grouped_topk heaps, majority over ≤3 rows (v desc,
+    label asc — a total order).  Past ~10⁴ probes production routes
+    through IVF-PQ and THIS exact form is its ground-truth evaluator
+    (the q_ivfpq_recall pairing)."""
     from .operators.kmeans import quantize_micro
     from .operators.rank import grouped_topk
 
     em = T(spark, sf_dir, "embeddings")
+    sign3 = (
+        F.lit(4) * (F.element_at("__q", 1) > 0).cast("int")
+        + F.lit(2) * (F.element_at("__q", 2) > 0).cast("int")
+        + (F.element_at("__q", 3) > 0).cast("int")
+    )
     qv = cut_lineage(
         em.select(
             "vec_id", "label", quantize_micro("embedding").alias("__q")
-        )
+        ).select("vec_id", "label", "__q", sign3.alias("sign3"))
     )
-    # Probe set BOUNDED BY COUNT, not by fraction: the %37 subset
-    # alone scales with the corpus, turning the broadcast pair frame
-    # quadratic (the 10x gate measured 16.5x/decade on the fractional
-    # form); the vec_id cap pins |probes| <= ~540 at ANY corpus size
-    # (non-binding at the fixture SFs, so hashes are unchanged).
     probes = qv.filter(
         (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 20000)
     ).select(
         F.col("vec_id").alias("p_id"),
         F.col("label").alias("p_label"),
+        F.col("sign3").alias("p_sign3"),
         F.col("__q").alias("p_q"),
     )
     d = F.aggregate(
@@ -15005,43 +15019,77 @@ def q_knn_probe_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    pairs = (
-        qv.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("p_id"))
-        .select("p_id", "p_label", "label", d.alias("d2"), "vec_id")
-    )
-    top3 = grouped_topk(
-        pairs, ["p_id"], [F.col("d2").asc(), F.col("vec_id").asc()], k=3
-    )
-    votes = top3.groupBy("p_id", "p_label", "label").agg(
-        F.count(F.lit(1)).alias("v")
-    )
-    wv = Window.partitionBy("p_id").orderBy(
-        F.col("v").desc(), F.col("label").asc()
-    )
-    pred = votes.withColumn("__r", F.row_number().over(wv)).filter(
-        F.col("__r") == 1
-    )
-    scored = pred.select(
-        "p_label",
-        (F.col("label") == F.col("p_label")).cast("bigint").alias("__ok"),
-    )
-    return (
-        scored.groupBy("p_label")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
-            F.sum("__ok").cast("bigint").alias("n_correct"),
+    top3 = cut_lineage(
+        grouped_topk(
+            qv.crossJoin(F.broadcast(probes))
+            .filter(F.col("vec_id") != F.col("p_id"))
+            .select(
+                "p_id", "p_label", "p_sign3", "label", "sign3",
+                d.alias("d2"), "vec_id",
+            ),
+            ["p_id"],
+            [F.col("d2").asc(), F.col("vec_id").asc()],
+            k=3,
         )
-        .select(
-            F.col("p_label").alias("label"),
+    )
+
+    def branch(kind: str, true_col: str, pred_col: str) -> DataFrame:
+        votes = top3.groupBy("p_id", true_col, pred_col).agg(
+            F.count(F.lit(1)).alias("v")
+        )
+        wv = Window.partitionBy("p_id").orderBy(
+            F.col("v").desc(), F.col(pred_col).asc()
+        )
+        pred = cut_lineage(
+            votes.withColumn("__r", F.row_number().over(wv))
+            .filter(F.col("__r") == 1)
+            .select(
+                F.col(true_col).cast("int").alias("t"),
+                F.col(pred_col).cast("int").alias("pr"),
+            )
+        )
+        # exact permutation null from the (t, pr) marginals: with
+        # n_t[l] true and n_p[l] predicted counts over n probes,
+        # null = Σ_l n_t[l]·n_p[l] / n² — all integers, one division
+        per_l = (
+            pred.select(F.col("t").alias("l"))
+            .groupBy("l")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+            .join(
+                pred.select(F.col("pr").alias("l"))
+                .groupBy("l")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_p")),
+                "l",
+                "full",
+            )
+            .select(
+                (
+                    F.coalesce("n_t", F.lit(0))
+                    * F.coalesce("n_p", F.lit(0))
+                ).cast("bigint").alias("__tp")
+            )
+            .agg(F.sum("__tp").cast("bigint").alias("s_null"))
+        )
+        obs = pred.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum((F.col("pr") == F.col("t")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        n = F.col("n_probes").cast("double")
+        acc = F.col("n_correct").cast("double") / n
+        null = F.col("s_null").cast("double") / (n * n)
+        return obs.crossJoin(F.broadcast(per_l)).select(
+            F.lit(kind).alias("label_kind"),
             "n_probes",
             "n_correct",
-            pround(
-                F.col("n_correct").cast("double")
-                / F.col("n_probes").cast("double"),
-                6,
-            ).alias("knn_accuracy"),
+            pround(acc, 6).alias("knn_accuracy"),
+            pround(null, 6).alias("null_accuracy"),
+            pround(acc / null, 6).alias("lift"),
         )
+
+    return branch("fixture", "p_label", "label").unionAll(
+        branch("sign3", "p_sign3", "sign3")
     )
 
 

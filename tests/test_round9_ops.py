@@ -366,3 +366,27 @@ def test_catalog_coverage_bounds(spark, sf_dir):
     assert 0 < r["n_recommended"] <= r["n_items"]
     assert 0.0 < r["coverage_at_3"] <= 1.0
     assert 0.0 <= r["exposure_gini"] < 1.0
+
+
+def test_knn_probe_accuracy_null_calibrated(spark, sf_dir):
+    """On isotropic vectors with geometry-independent labels the
+    correct reading is NO signal: observed accuracy within a few
+    probes of the permutation null for both label kinds (distance
+    concentration, Beyer et al. 1999) — the query must not
+    manufacture lift where none exists."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_knn_probe_accuracy"](spark, sf_dir).collect()
+    kinds = {r["label_kind"]: r for r in rows}
+    assert set(kinds) == {"fixture", "sign3"}
+    for r in rows:
+        assert 0.0 <= r["knn_accuracy"] <= 1.0
+        assert 0.0 < r["null_accuracy"] < 1.0
+        assert r["n_correct"] <= r["n_probes"]
+        # within ~3 standard errors of the null on these fixtures
+        import math
+
+        se = math.sqrt(
+            r["null_accuracy"] * (1 - r["null_accuracy"]) / r["n_probes"]
+        )
+        assert abs(r["knn_accuracy"] - r["null_accuracy"]) < 4 * se + 0.05
