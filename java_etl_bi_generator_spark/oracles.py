@@ -6045,6 +6045,28 @@ ORACLES: dict[str, str] = {
         WITH {_bm25_scored_ctes()}
         SELECT doc_id, bm25 FROM bm
     """,
+    "q_hybrid_search": f"""
+        WITH {_bm25_scored_ctes()},
+        {_cosine_scored_ctes()},
+        cand AS (
+          SELECT s.vec_id AS doc_id,
+                 COALESCE(b.bm25, 0.0) AS bm25,
+                 s.cosine
+          FROM scored s LEFT JOIN bm b ON b.doc_id = s.vec_id),
+        mm AS (
+          SELECT min(bm25) AS l_mn, max(bm25) AS l_mx,
+                 min(cosine) AS s_mn, max(cosine) AS s_mx
+          FROM cand)
+        SELECT doc_id, bm25, cosine,
+               {pround_sql(
+                   '0.5 * (CASE WHEN l_mx > l_mn'
+                   ' THEN (bm25 - l_mn) / (l_mx - l_mn) ELSE 0.5 END)'
+                   ' + 0.5 * (CASE WHEN s_mx > s_mn'
+                   ' THEN (cosine - s_mn) / (s_mx - s_mn)'
+                   ' ELSE 0.5 END)', 6)} AS hybrid_score
+        FROM cand, mm
+        ORDER BY hybrid_score DESC, doc_id ASC LIMIT 10
+    """,
     # nDCG@10: both engines consume the SAME repr-exact discount
     # literals and the SAME left-associated 10-term chain — unrounded
     # floats are safe (see functions/ranking_eval.py).

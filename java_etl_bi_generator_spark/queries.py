@@ -153,7 +153,7 @@ _SHOWCASE: tuple[str, ...] = (
     "q_semantic_outliers", "q_stream_join_outer", "q_moore_lewis",
     "q_srm_check", "q_seasonal_decompose", "q_sequence_pairs",
     "q_csv_malformed_audit", "q_seasonal_anomalies",
-    "q_catalog_coverage", "q_knn_probe_accuracy",
+    "q_catalog_coverage", "q_knn_probe_accuracy", "q_hybrid_search",
     # round-8b batch, never sampled (verdict priority #1) — including
     # the three carrying this round's ADVICE fixes (q_vector_medoid,
     # q_calibration_applied, q_encoding_advisor)
@@ -166,7 +166,6 @@ _SHOWCASE: tuple[str, ...] = (
     "q_ece",
     # stats / drift / experimentation tail
     "q_kendall_tau", "q_ks_by_segment", "q_cramers_v",
-    "q_mutual_information",
     # ranking / scoring eval
     "q_brier_score", "q_log_loss", "q_auc_by_segment",
     # BI concentration
@@ -10976,6 +10975,89 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
         .agg(pround(F.sum(score), 4).alias("bm25"))
+    )
+
+
+@q("q_hybrid_search")
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL — min-max SCORE fusion of lexical BM25 and
+    dense cosine, the production complement to q_rrf_fusion's
+    rank-based fusion (score fusion preserves score GAPS that rank
+    fusion flattens; min-max per candidate set is the standard
+    normalization since the scales are incomparable — Bruch et al.
+    2023 analyze exactly this pair).  Candidates pair the documents
+    and embeddings tables on the shared id; BM25 is the pinned 2-term
+    score (one IEEE addition — order-free), cosine the pinned
+    vec_id=0 similarity (both already hash-proven standalone);
+    min/max arrive as a 1-row broadcast; each normalized score is one
+    fixed-order expression over pinned inputs with the degenerate
+    max=min guarded; hybrid = their mean, ranked on the PINNED value
+    with a doc_id tie-break (the q_vector_topk discipline — never
+    order raw floats cross-engine).  Scale shape: one tokenized scan,
+    one embedding scan, broadcast scalars, TakeOrderedAndProject."""
+    terms = ("the", "and")
+    base = _tokenized_docs(spark, sf_dir)
+    tf = (
+        base.select("doc_id", "dl", F.explode("__toks").alias("tok"))
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sc = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    lex = (
+        stats.crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(pround(F.sum(sc), 4).alias("bm25"))
+    )
+    from .functions.vectors import cosine_similarity
+
+    qv = F.array(
+        *[F.lit(float(x)) for x in _query_vector(spark, sf_dir)]
+    ).cast("array<double>")
+    sem = T(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        pround(cosine_similarity(F.col("embedding"), qv), 6).alias(
+            "cosine"
+        ),
+    )
+    cand = sem.join(lex, "doc_id", "left").select(
+        "doc_id", F.coalesce("bm25", F.lit(0.0)).alias("bm25"), "cosine"
+    )
+    mm = cand.agg(
+        F.min("bm25").alias("l_mn"), F.max("bm25").alias("l_mx"),
+        F.min("cosine").alias("s_mn"), F.max("cosine").alias("s_mx"),
+    )
+    j = cand.crossJoin(F.broadcast(mm))
+
+    def norm(c, mn, mx):
+        return F.when(
+            F.col(mx) > F.col(mn),
+            (F.col(c) - F.col(mn)) / (F.col(mx) - F.col(mn)),
+        ).otherwise(F.lit(0.5))
+
+    hybrid = pround(
+        F.lit(0.5) * norm("bm25", "l_mn", "l_mx")
+        + F.lit(0.5) * norm("cosine", "s_mn", "s_mx"),
+        6,
+    )
+    return (
+        j.select("doc_id", "bm25", "cosine", hybrid.alias("hybrid_score"))
+        .orderBy(F.col("hybrid_score").desc(), F.col("doc_id").asc())
+        .limit(10)
     )
 
 
