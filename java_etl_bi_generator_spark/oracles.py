@@ -6533,6 +6533,76 @@ ORACLES: dict[str, str] = {
                    6)} AS welch_df
         FROM m
     """,
+    "q_ts_strength": f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT day, cents,
+                 CAST(sum(cents) OVER w AS BIGINT) AS trend_x7,
+                 count(*) OVER w AS n_win,
+                 CAST(datediff('day', DATE '1970-01-01', day) % 7
+                      AS INT) AS dow
+          FROM daily
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        t2 AS (
+          SELECT *, CAST(7 * cents - trend_x7 AS BIGINT) AS detr_x7
+          FROM t WHERE n_win = 7),
+        dm AS (
+          SELECT dow, CAST(sum(detr_x7) AS BIGINT) AS s_dow,
+                 CAST(count(*) AS BIGINT) AS n_dow
+          FROM t2 GROUP BY 1),
+        c AS (
+          SELECT CAST(trend_x7 AS DOUBLE) / 700.0 AS t_,
+                 CAST(s_dow AS DOUBLE)
+                   / (700.0 * CAST(n_dow AS DOUBLE)) AS s_,
+                 CAST(detr_x7 AS DOUBLE) / 700.0
+                 - CAST(s_dow AS DOUBLE)
+                   / (700.0 * CAST(n_dow AS DOUBLE)) AS r_
+          FROM t2 JOIN dm USING (dow)),
+        sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(floor(r_ * 1e6) AS HUGEINT)) AS HUGEINT)
+                   AS sr6,
+                 CAST(SUM(CAST(floor(r_ * r_) AS HUGEINT))
+                      AS HUGEINT) AS srr0,
+                 CAST(SUM(CAST(floor((t_ + r_) * 1e6) AS HUGEINT))
+                      AS HUGEINT) AS str6,
+                 CAST(SUM(CAST(floor((t_ + r_) * (t_ + r_))
+                               AS HUGEINT)) AS HUGEINT) AS strr0,
+                 CAST(SUM(CAST(floor((s_ + r_) * 1e6) AS HUGEINT))
+                      AS HUGEINT) AS ssr6,
+                 CAST(SUM(CAST(floor((s_ + r_) * (s_ + r_))
+                               AS HUGEINT)) AS HUGEINT) AS ssrr0
+          FROM c)
+        SELECT n AS n_days,
+               {pround_sql(
+                   'greatest(0.0, 1.0 -'
+                   ' (CAST(srr0 AS DOUBLE) / CAST(n AS DOUBLE)'
+                   '  - (CAST(sr6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))'
+                   '    * (CAST(sr6 AS DOUBLE) / 1e6'
+                   '       / CAST(n AS DOUBLE)))'
+                   ' / (CAST(strr0 AS DOUBLE) / CAST(n AS DOUBLE)'
+                   '  - (CAST(str6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))'
+                   '    * (CAST(str6 AS DOUBLE) / 1e6'
+                   '       / CAST(n AS DOUBLE))))', 6
+               )} AS trend_strength,
+               {pround_sql(
+                   'greatest(0.0, 1.0 -'
+                   ' (CAST(srr0 AS DOUBLE) / CAST(n AS DOUBLE)'
+                   '  - (CAST(sr6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))'
+                   '    * (CAST(sr6 AS DOUBLE) / 1e6'
+                   '       / CAST(n AS DOUBLE)))'
+                   ' / (CAST(ssrr0 AS DOUBLE) / CAST(n AS DOUBLE)'
+                   '  - (CAST(ssr6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))'
+                   '    * (CAST(ssr6 AS DOUBLE) / 1e6'
+                   '       / CAST(n AS DOUBLE))))', 6
+               )} AS seasonal_strength
+        FROM sums
+    """,
     "q_seasonal_anomalies": f"""
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS day,

@@ -154,6 +154,7 @@ _SHOWCASE: tuple[str, ...] = (
     "q_srm_check", "q_seasonal_decompose", "q_sequence_pairs",
     "q_csv_malformed_audit", "q_seasonal_anomalies",
     "q_catalog_coverage", "q_knn_probe_accuracy", "q_hybrid_search",
+    "q_ts_strength",
     # round-8b batch, never sampled (verdict priority #1) — including
     # the three carrying this round's ADVICE fixes (q_vector_medoid,
     # q_calibration_applied, q_encoding_advisor)
@@ -162,7 +163,7 @@ _SHOWCASE: tuple[str, ...] = (
     "q_simpson_paradox", "q_calibration_applied",
     "q_media_bmp_histogram", "q_heaps_law", "q_encoding_advisor",
     "q_quality_linear_scorer", "q_conformal_interval",
-    "q_mann_kendall", "q_seasonality_strength",
+    "q_mann_kendall",
     "q_ece",
     # stats / drift / experimentation tail
     "q_kendall_tau", "q_ks_by_segment", "q_cramers_v",
@@ -7184,6 +7185,77 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_anomalous"
             ),
         )
+    )
+
+
+@q("q_ts_strength")
+def q_ts_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREND AND SEASONALITY STRENGTH [Hyndman & Athanasopoulos, FPP
+    §4.4 / Wang-Smith-Hyndman 2006] of the daily revenue series —
+    the two unit-free numbers a forecasting triage computes from the
+    decomposition BEFORE choosing a model family:
+    F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    F_S = max(0, 1 − Var(R)/Var(S+R)).  Built directly on the shared
+    decomposition frame (_seasonal_frame; detrended and seasonal
+    components as exact integers).  Float discipline: every variance
+    is assembled from power sums whose PER-ROW terms are floored to
+    ×1e6 bigints before the order-free integer sum (the dsum
+    discipline), and each F is one fixed-order expression over those
+    integer sums.  The companion to q_seasonality_strength's one-way
+    η² (that one asks "does day-of-week explain variance"; this one
+    scores trend and seasonality AGAINST the remainder on the
+    decomposed series).  Scale shape: one fact collapse, bounded
+    day-grain windows, a 1-row aggregate."""
+    j = _seasonal_frame(spark, sf_dir)
+    # per-day components in DOLLARS (cents/100 — cents-scale squares
+    # times the 1e6 floor grid overflow bigint at ~1e7-cent days; the
+    # dollar scale plus DECIMAL(38,0)/HUGEINT accumulators holds to
+    # ~1e12-dollar days): trend t = trend_x7/700, seasonal
+    # s = s_dow/(700 n_dow), remainder r = detr_x7/700 - s
+    t_ = F.col("trend_x7").cast("double") / F.lit(700.0)
+    s_ = F.col("s_dow").cast("double") / (
+        F.lit(700.0) * F.col("n_dow").cast("double")
+    )
+    r_ = F.col("detr_x7").cast("double") / F.lit(700.0) - s_
+    # Two floor grids: linear sums ride the x1e6 grid; SQUARED sums
+    # floor at UNIT grid — their per-row inputs are the squares
+    # themselves (~1e13 here), and a x1e6 multiplier pushed them past
+    # 2^63 where Spark's floor(double) SATURATES silently (Java
+    # double->long conversion) while DuckDB's HUGEINT keeps going —
+    # the one cross-engine divergence this query hit in development.
+    # Unit-grid error is <=1 on ~1e13 values: ~1e-13 relative, far
+    # below the 1e-6 output rounding.
+    l6 = lambda e: F.floor(e * F.lit(1e6)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    s0 = lambda e: F.floor(e).cast("decimal(38,0)")  # noqa: E731
+    sums = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(l6(r_)).cast("decimal(38,0)").alias("sr6"),
+        F.sum(s0(r_ * r_)).cast("decimal(38,0)").alias("srr0"),
+        F.sum(l6(t_ + r_)).cast("decimal(38,0)").alias("str6"),
+        F.sum(s0((t_ + r_) * (t_ + r_))).cast("decimal(38,0)")
+        .alias("strr0"),
+        F.sum(l6(s_ + r_)).cast("decimal(38,0)").alias("ssr6"),
+        F.sum(s0((s_ + r_) * (s_ + r_))).cast("decimal(38,0)")
+        .alias("ssrr0"),
+    )
+    n = F.col("n").cast("double")
+
+    def var(s1, s2):
+        m = F.col(s1).cast("double") / F.lit(1e6) / n
+        return F.col(s2).cast("double") / n - m * m
+
+    ft = F.greatest(F.lit(0.0), F.lit(1.0) - var("sr6", "srr0") / var(
+        "str6", "strr0"
+    ))
+    fs = F.greatest(F.lit(0.0), F.lit(1.0) - var("sr6", "srr0") / var(
+        "ssr6", "ssrr0"
+    ))
+    return sums.select(
+        F.col("n").alias("n_days"),
+        pround(ft, 6).alias("trend_strength"),
+        pround(fs, 6).alias("seasonal_strength"),
     )
 
 
