@@ -4802,6 +4802,26 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag, min(l_quantity) AS weighted_median_qty
         FROM c WHERE cumw * 2 >= total GROUP BY 1
     """,
+    "q_weighted_quantile_ladder": """
+        WITH per_qty AS (
+          SELECT l_quantity,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+          FROM lineitem GROUP BY 1),
+        c AS (
+          SELECT l_quantity,
+                 sum(w) OVER (ORDER BY l_quantity ASC
+                              ROWS UNBOUNDED PRECEDING) AS cumw,
+                 sum(w) OVER () AS total
+          FROM per_qty),
+        rungs AS (
+          SELECT c.*, p FROM c,
+            (SELECT unnest([10, 25, 50, 75, 90]) AS p) ps)
+        SELECT p,
+               min(l_quantity) AS weighted_quantile_qty,
+               CAST(max(total) AS DECIMAL(18,2)) AS total_weight
+        FROM rungs WHERE cumw * 100 >= p * total
+        GROUP BY p
+    """,
     "q_lorenz_deciles": f"""
         WITH rev AS (
           SELECT o_custkey,
@@ -5351,6 +5371,43 @@ ORACLES: dict[str, str] = {
                {pround_sql('(sy - slope * sx) / CAST(k AS DOUBLE)', 6)}
                  AS log_intercept
         FROM fit
+    """,
+    "q_embedding_dim_profile": f"""
+        WITH flat AS (
+          SELECT CAST(f AS INT) AS dim,
+                 CAST(floor(CAST(embedding AS DOUBLE[])[CAST(f AS INT)]
+                            * 1000000.0 + 0.5) AS BIGINT) AS u
+          FROM embeddings,
+               unnest(range(1, len(embedding) + 1)) AS t(f)),
+        g AS (
+          SELECT dim,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(u AS HUGEINT)) AS HUGEINT) AS s1,
+                 CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS s2,
+                 CAST(min(u) AS BIGINT) AS mn,
+                 CAST(max(u) AS BIGINT) AS mx,
+                 CAST(SUM(CASE WHEN u = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_zero
+          FROM flat GROUP BY 1)
+        SELECT dim, n,
+               {pround_sql(
+                   'CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6', 6
+               )} AS mean,
+               {pround_sql(
+                   'sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)'
+                   ' - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))'
+                   '   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))'
+                   ' / 1e12)', 6)} AS std,
+               {pround_sql('CAST(mn AS DOUBLE) / 1e6', 6)} AS min,
+               {pround_sql('CAST(mx AS DOUBLE) / 1e6', 6)} AS max,
+               {pround_sql(
+                   'CAST(n_zero AS DOUBLE) / CAST(n AS DOUBLE)', 6
+               )} AS zero_fraction,
+               sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12)
+                 < 1e-3 AS is_dead_dim
+        FROM g
     """,
     "q_knn_probe_accuracy": f"""
         WITH em AS (

@@ -154,7 +154,8 @@ _SHOWCASE: tuple[str, ...] = (
     "q_srm_check", "q_seasonal_decompose", "q_sequence_pairs",
     "q_csv_malformed_audit", "q_seasonal_anomalies",
     "q_catalog_coverage", "q_knn_probe_accuracy", "q_hybrid_search",
-    "q_ts_strength",
+    "q_ts_strength", "q_embedding_dim_profile",
+    "q_weighted_quantile_ladder",
     # round-8b batch, never sampled (verdict priority #1) — including
     # the three carrying this round's ADVICE fixes (q_vector_medoid,
     # q_calibration_applied, q_encoding_advisor)
@@ -166,11 +167,11 @@ _SHOWCASE: tuple[str, ...] = (
     "q_mann_kendall",
     "q_ece",
     # stats / drift / experimentation tail
-    "q_kendall_tau", "q_ks_by_segment", "q_cramers_v",
+    "q_kendall_tau", "q_ks_by_segment",
     # ranking / scoring eval
     "q_brier_score", "q_log_loss", "q_auc_by_segment",
     # BI concentration
-    "q_hhi", "q_lorenz_deciles", "q_weighted_median",
+    "q_hhi", "q_lorenz_deciles",
     # graph
     "q_hits", "q_degree_distribution",
     # formats / physical layout
@@ -10572,6 +10573,58 @@ def q_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_embedding_dim_profile")
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE PROFILING, per DIMENSION — the pre-index audit
+    that catches dead dimensions (std≈0: wasted index bytes and a
+    whitening division-by-zero waiting to happen), dominant dimensions
+    (one coordinate swamping the L2 metric), and zero-inflation
+    (ReLU-style sparsity changes which ANN layout wins): per dim,
+    exact-micro-int mean, std, min, max, and the zero fraction, plus
+    the dead-dim flag at the 1e-3 std floor.  One posexplode to the
+    (dim, value) grain, one 64-group aggregate over exact integer
+    power sums (DECIMAL(38,0) — Σx² at micro scale overflows bigint
+    past ~10M vectors), every emitted double one pinned expression.
+    The whitening/normalization decision input upstream of
+    q_embed_normalize and the PQ family.  Scale shape: one scan, one
+    bounded 64-group shuffle with map-side partials."""
+    from .operators.kmeans import quantize_micro
+
+    em = T(spark, sf_dir, "embeddings").select(
+        F.posexplode(quantize_micro("embedding")).alias("dim0", "u")
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = em.groupBy((F.col("dim0") + 1).alias("dim")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dd(F.col("u"))).cast("decimal(38,0)").alias("s1"),
+        F.sum(dd(F.col("u")) * dd(F.col("u"))).cast("decimal(38,0)")
+        .alias("s2"),
+        F.min("u").cast("bigint").alias("mn"),
+        F.max("u").cast("bigint").alias("mx"),
+        F.sum((F.col("u") == 0).cast("bigint")).cast("bigint")
+        .alias("n_zero"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n / F.lit(1e6)
+    var = (
+        F.col("s2").cast("double") / n
+        - (F.col("s1").cast("double") / n)
+        * (F.col("s1").cast("double") / n)
+    ) / F.lit(1e12)
+    return g.select(
+        "dim",
+        "n",
+        pround(mean, 6).alias("mean"),
+        pround(F.sqrt(var), 6).alias("std"),
+        pround(F.col("mn").cast("double") / F.lit(1e6), 6).alias("min"),
+        pround(F.col("mx").cast("double") / F.lit(1e6), 6).alias("max"),
+        pround(
+            F.col("n_zero").cast("double") / n, 6
+        ).alias("zero_fraction"),
+        (F.sqrt(var) < F.lit(1e-3)).alias("is_dead_dim"),
+    )
+
+
 @q("q_semantic_outliers")
 def q_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING QA — the mislabel/outlier sweep run before semantic
@@ -12239,6 +12292,44 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.filter(F.col("cumw") * 2 >= F.col("total"))
         .groupBy("l_returnflag")
         .agg(F.min("l_quantity").alias("weighted_median_qty"))
+    )
+
+
+@q("q_weighted_quantile_ladder")
+def q_weighted_quantile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quantile ladder — q_weighted_median generalized to
+    p ∈ {10, 25, 50, 75, 90}: the smallest quantity at which p% of the
+    REVENUE weight accumulates (what "median order size" should mean
+    when orders differ 100× in value; the inventory-planning ladder).
+    Same collapse-first shape: the fact table folds to the ~50-row
+    (quantity, Σweight) grain before any ordered work, the DECIMAL
+    cumulative sum runs on that tiny frame, and each rung is the exact
+    integer crossing 100·cumw ≥ p·total — no interpolation, no float
+    rank, engine-unambiguous.  The p-rung table is a 5-row literal
+    exploded against the grain (never a driver loop)."""
+    li = T(spark, sf_dir, "lineitem")
+    per_qty = li.groupBy("l_quantity").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w")
+    )
+    ordw = Window.orderBy(F.col("l_quantity").asc())  # ~50-row grain
+    cum = per_qty.withColumn(
+        "cumw",
+        F.sum("w").over(
+            ordw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("total", F.sum("w").over(Window.partitionBy()))
+    ps = F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 75, 90)]))
+    rungs = cum.select("*", ps.alias("p"))
+    return (
+        rungs.filter(F.col("cumw") * 100 >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(
+            F.min("l_quantity").alias("weighted_quantile_qty"),
+            F.max(F.col("total").cast("decimal(18,2)")).alias(
+                "total_weight"
+            ),
+        )
+        .orderBy("p")
     )
 
 
