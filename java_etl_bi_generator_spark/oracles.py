@@ -10509,3 +10509,57 @@ ORACLES.update({
         ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 200
     """,
 })
+
+# Round-9 continuation: cross-lingual contamination + the quality
+# frontier (both reuse the shared token/shingle/quality macros above).
+ORACLES.update({
+    "q_cross_lingual_contamination": f"""
+        WITH docs AS (
+          SELECT doc_id, lang, {_TOKENS} AS toks
+          FROM documents WHERE trim(text) <> ''),
+        sh AS (
+          SELECT doc_id, lang, unnest(list_distinct({_SHINGLES5})) AS g
+          FROM docs),
+        pairs AS (
+          SELECT a.lang AS lang_a, b.lang AS lang_b, a.g,
+                 a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b
+            ON a.g = b.g AND a.lang < b.lang)
+        SELECT lang_a, lang_b,
+               CAST(count(DISTINCT g) AS BIGINT) AS n_shared_shingles,
+               CAST(count(DISTINCT (doc_a, doc_b)) AS BIGINT)
+                 AS n_doc_pairs
+        FROM pairs GROUP BY 1, 2
+    """,
+    "q_quality_token_frontier": f"""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST({_N_TOKENS} AS BIGINT) AS n_tok,
+                 {pround_sql(_QUALITY_EXPR, 6)} AS q
+          FROM documents WHERE trim(text) <> ''),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY q ASC, doc_id ASC)
+                      AS r,
+                 count(*) OVER () AS n
+          FROM scored),
+        tiled AS (
+          SELECT *, CAST((r - 1) * 10 // n + 1 AS INT) AS decile
+          FROM ranked),
+        per AS (
+          SELECT decile,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS tokens,
+                 {pround_sql(
+                     'CAST(SUM(CAST(floor(q * 1e6 + 0.5) AS BIGINT))'
+                     ' AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)', 6
+                 )} AS mean_quality
+          FROM tiled GROUP BY 1)
+        SELECT decile, n_docs, tokens, mean_quality,
+               {pround_sql(
+                   'CAST(sum(tokens) OVER (ORDER BY decile DESC'
+                   ' ROWS UNBOUNDED PRECEDING) AS DOUBLE)'
+                   ' / CAST(sum(tokens) OVER () AS DOUBLE)', 6
+               )} AS cum_token_share_kept
+        FROM per
+    """,
+})

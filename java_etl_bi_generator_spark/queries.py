@@ -155,7 +155,8 @@ _SHOWCASE: tuple[str, ...] = (
     "q_csv_malformed_audit", "q_seasonal_anomalies",
     "q_catalog_coverage", "q_knn_probe_accuracy", "q_hybrid_search",
     "q_ts_strength", "q_embedding_dim_profile",
-    "q_weighted_quantile_ladder",
+    "q_weighted_quantile_ladder", "q_cross_lingual_contamination",
+    "q_quality_token_frontier",
     # round-8b batch, never sampled (verdict priority #1) — including
     # the three carrying this round's ADVICE fixes (q_vector_medoid,
     # q_calibration_applied, q_encoding_advisor)
@@ -167,9 +168,9 @@ _SHOWCASE: tuple[str, ...] = (
     "q_mann_kendall",
     "q_ece",
     # stats / drift / experimentation tail
-    "q_kendall_tau", "q_ks_by_segment",
+    "q_kendall_tau",
     # ranking / scoring eval
-    "q_brier_score", "q_log_loss", "q_auc_by_segment",
+    "q_brier_score", "q_log_loss",
     # BI concentration
     "q_hhi", "q_lorenz_deciles",
     # graph
@@ -14694,6 +14695,122 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("is_contaminated"),
     )
+
+
+@q("q_cross_lingual_contamination")
+def q_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTILINGUAL LEAKAGE AUDIT — 5-gram shingles shared across
+    documents of DIFFERENT declared languages: in a multilingual
+    corpus these are untranslated boilerplate, code-switched spans, or
+    outright mislabeled documents (the mC4/ROOTS-era cleanup step a
+    per-language dedup silently misses because it never joins across
+    partitions).  Per unordered language pair: how many distinct
+    shingles are shared and how many (doc_a, doc_b) cross-language
+    pairs they induce.  Scale shape: one shingle explode, the
+    candidate join is SHUFFLE-ON-SHINGLE (never all-pairs — identical
+    to the decontamination layout), the lang_a < lang_b
+    canonicalization halves the pair frame, and both outputs are
+    count-distinct aggregates at the language-pair grain."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    sh = cut_lineage(
+        docs.repartition("doc_id").select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(word_shingles("text", 5))
+            ).alias("g"),
+        )
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("g").alias("g2"),
+    )
+    pairs = sh.join(
+        b,
+        (F.col("g") == F.col("g2")) & (F.col("lang") < F.col("lang_b")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("lang").alias("lang_a"), F.col("lang_b")
+        )
+        .agg(
+            F.countDistinct("g").cast("bigint").alias(
+                "n_shared_shingles"
+            ),
+            F.countDistinct("doc_id", "doc_b").cast("bigint").alias(
+                "n_doc_pairs"
+            ),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+@q("q_quality_token_frontier")
+def q_quality_token_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER THRESHOLD CURVE — the quantity/quality frontier
+    every pretraining-filter decision reads before picking a cutoff
+    (filter too hard and the token budget starves; too soft and junk
+    trains): documents ranked into quality DECILES (ntile over the
+    pinned heuristic score, doc_id tie-break — a total order), per
+    decile the doc count, token mass, mean score, and the CUMULATIVE
+    token share kept if the threshold were set at that decile
+    (descending: decile 10 = best).  The decision companion to
+    q_gopher_quality_rules' hard gates and q_corpus_filter's keep set.
+    Exact integer token masses; shares pinned.  Scale shape: one
+    tokenized scan; the decile is RANK ARITHMETIC over the
+    DISTRIBUTED two-phase global rank (operators/rank.py — never a
+    single-partition ntile window), cumulation at the 10-row decile
+    grain."""
+    from .operators.rank import global_rank
+
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    scored = docs.select(
+        "doc_id",
+        token_count_of(tokens("text")).cast("bigint").alias("n_tok"),
+        pround(quality_score("text"), 6).alias("q"),
+    )
+    ranked = global_rank(
+        scored,
+        [F.col("q").asc(), F.col("doc_id").asc()],
+        rank_col="__r",
+        total_col="__n",
+    )
+    tiled = ranked.withColumn(
+        "decile",
+        F.expr("CAST((__r - 1) * 10 div __n + 1 AS INT)"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens"),
+        # mean over the exact 1e-6 integer grid (dsum discipline — a
+        # raw avg() of doubles is an order-dependent float sum)
+        pround(
+            F.sum(
+                F.floor(F.col("q") * F.lit(1e6) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_quality"),
+    )
+    wd = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # 10-row grain
+    tot = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n_docs",
+        "tokens",
+        "mean_quality",
+        pround(
+            F.sum("tokens").over(wd).cast("double")
+            / F.sum("tokens").over(tot).cast("double"),
+            6,
+        ).alias("cum_token_share_kept"),
+    ).orderBy("decile")
 
 
 @q("q_gopher_quality_rules")
