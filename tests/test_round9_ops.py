@@ -443,3 +443,37 @@ def test_weighted_quantile_ladder_monotone(spark, sf_dir):
     assert [r["p"] for r in rows] == [10, 25, 50, 75, 90]
     qtys = [r["weighted_quantile_qty"] for r in rows]
     assert qtys == sorted(qtys)
+
+
+def test_cross_lingual_pairs_canonical(spark, sf_dir):
+    """Language pairs canonical (a < b) with positive counts; shingle
+    count bounds the doc-pair count from below per pair is NOT
+    required (many docs can share one shingle) but both are >= 1."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = registry()["q_cross_lingual_contamination"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["lang_a"] < r["lang_b"]
+        assert r["n_shared_shingles"] >= 1
+        assert r["n_doc_pairs"] >= 1
+
+
+def test_quality_token_frontier_shape(spark, sf_dir):
+    """10 deciles; mean quality non-decreasing in decile; cumulative
+    kept-share decreasing as the cutoff rises and reaching 1.0 at
+    decile 1 (keep everything)."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = sorted(
+        registry()["q_quality_token_frontier"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    means = [r["mean_quality"] for r in rows]
+    assert means == sorted(means)
+    shares = [r["cum_token_share_kept"] for r in rows]
+    assert abs(shares[0] - 1.0) < 1e-6
+    assert shares == sorted(shares, reverse=True)
