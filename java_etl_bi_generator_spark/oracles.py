@@ -5649,6 +5649,49 @@ ORACLES: dict[str, str] = {
                )} AS avg_precision
         FROM c2
     """,
+    "q_threshold_selection": f"""
+        WITH {_CHURN_SCORED_LABELED_SQL},
+        b AS (
+          SELECT CAST(LEAST(s6 // 50000, 19) AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(label) AS BIGINT) AS pos
+          FROM j GROUP BY 1),
+        cum AS (
+          SELECT bucket,
+                 CAST(SUM(pos) OVER wd AS BIGINT) AS tp,
+                 CAST(SUM(n) OVER wd - SUM(pos) OVER wd AS BIGINT)
+                   AS fp,
+                 CAST(SUM(pos) OVER () AS BIGINT) AS p_all,
+                 CAST(SUM(n) OVER () - SUM(pos) OVER () AS BIGINT)
+                   AS n_all
+          FROM b
+          WINDOW wd AS (ORDER BY bucket DESC
+                        ROWS UNBOUNDED PRECEDING)),
+        m AS (
+          SELECT bucket, tp, fp,
+                 CAST(p_all - tp AS BIGINT) AS fn,
+                 CAST(n_all - fp AS BIGINT) AS tn,
+                 CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE)
+                 - CAST(fp AS DOUBLE) / CAST(n_all AS DOUBLE) AS jstat,
+                 2.0 * CAST(tp AS DOUBLE)
+                 / CAST(2 * tp + fp + (p_all - tp) AS DOUBLE) AS f1,
+                 CAST(5 * (p_all - tp) + fp AS BIGINT) AS cost
+          FROM cum)
+        SELECT 'youden_j' AS criterion,
+               bucket AS threshold_bucket,
+               {pround_sql('jstat', 6)} AS value, tp, fp, fn, tn
+        FROM m QUALIFY row_number() OVER (ORDER BY jstat DESC,
+                                          bucket ASC) = 1
+        UNION ALL
+        SELECT 'f1', bucket, {pround_sql('f1', 6)}, tp, fp, fn, tn
+        FROM m QUALIFY row_number() OVER (ORDER BY f1 DESC,
+                                          bucket ASC) = 1
+        UNION ALL
+        SELECT 'min_cost_fn5', bucket,
+               {pround_sql('CAST(cost AS DOUBLE)', 6)}, tp, fp, fn, tn
+        FROM m QUALIFY row_number() OVER (ORDER BY cost ASC,
+                                          bucket ASC) = 1
+    """,
     "q_ece": f"""
         WITH {_CHURN_SCORED_LABELED_SQL},
         b AS (

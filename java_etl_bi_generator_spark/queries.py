@@ -156,7 +156,7 @@ _SHOWCASE: tuple[str, ...] = (
     "q_catalog_coverage", "q_knn_probe_accuracy", "q_hybrid_search",
     "q_ts_strength", "q_embedding_dim_profile",
     "q_weighted_quantile_ladder", "q_cross_lingual_contamination",
-    "q_quality_token_frontier",
+    "q_quality_token_frontier", "q_threshold_selection",
     # round-8b batch, never sampled (verdict priority #1) — including
     # the three carrying this round's ADVICE fixes (q_vector_medoid,
     # q_calibration_applied, q_encoding_advisor)
@@ -174,7 +174,7 @@ _SHOWCASE: tuple[str, ...] = (
     # BI concentration
     "q_hhi", "q_lorenz_deciles",
     # graph
-    "q_hits", "q_degree_distribution",
+    "q_hits",
     # formats / physical layout
     "q_managed_table", "q_orc_roundtrip",
     "q_union_schema_evolution",
@@ -10878,6 +10878,92 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(
             F.sum("__t9").over(wall).cast("double") / F.lit(1e9), 6
         ).alias("avg_precision"),
+    )
+
+
+@q("q_threshold_selection")
+def q_threshold_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPERATING-POINT SELECTION — the step after the ROC/PR tables
+    that actually ships: pick the score threshold under three
+    criteria a deployment might optimize — Youden's J = TPR − FPR
+    (the screening/balanced choice), F1 (the retrieval choice), and
+    minimum asymmetric cost with FN:FP = 5:1 (the churn-intervention
+    choice: losing a customer costs ~5 outreach emails).  One bucket
+    aggregation (the q_roc_curve cumulative machinery), then each
+    criterion is an argmax/argmin over the 20-row bucket grain with
+    bucket-ascending tie-break; J and F1 compare as identical pinned
+    IEEE expressions, cost as exact integers.  Output: one row per
+    criterion with the chosen bucket and its full confusion counts —
+    the three rows disagreeing is the point (there is no single
+    'best' threshold; the criterion is a business decision)."""
+    scored = _churn_scored_labeled(spark, sf_dir)
+    g = (
+        scored.withColumn(
+            "bucket", F.expr("CAST(least(__s6 div 50000, 19) AS INT)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+    )
+    wdesc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = g.select(
+        "bucket",
+        F.sum("pos").over(wdesc).cast("bigint").alias("tp"),
+        (F.sum("n").over(wdesc) - F.sum("pos").over(wdesc))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum("pos").over(wall).cast("bigint").alias("p_all"),
+        (F.sum("n").over(wall) - F.sum("pos").over(wall))
+        .cast("bigint")
+        .alias("n_all"),
+    ).select(
+        "*",
+        (F.col("p_all") - F.col("tp")).cast("bigint").alias("fn"),
+        (F.col("n_all") - F.col("fp")).cast("bigint").alias("tn"),
+    )
+    j_ = (
+        F.col("tp").cast("double") / F.col("p_all").cast("double")
+        - F.col("fp").cast("double") / F.col("n_all").cast("double")
+    )
+    f1_ = (
+        F.lit(2.0) * F.col("tp").cast("double")
+        / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+    )
+    cost_ = (F.lit(5) * F.col("fn") + F.col("fp")).cast("bigint")
+    metrics = cum.select(
+        "bucket", "tp", "fp", "fn", "tn",
+        j_.alias("__j"), f1_.alias("__f1"), cost_.alias("__cost"),
+    )
+
+    def pick(order_cols, criterion, value_col):
+        w = Window.orderBy(*order_cols)
+        return (
+            metrics.withColumn("__r", F.row_number().over(w))  # 20 rows
+            .filter(F.col("__r") == 1)
+            .select(
+                F.lit(criterion).alias("criterion"),
+                F.col("bucket").alias("threshold_bucket"),
+                pround(value_col.cast("double"), 6).alias("value"),
+                "tp", "fp", "fn", "tn",
+            )
+        )
+
+    return (
+        pick([F.col("__j").desc(), F.col("bucket").asc()],
+             "youden_j", F.col("__j"))
+        .unionAll(
+            pick([F.col("__f1").desc(), F.col("bucket").asc()],
+                 "f1", F.col("__f1"))
+        )
+        .unionAll(
+            pick([F.col("__cost").asc(), F.col("bucket").asc()],
+                 "min_cost_fn5", F.col("__cost"))
+        )
     )
 
 
