@@ -477,3 +477,20 @@ def test_quality_token_frontier_shape(spark, sf_dir):
     shares = [r["cum_token_share_kept"] for r in rows]
     assert abs(shares[0] - 1.0) < 1e-6
     assert shares == sorted(shares, reverse=True)
+
+
+def test_threshold_selection_criteria_valid(spark, sf_dir):
+    """Three criteria rows; confusion counts internally consistent;
+    Youden's J value reconciles with its own counts."""
+    from java_etl_bi_generator_spark.queries import registry
+
+    rows = {r["criterion"]: r for r in
+            registry()["q_threshold_selection"](spark, sf_dir).collect()}
+    assert set(rows) == {"youden_j", "f1", "min_cost_fn5"}
+    for r in rows.values():
+        assert r["tp"] >= 0 and r["fp"] >= 0
+        assert 0 <= r["threshold_bucket"] <= 19
+    j = rows["youden_j"]
+    p = j["tp"] + j["fn"]
+    n = j["fp"] + j["tn"]
+    assert abs(j["value"] - (j["tp"] / p - j["fp"] / n)) < 1e-5
