@@ -84,6 +84,22 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             sp_cols = df.columns
+            # Driver-canonicalization gotcha (r9 board regression): this
+            # harness canonicalizes Spark DECIMAL and DuckDB HUGEINT to
+            # the same digit string (canon_value -> str), but the DRIVER
+            # does not — a decimal-typed output column can be green here
+            # and red on the board.  tests/test_output_schemas.py pins
+            # the invariant; warn loudly if one slips through anyway.
+            for fld in df.schema.fields:
+                if "decimal" in fld.dataType.simpleString():
+                    print(
+                        f"WARN  {name:28s} output column '{fld.name}' is "
+                        f"{fld.dataType.simpleString()} — local parity "
+                        "canonicalizes DECIMAL/HUGEINT identically but "
+                        "the driver does NOT (r9 board: 3 such queries "
+                        "hash-mismatched while locally bit-exact); "
+                        "narrow to BIGINT or canonical string"
+                    )
             sp_rows = [tuple(r) for r in df.collect()]
         except Exception:
             print(f"FAIL  {name:28s} spark error:")

@@ -4549,8 +4549,8 @@ ORACLES: dict[str, str] = {
           GROUP BY 1)
         SELECT cd.l_returnflag,
                CAST(mx.n AS BIGINT) AS n_rows,
-               CAST(c_pairs AS DECIMAL(38,0)) AS concordant,
-               CAST(d_pairs AS DECIMAL(38,0)) AS discordant,
+               CAST(CAST(c_pairs AS HUGEINT) AS VARCHAR) AS concordant,
+               CAST(CAST(d_pairs AS HUGEINT) AS VARCHAR) AS discordant,
                {pround_sql(
                    '2.0 * CAST(c_pairs - d_pairs AS DOUBLE)'
                    ' / sqrt(CAST(n * (n - 1) - t1 AS DOUBLE)'
@@ -4818,7 +4818,8 @@ ORACLES: dict[str, str] = {
             (SELECT unnest([10, 25, 50, 75, 90]) AS p) ps)
         SELECT p,
                min(l_quantity) AS weighted_quantile_qty,
-               CAST(max(total) AS DECIMAL(18,2)) AS total_weight
+               CAST(CAST(max(total) AS DECIMAL(18,2)) AS VARCHAR)
+                 AS total_weight
         FROM rungs WHERE cumw * 100 >= p * total
         GROUP BY p
     """,
@@ -5340,31 +5341,31 @@ ORACLES: dict[str, str] = {
                       AS BIGINT) AS r, c
           FROM top),
         terms AS (
-          SELECT r, c,
-                 ln(CAST(r AS DOUBLE)) AS x,
-                 ln(CAST(c AS DOUBLE)) AS y
+          -- per-point lns pinned to the x1e6 grid with +0.5 FIRST
+          -- (the q_moore_lewis discipline); OLS moments are then
+          -- exact integer products of the pinned values
+          SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT) AS x6,
+                 CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT) AS y6
           FROM ranked),
         sums AS (
           SELECT CAST(count(*) AS BIGINT) AS k,
-                 CAST(SUM(CAST(floor(x * 1e9) AS BIGINT)) AS BIGINT)
-                   AS sx9,
-                 CAST(SUM(CAST(floor(y * 1e9) AS BIGINT)) AS BIGINT)
-                   AS sy9,
-                 CAST(SUM(CAST(floor(x * x * 1e9) AS BIGINT)) AS BIGINT)
-                   AS sxx9,
-                 CAST(SUM(CAST(floor(x * y * 1e9) AS BIGINT)) AS BIGINT)
-                   AS sxy9
+                 CAST(SUM(x6) AS BIGINT) AS sx6,
+                 CAST(SUM(y6) AS BIGINT) AS sy6,
+                 CAST(SUM(x6 * x6) AS BIGINT) AS sxx12,
+                 CAST(SUM(x6 * y6) AS BIGINT) AS sxy12
           FROM terms),
         fit AS (
           SELECT k,
-                 (CAST(k AS DOUBLE) * (CAST(sxy9 AS DOUBLE) / 1e9)
-                  - (CAST(sx9 AS DOUBLE) / 1e9)
-                    * (CAST(sy9 AS DOUBLE) / 1e9))
-                 / (CAST(k AS DOUBLE) * (CAST(sxx9 AS DOUBLE) / 1e9)
-                    - (CAST(sx9 AS DOUBLE) / 1e9)
-                      * (CAST(sx9 AS DOUBLE) / 1e9)) AS slope,
-                 CAST(sx9 AS DOUBLE) / 1e9 AS sx,
-                 CAST(sy9 AS DOUBLE) / 1e9 AS sy
+                 (CAST(k AS DOUBLE) * (CAST(sxy12 AS DOUBLE) / 1e12)
+                  - (CAST(sx6 AS DOUBLE) / 1e6)
+                    * (CAST(sy6 AS DOUBLE) / 1e6))
+                 / (CAST(k AS DOUBLE) * (CAST(sxx12 AS DOUBLE) / 1e12)
+                    - (CAST(sx6 AS DOUBLE) / 1e6)
+                      * (CAST(sx6 AS DOUBLE) / 1e6)) AS slope,
+                 CAST(sx6 AS DOUBLE) / 1e6 AS sx,
+                 CAST(sy6 AS DOUBLE) / 1e6 AS sy
           FROM sums)
         SELECT k AS n_points,
                {pround_sql('slope', 6)} AS zipf_slope,
@@ -5394,19 +5395,19 @@ ORACLES: dict[str, str] = {
                    'CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6', 6
                )} AS mean,
                {pround_sql(
-                   'sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)'
+                   'sqrt(greatest((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)'
                    ' - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))'
                    '   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))'
-                   ' / 1e12)', 6)} AS std,
+                   ' / 1e12, 0.0))', 6)} AS std,
                {pround_sql('CAST(mn AS DOUBLE) / 1e6', 6)} AS min,
                {pround_sql('CAST(mx AS DOUBLE) / 1e6', 6)} AS max,
                {pround_sql(
                    'CAST(n_zero AS DOUBLE) / CAST(n AS DOUBLE)', 6
                )} AS zero_fraction,
-               sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+               sqrt(greatest((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12)
-                 < 1e-3 AS is_dead_dim
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12,
+                 0.0)) < 1e-3 AS is_dead_dim
         FROM g
     """,
     "q_knn_probe_accuracy": f"""
@@ -5798,7 +5799,7 @@ ORACLES: dict[str, str] = {
           )} AS h
           FROM orders)
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(SUM(h) AS HUGEINT) AS checksum_sum,
+               CAST(CAST(SUM(h) AS HUGEINT) AS VARCHAR) AS checksum_sum,
                CAST(bit_xor(h) AS BIGINT) AS checksum_xor
         FROM c
     """,
@@ -7186,8 +7187,8 @@ ORACLES: dict[str, str] = {
                  CAST(SUM(CAST(d1 AS HUGEINT) * d2) AS HUGEINT) AS s3
           FROM ed)
         SELECT m,
-               s1 AS s_sum,
-               s3 AS s_prod,
+               CAST(s1 AS BIGINT) AS s_sum,
+               CAST(s3 AS BIGINT) AS s_prod,
                CASE WHEN 2 * CAST(m AS HUGEINT) * s2 - s1 * s1 != 0
                     THEN {pround_sql(
                         'CAST(4 * CAST(m AS HUGEINT) * s3 - s1 * s1'

@@ -11,6 +11,14 @@ names (and, where float, pinned values) match the DuckDB oracle in
   functions/rounding.py);
 - timestamps are emitted as epoch-second bigints or ISO strings, never raw
   timestamp columns;
+- NO DecimalType in any OUTPUT schema (r9 driver board: the driver's
+  result canonicalization renders Spark DECIMAL(38,0) differently from
+  DuckDB HUGEINT — q_graph_assortativity / q_table_checksum /
+  q_kendall_tau all hash-mismatched on exactly those columns while being
+  locally bit-exact).  DECIMAL stays an INTERNAL accumulator type; outputs
+  narrow to BIGINT where values fit at every certified SF, else emit the
+  canonical digit STRING (identical in both engines at any scale).
+  Pinned registry-wide by tests/test_output_schemas.py;
 - every computed column is aliased, matching the oracle's ``AS`` name.
 
 Reference citations (``FullETLGenerator.java:NN``) mark reference-derived
@@ -6862,10 +6870,18 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline): with integer edge sums S1=Σ(j+k), S2=Σ(j²+k²),
     S3=Σj·k over the M distinct canonical edges,
     r = (4M·S3 − S1²) / (2M·S2 − S1²) — every term a DECIMAL(38,0)
-    integer, ONE pinned division at the end, so the float statistic
-    hash-checks cross-engine.  Scale shape: basket-bounded pair
-    expansion, one node-grain degree aggregate joined back to edges
-    (AQE broadcasts it), one 1-row sum."""
+    integer INTERNALLY, ONE pinned division at the end, so the float
+    statistic hash-checks cross-engine.  The driver-visible s_sum/s_prod
+    columns are BIGINT (r9 driver board: DECIMAL(38,0) outputs diverge
+    in driver result-canonicalization vs DuckDB HUGEINT — the r6
+    q_kmeans_cells hardening): S1 ≤ 2M·max_deg and S3 ≤ M·max_deg² fit
+    int64 comfortably at every certified SF; past ~1e18 (hub degrees
+    ~1e6 over ~1e12 edges) switch these two outputs to the canonical
+    string form q_kendall_tau uses.  Scale shape: basket-bounded pair
+    expansion; M/S1/S2 come from the node-grain degree frame ALONE
+    (M = Σd/2, S1 = Σd², S2 = Σd³ — handshake identities, no join),
+    so the edge join back to degrees (AQE broadcasts them) computes
+    only S3, one product per edge, one 1-row sum."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = cut_lineage(_basket_pair_rows(li).distinct())
     sym = edges.select(
@@ -6876,24 +6892,32 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.node", "e.nbr")
-    deg = sym.groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
+    deg = cut_lineage(
+        sym.groupBy("node").agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        ),
+        eager=False,
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Handshake identities at node grain: M = Σd/2, S1 = Σd², S2 = Σd³
+    # — only S3 = Σ_edges d1·d2 needs the edge⋈degree join.
+    degsums = deg.agg(
+        F.expr("sum(d) DIV 2").cast("bigint").alias("m"),
+        F.sum(dd(F.col("d")) * F.col("d")).cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(dd(F.col("d")) * F.col("d") * F.col("d"))
+        .cast("decimal(38,0)").alias("s2"),
     )
     d1 = deg.select(F.col("node").alias("p1"), F.col("d").alias("d1"))
     d2 = deg.select(F.col("node").alias("p2"), F.col("d").alias("d2"))
-    ed = edges.join(d1, "p1").join(d2, "p2")
-    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    sums = ed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum(dd(F.col("d1") + F.col("d2"))).cast("decimal(38,0)")
-        .alias("s1"),
-        F.sum(
-            dd(F.col("d1")) * dd(F.col("d1"))
-            + dd(F.col("d2")) * dd(F.col("d2"))
-        ).cast("decimal(38,0)").alias("s2"),
-        F.sum(dd(F.col("d1")) * dd(F.col("d2"))).cast("decimal(38,0)")
-        .alias("s3"),
+    s3row = (
+        edges.join(d1, "p1").join(d2, "p2")
+        .agg(
+            F.sum(dd(F.col("d1")) * dd(F.col("d2")))
+            .cast("decimal(38,0)").alias("s3")
+        )
     )
+    sums = degsums.crossJoin(F.broadcast(s3row))  # two 1-row frames
     num = (
         F.lit(4).cast("decimal(38,0)") * dd(F.col("m")) * F.col("s3")
         - F.col("s1") * F.col("s1")
@@ -6904,8 +6928,8 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sums.select(
         "m",
-        F.col("s1").cast("decimal(38,0)").alias("s_sum"),
-        F.col("s3").cast("decimal(38,0)").alias("s_prod"),
+        F.col("s1").cast("bigint").alias("s_sum"),
+        F.col("s3").cast("bigint").alias("s_prod"),
         F.when(
             den != 0,
             pround(num.cast("double") / den.cast("double"), 6),
@@ -10533,11 +10557,13 @@ def q_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(freq) on ln(rank): ranks come from orderBy+limit(100) (plans
     TakeOrderedAndProject — per-partition heaps, never a data-grain
     global sort) followed by a row_number over the ≤100-row frame (the
-    bounded-grain exemption); each OLS moment term ln(r)·ln(f),
-    ln(r)², ln(r), ln(f) is ONE pinned double over exact integer
-    counts, floored to a ×1e9 bigint before the order-free sum (the
-    dsum discipline), and slope/intercept are a single fixed-order
-    IEEE expression over those four integer sums.  Scale shape: one
+    bounded-grain exemption); each per-point ln is pinned FIRST to the
+    ×1e6 grid with +0.5 rounding (the q_moore_lewis discipline — JVM
+    Math.log and libm log are not guaranteed bit-identical, so a bare
+    floor of a downstream product could flip a grid cell; ADVICE r9),
+    and every OLS moment is then an EXACT integer product/sum of those
+    pinned values; slope/intercept are a single fixed-order IEEE
+    expression over the four integer sums.  Scale shape: one
     token-grain shuffle with map-side combine (stopword skew absorbed
     partially), then constant-size arithmetic."""
     docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
@@ -10551,21 +10577,25 @@ def q_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = top.select(
         F.row_number().over(wr).cast("bigint").alias("r"), "c"
     )
-    x = F.log(F.col("r").cast("double"))
-    y = F.log(F.col("c").cast("double"))
-    t9 = lambda e: F.floor(e * F.lit(1e9)).cast("bigint")  # noqa: E731
-    sums = ranked.agg(
+    p6 = lambda e: (  # noqa: E731
+        F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    )
+    pinned = ranked.select(
+        p6(F.log(F.col("r").cast("double"))).alias("x6"),
+        p6(F.log(F.col("c").cast("double"))).alias("y6"),
+    )
+    sums = pinned.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum(t9(x)).cast("bigint").alias("sx9"),
-        F.sum(t9(y)).cast("bigint").alias("sy9"),
-        F.sum(t9(x * x)).cast("bigint").alias("sxx9"),
-        F.sum(t9(x * y)).cast("bigint").alias("sxy9"),
+        F.sum("x6").cast("bigint").alias("sx6"),
+        F.sum("y6").cast("bigint").alias("sy6"),
+        F.sum(F.col("x6") * F.col("x6")).cast("bigint").alias("sxx12"),
+        F.sum(F.col("x6") * F.col("y6")).cast("bigint").alias("sxy12"),
     )
     kd = F.col("k").cast("double")
-    sx = F.col("sx9").cast("double") / F.lit(1e9)
-    sy = F.col("sy9").cast("double") / F.lit(1e9)
-    sxx = F.col("sxx9").cast("double") / F.lit(1e9)
-    sxy = F.col("sxy9").cast("double") / F.lit(1e9)
+    sx = F.col("sx6").cast("double") / F.lit(1e6)
+    sy = F.col("sy6").cast("double") / F.lit(1e6)
+    sxx = F.col("sxx12").cast("double") / F.lit(1e12)
+    sxy = F.col("sxy12").cast("double") / F.lit(1e12)
     slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
     return sums.select(
         F.col("k").alias("n_points"),
@@ -10607,11 +10637,17 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / n / F.lit(1e6)
-    var = (
-        F.col("s2").cast("double") / n
-        - (F.col("s1").cast("double") / n)
-        * (F.col("s1").cast("double") / n)
-    ) / F.lit(1e12)
+    # greatest(·,0): E[x²]−mean² can round to a tiny negative for a
+    # constant (dead) dim — Spark sqrt(neg)=NaN but the DuckDB oracle
+    # RAISES, so both sides clamp before sqrt (ADVICE r9).
+    var = F.greatest(
+        (
+            F.col("s2").cast("double") / n
+            - (F.col("s1").cast("double") / n)
+            * (F.col("s1").cast("double") / n)
+        ) / F.lit(1e12),
+        F.lit(0.0),
+    )
     return g.select(
         "dim",
         "n",
@@ -12393,7 +12429,11 @@ def q_weighted_quantile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum runs on that tiny frame, and each rung is the exact
     integer crossing 100·cumw ≥ p·total — no interpolation, no float
     rank, engine-unambiguous.  The p-rung table is a 5-row literal
-    exploded against the grain (never a driver loop)."""
+    exploded against the grain (never a driver loop).  total_weight is
+    emitted as the canonical scale-2 decimal STRING (r10: the registry
+    bans DecimalType outputs after the r9 driver-canonicalization
+    regression; both engines render DECIMAL(18,2) as identical
+    '123.45' strings)."""
     li = T(spark, sf_dir, "lineitem")
     per_qty = li.groupBy("l_quantity").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w")
@@ -12412,9 +12452,9 @@ def q_weighted_quantile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(
             F.min("l_quantity").alias("weighted_quantile_qty"),
-            F.max(F.col("total").cast("decimal(18,2)")).alias(
-                "total_weight"
-            ),
+            F.max(F.col("total").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("total_weight"),
         )
         .orderBy("p")
     )
@@ -12751,13 +12791,12 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join runs on the bounded cell grain, never on data grain.
     C, D and the tie terms accumulate in DECIMAL(38,0) (pair counts are
     O(N²) — past bigint at ~1e10 rows; DuckDB's HUGEINT matches), and
-    the concordant/discordant OUTPUTS stay DECIMAL(38,0) deliberately:
-    at 100 TB (~2e11 rows/flag) pair counts reach ~1e22 and a BIGINT
-    output would ANSI-overflow, so this is the one registry query whose
-    output carries DECIMAL — kept out of the driver showcase because
-    engine result-canonicalization of DECIMAL is the suspected round-5
-    q_kmeans_cells divergence (local hash-checks are exact either way);
-    the
+    the concordant/discordant OUTPUTS are emitted as canonical decimal
+    STRINGS (r10 hardening): at 100 TB (~2e11 rows/flag) pair counts
+    reach ~1e22 so a BIGINT output would ANSI-overflow, and driver
+    result-canonicalization renders Spark DECIMAL(38,0) differently
+    from DuckDB HUGEINT (the confirmed r9 board regression) — the
+    plain digit string is engine-neutral at every scale; the
     doubled-tie identity τ = 2(C−D)/√((t0−t1)(t0−t2)) with
     t = N(N−1)-style terms avoids any integer halving, and the one float
     expression at the end is fixed-order IEEE on identical exact sums,
@@ -12825,8 +12864,10 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n_rows"),
-        F.col("c_pairs").cast("decimal(38,0)").alias("concordant"),
-        F.col("d_pairs").cast("decimal(38,0)").alias("discordant"),
+        F.col("c_pairs").cast("decimal(38,0)").cast("string")
+        .alias("concordant"),
+        F.col("d_pairs").cast("decimal(38,0)").cast("string")
+        .alias("discordant"),
         pround(
             F.lit(2.0)
             * (F.col("c_pairs") - F.col("d_pairs")).cast("double")
@@ -13680,7 +13721,12 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (catches value corruption independent of the sum) — plus the row
     count.  Both digests are mergeable across partitions/shards with
     no ordering requirement: two sides of a replication agree iff the
-    triple agrees.  Scale shape: one scan, one 1-row aggregate —
+    triple agrees.  checksum_sum is EMITTED as its canonical decimal
+    string (r10 hardening): the value passes int64 at ~2e9 rows
+    (Σ of 32-bit hashes), and driver result-canonicalization renders
+    Spark DECIMAL(38,0) differently from DuckDB HUGEINT (the r9 board
+    regression) — the plain digit string is identical in both engines
+    at every scale.  Scale shape: one scan, one 1-row aggregate —
     map-side combinable, no shuffle of data rows."""
     od = T(spark, sf_dir, "orders")
     canon = F.concat_ws(
@@ -13698,6 +13744,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("h").cast("decimal(38,0)"))
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("checksum_sum"),
         F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
     )
