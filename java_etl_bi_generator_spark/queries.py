@@ -136,60 +136,51 @@ def q(name: str) -> Callable[[QueryFn], QueryFn]:
 # sketch/layout operators, and the distributed-rank family (q_rfm) —
 # instead of 50 variations on scan+project.
 _SHOWCASE: tuple[str, ...] = (
-    # Round-9 rotation (VERDICT r8 task 1: 203/409 registry queries had
-    # never been driver-sampled; union of CORRECTNESS_r01-r08 = 206).
-    # ONE repeat — q_star_flagship (the headline anchor) — and 49
-    # never-sampled entries, prioritizing the families the verdict
-    # named: the whole round-8b batch, the stats/drift/experimentation
-    # tail, ranking/retrieval eval, BI concentration, graph,
-    # format/layout, the TPC-H tail, and the text/LLM metrics.  Three
-    # of these (q_vector_medoid, q_calibration_applied,
-    # q_encoding_advisor) carry this round's ADVICE fixes, so the
-    # driver certifies the FIXED forms.  Everything rotated out stays
-    # hash-checked in the full check_parity.py sweep.
+    # Round-10 rotation (VERDICT r9 task 3: 177/432 registry queries
+    # had never been driver-sampled; union of CORRECTNESS_r01-r09 =
+    # 255).  FOUR repeats — q_star_flagship (the headline anchor) and
+    # the three r9 hash-FAILs (q_graph_assortativity, q_table_checksum,
+    # q_kendall_tau) whose DECIMAL(38,0) outputs were hardened to
+    # BIGINT/canonical-string this round and MUST be re-certified by
+    # the driver (VERDICT r9 task 1) — plus 46 never-sampled entries
+    # over the families the verdict named: the TPC-H tail, the dedup
+    # family, the stats tail, attribution, and governance, filled out
+    # with core ops/joins, text/LLM, vectors, and the two r9-rewritten
+    # event queries (q_rolling_distinct's sweepline, q_session_paths'
+    # bounded collects) so the driver certifies the rewritten forms.
+    # Everything rotated out stays hash-checked in the full
+    # check_parity.py sweep.
     #
-    # anchor
+    # anchor + the three DECIMAL re-certifications
     "q_star_flagship",
-    # round-9 capstones (brand new, never-sampled by construction):
-    # the promoted extensible-RIFF walk, the PR curve + AP, the Zipf
-    # exponent, degree assortativity, the freshness SLA audit, the
-    # token-budget allocator, embedding outliers, and the left-outer
-    # watermarked stream-stream join whose hash-check certifies the
-    # state-eviction rule itself
-    "q_media_wav_extensible", "q_pr_curve", "q_zipf_law",
-    "q_graph_assortativity", "q_data_freshness", "q_token_budget",
-    "q_semantic_outliers", "q_stream_join_outer", "q_moore_lewis",
-    "q_srm_check", "q_seasonal_decompose", "q_sequence_pairs",
-    "q_csv_malformed_audit", "q_seasonal_anomalies",
-    "q_catalog_coverage", "q_knn_probe_accuracy", "q_hybrid_search",
-    "q_ts_strength", "q_embedding_dim_profile",
-    "q_weighted_quantile_ladder", "q_cross_lingual_contamination",
-    "q_quality_token_frontier", "q_threshold_selection",
-    # round-8b batch, never sampled (verdict priority #1) — including
-    # the three carrying this round's ADVICE fixes (q_vector_medoid,
-    # q_calibration_applied, q_encoding_advisor)
-    "q_preference_pairs", "q_vector_medoid", "q_pii_extraction",
-    "q_binaryfile_ingest", "q_table_checksum", "q_did",
-    "q_simpson_paradox", "q_calibration_applied",
-    "q_media_bmp_histogram", "q_heaps_law", "q_encoding_advisor",
-    "q_quality_linear_scorer", "q_conformal_interval",
-    "q_mann_kendall",
-    "q_ece",
-    # stats / drift / experimentation tail
-    "q_kendall_tau",
-    # ranking / scoring eval
-    "q_brier_score", "q_log_loss",
-    # BI concentration
-    "q_hhi", "q_lorenz_deciles",
-    # graph
-    "q_hits",
-    # formats / physical layout
-    "q_managed_table", "q_orc_roundtrip",
-    "q_union_schema_evolution",
-    # TPC-H never-sampled tail
-    "q_tpch_q22",
+    "q_graph_assortativity", "q_table_checksum", "q_kendall_tau",
+    # TPC-H never-sampled tail (verdict priority)
+    "q_tpch_q12", "q_tpch_q13", "q_tpch_q15", "q_tpch_q16",
+    "q_tpch_q17", "q_tpch_q19", "q_tpch_q20", "q_tpch_refresh",
+    # dedup family
+    "q_dedup_cut", "q_dedup_containment", "q_dedup_near_clusters",
+    "q_dedup_prefix", "q_dedup_threshold_curve",
+    # stats / experimentation tail
+    "q_cramers_v", "q_cohens_kappa", "q_anomaly_mahalanobis",
+    "q_bootstrap_ci_by_segment", "q_gains_lift",
+    # attribution
+    "q_attribution_last_touch", "q_attribution_positional",
+    # governance / curation
+    "q_fairness_parity", "q_domain_mixing_weights", "q_cdc_chunking",
+    # core operator surfaces never sampled
+    "q_orderby", "q_topk", "q_union", "q_intersect",
+    "q_grouping_sets", "q_window_sliding", "q_math_funcs",
+    # join surfaces
+    "q_join_asof_forward", "q_join_interval_overlap",
+    "q_join_null_aware_anti", "q_join_cardinality_estimate",
     # text / LLM metrics
-    "q_oov_rate",
+    "q_bpe_pair_counts", "q_unigram_logprob", "q_langid_confusion",
+    "q_repetition_filter", "q_vocab_coverage_curve",
+    # vectors / embeddings
+    "q_embed_normalize", "q_embed_drift", "q_minhash_accuracy",
+    # event / time-series (incl. the two r9 rewrites)
+    "q_rolling_distinct", "q_session_paths", "q_retention_cohort",
+    "q_scd2_build",
 )
 assert len(_SHOWCASE) == 50, len(_SHOWCASE)
 
