@@ -8932,6 +8932,38 @@ ORACLES.update({
         SELECT vec_id, cosine FROM scored JOIN cand USING (vec_id)
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
+    "q_ivf_recall": f"""
+        WITH x AS (SELECT vec_id,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                      + 0.5) AS BIGINT) AS xi FROM embeddings),
+        qm AS (SELECT pos, xi AS qi FROM x WHERE vec_id = 0),
+        cents AS (
+          SELECT label, pos,
+                 CAST((sx - ((sx % n) + n) % n) // n AS BIGINT) AS ci
+          FROM (SELECT e.label, x.pos, sum(x.xi) AS sx, count(*) AS n
+                FROM x JOIN embeddings e USING (vec_id) GROUP BY 1, 2)),
+        probe AS (
+          SELECT label FROM (
+            SELECT c.label, sum((c.ci - qm.qi) * (c.ci - qm.qi)) AS d
+            FROM cents c JOIN qm USING (pos) GROUP BY 1)
+          ORDER BY d, label LIMIT 2),
+        cand AS (SELECT e.vec_id FROM embeddings e JOIN probe USING (label)),
+        {_cosine_scored_ctes()},
+        ivf AS (
+          SELECT vec_id FROM scored JOIN cand USING (vec_id)
+          ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+        exact AS (
+          SELECT vec_id FROM scored
+          ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+          (SELECT CAST(count(*) AS BIGINT) FROM ivf) AS n_ivf,
+          (SELECT CAST(count(*) AS BIGINT)
+           FROM exact JOIN ivf USING (vec_id)) AS n_overlap,
+          CAST((SELECT count(*) FROM exact JOIN ivf USING (vec_id))
+               AS DOUBLE) / 10.0 AS recall_at_10
+    """,
     "q_vector_topk_ivf_trained": f"""
         WITH {_kmeans_int_ctes(8, 2)},
         qm AS (SELECT pos, xi AS qi FROM x WHERE vec_id = 0),

@@ -7013,6 +7013,51 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_ivf_recall")
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate for the PLAIN-IVF retriever (r10 — VERDICT r9
+    task 7): recall@10 of q_vector_topk_ivf's probed-cell search
+    against the exact cosine top-10.  Hash-checkable for the same
+    reason q_ann_recall / q_ivfpq_recall are: the coarse quantizer is
+    the INTEGER label-cell centroid build (floor-divided micro-unit
+    means — cross-engine exact), probe selection is exact integer L2,
+    and both ranked lists use the pinned cosine — so the recall number
+    itself is deterministic.  Completes the per-retriever eval ladder:
+    LSH (q_ann_recall), IVF (this), PQ (q_pq_recall), IVF-PQ
+    (q_ivfpq_recall).  Scale shape: the IVF probe + one exact-top-k
+    corpus scan; the overlap join and counts run on ≤k rows."""
+    em = T(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    exact = brute_force_topk(em, qv, k=10).select(
+        "vec_id", F.lit(1).alias("in_e")
+    )
+    ivf = q_vector_topk_ivf(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("in_i")
+    )
+    j = exact.join(ivf, "vec_id", "full")
+    return j.agg(
+        F.sum(F.coalesce(F.col("in_e"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.coalesce(F.col("in_i"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ivf"),
+        F.sum(
+            F.coalesce(F.col("in_e"), F.lit(0))
+            * F.coalesce(F.col("in_i"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_overlap"),
+    ).select(
+        "n_exact",
+        "n_ivf",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.lit(10.0)).alias(
+            "recall_at_10"
+        ),
+    )
+
+
 @q("q_approx_percentile_hist")
 def q_approx_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-family approximation, ENGINE-EXACT variant: per-event-type
