@@ -8353,6 +8353,141 @@ ORACLES.update({
                  AS tokens_after_cap
         FROM k
     """,
+    "q_language_temperature_sampling": f"""
+        WITH pl AS (
+          SELECT lang, CAST(sum({_N_TOKENS}) AS BIGINT) AS tokens,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM pl),
+        -- ln(p) pinned to x1e6, exp(0.7*pinned) re-pinned to x1e6 so the
+        -- normalizing sum is order-free integer addition (mirrors Spark)
+        w AS (
+          SELECT pl.lang, pl.n_docs, pl.tokens, t.total_tokens,
+                 CAST(floor(exp(0.7 * (CAST(floor(
+                     ln(CAST(pl.tokens AS DOUBLE)
+                        / CAST(t.total_tokens AS DOUBLE)) * 1e6 + 0.5)
+                   AS BIGINT) / 1e6)) * 1e6 + 0.5) AS BIGINT) AS w6
+          FROM pl, t),
+        s AS (SELECT CAST(sum(w6) AS BIGINT) AS sum_w6 FROM w)
+        SELECT w.lang, w.n_docs, w.tokens,
+               {pround_sql(
+                   'CAST(w.tokens AS DOUBLE) / CAST(w.total_tokens AS DOUBLE)',
+                   6)} AS natural_share,
+               {pround_sql(
+                   'CAST(w.w6 AS DOUBLE) / CAST(s.sum_w6 AS DOUBLE)', 6
+               )} AS temperature_share,
+               {pround_sql(
+                   '(CAST(w.w6 AS DOUBLE) / CAST(s.sum_w6 AS DOUBLE))'
+                   ' / (CAST(w.tokens AS DOUBLE)'
+                   '    / CAST(w.total_tokens AS DOUBLE))', 4
+               )} AS sampling_boost
+        FROM w, s
+    """,
+    "q_distinct_ngrams": f"""
+        WITH docs AS (
+          SELECT lang, {_TOKENS} AS toks, len({_TOKENS}) AS n
+          FROM documents WHERE trim(text) <> ''),
+        uni AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_uni,
+                 CAST(count(DISTINCT g) AS BIGINT) AS d_uni
+          FROM (SELECT lang, unnest(toks) AS g FROM docs) u
+          GROUP BY 1),
+        bi AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_bi,
+                 CAST(count(DISTINCT g) AS BIGINT) AS d_bi
+          FROM (SELECT lang,
+                       toks[CAST(i AS INT)] || ' '
+                         || toks[CAST(i + 1 AS INT)] AS g
+                FROM docs, unnest(range(1, n)) AS r(i)
+                WHERE n >= 2) b
+          GROUP BY 1)
+        SELECT uni.lang, n_uni, d_uni, n_bi, d_bi,
+               {pround_sql(
+                   'CAST(d_uni AS DOUBLE) / CAST(n_uni AS DOUBLE)', 6
+               )} AS distinct_1,
+               {pround_sql(
+                   'CAST(d_bi AS DOUBLE) / CAST(n_bi AS DOUBLE)', 6
+               )} AS distinct_2
+        FROM uni JOIN bi USING (lang)
+    """,
+    "q_dsir_weights": f"""
+        WITH tb AS (
+          SELECT doc_id, source,
+                 {_hex_bigint("md5(tok)", 1, 8)} % 1024 AS b
+          FROM (SELECT doc_id, source, unnest({_TOKENS}) AS tok
+                FROM documents WHERE trim(text) <> '') u),
+        model AS (
+          SELECT b,
+                 CAST(sum(CASE WHEN source = 'src7' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c_tgt,
+                 CAST(count(*) AS BIGINT) AS c_raw
+          FROM tb GROUP BY 1),
+        sc AS (
+          SELECT CAST(sum(CASE WHEN source = 'src7' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS t_tgt,
+                 CAST(count(*) AS BIGINT) AS t_raw
+          FROM tb),
+        lr AS (
+          SELECT m.b,
+                 CAST(floor(ln((CAST(m.c_tgt AS DOUBLE) + 1.0)
+                               / (CAST(sc.t_tgt AS DOUBLE) + 1024.0))
+                            * 1000000 + 0.5) AS BIGINT)
+                 - CAST(floor(ln((CAST(m.c_raw AS DOUBLE) + 1.0)
+                                 / (CAST(sc.t_raw AS DOUBLE) + 1024.0))
+                              * 1000000 + 0.5) AS BIGINT) AS lr6
+          FROM model m, sc),
+        per_doc AS (
+          SELECT tb.doc_id, tb.source,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(lr.lr6) AS BIGINT) AS s6
+          FROM tb JOIN lr USING (b)
+          GROUP BY 1, 2),
+        corpus AS (
+          SELECT CAST(sum(s6) AS BIGINT) AS s_total,
+                 CAST(sum(n_tokens) AS BIGINT) AS t_tokens
+          FROM per_doc)
+        SELECT doc_id, source, n_tokens,
+               {pround_sql(
+                   'CAST(s6 AS DOUBLE) / 1e6'
+                   ' / CAST(n_tokens AS DOUBLE)', 4
+               )} AS dsir_logw,
+               CAST(s6 AS HUGEINT) * t_tokens
+                 > CAST(s_total AS HUGEINT) * n_tokens AS selected
+        FROM per_doc, corpus
+    """,
+    "q_watermark_lateness_profile": f"""
+        WITH e AS (
+          SELECT event_id, epoch_us(ts) AS us,
+                 epoch_us(ts)
+                   + {_hex_bigint("md5(CAST(event_id AS VARCHAR))", 1, 8)}
+                     % 600000000 AS arr_us
+          FROM events),
+        r AS (
+          SELECT max(us) OVER (ORDER BY arr_us, event_id
+                               ROWS UNBOUNDED PRECEDING) - us AS late_us
+          FROM e),
+        b AS (
+          SELECT CASE WHEN late_us <= 0 THEN 0
+                      WHEN late_us <= 60000000 THEN 1
+                      WHEN late_us <= 300000000 THEN 2
+                      WHEN late_us <= 900000000 THEN 3
+                      WHEN late_us <= 3600000000 THEN 4
+                      ELSE 5 END AS bo, late_us
+          FROM r),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b)
+        SELECT CAST(bo AS INT) AS bucket_order,
+               CASE bo WHEN 0 THEN 'on_time' WHEN 1 THEN 'le_1m'
+                       WHEN 2 THEN 'le_5m' WHEN 3 THEN 'le_15m'
+                       WHEN 4 THEN 'le_1h' ELSE 'gt_1h' END
+                 AS lateness_bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(late_us) AS BIGINT) AS max_late_us,
+               {pround_sql(
+                   'CAST(count(*) AS DOUBLE) / CAST(any_value(t.n_total)'
+                   ' AS DOUBLE)', 6)} AS share
+        FROM b, t
+        GROUP BY 1, 2
+    """,
 })
 
 

@@ -2870,6 +2870,292 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@q("q_language_temperature_sampling")
+def q_language_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTILINGUAL TEMPERATURE SAMPLING [Conneau & Lample 2019, XLM
+    §3.1] — the third mixing knob next to q_domain_mixing_weights'
+    uniform cap and q_token_budget's epoch cap: sample language i with
+    probability q_i ∝ p_i^α (α=0.7), flattening the head so
+    low-resource languages are seen more without the hard cap.  Float
+    discipline: each per-language ln(p_i) is pinned to the ×1e6 micro
+    grid first; exp(0.7·l6/1e6) is one per-row IEEE expression on that
+    identical pinned input (the churn-sigmoid precedent); the weight is
+    RE-pinned to micro units before the k-row normalizing sum, so the
+    denominator is order-free integer addition; shares/boosts are
+    pinned divisions.  Scale shape: one token-count scan to the
+    LANGUAGE grain (a handful of rows), then constant-size arithmetic
+    — corpus-size-invariant output."""
+    from .functions.text import token_count
+
+    docs = T(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("bigint").alias("tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    tot = per_lang.agg(F.sum("tokens").cast("bigint").alias("total_tokens"))
+    j = per_lang.join(F.broadcast(tot))
+    p = F.col("tokens").cast("double") / F.col("total_tokens").cast("double")
+    l6 = F.floor(F.log(p) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    w6 = F.floor(
+        F.exp(F.lit(0.7) * (l6.cast("double") / F.lit(1e6))) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = j.select("lang", "n_docs", "tokens", "total_tokens", w6.alias("w6"))
+    norm = scored.agg(F.sum("w6").cast("bigint").alias("sum_w6"))
+    out = scored.join(F.broadcast(norm))
+    nat = F.col("tokens").cast("double") / F.col("total_tokens").cast("double")
+    temp = F.col("w6").cast("double") / F.col("sum_w6").cast("double")
+    return out.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        pround(nat, 6).alias("natural_share"),
+        pround(temp, 6).alias("temperature_share"),
+        pround(temp / nat, 4).alias("sampling_boost"),
+    ).orderBy("lang")
+
+
+@q("q_distinct_ngrams")
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS DIVERSITY via distinct-n [Li et al. 2016, "A
+    Diversity-Promoting Objective Function"] — the generation-diversity
+    metric applied as a corpus-health gate: per language, the ratio of
+    DISTINCT unigrams/bigrams to total unigrams/bigrams.  A corpus of
+    templated boilerplate scores low on distinct-2 long before exact
+    dedup fires (complements q_ngram_novelty, which measures
+    train/heldout OVERLAP, not within-corpus variety).  Counts are
+    exact integers from one explode per n; ratios are pinned
+    divisions.  Scale shape: two token/shingle-grain shuffles with
+    map-side combine (count + count_distinct share a pass per n),
+    output at the language grain."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    uni = (
+        docs.select("lang", F.explode(tokens("text")).alias("g"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_uni"),
+            F.count_distinct(F.col("g")).cast("bigint").alias("d_uni"),
+        )
+    )
+    bi = (
+        docs.withColumn("__toks", tokens("text"))
+        .filter(F.size("__toks") >= 2)
+        .select("lang", F.explode(word_shingles("text", 2)).alias("g"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bi"),
+            F.count_distinct(F.col("g")).cast("bigint").alias("d_bi"),
+        )
+    )
+    return (
+        uni.join(bi, "lang")
+        .select(
+            "lang",
+            "n_uni",
+            "d_uni",
+            "n_bi",
+            "d_bi",
+            pround(
+                F.col("d_uni").cast("double") / F.col("n_uni").cast("double"),
+                6,
+            ).alias("distinct_1"),
+            pround(
+                F.col("d_bi").cast("double") / F.col("n_bi").cast("double"),
+                6,
+            ).alias("distinct_2"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q("q_dsir_weights")
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SELECTION via IMPORTANCE RESAMPLING [Xie et al. 2023, DSIR]
+    — Moore-Lewis's modern hashed twin: documents are scored by the
+    log importance ratio Σ ln(p_target(b)/p_raw(b)) over HASHED n-gram
+    feature buckets (B=1024 via the portable md5 _h32), not raw
+    vocabulary — the point of DSIR at scale: the two feature models are
+    FIXED-SIZE (≤B rows each, broadcastable) no matter how large the
+    corpus vocabulary grows, where Moore-Lewis's LMs are
+    vocabulary-sized.  Target = the 'src7' feed, raw = whole corpus;
+    both bucket models add-one smoothed over B buckets; each bucket's
+    ln ratio is pinned to ×1e6 micro-units on the ≤B-row model frame,
+    so per-doc accumulation is order-free integer math and the float
+    score is ONE pinned division.  ``selected`` = per-token log-weight
+    above the CORPUS-AVERAGE log-weight (DSIR selects by rank, not by
+    sign — with a small target and B=1024 the add-one smoothing drags
+    every absolute ratio negative), tested by the exact bigint
+    cross-multiplication __s6·T_tokens > S_total·n_tokens (no float
+    threshold).  Scale shape: one scan+explode to the (doc, bucket)
+    grain, two bounded B-row aggregates joined back by broadcast, one
+    doc-grain collapse."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tb = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("tok")
+    ).select(
+        "doc_id",
+        "source",
+        (_h32(F.col("tok")) % F.lit(1024)).alias("b"),
+    )
+    tb = cut_lineage(tb)  # model build + per-doc fold both consume it
+    model = tb.groupBy("b").agg(
+        F.sum(F.when(F.col("source") == "src7", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_tgt"),
+        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+    )
+    scalars = tb.agg(
+        F.sum(F.when(F.col("source") == "src7", 1).otherwise(0))
+        .cast("bigint")
+        .alias("t_tgt"),
+        F.count(F.lit(1)).cast("bigint").alias("t_raw"),
+    )
+    lp = lambda c, t: F.floor(  # noqa: E731
+        F.log(
+            (c.cast("double") + F.lit(1.0))
+            / (t.cast("double") + F.lit(1024.0))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored_model = model.crossJoin(F.broadcast(scalars)).select(
+        "b",
+        (
+            lp(F.col("c_tgt"), F.col("t_tgt"))
+            - lp(F.col("c_raw"), F.col("t_raw"))
+        ).alias("lr6"),
+    )
+    per_doc = (
+        tb.join(F.broadcast(scored_model), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lr6").cast("bigint").alias("__s6"),
+        )
+    )
+    corpus = per_doc.agg(
+        F.sum("__s6").cast("bigint").alias("s_total"),
+        F.sum("n_tokens").cast("bigint").alias("t_tokens"),
+    )
+    return per_doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        pround(
+            F.col("__s6").cast("double")
+            / F.lit(1e6)
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("dsir_logw"),
+        (
+            F.col("__s6").cast("decimal(38,0)")
+            * F.col("t_tokens").cast("decimal(38,0)")
+            > F.col("s_total").cast("decimal(38,0)")
+            * F.col("n_tokens").cast("decimal(38,0)")
+        ).alias("selected"),
+    )
+
+
+@q("q_watermark_lateness_profile")
+def q_watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OBSERVABILITY — the lateness distribution that tells
+    you what watermark delay to set (T4's tuning input): per event, how
+    far its event-time lags the maximum event-time already seen in
+    ARRIVAL order, bucketed into the watermark-relevant bands (on-time
+    / ≤1m / ≤5m / ≤15m / ≤1h / >1h).  withWatermark('10 minutes')
+    drops exactly the tail this histogram exposes.  The fixture events
+    are stored in event-time order, so arrival is SIMULATED as bounded
+    network jitter: arrival_us = ts + (_h32(event_id) mod 10 minutes)
+    — deterministic, hash-checkable, and the realistic shape (a sharded
+    collector delays each record up to the jitter bound, which also
+    bounds true lateness at 10 min, so the ≤15 m band catches the
+    whole tail).  The running max is NOT a global single-partition
+    window: events bucket into HOUR-of-arrival blocks (fixed time
+    grain — block count grows with the calendar, not the data), each
+    block computes its within-block running max in parallel, a tiny
+    block-grain window takes the prefix max of earlier blocks, and
+    greatest() stitches — the two-phase global_rank /
+    encoding-advisor discipline.  All integer microseconds
+    (unix_micros / epoch_us); shares pinned."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (
+            F.unix_micros("ts")
+            + _h32(F.col("event_id").cast("string"))
+            % F.lit(600_000_000).cast("bigint")
+        ).alias("arr_us"),
+    )
+    ev = ev.withColumn("blk", F.expr("arr_us div 3600000000"))
+    blk_pre = (
+        ev.groupBy("blk")
+        .agg(F.max("us").alias("bmax"))
+        .withColumn(
+            "pmax",
+            F.max("bmax").over(
+                Window.orderBy("blk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )  # block grain: one row per arrival hour
+            ),
+        )
+        .select("blk", "pmax")
+    )
+    win = (
+        Window.partitionBy("blk")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_us = (
+        F.greatest(
+            F.max("us").over(win),
+            F.coalesce(F.col("pmax"), F.lit(-(2**62)).cast("bigint")),
+        )
+        - F.col("us")
+    )
+    lanes = ev.join(F.broadcast(blk_pre), "blk", "left").select(
+        late_us.alias("late_us")
+    )
+    m = F.lit(60_000_000).cast("bigint")
+    bucket_ord = (
+        F.when(F.col("late_us") <= 0, 0)
+        .when(F.col("late_us") <= m, 1)
+        .when(F.col("late_us") <= 5 * m, 2)
+        .when(F.col("late_us") <= 15 * m, 3)
+        .when(F.col("late_us") <= 60 * m, 4)
+        .otherwise(5)
+    )
+    labels = F.array(
+        *[
+            F.lit(s)
+            for s in ("on_time", "le_1m", "le_5m", "le_15m", "le_1h", "gt_1h")
+        ]
+    )
+    per = lanes.select(bucket_ord.alias("bo"), "late_us")
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        per.groupBy("bo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bo").cast("int").alias("bucket_order"),
+            F.element_at(labels, F.col("bo").cast("int") + 1).alias(
+                "lateness_bucket"
+            ),
+            "n_events",
+            "max_late_us",
+            pround(
+                F.col("n_events").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("bucket_order")
+    )
+
+
 @q("q_corpus_filter")
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: end-to-end quality filter — the keep-set a pretraining pipeline
