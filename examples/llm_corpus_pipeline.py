@@ -22,6 +22,12 @@ runs between a crawl and the tokenizer:
                      with the q_temporal_split audit shape
   7. domain mixing   per-source token mass -> cap-to-uniform weights
                      (q_domain_mixing_weights)
+  7b. DSIR selection importance weights over 1024 hashed feature
+                     buckets vs the src7 target, keep above-average
+                     docs by exact integer cross-multiplication
+                     (q_dsir_weights)
+  7c. temperature    per-language alpha=0.7 sampling shares printed
+                     (q_language_temperature_sampling)
   8. pack sequences  distributed prefix-sum packing into 512-token bins
                      (q_pack_sequences), written per split
 
@@ -210,6 +216,94 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     for r in mix.orderBy("source").collect():
         print(f"  {r['source']:<16s} docs={r['n_docs']:<8d} "
               f"tokens={r['tokens']:<10d} w={r['mix_weight']:.4f}")
+
+    # -- 7b. DSIR importance selection (q_dsir_weights) -------------------
+    # hashed-bucket importance ratios vs the src7 target; keep docs whose
+    # per-token log-weight beats the corpus average (exact bigint
+    # cross-multiplication, no float threshold).  Both bucket models are
+    # <=1024 rows — broadcastable at any corpus size.
+    h32 = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+    )
+    tb = cut_lineage(
+        docs.select("doc_id", "source", F.explode(tokens("text")).alias("t"))
+        .select("doc_id", "source", (h32(F.col("t")) % 1024).alias("b"))
+    )
+    is_tgt = F.when(F.col("source") == "src7", 1).otherwise(0)
+    bmodel = tb.groupBy("b").agg(
+        F.sum(is_tgt).cast("bigint").alias("c_tgt"),
+        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+    )
+    bscal = tb.agg(
+        F.sum(is_tgt).cast("bigint").alias("t_tgt"),
+        F.count(F.lit(1)).cast("bigint").alias("t_raw"),
+    )
+    lp = lambda c, t: F.floor(  # noqa: E731
+        F.log((c.cast("double") + 1.0) / (t.cast("double") + 1024.0))
+        * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    lr = bmodel.crossJoin(F.broadcast(bscal)).select(
+        "b",
+        (lp(F.col("c_tgt"), F.col("t_tgt"))
+         - lp(F.col("c_raw"), F.col("t_raw"))).alias("lr6"),
+    )
+    per_doc = (
+        tb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("lr6").cast("bigint").alias("s6"),
+        )
+    )
+    cavg = per_doc.agg(
+        F.sum("s6").cast("bigint").alias("s_total"),
+        F.sum("n_tok").cast("bigint").alias("t_tokens"),
+    )
+    keep = (
+        per_doc.crossJoin(F.broadcast(cavg))
+        .filter(
+            F.col("s6").cast("decimal(38,0)")
+            * F.col("t_tokens").cast("decimal(38,0)")
+            > F.col("s_total").cast("decimal(38,0)")
+            * F.col("n_tok").cast("decimal(38,0)")
+        )
+        .select("doc_id")
+    )
+    docs = cut_lineage(docs.join(keep, "doc_id", "left_semi"))
+    funnel["after_dsir_selection"] = docs.count()
+
+    # -- 7c. language temperature sampling report (alpha = 0.7) ----------
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per_lang = (
+        docs.join(lang, "doc_id", "left")
+        .groupBy("lang")
+        .agg(F.sum(token_count_of(tokens("text"))).cast("bigint")
+             .alias("tokens"))
+    )
+    ltot = per_lang.agg(F.sum("tokens").cast("bigint").alias("tt"))
+    pj = per_lang.join(F.broadcast(ltot))
+    pcol = F.col("tokens").cast("double") / F.col("tt").cast("double")
+    w6 = F.floor(
+        F.exp(F.lit(0.7) * (
+            F.floor(F.log(pcol) * 1e6 + F.lit(0.5)).cast("bigint")
+            .cast("double") / F.lit(1e6)
+        )) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    wl = pj.select("lang", "tokens", pcol.alias("p"), w6.alias("w6"))
+    sw = wl.agg(F.sum("w6").cast("bigint").alias("sw6"))
+    print("\nlanguage temperature sampling (alpha=0.7):")
+    for r in (
+        wl.join(F.broadcast(sw))
+        .select(
+            "lang", "tokens", "p",
+            (F.col("w6").cast("double") / F.col("sw6").cast("double"))
+            .alias("q"),
+        )
+        .orderBy("lang")
+        .collect()
+    ):
+        print(f"  {r['lang'] or '??':<6s} tokens={r['tokens']:<10d} "
+              f"p={r['p']:.4f} q={r['q']:.4f} boost={r['q']/r['p']:.3f}")
 
     # -- 8. pack sequences per split (q_pack_sequences) -------------------
     d = docs.select(
