@@ -67,7 +67,9 @@ def test_kendall_tau_bounds_and_bruteforce(spark, sf_dir):
                 d += 1
     n = len(xs)
     got = next(r for r in rows if r["l_returnflag"] == "A")
-    assert got["concordant"] == c and got["discordant"] == d
+    # concordant/discordant are canonical digit STRINGS since r10 (the
+    # registry bans DECIMAL outputs; pair counts pass int64 at ~1e10 rows)
+    assert int(got["concordant"]) == c and int(got["discordant"]) == d
     # τ-b tie terms are per VARIABLE marginal, not per pair-class
     t1 = sum(t * (t - 1) for t in Counter(v[0] for v in xs).values())
     t2 = sum(t * (t - 1) for t in Counter(v[1] for v in xs).values())
