@@ -2888,9 +2888,15 @@ def q_language_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFra
     from .functions.text import token_count
 
     docs = T(spark, sf_dir, "documents")
-    per_lang = docs.groupBy("lang").agg(
-        F.sum(token_count("text")).cast("bigint").alias("tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    # cut at the language grain: the ~|langs|-row frame feeds FOUR
+    # consumers (total, join, normalizer, output) — without the cut each
+    # re-derivation rescans the whole corpus to rebuild 5 rows
+    per_lang = cut_lineage(
+        docs.groupBy("lang").agg(
+            F.sum(token_count("text")).cast("bigint").alias("tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        ),
+        eager=False,
     )
     tot = per_lang.agg(F.sum("tokens").cast("bigint").alias("total_tokens"))
     j = per_lang.join(F.broadcast(tot))
@@ -2900,7 +2906,10 @@ def q_language_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFra
         F.exp(F.lit(0.7) * (l6.cast("double") / F.lit(1e6))) * F.lit(1e6)
         + F.lit(0.5)
     ).cast("bigint")
-    scored = j.select("lang", "n_docs", "tokens", "total_tokens", w6.alias("w6"))
+    scored = cut_lineage(
+        j.select("lang", "n_docs", "tokens", "total_tokens", w6.alias("w6")),
+        eager=False,
+    )
     norm = scored.agg(F.sum("w6").cast("bigint").alias("sum_w6"))
     out = scored.join(F.broadcast(norm))
     nat = F.col("tokens").cast("double") / F.col("total_tokens").cast("double")

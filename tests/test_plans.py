@@ -392,3 +392,37 @@ def test_table_checksum_single_pass(spark, sf_dir):
     final 1-row gather."""
     plan = explain_simple(registry()["q_table_checksum"](spark, sf_dir))
     assert plan.count("Exchange") <= 1
+
+
+def test_round10_new_query_plan_shapes(spark, sf_dir):
+    """Round-10 scale shapes: DSIR's bucket models broadcast (the point
+    of hashing to B=1024 — fixed-size models at any vocabulary); the
+    lateness profile's running max never windows the data grain in a
+    single partition (hour-block within-window + block-grain prefix);
+    temperature sampling collapses to the language grain before any
+    arithmetic."""
+    from java_etl_bi_generator_spark.plans import explain_simple
+
+    # DSIR: the <=1024-row ratio model joins back by broadcast, never a
+    # shuffle of the token-grain frame against the model
+    plan = explain_simple(registry()["q_dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+    # lateness: every data-grain Window is partitioned by the arrival
+    # block; only the block-grain prefix-max (bmax/pmax) may window
+    # globally
+    df = registry()["q_watermark_lateness_profile"](spark, sf_dir)
+    jplan = df._jdf.queryExecution().executedPlan().toString()
+    for line in jplan.splitlines():
+        if ("Window [" in line and "blk" not in line):
+            raise AssertionError(f"single-partition data window: {line}")
+
+    # temperature sampling: the corpus scan happens exactly once, inside
+    # the lineage-cut materialization of the language-grain frame; the
+    # final normalize/join plan reads only the cut (ExistingRDD /
+    # checkpoint scan) — zero parquet re-scans of documents
+    plan = explain_simple(
+        registry()["q_language_temperature_sampling"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
