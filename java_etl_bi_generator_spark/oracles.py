@@ -2475,6 +2475,57 @@ ORACLES: dict[str, str] = {
         FROM unmatched u, wm
         WHERE epoch_us(u.click_ts) + 1800000000 < wm.wm_us
     """,
+    "q_stream_join_full": """
+        WITH c AS (
+          SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT event_id AS purchase_id, user_id AS p_user_id,
+                 ts AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'),
+        wm AS (
+          -- global watermark = min of the two per-stream watermarks
+          -- (max event time ms-truncated minus the 1 h delay), in
+          -- MICROseconds to match Spark's internal event-time longs
+          SELECT least((SELECT max(epoch_ms(click_ts)) FROM c),
+                       (SELECT max(epoch_ms(purchase_ts)) FROM p))
+                 * 1000 - 3600000000 AS wm_us),
+        matched AS (
+          SELECT c.click_id, c.user_id, c.click_ts,
+                 p.purchase_id, p.purchase_ts, p.purchase_value
+          FROM c JOIN p
+            ON p.p_user_id = c.user_id
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
+        un_c AS (
+          SELECT c.click_id, c.user_id, c.click_ts
+          FROM c ANTI JOIN matched m ON c.click_id = m.click_id),
+        un_p AS (
+          SELECT p.purchase_id, p.p_user_id, p.purchase_ts,
+                 p.purchase_value
+          FROM p ANTI JOIN matched m ON p.purchase_id = m.purchase_id)
+        SELECT click_id, user_id,
+               CAST(floor(epoch(click_ts)) AS BIGINT) AS click_epoch,
+               purchase_id,
+               CAST(floor(epoch(purchase_ts)) AS BIGINT)
+                 AS purchase_epoch,
+               purchase_value
+        FROM matched
+        UNION ALL
+        SELECT u.click_id, u.user_id,
+               CAST(floor(epoch(u.click_ts)) AS BIGINT) AS click_epoch,
+               NULL, NULL, NULL
+        FROM un_c u, wm
+        WHERE epoch_us(u.click_ts) + 1800000000 < wm.wm_us
+        UNION ALL
+        SELECT NULL, u.p_user_id AS user_id, NULL,
+               u.purchase_id,
+               CAST(floor(epoch(u.purchase_ts)) AS BIGINT)
+                 AS purchase_epoch,
+               u.purchase_value
+        FROM un_p u, wm
+        WHERE epoch_us(u.purchase_ts) < wm.wm_us
+    """,
     "q_window_sliding": (
         "SELECT win_start, count(*) AS n_events, "
         f"{dsum_sql('value')} AS sum_value FROM ("
@@ -3644,6 +3695,26 @@ ORACLES: dict[str, str] = {
     "q_text_quality": (
         f"SELECT doc_id, {pround_sql(_QUALITY_EXPR, 4)} AS quality FROM documents"
     ),
+    "q_readability": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST({_N_TOKENS} AS BIGINT) AS n_words,
+                 greatest(CAST(length(text)
+                               - length(replace(text, '.', ''))
+                               AS BIGINT), 1) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT) AS n_syllables
+          FROM documents WHERE trim(text) <> '')
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               {pround_sql(
+                   '206.835'
+                   ' - 1.015 * (CAST(n_words AS DOUBLE)'
+                   '            / CAST(n_sentences AS DOUBLE))'
+                   ' - 84.6 * (CAST(n_syllables AS DOUBLE)'
+                   '           / CAST(n_words AS DOUBLE))', 4
+               )} AS flesch_reading_ease
+        FROM d
+    """,
     "q_text_clean": r"""
         SELECT doc_id,
                trim(regexp_replace(
@@ -8698,7 +8769,53 @@ def _bellman_sql(iterations: int, weighted: bool, out_col: str) -> str:
     )
 
 
+def _harmonic_sql(rounds: int) -> str:
+    """Unrolled probe-keyed BFS mirroring queries.q_harmonic_centrality:
+    state (probe, node, dist), each round adds UNSEEN (probe, node)
+    pairs at their first (= minimal) hop count; 12/d is exact integer
+    for d ∈ {1..4} so the harmonic sum accumulates as Σ(12 // dist)."""
+    ctes = []
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+        n{k} AS (
+          SELECT DISTINCT f.probe, e.dst AS node
+          FROM f{k - 1} f JOIN e ON e.src = f.node
+          WHERE NOT EXISTS (
+            SELECT 1 FROM s{k - 1} s
+            WHERE s.probe = f.probe AND s.node = e.dst)),
+        s{k} AS (
+          SELECT * FROM s{k - 1}
+          UNION ALL
+          SELECT probe, node, CAST({k} AS BIGINT) FROM n{k}),
+        f{k} AS (SELECT probe, node FROM n{k})""")
+    return (
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 10 = 0),
+        e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+        e AS (SELECT p1 AS src, p2 AS dst FROM e0
+              UNION ALL SELECT p2 AS src, p1 AS dst FROM e0),
+        p AS (SELECT DISTINCT src AS probe FROM e WHERE src % 100 = 0),
+        s0 AS (SELECT probe, probe AS node, CAST(0 AS BIGINT) AS dist
+               FROM p),
+        f0 AS (SELECT probe, node FROM s0),"""
+        + ",".join(ctes)
+        + f"""
+        SELECT probe,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(12 // dist) AS BIGINT) AS h12,
+               {pround_sql('CAST(sum(12 // dist) AS DOUBLE) / 12.0', 6)}
+                 AS harmonic_centrality
+        FROM s{rounds} WHERE dist > 0
+        GROUP BY probe"""
+    )
+
+
 ORACLES.update({
+    "q_harmonic_centrality": _harmonic_sql(4),
     "q_pii_extraction": """
         WITH base AS (
           SELECT 'reach ' || c_name || ' at user'

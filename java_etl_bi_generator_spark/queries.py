@@ -1775,6 +1775,24 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_stream_join_full")
+def q_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T+ (hash-checked): FULL OUTER watermarked stream-stream join —
+    q_stream_join_outer's eviction contract certified on BOTH sides:
+    abandoned clicks (click_ts + 30 min < wm) AND organic purchases
+    with no preceding click (purchase_ts < wm) emit null-padded when
+    the global watermark (min of the per-stream watermarks) proves no
+    match can still arrive; trailing rows on each side deliberately
+    stay in state and are absent from BOTH engines.  Scale shape:
+    symmetric hash-join state bounded by the watermark horizon per
+    side."""
+    from .streaming.joins import streaming_interval_join_full
+
+    return streaming_interval_join_full(
+        spark, f"{sf_dir}/events.parquet"
+    )
+
+
 @q("q_stream_dedup")
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 (hash-checked on the key set): dropDuplicatesWithinWatermark
@@ -2755,6 +2773,47 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         pround(quality_score("text", F.col("__toks")), 4).alias("quality"),
+    )
+
+
+@q("q_readability")
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: FLESCH READING EASE [Flesch 1948] per document — the
+    readability gate content pipelines run next to the Gopher rules
+    (206.835 − 1.015·words/sentences − 84.6·syllables/words).  The
+    classic heuristic counts: words = whitespace tokens, sentences =
+    '.' occurrences floored at 1 (the salad fixture has no periods —
+    the floor keeps the formula total), syllables = VOWEL GROUPS
+    ([aeiouy]+ runs, the standard approximation; whitespace breaks
+    groups, so the whole-text count equals the per-word sum).  All
+    three counts are exact integers in pure codegen (length arithmetic
+    + regexp), the score is ONE fixed-order IEEE expression, pinned.
+    Scale shape: stateless per-row map, no shuffle."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    words = token_count_of(tokens("text")).cast("bigint")
+    sentences = F.greatest(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"\.", ""))
+        ).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0)
+        )
+    ).cast("bigint")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        pround(score, 4).alias("flesch_reading_ease"),
     )
 
 
@@ -14713,6 +14772,61 @@ def q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bellman_ford(
         sym, _hub_sources(sym), iterations=5, weight_col="w"
     ).select("node", F.col("dist").alias("distance"))
+
+
+@q("q_harmonic_centrality")
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC CENTRALITY [Boldi & Vigna 2014, "Axioms for
+    Centrality"] of the hub probe set — H(p) = Σ_v 1/d(p,v), the
+    closeness variant that handles disconnected graphs (unreached
+    nodes contribute 0, no infinite-distance pathology).  PER-SOURCE
+    distances via a probe-keyed BFS: state is (probe, node, dist),
+    4 bounded rounds, each round one frontier⋈edges shuffle and an
+    anti-join against seen state (a node enters at its first — i.e.
+    minimal — distance, so the hop count is exact).  Exact arithmetic:
+    with d ∈ {1..4}, 12/d is an INTEGER (12 = lcm(1..4)), so the
+    centrality accumulates as the exact bigint Σ(12 div d) — the
+    q_attribution_positional scaling trick — and the float value is
+    ONE pinned division.  Probes are the deterministic %100 hub rule
+    (1% of parts — at 100 TB cap the probe set with a COUNT-bounded
+    top-k instead, the q_knn_probe_accuracy lesson); state is bounded
+    by probes × nodes, never all-pairs."""
+    sym = cut_lineage(_copurchase_sym(spark, sf_dir), eager=False)
+    probes = _hub_sources(sym).select(F.col("node").alias("probe"))
+    state = probes.select(
+        "probe",
+        F.col("probe").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    frontier = state.select("probe", "node")
+    for k in range(1, 5):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select("probe", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(state, ["probe", "node"], "left_anti").withColumn(
+            "dist", F.lit(k).cast("bigint")
+        )
+        state = cut_lineage(state.unionByName(new))
+        frontier = new.select("probe", "node")
+    reached = state.filter(F.col("dist") > 0)
+    return (
+        reached.groupBy("probe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum(F.expr("12 div dist")).cast("bigint").alias("h12"),
+        )
+        .select(
+            "probe",
+            "n_reached",
+            "h12",
+            pround(F.col("h12").cast("double") / F.lit(12.0), 6).alias(
+                "harmonic_centrality"
+            ),
+        )
+        .orderBy("probe")
+    )
 
 
 @q("q_lpa_communities")

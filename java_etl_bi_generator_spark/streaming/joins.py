@@ -178,3 +178,79 @@ def streaming_interval_join_outer(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_interval_join_full(
+    spark: SparkSession,
+    events_path: str,
+    interval: str = "30 minutes",
+    query_name: str = "q_stream_join_full",
+) -> DataFrame:
+    """FULL OUTER watermarked stream-stream interval join — the
+    left-outer contract (streaming_interval_join_outer) extended to the
+    purchase side: organic purchases with no preceding click in the
+    interval are ALSO emitted null-padded once state eviction proves no
+    matching click can still arrive.  Deterministic output contract
+    under availableNow on finite data:
+
+    - inner pairs: the batch interval join;
+    - null-padded CLICK iff  click_ts + interval < wm  (its join
+      window fell behind the global watermark — the certified
+      left-outer rule);
+    - null-padded PURCHASE iff  purchase_ts < wm  (a matching click
+      needs click_ts ∈ [purchase_ts − interval, purchase_ts]; future
+      rows carry event time ≥ wm, so once wm passes purchase_ts no
+      match can arrive),
+
+    with wm = min(max_click_ts, max_purchase_ts) − 1 h, each side's
+    max ms-truncated (the engine's watermark granularity).  The DuckDB
+    oracle reproduces BOTH eviction rules in batch SQL, so the
+    hash-check certifies the full-outer state machine, not just that
+    it ran."""
+    clicks = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"interval {interval}")
+        ),
+        "full_outer",
+    ).select(
+        "click_id",
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        "purchase_id",
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        "purchase_value",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

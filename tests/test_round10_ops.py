@@ -83,3 +83,72 @@ def test_ivf_recall_is_consistent(spark, sf_dir):
     assert r["n_exact"] == 10
     assert 0 <= r["n_overlap"] <= min(r["n_ivf"], 10)
     assert math.isclose(r["recall_at_10"], r["n_overlap"] / 10.0)
+
+
+def test_readability_formula_reference(spark, sf_dir):
+    rows = registry()["q_readability"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        expect = (
+            206.835
+            - 1.015 * r["n_words"] / r["n_sentences"]
+            - 84.6 * r["n_syllables"] / r["n_words"]
+        )
+        assert abs(r["flesch_reading_ease"] - expect) < 1e-3
+        assert r["n_syllables"] >= 1  # every word has a vowel group here
+        assert r["n_sentences"] >= 1  # floored
+
+
+def test_harmonic_centrality_bfs_reference(spark, sf_dir):
+    """Brute-force the per-probe BFS on the collected edge set."""
+    rows = registry()["q_harmonic_centrality"](spark, sf_dir).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter("l_partkey % 10 = 0")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    basket = defaultdict(set)
+    for r in li:
+        basket[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in basket.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    for row in rows:
+        p = row["probe"]
+        dist = {p: 0}
+        frontier = {p}
+        for k in range(1, 5):
+            frontier = {
+                n for f in frontier for n in adj[f] if n not in dist
+            }
+            for n in frontier:
+                dist[n] = k
+        h12 = sum(12 // d for n, d in dist.items() if d > 0)
+        assert row["h12"] == h12
+        assert row["n_reached"] == len(dist) - 1
+        assert abs(row["harmonic_centrality"] - h12 / 12.0) < 1e-6
+
+
+def test_stream_join_full_supersets_left_outer(spark, sf_dir):
+    """The full-outer output must contain the left-outer output exactly
+    (same inner pairs + same evicted clicks) plus only purchase-side
+    null-padded rows."""
+    full = registry()["q_stream_join_full"](spark, sf_dir).collect()
+    left = registry()["q_stream_join_outer"](spark, sf_dir).collect()
+    fkey = {
+        (r["click_id"], r["purchase_id"]) for r in full
+        if r["click_id"] is not None
+    }
+    lkey = {(r["click_id"], r["purchase_id"]) for r in left}
+    assert fkey == lkey
+    extras = [r for r in full if r["click_id"] is None]
+    assert extras, "no organic-purchase rows — eviction never fired"
+    assert all(r["purchase_id"] is not None for r in extras)
