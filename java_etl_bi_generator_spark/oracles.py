@@ -361,6 +361,89 @@ def _linkage_sql() -> str:
     """
 
 
+def _linkage_em_sql(rounds: int = 3) -> str:
+    """Mirror of q_linkage_em: the 16-row agreement-pattern contingency,
+    then ``rounds`` unrolled EM rounds — dyadic inits, the per-pattern
+    posterior as the same left-associated IEEE chain, w pinned to x1e9
+    before HUGEINT-exact weighted sums, every M-step parameter one
+    division of exact integers."""
+    h = "CAST(c AS HUGEINT)"
+    ctes = []
+    for k in range(1, rounds + 1):
+        num = "s.lam"
+        den = "(1.0 - s.lam)"
+        for i in range(4):
+            num = (
+                f"({num} * (CASE WHEN g{i} = 1 THEN s.m{i}"
+                f" ELSE 1.0 - s.m{i} END))"
+            )
+            den = (
+                f"({den} * (CASE WHEN g{i} = 1 THEN s.u{i}"
+                f" ELSE 1.0 - s.u{i} END))"
+            )
+        m_terms = ", ".join(
+            f"CAST(sum({h} * w9 * g{i}) AS DOUBLE)"
+            f" / CAST(sum({h} * w9) AS DOUBLE) AS m{i}"
+            for i in range(4)
+        )
+        u_terms = ", ".join(
+            f"CAST(sum({h} * (1000000000 - w9) * g{i}) AS DOUBLE)"
+            f" / (CAST(sum({h}) AS DOUBLE) * 1e9"
+            f"    - CAST(sum({h} * w9) AS DOUBLE)) AS u{i}"
+            for i in range(4)
+        )
+        ctes.append(f"""
+        r{k} AS (
+          SELECT c, g0, g1, g2, g3,
+                 CAST(floor({num} / ({num} + {den}) * 1e9 + 0.5)
+                      AS BIGINT) AS w9
+          FROM pat, s{k - 1} s),
+        s{k} AS (
+          SELECT CAST(sum({h} * w9) AS DOUBLE)
+                   / (CAST(sum({h}) AS DOUBLE) * 1e9) AS lam,
+                 {m_terms},
+                 {u_terms}
+          FROM r{k})""")
+    names = ["size", "name_adj", "name_noun", "ptype"]
+    outs = ", ".join(
+        [pround_sql("lam", 6) + " AS lambda_match"]
+        + [
+            pround_sql(f"m{i}", 6) + f" AS m_{names[i]}"
+            for i in range(4)
+        ]
+        + [
+            pround_sql(f"u{i}", 6) + f" AS u_{names[i]}"
+            for i in range(4)
+        ]
+    )
+    return (
+        """
+        WITH pt AS (
+          SELECT p_partkey, p_brand, p_size,
+                 split_part(p_name, ' ', 1) AS name_adj,
+                 split_part(p_name, ' ', 2) AS name_noun,
+                 p_type AS ptype
+          FROM part),
+        pat AS (
+          SELECT CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS g0,
+                 CASE WHEN a.name_adj = b.name_adj THEN 1 ELSE 0 END
+                   AS g1,
+                 CASE WHEN a.name_noun = b.name_noun THEN 1 ELSE 0 END
+                   AS g2,
+                 CASE WHEN a.ptype = b.ptype THEN 1 ELSE 0 END AS g3,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM pt a JOIN pt b
+            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          GROUP BY 1, 2, 3, 4),
+        s0 AS (SELECT 0.125 AS lam,
+                      0.75 AS m0, 0.75 AS m1, 0.75 AS m2, 0.75 AS m3,
+                      0.25 AS u0, 0.25 AS u1, 0.25 AS u2, 0.25 AS u3),"""
+        + ",".join(ctes)
+        + f"""
+        SELECT {outs} FROM s{rounds}"""
+    )
+
+
 def _bootstrap_quads_sql(seg_expr: str = "", seg_col: str = "",
                          join: str = "") -> str:
     """The shared replicate-uniform CTEs: one md5 per (row, chunk), four
@@ -2749,6 +2832,7 @@ ORACLES: dict[str, str] = {
         WHERE freq * 1000 > (SELECT count(*) FROM t)
     """,
     "q_linkage_weights": _linkage_sql(),
+    "q_linkage_em": _linkage_em_sql(3),
     "q_fuzzy_match": """
         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
@@ -9635,6 +9719,83 @@ ORACLES.update({
                    ' / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)', 6)}
                  AS reduction_ratio
         FROM nn, tc, cc, gc
+    """,
+    "q_dedup_cluster_quality": f"""
+        WITH RECURSIVE uniq AS (
+          SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        ),
+        tdocs AS (SELECT doc_id, {_TOKENS} AS toks FROM uniq),
+        tsh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                             || toks[i+2])
+            END)) AS sh FROM tdocs
+        ),
+        tsizes AS (SELECT doc_id, count(*) AS n_sh FROM tsh
+                   GROUP BY doc_id),
+        tinter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS n_inter
+          FROM tsh a JOIN tsh b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT id_a, id_b FROM tinter
+          JOIN tsizes sa ON sa.doc_id = id_a
+          JOIN tsizes sb ON sb.doc_id = id_b
+          WHERE 2 * n_inter >= (sa.n_sh + sb.n_sh - n_inter)),
+        {_lsh_bands_cte("uniq")},
+        be AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket)
+                 AS root
+          FROM bands),
+        star AS (
+          SELECT DISTINCT root AS id_a, doc_id AS id_b FROM be
+          WHERE doc_id > root),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM star
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM star),
+        cc AS (
+          SELECT DISTINCT src AS node, src AS comp FROM edges
+          UNION
+          SELECT e.dst AS node, cc.comp AS comp
+          FROM cc JOIN edges e ON e.src = cc.node
+          WHERE cc.comp < e.dst),
+        comp AS (SELECT node, min(comp) AS component FROM cc
+                 GROUP BY node),
+        pred AS (
+          SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT)
+                 AS predicted_pairs
+          FROM (SELECT component, count(*) AS s FROM comp
+                GROUP BY 1) z),
+        tpr AS (
+          SELECT CAST(count(*) AS BIGINT) AS tp_pairs
+          FROM truth t
+          JOIN comp a ON a.node = t.id_a
+          JOIN comp b ON b.node = t.id_b
+                     AND a.component = b.component),
+        tc AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth)
+        SELECT true_pairs, predicted_pairs, tp_pairs,
+               {pround_sql(
+                   'CASE WHEN predicted_pairs > 0'
+                   ' THEN CAST(tp_pairs AS DOUBLE)'
+                   ' / CAST(predicted_pairs AS DOUBLE) END', 6)}
+                 AS pair_precision,
+               {pround_sql(
+                   'CASE WHEN true_pairs > 0'
+                   ' THEN CAST(tp_pairs AS DOUBLE)'
+                   ' / CAST(true_pairs AS DOUBLE) END', 6)}
+                 AS pair_recall,
+               {pround_sql(
+                   'CASE WHEN predicted_pairs + true_pairs > 0'
+                   ' THEN 2.0 * CAST(tp_pairs AS DOUBLE)'
+                   ' / CAST(predicted_pairs + true_pairs AS DOUBLE) END',
+                   6)}
+                 AS pair_f1
+        FROM tc, pred, tpr
     """,
 })
 

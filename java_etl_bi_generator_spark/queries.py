@@ -2364,6 +2364,89 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_dedup_cluster_quality")
+def q_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-level dedup evaluation — q_blocking_quality measures the
+    CANDIDATE stage (can LSH still see the true pairs?); this measures
+    the FINAL OUTPUT: pair precision / recall / F1 of the connected
+    components q_dedup_near_clusters actually emits, against the exact
+    Jaccard ≥ 0.5 truth pairs.  Recall here is what survives banding
+    AND clustering; precision exposes the transitive-closure
+    over-merge (a star edge chains a≈b≈c into one component even when
+    a~c is below threshold — the known CC failure mode, visible as
+    data).  predicted_pairs = Σ_c C(s_c, 2) from component SIZES —
+    never enumerated, so a mega-component cannot blow up the eval; the
+    true-positive count joins the truth pairs (prefix-filter bounded)
+    to the component labels, linear.  Both pipelines are deterministic
+    (exact integer Jaccard, md5-family banding, min-label CC), so the
+    evaluation itself hash-checks.  Exact duplicates collapse first,
+    as both pipelines mandate."""
+    from .operators.dedup import exact_dedup, minhash_lsh_dup_clusters
+
+    docs = cut_lineage(
+        exact_dedup(T(spark, sf_dir, "documents"), "text", "doc_id")
+    )
+    truth = cut_lineage(
+        prefix_jaccard_pairs(
+            docs, "text", "doc_id", n=3, t_num=1, t_den=2
+        ).select("id_a", "id_b")
+    )
+    comp = cut_lineage(
+        minhash_lsh_dup_clusters(
+            docs.select("doc_id", "text"), "text", "doc_id"
+        )
+    )
+    pred_row = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .agg(
+            F.sum(F.expr("s * (s - 1) div 2"))
+            .cast("bigint")
+            .alias("predicted_pairs")
+        )
+    )
+    ca = comp.select(
+        F.col("node").alias("id_a"), F.col("component").alias("comp_a")
+    )
+    cb = comp.select(
+        F.col("node").alias("id_b"), F.col("component").alias("comp_b")
+    )
+    tp_row = (
+        truth.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(F.col("comp_a") == F.col("comp_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp_pairs"))
+    )
+    t_row = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_pairs")
+    )
+    j = t_row.join(F.broadcast(pred_row)).join(F.broadcast(tp_row))
+    prec = F.when(
+        F.col("predicted_pairs") > 0,
+        F.col("tp_pairs").cast("double")
+        / F.col("predicted_pairs").cast("double"),
+    )
+    rec = F.when(
+        F.col("true_pairs") > 0,
+        F.col("tp_pairs").cast("double")
+        / F.col("true_pairs").cast("double"),
+    )
+    f1 = F.when(
+        F.col("predicted_pairs") + F.col("true_pairs") > 0,
+        F.lit(2.0)
+        * F.col("tp_pairs").cast("double")
+        / (F.col("predicted_pairs") + F.col("true_pairs")).cast("double"),
+    )
+    return j.select(
+        "true_pairs",
+        "predicted_pairs",
+        "tp_pairs",
+        pround(prec, 6).alias("pair_precision"),
+        pround(rec, 6).alias("pair_recall"),
+        pround(f1, 6).alias("pair_f1"),
+    )
+
+
 @q("q_dedup_containment_lsh")
 def q_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 at corpus scale: directed containment verified ONLY on LSH
@@ -4109,6 +4192,148 @@ def q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.floor(weight).cast("bigint").alias("weight_band"))
         .groupBy("weight_band")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@q("q_linkage_em")
+def q_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI-SUNTER PARAMETER ESTIMATION via EM [Winkler 1988, "Using
+    the EM algorithm for weight computation in the Fellegi-Sunter model
+    of record linkage"] — where q_linkage_weights SCORES pairs with
+    pinned m/u literals, this ESTIMATES m/u/λ from the data, the step a
+    real linkage deployment runs first.  The blocked pair frame
+    collapses to the 16-row agreement-PATTERN contingency (2⁴ patterns
+    over 4 fields — the EM state is pattern-grain, never pair-grain,
+    so three rounds cost three 16-row aggregates no matter the corpus).
+    Cross-engine exactness: dyadic inits (λ=0.125, m=0.75, u=0.25 —
+    exact doubles), each round's per-pattern posterior w is one
+    fixed-order IEEE chain on identical inputs, w pins to the ×1e9
+    grid BEFORE the weighted sums (order-free DECIMAL integer
+    accumulation), and every M-step parameter is ONE division of exact
+    integers — so three full EM rounds are bit-identical to the
+    DuckDB oracle's unrolled CTE replay.  Honest caveat: the fixture
+    plants no true duplicates, so the two latent classes EM separates
+    are unlabeled (m>u orientation is only guaranteed when a real
+    matched class exists) — the certified contract is the EM
+    trajectory itself.  Scale shape: one blocked pair join (the
+    q_fuzzy_match blocking note applies), one shuffle to the
+    16-pattern grain, then constant-size arithmetic."""
+    pt = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.split(F.col("p_name"), " ")[0].alias("name_adj"),
+        F.split(F.col("p_name"), " ")[1].alias("name_noun"),
+        F.col("p_type").alias("ptype"),
+    )
+    cols = ["p_size", "name_adj", "name_noun", "ptype"]
+    a = pt.select(
+        F.col("p_partkey").alias("id_a"),
+        "p_brand",
+        *[F.col(c).alias(f"a_{i}") for i, c in enumerate(cols)],
+    )
+    b = pt.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_brand").alias("brand_b"),
+        *[F.col(c).alias(f"b_{i}") for i, c in enumerate(cols)],
+    )
+    pairs = a.join(
+        b,
+        (F.col("p_brand") == F.col("brand_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    pat = cut_lineage(
+        pairs.select(
+            *[
+                (F.col(f"a_{i}") == F.col(f"b_{i}"))
+                .cast("int")
+                .alias(f"g{i}")
+                for i in range(4)
+            ]
+        )
+        .groupBy("g0", "g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
+        eager=False,
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # dyadic init — exact doubles on both engines
+    state = spark.range(1).select(
+        F.lit(0.125).alias("lam"),
+        *[F.lit(0.75).alias(f"m{i}") for i in range(4)],
+        *[F.lit(0.25).alias(f"u{i}") for i in range(4)],
+    )
+    for _ in range(3):
+        pw = pat.crossJoin(F.broadcast(state))
+        num = F.col("lam")
+        den0 = F.lit(1.0) - F.col("lam")
+        for i in range(4):
+            gi = F.col(f"g{i}") == 1
+            num = num * F.when(
+                gi, F.col(f"m{i}")
+            ).otherwise(F.lit(1.0) - F.col(f"m{i}"))
+            den0 = den0 * F.when(
+                gi, F.col(f"u{i}")
+            ).otherwise(F.lit(1.0) - F.col(f"u{i}"))
+        w9 = F.floor(num / (num + den0) * F.lit(1e9) + F.lit(0.5)).cast(
+            "bigint"
+        )
+        rowed = pw.select("c", *[f"g{i}" for i in range(4)], w9.alias("w9"))
+        agg = rowed.agg(
+            F.sum(dd(F.col("c"))).cast("decimal(38,0)").alias("n"),
+            F.sum(dd(F.col("c")) * F.col("w9"))
+            .cast("decimal(38,0)")
+            .alias("sw"),
+            *[
+                F.sum(dd(F.col("c")) * F.col("w9") * F.col(f"g{i}"))
+                .cast("decimal(38,0)")
+                .alias(f"swg{i}")
+                for i in range(4)
+            ],
+            *[
+                F.sum(
+                    dd(F.col("c"))
+                    * (F.lit(10**9) - F.col("w9"))
+                    * F.col(f"g{i}")
+                )
+                .cast("decimal(38,0)")
+                .alias(f"sug{i}")
+                for i in range(4)
+            ],
+        )
+        state = agg.select(
+            (
+                F.col("sw").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e9))
+            ).alias("lam"),
+            *[
+                (
+                    F.col(f"swg{i}").cast("double")
+                    / F.col("sw").cast("double")
+                ).alias(f"m{i}")
+                for i in range(4)
+            ],
+            *[
+                (
+                    F.col(f"sug{i}").cast("double")
+                    / (
+                        F.col("n").cast("double") * F.lit(1e9)
+                        - F.col("sw").cast("double")
+                    )
+                ).alias(f"u{i}")
+                for i in range(4)
+            ],
+        )
+    names = ["size", "name_adj", "name_noun", "ptype"]
+    return state.select(
+        pround(F.col("lam"), 6).alias("lambda_match"),
+        *[
+            pround(F.col(f"m{i}"), 6).alias(f"m_{names[i]}")
+            for i in range(4)
+        ],
+        *[
+            pround(F.col(f"u{i}"), 6).alias(f"u_{names[i]}")
+            for i in range(4)
+        ],
     )
 
 

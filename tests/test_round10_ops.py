@@ -152,3 +152,34 @@ def test_stream_join_full_supersets_left_outer(spark, sf_dir):
     extras = [r for r in full if r["click_id"] is None]
     assert extras, "no organic-purchase rows — eviction never fired"
     assert all(r["purchase_id"] is not None for r in extras)
+
+
+def test_dedup_cluster_quality_consistency(spark, sf_dir):
+    r = registry()["q_dedup_cluster_quality"](spark, sf_dir).first()
+    # tp is bounded by both sides; all counts nonnegative
+    assert 0 <= r["tp_pairs"] <= min(r["true_pairs"], r["predicted_pairs"])
+    assert r["true_pairs"] > 0 and r["predicted_pairs"] > 0
+    # F1 identity 2tp/(pred+true)
+    expect_f1 = 2.0 * r["tp_pairs"] / (r["predicted_pairs"] + r["true_pairs"])
+    assert abs(r["pair_f1"] - expect_f1) < 1e-5
+    # the candidate-stage eval bounds the end-to-end recall: clustering
+    # cannot recover a pair banding never saw
+    bq = registry()["q_blocking_quality"](spark, sf_dir).first()
+    assert r["pair_recall"] <= bq["pair_completeness"] + 1e-9
+
+
+def test_linkage_em_separates_classes(spark, sf_dir):
+    r = registry()["q_linkage_em"](spark, sf_dir).first()
+    assert 0.0 < r["lambda_match"] < 1.0
+    fields = ("size", "name_adj", "name_noun", "ptype")
+    for f in fields:
+        assert 0.0 <= r[f"m_{f}"] <= 1.0 and 0.0 <= r[f"u_{f}"] <= 1.0
+    # the two latent classes must be DISTINCT after 3 rounds (on this
+    # fixture, which has no planted duplicates, EM finds whatever
+    # 2-class split maximizes likelihood — m>u per field is NOT
+    # guaranteed without true matches, so the pin is separation, not
+    # orientation)
+    assert any(abs(r[f"m_{f}"] - r[f"u_{f}"]) > 0.01 for f in fields)
+    # determinism: a second run reproduces the same parameters exactly
+    r2 = registry()["q_linkage_em"](spark, sf_dir).first()
+    assert r.asDict() == r2.asDict()
