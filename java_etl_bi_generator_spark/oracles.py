@@ -5565,6 +5565,33 @@ ORACLES: dict[str, str] = {
                  0.0)) < 1e-3 AS is_dead_dim
         FROM g
     """,
+    "q_embedding_covariance": f"""
+        WITH x AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings),
+        nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+        s AS (SELECT pos, CAST(sum(xi) AS HUGEINT) AS sv
+              FROM x GROUP BY 1),
+        g AS (
+          SELECT a.pos AS i, b.pos AS j,
+                 CAST(sum(CAST(a.xi AS HUGEINT) * b.xi) AS HUGEINT) AS t
+          FROM x a JOIN x b
+            ON a.vec_id = b.vec_id AND a.pos < b.pos
+          GROUP BY 1, 2),
+        c AS (
+          SELECT CAST(g.i + 1 AS INT) AS dim_i,
+                 CAST(g.j + 1 AS INT) AS dim_j,
+                 {pround_sql(
+                     'CAST(nn.n * g.t - si.sv * sj.sv AS DOUBLE)'
+                     ' / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)'
+                     '    * 1e12)', 8)} AS cov
+          FROM g JOIN s si ON si.pos = g.i
+                 JOIN s sj ON sj.pos = g.j, nn)
+        SELECT dim_i, dim_j, cov FROM c
+        ORDER BY abs(cov) DESC, dim_i, dim_j LIMIT 20
+    """,
     "q_knn_probe_accuracy": f"""
         WITH em AS (
           SELECT vec_id, label,

@@ -11277,6 +11277,105 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_embedding_covariance")
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING CROSS-DIMENSION AUDIT — the top-20 most-covariant
+    dimension PAIRS (q_embedding_dim_profile's off-diagonal companion):
+    strongly covariant dims are redundant storage the PQ subspace
+    split should not separate, and the input a whitening decision
+    needs.  The distributed shape is the Arrow ESCAPE HATCH done
+    exactly: each Arrow batch computes its int64 Gram partial VᵀV (one
+    matmul over micro-quantized components — the assign_cells_arrow_int
+    discipline; |x|≤2e6, dim 64, ≤10k rows/batch keeps every cell
+    inside int64), partials collapse by (i,j) key in DECIMAL(38,0),
+    and cov_ij = (n·G_ij − S_i·S_j) / (n²·1e12) is exact integers into
+    ONE pinned division — so even the mapInPandas path hash-checks
+    against the oracle's unnest-squared SQL (which materializes the
+    (vec, i, j) grain the matmul never does).  Ranking on the pinned
+    value, ties (i, j).  Scale shape: one scan, 2145 partial rows per
+    batch regardless of batch size (2080 upper-triangle Gram cells +
+    64 component sums + 1 count), a 2145-key shuffle."""
+    from .operators.kmeans import quantize_micro
+
+    em = T(spark, sf_dir, "embeddings").select(
+        quantize_micro("embedding").alias("qv")
+    )
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
+            )
+            G = V.T @ V
+            S = V.sum(axis=0)
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "i": iu[0].astype("int32"),
+                            "j": iu[1].astype("int32"),
+                            "g": G[iu],
+                        }
+                    ),
+                    pd.DataFrame(
+                        {
+                            "i": np.arange(64, dtype="int32"),
+                            "j": np.full(64, -1, dtype="int32"),
+                            "g": S,
+                        }
+                    ),
+                    pd.DataFrame({"i": [-1], "j": [-1], "g": [len(pdf)]}),
+                ]
+            )
+
+    parts = em.mapInPandas(_partials, schema="i int, j int, g long")
+    agg = cut_lineage(
+        parts.groupBy("i", "j").agg(
+            F.sum(F.col("g").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("t")
+        ),
+        eager=False,
+    )
+    n_row = agg.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("t").alias("n")
+    )
+    s = agg.filter((F.col("j") == -1) & (F.col("i") >= 0))
+    si = s.select(F.col("i").alias("i"), F.col("t").alias("s_i"))
+    sj = s.select(F.col("i").alias("j"), F.col("t").alias("s_j"))
+    gf = (
+        agg.filter((F.col("j") >= 0) & (F.col("i") < F.col("j")))
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n_row))
+    )
+    cov = pround(
+        (F.col("n") * F.col("t") - F.col("s_i") * F.col("s_j")).cast(
+            "double"
+        )
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * F.lit(1e12)
+        ),
+        8,
+    )
+    ranked = gf.select(
+        (F.col("i") + 1).cast("int").alias("dim_i"),
+        (F.col("j") + 1).cast("int").alias("dim_j"),
+        cov.alias("cov"),
+    )
+    return ranked.orderBy(
+        F.abs(F.col("cov")).desc(), "dim_i", "dim_j"
+    ).limit(20)
+
+
 @q("q_semantic_outliers")
 def q_semantic_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMBEDDING QA — the mislabel/outlier sweep run before semantic

@@ -183,3 +183,27 @@ def test_linkage_em_separates_classes(spark, sf_dir):
     # determinism: a second run reproduces the same parameters exactly
     r2 = registry()["q_linkage_em"](spark, sf_dir).first()
     assert r.asDict() == r2.asDict()
+
+
+def test_embedding_covariance_vs_numpy(spark, sf_dir):
+    """Brute-force the covariance on the collected micro-quantized
+    matrix and check the reported top pairs cell-for-cell."""
+    import numpy as np
+
+    rows = registry()["q_embedding_covariance"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    V = np.stack(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6 + 0.5)
+            for r in em
+        ]
+    ).astype(np.int64)
+    n = V.shape[0]
+    G = V.T @ V
+    S = V.sum(axis=0)
+    for r in rows:
+        i, j = r["dim_i"] - 1, r["dim_j"] - 1
+        assert i < j
+        expect = (n * G[i, j] - S[i] * S[j]) / (float(n) * float(n) * 1e12)
+        assert abs(r["cov"] - expect) < 1e-6
