@@ -8925,8 +8925,56 @@ def _harmonic_sql(rounds: int) -> str:
     )
 
 
+def _path_counts_sql(rounds: int) -> str:
+    """Unrolled probe-keyed BFS with σ accumulation mirroring
+    queries.q_graph_path_counts: a node enters at its first hop with
+    σ = Σ σ(predecessors in the previous frontier), exact BIGINT."""
+    ctes = []
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+        n{k} AS (
+          SELECT f.probe, e.dst AS node,
+                 CAST(sum(f.sigma) AS BIGINT) AS sigma
+          FROM f{k - 1} f JOIN e ON e.src = f.node
+          WHERE NOT EXISTS (
+            SELECT 1 FROM s{k - 1} s
+            WHERE s.probe = f.probe AND s.node = e.dst)
+          GROUP BY 1, 2),
+        s{k} AS (
+          SELECT * FROM s{k - 1}
+          UNION ALL
+          SELECT probe, node, CAST({k} AS BIGINT), sigma FROM n{k}),
+        f{k} AS (SELECT probe, node, sigma FROM n{k})""")
+    return (
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 10 = 0),
+        e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+        e AS (SELECT p1 AS src, p2 AS dst FROM e0
+              UNION ALL SELECT p2 AS src, p1 AS dst FROM e0),
+        p AS (SELECT DISTINCT src AS probe FROM e WHERE src % 100 = 0),
+        s0 AS (SELECT probe, probe AS node, CAST(0 AS BIGINT) AS dist,
+                      CAST(1 AS BIGINT) AS sigma
+               FROM p),
+        f0 AS (SELECT probe, node, sigma FROM s0),"""
+        + ",".join(ctes)
+        + f"""
+        SELECT probe, dist,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(sigma) AS BIGINT) AS paths_total,
+               CAST(min(sigma) AS BIGINT) AS sigma_min,
+               CAST(max(sigma) AS BIGINT) AS sigma_max
+        FROM s{rounds} WHERE dist > 0
+        GROUP BY 1, 2"""
+    )
+
+
 ORACLES.update({
     "q_harmonic_centrality": _harmonic_sql(4),
+    "q_graph_path_counts": _path_counts_sql(4),
     "q_pii_extraction": """
         WITH base AS (
           SELECT 'reach ' || c_name || ' at user'

@@ -15153,6 +15153,59 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_graph_path_counts")
+def q_graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHORTEST-PATH MULTIPLICITY — the σ stage of Brandes' betweenness
+    [Brandes 2001 §3]: per probe, HOW MANY distinct shortest paths
+    reach each hop level (σ(v) = Σ σ(pred) over dist-(k−1)
+    predecessors — path multiplicity is the redundancy/robustness
+    measure a single BFS distance hides: σ=1 means a bridge-like
+    reachability, large σ a richly connected one).  Pure integer
+    arithmetic end to end: σ accumulates as exact bigint sums along
+    the same probe-keyed 4-round BFS as q_harmonic_centrality (a node
+    enters at its first hop, so every predecessor is in the PREVIOUS
+    frontier and the σ recurrence is exact); output collapses to the
+    bounded (probe, dist) grain — node count, total/min/max σ — so
+    the frame certifies the whole trajectory in probes×4 rows.  ANSI
+    mode makes a σ overflow LOUD (multiplicities multiply with hub
+    degree; past ~1e18 switch σ to DECIMAL).  Scale shape: one
+    frontier⋈edges shuffle + anti-join per round, state bounded by
+    probes × nodes."""
+    sym = cut_lineage(_copurchase_sym(spark, sf_dir), eager=False)
+    probes = _hub_sources(sym).select(F.col("node").alias("probe"))
+    state = probes.select(
+        "probe",
+        F.col("probe").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    )
+    frontier = state.select("probe", "node", "sigma")
+    for k in range(1, 5):
+        cand = (
+            frontier.join(sym, frontier.node == sym.src)
+            .groupBy("probe", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+        )
+        new = cand.join(state, ["probe", "node"], "left_anti").withColumn(
+            "dist", F.lit(k).cast("bigint")
+        )
+        state = cut_lineage(
+            state.unionByName(new.select("probe", "node", "dist", "sigma"))
+        )
+        frontier = new.select("probe", "node", "sigma")
+    return (
+        state.filter(F.col("dist") > 0)
+        .groupBy("probe", "dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("sigma").cast("bigint").alias("paths_total"),
+            F.min("sigma").cast("bigint").alias("sigma_min"),
+            F.max("sigma").cast("bigint").alias("sigma_max"),
+        )
+        .orderBy("probe", "dist")
+    )
+
+
 @q("q_lpa_communities")
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection: 4 rounds of synchronous mode-label

@@ -207,3 +207,49 @@ def test_embedding_covariance_vs_numpy(spark, sf_dir):
         assert i < j
         expect = (n * G[i, j] - S[i] * S[j]) / (float(n) * float(n) * 1e12)
         assert abs(r["cov"] - expect) < 1e-6
+
+
+def test_path_counts_sigma_reference(spark, sf_dir):
+    """Brute-force the sigma recurrence on the collected edge set."""
+    rows = registry()["q_graph_path_counts"](spark, sf_dir).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter("l_partkey % 10 = 0")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    basket = defaultdict(set)
+    for r in li:
+        basket[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in basket.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    probes = sorted({r["probe"] for r in rows})
+    got = {(r["probe"], r["dist"]): r for r in rows}
+    for p in probes:
+        dist, sigma = {p: 0}, {p: 1}
+        frontier = {p}
+        for k in range(1, 5):
+            nxt = defaultdict(int)
+            for f in frontier:
+                for n in adj[f]:
+                    if n not in dist:
+                        nxt[n] += sigma[f]
+            for n, s in nxt.items():
+                dist[n], sigma[n] = k, s
+            frontier = set(nxt)
+            if nxt:
+                r = got[(p, k)]
+                assert r["n_nodes"] == len(nxt)
+                assert r["paths_total"] == sum(nxt.values())
+                assert r["sigma_min"] == min(nxt.values())
+                assert r["sigma_max"] == max(nxt.values())
+            else:
+                assert (p, k) not in got
