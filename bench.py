@@ -79,6 +79,11 @@ HEADLINE = [
     "q_zipf_law",            # rank-frequency OLS exponent (round 9)
     "q_semantic_outliers",   # per-cell centroid-distance outliers (round 9)
     "q_media_wav_extensible",  # extensible-fmt RIFF codegen walk (round 9)
+    "q_dsir_weights",        # hashed-bucket importance weights (round 10)
+    "q_language_temperature_sampling",  # alpha=0.7 mixing shares (round 10)
+    "q_watermark_lateness_profile",  # block-stitched running max (round 10)
+    "q_embedding_covariance",  # Arrow int64 Gram partials (round 10)
+    "q_harmonic_centrality",  # probe-keyed BFS, integer 12/d (round 10)
     # NOT q_pq_*: the declared PQ queries retrain their sub-quantizers
     # inline (train-once cost in production), which would dominate a
     # per-query headline — their scale behavior is covered by
