@@ -8884,7 +8884,9 @@ def _harmonic_sql(rounds: int) -> str:
     """Unrolled probe-keyed BFS mirroring queries.q_harmonic_centrality:
     state (probe, node, dist), each round adds UNSEEN (probe, node)
     pairs at their first (= minimal) hop count; 12/d is exact integer
-    for d ∈ {1..4} so the harmonic sum accumulates as Σ(12 // dist)."""
+    for d ∈ {1..4} so the harmonic sum accumulates as Σ(12 // dist).
+    Probes mirror queries._hub_probes: top-32 by degree, ties to the
+    smaller node id (COUNT-bounded — VERDICT r10 #1)."""
     ctes = []
     for k in range(1, rounds + 1):
         ctes.append(f"""
@@ -8909,7 +8911,10 @@ def _harmonic_sql(rounds: int) -> str:
                 AND a.l_partkey < b.l_partkey),
         e AS (SELECT p1 AS src, p2 AS dst FROM e0
               UNION ALL SELECT p2 AS src, p1 AS dst FROM e0),
-        p AS (SELECT DISTINCT src AS probe FROM e WHERE src % 100 = 0),
+        p AS (SELECT probe FROM (
+                SELECT src AS probe, count(*) AS deg
+                FROM e GROUP BY src
+                ORDER BY deg DESC, probe ASC LIMIT 32)),
         s0 AS (SELECT probe, probe AS node, CAST(0 AS BIGINT) AS dist
                FROM p),
         f0 AS (SELECT probe, node FROM s0),"""
@@ -8928,7 +8933,9 @@ def _harmonic_sql(rounds: int) -> str:
 def _path_counts_sql(rounds: int) -> str:
     """Unrolled probe-keyed BFS with σ accumulation mirroring
     queries.q_graph_path_counts: a node enters at its first hop with
-    σ = Σ σ(predecessors in the previous frontier), exact BIGINT."""
+    σ = Σ σ(predecessors in the previous frontier), exact BIGINT.
+    Probes mirror queries._hub_probes (top-32 by degree, COUNT-bounded
+    — VERDICT r10 #1)."""
     ctes = []
     for k in range(1, rounds + 1):
         ctes.append(f"""
@@ -8955,7 +8962,10 @@ def _path_counts_sql(rounds: int) -> str:
                 AND a.l_partkey < b.l_partkey),
         e AS (SELECT p1 AS src, p2 AS dst FROM e0
               UNION ALL SELECT p2 AS src, p1 AS dst FROM e0),
-        p AS (SELECT DISTINCT src AS probe FROM e WHERE src % 100 = 0),
+        p AS (SELECT probe FROM (
+                SELECT src AS probe, count(*) AS deg
+                FROM e GROUP BY src
+                ORDER BY deg DESC, probe ASC LIMIT 32)),
         s0 AS (SELECT probe, probe AS node, CAST(0 AS BIGINT) AS dist,
                       CAST(1 AS BIGINT) AS sigma
                FROM p),
