@@ -9754,12 +9754,21 @@ ORACLES.update({
 # Blocking-quality eval (mirrors queries.q_blocking_quality): exact
 # Jaccard >= 1/2 truth pairs over min-id representatives vs the LSH
 # banding candidates; PC and RR as pinned divisions of exact counts.
+# Truth side runs on the COUNT-bounded deterministic sample mirroring
+# queries._truth_sample (smallest-1024 md5(doc_id), tie-break doc_id).
+_TRUTH_SAMPLE_CTE = """
+        samp AS (SELECT doc_id FROM (
+          SELECT doc_id FROM uniq
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1024))"""
+
 ORACLES.update({
     "q_blocking_quality": f"""
         WITH uniq AS (
           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
         ),
-        tdocs AS (SELECT doc_id, {_TOKENS} AS toks FROM uniq),
+        {_TRUTH_SAMPLE_CTE},
+        tdocs AS (SELECT u.doc_id, {_TOKENS} AS toks
+                  FROM uniq u JOIN samp USING (doc_id)),
         tsh AS (
           SELECT doc_id, unnest(list_distinct(
             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -9788,12 +9797,15 @@ ORACLES.update({
             ON a.band = b.band AND a.bucket = b.bucket
            AND a.doc_id < b.doc_id),
         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM uniq),
+        sn AS (SELECT CAST(count(*) AS BIGINT) AS sampled_docs
+               FROM samp),
         tc AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth),
         cc AS (SELECT CAST(count(*) AS BIGINT) AS candidate_pairs
                FROM cand),
         gc AS (SELECT CAST(count(*) AS BIGINT) AS caught_pairs
                FROM truth JOIN cand USING (id_a, id_b))
-        SELECT n_docs, true_pairs, candidate_pairs, caught_pairs,
+        SELECT n_docs, sampled_docs, true_pairs, candidate_pairs,
+               caught_pairs,
                {pround_sql(
                    'CASE WHEN true_pairs > 0'
                    ' THEN CAST(caught_pairs AS DOUBLE)'
@@ -9803,13 +9815,15 @@ ORACLES.update({
                    '1.0 - CAST(candidate_pairs AS DOUBLE)'
                    ' / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)', 6)}
                  AS reduction_ratio
-        FROM nn, tc, cc, gc
+        FROM nn, sn, tc, cc, gc
     """,
     "q_dedup_cluster_quality": f"""
         WITH RECURSIVE uniq AS (
           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
         ),
-        tdocs AS (SELECT doc_id, {_TOKENS} AS toks FROM uniq),
+        {_TRUTH_SAMPLE_CTE},
+        tdocs AS (SELECT u.doc_id, {_TOKENS} AS toks
+                  FROM uniq u JOIN samp USING (doc_id)),
         tsh AS (
           SELECT doc_id, unnest(list_distinct(
             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -9852,10 +9866,13 @@ ORACLES.update({
         comp AS (SELECT node, min(comp) AS component FROM cc
                  GROUP BY node),
         pred AS (
-          SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT)
+          SELECT CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT)
                  AS predicted_pairs
-          FROM (SELECT component, count(*) AS s FROM comp
+          FROM (SELECT component, count(*) AS s
+                FROM comp JOIN samp ON samp.doc_id = comp.node
                 GROUP BY 1) z),
+        sn AS (SELECT CAST(count(*) AS BIGINT) AS sampled_docs
+               FROM samp),
         tpr AS (
           SELECT CAST(count(*) AS BIGINT) AS tp_pairs
           FROM truth t
@@ -9863,7 +9880,7 @@ ORACLES.update({
           JOIN comp b ON b.node = t.id_b
                      AND a.component = b.component),
         tc AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth)
-        SELECT true_pairs, predicted_pairs, tp_pairs,
+        SELECT sampled_docs, true_pairs, predicted_pairs, tp_pairs,
                {pround_sql(
                    'CASE WHEN predicted_pairs > 0'
                    ' THEN CAST(tp_pairs AS DOUBLE)'
@@ -9880,7 +9897,7 @@ ORACLES.update({
                    ' / CAST(predicted_pairs + true_pairs AS DOUBLE) END',
                    6)}
                  AS pair_f1
-        FROM tc, pred, tpr
+        FROM sn, tc, pred, tpr
     """,
 })
 

@@ -2291,8 +2291,37 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(docs, "text", "doc_id", n=3, t_num=4, t_den=5)
 
 
+#: Count bound on the exact-Jaccard TRUTH side of the dedup evals: the
+#: truth sample is the TRUTH_SAMPLE_K docs with the smallest
+#: md5(doc_id) hex (tie-break doc_id) — a pure function of the row key
+#: (the q_corpus_sample discipline) that is COUNT-bounded, so truth
+#: generation cost is flat at any corpus size (VERDICT r10 #2).  At
+#: sf0.001/sf0.01 the bound exceeds the corpus, so the sample IS the
+#: full corpus and the eval stays non-vacuous at the test SFs.
+TRUTH_SAMPLE_K = 1024
+
+
+def _truth_sample(docs: DataFrame, k: int | None) -> DataFrame:
+    """Deterministic count-bounded doc sample for exact-truth
+    generation: order by (md5(doc_id), doc_id), keep k.  ``k=None``
+    returns the full frame (the full-truth flag).  Lowercase-hex md5
+    orders identically in Spark and DuckDB, so the oracle reproduces
+    the exact sample.  Plan: TakeOrderedAndProject — k rows, no full
+    sort shuffle."""
+    if k is None:
+        return docs
+    return (
+        docs.withColumn("__h", F.md5(F.col("doc_id").cast("string")))
+        .orderBy("__h", "doc_id")
+        .limit(k)
+        .drop("__h")
+    )
+
+
 @q("q_blocking_quality")
-def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_blocking_quality(
+    spark: SparkSession, sf_dir: str, truth_k: int | None = TRUTH_SAMPLE_K
+) -> DataFrame:
     """BLOCKING-SCHEME evaluation [Christen 2012's pair-completeness /
     reduction-ratio, the record-linkage standard] — the number that
     decides whether the MinHash-LSH banding config is safe to trust at
@@ -2309,21 +2338,24 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative), as both pipelines mandate.  Scale shape: the two
     pair generators' own documented shapes (prefix-bounded /
     bucket-bounded joins); the eval adds one pair-key join and a 1-row
-    aggregate.  COST NOTE (measured, volume_sweep 10×: 57.8 s at 50k
-    docs vs sub-3 s for most ops): the looser t=0.5 truth threshold
-    makes the prefix cover ~half of each doc's shingles, so exact truth
-    generation dominates — which is precisely WHY pipelines run
-    blocking at all; a production-scale eval computes truth on a
-    deterministic document SAMPLE (the q_pq_train_sampled discipline)
-    rather than the full corpus."""
+    aggregate.  TRUTH SAMPLING (VERDICT r10 #2 — the r10 sweep
+    measured 6.6× wall growth at 10× volume, all of it exact-truth
+    generation at the loose t=0.5 threshold): truth is computed on the
+    deterministic COUNT-bounded ``_truth_sample`` (TRUTH_SAMPLE_K docs
+    by smallest md5(doc_id); full corpus at the test SFs, flat cost at
+    any scale), PC = caught/truth over SAMPLED pairs, and the
+    ``sampled_docs`` column makes the denominator honest.  RR stays
+    full-corpus (the candidate count is cheap).  Full truth via
+    ``truth_k=None``."""
     from .operators.dedup import exact_dedup, minhash_lsh_candidates
 
     docs = cut_lineage(
         exact_dedup(T(spark, sf_dir, "documents"), "text", "doc_id")
     )
+    samp = cut_lineage(_truth_sample(docs, truth_k))
     truth = cut_lineage(
         prefix_jaccard_pairs(
-            docs, "text", "doc_id", n=3, t_num=1, t_den=2
+            samp, "text", "doc_id", n=3, t_num=1, t_den=2
         ).select("id_a", "id_b")
     )
     cand = cut_lineage(
@@ -2332,6 +2364,9 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_row = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    s_row = samp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sampled_docs")
+    )
     t_row = truth.agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
     c_row = cand.agg(
         F.count(F.lit(1)).cast("bigint").alias("candidate_pairs")
@@ -2341,7 +2376,8 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("caught_pairs"))
     )
     j = (
-        n_row.join(F.broadcast(t_row))
+        n_row.join(F.broadcast(s_row))
+        .join(F.broadcast(t_row))
         .join(F.broadcast(c_row))
         .join(F.broadcast(g_row))
     )
@@ -2356,6 +2392,7 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / total_pairs.cast("double")
     return j.select(
         "n_docs",
+        "sampled_docs",
         "true_pairs",
         "candidate_pairs",
         "caught_pairs",
@@ -2365,7 +2402,9 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("q_dedup_cluster_quality")
-def q_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_cluster_quality(
+    spark: SparkSession, sf_dir: str, truth_k: int | None = TRUTH_SAMPLE_K
+) -> DataFrame:
     """CLUSTER-level dedup evaluation — q_blocking_quality measures the
     CANDIDATE stage (can LSH still see the true pairs?); this measures
     the FINAL OUTPUT: pair precision / recall / F1 of the connected
@@ -2380,15 +2419,25 @@ def q_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the component labels, linear.  Both pipelines are deterministic
     (exact integer Jaccard, md5-family banding, min-label CC), so the
     evaluation itself hash-checks.  Exact duplicates collapse first,
-    as both pipelines mandate."""
+    as both pipelines mandate.  TRUTH SAMPLING (VERDICT r10 #2 — the
+    exact-truth side measured 6.6× at the r10 10× sweep): truth pairs
+    come from the COUNT-bounded deterministic ``_truth_sample``
+    (TRUTH_SAMPLE_K docs; full corpus at the test SFs), and P/R/F1 are
+    computed on the SAMPLE-INDUCED pair space — predicted_pairs is
+    Σ C(s,2) over each component's SAMPLED member count (still derived
+    from sizes, never enumerated), so precision compares like with
+    like.  ``sampled_docs`` makes the denominator honest; full truth
+    via ``truth_k=None``.  Clustering itself always runs on the full
+    corpus — only the ground-truth side is sampled."""
     from .operators.dedup import exact_dedup, minhash_lsh_dup_clusters
 
     docs = cut_lineage(
         exact_dedup(T(spark, sf_dir, "documents"), "text", "doc_id")
     )
+    samp = cut_lineage(_truth_sample(docs, truth_k))
     truth = cut_lineage(
         prefix_jaccard_pairs(
-            docs, "text", "doc_id", n=3, t_num=1, t_den=2
+            samp, "text", "doc_id", n=3, t_num=1, t_den=2
         ).select("id_a", "id_b")
     )
     comp = cut_lineage(
@@ -2396,14 +2445,19 @@ def q_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select("doc_id", "text"), "text", "doc_id"
         )
     )
+    samp_ids = samp.select(F.col("doc_id").alias("node"))
     pred_row = (
-        comp.groupBy("component")
+        comp.join(samp_ids, "node")
+        .groupBy("component")
         .agg(F.count(F.lit(1)).alias("s"))
         .agg(
-            F.sum(F.expr("s * (s - 1) div 2"))
+            F.coalesce(F.sum(F.expr("s * (s - 1) div 2")), F.lit(0))
             .cast("bigint")
             .alias("predicted_pairs")
         )
+    )
+    s_row = samp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sampled_docs")
     )
     ca = comp.select(
         F.col("node").alias("id_a"), F.col("component").alias("comp_a")
@@ -2420,7 +2474,11 @@ def q_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_row = truth.agg(
         F.count(F.lit(1)).cast("bigint").alias("true_pairs")
     )
-    j = t_row.join(F.broadcast(pred_row)).join(F.broadcast(tp_row))
+    j = (
+        t_row.join(F.broadcast(s_row))
+        .join(F.broadcast(pred_row))
+        .join(F.broadcast(tp_row))
+    )
     prec = F.when(
         F.col("predicted_pairs") > 0,
         F.col("tp_pairs").cast("double")
@@ -2438,6 +2496,7 @@ def q_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("predicted_pairs") + F.col("true_pairs")).cast("double"),
     )
     return j.select(
+        "sampled_docs",
         "true_pairs",
         "predicted_pairs",
         "tp_pairs",

@@ -54,3 +54,38 @@ def test_probe_keyed_queries_bounded_output(spark, sf_dir):
     pc = reg["q_graph_path_counts"](spark, sf_dir)
     n_probes = pc.select("probe").distinct().count()
     assert 0 < n_probes <= PROBE_CAP
+
+
+def test_truth_sample_bounded_and_deterministic(spark, sf_dir):
+    """VERDICT r10 #2 pin: the dedup evals' exact-truth side runs on a
+    COUNT-bounded deterministic sample; the sampled-N column keeps the
+    denominator honest; at the test SFs the sample covers the corpus
+    so the eval is non-vacuous."""
+    from java_etl_bi_generator_spark.operators.dedup import exact_dedup
+    from java_etl_bi_generator_spark.queries import (
+        T,
+        TRUTH_SAMPLE_K,
+        _truth_sample,
+    )
+
+    docs = exact_dedup(T(spark, sf_dir, "documents"), "text", "doc_id")
+    samp = _truth_sample(docs, TRUTH_SAMPLE_K)
+    ids = sorted(r["doc_id"] for r in samp.select("doc_id").collect())
+    assert 0 < len(ids) <= TRUTH_SAMPLE_K
+    # determinism under re-evaluation
+    again = sorted(
+        r["doc_id"]
+        for r in _truth_sample(docs, TRUTH_SAMPLE_K)
+        .select("doc_id")
+        .collect()
+    )
+    assert again == ids
+    # k=None is the full-truth flag
+    assert _truth_sample(docs, None).count() == docs.count()
+
+    reg = registry()
+    bq = reg["q_blocking_quality"](spark, sf_dir).collect()[0]
+    assert bq["sampled_docs"] == len(ids)
+    assert bq["sampled_docs"] <= bq["n_docs"]
+    cq = reg["q_dedup_cluster_quality"](spark, sf_dir).collect()[0]
+    assert cq["sampled_docs"] == len(ids)
