@@ -95,6 +95,17 @@ HEADLINE = [
 # growth (round-4 verdict task 5): the headline total absorbs new heavy
 # operators each round, the like-for-like subtotal does not.
 LIKE_FOR_LIKE = HEADLINE[:22]
+
+# The r1 anchor for the like-for-like 22-query subtotal (BASELINE.md
+# "Operative anchor table"): the 2x gate means like_for_like must stay
+# under 2 * R1_ANCHOR_LFL_22Q.
+R1_ANCHOR_LFL_22Q = 17.39
+
+# Round-robin time above which a query is re-measured min-of-6 in a
+# fresh isolated JVM (VERDICT r10 task 8: lowered 1.5 -> 1.0 s so the
+# 1.0-1.5 s entries stop wobbling the board; regressions are reported
+# only from isolated numbers).
+ISOLATION_THRESHOLD = 1.0
 assert LIKE_FOR_LIKE[-1] == "q_basket_pairs"
 
 
@@ -138,14 +149,14 @@ def main() -> None:
     # re-measured both FASTER than their round-3 numbers (SCALING.md
     # "bench noise audit"), and round 6's +10-20% uniform drift on
     # untouched code confirmed the round-robin column alone misleads.
-    # Every query whose round-robin time exceeds 1.5 s is therefore
+    # Every query whose round-robin time exceeds ISOLATION_THRESHOLD is
     # re-measured min-of-6 in a fresh session, and the HEADLINE totals
     # are sums of best-known-per-query (min of the two columns), so a
     # shared-JVM bad lap can no longer move the round-over-round story.
     # Disable with SPARK_GRAFT_BENCH_ISOLATED=0.
     isolated: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
-        heavy = [n for n in HEADLINE if times[n] > 1.5]
+        heavy = [n for n in HEADLINE if times[n] > ISOLATION_THRESHOLD]
         spark.stop()
         spark = get_spark(app_name="bench-isolated")
         for name in heavy:
@@ -179,6 +190,7 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "value_like_for_like_22q": like_for_like,
+        "r1_anchor_like_for_like_22q": R1_ANCHOR_LFL_22Q,
         "value_round_robin": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": best,

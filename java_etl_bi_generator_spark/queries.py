@@ -136,51 +136,53 @@ def q(name: str) -> Callable[[QueryFn], QueryFn]:
 # sketch/layout operators, and the distributed-rank family (q_rfm) —
 # instead of 50 variations on scan+project.
 _SHOWCASE: tuple[str, ...] = (
-    # Round-10 rotation (VERDICT r9 task 3: 177/432 registry queries
-    # had never been driver-sampled; union of CORRECTNESS_r01-r09 =
-    # 255).  FOUR repeats — q_star_flagship (the headline anchor) and
-    # the three r9 hash-FAILs (q_graph_assortativity, q_table_checksum,
-    # q_kendall_tau) whose DECIMAL(38,0) outputs were hardened to
-    # BIGINT/canonical-string this round and MUST be re-certified by
-    # the driver (VERDICT r9 task 1) — plus 46 never-sampled entries
-    # over the families the verdict named: the TPC-H tail, the dedup
-    # family, the stats tail, attribution, and governance, filled out
-    # with core ops/joins, text/LLM, vectors, and the two r9-rewritten
-    # event queries (q_rolling_distinct's sweepline, q_session_paths'
-    # bounded collects) so the driver certifies the rewritten forms.
-    # Everything rotated out stays hash-checked in the full
-    # check_parity.py sweep.
+    # Round-11 rotation (VERDICT r10 task 3: union of
+    # CORRECTNESS_r01-r10 = 301 of 444; 143 never driver-sampled).
+    # TWO repeats — q_star_flagship (the headline anchor) and
+    # q_blocking_quality (its truth side was re-based onto the
+    # count-bounded `_truth_sample` this round, adding the
+    # sampled_docs column, so the driver must re-certify the new
+    # hash) — plus 48 NEVER-SAMPLED entries, led by the three other
+    # round-11-touched queries (q_harmonic_centrality /
+    # q_graph_path_counts with the capped probe set,
+    # q_dedup_cluster_quality with the sampled truth) and spread over
+    # the remaining un-sampled families: streaming, the UDF/UDAF/UDTF
+    # escape hatches, the round-10 additions, the distributed-rank
+    # quantile family, core function surfaces, event analytics,
+    # text/LLM, and sampling/splits.  Everything rotated out stays
+    # hash-checked in the full check_parity.py sweep.
     #
-    # anchor + the three DECIMAL re-certifications
-    "q_star_flagship",
-    "q_graph_assortativity", "q_table_checksum", "q_kendall_tau",
-    # TPC-H never-sampled tail (verdict priority)
-    "q_tpch_q12", "q_tpch_q13", "q_tpch_q15", "q_tpch_q16",
-    "q_tpch_q17", "q_tpch_q19", "q_tpch_q20", "q_tpch_refresh",
-    # dedup family
-    "q_dedup_cut", "q_dedup_containment", "q_dedup_near_clusters",
-    "q_dedup_prefix", "q_dedup_threshold_curve",
-    # stats / experimentation tail
-    "q_cramers_v", "q_cohens_kappa", "q_anomaly_mahalanobis",
-    "q_bootstrap_ci_by_segment", "q_gains_lift",
-    # attribution
-    "q_attribution_last_touch", "q_attribution_positional",
-    # governance / curation
-    "q_fairness_parity", "q_domain_mixing_weights", "q_cdc_chunking",
-    # core operator surfaces never sampled
-    "q_orderby", "q_topk", "q_union", "q_intersect",
-    "q_grouping_sets", "q_window_sliding", "q_math_funcs",
-    # join surfaces
-    "q_join_asof_forward", "q_join_interval_overlap",
-    "q_join_null_aware_anti", "q_join_cardinality_estimate",
-    # text / LLM metrics
-    "q_bpe_pair_counts", "q_unigram_logprob", "q_langid_confusion",
-    "q_repetition_filter", "q_vocab_coverage_curve",
-    # vectors / embeddings
-    "q_embed_normalize", "q_embed_drift", "q_minhash_accuracy",
-    # event / time-series (incl. the two r9 rewrites)
-    "q_rolling_distinct", "q_session_paths", "q_retention_cohort",
-    "q_scd2_build",
+    # anchor + the round-11 re-certification
+    "q_star_flagship", "q_blocking_quality",
+    # round-11-touched, never sampled
+    "q_harmonic_centrality", "q_graph_path_counts",
+    "q_dedup_cluster_quality",
+    # streaming
+    "q_stream_join_full", "q_watermark_lateness_profile",
+    # UDF/UDAF/UDTF escape hatches
+    "q_pandas_udaf", "q_udtf_sentences", "q_embedding_covariance",
+    # round-10 additions never sampled
+    "q_readability", "q_language_temperature_sampling",
+    "q_distinct_ngrams", "q_dsir_weights", "q_ivf_recall",
+    "q_linkage_em",
+    # distributed-rank / quantile family
+    "q_cume_dist", "q_rolling_median", "q_exact_median_rank",
+    "q_quantile_ladder", "q_quantile_ladder_grouped", "q_winsorize",
+    # core function surfaces
+    "q_date_arithmetic", "q_array_ops", "q_map_ops",
+    "q_json_roundtrip", "q_posexplode", "q_string_agg",
+    "q_mode_per_group", "q_histogram",
+    # event / time-series analytics
+    "q_funnel_horizon", "q_time_to_convert", "q_gap_fill_ffill",
+    "q_gap_fill_interpolate", "q_ohlc", "q_gaps_and_islands",
+    "q_seasonal_index", "q_ewma_daily",
+    # text / LLM
+    "q_text_clean", "q_corpus_filter", "q_vocab_topk",
+    "q_bigram_logprob", "q_pmi_bigrams", "q_char_ngrams",
+    "q_ngram_novelty",
+    # sampling / splits / contrastive mining
+    "q_corpus_sample", "q_temporal_split", "q_stratified_sample",
+    "q_negative_sampling", "q_hard_negatives",
 )
 assert len(_SHOWCASE) == 50, len(_SHOWCASE)
 
