@@ -98,3 +98,63 @@ def test_full_query_through_reliable_checkpoint_matches_oracle(
     idx = [du_cols.index(c) for c in cols]
     want_n = sorted(tuple(w[j] for j in idx) for w in want)
     assert got == want_n
+
+
+def test_registry_query_hash_invariant_under_reliable_checkpoint(tmp_path):
+    """VERDICT r10 task 5: drive a REGISTRY iterative query (q_pagerank,
+    whose every round runs through cut_lineage) end-to-end on the
+    reliable-checkpoint path and pin (a) that checkpoint files actually
+    land under the configured dir — proof the checkpoint() branch ran —
+    and (b) that the canonical result hash is IDENTICAL to the
+    localCheckpoint run.  Fresh subprocess per mode: a SparkContext's
+    checkpoint dir cannot be unset once configured, so in-process A/B
+    is impossible."""
+    import hashlib
+    import subprocess
+    import sys
+
+    script = r"""
+import hashlib, os, sys
+sys.path.insert(0, "/root/repo")
+from java_etl_bi_generator_spark.session import get_spark
+from java_etl_bi_generator_spark.lineage import (
+    checkpoint_dir, configure_checkpoint_dir,
+)
+from java_etl_bi_generator_spark.queries import registry
+
+spark = get_spark(app_name="lineage-abtest")
+mode = sys.argv[1]
+if mode == "reliable":
+    d = sys.argv[2]
+    configure_checkpoint_dir(spark, d)
+    assert checkpoint_dir(spark) is not None
+else:
+    assert checkpoint_dir(spark) is None
+rows = registry()["q_pagerank"](spark, "/root/testdata/sf0.001").collect()
+canon = sorted(tuple(str(v) for v in r) for r in rows)
+h = hashlib.sha256(repr(canon).encode()).hexdigest()
+if mode == "reliable":
+    files = [f for _, _, fs in os.walk(sys.argv[2]) for f in fs]
+    assert files, "reliable checkpoint wrote nothing under the dir"
+print("HASH=" + h)
+"""
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_CHECKPOINT_DIR", None)
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-c", script, *args],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        for line in out.stdout.splitlines():
+            if line.startswith("HASH="):
+                return line[5:]
+        raise AssertionError("no hash line in: " + out.stdout[-500:])
+
+    h_local = run("local")
+    h_reliable = run("reliable", str(tmp_path / "ckpt_ab"))
+    assert h_local == h_reliable
