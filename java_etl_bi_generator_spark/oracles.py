@@ -750,6 +750,123 @@ def _media_roundtrip_oracle() -> str:
     """
 
 
+def _png_decode_oracle() -> str:
+    """Twin of q_media_png_decode: rebuild the identical stored-deflate
+    PNG hex from the single-sourced derivations (functions/mediahex.py
+    — including the REAL computed ADLER-32 trailer), then DECODE it —
+    IHDR fields via fixed-offset nibble arithmetic, the stored-block
+    LEN from the deflate framing bytes, identity unfiltering with a
+    per-row filter-byte max, channel sums via a dynamic-position
+    nibble walk, and the adler re-verification.  Lambda vars p/q/r —
+    never i (_hex_bigint caveat)."""
+    from .functions.mediahex import (
+        IDAT_HEX,
+        IEND_HEX,
+        IHDR_HEX,
+        PNG_IHDR_TAIL_RGB_HEX,
+        PNG_SIG_HEX,
+        PNGS_H,
+        PNGS_PX,
+        PNGS_W,
+        ZLIB_STORED_HDR_HEX,
+        be32_sql,
+        le16_sql,
+        png_rowbytes_sql,
+    )
+
+    nib = "'0123456789abcdef'"
+
+    def hbyte(off0: str) -> str:
+        """Byte value at dynamic 0-based offset of hex column ``h``."""
+        return (
+            f"((strpos({nib}, substr(h, CAST(2 * ({off0}) + 1 AS INT),"
+            f" 1)) - 1) * 16"
+            f" + strpos({nib}, substr(h, CAST(2 * ({off0}) + 2 AS INT),"
+            f" 1)) - 1)"
+        )
+
+    def chan_sum(ch: int) -> str:
+        off = f"48 + (p // wp) * rbp + 1 + 3 * (p % wp) + {ch}"
+        return (
+            f"list_sum(list_transform(range(0, wp * hp), p -> "
+            f"{hbyte(off)}))"
+        )
+
+    raw_b = f"CASE WHEN q % rb = 0 THEN 0 ELSE {PNGS_PX} END"
+    raw_hex = (
+        "array_to_string(list_transform(range(0, rawlen), q -> "
+        f"lower(lpad(hex({raw_b}), 2, '0'))), '')"
+    )
+    s1 = (
+        f"(1 + list_sum(list_transform(range(0, rawlen), q -> {raw_b})))"
+        " % 65521"
+    )
+    s2 = (
+        "(rawlen + list_sum(list_transform(range(0, rawlen), q -> "
+        f"(rawlen - q) * ({raw_b})))) % 65521"
+    )
+    # decode-side dynamic adler parse: 4 bytes big-endian at 0-based
+    # offset 48 + lp
+    adler_stored = " + ".join(
+        f"{hbyte(f'48 + lp + {k}')} * {256 ** (3 - k)}" for k in range(4)
+    )
+    return f"""
+        WITH p0 AS (
+          SELECT doc_id, {PNGS_W} AS w, {PNGS_H} AS hh FROM documents),
+        sized AS (
+          SELECT doc_id, w, hh, {png_rowbytes_sql('w')} AS rb,
+                 hh * {png_rowbytes_sql('w')} AS rawlen
+          FROM p0),
+        blobs AS (
+          SELECT doc_id,
+                 '{PNG_SIG_HEX}' || {be32_sql('13')} || '{IHDR_HEX}'
+                 || {be32_sql('w')} || {be32_sql('hh')}
+                 || '{PNG_IHDR_TAIL_RGB_HEX}' || '00000000'
+                 || {be32_sql('rawlen + 11')} || '{IDAT_HEX}'
+                 || '{ZLIB_STORED_HDR_HEX}'
+                 || {le16_sql('rawlen')} || {le16_sql('65535 - rawlen')}
+                 || {raw_hex}
+                 || {be32_sql(f'({s2}) * 65536 + ({s1})')}
+                 || '00000000' || '00000000' || '{IEND_HEX}'
+                 || '00000000' AS h
+          FROM sized),
+        hdr AS (
+          SELECT doc_id, h,
+                 CAST({_hex_bigint('h', 33, 8)} AS BIGINT) AS wp,
+                 CAST({_hex_bigint('h', 41, 8)} AS BIGINT) AS hp,
+                 CAST({_h_le16(45)} AS BIGINT) AS lp
+          FROM blobs),
+        dec AS (
+          SELECT *, 1 + 3 * wp AS rbp FROM hdr),
+        sums AS (
+          SELECT doc_id, h, wp, hp, lp, rbp,
+                 CAST({chan_sum(0)} AS BIGINT) AS sum_r,
+                 CAST({chan_sum(1)} AS BIGINT) AS sum_g,
+                 CAST({chan_sum(2)} AS BIGINT) AS sum_b,
+                 list_max(list_transform(range(0, hp), r ->
+                   {hbyte('48 + r * rbp')})) = 0 AS filters_ok,
+                 CAST({adler_stored} AS BIGINT) =
+                   ((lp + list_sum(list_transform(range(0, lp), q ->
+                       (lp - q) * {hbyte('48 + q')}))) % 65521) * 65536
+                   + ((1 + list_sum(list_transform(range(0, lp), q ->
+                       {hbyte('48 + q')}))) % 65521) AS adler_ok
+          FROM dec)
+        SELECT doc_id,
+               CASE WHEN substr(h, 1, 16) = '{PNG_SIG_HEX}'
+                    THEN 'png' ELSE 'unknown' END AS container,
+               CAST(length(h) // 2 AS INT) AS byte_len,
+               h AS blob_hex,
+               CAST(wp AS INT) AS width,
+               CAST(hp AS INT) AS height,
+               CAST(wp * hp AS BIGINT) AS n_px,
+               sum_r, sum_g, sum_b,
+               CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS BIGINT)
+                 AS luma_k,
+               filters_ok, adler_ok
+        FROM sums
+    """
+
+
 def _bmp_decode_oracle() -> str:
     """Twin of q_media_bmp_decode: rebuild the identical BMP hex from
     the single-sourced derivations (functions/mediahex.py), then DECODE
@@ -1815,6 +1932,7 @@ def _dp_quantile_oracle() -> str:
 ORACLES: dict[str, str] = {
     # --- sources ---
     "q_media_bmp_decode": _bmp_decode_oracle(),
+    "q_media_png_decode": _png_decode_oracle(),
     "q_media_bmp_histogram": _bmp_histogram_oracle(),
     "q_bradley_terry": _bradley_terry_oracle(),
     "q_quality_linear_scorer": _quality_linear_scorer_oracle(),

@@ -1142,3 +1142,144 @@ def wav_pcm_features(
             ),
         }
     ).drop("__ds", "__smp")
+
+
+def png_stored_pixel_stats(
+    media: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """REAL PNG pixel DECODE (round 11) for the codec-free subset: a
+    single-final-STORED-block zlib IDAT (functions/mediahex.py layout
+    note) needs no inflate — the deflate framing is 5 bytes of plain
+    integers — so IHDR parse, stored-block extraction, row UNFILTERING
+    (every filter-type byte must be 0: the identity filter), the zlib
+    ADLER-32 verification, and per-channel pixel sums all run as
+    codegen expressions over the ``binary`` column.  Every walk input
+    comes from the PARSED bytes (width/height from IHDR, LEN from the
+    stored-block header — cross-checked against NLEN's ones'
+    complement and against height·rowbytes), never from upstream
+    construction parameters, so this genuinely decodes whatever bytes
+    arrive; non-canonical layouts (multiple IDATs, Huffman blocks,
+    other color types) gate to null stats — entropy-coded decode
+    stays honestly stubbed (decode_image_real above).  Emits:
+    container, width, height, n_px, per-channel sums (PNG is RGB
+    order), the exact Rec.601 ×1000 luma numerator, ``filters_ok``
+    (all scanline filter bytes are 0), and ``adler_ok`` (the stored
+    ADLER-32 equals the recomputed one — a real end-to-end integrity
+    check, unlike the unchecked chunk CRCs).  At 100 TB the shape is
+    a narrow per-row map — no shuffle, no Python worker; megapixel
+    payloads would ride mapInPandas for Arrow-batch locality (the
+    JPEG-SOF precedent)."""
+    from ..functions.mediahex import (
+        IDAT_HEX,
+        PNG_IHDR_TAIL_RGB_HEX,
+        PNG_SIG_HEX,
+        ZLIB_STORED_HDR_HEX,
+    )
+
+    c = content_col
+
+    def byte_at(off1: str) -> str:
+        """Exact bigint value of the byte at dynamic 1-based offset."""
+        return (
+            f"CAST(conv(hex(substring({c}, CAST({off1} AS INT), 1)),"
+            f" 16, 10) AS BIGINT)"
+        )
+
+    parsed = media.withColumns(
+        {
+            "container": F.when(
+                F.expr(f"lower(hex(substring({c}, 1, 8)))")
+                == PNG_SIG_HEX,
+                F.lit("png"),
+            ).otherwise(F.lit("unknown")),
+            "width": _be32(c, 17).cast("int"),
+            "height": _be32(c, 21).cast("int"),
+            "__ihdr_tail": F.expr(
+                f"lower(hex(substring({c}, 25, 5)))"
+            ),
+            "__idat_type": F.expr(
+                f"lower(hex(substring({c}, 38, 4)))"
+            ),
+            "__zhdr": F.expr(f"lower(hex(substring({c}, 42, 3)))"),
+            "__len": _le16(c, 45),
+            "__nlen": _le16(c, 47),
+        }
+    ).withColumn("__rb", (F.lit(1) + F.lit(3) * F.col("width")).cast("bigint"))
+    ok = (
+        (F.col("container") == "png")
+        & (F.col("__ihdr_tail") == PNG_IHDR_TAIL_RGB_HEX)
+        & (F.col("__idat_type") == IDAT_HEX)
+        & (F.col("__zhdr") == ZLIB_STORED_HDR_HEX)
+        & (F.col("__len") + F.col("__nlen") == 65535)
+        & (F.col("__len") == F.col("height") * F.col("__rb"))
+        & (F.col("width") > 0)
+        & (F.col("height") > 0)
+    )
+
+    raw_byte = byte_at("48 + q + 1")  # raw stream byte q (0-based)
+
+    def chan_sum(ch: int) -> F.Column:
+        return F.expr(
+            f"""aggregate(
+              sequence(0, CAST(width * height - 1 AS INT)),
+              CAST(0 AS BIGINT),
+              (acc, p) -> acc + {byte_at(
+                  f"48 + (p div width) * __rb + 1 + 3 * (p % width)"
+                  f" + {ch} + 1"
+              )})"""
+        )
+
+    filters_max = F.expr(
+        f"""aggregate(
+          sequence(0, CAST(height - 1 AS INT)),
+          CAST(0 AS BIGINT),
+          (acc, r) -> greatest(acc, {byte_at("48 + r * __rb + 1")}))"""
+    )
+    s1 = F.expr(
+        f"""(1 + aggregate(
+          sequence(0, CAST(__len - 1 AS INT)),
+          CAST(0 AS BIGINT), (acc, q) -> acc + {raw_byte})) % 65521"""
+    )
+    s2 = F.expr(
+        f"""(__len + aggregate(
+          sequence(0, CAST(__len - 1 AS INT)),
+          CAST(0 AS BIGINT),
+          (acc, q) -> acc + (__len - q) * {raw_byte})) % 65521"""
+    )
+    adler_stored = F.expr(
+        " + ".join(
+            f"{byte_at(f'48 + __len + {k} + 1')} * {256 ** (3 - k)}"
+            for k in range(4)
+        )
+    )
+    out = (
+        parsed.withColumns(
+            {
+                "sum_r": F.when(ok, chan_sum(0)),
+                "sum_g": F.when(ok, chan_sum(1)),
+                "sum_b": F.when(ok, chan_sum(2)),
+                "filters_ok": F.when(ok, filters_max == 0),
+                "adler_ok": F.when(
+                    ok,
+                    adler_stored
+                    == s2.cast("bigint") * 65536 + s1.cast("bigint"),
+                ),
+            }
+        )
+        .withColumn(
+            "n_px",
+            F.when(ok, (F.col("width") * F.col("height")).cast("bigint")),
+        )
+        .withColumn(
+            "luma_k",
+            F.when(
+                ok,
+                F.lit(299) * F.col("sum_r")
+                + F.lit(587) * F.col("sum_g")
+                + F.lit(114) * F.col("sum_b"),
+            ).cast("bigint"),
+        )
+    )
+    return out.drop(
+        "__ihdr_tail", "__idat_type", "__zhdr", "__len", "__nlen", "__rb"
+    )
