@@ -88,6 +88,26 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+
+    def _decimal_paths(dt, path):
+        """Recursive DECIMAL finder (ADVICE r10: the WARN must see
+        decimals nested inside array/struct/map, like the
+        tests/test_output_schemas.py walk that pins the invariant)."""
+        from pyspark.sql import types as T
+
+        hits = []
+        if isinstance(dt, T.DecimalType):
+            hits.append(f"{path}: {dt.simpleString()}")
+        if isinstance(dt, T.ArrayType):
+            hits += _decimal_paths(dt.elementType, path + "[]")
+        if isinstance(dt, T.MapType):
+            hits += _decimal_paths(dt.keyType, path + ".key")
+            hits += _decimal_paths(dt.valueType, path + ".value")
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                hits += _decimal_paths(f.dataType, f"{path}.{f.name}")
+        return hits
+
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -102,14 +122,14 @@ def main() -> int:
             # and red on the board.  tests/test_output_schemas.py pins
             # the invariant; warn loudly if one slips through anyway.
             for fld in df.schema.fields:
-                if "decimal" in fld.dataType.simpleString():
+                for hit in _decimal_paths(fld.dataType, fld.name):
                     print(
-                        f"WARN  {name:28s} output column '{fld.name}' is "
-                        f"{fld.dataType.simpleString()} — local parity "
-                        "canonicalizes DECIMAL/HUGEINT identically but "
-                        "the driver does NOT (r9 board: 3 such queries "
-                        "hash-mismatched while locally bit-exact); "
-                        "narrow to BIGINT or canonical string"
+                        f"WARN  {name:28s} output column '{hit}' — "
+                        "local parity canonicalizes DECIMAL/HUGEIN"
+                        "T identically but the driver does NOT (r9 "
+                        "board: 3 such queries hash-mismatched while "
+                        "locally bit-exact); narrow to BIGINT or "
+                        "canonical string"
                     )
             sp_rows = [tuple(r) for r in df.collect()]
         except Exception:

@@ -11373,6 +11373,21 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             V = np.stack(
                 [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
             )
+            # int64 Gram overflow guard (ADVICE r10): the no-wrap bound
+            # relies on Arrow's maxRecordsPerBatch default (10k rows)
+            # and |component| <= 2e6 after the x1e6 quantization —
+            # max |G_ij| <= 10k * (2e6)^2 = 4e16 < 2^63.  Assert both
+            # so a config change or wider fixture FAILS LOUDLY instead
+            # of wrapping silently.
+            assert len(pdf) <= 10_000, (
+                f"Arrow batch of {len(pdf)} rows exceeds the int64 "
+                "Gram no-wrap bound (maxRecordsPerBatch changed?)"
+            )
+            vmax = int(np.abs(V).max()) if V.size else 0
+            assert vmax <= 2_000_000, (
+                f"|component| {vmax} exceeds the x1e6-grid bound the "
+                "int64 Gram accumulation assumes"
+            )
             G = V.T @ V
             S = V.sum(axis=0)
             yield pd.concat(
