@@ -84,6 +84,11 @@ HEADLINE = [
     "q_watermark_lateness_profile",  # block-stitched running max (round 10)
     "q_embedding_covariance",  # Arrow int64 Gram partials (round 10)
     "q_harmonic_centrality",  # probe-keyed BFS, integer 12/d (round 10)
+    "q_media_png_decode",    # stored-deflate PNG decode + adler (round 11)
+    "q_zorder_layout",       # Z-order skipping audit (round 11)
+    "q_rake_keywords",       # RAKE phrase/keyword extraction (round 11)
+    "q_shapley_attribution", # exact Shapley credit (round 11)
+    "q_join_salted",         # explicit skew-salted join (round 11)
     # NOT q_pq_*: the declared PQ queries retrain their sub-quantizers
     # inline (train-once cost in production), which would dominate a
     # per-query headline — their scale behavior is covered by

@@ -867,6 +867,102 @@ def _png_decode_oracle() -> str:
     """
 
 
+def _png_histogram_oracle() -> str:
+    """Twin of q_media_png_histogram: rebuild the stored-deflate PNG
+    hex, parse dims from IHDR, walk the scanlines at parsed offsets,
+    and bin each channel into 4 bins of 64 levels — one row per
+    (doc, channel r/g/b)."""
+    from .functions.mediahex import (
+        IDAT_HEX,
+        IEND_HEX,
+        IHDR_HEX,
+        PNG_IHDR_TAIL_RGB_HEX,
+        PNG_SIG_HEX,
+        PNGS_H,
+        PNGS_PX,
+        PNGS_W,
+        ZLIB_STORED_HDR_HEX,
+        be32_sql,
+        le16_sql,
+        png_rowbytes_sql,
+    )
+
+    nib = "'0123456789abcdef'"
+
+    def hbyte(off0: str) -> str:
+        return (
+            f"((strpos({nib}, substr(h, CAST(2 * ({off0}) + 1 AS INT),"
+            f" 1)) - 1) * 16"
+            f" + strpos({nib}, substr(h, CAST(2 * ({off0}) + 2 AS INT),"
+            f" 1)) - 1)"
+        )
+
+    def chan_px(ch: int) -> str:
+        off = f"48 + (p // wp) * rbp + 1 + 3 * (p % wp) + {ch}"
+        return (
+            f"list_transform(range(0, wp * hp), p -> {hbyte(off)})"
+        )
+
+    def bins(ch: int) -> str:
+        return ", ".join(
+            f"CAST(len(list_filter({chan_px(ch)}, v -> v // 64 = {k}))"
+            f" AS BIGINT) AS bin_{k}"
+            for k in range(4)
+        )
+
+    raw_b = f"CASE WHEN q % rb = 0 THEN 0 ELSE {PNGS_PX} END"
+    raw_hex = (
+        "array_to_string(list_transform(range(0, rawlen), q -> "
+        f"lower(lpad(hex({raw_b}), 2, '0'))), '')"
+    )
+    s1 = (
+        f"(1 + list_sum(list_transform(range(0, rawlen), q -> {raw_b})))"
+        " % 65521"
+    )
+    s2 = (
+        "(rawlen + list_sum(list_transform(range(0, rawlen), q -> "
+        f"(rawlen - q) * ({raw_b})))) % 65521"
+    )
+    per_chan = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, '{name}' AS channel, wp, hp, {bins(ch)} FROM dec"
+        for ch, name in ((0, "r"), (1, "g"), (2, "b"))
+    )
+    return f"""
+        WITH p0 AS (
+          SELECT doc_id, {PNGS_W} AS w, {PNGS_H} AS hh FROM documents),
+        sized AS (
+          SELECT doc_id, w, hh, {png_rowbytes_sql('w')} AS rb,
+                 hh * {png_rowbytes_sql('w')} AS rawlen
+          FROM p0),
+        blobs AS (
+          SELECT doc_id,
+                 '{PNG_SIG_HEX}' || {be32_sql('13')} || '{IHDR_HEX}'
+                 || {be32_sql('w')} || {be32_sql('hh')}
+                 || '{PNG_IHDR_TAIL_RGB_HEX}' || '00000000'
+                 || {be32_sql('rawlen + 11')} || '{IDAT_HEX}'
+                 || '{ZLIB_STORED_HDR_HEX}'
+                 || {le16_sql('rawlen')} || {le16_sql('65535 - rawlen')}
+                 || {raw_hex}
+                 || {be32_sql(f'({s2}) * 65536 + ({s1})')}
+                 || '00000000' || '00000000' || '{IEND_HEX}'
+                 || '00000000' AS h
+          FROM sized),
+        hdr AS (
+          SELECT doc_id, h,
+                 CAST({_hex_bigint('h', 33, 8)} AS BIGINT) AS wp,
+                 CAST({_hex_bigint('h', 41, 8)} AS BIGINT) AS hp
+          FROM blobs),
+        dec AS (SELECT *, 1 + 3 * wp AS rbp FROM hdr),
+        chans AS (
+          {per_chan})
+        SELECT doc_id, channel,
+               CAST(wp AS INT) AS width, CAST(hp AS INT) AS height,
+               CAST(wp * hp AS BIGINT) AS n_px,
+               bin_0, bin_1, bin_2, bin_3
+        FROM chans
+    """
+
+
 def _bmp_decode_oracle() -> str:
     """Twin of q_media_bmp_decode: rebuild the identical BMP hex from
     the single-sourced derivations (functions/mediahex.py), then DECODE
@@ -1933,6 +2029,7 @@ ORACLES: dict[str, str] = {
     # --- sources ---
     "q_media_bmp_decode": _bmp_decode_oracle(),
     "q_media_png_decode": _png_decode_oracle(),
+    "q_media_png_histogram": _png_histogram_oracle(),
     "q_media_bmp_histogram": _bmp_histogram_oracle(),
     "q_bradley_terry": _bradley_terry_oracle(),
     "q_quality_linear_scorer": _quality_linear_scorer_oracle(),
@@ -11270,5 +11367,225 @@ ORACLES.update({
                    ' / CAST(sum(tokens) OVER () AS DOUBLE)', 6
                )} AS cum_token_share_kept
         FROM per
+    """,
+})
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: RAKE keywords, URL canonicalization, Z-order
+# layout, compaction planning, Shapley attribution, skew-salted join.
+# ---------------------------------------------------------------------------
+
+def _rake_oracle() -> str:
+    """Twin of q_rake_keywords: identical phrase segmentation (running
+    stopword-boundary count per doc), identical freq/deg integers, one
+    pinned division, (deg DESC, word) top-50."""
+    from .functions.text import STOPWORDS_EN
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+          WHERE trim(text) != ''),
+        tok AS (
+          SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                 lower(regexp_replace(unnest(toks), '[^A-Za-z0-9]', '',
+                                      'g')) AS w
+          FROM d),
+        m AS (
+          SELECT doc_id, pos, w,
+                 (w = '' OR w IN ({stops})) AS is_stop
+          FROM tok),
+        ph AS (
+          SELECT doc_id, pos, w, is_stop,
+                 sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+          FROM m),
+        words AS (
+          SELECT doc_id, phrase_id, w FROM ph WHERE NOT is_stop),
+        plen AS (
+          SELECT doc_id, phrase_id, count(*) AS plen
+          FROM words GROUP BY 1, 2),
+        stats AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(plen) AS BIGINT) AS deg
+          FROM words JOIN plen USING (doc_id, phrase_id)
+          GROUP BY w)
+        SELECT w AS word, freq, deg,
+               {pround_sql('CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)', 6)}
+                 AS rake_score
+        FROM stats ORDER BY deg DESC, w LIMIT 50
+    """
+
+
+def _url_canonicalize_oracle() -> str:
+    """Twin of q_url_canonicalize: identical variant synthesis and the
+    identical three anchored regex canonicalization steps."""
+    return f"""
+        WITH v AS (
+          SELECT doc_id, source, unnest([0, 1, 2]) AS k FROM documents),
+        u AS (
+          SELECT source,
+                 (CASE WHEN (doc_id + k) % 2 = 0 THEN 'http://'
+                       ELSE 'https://' END)
+                 || (CASE WHEN (doc_id + k) % 3 = 0 THEN 'www.'
+                          ELSE '' END)
+                 || lower(source) || '.example.com/doc/'
+                 || CAST(doc_id AS VARCHAR)
+                 || (CASE WHEN k = 1
+                          THEN '?utm_source=feed&utm_campaign=x'
+                          WHEN k = 2 THEN '/' ELSE '' END) AS raw_url
+          FROM v),
+        c AS (
+          SELECT source, raw_url,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   lower(raw_url),
+                   '^https?://(www\\.)?', ''),
+                   '\\?utm_[a-z_]+=[^&]*(&utm_[a-z_]+=[^&]*)*$', ''),
+                   '/$', '') AS canon_url
+          FROM u)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT raw_url) AS BIGINT) AS raw_distinct,
+               CAST(count(DISTINCT canon_url) AS BIGINT)
+                 AS canon_distinct,
+               {pround_sql(
+                   'CAST(count(DISTINCT raw_url) AS DOUBLE)'
+                   ' / CAST(count(DISTINCT canon_url) AS DOUBLE)', 6)}
+                 AS dup_factor
+        FROM c GROUP BY source
+    """
+
+
+def _zorder_oracle() -> str:
+    """Twin of q_zorder_layout: identical bucket normalization, bit
+    interleave, file assignment, per-file min/max stats, and the 4-row
+    (layout x predicate) skipping audit."""
+    inter = " + ".join(
+        f"((ba >> {k}) & 1) * {1 << (2 * k + 1)}"
+        f" + ((bb >> {k}) & 1) * {1 << (2 * k)}"
+        for k in range(8)
+    )
+    return f"""
+        WITH o AS (
+          SELECT o_custkey AS a_raw,
+                 CAST(year(o_orderdate) * 10000
+                      + month(o_orderdate) * 100
+                      + day(o_orderdate) AS BIGINT) AS b_raw
+          FROM orders),
+        ext AS (
+          SELECT min(a_raw) AS amin, max(a_raw) AS amax,
+                 min(b_raw) AS bmin, max(b_raw) AS bmax
+          FROM o),
+        b AS (
+          SELECT ((a_raw - amin) * 256) // (amax - amin + 1) AS ba,
+                 ((b_raw - bmin) * 256) // (bmax - bmin + 1) AS bb
+          FROM o, ext),
+        laid AS (
+          SELECT ba, bb,
+                 ({inter}) // 1024 AS file_z,
+                 (ba * 256 + bb) // 1024 AS file_lin
+          FROM b),
+        files AS (
+          SELECT 'zorder' AS layout, file_z AS file_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 min(ba) AS min_a, max(ba) AS max_a,
+                 min(bb) AS min_b, max(bb) AS max_b
+          FROM laid GROUP BY 1, 2
+          UNION ALL
+          SELECT 'linear', file_lin, CAST(count(*) AS BIGINT),
+                 min(ba), max(ba), min(bb), max(bb)
+          FROM laid GROUP BY 1, 2),
+        audit AS (
+          SELECT layout, 'a_in_first_eighth' AS predicate,
+                 CAST(count(*) AS BIGINT) AS files_total,
+                 CAST(sum(CASE WHEN min_a <= 31 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS files_scanned,
+                 CAST(sum(CASE WHEN min_a <= 31 THEN n_rows ELSE 0 END)
+                      AS BIGINT) AS rows_scanned
+          FROM files GROUP BY layout
+          UNION ALL
+          SELECT layout, 'b_in_first_eighth',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN min_b <= 31 THEN 1 ELSE 0 END)
+                      AS BIGINT),
+                 CAST(sum(CASE WHEN min_b <= 31 THEN n_rows ELSE 0 END)
+                      AS BIGINT)
+          FROM files GROUP BY layout)
+        SELECT layout, predicate, files_total, files_scanned,
+               rows_scanned,
+               {pround_sql(
+                   'CAST(files_scanned AS DOUBLE)'
+                   ' / CAST(files_total AS DOUBLE)', 6)}
+                 AS scan_fraction
+        FROM audit
+    """
+
+
+ORACLES.update({
+    "q_rake_keywords": _rake_oracle(),
+    "q_url_canonicalize": _url_canonicalize_oracle(),
+    "q_zorder_layout": _zorder_oracle(),
+    "q_compaction_plan": f"""
+        WITH files AS (
+          SELECT l_orderkey % 1000 AS file_id,
+                 CAST(count(*) AS BIGINT) AS size_rows
+          FROM lineitem GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(size_rows) AS BIGINT) AS total_rows
+          FROM files),
+        sized AS (
+          SELECT file_id, size_rows,
+                 greatest(total_rows // 64, 1) AS target
+          FROM files, tot),
+        ordered AS (
+          SELECT *, sum(size_rows)
+                 OVER (ORDER BY size_rows DESC, file_id ASC) AS cum
+          FROM sized),
+        planned AS (
+          SELECT *, (cum - size_rows) // target AS bin_id FROM ordered)
+        SELECT CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(size_rows) AS BIGINT) AS bin_rows,
+               {pround_sql(
+                   'CAST(sum(size_rows) AS DOUBLE)'
+                   ' / CAST(max(target) AS DOUBLE)', 6)}
+                 AS fill_fraction
+        FROM planned GROUP BY 1
+    """,
+    "q_shapley_attribution": f"""
+        WITH fp AS (
+          SELECT user_id, min(ts) AS fpts FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        j AS (
+          SELECT e.user_id, e.event_type
+          FROM events e JOIN fp USING (user_id)
+          WHERE e.ts <= fp.fpts),
+        journeys AS (
+          SELECT user_id, count(DISTINCT event_type) AS n
+          FROM j GROUP BY user_id),
+        per AS (SELECT DISTINCT user_id, event_type AS channel FROM j),
+        credited AS (
+          SELECT p.channel, CAST((jo.n - 1) * 6 AS BIGINT) AS credit12
+          FROM per p JOIN journeys jo USING (user_id)),
+        tot AS (SELECT CAST(sum(credit12) AS BIGINT) AS t12
+                FROM credited)
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS journeys,
+               CAST(sum(credit12) AS BIGINT) AS shapley12,
+               {pround_sql(
+                   'CAST(sum(credit12) AS DOUBLE) / CAST(t12 AS DOUBLE)',
+                   6)} AS share
+        FROM credited, tot GROUP BY channel, t12
+    """,
+    "q_join_salted": """
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
     """,
 })

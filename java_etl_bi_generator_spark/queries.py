@@ -17434,6 +17434,76 @@ def q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_media_png_histogram")
+def q_media_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 IMAGE FEATURE EXTRACTION over the real PNG stored-deflate
+    decode — the exposure/contrast histogram q_media_bmp_histogram
+    computes for BMP, now on the PNG path: per (doc, channel r/g/b),
+    4 bins of 64 intensity levels, exact integer counts totalling
+    n_px.  The pixel walk reads channel bytes at offsets derived from
+    the PARSED IHDR dims and the PARSED stored-block framing
+    (sources/multimodal.py ``png_stored_pixel_stats`` discipline); the
+    DuckDB oracle replays the identical walk with nibble arithmetic
+    over the rebuilt hex.  Scale shape: narrow per-row codegen map +
+    constant 3-way unpivot — no shuffle, no Python worker."""
+    from .sources.multimodal import png_stored_pixel_stats
+
+    media = _png_canonical_media(spark, sf_dir, "png_histogram")
+    dec = png_stored_pixel_stats(media)
+
+    def chan_px(ch: int) -> F.Column:
+        rb = "(1 + 3 * width)"
+        return F.expr(
+            f"""transform(
+              sequence(0, CAST(width * height - 1 AS INT)),
+              p -> CAST(conv(hex(substring(content,
+                CAST(48 + (p div width) * {rb} + 1 + 3 * (p % width)
+                     + {ch} + 1 AS INT), 1)), 16, 10) AS BIGINT))"""
+        )
+
+    ok = F.col("n_px").isNotNull()
+    with_px = dec.withColumns(
+        {
+            "__px_r": F.when(ok, chan_px(0)),
+            "__px_g": F.when(ok, chan_px(1)),
+            "__px_b": F.when(ok, chan_px(2)),
+        }
+    )
+
+    def bins(col: str) -> str:
+        return ", ".join(
+            f"CAST(size(filter({col}, v -> v div 64 = {k})) AS BIGINT)"
+            for k in range(4)
+        )
+
+    unpivoted = with_px.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_px",
+        F.expr(
+            f"""stack(3,
+              'r', {bins('__px_r')},
+              'g', {bins('__px_g')},
+              'b', {bins('__px_b')})
+              AS (channel, bin_0, bin_1, bin_2, bin_3)"""
+        ),
+    )
+    return unpivoted.select(
+        "doc_id",
+        "channel",
+        "width",
+        "height",
+        "n_px",
+        *[
+            F.when(F.col("n_px").isNotNull(), F.col(f"bin_{k}")).alias(
+                f"bin_{k}"
+            )
+            for k in range(4)
+        ],
+    )
+
+
 @q("q_dp_noisy_sum")
 def q_dp_noisy_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DP bounded-SUM release (round-6 verdict task 6 — counts without
@@ -19015,6 +19085,427 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("P").cast("double") / F.col("t").cast("double"), 6
             ).alias("strength"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: RAKE keywords, URL canonicalization, Z-order
+# layout, compaction planning, Shapley attribution, skew-salted join.
+# ---------------------------------------------------------------------------
+
+
+@q("q_rake_keywords")
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 keyword extraction — RAKE [Rose et al. 2010, "Automatic
+    Keyword Extraction from Individual Documents"]: candidate phrases
+    are the maximal stopword/punctuation-free token runs; per word,
+    freq = occurrences across all candidates and deg = Σ length of the
+    phrases it appears in (co-occurrence degree including self); the
+    RAKE word score deg/freq rewards words that live in LONG
+    multi-word phrases.  Exact integer freq/deg; the score is ONE
+    pinned division per output row.  Top-50 by (deg, word) —
+    deterministic tie-break.  Scale shape: phrase segmentation is a
+    per-DOC window (bounded grain — doc length, the documented
+    exemption), then two token-grain aggregations with map-side
+    combine; TakeOrderedAndProject for the top-k."""
+    docs = T(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "raw")
+    ).withColumn(
+        "w", F.lower(F.regexp_replace("raw", r"[^A-Za-z0-9]", ""))
+    )
+    tok = tok.withColumn(
+        "is_stop",
+        F.col("w").isin(*STOPWORDS_EN) | (F.col("w") == ""),
+    )
+    seg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    words = (
+        tok.withColumn(
+            "phrase_id", F.sum(F.col("is_stop").cast("int")).over(seg)
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "phrase_id", "w")
+    )
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    stats = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    return (
+        stats.orderBy(F.col("deg").desc(), "w")
+        .limit(50)
+        .select(
+            F.col("w").alias("word"),
+            "freq",
+            "deg",
+            pround(
+                F.col("deg").cast("double") / F.col("freq").cast("double"),
+                6,
+            ).alias("rake_score"),
+        )
+    )
+
+
+@q("q_url_canonicalize")
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 ingest hygiene — URL CANONICALIZATION, the dedup step every
+    web-crawl pretraining pipeline runs BEFORE content hashing (the
+    same page arrives as http/https, with/without www, with tracking
+    params, with/without a trailing slash).  The fixture derives 3
+    deterministic raw-URL VARIANTS per document (scheme / www /
+    utm_source / trailing-slash noise keyed off doc_id — pure column
+    functions, no table of URLs needed); canonicalization lowercases,
+    strips scheme and www, drops utm_* query params, and removes the
+    trailing slash — all regexp/string codegen.  Output: per-source
+    raw vs canonical distinct counts and the dup factor the
+    canonicalization recovered.  Scale shape: one generate + two
+    distinct aggregations, shuffle on the canonical key."""
+    docs = T(spark, sf_dir, "documents")
+    v = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
+    )
+    scheme = F.when((F.col("doc_id") + F.col("k")) % 2 == 0, "http://").otherwise(
+        "https://"
+    )
+    www = F.when((F.col("doc_id") + F.col("k")) % 3 == 0, "www.").otherwise("")
+    tail = F.when(
+        F.col("k") == 1, F.lit("?utm_source=feed&utm_campaign=x")
+    ).otherwise(F.when(F.col("k") == 2, F.lit("/")).otherwise(F.lit("")))
+    raw = F.concat(
+        scheme,
+        www,
+        F.lower("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        tail,
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), r"^https?://(www\.)?", ""),
+            r"\?utm_[a-z_]+=[^&]*(&utm_[a-z_]+=[^&]*)*$",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    urls = v.select("source", raw.alias("raw_url"), canon.alias("canon_url"))
+    return (
+        urls.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("raw_url").cast("bigint").alias("raw_distinct"),
+            F.countDistinct("canon_url")
+            .cast("bigint")
+            .alias("canon_distinct"),
+        )
+        .select(
+            "source",
+            "n_urls",
+            "raw_distinct",
+            "canon_distinct",
+            pround(
+                F.col("raw_distinct").cast("double")
+                / F.col("canon_distinct").cast("double"),
+                6,
+            ).alias("dup_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+def _zorder_interleave(a: str, b: str, bits: int = 8) -> F.Column:
+    """Bit-interleave two ``bits``-wide integer columns into a Z-value:
+    bit k of ``a`` lands at position 2k+1, bit k of ``b`` at 2k — pure
+    integer codegen, no UDF."""
+    terms = " + ".join(
+        f"((({a}) >> {k}) & 1) * {1 << (2 * k + 1)}"
+        f" + ((({b}) >> {k}) & 1) * {1 << (2 * k)}"
+        for k in range(bits)
+    )
+    return F.expr(terms).cast("bigint")
+
+
+@q("q_zorder_layout")
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORAGE-LAYOUT operator — Z-ORDER clustering with a measured
+    data-skipping audit, the Delta/Iceberg OPTIMIZE ZORDER decision in
+    query form.  Orders are bucketed on two independent pruning keys
+    (customer, order date) into 256 ranks each via min/max
+    normalization (one broadcast 1-row agg); the Z-value interleaves
+    the two 8-bit bucket ids (pure integer codegen); 64 files are
+    assigned by Z-range (and, for the comparison layout, by
+    lexicographic (a,b) range — the plain sort a real table would
+    have).  Each file keeps min/max stats per key — exactly what a
+    lakehouse manifest stores — and the audit counts how many files a
+    ⅛-selectivity predicate on EACH key must scan.  The output is the
+    4-row (layout × predicate) skipping table: Z-order scans ~⅛ of
+    files for BOTH keys, linear scans ⅛ for its leading key and ~all
+    files for the trailing key — the measured reason Z-order exists.
+    Exact integers end to end; one pinned division for the scan
+    fraction.  Scale shape: two narrow aggs + one 64-group agg; the
+    layout assignment itself is the kind of one-shot repartition a
+    table OPTIMIZE runs."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("a_raw"),
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).cast("bigint").alias("b_raw"),
+    )
+    ext = o.agg(
+        F.min("a_raw").alias("amin"),
+        F.max("a_raw").alias("amax"),
+        F.min("b_raw").alias("bmin"),
+        F.max("b_raw").alias("bmax"),
+    )
+    bucketed = o.crossJoin(F.broadcast(ext)).select(
+        F.expr("((a_raw - amin) * 256) div (amax - amin + 1)")
+        .cast("bigint")
+        .alias("ba"),
+        F.expr("((b_raw - bmin) * 256) div (bmax - bmin + 1)")
+        .cast("bigint")
+        .alias("bb"),
+    )
+    laid = bucketed.withColumns(
+        {
+            "file_z": (_zorder_interleave("ba", "bb") / 1024)
+            .cast("bigint"),
+            "file_lin": ((F.col("ba") * 256 + F.col("bb")) / 1024)
+            .cast("bigint"),
+        }
+    )
+    stats = [
+        laid.groupBy(F.col(fcol).alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("ba").alias("min_a"),
+            F.max("ba").alias("max_a"),
+            F.min("bb").alias("min_b"),
+            F.max("bb").alias("max_b"),
+        )
+        .withColumn("layout", F.lit(lname))
+        for fcol, lname in (("file_z", "zorder"), ("file_lin", "linear"))
+    ]
+    files = stats[0].unionByName(stats[1])
+    audits = []
+    for pname, lo_c, hi_c in (
+        ("a_in_first_eighth", "min_a", "max_a"),
+        ("b_in_first_eighth", "min_b", "max_b"),
+    ):
+        audits.append(
+            files.groupBy("layout")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("files_total"),
+                F.sum(
+                    F.when(F.col(lo_c) <= 31, 1).otherwise(0)
+                ).cast("bigint").alias("files_scanned"),
+                F.sum(
+                    F.when(F.col(lo_c) <= 31, F.col("n_rows")).otherwise(0)
+                ).cast("bigint").alias("rows_scanned"),
+            )
+            .withColumn("predicate", F.lit(pname))
+        )
+    out = audits[0].unionByName(audits[1])
+    return out.select(
+        "layout",
+        "predicate",
+        "files_total",
+        "files_scanned",
+        "rows_scanned",
+        pround(
+            F.col("files_scanned").cast("double")
+            / F.col("files_total").cast("double"),
+            6,
+        ).alias("scan_fraction"),
+    ).orderBy("layout", "predicate")
+
+
+@q("q_compaction_plan")
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORAGE-OPS operator — the small-files COMPACTION PLAN (the
+    Iceberg/Delta binPack rewrite in query form): lineitem simulates a
+    fragmented table of ~1000 files (one per l_orderkey%1000 slice,
+    row-count as the size proxy); files are ordered deterministically
+    (size desc, file id) and packed SEQUENTIALLY into target-capacity
+    bins — bin = floor(cumsum_before / target), the greedy pack real
+    compactors run after sorting — using the distributed two-phase
+    cumsum (operators/rank.py), never a single-partition window.
+    Output per bin: file count, total rows, fill fraction against the
+    target; the header row grain (64-ish bins) certifies the whole
+    plan.  Scale shape: one file-grain agg + the two-phase cumsum —
+    at 100 TB the same plan runs over the manifest table, which is
+    already file-grain small."""
+    from .operators.rank import global_cumsum
+
+    files = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_orderkey") % 1000).alias("file_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size_rows"))
+    )
+    tot = files.agg(
+        F.sum("size_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_files"),
+    )
+    # target bin capacity: ~1/64 of the table, at least 1 row
+    sized = files.crossJoin(F.broadcast(tot)).withColumn(
+        "target", F.greatest(F.expr("total_rows div 64"), F.lit(1))
+    )
+    ordered = global_cumsum(
+        sized,
+        order_by=[F.col("size_rows").desc(), F.col("file_id").asc()],
+        val_col="size_rows",
+    )
+    planned = ordered.withColumn(
+        "bin_id",
+        F.expr("(cum - size_rows) div target").cast("bigint"),
+    )
+    return (
+        planned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("size_rows").cast("bigint").alias("bin_rows"),
+            F.max("target").alias("target"),
+        )
+        .select(
+            "bin_id",
+            "n_files",
+            "bin_rows",
+            pround(
+                F.col("bin_rows").cast("double")
+                / F.col("target").cast("double"),
+                6,
+            ).alias("fill_fraction"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+@q("q_shapley_attribution")
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTRIBUTION completed — exact SHAPLEY credit over conversion
+    journeys [Shapley 1953; the marketing-standard "data-driven
+    attribution"], joining last-touch and positional in the family.
+    Each converting user's journey is the DISTINCT set of event types
+    seen up to and including the first 'purchase' (bounded: ≤5
+    channels — the event-type alphabet).  The coalition game is PAIRWISE SYNERGY,
+    v(S) = C(|S|, 2) — value comes from channels working together, the
+    canonical non-trivial symmetric game — whose exact Shapley value
+    for every member of an n-channel journey is (n−1)/2: each channel
+    earns half a unit per partner.  The ×12 scaling (q_harmonic trick)
+    makes the per-journey credit the exact bigint 6·(n−1), so totals
+    are exact integers and the share is ONE pinned division.  The
+    symmetric-game closed form is what keeps the statistic
+    engine-portable — no factorial enumeration, yet a genuine Shapley
+    value, and journeys of different lengths weight their channels
+    differently (unlike positional's fixed 40/20/40).  Scale shape:
+    per-user journey assembly is a bounded collect_set (≤5 types),
+    then channel-grain aggregation — two shuffles."""
+    ev = T(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id")
+    with_conv = ev.withColumn(
+        "first_purchase_ts",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w_first),
+    ).filter(
+        F.col("first_purchase_ts").isNotNull()
+        & (F.col("ts") <= F.col("first_purchase_ts"))
+    )
+    journeys = with_conv.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("channels")
+    )
+    per_chan = journeys.select(
+        "user_id",
+        F.size("channels").alias("n"),
+        F.explode("channels").alias("channel"),
+    )
+    # pairwise-synergy game v(S) = C(|S|,2): Shapley value per member
+    # = (n-1)/2 exactly; ×12 keeps it integer for any n <= 13
+    credited = per_chan.withColumn(
+        "credit12", ((F.col("n") - 1) * 6).cast("bigint")
+    )
+    tot = credited.agg(F.sum("credit12").alias("t12"))
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("journeys"),
+            F.sum("credit12").cast("bigint").alias("shapley12"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "journeys",
+            "shapley12",
+            pround(
+                F.col("shapley12").cast("double")
+                / F.col("t12").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+@q("q_join_salted")
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW MITIGATION on the JOIN path (completing q_salted_groupby's
+    aggregation-side story): a hot-key fact⋈dim join where one key
+    carries a large share of rows is salted EXPLICITLY — the fact side
+    appends salt = row-hash % 8 to the join key, the dim side is
+    REPLICATED 8× with an explode (bounded: 8 × |dim|) — so the
+    hot key's rows spread over 8 tasks instead of one straggler.  The
+    salt is dropped before the final aggregation, so the result is
+    bit-identical to the unsalted join (which is exactly what the
+    DuckDB oracle runs — the equivalence IS the correctness claim).
+    At 100 TB AQE's skew-join split handles moderate skew
+    automatically; explicit salting is the deterministic form for the
+    pathological keys AQE's per-partition thresholds miss.  Output:
+    revenue cents by nation name."""
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents")
+    )
+    n_salts = 8
+    fact = orders.withColumn(
+        "salt",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % n_salts
+        ),
+    )
+    dim = cust.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("salt", F.col("salt").cast("bigint"))
+    joined = fact.join(
+        dim,
+        (fact.o_custkey == dim.c_custkey) & (fact.salt == dim.salt),
+    )
+    return (
+        joined.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("n_name")
     )
 
 

@@ -148,3 +148,109 @@ def test_png_decoder_catches_corruption(spark):
     assert r["container"] == "png"
     assert r["adler_ok"] is False
     assert r["filters_ok"] is True
+
+
+def test_rake_scores_bounds(spark, sf_dir):
+    rows = registry()["q_rake_keywords"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r["freq"] > 0
+        # deg counts the full phrase length per occurrence, so deg >= freq
+        assert r["deg"] >= r["freq"]
+        assert r["rake_score"] >= 1.0
+
+
+def test_url_canonicalize_recovers_exact_dup_factor(spark, sf_dir):
+    """Each doc emits 3 raw variants that all collapse to ONE canonical
+    URL — dup_factor is exactly 3 and canon_distinct equals the doc
+    count per source."""
+    rows = registry()["q_url_canonicalize"](spark, sf_dir).collect()
+    assert rows
+    from java_etl_bi_generator_spark.queries import T
+
+    per_source = {
+        r["source"]: r["cnt"]
+        for r in T(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert r["canon_distinct"] == per_source[r["source"]]
+        assert r["raw_distinct"] == 3 * r["canon_distinct"]
+        assert abs(r["dup_factor"] - 3.0) < 1e-9
+
+
+def test_zorder_beats_linear_on_trailing_key(spark, sf_dir):
+    """The measured reason Z-order exists: the linear layout scans ~all
+    files for the trailing key's predicate, Z-order a bounded
+    fraction for BOTH keys."""
+    rows = registry()["q_zorder_layout"](spark, sf_dir).collect()
+    d = {(r["layout"], r["predicate"]): r for r in rows}
+    assert len(d) == 4
+    lin_b = d[("linear", "b_in_first_eighth")]
+    z_b = d[("zorder", "b_in_first_eighth")]
+    lin_a = d[("linear", "a_in_first_eighth")]
+    assert z_b["scan_fraction"] < lin_b["scan_fraction"]
+    assert z_b["scan_fraction"] <= 0.6
+    # the linear layout's LEADING key prunes well
+    assert lin_a["scan_fraction"] <= 0.3
+
+
+def test_compaction_plan_conserves_rows(spark, sf_dir):
+    from java_etl_bi_generator_spark.queries import T
+
+    rows = registry()["q_compaction_plan"](spark, sf_dir).collect()
+    assert rows
+    total = T(spark, sf_dir, "lineitem").count()
+    assert sum(r["bin_rows"] for r in rows) == total
+    n_files = (
+        T(spark, sf_dir, "lineitem")
+        .select((F.col("l_orderkey") % 1000).alias("f"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_files"] for r in rows) == n_files
+    bins = sorted(r["bin_id"] for r in rows)
+    assert bins == list(range(len(bins)))  # contiguous plan
+
+
+def test_shapley_shares_sum_to_one(spark, sf_dir):
+    import math
+
+    rows = registry()["q_shapley_attribution"](spark, sf_dir).collect()
+    assert rows
+    assert math.isclose(sum(r["share"] for r in rows), 1.0, abs_tol=1e-4)
+    assert any(r["channel"] == "purchase" for r in rows)
+    # symmetric game: per-journey credit is identical for every member,
+    # so total scaled credit is divisible by 6
+    assert all(r["shapley12"] % 6 == 0 for r in rows)
+
+
+def test_salted_join_equals_unsalted(spark, sf_dir):
+    from java_etl_bi_generator_spark.queries import T
+
+    got = {
+        r["n_name"]: (r["n_orders"], r["revenue_cents"])
+        for r in registry()["q_join_salted"](spark, sf_dir).collect()
+    }
+    plain = (
+        T(spark, sf_dir, "orders")
+        .join(
+            T(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            T(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("cents"),
+        )
+        .collect()
+    )
+    assert got == {r["n_name"]: (r["n"], r["cents"]) for r in plain}
