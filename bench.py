@@ -87,7 +87,7 @@ HEADLINE = [
     "q_media_png_decode",    # stored-deflate PNG decode + adler (round 11)
     "q_zorder_layout",       # Z-order skipping audit (round 11)
     "q_rake_keywords",       # RAKE phrase/keyword extraction (round 11)
-    "q_shapley_attribution", # exact Shapley credit (round 11)
+    "q_shapley_synergy",     # Shapley pairwise-synergy game (round 11)
     "q_join_salted",         # explicit skew-salted join (round 11)
     # NOT q_pq_*: the declared PQ queries retrain their sub-quantizers
     # inline (train-once cost in production), which would dominate a

@@ -11553,7 +11553,7 @@ ORACLES.update({
                  AS fill_fraction
         FROM planned GROUP BY 1
     """,
-    "q_shapley_attribution": f"""
+    "q_shapley_synergy": f"""
         WITH fp AS (
           SELECT user_id, min(ts) AS fpts FROM events
           WHERE event_type = 'purchase' GROUP BY user_id),

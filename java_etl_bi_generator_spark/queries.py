@@ -122,6 +122,17 @@ def _fixture_dir(name: str, fresh_name: bool = False) -> str:
 
 def q(name: str) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
+        # A duplicate registration silently SHADOWS the earlier query
+        # (and its oracle twin keeps hash-checking against the new
+        # body) — caught live in round 11 when a new query reused
+        # round 8's q_shapley_attribution name and knocked the
+        # original out of the registry.  Fail at import time instead.
+        if name in _REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(existing: {_REGISTRY[name].__qualname__}, "
+                f"new: {fn.__qualname__})"
+            )
         _REGISTRY[name] = fn
         return fn
 
@@ -19391,11 +19402,13 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_shapley_attribution")
-def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ATTRIBUTION completed — exact SHAPLEY credit over conversion
-    journeys [Shapley 1953; the marketing-standard "data-driven
-    attribution"], joining last-touch and positional in the family.
+@q("q_shapley_synergy")
+def q_shapley_synergy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTRIBUTION family — exact SHAPLEY credit under the PAIRWISE
+    SYNERGY game, the length-sensitive complement to
+    q_shapley_attribution's conversion game (which credits only
+    channels that co-occur with conversion; this one rewards journey
+    BREADTH, so the two produce different rankings on the same data).
     Each converting user's journey is the DISTINCT set of event types
     seen up to and including the first 'purchase' (bounded: ≤5
     channels — the event-type alphabet).  The coalition game is PAIRWISE SYNERGY,

@@ -215,10 +215,10 @@ def test_compaction_plan_conserves_rows(spark, sf_dir):
     assert bins == list(range(len(bins)))  # contiguous plan
 
 
-def test_shapley_shares_sum_to_one(spark, sf_dir):
+def test_shapley_synergy_shares_sum_to_one(spark, sf_dir):
     import math
 
-    rows = registry()["q_shapley_attribution"](spark, sf_dir).collect()
+    rows = registry()["q_shapley_synergy"](spark, sf_dir).collect()
     assert rows
     assert math.isclose(sum(r["share"] for r in rows), 1.0, abs_tol=1e-4)
     assert any(r["channel"] == "purchase" for r in rows)
