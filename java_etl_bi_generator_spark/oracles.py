@@ -11589,3 +11589,242 @@ ORACLES.update({
         GROUP BY n_name
     """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Geospatial / network / link-prediction oracles (round 11b)
+# ---------------------------------------------------------------------------
+
+from .functions.geo import (  # noqa: E402
+    geohash5_chars_sql,
+    geohash5_code_sql,
+    geohash5_quant_sql,
+    hash_units_sql,
+)
+
+
+def _geo_pts_cte() -> str:
+    """Customer point cloud CTE shared by the geo oracles (twin of
+    queries._geo_customers)."""
+    lat = hash_units_sql("c_custkey", "lat", 100_000, _hex_bigint)
+    lon = hash_units_sql("c_custkey", "lon", 100_000, _hex_bigint)
+    return (
+        f"SELECT c_custkey AS point_id, c_mktsegment, "
+        f"{lat} AS lat_units, {lon} AS lon_units FROM customer"
+    )
+
+
+def _geo_sup_cte() -> str:
+    slat = hash_units_sql("s_suppkey", "slat", 100_000, _hex_bigint)
+    slon = hash_units_sql("s_suppkey", "slon", 100_000, _hex_bigint)
+    return (
+        f"SELECT s_suppkey, {slat} AS slat_units, {slon} AS slon_units "
+        f"FROM supplier"
+    )
+
+
+_GEOHASH_LAT_Q, _GEOHASH_LON_Q = geohash5_quant_sql("glat_units", "glon_units")
+
+ORACLES.update({
+    "q_geo_cell_density": f"""
+        WITH pts AS ({_geo_pts_cte()})
+        SELECT lat_units // 1000 AS cell_lat,
+               lon_units // 1000 AS cell_lon,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+        FROM pts GROUP BY 1, 2
+        ORDER BY n_points DESC, cell_lat, cell_lon LIMIT 20
+    """,
+    # The Spark side's 3x3 grid probe is an invisible optimization (the
+    # radius equals the cell edge, so the block covers the disk); the
+    # oracle is the naive all-pairs distance filter.
+    "q_geo_radius_join": f"""
+        WITH sup AS ({_geo_sup_cte()}),
+        cust AS ({_geo_pts_cte()}),
+        pairs AS (
+          SELECT s.s_suppkey,
+                 (s.slat_units - c.lat_units) * (s.slat_units - c.lat_units)
+               + (s.slon_units - c.lon_units) * (s.slon_units - c.lon_units)
+                 AS d2
+          FROM sup s CROSS JOIN cust c),
+        w AS (
+          SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_within,
+                 min(d2) AS min_d2
+          FROM pairs WHERE d2 <= 25000000 GROUP BY 1)
+        SELECT s.s_suppkey,
+               CAST(coalesce(w.n_within, 0) AS BIGINT) AS n_within,
+               CAST(floor(sqrt(CAST(w.min_d2 AS DOUBLE)) + 0.5) AS BIGINT)
+                 AS min_dist_units
+        FROM sup s LEFT JOIN w USING (s_suppkey)
+    """,
+    # Here the 3x3 block IS the contract (nearest within the block), so
+    # the oracle reproduces the cell arithmetic (all coords >= 0, so
+    # DuckDB's floor-div // equals Spark's truncating div).
+    "q_geo_nearest_neighbor": f"""
+        WITH sup AS ({_geo_sup_cte()}),
+        cust AS ({_geo_pts_cte()}),
+        cand AS (
+          SELECT s.s_suppkey, c.point_id,
+                 (s.slat_units - c.lat_units) * (s.slat_units - c.lat_units)
+               + (s.slon_units - c.lon_units) * (s.slon_units - c.lon_units)
+                 AS d2
+          FROM sup s JOIN cust c
+            ON (c.lat_units // 5000)
+                 BETWEEN (s.slat_units // 5000) - 1
+                     AND (s.slat_units // 5000) + 1
+           AND (c.lon_units // 5000)
+                 BETWEEN (s.slon_units // 5000) - 1
+                     AND (s.slon_units // 5000) + 1),
+        r AS (
+          SELECT s_suppkey, point_id,
+                 CAST(floor(sqrt(CAST(d2 AS DOUBLE)) + 0.5) AS BIGINT)
+                   AS dist_units,
+                 row_number() OVER (
+                   PARTITION BY s_suppkey ORDER BY d2, point_id) AS rn
+          FROM cand)
+        SELECT s.s_suppkey,
+               r.point_id AS nn_point_id,
+               r.dist_units AS nn_dist_units
+        FROM sup s LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+          USING (s_suppkey)
+    """,
+    # The 25-bit interleave + base32 rendering below is the SAME
+    # generated SQL text the Spark side evaluates (functions/geo.py).
+    "q_geohash_encode": f"""
+        WITH pts AS (
+          SELECT c_custkey AS point_id,
+                 {hash_units_sql("c_custkey", "glat", 1_800_000, _hex_bigint)}
+                   AS glat_units,
+                 {hash_units_sql("c_custkey", "glon", 3_600_000, _hex_bigint)}
+                   AS glon_units
+          FROM customer),
+        q AS (
+          SELECT point_id, {_GEOHASH_LAT_Q} AS lat_q, {_GEOHASH_LON_Q} AS lon_q
+          FROM pts),
+        g0 AS (
+          SELECT point_id, {geohash5_code_sql("lat_q", "lon_q")} AS code
+          FROM q),
+        g AS (
+          SELECT point_id, {geohash5_chars_sql("code")} AS geohash5
+          FROM g0)
+        SELECT geohash5, CAST(count(*) AS BIGINT) AS n_points,
+               CAST(min(point_id) AS BIGINT) AS sample_point
+        FROM g GROUP BY 1
+        ORDER BY n_points DESC, geohash5 LIMIT 20
+    """,
+    "q_geo_trajectory": f"""
+        WITH ev AS (
+          SELECT user_id, ts, event_id,
+                 {hash_units_sql("event_id", "elat", 100_000, _hex_bigint)}
+                   AS lat_units,
+                 {hash_units_sql("event_id", "elon", 100_000, _hex_bigint)}
+                   AS lon_units
+          FROM events),
+        s AS (
+          SELECT user_id, lat_units, lon_units,
+                 lag(lat_units) OVER w AS prev_lat,
+                 lag(lon_units) OVER w AS prev_lon
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        st AS (
+          SELECT user_id, lat_units, lon_units,
+                 CASE WHEN prev_lat IS NULL THEN CAST(0 AS BIGINT)
+                      ELSE CAST(floor(sqrt(CAST(
+                             (lat_units - prev_lat) * (lat_units - prev_lat)
+                           + (lon_units - prev_lon) * (lon_units - prev_lon)
+                           AS DOUBLE)) + 0.5) AS BIGINT) END AS step_units
+          FROM s),
+        per AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(sum(step_units) AS BIGINT) AS path_units,
+                 CAST(count(DISTINCT
+                   (lat_units // 5000) * 1000 + (lon_units // 5000)
+                 ) AS BIGINT) AS n_cells,
+                 CAST((max(lat_units) - min(lat_units))
+                    * (max(lon_units) - min(lon_units)) AS BIGINT)
+                   AS bbox_area_units2
+          FROM st GROUP BY user_id)
+        SELECT user_id, n_points, path_units, n_cells, bbox_area_units2
+        FROM per ORDER BY path_units DESC, user_id LIMIT 30
+    """,
+    "q_ip_cidr_lpm": f"""
+        WITH dim AS (
+          SELECT 8 AS prefix_len,
+                 CAST(10 + r_regionkey AS BIGINT) AS prefix_key,
+                 r_name AS net_name
+          FROM region
+          UNION ALL
+          SELECT 16,
+                 CAST((10 + n_regionkey) * 256 + n_nationkey AS BIGINT),
+                 n_name
+          FROM nation),
+        ev AS (
+          SELECT event_id, user_id,
+                 (10 + {hash_units_sql("event_id", "o1", 6, _hex_bigint)})
+                   * 16777216
+               + {hash_units_sql("event_id", "o2", 32, _hex_bigint)} * 65536
+               + {hash_units_sql("event_id", "lo", 65_536, _hex_bigint)}
+                 AS ip
+          FROM events),
+        cand AS (
+          SELECT e.event_id, d.net_name, d.prefix_len
+          FROM ev e JOIN dim d
+            ON (d.prefix_len = 8  AND e.ip // 16777216 = d.prefix_key)
+            OR (d.prefix_len = 16 AND e.ip // 65536 = d.prefix_key)),
+        best AS (
+          SELECT event_id,
+                 arg_max(net_name, prefix_len) AS net_name,
+                 max(prefix_len) AS matched_len
+          FROM cand GROUP BY event_id),
+        att AS (
+          SELECT e.event_id, e.user_id,
+                 coalesce(b.net_name, '<unmatched>') AS net_name,
+                 CAST(coalesce(b.matched_len, 0) AS BIGINT) AS matched_len
+          FROM ev e LEFT JOIN best b USING (event_id))
+        SELECT net_name, matched_len,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM att GROUP BY 1, 2
+        ORDER BY n_events DESC, net_name
+    """,
+    # The degree cap (<= 64 wedge centers) is part of the contract, so
+    # the oracle applies the identical cap before the wedge join.
+    "q_link_prediction": f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 10 = 0),
+        e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT src, dst FROM e
+                UNION ALL SELECT dst, src FROM e),
+        deg AS (SELECT src AS center, CAST(count(*) AS BIGINT) AS deg
+                FROM sym GROUP BY 1),
+        lowc AS (SELECT center FROM deg WHERE deg <= 64),
+        adj AS (SELECT sym.src AS center, sym.dst AS nbr
+                FROM sym JOIN lowc ON sym.src = lowc.center),
+        wedges AS (
+          SELECT a.nbr AS u, b.nbr AS v
+          FROM adj a JOIN adj b
+            ON a.center = b.center AND a.nbr < b.nbr),
+        cn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common
+               FROM wedges GROUP BY 1, 2),
+        newp AS (
+          SELECT cn.u, cn.v, cn.common FROM cn
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.src = cn.u AND e.dst = cn.v)),
+        scored AS (
+          SELECT u AS src, v AS dst, common,
+                 du.deg AS deg_u, dv.deg AS deg_v,
+                 {pround_sql(
+                     "CAST(common AS DOUBLE) "
+                     "/ CAST(du.deg + dv.deg - common AS DOUBLE)", 6)}
+                   AS jaccard
+          FROM newp
+          JOIN deg du ON du.center = newp.u
+          JOIN deg dv ON dv.center = newp.v)
+        SELECT src, dst, common, deg_u, deg_v, jaccard
+        FROM scored ORDER BY common DESC, src, dst LIMIT 30
+    """,
+})

@@ -19522,5 +19522,474 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Geospatial analytics (round 11b) — grid spatial joins, geohash, trajectories
+# ---------------------------------------------------------------------------
+#
+# The reference has no geo surface; this family is a north-star extension
+# (BASELINE.json): the spatial operators a 100 TB location/event pipeline
+# needs, in the engine's cross-engine-exact style (integer 1e-4-degree
+# coordinates, squared-integer distances, IEEE-exact sqrt — see
+# functions/geo.py).  Scale shape throughout: grid-cell bucketing turns
+# every spatial join into an EQUI-join on cell keys (probe side explodes a
+# constant 3x3 neighborhood — bounded 9x), never an all-pairs cross join.
+
+#: Grid cell edge for the spatial-join family: 0.5 deg = 5000 units.
+_GEO_CELL_UNITS = 5_000
+#: Radius for q_geo_radius_join: 0.5 deg (== the cell edge, so the 3x3
+#: neighborhood provably covers the disk — |coord diff| <= cell edge
+#: implies |cell diff| <= 1).
+_GEO_RADIUS_UNITS = 5_000
+
+
+def _geo_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic planar point cloud: every customer gets a pseudo
+    location on a 10 deg x 10 deg field at 1e-4-degree integer precision
+    (md5-derived — the portable hash idiom, functions/geo.py)."""
+    from .functions.geo import hash_units
+
+    return T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        "c_mktsegment",
+        hash_units(F.col("c_custkey"), "lat", 100_000).alias("lat_units"),
+        hash_units(F.col("c_custkey"), "lon", 100_000).alias("lon_units"),
+    )
+
+
+def _geo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe points for the spatial joins: suppliers on the same field
+    (distinct salts so the two clouds are independent)."""
+    from .functions.geo import hash_units
+
+    return T(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        hash_units(F.col("s_suppkey"), "slat", 100_000).alias("slat_units"),
+        hash_units(F.col("s_suppkey"), "slon", 100_000).alias("slon_units"),
+    )
+
+
+@q("q_geo_cell_density")
+def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density aggregation: bucket the customer point cloud into
+    0.1-degree grid cells and report the 20 densest (count desc, then
+    cell coords asc — total order, so the limit is deterministic).  One
+    map-side-combinable groupBy on the cell key + TakeOrderedAndProject;
+    at 100 TB this is a plain agg whose key space is bounded by the
+    geographic extent, not the row count."""
+    pts = _geo_customers(spark, sf_dir)
+    return (
+        pts.groupBy(
+            F.expr("lat_units div 1000").alias("cell_lat"),
+            F.expr("lon_units div 1000").alias("cell_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias("n_segments"),
+        )
+        .orderBy(F.col("n_points").desc(), "cell_lat", "cell_lon")
+        .limit(20)
+    )
+
+
+@q("q_geo_radius_join")
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-within-radius spatial join, the grid-bucketed way: each
+    supplier probes its 0.5-degree cell plus the 8 neighbors (constant
+    9x explode — bounded), the cell-key EQUI-join shuffles once, and the
+    exact integer filter d^2 <= r^2 keeps only true within-radius pairs.
+    The 3x3 block provably covers the disk because the radius equals the
+    cell edge, so the grid is an invisible optimization — the oracle is
+    the naive all-pairs distance filter.  Candidates scale with point
+    density x block area (never |S| x |C|); per-supplier output rows keep
+    zero-match probes (left join), so the result is non-vacuous at every
+    SF.  min_dist_units is floor(sqrt(min d^2) + 0.5) — IEEE sqrt is
+    correctly rounded, so the value is cross-engine exact."""
+    sup = _geo_suppliers(spark, sf_dir)
+    cust = _geo_customers(spark, sf_dir).select(
+        "point_id",
+        "lat_units",
+        "lon_units",
+        F.expr(f"lat_units div {_GEO_CELL_UNITS}").alias("cell_lat"),
+        F.expr(f"lon_units div {_GEO_CELL_UNITS}").alias("cell_lon"),
+    )
+    # 9-cell probe frame: (supplier, probed cell) — constant 9x explode
+    probes = sup.select(
+        "s_suppkey",
+        "slat_units",
+        "slon_units",
+        F.explode(
+            F.expr(
+                f"""array({",".join(
+                    f"struct({dlat}L as dlat, {dlon}L as dlon)"
+                    for dlat in (-1, 0, 1) for dlon in (-1, 0, 1)
+                )})"""
+            )
+        ).alias("off"),
+    ).select(
+        "s_suppkey",
+        "slat_units",
+        "slon_units",
+        (F.expr(f"slat_units div {_GEO_CELL_UNITS}") + F.col("off.dlat")).alias("cell_lat"),
+        (F.expr(f"slon_units div {_GEO_CELL_UNITS}") + F.col("off.dlon")).alias("cell_lon"),
+    )
+    cand = probes.join(cust, ["cell_lat", "cell_lon"])
+    # d^2 in pure BIGINT self-multiplication (NOT `** 2`, which lowers to
+    # double pow() — not guaranteed correctly rounded cross-engine)
+    dlat = F.col("slat_units") - F.col("lat_units")
+    dlon = F.col("slon_units") - F.col("lon_units")
+    d2 = dlat * dlat + dlon * dlon
+    within = (
+        cand.withColumn("d2", d2.cast("bigint"))
+        .filter(F.col("d2") <= _GEO_RADIUS_UNITS**2)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_within"),
+            F.min("d2").alias("min_d2"),
+        )
+    )
+    return (
+        sup.select("s_suppkey")
+        .join(within, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_within", F.lit(0)).cast("bigint").alias("n_within"),
+            F.floor(F.sqrt(F.col("min_d2").cast("double")) + F.lit(0.5))
+            .cast("bigint")
+            .alias("min_dist_units"),
+        )
+    )
+
+
+@q("q_geo_nearest_neighbor")
+def q_geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded nearest-neighbor spatial join: for each supplier, the
+    nearest customer WITHIN its 3x3 0.5-degree cell block (the cap IS
+    the contract — unbounded NN needs expanding-ring probes, which at
+    scale every production system bounds exactly like this).  Same
+    grid-equi-join shape as q_geo_radius_join; the argmin is a
+    per-supplier row_number over (d^2, point_id) — deterministic total
+    order — and zero-candidate suppliers survive with NULLs via the
+    left join."""
+    sup = _geo_suppliers(spark, sf_dir)
+    cust = _geo_customers(spark, sf_dir).select(
+        "point_id",
+        "lat_units",
+        "lon_units",
+        F.expr(f"lat_units div {_GEO_CELL_UNITS}").alias("cell_lat"),
+        F.expr(f"lon_units div {_GEO_CELL_UNITS}").alias("cell_lon"),
+    )
+    probes = sup.select(
+        "s_suppkey",
+        "slat_units",
+        "slon_units",
+        F.explode(
+            F.expr(
+                f"""array({",".join(
+                    f"struct({dlat}L as dlat, {dlon}L as dlon)"
+                    for dlat in (-1, 0, 1) for dlon in (-1, 0, 1)
+                )})"""
+            )
+        ).alias("off"),
+    ).select(
+        "s_suppkey",
+        "slat_units",
+        "slon_units",
+        (F.expr(f"slat_units div {_GEO_CELL_UNITS}") + F.col("off.dlat")).alias("cell_lat"),
+        (F.expr(f"slon_units div {_GEO_CELL_UNITS}") + F.col("off.dlon")).alias("cell_lon"),
+    )
+    nn_dlat = F.col("slat_units") - F.col("lat_units")
+    nn_dlon = F.col("slon_units") - F.col("lon_units")
+    cand = probes.join(cust, ["cell_lat", "cell_lon"]).withColumn(
+        "d2", (nn_dlat * nn_dlat + nn_dlon * nn_dlon).cast("bigint")
+    )
+    w = Window.partitionBy("s_suppkey").orderBy("d2", "point_id")
+    nearest = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_suppkey",
+            F.col("point_id").alias("nn_point_id"),
+            F.floor(F.sqrt(F.col("d2").cast("double")) + F.lit(0.5))
+            .cast("bigint")
+            .alias("nn_dist_units"),
+        )
+    )
+    return sup.select("s_suppkey").join(nearest, "s_suppkey", "left")
+
+
+@q("q_geohash_encode")
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash bucketing: precision-5 geohash of every customer point on
+    the FULL globe, top-20 buckets by count.  The 25-bit interleave and
+    base32 rendering are ONE generated plain-arithmetic SQL expression
+    (functions/geo.py) evaluated verbatim by both engines — power-of-two
+    divisions and %2, all exact — so the encoding cannot drift between
+    query and oracle.  Geohash prefixes are the standard spatial
+    shuffle/sort key at scale (Z-order locality: one groupBy, bounded
+    key space)."""
+    from .functions.geo import (
+        geohash5_chars_sql,
+        geohash5_code_sql,
+        geohash5_quant_sql,
+        hash_units,
+    )
+
+    pts = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        hash_units(F.col("c_custkey"), "glat", 1_800_000).alias("glat_units"),
+        hash_units(F.col("c_custkey"), "glon", 3_600_000).alias("glon_units"),
+    )
+    lat_q, lon_q = geohash5_quant_sql("glat_units", "glon_units")
+    quant = pts.select(
+        "point_id",
+        F.expr(lat_q).alias("lat_q"),
+        F.expr(lon_q).alias("lon_q"),
+    )
+    coded = quant.select(
+        "point_id",
+        F.expr(geohash5_code_sql("lat_q", "lon_q")).alias("code"),
+    ).select(
+        "point_id",
+        F.expr(geohash5_chars_sql("code")).alias("geohash5"),
+    )
+    return (
+        coded.groupBy("geohash5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("point_id").cast("bigint").alias("sample_point"),
+        )
+        .orderBy(F.col("n_points").desc(), "geohash5")
+        .limit(20)
+    )
+
+
+@q("q_geo_trajectory")
+def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory analytics over the event stream: each event gets a
+    deterministic point on the 10-degree field; per user (ordered by ts,
+    event_id — total order) the path length is the sum of per-step
+    integer distances floor(sqrt(d^2)+0.5) — sqrt is IEEE-exact and the
+    summation is pure int64, so per-user totals are order-independent
+    and cross-engine exact.  Also: distinct 0.5-degree cells visited and
+    the integer bounding-box area.  One user-partitioned window + one
+    agg; top-30 most-traveled users (path desc, user asc).  At 100 TB
+    user grain partitions the work; no global window anywhere."""
+    from .functions.geo import hash_units
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        hash_units(F.col("event_id"), "elat", 100_000).alias("lat_units"),
+        hash_units(F.col("event_id"), "elon", 100_000).alias("lon_units"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("prev_lat", F.lag("lat_units").over(w))
+        .withColumn("prev_lon", F.lag("lon_units").over(w))
+        .withColumn(
+            "step_units",
+            F.when(
+                F.col("prev_lat").isNull(), F.lit(0).cast("bigint")
+            ).otherwise(
+                F.floor(
+                    F.sqrt(
+                        (
+                            (F.col("lat_units") - F.col("prev_lat"))
+                            * (F.col("lat_units") - F.col("prev_lat"))
+                            + (F.col("lon_units") - F.col("prev_lon"))
+                            * (F.col("lon_units") - F.col("prev_lon"))
+                        ).cast("double")
+                    )
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ),
+        )
+    )
+    per_user = steps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("step_units").cast("bigint").alias("path_units"),
+        F.countDistinct(
+            F.expr(
+                f"(lat_units div {_GEO_CELL_UNITS}) * 1000 "
+                f"+ (lon_units div {_GEO_CELL_UNITS})"
+            )
+        )
+        .cast("bigint")
+        .alias("n_cells"),
+        (
+            (F.max("lat_units") - F.min("lat_units"))
+            * (F.max("lon_units") - F.min("lon_units"))
+        )
+        .cast("bigint")
+        .alias("bbox_area_units2"),
+    )
+    return per_user.orderBy(F.col("path_units").desc(), "user_id").limit(30)
+
+
+# ---------------------------------------------------------------------------
+# Network analytics (round 11b) — CIDR longest-prefix match
+# ---------------------------------------------------------------------------
+
+@q("q_ip_cidr_lpm")
+def q_ip_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-to-network attribution with LONGEST-PREFIX-MATCH semantics,
+    expressed as an EQUI-join (the scale-correct form — no range join):
+    the CIDR dim holds /8 blocks per region (first octet 10+regionkey)
+    and /16 blocks per nation ((10+regionkey).nationkey); each event's
+    deterministic IPv4 (md5-derived 32-bit int; first octet 10..15, so
+    octet 15 exercises the unmatched path) is exploded over the DISTINCT
+    prefix lengths present (2 — bounded) and joined on
+    (prefix_len, ip div 2^(32-len)) == (prefix_len, prefix_key) against
+    the broadcast ~30-row dim.  LPM = max_by(name, prefix_len) per event
+    (no ties by construction: block keys are unique within a length).
+    This is how routing-table joins run at 100 TB: replicate the fact
+    row once per distinct prefix length, hash-join, take the longest —
+    never ip BETWEEN lo AND hi against a big table."""
+    from .functions.geo import hash_units
+
+    nat = T(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = T(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim8 = reg.select(
+        F.lit(8).alias("prefix_len"),
+        (F.lit(10) + F.col("r_regionkey")).cast("bigint").alias("prefix_key"),
+        F.col("r_name").alias("net_name"),
+    )
+    dim16 = nat.select(
+        F.lit(16).alias("prefix_len"),
+        ((F.lit(10) + F.col("n_regionkey")) * 256 + F.col("n_nationkey"))
+        .cast("bigint")
+        .alias("prefix_key"),
+        F.col("n_name").alias("net_name"),
+    )
+    dim = dim8.unionByName(dim16)
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id")
+    ip = (
+        (F.lit(10) + hash_units(F.col("event_id"), "o1", 6)) * F.lit(2**24)
+        + hash_units(F.col("event_id"), "o2", 32) * F.lit(2**16)
+        + hash_units(F.col("event_id"), "lo", 65_536)
+    ).cast("bigint")
+    fact = ev.withColumn("ip", ip)
+    cand = fact.select(
+        "event_id",
+        "user_id",
+        "ip",
+        F.explode(F.expr("array(8, 16)")).alias("prefix_len"),
+    ).withColumn(
+        "probe_key",
+        F.when(F.col("prefix_len") == 8, F.expr("ip div 16777216")).otherwise(
+            F.expr("ip div 65536")
+        ),
+    )
+    hits = cand.join(
+        F.broadcast(dim),
+        (cand.prefix_len == dim.prefix_len)
+        & (cand.probe_key == dim.prefix_key),
+    ).select(
+        "event_id",
+        "user_id",
+        cand.prefix_len.alias("plen"),
+        "net_name",
+    )
+    best = hits.groupBy("event_id").agg(
+        F.max_by("net_name", "plen").alias("net_name"),
+        F.max("plen").alias("matched_len"),
+    )
+    attributed = (
+        fact.select("event_id", "user_id")
+        .join(best.select("event_id", "net_name", "matched_len"), "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("net_name", F.lit("<unmatched>")).alias("net_name"),
+            F.coalesce("matched_len", F.lit(0)).cast("bigint").alias("matched_len"),
+        )
+    )
+    return (
+        attributed.groupBy("net_name", "matched_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("n_events").desc(), "net_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph link prediction (round 11b)
+# ---------------------------------------------------------------------------
+
+#: Wedge-center degree cap for link prediction: common-neighbor evidence
+#: through hubs is weak signal (Adamic-Arar downweights it ~1/log deg) and
+#: quadratic cost — production LP pipelines exclude hub centers exactly
+#: like this.  The cap bounds per-center pair expansion at C(64,2).
+_LP_CENTER_DEG_CAP = 64
+
+
+@q("q_link_prediction")
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph: score
+    non-adjacent part pairs by how many (low-degree) neighbors they
+    share, plus the Jaccard of their neighborhoods.  Shape: one wedge
+    self-join of the adjacency list keyed on the CENTER node — pair
+    expansion is bounded per center by the degree cap (C(64,2)), never
+    corpus-quadratic — then a pair-grain count, an ANTI-join against the
+    existing edge set (candidates must be NEW links), and a broadcast
+    degree join for the Jaccard denominator.  Top-30 by (common desc,
+    src, dst) — total order, deterministic.  The degree cap is part of
+    the contract (documented hub exclusion), so the oracle applies the
+    identical cap."""
+    e = cut_lineage(_copurchase_edges(spark, sf_dir))
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = sym.select(F.col("src").alias("center"), F.col("dst").alias("nbr"))
+    deg = adj.groupBy("center").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    low_centers = deg.filter(F.col("deg") <= _LP_CENTER_DEG_CAP).select(
+        "center"
+    )
+    adj_low = adj.join(low_centers, "center")
+    a = adj_low.alias("a")
+    b = adj_low.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.center") == F.col("b.center"))
+        & (F.col("a.nbr") < F.col("b.nbr")),
+    ).select(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+    cn = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common")
+    )
+    new_pairs = cn.join(
+        e,
+        (cn.u == e.src) & (cn.v == e.dst),
+        "left_anti",
+    )
+    du = deg.select(F.col("center").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("center").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        new_pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            "common",
+            "deg_u",
+            "deg_v",
+            pround(
+                F.col("common").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("common").desc(), "src", "dst").limit(30)
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

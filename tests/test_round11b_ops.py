@@ -1,0 +1,242 @@
+"""Behavioral pins for the round-11b additions (geo / network / link
+prediction).
+
+Parity (value-hash vs DuckDB) is covered by check_parity.py / the driver;
+these tests pin the SEMANTIC claims each docstring makes, at sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from java_etl_bi_generator_spark.queries import registry
+
+
+def _py_geohash5(lat: float, lon: float) -> str:
+    """Textbook geohash (precision 5) — the independent reference the
+    generated-SQL encoder must reproduce."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, out, even = 0, [], True
+    ch = 0
+    for _ in range(25):
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = ch * 2 + 1
+                lon_lo = mid
+            else:
+                ch = ch * 2
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = ch * 2 + 1
+                lat_lo = mid
+            else:
+                ch = ch * 2
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(b32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_sql_matches_textbook_algorithm(spark):
+    """The generated-SQL interleave (functions/geo.py) must agree with
+    the classic bisection geohash for points away from quantizer cell
+    boundaries (on-boundary points differ only by float-vs-integer
+    quantizer tie handling, which the integer grid avoids by design)."""
+    from java_etl_bi_generator_spark.functions.geo import (
+        geohash5_chars_sql,
+        geohash5_code_sql,
+        geohash5_quant_sql,
+    )
+
+    pts = [
+        (123_456, 2_345_678),
+        (900_000, 1_800_000),
+        (1_799_999, 3_599_999),
+        (1, 1),
+        (457_893, 98_771),
+    ]
+    df = spark.createDataFrame(
+        [(la, lo) for la, lo in pts], "glat_units long, glon_units long"
+    )
+    lat_q, lon_q = geohash5_quant_sql("glat_units", "glon_units")
+    got = (
+        df.select(
+            "glat_units",
+            "glon_units",
+            F.expr(lat_q).alias("lat_q"),
+            F.expr(lon_q).alias("lon_q"),
+        )
+        .select(
+            "glat_units",
+            "glon_units",
+            F.expr(geohash5_code_sql("lat_q", "lon_q")).alias("code"),
+        )
+        .select(
+            "glat_units",
+            "glon_units",
+            F.expr(geohash5_chars_sql("code")).alias("gh"),
+        )
+        .collect()
+    )
+    for r in got:
+        lat = r["glat_units"] / 10_000.0 - 90.0
+        lon = r["glon_units"] / 10_000.0 - 180.0
+        assert r["gh"] == _py_geohash5(lat, lon), (lat, lon)
+
+
+def test_radius_join_grid_covers_disk(spark, sf_dir):
+    """The 3x3 grid probe must find EXACTLY the naive all-pairs
+    within-radius set (the docstring's coverage claim: radius == cell
+    edge implies |cell diff| <= 1)."""
+    from java_etl_bi_generator_spark.queries import (
+        _geo_customers,
+        _geo_suppliers,
+    )
+
+    reg = registry()
+    got = {
+        r["s_suppkey"]: (r["n_within"], r["min_dist_units"])
+        for r in reg["q_geo_radius_join"](spark, sf_dir).collect()
+    }
+    cust = _geo_customers(spark, sf_dir).collect()
+    sup = _geo_suppliers(spark, sf_dir).collect()
+    import math
+
+    for s in sup:
+        d2s = [
+            (s["slat_units"] - c["lat_units"]) ** 2
+            + (s["slon_units"] - c["lon_units"]) ** 2
+            for c in cust
+        ]
+        within = [d for d in d2s if d <= 5000**2]
+        exp_n = len(within)
+        exp_min = (
+            int(math.floor(math.sqrt(min(within)) + 0.5)) if within else None
+        )
+        assert got[s["s_suppkey"]] == (exp_n, exp_min)
+
+
+def test_nearest_neighbor_is_argmin_within_block(spark, sf_dir):
+    """q_geo_nearest_neighbor returns the true argmin (d2, point_id)
+    over the 3x3 cell block, NULL when the block is empty."""
+    from java_etl_bi_generator_spark.queries import (
+        _geo_customers,
+        _geo_suppliers,
+    )
+
+    reg = registry()
+    got = {
+        r["s_suppkey"]: (r["nn_point_id"], r["nn_dist_units"])
+        for r in reg["q_geo_nearest_neighbor"](spark, sf_dir).collect()
+    }
+    cust = _geo_customers(spark, sf_dir).collect()
+    import math
+
+    for s in _geo_suppliers(spark, sf_dir).collect():
+        sc_lat, sc_lon = s["slat_units"] // 5000, s["slon_units"] // 5000
+        cands = [
+            (
+                (s["slat_units"] - c["lat_units"]) ** 2
+                + (s["slon_units"] - c["lon_units"]) ** 2,
+                c["point_id"],
+            )
+            for c in cust
+            if abs(c["lat_units"] // 5000 - sc_lat) <= 1
+            and abs(c["lon_units"] // 5000 - sc_lon) <= 1
+        ]
+        if not cands:
+            assert got[s["s_suppkey"]] == (None, None)
+        else:
+            d2, pid = min(cands)
+            assert got[s["s_suppkey"]] == (
+                pid,
+                int(math.floor(math.sqrt(d2) + 0.5)),
+            )
+
+
+def test_cidr_lpm_prefers_longest_prefix(spark, sf_dir):
+    """Events whose second octet lands on a nation of their region must
+    attribute to the /16 (nation) block, never the enclosing /8 — and
+    every event is accounted for (matched + unmatched == |events|)."""
+    reg = registry()
+    rows = reg["q_ip_cidr_lpm"](spark, sf_dir).collect()
+    total = sum(r["n_events"] for r in rows)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == n_events
+    by_len = {}
+    for r in rows:
+        by_len.setdefault(r["matched_len"], []).append(r["net_name"])
+    # nation names only ever appear at /16, region names only at /8
+    region_names = {
+        r["r_name"]
+        for r in spark.read.parquet(f"{sf_dir}/region.parquet").collect()
+    }
+    nation_names = {
+        r["n_name"]
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    assert all(n in nation_names for n in by_len.get(16, []))
+    assert all(n in region_names for n in by_len.get(8, []))
+    assert by_len.get(0, []) == ["<unmatched>"] or 0 not in by_len
+    # both match lengths actually occur at sf0.001 (16% of in-space ips
+    # hit a nation block; the rest of octet-10..14 space hits the /8)
+    assert 8 in by_len and 16 in by_len
+
+
+def test_link_prediction_pairs_are_new_and_capped(spark, sf_dir):
+    """Predicted pairs must NOT be existing edges, must be canonical
+    (src < dst), and every common-neighbor count must be positive and
+    achievable through low-degree centers only."""
+    from java_etl_bi_generator_spark.queries import (
+        _LP_CENTER_DEG_CAP,
+        _copurchase_edges,
+    )
+
+    reg = registry()
+    rows = reg["q_link_prediction"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 30
+    edges = {
+        (r["src"], r["dst"])
+        for r in _copurchase_edges(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["src"] < r["dst"]
+        assert (r["src"], r["dst"]) not in edges
+        assert r["common"] >= 1
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["deg_u"] >= r["common"] and r["deg_v"] >= r["common"]
+    assert _LP_CENTER_DEG_CAP == 64
+
+
+def test_trajectory_totals_consistent(spark, sf_dir):
+    """Per-user trajectory stats: n_points sums over the top-30 must not
+    exceed the event count; path and bbox are non-negative; n_cells is
+    between 1 and n_points."""
+    reg = registry()
+    rows = reg["q_geo_trajectory"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 30
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_points"] for r in rows) <= n_events
+    for r in rows:
+        assert r["path_units"] >= 0
+        assert r["bbox_area_units2"] >= 0
+        assert 1 <= r["n_cells"] <= r["n_points"]
+
+
+def test_radius_join_plan_is_equi_join(spark, sf_dir):
+    """The spatial join must compile to a hash/sort-merge EQUI-join on
+    the cell keys — never a BroadcastNestedLoopJoin / cartesian (the
+    all-pairs form the grid exists to avoid)."""
+    reg = registry()
+    for name in ("q_geo_radius_join", "q_geo_nearest_neighbor"):
+        plan = reg[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
