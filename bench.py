@@ -89,6 +89,9 @@ HEADLINE = [
     "q_rake_keywords",       # RAKE phrase/keyword extraction (round 11)
     "q_shapley_synergy",     # Shapley pairwise-synergy game (round 11)
     "q_join_salted",         # explicit skew-salted join (round 11)
+    "q_geo_radius_join",     # grid-bucketed spatial radius join (round 11b)
+    "q_ip_cidr_lpm",         # equi-join CIDR longest-prefix match (round 11b)
+    "q_link_prediction",     # capped wedge-join common neighbors (round 11b)
     # NOT q_pq_*: the declared PQ queries retrain their sub-quantizers
     # inline (train-once cost in production), which would dominate a
     # per-query headline — their scale behavior is covered by

@@ -268,7 +268,7 @@ _CHURN_SCORED_LABELED_SQL = f"""{_churn_feat_sql(True)},
           FROM f),
         a AS (SELECT DISTINCT o_custkey FROM orders
               WHERE year(CAST(o_orderdate AS DATE)) = 1998),
-        j AS (
+        j AS MATERIALIZED (
           SELECT s.o_custkey, s.s6,
                  CASE WHEN a.o_custkey IS NULL THEN 0 ELSE 1 END AS label
           FROM s LEFT JOIN a ON a.o_custkey = s.o_custkey)"""
@@ -4639,7 +4639,7 @@ ORACLES: dict[str, str] = {
         FROM base
     """,
     "q_attribution_positional": """
-        WITH fp AS (
+        WITH fp AS MATERIALIZED (
           SELECT user_id, min(ts) AS pts
           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         touches AS (
@@ -11827,4 +11827,145 @@ ORACLES.update({
         SELECT src, dst, common, deg_u, deg_v, jaccard
         FROM scored ORDER BY common DESC, src, dst LIMIT 30
     """,
+})
+
+
+def _markov_removal_oracle(steps: int = 12) -> str:
+    """Generated oracle for q_markov_removal: the SAME integer absorption
+    recurrence the Spark side runs on the collected bounded transition
+    matrix, unrolled as ``steps`` CTE levels per scenario (scenario =
+    '__base__' or the removed channel).  Every term is
+    (val * cnt) // tot — truncating integer division then integer sums,
+    order-free, so the 12-step trajectory is bit-identical.
+
+    Every CTE is MATERIALIZED: without it DuckDB inlines the chain and
+    each level is re-evaluated by BOTH its consumers (v and a), an
+    exponential 2^steps blowup (measured 64 s -> 1.4 s at sf0.01)."""
+    ctes = []
+    for t in range(1, steps + 1):
+        p = t - 1
+        ctes.append(f"""
+        v{t} AS MATERIALIZED (
+          SELECT v.scen, t.dst AS state,
+                 CAST(sum((v.val * t.cnt) // o.tot) AS BIGINT) AS val
+          FROM v{p} v
+          JOIN trans t ON t.src = v.state
+          JOIN outs o ON o.src = v.state
+          WHERE t.dst <> 'purchase' AND t.dst <> v.scen
+          GROUP BY v.scen, t.dst),
+        a{t} AS MATERIALIZED (
+          SELECT v.scen,
+                 CAST(sum((v.val * t.cnt) // o.tot) AS BIGINT) AS a
+          FROM v{p} v
+          JOIN trans t ON t.src = v.state AND t.dst = 'purchase'
+          JOIN outs o ON o.src = v.state
+          GROUP BY v.scen)""")
+    abs_union = " UNION ALL ".join(
+        f"SELECT scen, a FROM a{t}" for t in range(1, steps + 1)
+    )
+    return f"""
+        WITH fp AS (
+          SELECT user_id, ts AS fpts, event_id AS fpid FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase') x
+          WHERE rn = 1),
+        j AS (
+          SELECT e.user_id, e.event_type,
+                 lead(e.event_type) OVER (
+                   PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+                   AS nxt,
+                 row_number() OVER (
+                   PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+                   AS rn
+          FROM events e LEFT JOIN fp USING (user_id)
+          WHERE fp.user_id IS NULL
+             OR e.ts < fp.fpts
+             OR (e.ts = fp.fpts AND e.event_id <= fp.fpid)),
+        trans AS MATERIALIZED (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT 'START' AS src, event_type AS dst FROM j WHERE rn = 1
+            UNION ALL
+            SELECT event_type AS src, nxt AS dst FROM j
+            WHERE nxt IS NOT NULL) u
+          GROUP BY src, dst),
+        outs AS MATERIALIZED (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot
+                 FROM trans GROUP BY src),
+        channels AS MATERIALIZED (
+          SELECT DISTINCT state FROM (
+            SELECT src AS state FROM trans
+            UNION SELECT dst FROM trans) s
+          WHERE state NOT IN ('START', 'purchase')),
+        scens AS (SELECT '__base__' AS scen
+                  UNION ALL SELECT state FROM channels),
+        v0 AS (SELECT scen, 'START' AS state,
+                      CAST(1000000000 AS BIGINT) AS val FROM scens),
+        {",".join(ctes)},
+        absorbed AS (
+          SELECT scen, CAST(sum(a) AS BIGINT) AS a
+          FROM ({abs_union}) z GROUP BY scen),
+        base AS (
+          SELECT CAST(coalesce(
+            (SELECT a FROM absorbed WHERE scen = '__base__'), 0)
+            AS BIGINT) AS a)
+        SELECT ch.state AS channel,
+               b.a AS base_conv_e9,
+               CAST(coalesce(ab.a, 0) AS BIGINT) AS removed_conv_e9,
+               CAST(b.a - coalesce(ab.a, 0) AS BIGINT)
+                 AS removal_effect_e9
+        FROM channels ch
+        LEFT JOIN absorbed ab ON ab.scen = ch.state
+        CROSS JOIN base b
+        ORDER BY channel
+    """
+
+
+ORACLES.update({
+    "q_theil_sen": f"""
+        WITH ev AS (
+          SELECT event_type,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS vcents
+          FROM events),
+        daily AS (
+          SELECT event_type, d, CAST(sum(vcents) AS BIGINT) AS y
+          FROM ev GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.event_type,
+                 CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+                   AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               {pround_sql('quantile_cont(slope, 0.5)', 6)}
+                 AS theil_sen_slope
+        FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+    "q_geo_cell_smooth": f"""
+        WITH pts AS ({_geo_pts_cte()}),
+        cells AS (
+          SELECT lat_units // 1000 AS cell_lat,
+                 lon_units // 1000 AS cell_lon,
+                 CAST(count(*) AS BIGINT) AS n_points
+          FROM pts GROUP BY 1, 2),
+        contrib AS (
+          SELECT cell_lat + d1.o AS t_lat, cell_lon + d2.o AS t_lon,
+                 n_points
+          FROM cells,
+               (VALUES (-1), (0), (1)) d1(o),
+               (VALUES (-1), (0), (1)) d2(o)),
+        box AS (
+          SELECT t_lat, t_lon, CAST(sum(n_points) AS BIGINT) AS box_sum
+          FROM contrib GROUP BY 1, 2)
+        SELECT c.cell_lat, c.cell_lon, c.n_points, b.box_sum,
+               {pround_sql('CAST(b.box_sum AS DOUBLE) / 9.0', 6)}
+                 AS smoothed
+        FROM cells c
+        JOIN box b ON b.t_lat = c.cell_lat AND b.t_lon = c.cell_lon
+        ORDER BY smoothed DESC, cell_lat, cell_lon LIMIT 20
+    """,
+    "q_markov_removal": _markov_removal_oracle(),
 })

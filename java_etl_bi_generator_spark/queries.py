@@ -179,10 +179,16 @@ _SHOWCASE: tuple[str, ...] = (
     # distributed-rank / quantile family
     "q_cume_dist", "q_rolling_median", "q_exact_median_rank",
     "q_quantile_ladder", "q_quantile_ladder_grouped", "q_winsorize",
+    # round-11b additions (fresh code = highest certification value;
+    # the seven core-function surfaces they displaced — date_arithmetic,
+    # array_ops, map_ops, json_roundtrip, posexplode, string_agg,
+    # histogram — are early-round queries, hash-green in every full
+    # sweep since introduction, and stay in the local certification)
+    "q_geo_cell_density", "q_geo_radius_join", "q_geo_nearest_neighbor",
+    "q_geohash_encode", "q_geo_trajectory", "q_ip_cidr_lpm",
+    "q_link_prediction",
     # core function surfaces
-    "q_date_arithmetic", "q_array_ops", "q_map_ops",
-    "q_json_roundtrip", "q_posexplode", "q_string_agg",
-    "q_mode_per_group", "q_histogram",
+    "q_mode_per_group",
     # event / time-series analytics
     "q_funnel_horizon", "q_time_to_convert", "q_gap_fill_ffill",
     "q_gap_fill_interpolate", "q_ohlc", "q_gaps_and_islands",
@@ -19989,6 +19995,222 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("common").desc(), "src", "dst").limit(30)
+
+
+@q("q_theil_sen")
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimation per event type: the MEDIAN of
+    all pairwise slopes of the daily value series — the slope estimator
+    companion to q_mann_kendall's trend TEST (both are rank/median
+    methods immune to outliers that wreck the OLS line in
+    q_regression_by_group).  Scale shape: the raw events collapse to the
+    (type, day) grain FIRST (one map-side-combinable agg; the day grain
+    is calendar-bounded, ~30 at the fixtures and never data-linear), so
+    the pairwise self-join is C(days,2) per type — bounded at any
+    volume.  Slopes are single IEEE divisions of exact integers (cents
+    per day); the median is order-free; pround(6) pins the interpolated
+    even-count case."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("vcents").cast("bigint").alias("y")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope"),
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            pround(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q("q_geo_cell_smooth")
+def q_geo_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster stencil smoothing over the spatial grid: 3x3 box-filtered
+    density per occupied 0.1-degree cell (the kernel-smoothing step
+    under every heatmap).  The stencil is computed by SCATTER, not
+    gather: each cell's count is exploded to its 9 neighbor targets
+    (constant 9x on the CELL grain — already aggregated, bounded by the
+    geographic extent) and re-summed — two map-side-combinable aggs,
+    no self-join on the raw points.  smoothed = box_sum / 9 as one
+    pinned division.  Top-20 by (smoothed desc, cell asc)."""
+    pts = _geo_customers(spark, sf_dir)
+    cells = pts.groupBy(
+        F.expr("lat_units div 1000").alias("cell_lat"),
+        F.expr("lon_units div 1000").alias("cell_lon"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    contrib = cells.select(
+        "cell_lat",
+        "cell_lon",
+        "n_points",
+        F.explode(
+            F.expr(
+                f"""array({",".join(
+                    f"struct({dlat}L as dlat, {dlon}L as dlon)"
+                    for dlat in (-1, 0, 1) for dlon in (-1, 0, 1)
+                )})"""
+            )
+        ).alias("off"),
+    ).select(
+        (F.col("cell_lat") + F.col("off.dlat")).alias("t_lat"),
+        (F.col("cell_lon") + F.col("off.dlon")).alias("t_lon"),
+        "n_points",
+    )
+    box = contrib.groupBy("t_lat", "t_lon").agg(
+        F.sum("n_points").cast("bigint").alias("box_sum")
+    )
+    return (
+        cells.join(
+            box,
+            (cells.cell_lat == box.t_lat) & (cells.cell_lon == box.t_lon),
+        )
+        .select(
+            "cell_lat",
+            "cell_lon",
+            "n_points",
+            "box_sum",
+            pround(F.col("box_sum").cast("double") / F.lit(9.0), 6).alias(
+                "smoothed"
+            ),
+        )
+        .orderBy(F.col("smoothed").desc(), "cell_lat", "cell_lon")
+        .limit(20)
+    )
+
+
+#: Unrolled absorption steps for the Markov removal-effect recurrence.
+_MARKOV_STEPS = 12
+
+
+def _markov_removal_recurrence(
+    trans: dict[tuple[str, str], int],
+    outs: dict[str, int],
+    channels: list[str],
+    removed: str | None,
+) -> int:
+    """The EXACT integer absorption recurrence both engines unroll: mass
+    starts at START scaled 1e9; each step routes v[i]·c(i,j) div out(i)
+    to j (per-term truncating div then int sum — order-free); entering
+    the removed channel loses the mass.  Returns the purchase-absorbed
+    mass after ``_MARKOV_STEPS`` steps."""
+    states = ["START"] + channels
+    v = {s: 0 for s in states}
+    v["START"] = 10**9
+    absorbed = 0
+    for _ in range(_MARKOV_STEPS):
+        nxt = {s: 0 for s in states}
+        for i in states:
+            if v[i] == 0 or outs.get(i, 0) == 0:
+                continue
+            for j in channels + ["purchase"]:
+                c = trans.get((i, j), 0)
+                if c == 0:
+                    continue
+                share = v[i] * c // outs[i]
+                if j == removed:
+                    continue  # mass entering the removed channel is lost
+                if j == "purchase":
+                    absorbed += share
+                else:
+                    nxt[j] += share
+        v = nxt
+    return absorbed
+
+
+@q("q_markov_removal")
+def q_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution [Anderl et al. 2016] —
+    the data-driven alternative to the positional/Shapley rules already
+    in the registry: build the first-order journey transition matrix
+    (START → event states → absorbing purchase), then re-run absorption
+    with each channel removed; a channel's credit is how much conversion
+    mass disappears without it.  Scale shape: the DISTRIBUTED work is
+    the transition-count aggregation over user journeys (one
+    user-partitioned window + one agg); the recurrence then runs at the
+    CONSTANT ≤6x6-count grain — collected like the k-row centroid pulls
+    (bounded by the event-type vocabulary, never by data volume) — as an
+    exact integer recurrence (per-term truncating div, int sums:
+    order-free, cross-engine bit-identical; the oracle unrolls the same
+    12 steps as generated SQL).  Output: per channel, the scaled-1e9
+    base and removed conversion mass and the removal effect."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # journey = events up to and including the user's FIRST purchase
+    first_p = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    j = (
+        ev.join(first_p, "user_id", "left")
+        .filter(
+            F.col("fp").isNull()
+            | (F.struct("ts", "event_id") <= F.col("fp"))
+        )
+        .withColumn("nxt", F.lead("event_type").over(w))
+    )
+    # transitions: START -> first event per user, plus each adjacent pair
+    starts = j.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).select(
+        F.lit("START").alias("src"), F.col("event_type").alias("dst")
+    )
+    steps = j.filter(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    )
+    trans_df = (
+        starts.unionByName(steps)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    rows = trans_df.collect()  # bounded: <= (|event types|+1)^2 rows
+    trans = {(r["src"], r["dst"]): r["cnt"] for r in rows}
+    outs: dict[str, int] = {}
+    for (s, _), c in trans.items():
+        outs[s] = outs.get(s, 0) + c
+    channels = sorted(
+        {s for (s, _) in trans} | {d for (_, d) in trans} - {"START"}
+    )
+    channels = [c for c in channels if c != "purchase" and c != "START"]
+    base = _markov_removal_recurrence(trans, outs, channels, None)
+    out_rows = [
+        (
+            ch,
+            base,
+            _markov_removal_recurrence(trans, outs, channels, ch),
+        )
+        for ch in channels
+    ]
+    res = spark.createDataFrame(
+        [
+            (ch, b, r, b - r)
+            for ch, b, r in out_rows
+        ],
+        "channel string, base_conv_e9 long, removed_conv_e9 long, "
+        "removal_effect_e9 long",
+    )
+    return res.orderBy("channel")
 
 
 # Register the TPC-H query set (module imports back into this registry).

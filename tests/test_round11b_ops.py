@@ -240,3 +240,91 @@ def test_radius_join_plan_is_equi_join(spark, sf_dir):
         plan = reg[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_theil_sen_matches_bruteforce(spark, sf_dir):
+    """q_theil_sen must equal the literal median-of-pairwise-slopes
+    recomputed in Python from the same daily aggregation."""
+    import statistics
+
+    reg = registry()
+    got = {
+        r["event_type"]: (r["n_pairs"], r["theil_sen_slope"])
+        for r in reg["q_theil_sen"](spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("vc").alias("y"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["d"], r["y"]))
+    import math
+
+    for et, pts in by_type.items():
+        pts.sort()
+        slopes = [
+            (y2 - y1) / (d2 - d1)
+            for i, (d1, y1) in enumerate(pts)
+            for (d2, y2) in pts[i + 1:]
+        ]
+        med = statistics.median(slopes)
+        exp = math.floor(med * 1e6 + 0.5) / 1e6
+        n, s = got[et]
+        assert n == len(slopes)
+        assert abs(s - exp) < 1e-9, (et, s, exp)
+
+
+def test_markov_removal_effects_sane(spark, sf_dir):
+    """Removal effects: every channel's removed-conversion mass is
+    <= base, effects are non-negative, and base is consistent across
+    rows.  Removing a channel that carries journey mass must strictly
+    reduce conversions at the fixtures."""
+    reg = registry()
+    rows = reg["q_markov_removal"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    bases = {r["base_conv_e9"] for r in rows}
+    assert len(bases) == 1
+    base = bases.pop()
+    assert 0 < base <= 10**9
+    for r in rows:
+        assert 0 <= r["removed_conv_e9"] <= base
+        assert r["removal_effect_e9"] == base - r["removed_conv_e9"]
+        assert r["removal_effect_e9"] > 0
+
+
+def test_cell_smooth_is_box_mean(spark, sf_dir):
+    """Each smoothed value must equal the 3x3 neighbor sum / 9 of the
+    independently recomputed cell-count raster."""
+    from java_etl_bi_generator_spark.queries import _geo_customers
+
+    reg = registry()
+    got = reg["q_geo_cell_smooth"](spark, sf_dir).collect()
+    counts: dict = {}
+    for r in _geo_customers(spark, sf_dir).collect():
+        key = (r["lat_units"] // 1000, r["lon_units"] // 1000)
+        counts[key] = counts.get(key, 0) + 1
+    import math
+
+    for r in got:
+        cl, cn = r["cell_lat"], r["cell_lon"]
+        assert counts[(cl, cn)] == r["n_points"]
+        box = sum(
+            counts.get((cl + a, cn + b), 0)
+            for a in (-1, 0, 1)
+            for b in (-1, 0, 1)
+        )
+        assert box == r["box_sum"]
+        exp = math.floor(box / 9.0 * 1e6 + 0.5) / 1e6
+        assert abs(r["smoothed"] - exp) < 1e-12
