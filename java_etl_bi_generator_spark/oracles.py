@@ -11969,3 +11969,122 @@ ORACLES.update({
     """,
     "q_markov_removal": _markov_removal_oracle(),
 })
+
+
+from .functions.holt import holt_weights_values_sql  # noqa: E402
+
+ORACLES.update({
+    "q_holt_forecast": f"""
+        WITH daily AS (
+          SELECT event_type,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, y,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY d DESC) AS p
+          FROM daily QUALIFY p <= 16),
+        tl AS (SELECT event_type, CAST(max(p) AS INT) AS t_len
+               FROM ranked GROUP BY 1),
+        j AS (
+          SELECT r.event_type, tl.t_len, r.y, hw.wl, hw.wb
+          FROM ranked r
+          JOIN tl USING (event_type)
+          JOIN {holt_weights_values_sql()}
+            ON hw.t_len = tl.t_len AND hw.p = r.p)
+        SELECT event_type, t_len,
+               {pround_sql(
+                   'CAST(CAST(sum(y * wl) AS BIGINT) AS DOUBLE) '
+                   '/ 1000000000.0', 2)} AS level_cents,
+               {pround_sql(
+                   'CAST(CAST(sum(y * wb) AS BIGINT) AS DOUBLE) '
+                   '/ 1000000000.0', 2)} AS trend_cents,
+               {pround_sql(
+                   'CAST(CAST(sum(y * wl) + sum(y * wb) AS BIGINT) '
+                   'AS DOUBLE) / 1000000000.0', 2)} AS forecast_cents
+        FROM j GROUP BY event_type, t_len
+        ORDER BY event_type
+    """,
+    "q_wasserstein_1d": f"""
+        WITH ev AS (
+          SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket
+          FROM events),
+        tc AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+               FROM ev GROUP BY 1, 2),
+        gc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS g
+               FROM ev GROUP BY 1),
+        grid AS (
+          SELECT t.event_type, g.bucket, g.g
+          FROM (SELECT DISTINCT event_type FROM ev) t
+          CROSS JOIN gc g),
+        fullg AS (
+          SELECT grid.event_type, grid.bucket,
+                 CAST(coalesce(tc.c, 0) AS BIGINT) AS c, grid.g
+          FROM grid LEFT JOIN tc
+            ON tc.event_type = grid.event_type
+           AND tc.bucket = grid.bucket),
+        cums AS (
+          SELECT event_type, bucket,
+                 CAST(sum(c) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t,
+                 CAST(sum(g) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g,
+                 CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_t,
+                 CAST(sum(g) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_g
+          FROM fullg)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(n_t) AS BIGINT) AS n_t,
+               {pround_sql(
+                   'CAST(CAST(sum(abs(cum_t * n_g - cum_g * n_t)) '
+                   'AS BIGINT) AS DOUBLE) '
+                   '/ (CAST(max(n_t) AS DOUBLE) * CAST(max(n_g) AS DOUBLE))',
+                   9)} AS w1_dollars
+        FROM cums GROUP BY event_type ORDER BY event_type
+    """,
+    "q_qini_curve": f"""
+        WITH users AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                          END) AS BIGINT) AS score,
+                 CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) AS BIGINT) AS converted,
+                 {hash_units_sql("user_id", "arm", 2, _hex_bigint)}
+                   AS treat
+          FROM events GROUP BY user_id),
+        banded AS (
+          SELECT *,
+                 CAST(ntile(10) OVER (ORDER BY score DESC, user_id)
+                      AS INT) AS decile
+          FROM users),
+        per AS (
+          SELECT decile,
+                 CAST(sum(treat) AS BIGINT) AS tn,
+                 CAST(sum(treat * converted) AS BIGINT) AS tc,
+                 CAST(sum(1 - treat) AS BIGINT) AS cn,
+                 CAST(sum((1 - treat) * converted) AS BIGINT) AS cc
+          FROM banded GROUP BY decile),
+        cum AS (
+          SELECT decile,
+                 CAST(sum(tn) OVER w AS BIGINT) AS cum_tn,
+                 CAST(sum(tc) OVER w AS BIGINT) AS cum_tc,
+                 CAST(sum(cn) OVER w AS BIGINT) AS cum_cn,
+                 CAST(sum(cc) OVER w AS BIGINT) AS cum_cc
+          FROM per
+          WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        SELECT decile, cum_tn, cum_tc, cum_cn, cum_cc,
+               CASE WHEN cum_cn > 0 THEN {pround_sql(
+                   'CAST(cum_tc AS DOUBLE) '
+                   '- CAST(cum_cc * cum_tn AS DOUBLE) '
+                   '/ CAST(cum_cn AS DOUBLE)', 6)}
+                    ELSE NULL END AS qini
+        FROM cum ORDER BY decile
+    """,
+})

@@ -20213,5 +20213,224 @@ def q_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("channel")
 
 
+@q("q_holt_forecast")
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing one-step forecast per event
+    type — the TREND-aware step up from q_exp_smoothing.  The per-step
+    recursion is sequential state no engine folds order-independently,
+    but it is LINEAR in the observations, so functions/holt.py runs it
+    ONCE over unit impulses at import and publishes (level, trend)
+    weights as integer literals (the pt-BR month-name / NDCG_WEIGHTS
+    literal-map discipline).  The query is then one bounded window
+    (position-from-end over the calendar-bounded day grain), a broadcast
+    join against the 136-row weight table, and an EXACT int64 weighted
+    sum — order-free — with one final division per output.  Consumes
+    the trailing MAX_T=16 observations (shorter series use their own
+    T's weight row)."""
+    from .functions.holt import MAX_T, WEIGHT_SCALE, holt_weight_rows
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("vcents").cast("bigint").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("d").desc())
+    ranked = daily.withColumn("p", F.row_number().over(w)).filter(
+        F.col("p") <= MAX_T
+    )
+    tlen = ranked.groupBy("event_type").agg(
+        F.max("p").cast("int").alias("t_len")
+    )
+    weights = spark.createDataFrame(
+        holt_weight_rows(), "t_len int, p int, wl long, wb long"
+    )
+    joined = ranked.join(tlen, "event_type").join(
+        F.broadcast(weights), ["t_len", "p"]
+    )
+    scale = float(WEIGHT_SCALE)
+    return (
+        joined.groupBy("event_type", "t_len")
+        .agg(
+            F.sum(F.col("y") * F.col("wl")).cast("bigint").alias("lsum"),
+            F.sum(F.col("y") * F.col("wb")).cast("bigint").alias("bsum"),
+        )
+        .select(
+            "event_type",
+            "t_len",
+            pround(F.col("lsum") / F.lit(scale), 2).alias("level_cents"),
+            pround(F.col("bsum") / F.lit(scale), 2).alias("trend_cents"),
+            pround(
+                (F.col("lsum") + F.col("bsum")) / F.lit(scale), 2
+            ).alias("forecast_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q("q_wasserstein_1d")
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover's) distance between each event
+    type's value distribution and the GLOBAL one — the transport-metric
+    drift companion to q_psi_drift / q_ks_test / q_js_divergence: W1
+    sees HOW FAR mass moved, not just that bins differ.  On a 1-dollar
+    bucket grid W1 = Σ_b |F_t(b) − F_g(b)| exactly, and the CDF gap is
+    kept in cross-multiplied EXACT integers (|cum_t·N_g − cum_g·N_t|,
+    summed as int64) with ONE final division.  Scale shape: one
+    value-grain agg to the bounded bucket grid (≤ ~500 buckets by the
+    fixture's value range), a bounded type×bucket grid completion, and
+    per-type cumsums on that bounded grain (the documented
+    bounded-window exemption)."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value")).cast("bigint").alias("bucket"),
+    )
+    tcounts = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    gcounts = ev.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(gcounts.select("bucket"))
+    full = (
+        grid.join(tcounts, ["event_type", "bucket"], "left")
+        .join(gcounts, "bucket")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+            "g",
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("bucket")
+    tot_t = Window.partitionBy("event_type")
+    cums = full.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(wt.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_t"),
+        F.sum("g").over(
+            Window.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cum_g"),
+        F.sum("c").over(tot_t).cast("bigint").alias("n_t"),
+        F.sum("g").over(tot_t).cast("bigint").alias("n_g"),
+    )
+    return (
+        cums.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("n_t").alias("n_t"),
+            F.sum(
+                F.abs(
+                    F.col("cum_t") * F.col("n_g")
+                    - F.col("cum_g") * F.col("n_t")
+                )
+            )
+            .cast("bigint")
+            .alias("w1_scaled"),
+            F.max("n_g").alias("n_g"),
+        )
+        .select(
+            "event_type",
+            "n_buckets",
+            "n_t",
+            pround(
+                F.col("w1_scaled")
+                / (F.col("n_t") * F.col("n_g")).cast("double"),
+                9,
+            ).alias("w1_dollars"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q("q_qini_curve")
+def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve — THE uplift-model evaluation [Radcliffe 2007],
+    completing the targeting-eval family next to q_gains_lift (response
+    models) and q_roc_curve/q_auc (classifiers): users are hash-split
+    into treated/control arms, ranked by a targeting score (click
+    count), cut into deciles, and each cumulative decile reports
+    incremental conversions qini = cumTconv − cumCconv·cumTn/cumCn.
+    Scale shape: user-grain scoring aggs, then the decile assignment via
+    the distributed global_rank + NTILE closed form (the
+    q_percentile_bands machinery — never a data-grain single-partition
+    window); the cumulative pass runs at the 10-row decile grain.  The
+    cross term is exact-int multiply (< 2^53) with one division."""
+    from .functions.geo import hash_units
+    from .operators.rank import global_rank, ntile_from_rank
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted"),
+    ).withColumn("treat", hash_units(F.col("user_id"), "arm", 2))
+    ranked = global_rank(
+        users,
+        [(-F.col("score")).alias("neg_score"), F.col("user_id")],
+        rank_col="__rank",
+        total_col="__n",
+    )
+    banded = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("__rank"), F.col("__n"), 10)
+    )
+    per = banded.groupBy("decile").agg(
+        F.sum(F.col("treat")).cast("bigint").alias("tn"),
+        F.sum(F.col("treat") * F.col("converted"))
+        .cast("bigint")
+        .alias("tc"),
+        F.sum(1 - F.col("treat")).cast("bigint").alias("cn"),
+        F.sum((1 - F.col("treat")) * F.col("converted"))
+        .cast("bigint")
+        .alias("cc"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # 10-row grain: the bounded-window exemption
+    cum = per.select(
+        "decile",
+        F.sum("tn").over(wd).cast("bigint").alias("cum_tn"),
+        F.sum("tc").over(wd).cast("bigint").alias("cum_tc"),
+        F.sum("cn").over(wd).cast("bigint").alias("cum_cn"),
+        F.sum("cc").over(wd).cast("bigint").alias("cum_cc"),
+    )
+    return cum.select(
+        "decile",
+        "cum_tn",
+        "cum_tc",
+        "cum_cn",
+        "cum_cc",
+        F.when(
+            F.col("cum_cn") > 0,
+            pround(
+                F.col("cum_tc")
+                - (F.col("cum_cc") * F.col("cum_tn")).cast("double")
+                / F.col("cum_cn").cast("double"),
+                6,
+            ),
+        ).alias("qini"),  # NULL while no control mass has accumulated
+    ).orderBy("decile")
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

@@ -328,3 +328,128 @@ def test_cell_smooth_is_box_mean(spark, sf_dir):
         assert box == r["box_sum"]
         exp = math.floor(box / 9.0 * 1e6 + 0.5) / 1e6
         assert abs(r["smoothed"] - exp) < 1e-12
+
+
+def test_holt_forecast_matches_direct_recursion(spark, sf_dir):
+    """The literal-weight weighted sum must reproduce the textbook Holt
+    recursion run directly on the trailing window of each series (up to
+    weight-quantization at 1e-9 and the output's 1e-2 pin)."""
+    reg = registry()
+    got = {
+        r["event_type"]: (r["t_len"], r["forecast_cents"])
+        for r in reg["q_holt_forecast"](spark, sf_dir).collect()
+    }
+    from java_etl_bi_generator_spark.functions.holt import (
+        ALPHA,
+        GAMMA,
+        MAX_T,
+    )
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vc").alias("y"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["y"]))
+    import math
+
+    for et, pts in series.items():
+        pts.sort()
+        y = [v for _, v in pts][-MAX_T:]
+        t_len, fc = got[et]
+        assert t_len == len(y)
+        if len(y) == 1:
+            direct = float(y[0])
+        else:
+            l, b = float(y[0]), float(y[1] - y[0])
+            for t in range(1, len(y)):
+                ln = ALPHA * y[t] + (1 - ALPHA) * (l + b)
+                b = GAMMA * (ln - l) + (1 - GAMMA) * b
+                l = ln
+            direct = l + b
+        assert abs(fc - math.floor(direct * 100 + 0.5) / 100) < 0.05, (
+            et,
+            fc,
+            direct,
+        )
+
+
+def test_wasserstein_matches_bruteforce(spark, sf_dir):
+    """W1 must equal the brute-force CDF-gap sum over the 1-dollar
+    buckets, recomputed in Python."""
+    reg = registry()
+    got = {
+        r["event_type"]: (r["n_t"], r["w1_dollars"])
+        for r in reg["q_wasserstein_1d"](spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type", F.floor("value").cast("long").alias("b")
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    gc = Counter(r["b"] for r in rows)
+    buckets = sorted(gc)
+    n_g = len(rows)
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], Counter())[r["b"]] += 1
+    import math
+
+    for et, tc in by_type.items():
+        n_t = sum(tc.values())
+        cum_t = cum_g = 0
+        s = 0
+        for b in buckets:
+            cum_t += tc.get(b, 0)
+            cum_g += gc[b]
+            s += abs(cum_t * n_g - cum_g * n_t)
+        exp = math.floor(s / (n_t * n_g) * 1e9 + 0.5) / 1e9
+        assert got[et][0] == n_t
+        assert abs(got[et][1] - exp) < 1e-12, (et, got[et], exp)
+
+
+def test_qini_curve_accounting(spark, sf_dir):
+    """The final cumulative decile must account for every user; arm
+    sizes are hash-split; qini at the last decile equals total treated
+    conversions minus scaled control conversions."""
+    reg = registry()
+    rows = sorted(
+        reg["q_qini_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    last = rows[-1]
+    assert last["cum_tn"] + last["cum_cn"] == n_users
+    # monotone cumulative counts
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tn"] >= a["cum_tn"] and b["cum_cn"] >= a["cum_cn"]
+        assert b["cum_tc"] >= a["cum_tc"] and b["cum_cc"] >= a["cum_cc"]
+    import math
+
+    if last["cum_cn"] > 0:
+        exp = last["cum_tc"] - last["cum_cc"] * last["cum_tn"] / last[
+            "cum_cn"
+        ]
+        assert abs(
+            rows[-1]["qini"] - math.floor(exp * 1e6 + 0.5) / 1e6
+        ) < 1e-9
