@@ -12088,3 +12088,125 @@ ORACLES.update({
         FROM cum ORDER BY decile
     """,
 })
+
+
+from .functions.normal import p_table_values_sql  # noqa: E402
+
+
+def _random_walks_oracle(steps: int = 4) -> str:
+    """Unrolled deterministic-walk oracle mirroring q_random_walks: the
+    per-source neighbor rank + md5 index selection, one CTE per hop."""
+    ctes = []
+    prev_cur = "cur"
+    hop_cols = []
+    for t in range(1, steps + 1):
+        md5 = (
+            f"md5(CAST(w.walk_id AS VARCHAR) || ':{t}:' "
+            f"|| CAST(w.{prev_cur} AS VARCHAR))"
+        )
+        carry = ", ".join(f"w.{h}" for h in hop_cols)
+        carry = carry + ", " if carry else ""
+        ctes.append(f"""
+        w{t} AS (
+          SELECT w.walk_id, {carry}a.dst AS hop{t}
+          FROM w{t - 1} w
+          JOIN deg d ON d.src = w.{prev_cur}
+          JOIN adj a ON a.src = w.{prev_cur}
+           AND a.r = ({_hex_bigint(md5, 1, 8)} % d.deg) + 1)""")
+        hop_cols.append(f"hop{t}")
+        prev_cur = f"hop{t}"
+    return (
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey % 10 = 0),
+        e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+        e AS (SELECT p1 AS src, p2 AS dst FROM e0
+              UNION ALL SELECT p2 AS src, p1 AS dst FROM e0),
+        p AS (SELECT probe FROM (
+                SELECT src AS probe, count(*) AS deg
+                FROM e GROUP BY src
+                ORDER BY deg DESC, probe ASC LIMIT 32)),
+        adj AS (SELECT src, dst,
+                       row_number() OVER (
+                         PARTITION BY src ORDER BY dst) AS r
+                FROM e),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                FROM e GROUP BY src),
+        w0 AS (SELECT probe AS walk_id, probe AS cur FROM p),"""
+        + ",".join(ctes)
+        + f"""
+        SELECT walk_id, {", ".join(hop_cols)}
+        FROM w{steps} ORDER BY walk_id"""
+    )
+
+
+ORACLES.update({
+    "q_random_walks": _random_walks_oracle(),
+    "q_fdr_bh": f"""
+        WITH rows_ AS (
+          SELECT n.n_name,
+                 CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS x
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        per AS (
+          SELECT n_name,
+                 CAST(count(*) AS BIGINT) AS n1,
+                 CAST(sum(x) AS BIGINT) AS s1,
+                 sum(x * x) AS q1
+          FROM rows_ GROUP BY n_name),
+        tot AS (
+          SELECT CAST(sum(n1) AS BIGINT) AS nt,
+                 CAST(sum(s1) AS BIGINT) AS st,
+                 sum(q1) AS qt,
+                 CAST(count(*) AS BIGINT) AS m
+          FROM per),
+        zf AS (
+          SELECT n_name, n1, m,
+                 nt - n1 AS n0, st - s1 AS s0, qt - q1 AS q0, s1, q1
+          FROM per CROSS JOIN tot),
+        zed AS (
+          SELECT n_name, n1 AS n_orders, m,
+                 (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / sqrt(
+                     (CAST(CAST(n1 AS HUGEINT) * q1
+                           - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)
+                           AS DOUBLE)
+                      / CAST(n1 * (n1 - 1) AS DOUBLE))
+                       / CAST(n1 AS DOUBLE)
+                   + (CAST(CAST(n0 AS HUGEINT) * q0
+                           - CAST(s0 AS HUGEINT) * CAST(s0 AS HUGEINT)
+                           AS DOUBLE)
+                      / CAST(n0 * (n0 - 1) AS DOUBLE))
+                       / CAST(n0 AS DOUBLE)) AS z
+          FROM zf),
+        scored AS (
+          SELECT zed.*, pt.p_e9
+          FROM (SELECT zed.*,
+                       CAST(least(599,
+                         floor(abs(z) * 100.0 + 0.5)) AS INT) AS zq
+                FROM zed) zed
+          JOIN {p_table_values_sql()} ON pt.zq = zed.zq),
+        ranked AS (
+          SELECT n_name, n_orders, z, p_e9,
+                 CAST(row_number() OVER (ORDER BY p_e9, n_name)
+                      AS BIGINT) AS k,
+                 m
+          FROM scored),
+        ks AS (
+          SELECT CAST(coalesce(max(CASE
+                   WHEN p_e9 * m * 10 <= k * 1000000000 THEN k
+                   ELSE 0 END), 0) AS BIGINT) AS kstar
+          FROM ranked)
+        SELECT n_name, n_orders,
+               {pround_sql('z', 6)} AS z6,
+               p_e9, k,
+               (k <= kstar) AS rejected
+        FROM ranked CROSS JOIN ks
+        ORDER BY k
+    """,
+})

@@ -20432,5 +20432,183 @@ def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+#: Random-walk length for q_random_walks.
+_WALK_STEPS = 4
+
+
+@q("q_random_walks")
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus generation over the co-purchase
+    graph — the data-prep step under DeepWalk/node2vec graph embeddings:
+    from each of the COUNT-bounded top-32 hub seeds (``_hub_probes`` —
+    the r10-capped probe discipline), take a 4-step walk where the next
+    hop is the md5-selected neighbor index (hash of walk:step:node mod
+    degree — reproducible, no RNG).  Shape: the adjacency list gets a
+    per-source neighbor rank once (degree-bounded window), then each
+    step is ONE equi-join of the ≤32-row walk frontier against it —
+    never materializing more than seeds×1 state.  Output: the 32 walks
+    as (walk_id, hop1..hop4) — a fixed, hashable schema."""
+    sym = _copurchase_sym(spark, sf_dir)
+    adj = sym.select("src", "dst")
+    wdeg = Window.partitionBy("src").orderBy("dst")
+    deg = adj.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    adjd = cut_lineage(
+        adj.withColumn("r", F.row_number().over(wdeg)).join(deg, "src")
+    )  # consumed by all 4 steps
+    state = _hub_probes(sym).select(
+        F.col("probe").alias("walk_id"), F.col("probe").alias("cur")
+    )
+    hops = []
+    for t in range(1, _WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("walk_id").cast("string"),
+                            F.lit(str(t)),
+                            F.col("cur").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("deg")
+            + 1
+        )
+        step = state.join(adjd, state.cur == adjd.src).filter(
+            F.col("r") == pick
+        )
+        state = step.select(
+            "walk_id",
+            *[F.col(h) for h in hops],
+            F.col("dst").alias(f"hop{t}"),
+            F.col("dst").alias("cur"),
+        )
+        hops.append(f"hop{t}")
+    return state.select("walk_id", *hops).orderBy("walk_id")
+
+
+@q("q_fdr_bh")
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction at q=0.1 over the per-nation
+    Welch z-tests (nation order prices vs the rest) — the
+    multiple-testing layer the per-segment test family
+    (q_ttest_welch/q_ks_by_segment/q_chi2_cells) was missing: with 25
+    simultaneous tests, uncorrected p<0.05 expects false positives by
+    construction.  Exactness: per-nation (n, Σx, Σx²) in
+    bigint/DECIMAL(38,0) power sums (the q_anova_f discipline), z as one
+    fixed expression tree both engines evaluate identically, and the
+    normal p-value from the LITERAL quantized table (functions/normal.py
+    — erf differs across libm, so it is evaluated once in Python and
+    shipped as 600 integer literals).  The BH step-up rule runs entirely
+    in cross-multiplied integers (p_e9·m·10 ≤ k·1e9) at the bounded
+    25-row grain."""
+    from .functions.normal import p_table_rows
+
+    od = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    rows = (
+        od.join(cust, od.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name"), x.alias("x"))
+    )
+    per = rows.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(d19(F.col("x")) * d19(F.col("x")))
+        .cast("decimal(38,0)")
+        .alias("q1"),
+    )
+    tot = per.agg(
+        F.sum("n1").cast("bigint").alias("nt"),
+        F.sum("s1").cast("bigint").alias("st"),
+        F.sum("q1").cast("decimal(38,0)").alias("qt"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    z_frame = per.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n1",
+        "m",
+        (F.col("nt") - F.col("n1")).alias("n0"),
+        (F.col("st") - F.col("s1")).alias("s0"),
+        (F.col("qt") - F.col("q1")).cast("decimal(38,0)").alias("q0"),
+        "s1",
+        "q1",
+    )
+
+    def _var(q, s, n):
+        # sample variance: (n·Q − S²) / (n·(n−1)); numerator exact
+        # DECIMAL(38,0), one division
+        num = (
+            (q * n.cast("decimal(19,0)"))
+            - (d19(s) * d19(s)).cast("decimal(38,0)")
+        ).cast("decimal(38,0)")
+        return num.cast("double") / (n * (n - F.lit(1))).cast("double")
+
+    zed = z_frame.select(
+        "n_name",
+        F.col("n1").alias("n_orders"),
+        "m",
+        (
+            (
+                F.col("s1").cast("double") / F.col("n1").cast("double")
+                - F.col("s0").cast("double") / F.col("n0").cast("double")
+            )
+            / F.sqrt(
+                _var(F.col("q1"), F.col("s1"), F.col("n1"))
+                / F.col("n1").cast("double")
+                + _var(F.col("q0"), F.col("s0"), F.col("n0"))
+                / F.col("n0").cast("double")
+            )
+        ).alias("z"),
+    )
+    ptab = F.broadcast(
+        spark.createDataFrame(p_table_rows(), "zq int, p_e9 long")
+    )
+    scored = zed.withColumn(
+        "zq",
+        F.least(
+            F.lit(599),
+            F.floor(F.abs(F.col("z")) * F.lit(100.0) + F.lit(0.5)),
+        ).cast("int"),
+    ).join(ptab, "zq")
+    wk = Window.orderBy("p_e9", "n_name")  # bounded: one row per nation
+    ranked = scored.withColumn(
+        "k", F.row_number().over(wk).cast("bigint")
+    ).withColumn(
+        "bh_ok",
+        F.col("p_e9") * F.col("m") * F.lit(10) <= F.col("k") * F.lit(10**9),
+    )
+    kstar = ranked.agg(
+        F.max(F.when(F.col("bh_ok"), F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "n_name",
+            "n_orders",
+            pround(F.col("z"), 6).alias("z6"),
+            F.col("p_e9"),
+            "k",
+            (F.col("k") <= F.col("kstar")).alias("rejected"),
+        )
+        .orderBy("k")
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

@@ -453,3 +453,60 @@ def test_qini_curve_accounting(spark, sf_dir):
         assert abs(
             rows[-1]["qini"] - math.floor(exp * 1e6 + 0.5) / 1e6
         ) < 1e-9
+
+
+def test_random_walks_follow_edges(spark, sf_dir):
+    """Every consecutive hop must be a real edge of the symmetrized
+    graph; seeds are the capped hub set; re-evaluation reproduces the
+    identical walks (no RNG)."""
+    from java_etl_bi_generator_spark.queries import (
+        _copurchase_sym,
+        _hub_probes,
+    )
+
+    reg = registry()
+    walks = reg["q_random_walks"](spark, sf_dir).collect()
+    assert 0 < len(walks) <= 32
+    sym = _copurchase_sym(spark, sf_dir)
+    edges = {(r["src"], r["dst"]) for r in sym.collect()}
+    seeds = {r["probe"] for r in _hub_probes(sym).collect()}
+    for w in walks:
+        assert w["walk_id"] in seeds
+        path = [w["walk_id"], w["hop1"], w["hop2"], w["hop3"], w["hop4"]]
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in edges, (a, b)
+    again = reg["q_random_walks"](spark, sf_dir).collect()
+    assert sorted(map(tuple, walks)) == sorted(map(tuple, again))
+
+
+def test_fdr_bh_step_up_property(spark, sf_dir):
+    """BH correctness: the rejected set is exactly ranks 1..k* where
+    k* = max{k : p_k <= k*q/m}; the literal p-table matches
+    math.erfc; rejections are a prefix of the p-sorted order."""
+    import math
+
+    from java_etl_bi_generator_spark.functions.normal import (
+        P_E9_TABLE,
+        Z_CELLS,
+    )
+
+    for zq in (0, 1, 100, 196, 599):
+        exp = int(round(math.erfc((zq / 100.0) / math.sqrt(2.0)) * 1e9))
+        assert P_E9_TABLE[zq] == exp
+    assert len(P_E9_TABLE) == Z_CELLS
+    reg = registry()
+    rows = sorted(
+        reg["q_fdr_bh"](spark, sf_dir).collect(), key=lambda r: r["k"]
+    )
+    m = len(rows)
+    ks = [
+        r["k"]
+        for r in rows
+        if r["p_e9"] * m * 10 <= r["k"] * 10**9
+    ]
+    kstar = max(ks) if ks else 0
+    for r in rows:
+        assert r["rejected"] == (r["k"] <= kstar)
+    # p-values sorted by rank
+    ps = [r["p_e9"] for r in rows]
+    assert ps == sorted(ps)
