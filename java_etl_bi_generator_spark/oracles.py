@@ -12210,3 +12210,110 @@ ORACLES.update({
         ORDER BY k
     """,
 })
+
+
+ORACLES.update({
+    "q_nelson_aalen": """
+        WITH ev AS (
+          SELECT user_id,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 event_type
+          FROM events),
+        per_user AS (
+          SELECT user_id,
+                 min(d) AS enter_d,
+                 min(CASE WHEN event_type = 'purchase' THEN d END)
+                   AS death_d,
+                 max(d) AS last_d
+          FROM ev GROUP BY user_id),
+        spans AS (
+          SELECT user_id, enter_d,
+                 coalesce(death_d, last_d) AS exit_d,
+                 death_d IS NOT NULL AS died
+          FROM per_user),
+        days AS (SELECT DISTINCT exit_d AS d FROM spans),
+        at_risk AS (
+          SELECT days.d,
+                 CAST(count(*) AS BIGINT) AS n_risk,
+                 CAST(sum(CASE WHEN s.died AND s.exit_d = days.d
+                               THEN 1 ELSE 0 END) AS BIGINT) AS deaths
+          FROM days JOIN spans s
+            ON s.enter_d <= days.d AND days.d <= s.exit_d
+          GROUP BY days.d),
+        inc AS (
+          SELECT d, n_risk, deaths,
+                 CAST(floor(CAST(deaths * 1000000000000 AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE) + 0.5) AS BIGINT)
+                   AS inc_e12
+          FROM at_risk)
+        SELECT d, n_risk, deaths,
+               CAST(sum(inc_e12) OVER (
+                 ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cumhaz_e12,
+               CAST(CAST(sum(inc_e12) OVER (
+                 ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS DOUBLE) / 1e12 AS cum_hazard
+        FROM inc ORDER BY d
+    """,
+    "q_ab_bayes_normal": f"""
+        WITH users AS (
+          SELECT user_id,
+                 CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= 14
+                      THEN 1 ELSE 0 END AS BIGINT) AS conv,
+                 {hash_units_sql("user_id", "arm", 2, _hex_bigint)}
+                   AS arm
+          FROM events GROUP BY user_id),
+        piv AS (
+          SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                      AS BIGINT) AS c_a,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                      AS BIGINT) AS c_b
+          FROM users),
+        zed AS (
+          SELECT n_a, c_a, n_b, c_b,
+                 (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                  - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 / sqrt(
+                     (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                     * (1.0 - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                     / CAST(n_a AS DOUBLE)
+                   + (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     * (1.0 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / CAST(n_b AS DOUBLE)) AS z
+          FROM piv
+          WHERE (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                * (1.0 - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                / CAST(n_a AS DOUBLE)
+              + (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                * (1.0 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                / CAST(n_b AS DOUBLE) > 0
+          UNION ALL
+          SELECT n_a, c_a, n_b, c_b, NULL AS z
+          FROM piv
+          WHERE NOT ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                * (1.0 - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                / CAST(n_a AS DOUBLE)
+              + (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                * (1.0 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                / CAST(n_b AS DOUBLE) > 0)),
+        scored AS (
+          SELECT zed.*,
+                 CAST(least(599, floor(abs(z) * 100.0 + 0.5)) AS INT)
+                   AS zq,
+                 z >= 0 AS b_ahead
+          FROM zed)
+        SELECT n_a, c_a, n_b, c_b,
+               {pround_sql('z', 6)} AS z6,
+               CAST(CASE WHEN b_ahead
+                         THEN 1000000000 - (pt.p_e9 // 2)
+                         ELSE pt.p_e9 // 2 END AS BIGINT)
+                 AS prob_b_beats_a_e9
+        FROM scored JOIN {p_table_values_sql()} ON pt.zq = scored.zq
+    """,
+})

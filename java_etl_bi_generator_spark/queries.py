@@ -20610,5 +20610,177 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_nelson_aalen")
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over time-to-first-
+    purchase — the hazard-side companion to q_survival_km's survival
+    curve (H(t) = Σ_{t_i ≤ t} d_i/n_i; KM estimates S(t) directly,
+    Nelson-Aalen estimates the integrated hazard, and at scale both
+    come from the same risk-set table).  Users enter at their first
+    event; a user 'dies' on the day of their first purchase; users with
+    no purchase are right-censored at their last event day.  Exactness:
+    the risk set n_i and deaths d_i are exact integers from one
+    day-grain agg; each increment is pinned to the 1e12 grid
+    (floor(d·1e12/n + 0.5) — an exact int) and the cumulative sum runs
+    in int64 on the calendar-bounded day grain, so H(t) is order-free;
+    one final division per row."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("enter_d"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("d"))
+        ).alias("death_d"),
+        F.max("d").alias("last_d"),
+    )
+    # exit day: first purchase, else censoring at the last observed day
+    spans = per_user.select(
+        "user_id",
+        "enter_d",
+        F.coalesce("death_d", "last_d").alias("exit_d"),
+        F.col("death_d").isNotNull().alias("died"),
+    )
+    days = spans.select(F.col("exit_d").alias("d")).distinct()
+    # risk set: users with enter_d <= d <= exit_d (bounded day grain:
+    # days x users join is days-bounded per user span)
+    at_risk = (
+        days.join(
+            spans,
+            (spans.enter_d <= days.d) & (days.d <= spans.exit_d),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_risk"),
+            F.sum(
+                F.when(
+                    F.col("died") & (F.col("exit_d") == F.col("d")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("deaths"),
+        )
+    )
+    inc = at_risk.withColumn(
+        "inc_e12",
+        F.floor(
+            (F.col("deaths") * F.lit(10**12)).cast("double")
+            / F.col("n_risk").cast("double")
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    wd = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # calendar-bounded day grain: the bounded-window exemption
+    return (
+        inc.select(
+            "d",
+            "n_risk",
+            "deaths",
+            F.sum("inc_e12").over(wd).cast("bigint").alias("cumhaz_e12"),
+        )
+        .select(
+            "d",
+            "n_risk",
+            "deaths",
+            "cumhaz_e12",
+            (F.col("cumhaz_e12").cast("double") / F.lit(1e12)).alias(
+                "cum_hazard"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+@q("q_ab_bayes_normal")
+def q_ab_bayes_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout under the normal approximation — the
+    posterior-probability companion to the frequentist q_abtest_zscore:
+    users hash-split into arms, conversion = any purchase; with flat
+    priors the posterior of Δ = p_B − p_A is ≈ N(p̂_B − p̂_A,
+    p̂_A(1−p̂_A)/n_A + p̂_B(1−p̂_B)/n_B), and P(B > A) = Φ(Δ/σ) comes
+    from the LITERAL quantized Φ table (functions/normal.py — no erf in
+    either engine).  One user-grain agg, one 2-row pivot, exact-integer
+    inputs into a fixed expression tree, table lookup by the same
+    quantized index in both engines."""
+    from .functions.geo import hash_units
+    from .functions.normal import p_table_rows
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type")
+    # outcome: heavy purchaser (>= 14 purchases — near the fixture's
+    # per-user median, so both arms sit strictly inside (0,1); a
+    # has-any-purchase outcome saturates at p=1 over a month of events
+    # and degenerates the variance)
+    users = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("conv")
+    ).withColumn("arm", hash_units(F.col("user_id"), "arm", 2))
+    pivot = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    var = pa * (F.lit(1.0) - pa) / F.col("n_a").cast("double") + pb * (
+        F.lit(1.0) - pb
+    ) / F.col("n_b").cast("double")
+    z = F.when(var > 0, (pb - pa) / F.sqrt(var))  # NULL when degenerate
+    scored = pivot.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        z.alias("z"),
+        F.least(
+            F.lit(599),
+            F.floor(F.abs(z) * F.lit(100.0) + F.lit(0.5)),
+        )
+        .cast("int")
+        .alias("zq"),
+        (z >= 0).alias("b_ahead"),
+    )
+    ptab = F.broadcast(
+        spark.createDataFrame(p_table_rows(), "zq int, p_e9 long")
+    )
+    # P(B > A) = 1 - p/2 when z >= 0 else p/2  (p is the two-sided
+    # tail); left join so a degenerate-variance row survives with NULLs
+    return scored.join(ptab, "zq", "left").select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        pround(F.col("z"), 6).alias("z6"),
+        F.when(
+            F.col("b_ahead"),
+            F.lit(10**9) - F.expr("p_e9 div 2"),
+        )
+        .otherwise(F.expr("p_e9 div 2"))
+        .cast("bigint")
+        .alias("prob_b_beats_a_e9"),
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

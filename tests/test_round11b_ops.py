@@ -510,3 +510,66 @@ def test_fdr_bh_step_up_property(spark, sf_dir):
     # p-values sorted by rank
     ps = [r["p_e9"] for r in rows]
     assert ps == sorted(ps)
+
+
+def test_nelson_aalen_monotone_and_exact(spark, sf_dir):
+    """Cumulative hazard must be non-decreasing, match the brute-force
+    risk-set recomputation, and n_risk must never increase after the
+    first death/censor day boundary conditions."""
+    reg = registry()
+    rows = sorted(
+        reg["q_nelson_aalen"](spark, sf_dir).collect(),
+        key=lambda r: r["d"],
+    )
+    assert rows
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            "event_type",
+        )
+        .collect()
+    )
+    spans: dict = {}
+    for r in ev:
+        u = r["user_id"]
+        e, dd, ld = spans.get(u, (10**9, None, -1))
+        e = min(e, r["d"])
+        if r["event_type"] == "purchase":
+            dd = r["d"] if dd is None else min(dd, r["d"])
+        ld = max(ld, r["d"])
+        spans[u] = (e, dd, ld)
+    prev = -1
+    for r in rows:
+        d = r["d"]
+        n_risk = sum(
+            1
+            for (e, dd, ld) in spans.values()
+            if e <= d <= (dd if dd is not None else ld)
+        )
+        deaths = sum(
+            1 for (e, dd, ld) in spans.values() if dd == d
+        )
+        assert r["n_risk"] == n_risk and r["deaths"] == deaths, d
+        assert r["cumhaz_e12"] >= prev
+        prev = r["cumhaz_e12"]
+
+
+def test_ab_bayes_normal_probability_consistent(spark, sf_dir):
+    """P(B>A) must agree with the literal-table lookup of the computed
+    z, sit in (0,1), and both arms must be populated."""
+    from java_etl_bi_generator_spark.functions.normal import P_E9_TABLE
+
+    reg = registry()
+    [r] = reg["q_ab_bayes_normal"](spark, sf_dir).collect()
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert 0 < r["c_a"] < r["n_a"] or 0 < r["c_b"] < r["n_b"]
+    assert r["z6"] is not None
+    zq = min(599, int(abs(r["z6"]) * 100 + 0.5))
+    p = P_E9_TABLE[zq]
+    exp = 10**9 - p // 2 if r["z6"] >= 0 else p // 2
+    assert r["prob_b_beats_a_e9"] == exp
+    assert 0 < r["prob_b_beats_a_e9"] < 10**9
