@@ -12317,3 +12317,52 @@ ORACLES.update({
         FROM scored JOIN {p_table_values_sql()} ON pt.zq = scored.zq
     """,
 })
+
+
+def _pca_power_oracle(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled power iteration mirroring q_pca_power_iteration: full
+    integer covariance in HUGEINT, sign-split truncating renormalization
+    per round.  MATERIALIZED everywhere (the q_markov_removal lesson —
+    inlined CTE chains re-evaluate exponentially)."""
+    ctes = []
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(f"""
+        w{t} AS MATERIALIZED (
+          SELECT c.i, CAST(sum(c.cij * v.v) AS HUGEINT) AS w
+          FROM c JOIN v{p} v ON v.i = c.j GROUP BY c.i),
+        m{t} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w{t}),
+        v{t} AS MATERIALIZED (
+          SELECT w.i, CAST(CASE WHEN m.m = 0 THEN vp.v
+                     WHEN w.w < 0 THEN -((-w.w) * {scale} // m.m)
+                     ELSE (w.w * {scale}) // m.m END AS HUGEINT) AS v
+          FROM w{t} w JOIN v{p} vp ON vp.i = w.i, m{t} m)""")
+    return (
+        f"""
+        WITH x AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000.0 + 0.5) AS BIGINT) AS xi
+          FROM embeddings),
+        nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+        s AS (SELECT pos, CAST(sum(xi) AS HUGEINT) AS sv
+              FROM x GROUP BY 1),
+        g2 AS (
+          SELECT a.pos AS i, b.pos AS j,
+                 CAST(sum(CAST(a.xi AS HUGEINT) * b.xi) AS HUGEINT) AS t
+          FROM x a JOIN x b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2),
+        c AS MATERIALIZED (
+          SELECT g2.i, g2.j, nn.n * g2.t - si.sv * sj.sv AS cij
+          FROM g2 JOIN s si ON si.pos = g2.i
+                 JOIN s sj ON sj.pos = g2.j, nn),
+        v0 AS (SELECT pos AS i, CAST({scale} AS HUGEINT) AS v
+               FROM (SELECT DISTINCT pos FROM x)),"""
+        + ",".join(ctes)
+        + f"""
+        SELECT CAST(i + 1 AS INT) AS dim, CAST(v AS BIGINT) AS v_e6
+        FROM v{iters} ORDER BY dim"""
+    )
+
+
+ORACLES.update({"q_pca_power_iteration": _pca_power_oracle()})

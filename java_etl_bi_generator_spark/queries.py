@@ -11355,24 +11355,12 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_embedding_covariance")
-def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EMBEDDING CROSS-DIMENSION AUDIT — the top-20 most-covariant
-    dimension PAIRS (q_embedding_dim_profile's off-diagonal companion):
-    strongly covariant dims are redundant storage the PQ subspace
-    split should not separate, and the input a whitening decision
-    needs.  The distributed shape is the Arrow ESCAPE HATCH done
-    exactly: each Arrow batch computes its int64 Gram partial VᵀV (one
-    matmul over micro-quantized components — the assign_cells_arrow_int
-    discipline; |x|≤2e6, dim 64, ≤10k rows/batch keeps every cell
-    inside int64), partials collapse by (i,j) key in DECIMAL(38,0),
-    and cov_ij = (n·G_ij − S_i·S_j) / (n²·1e12) is exact integers into
-    ONE pinned division — so even the mapInPandas path hash-checks
-    against the oracle's unnest-squared SQL (which materializes the
-    (vec, i, j) grain the matmul never does).  Ranking on the pinned
-    value, ties (i, j).  Scale shape: one scan, 2145 partial rows per
-    batch regardless of batch size (2080 upper-triangle Gram cells +
-    64 component sums + 1 count), a 2145-key shuffle."""
+def _embedding_gram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared distributed core of q_embedding_covariance and
+    q_pca_power_iteration: exact int64 Gram partials per Arrow batch
+    (upper-triangle VᵀV + component sums + count, keyed (i, j) with the
+    j = −1 / (−1, −1) sentinel rows), collapsed in DECIMAL(38,0) at the
+    constant 2145-key grain."""
     from .operators.kmeans import quantize_micro
 
     em = T(spark, sf_dir, "embeddings").select(
@@ -11428,7 +11416,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     parts = em.mapInPandas(_partials, schema="i int, j int, g long")
-    agg = cut_lineage(
+    return cut_lineage(
         parts.groupBy("i", "j").agg(
             F.sum(F.col("g").cast("decimal(38,0)"))
             .cast("decimal(38,0)")
@@ -11436,6 +11424,28 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         eager=False,
     )
+
+
+@q("q_embedding_covariance")
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING CROSS-DIMENSION AUDIT — the top-20 most-covariant
+    dimension PAIRS (q_embedding_dim_profile's off-diagonal companion):
+    strongly covariant dims are redundant storage the PQ subspace
+    split should not separate, and the input a whitening decision
+    needs.  The distributed shape is the Arrow ESCAPE HATCH done
+    exactly: each Arrow batch computes its int64 Gram partial VᵀV (one
+    matmul over micro-quantized components — the assign_cells_arrow_int
+    discipline; |x|≤2e6, dim 64, ≤10k rows/batch keeps every cell
+    inside int64), partials collapse by (i,j) key in DECIMAL(38,0),
+    and cov_ij = (n·G_ij − S_i·S_j) / (n²·1e12) is exact integers into
+    ONE pinned division — so even the mapInPandas path hash-checks
+    against the oracle's unnest-squared SQL (which materializes the
+    (vec, i, j) grain the matmul never does).  Ranking on the pinned
+    value, ties (i, j).  Scale shape: one scan, 2145 partial rows per
+    batch regardless of batch size (2080 upper-triangle Gram cells +
+    64 component sums + 1 count), a 2145-key shuffle (the Gram core is
+    shared with q_pca_power_iteration via _embedding_gram_agg)."""
+    agg = _embedding_gram_agg(spark, sf_dir)
     n_row = agg.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("t").alias("n")
     )
@@ -20780,6 +20790,64 @@ def q_ab_bayes_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prob_b_beats_a_e9"),
     )
+
+
+#: Power-iteration rounds and the eigenvector's integer scale.
+_PCA_ITERS = 3
+_PCA_SCALE = 10**6
+
+
+@q("q_pca_power_iteration")
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding covariance by POWER
+    ITERATION — distributed linear algebra in the engine's exact style:
+    the DATA-sized work is the shared Arrow int64 Gram core
+    (_embedding_gram_agg — one scan, constant 2145-key shuffle); the
+    iteration then runs on the COLLECTED bounded 64×64 integer matrix
+    C_ij = n·G_ij − S_i·S_j (exact Python bigints, like the k-row
+    centroid pulls), 3 rounds of w = C·v with max-abs renormalization
+    to the 1e6 grid using SIGN-SPLIT truncating division (|w|·1e6 //
+    max|w|, negated back — floor-vs-truncate on negatives differs
+    between engines, sign-splitting removes the ambiguity).  v0 = all
+    ones, so the sign convention is deterministic.  The oracle unrolls
+    the identical 3 rounds in HUGEINT (scale 1e6 keeps every product
+    under 1.7e38 at 100× the fixture volume).  Output: the 64
+    eigenvector components on the 1e6 grid."""
+    rows = _embedding_gram_agg(spark, sf_dir).collect()  # 2145 bounded
+    n = 0
+    S = {}
+    G = {}
+    for r in rows:
+        i, j, t = r["i"], r["j"], int(r["t"])
+        if i == -1 and j == -1:
+            n = t
+        elif j == -1:
+            S[i] = t
+        else:
+            G[(i, j)] = t
+    dims = sorted(S)
+    C = {
+        (i, j): n * G[(min(i, j), max(i, j))] - S[i] * S[j]
+        for i in dims
+        for j in dims
+    }
+    v = {i: _PCA_SCALE for i in dims}
+    for _ in range(_PCA_ITERS):
+        w = {i: sum(C[(i, j)] * v[j] for j in dims) for i in dims}
+        m = max(abs(x) for x in w.values())
+        if m == 0:  # degenerate (zero covariance) — keep v
+            break
+        v = {
+            i: (
+                -((-w[i]) * _PCA_SCALE // m)
+                if w[i] < 0
+                else w[i] * _PCA_SCALE // m
+            )
+            for i in dims
+        }
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in dims], "dim int, v_e6 long"
+    ).orderBy("dim")
 
 
 # Register the TPC-H query set (module imports back into this registry).

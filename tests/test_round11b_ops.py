@@ -573,3 +573,36 @@ def test_ab_bayes_normal_probability_consistent(spark, sf_dir):
     exp = 10**9 - p // 2 if r["z6"] >= 0 else p // 2
     assert r["prob_b_beats_a_e9"] == exp
     assert 0 < r["prob_b_beats_a_e9"] < 10**9
+
+
+def test_pca_power_iteration_properties(spark, sf_dir):
+    """The returned direction must be a unit-ish max-abs-normalized
+    vector (max |component| == 1e6), reproducible, and aligned with a
+    numpy power iteration on the same covariance (cosine > 0.99)."""
+    import numpy as np
+
+    reg = registry()
+    rows = sorted(
+        reg["q_pca_power_iteration"](spark, sf_dir).collect(),
+        key=lambda r: r["dim"],
+    )
+    assert [r["dim"] for r in rows] == list(range(1, 65))
+    v = np.array([r["v_e6"] for r in rows], dtype=float)
+    assert int(np.abs(v).max()) == 10**6
+    emb = [
+        np.asarray(r["embedding"], dtype=float)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    ]
+    X = np.stack(emb)
+    Xq = np.floor(X * 1e6 + 0.5)
+    C = np.cov(Xq.T, bias=True)
+    w = np.ones(64)
+    for _ in range(3):
+        w = C @ w
+        w = w / np.abs(w).max()
+    cos = float(
+        (v @ w) / (np.linalg.norm(v) * np.linalg.norm(w))
+    )
+    assert cos > 0.99, cos
