@@ -12366,3 +12366,96 @@ def _pca_power_oracle(iters: int = 3, scale: int = 10**6) -> str:
 
 
 ORACLES.update({"q_pca_power_iteration": _pca_power_oracle()})
+
+
+ORACLES.update({
+    "q_propensity_match": f"""
+        WITH users AS (
+          SELECT user_id,
+                 least(20, sum(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END)) AS stratum,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS outcome,
+                 {hash_units_sql("user_id", "arm", 2, _hex_bigint)}
+                   AS treat
+          FROM events GROUP BY user_id),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY stratum, treat ORDER BY user_id) AS rn
+          FROM users),
+        pairs AS (
+          SELECT t.stratum, t.outcome AS y_t, c.outcome AS y_c
+          FROM (SELECT * FROM ranked WHERE treat = 1) t
+          JOIN (SELECT * FROM ranked WHERE treat = 0) c
+            ON t.stratum = c.stratum AND t.rn = c.rn),
+        sizes AS (
+          SELECT stratum,
+                 CAST(sum(treat) AS BIGINT) AS n_treated,
+                 CAST(sum(1 - treat) AS BIGINT) AS n_control
+          FROM users GROUP BY stratum),
+        matched AS (
+          SELECT stratum,
+                 CAST(count(*) AS BIGINT) AS n_matched,
+                 CAST(sum(y_t - y_c) AS BIGINT) AS dsum
+          FROM pairs GROUP BY stratum)
+        SELECT s.stratum AS stratum, s.n_treated, s.n_control,
+               CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+               CASE WHEN m.n_matched > 0 THEN {pround_sql(
+                   'CAST(m.dsum AS DOUBLE) / CAST(m.n_matched AS DOUBLE)',
+                   6)} ELSE NULL END AS att
+        FROM sizes s LEFT JOIN matched m ON m.stratum = s.stratum
+        ORDER BY s.stratum
+    """,
+    "q_holt_backtest": f"""
+        WITH daily AS (
+          SELECT event_type,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        seq AS (
+          SELECT event_type, d, y,
+                 row_number() OVER w AS r,
+                 lag(y) OVER w AS y_prev
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        tgt AS (
+          SELECT event_type, r AS r_t, y AS y_true, y_prev,
+                 CAST(least(16, r - 1) AS INT) AS t_len
+          FROM seq WHERE r >= 3),
+        cand AS (
+          SELECT t.event_type, t.r_t, t.y_true, t.y_prev, t.t_len,
+                 h.y AS y_h, CAST(t.r_t - h.r AS INT) AS p
+          FROM tgt t JOIN seq h
+            ON h.event_type = t.event_type
+           AND h.r < t.r_t AND h.r >= t.r_t - t.t_len),
+        fc AS (
+          SELECT c.event_type, c.r_t, c.y_true, c.y_prev,
+                 CAST(sum(c.y_h * (hw.wl + hw.wb)) AS BIGINT) AS f_e9
+          FROM cand c
+          JOIN {holt_weights_values_sql()}
+            ON hw.t_len = c.t_len AND hw.p = c.p
+          GROUP BY 1, 2, 3, 4),
+        errs AS (
+          SELECT event_type,
+                 abs(y_true * 1000000000 - f_e9) AS err_holt_e9,
+                 abs(y_true - y_prev) * 1000000000 AS err_naive_e9
+          FROM fc)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               {pround_sql(
+                   'CAST(CAST(sum(err_holt_e9) AS BIGINT) AS DOUBLE) '
+                   '/ CAST(count(*) * 1000000000 AS DOUBLE)', 2)}
+                 AS mae_holt_cents,
+               {pround_sql(
+                   'CAST(CAST(sum(err_naive_e9) AS BIGINT) AS DOUBLE) '
+                   '/ CAST(count(*) * 1000000000 AS DOUBLE)', 2)}
+                 AS mae_naive_cents,
+               {pround_sql(
+                   'CAST(CAST(sum(err_holt_e9) AS BIGINT) AS DOUBLE) '
+                   '/ CAST(CAST(sum(err_naive_e9) AS BIGINT) AS DOUBLE)',
+                   6)} AS holt_vs_naive
+        FROM errs GROUP BY event_type ORDER BY event_type
+    """,
+})

@@ -20850,5 +20850,171 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+@q("q_propensity_match")
+def q_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified propensity matching — the MATCHED-pairs causal
+    estimator next to q_causal_ipw's weighting estimator: users are
+    stratified by a deterministic propensity proxy (click count, capped
+    at 20 so the stratum grain is BOUNDED at any volume), and within
+    each stratum the k-th treated user (by user_id — deterministic) is
+    paired with the k-th control user; unmatched tails are dropped, the
+    standard greedy-within-caliper discipline made order-free.  The ATT
+    is the exact integer sum of matched outcome differences with one
+    division.  Shape: user-grain aggs, two
+    row_number windows partitioned by (stratum, arm) — distributed,
+    never global — and one equi-join on (stratum, rank)."""
+    from .functions.geo import hash_units
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.least(
+            F.lit(20),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ),
+        )
+        .cast("bigint")
+        .alias("stratum"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("outcome"),
+    ).withColumn("treat", hash_units(F.col("user_id"), "arm", 2))
+    wr = Window.partitionBy("stratum", "treat").orderBy("user_id")
+    ranked = users.withColumn("rn", F.row_number().over(wr))
+    t = ranked.filter(F.col("treat") == 1).select(
+        "stratum", "rn", F.col("outcome").alias("y_t")
+    )
+    c = ranked.filter(F.col("treat") == 0).select(
+        "stratum", "rn", F.col("outcome").alias("y_c")
+    )
+    pairs = t.join(c, ["stratum", "rn"])
+    sizes = users.groupBy("stratum").agg(
+        F.sum(F.col("treat")).cast("bigint").alias("n_treated"),
+        F.sum(1 - F.col("treat")).cast("bigint").alias("n_control"),
+    )
+    matched = pairs.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum(F.col("y_t") - F.col("y_c")).cast("bigint").alias("dsum"),
+    )
+    return (
+        sizes.join(matched, "stratum", "left")
+        .select(
+            "stratum",
+            "n_treated",
+            "n_control",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias(
+                "n_matched"
+            ),
+            F.when(
+                F.col("n_matched") > 0,
+                pround(
+                    F.col("dsum").cast("double")
+                    / F.col("n_matched").cast("double"),
+                    6,
+                ),
+            ).alias("att"),
+        )
+        .orderBy("stratum")
+    )
+
+
+@q("q_holt_backtest")
+def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling one-step-ahead BACKTEST of the Holt forecast against the
+    naive (yesterday) baseline — the evaluation loop q_snaive_backtest
+    runs for the seasonal model, applied to q_holt_forecast's weights:
+    for every day r ≥ 3 of each series, the forecast uses only the
+    trailing ≤16-day prefix (its own length's literal weight row), so
+    the whole backtest is ONE bounded day-grain self-join (≤ days×16
+    rows per series) plus the weight broadcast — no per-day re-fit.
+    Errors stay in exact scaled integers (|y·1e9 − f_e9|) until the two
+    final pinned divisions; the improvement ratio is Holt MAE over
+    naive MAE."""
+    from .functions.holt import MAX_T, holt_weight_rows
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("vcents").cast("bigint").alias("y")
+    )
+    wseq = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.withColumn("r", F.row_number().over(wseq)).withColumn(
+        "y_prev", F.lag("y").over(wseq)
+    )
+    tgt = seq.filter(F.col("r") >= 3).select(
+        "event_type",
+        F.col("r").alias("r_t"),
+        F.col("y").alias("y_true"),
+        "y_prev",
+        F.least(F.lit(MAX_T), F.col("r") - 1).cast("int").alias("t_len"),
+    )
+    hist = seq.select(
+        "event_type", F.col("r").alias("r_h"), F.col("y").alias("y_h")
+    )
+    weights = F.broadcast(
+        spark.createDataFrame(
+            holt_weight_rows(), "t_len int, p int, wl long, wb long"
+        )
+    )
+    cand = tgt.join(hist, "event_type").filter(
+        (F.col("r_h") < F.col("r_t"))
+        & (F.col("r_h") >= F.col("r_t") - F.col("t_len"))
+    ).withColumn("p", (F.col("r_t") - F.col("r_h")).cast("int"))
+    fc = (
+        cand.join(weights, ["t_len", "p"])
+        .groupBy("event_type", "r_t", "y_true", "y_prev")
+        .agg(
+            F.sum(F.col("y_h") * (F.col("wl") + F.col("wb")))
+            .cast("bigint")
+            .alias("f_e9")
+        )
+    )
+    errs = fc.select(
+        "event_type",
+        F.abs(F.col("y_true") * F.lit(10**9) - F.col("f_e9")).alias(
+            "err_holt_e9"
+        ),
+        (F.abs(F.col("y_true") - F.col("y_prev")) * F.lit(10**9)).alias(
+            "err_naive_e9"
+        ),
+    )
+    return (
+        errs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("err_holt_e9").cast("bigint").alias("se_h"),
+            F.sum("err_naive_e9").cast("bigint").alias("se_n"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            pround(
+                F.col("se_h").cast("double")
+                / (F.col("n_days") * F.lit(10**9)).cast("double"),
+                2,
+            ).alias("mae_holt_cents"),
+            pround(
+                F.col("se_n").cast("double")
+                / (F.col("n_days") * F.lit(10**9)).cast("double"),
+                2,
+            ).alias("mae_naive_cents"),
+            pround(
+                F.col("se_h").cast("double") / F.col("se_n").cast("double"),
+                6,
+            ).alias("holt_vs_naive"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

