@@ -39,3 +39,21 @@ def p_table_values_sql() -> str:
     """DuckDB VALUES literal of :func:`p_table_rows`."""
     rows = ", ".join(f"({zq}, {p})" for zq, p in p_table_rows())
     return f"(VALUES {rows}) pt(zq, p_e9)"
+
+
+def gaussian_kernel_rows(sigma_buckets: int = 5, half_width: int = 15) -> list[tuple[int, int]]:
+    """(offset, weight_e9) literal rows of a discrete Gaussian kernel —
+    exp has the same libm-divergence problem as erf, so kernel weights
+    are evaluated once here and shipped as integer literals to both
+    engines (the KDE query's convolution is then exact int64)."""
+    return [
+        (o, int(round(math.exp(-(o * o) / (2.0 * sigma_buckets**2)) * P_SCALE)))
+        for o in range(-half_width, half_width + 1)
+    ]
+
+
+def gaussian_kernel_values_sql(sigma_buckets: int = 5, half_width: int = 15) -> str:
+    rows = ", ".join(
+        f"({o}, {w})" for o, w in gaussian_kernel_rows(sigma_buckets, half_width)
+    )
+    return f"(VALUES {rows}) kk(o, w)"

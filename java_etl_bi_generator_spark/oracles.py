@@ -12459,3 +12459,100 @@ ORACLES.update({
         FROM errs GROUP BY event_type ORDER BY event_type
     """,
 })
+
+
+from .functions.normal import gaussian_kernel_values_sql  # noqa: E402
+
+
+def _pacf_oracle(K: int = 5, Z: int = 10**9) -> str:
+    """Unrolled Levinson-Durbin mirroring queries._durbin_levinson —
+    the generator REUSES the Python recursion's loop structure so the
+    two engines cannot drift: per level k, the num/den sums and the
+    phi-row update are emitted from the same j-loops."""
+
+    def sdiv(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN (({a}) < 0) != (({b}) < 0) THEN -1 ELSE 1 END)"
+            f" * (abs({a}) // abs({b}))"
+        )
+
+    gsel = ", ".join(
+        f"CAST(coalesce(max(CASE WHEN lag = {k} THEN g END), 0) "
+        f"AS HUGEINT) AS g{k}"
+        for k in range(K + 1)
+    )
+    rsel = ", ".join(
+        sdiv(f"g{k} * {Z}", "g0") + f" AS r{k}" for k in range(1, K + 1)
+    )
+    levels = [f"p1 AS (SELECT rs.*, r1 AS f1_1 FROM rs)"]
+    for k in range(2, K + 1):
+        p = k - 1
+        num_terms = " - ".join(
+            [f"r{k} * {Z}"]
+            + [f"f{p}_{j} * r{k - j}" for j in range(1, k)]
+        )
+        den_terms = " - ".join(
+            [f"CAST({Z} AS HUGEINT) * {Z}"]
+            + [f"f{p}_{j} * r{j}" for j in range(1, k)]
+        )
+        cols = [f"p{p}.*", f"({num_terms}) AS num{k}", f"({den_terms}) AS den{k}"]
+        pre = f"p{k}a AS (SELECT {', '.join(cols)} FROM p{p})"
+        kk = sdiv(f"num{k} * {Z}", f"den{k}")
+        upd = [f"p{k}a.*", f"{kk} AS f{k}_{k}"]
+        mid = f"p{k}b AS (SELECT {', '.join(upd)} FROM p{k}a)"
+        row = [f"p{k}b.*"] + [
+            f"(f{p}_{j} - {sdiv(f'f{k}_{k} * f{p}_{k - j}', str(Z))})"
+            f" AS f{k}_{j}"
+            for j in range(1, k)
+        ]
+        fin = f"p{k} AS (SELECT {', '.join(row)} FROM p{k}b)"
+        levels += [pre, mid, fin]
+    out = " UNION ALL ".join(
+        f"SELECT {k} AS lag, CAST(r{k} AS BIGINT) AS acf_e9, "
+        f"CAST(f{k}_{k} AS BIGINT) AS pacf_e9 FROM p{K}"
+        for k in range(1, K + 1)
+    )
+    return f"""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(y) AS HUGEINT) AS s FROM daily),
+        seq AS (SELECT d, (tot.n * y - tot.s) AS a FROM daily, tot),
+        g AS (
+          SELECT b.d - a.d AS lag,
+                 CAST(sum(a.a * b.a) AS HUGEINT) AS g
+          FROM seq a JOIN seq b
+            ON b.d >= a.d AND b.d <= a.d + {K}
+          GROUP BY 1),
+        gs AS (SELECT {gsel} FROM g),
+        rs AS (SELECT gs.*, {rsel} FROM gs),
+        {", ".join(levels)}
+        SELECT * FROM ({out}) z ORDER BY lag
+    """
+
+
+ORACLES.update({
+    "q_kde_density": f"""
+        WITH ev AS (
+          SELECT CAST(floor(value) AS BIGINT) AS bucket FROM events),
+        counts AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS c
+          FROM ev GROUP BY 1),
+        contrib AS (
+          SELECT counts.bucket + kk.o AS b, counts.c * kk.w AS cw
+          FROM counts, {gaussian_kernel_values_sql()}),
+        dens AS (
+          SELECT b, CAST(sum(cw) AS BIGINT) AS density_e9
+          FROM contrib GROUP BY 1)
+        SELECT d.b AS bucket,
+               CAST(coalesce(c.c, 0) AS BIGINT) AS n_raw,
+               d.density_e9
+        FROM dens d LEFT JOIN counts c ON c.bucket = d.b
+        ORDER BY d.density_e9 DESC, bucket LIMIT 20
+    """,
+    "q_pacf_durbin": _pacf_oracle(),
+})

@@ -21016,5 +21016,136 @@ def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_kde_density")
+def q_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel density estimation over the event-value distribution on
+    the bounded dollar-bucket grid — the smooth-curve companion to
+    q_histogram: a discrete Gaussian kernel (σ=5 buckets, ±15) whose
+    weights are INTEGER LITERALS from functions/normal.py (exp has the
+    same libm-divergence problem as erf), convolved by SCATTER exactly
+    like q_geo_cell_smooth — each bucket's count exploded to its 31
+    kernel targets at the already-aggregated bucket grain, re-summed in
+    exact int64.  Top-20 density peaks (density desc, bucket asc)."""
+    from .functions.normal import gaussian_kernel_rows
+
+    ev = T(spark, sf_dir, "events").select(
+        F.floor(F.col("value")).cast("bigint").alias("bucket")
+    )
+    counts = ev.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    kern = F.broadcast(
+        spark.createDataFrame(gaussian_kernel_rows(), "o int, w long")
+    )
+    contrib = counts.crossJoin(kern).select(
+        (F.col("bucket") + F.col("o")).alias("b"),
+        (F.col("c") * F.col("w")).alias("cw"),
+    )
+    dens = contrib.groupBy("b").agg(
+        F.sum("cw").cast("bigint").alias("density_e9")
+    )
+    return (
+        dens.join(counts, dens.b == counts.bucket, "left")
+        .select(
+            F.col("b").alias("bucket"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("n_raw"),
+            "density_e9",
+        )
+        .orderBy(F.col("density_e9").desc(), "bucket")
+        .limit(20)
+    )
+
+
+#: PACF depth and the recursion's integer scale.
+_PACF_LAGS = 5
+_PACF_SCALE = 10**9
+
+
+def _sdiv(a: int, b: int) -> int:
+    """Sign-split truncating division (both engines agree on |a| // |b|
+    for non-negative operands; floor-vs-truncate differs on negatives)."""
+    s = -1 if (a < 0) != (b < 0) else 1
+    return s * (abs(a) // abs(b))
+
+
+def _durbin_levinson(G: list[int]) -> tuple[list[int], list[int]]:
+    """Exact integer Levinson-Durbin at scale 1e9: returns (acf_e9,
+    pacf_e9) for lags 1..len(G)-1, every division sign-split truncating
+    — the contract both engines unroll identically."""
+    Z = _PACF_SCALE
+    K = len(G) - 1
+    rho = [Z] + [_sdiv(G[k] * Z, G[0]) for k in range(1, K + 1)]
+    phi = {1: {1: rho[1]}}
+    for k in range(2, K + 1):
+        num = rho[k] * Z - sum(
+            phi[k - 1][j] * rho[k - j] for j in range(1, k)
+        )
+        den = Z * Z - sum(phi[k - 1][j] * rho[j] for j in range(1, k))
+        kk = _sdiv(num * Z, den)
+        phi[k] = {
+            j: phi[k - 1][j] - _sdiv(kk * phi[k - 1][k - j], Z)
+            for j in range(1, k)
+        }
+        phi[k][k] = kk
+    return rho[1:], [phi[k][k] for k in range(1, K + 1)]
+
+
+@q("q_pacf_durbin")
+def q_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation via Levinson-Durbin — the AR-order
+    identification tool completing q_autocorr (ACF says WHAT correlates;
+    PACF says which lags carry DIRECT signal, the ARIMA p-selector).
+    Exactness: mean-centered lag products are cross-multiplied to
+    integers ((n·y_t − S)(n·y_{t+k} − S) summed in DECIMAL(38,0) — the
+    γ_k·n³ identity avoids the float mean), computed DISTRIBUTED by one
+    bounded day-grain self-join; the ≤6 collected sums then run the
+    Durbin recursion in exact Python bigints at the 1e9 scale with
+    sign-split truncating division at every step — the oracle unrolls
+    the identical recursion in HUGEINT scalar CTEs.  Output: lag,
+    acf_e9, pacf_e9."""
+    ev = T(spark, sf_dir, "events").select(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    daily = ev.groupBy("d").agg(F.sum("vcents").cast("bigint").alias("y"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    seq = daily.crossJoin(F.broadcast(tot)).select(
+        "d", ((F.col("n") * F.col("y")) - F.col("s")).alias("a")
+    )
+    b = seq.select(F.col("d").alias("d2"), F.col("a").alias("a2"))
+    prods = (
+        seq.join(
+            b,
+            (F.col("d2") >= F.col("d"))
+            & (F.col("d2") <= F.col("d") + _PACF_LAGS),
+        )
+        .select(
+            (F.col("d2") - F.col("d")).alias("lag"),
+            (
+                F.col("a").cast("decimal(19,0)")
+                * F.col("a2").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("p"),
+        )
+        .groupBy("lag")
+        .agg(F.sum("p").cast("decimal(38,0)").alias("g"))
+    )
+    rows = {int(r["lag"]): int(r["g"]) for r in prods.collect()}  # ≤6
+    G = [rows.get(k, 0) for k in range(_PACF_LAGS + 1)]
+    acf, pacf = _durbin_levinson(G)
+    return spark.createDataFrame(
+        [(k + 1, acf[k], pacf[k]) for k in range(_PACF_LAGS)],
+        "lag int, acf_e9 long, pacf_e9 long",
+    ).orderBy("lag")
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

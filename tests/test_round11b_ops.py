@@ -668,3 +668,59 @@ def test_holt_backtest_beats_or_loses_honestly(spark, sf_dir):
         assert r["n_days"] >= 1
         assert r["mae_holt_cents"] > 0 and r["mae_naive_cents"] > 0
         assert r["holt_vs_naive"] > 0
+
+
+def test_kde_density_matches_bruteforce(spark, sf_dir):
+    """Density at each reported bucket must equal the literal-kernel
+    convolution recomputed in Python."""
+    from collections import Counter
+
+    from java_etl_bi_generator_spark.functions.normal import (
+        gaussian_kernel_rows,
+    )
+
+    reg = registry()
+    got = reg["q_kde_density"](spark, sf_dir).collect()
+    vals = [
+        int(r["b"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.floor("value").cast("long").alias("b"))
+        .collect()
+    ]
+    cnt = Counter(vals)
+    kern = dict(gaussian_kernel_rows())
+    for r in got:
+        b = r["bucket"]
+        exp = sum(cnt.get(b - o, 0) * w for o, w in kern.items())
+        assert r["density_e9"] == exp, (b, r["density_e9"], exp)
+        assert r["n_raw"] == cnt.get(b, 0)
+
+
+def test_pacf_matches_statsmodels_free_reference(spark, sf_dir):
+    """The integer Levinson-Durbin must agree with a float Durbin
+    recursion on the same ACF to ~1e-6 (the pinning grid), and lag-1
+    PACF must equal lag-1 ACF exactly."""
+    reg = registry()
+    rows = sorted(
+        reg["q_pacf_durbin"](spark, sf_dir).collect(),
+        key=lambda r: r["lag"],
+    )
+    assert [r["lag"] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0]["acf_e9"] == rows[0]["pacf_e9"]
+    rho = [1.0] + [r["acf_e9"] / 1e9 for r in rows]
+    phi_prev = {1: rho[1]}
+    expected = [rho[1]]
+    for k in range(2, 6):
+        num = rho[k] - sum(
+            phi_prev[j] * rho[k - j] for j in range(1, k)
+        )
+        den = 1.0 - sum(phi_prev[j] * rho[j] for j in range(1, k))
+        kk = num / den
+        phi = {
+            j: phi_prev[j] - kk * phi_prev[k - j] for j in range(1, k)
+        }
+        phi[k] = kk
+        phi_prev = phi
+        expected.append(kk)
+    for r, e in zip(rows, expected):
+        assert abs(r["pacf_e9"] / 1e9 - e) < 1e-5, (r["lag"], e)
