@@ -12556,3 +12556,75 @@ ORACLES.update({
     """,
     "q_pacf_durbin": _pacf_oracle(),
 })
+
+
+ORACLES.update({
+    "q_geo_od_matrix": f"""
+        WITH ev AS (
+          SELECT user_id, ts, event_id,
+                 {hash_units_sql("event_id", "elat", 100_000, _hex_bigint)}
+                   // 5000 AS cell_lat,
+                 {hash_units_sql("event_id", "elon", 100_000, _hex_bigint)}
+                   // 5000 AS cell_lon
+          FROM events),
+        seq AS (
+          SELECT user_id, cell_lat, cell_lon,
+                 lead(cell_lat) OVER w AS to_lat,
+                 lead(cell_lon) OVER w AS to_lon
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT cell_lat AS from_lat, cell_lon AS from_lon,
+               to_lat, to_lon,
+               CAST(count(*) AS BIGINT) AS n_trips
+        FROM seq
+        WHERE to_lat IS NOT NULL
+          AND (cell_lat != to_lat OR cell_lon != to_lon)
+        GROUP BY 1, 2, 3, 4
+        ORDER BY n_trips DESC, from_lat, from_lon, to_lat, to_lon
+        LIMIT 20
+    """,
+    "q_price_index": f"""
+        WITH li AS (
+          SELECT l_partkey, year(l_shipdate) AS yr,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS cents,
+                 CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+          FROM lineitem),
+        base AS (
+          SELECT l_partkey,
+                 CAST(sum(cents) AS BIGINT) AS s_0,
+                 CAST(sum(qty) AS BIGINT) AS q_0
+          FROM li WHERE yr = 1995 GROUP BY 1 HAVING sum(qty) > 0),
+        curr AS (
+          SELECT l_partkey,
+                 CAST(sum(cents) AS BIGINT) AS s_t,
+                 CAST(sum(qty) AS BIGINT) AS q_t
+          FROM li WHERE yr = 2000 GROUP BY 1 HAVING sum(qty) > 0),
+        m AS (SELECT * FROM base JOIN curr USING (l_partkey)),
+        terms AS (
+          SELECT (s_t * q_0 * 1000000) // q_t AS lnum,
+                 (s_0 * q_t * 1000000) // q_0 AS pden,
+                 s_0, s_t
+          FROM m),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_parts,
+                 sum(CAST(lnum AS HUGEINT)) AS lnum_sum,
+                 sum(CAST(pden AS HUGEINT)) AS pden_sum,
+                 sum(CAST(s_0 AS HUGEINT)) AS s0_sum,
+                 sum(CAST(s_t AS HUGEINT)) AS st_sum
+          FROM terms)
+        SELECT n_parts,
+               {pround_sql(
+                   'CAST(lnum_sum AS DOUBLE) '
+                   '/ (CAST(s0_sum AS DOUBLE) * 1e6)', 6)} AS laspeyres,
+               {pround_sql(
+                   '(CAST(st_sum AS DOUBLE) * 1e6) '
+                   '/ CAST(pden_sum AS DOUBLE)', 6)} AS paasche,
+               {pround_sql(
+                   'sqrt((CAST(lnum_sum AS DOUBLE) '
+                   '/ (CAST(s0_sum AS DOUBLE) * 1e6)) '
+                   '* ((CAST(st_sum AS DOUBLE) * 1e6) '
+                   '/ CAST(pden_sum AS DOUBLE)))', 6)} AS fisher
+        FROM agg
+    """,
+})

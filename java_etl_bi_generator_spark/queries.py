@@ -21147,5 +21147,128 @@ def q_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lag")
 
 
+@q("q_geo_od_matrix")
+def q_geo_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix — the aggregate view of
+    q_geo_trajectory's per-user paths: consecutive event positions per
+    user (ordered by ts, event_id) become cell-to-cell transitions on
+    the 0.5-degree grid, self-loops dropped, top-20 flows.  One
+    user-partitioned window + one agg on the bounded cell-pair key
+    space; the movement-analytics staple (traffic between zones) at the
+    scale shape of a plain keyed count."""
+    from .functions.geo import hash_units
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (hash_units(F.col("event_id"), "elat", 100_000) / F.lit(
+            _GEO_CELL_UNITS
+        ))
+        .cast("bigint")
+        .alias("cell_lat"),
+        (hash_units(F.col("event_id"), "elon", 100_000) / F.lit(
+            _GEO_CELL_UNITS
+        ))
+        .cast("bigint")
+        .alias("cell_lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flows = (
+        ev.withColumn("to_lat", F.lead("cell_lat").over(w))
+        .withColumn("to_lon", F.lead("cell_lon").over(w))
+        .filter(
+            F.col("to_lat").isNotNull()
+            & (
+                (F.col("cell_lat") != F.col("to_lat"))
+                | (F.col("cell_lon") != F.col("to_lon"))
+            )
+        )
+        .groupBy(
+            F.col("cell_lat").alias("from_lat"),
+            F.col("cell_lon").alias("from_lon"),
+            "to_lat",
+            "to_lon",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trips"))
+    )
+    return flows.orderBy(
+        F.col("n_trips").desc(), "from_lat", "from_lon", "to_lat", "to_lon"
+    ).limit(20)
+
+
+@q("q_price_index")
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices, base year 1995 vs
+    2000, over the matched-part basket — the economics/BI aggregate a
+    pricing team runs on every catalog: how much of revenue change is
+    PRICE change at fixed quantities.  Exactness: per-part unit values
+    stay as exact (cents, qty) integer pairs; each part's
+    price-relative term is ONE truncating integer division onto the 1e6
+    grid (S_t·Q_0·1e6 // Q_t — all positive, engine-identical), the
+    sums accumulate in DECIMAL(38,0)/HUGEINT, and each index is one
+    final pinned division (Fisher via IEEE-exact sqrt).  Shape: two
+    year-grain part aggs, one matched-part equi-join, one 1-row agg."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("bigint")
+        .alias("qty"),
+    )
+
+    def year_agg(y: int, tag: str) -> DataFrame:
+        return (
+            li.filter(F.col("yr") == y)
+            .groupBy("l_partkey")
+            .agg(
+                F.sum("cents").cast("bigint").alias(f"s_{tag}"),
+                F.sum("qty").cast("bigint").alias(f"q_{tag}"),
+            )
+            .filter(F.col(f"q_{tag}") > 0)
+        )
+    base = year_agg(1995, "0")
+    curr = year_agg(2000, "t")
+    m = base.join(curr, "l_partkey")
+    terms = m.select(
+        # Laspeyres numerator term: p_t·q_0 = (S_t/Q_t)·Q_0, on the 1e6 grid
+        F.expr("s_t * q_0 * 1000000 div q_t").alias("lnum"),
+        # Paasche denominator term: p_0·q_t = (S_0/Q_0)·Q_t
+        F.expr("s_0 * q_t * 1000000 div q_0").alias("pden"),
+        F.col("s_0"),
+        F.col("s_t"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.col("lnum").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("lnum_sum"),
+        F.sum(F.col("pden").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("pden_sum"),
+        F.sum(F.col("s_0").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s0_sum"),
+        F.sum(F.col("s_t").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("st_sum"),
+    )
+    lasp = F.col("lnum_sum").cast("double") / (
+        F.col("s0_sum").cast("double") * F.lit(1e6)
+    )
+    paas = (F.col("st_sum").cast("double") * F.lit(1e6)) / F.col(
+        "pden_sum"
+    ).cast("double")
+    return agg.select(
+        "n_parts",
+        pround(lasp, 6).alias("laspeyres"),
+        pround(paas, 6).alias("paasche"),
+        pround(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

@@ -724,3 +724,59 @@ def test_pacf_matches_statsmodels_free_reference(spark, sf_dir):
         expected.append(kk)
     for r, e in zip(rows, expected):
         assert abs(r["pacf_e9"] / 1e9 - e) < 1e-5, (r["lag"], e)
+
+
+def test_od_matrix_flows_from_trajectories(spark, sf_dir):
+    """Each reported flow count must match the Python recomputation of
+    consecutive-cell transitions, and self-loops must be absent."""
+    from java_etl_bi_generator_spark.functions.geo import hash_units
+    from collections import Counter
+
+    reg = registry()
+    got = reg["q_geo_od_matrix"](spark, sf_dir).collect()
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (hash_units(F.col("event_id"), "elat", 100_000) / 5000)
+            .cast("long")
+            .alias("cl"),
+            (hash_units(F.col("event_id"), "elon", 100_000) / 5000)
+            .cast("long")
+            .alias("cn"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["cl"], r["cn"])
+        )
+    flows = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            if (a[2], a[3]) != (b[2], b[3]):
+                flows[(a[2], a[3], b[2], b[3])] += 1
+    for r in got:
+        key = (r["from_lat"], r["from_lon"], r["to_lat"], r["to_lon"])
+        assert (r["from_lat"], r["from_lon"]) != (
+            r["to_lat"],
+            r["to_lon"],
+        )
+        assert flows[key] == r["n_trips"], (key, r["n_trips"])
+
+
+def test_price_index_bounds(spark, sf_dir):
+    """Fisher must lie between Laspeyres and Paasche (the classic
+    inequality for positive baskets), all three positive, and the
+    matched-part count must be positive and no larger than either
+    year's part count."""
+    reg = registry()
+    [r] = reg["q_price_index"](spark, sf_dir).collect()
+    assert r["n_parts"] > 0
+    lo, hi = sorted([r["laspeyres"], r["paasche"]])
+    assert 0 < lo <= hi
+    assert lo - 1e-6 <= r["fisher"] <= hi + 1e-6
