@@ -12628,3 +12628,102 @@ ORACLES.update({
         FROM agg
     """,
 })
+
+
+def _dtw_oracle(max_n: int = 40, inf: int = 10**15) -> str:
+    """Generated DTW oracle mirroring q_dtw_distance: one CTE pair per
+    row i, the in-row sequential dependency re-expressed as a window
+    prefix-min (D(i,j) = C_ij + min_{k<=j}(m_k - C_{i,k-1})) — exact
+    integer algebra, so the unrolled form equals the classic DP."""
+    ctes = []
+    for i in range(1, max_n + 1):
+        init = 0 if i == 1 else inf
+        ctes.append(f"""
+        c{i} AS MATERIALIZED (
+          SELECT b.j, abs((SELECT y FROM a WHERE i = {i}) - b.y) AS c
+          FROM b),
+        t{i} AS MATERIALIZED (
+          SELECT cb.j,
+                 sum(cb.c) OVER (ORDER BY cb.j
+                   ROWS UNBOUNDED PRECEDING) AS csum,
+                 least(rp.d, coalesce(lag(rp.d) OVER (ORDER BY cb.j),
+                       {init})) AS m
+          FROM c{i} cb JOIN r{i - 1} rp ON rp.j = cb.j),
+        s{i} AS MATERIALIZED (
+          SELECT j, csum,
+                 m - coalesce(lag(csum) OVER (ORDER BY j), 0) AS z
+          FROM t{i}),
+        r{i} AS MATERIALIZED (
+          SELECT j, CAST(csum + min(z) OVER (ORDER BY j
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS d
+          FROM s{i})""")
+    allr = " UNION ALL ".join(
+        f"SELECT {i} AS i, j, d FROM r{i}" for i in range(1, max_n + 1)
+    )
+    return (
+        f"""
+        WITH daily AS (
+          SELECT event_type,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS dd,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1, 2),
+        a AS (SELECT row_number() OVER (ORDER BY dd) AS i, y
+              FROM daily WHERE event_type = 'click'),
+        b AS (SELECT row_number() OVER (ORDER BY dd) AS j, y
+              FROM daily WHERE event_type = 'purchase'),
+        r0 AS (SELECT j, CAST({inf} AS BIGINT) AS d FROM b),"""
+        + ",".join(ctes)
+        + f"""
+        SELECT CAST((SELECT count(*) FROM a) AS INT) AS n_a,
+               CAST((SELECT count(*) FROM b) AS INT) AS n_b,
+               z.d AS dtw_cents
+        FROM ({allr}) z
+        WHERE z.i = (SELECT count(*) FROM a)
+          AND z.j = (SELECT count(*) FROM b)"""
+    )
+
+
+ORACLES.update({
+    "q_dtw_distance": _dtw_oracle(),
+    "q_changepoint_binseg": f"""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS s FROM daily),
+        pre AS (
+          SELECT d,
+                 CAST(count(*) OVER w AS BIGINT) AS n_l,
+                 CAST(sum(y) OVER w AS BIGINT) AS s_l
+          FROM daily
+          WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+        cand AS (
+          SELECT pre.d, pre.n_l, pre.s_l,
+                 tot.n - pre.n_l AS n_r,
+                 tot.s - pre.s_l AS s_r
+          FROM pre, tot WHERE pre.n_l < tot.n),
+        scored AS (
+          SELECT d, n_l, n_r, s_l, s_r,
+                 CAST(CAST(s_l AS HUGEINT) * s_l * n_r
+                      + CAST(s_r AS HUGEINT) * s_r * n_l AS DOUBLE)
+                 / CAST(n_l * n_r AS DOUBLE) AS score
+          FROM cand),
+        best AS (
+          SELECT *, row_number() OVER (ORDER BY score DESC, d) AS rn
+          FROM scored)
+        SELECT d AS split_day, n_l, n_r,
+               {pround_sql('CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)',
+                           2)} AS mean_l_cents,
+               {pround_sql('CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE)',
+                           2)} AS mean_r_cents,
+               {pround_sql('score', 2)} AS score
+        FROM best WHERE rn = 1
+    """,
+})

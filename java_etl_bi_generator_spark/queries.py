@@ -21270,5 +21270,149 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DTW series-length unroll bound for the oracle's generated CTE chain.
+_DTW_MAX_N = 40
+
+
+@q("q_dtw_distance")
+def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping between the daily 'click' and 'purchase'
+    value series — the elastic-alignment similarity the lag-based tools
+    (q_rolling_corr / q_autocorr) can't express: DTW matches shapes
+    even when one series leads by a varying number of days.  Exactness:
+    costs are integer cent differences and the whole DP is min/plus on
+    exact ints — no division anywhere.  Shape: the DISTRIBUTED work is
+    the two day-grain aggs; the DP then runs on the collected
+    calendar-bounded series (≤ _DTW_MAX_N points — enforced loudly) in
+    Python; the oracle computes the SAME values with one generated CTE
+    per row, each row's sequential dependency re-expressed as a window
+    PREFIX-MIN via the identity D(i,j) = C_ij + min_{k≤j}(m_k −
+    C_{i,k−1}) (m_k = min of the two row-(i−1) predecessors, C = the
+    row's cost prefix sum) — exact integer algebra, so the unrolled
+    form is bit-identical to the classic recurrence."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", "d")
+        .agg(F.sum("vcents").cast("bigint").alias("y"))
+    )
+    rows = daily.collect()  # calendar-bounded: ≤ 2 × _DTW_MAX_N rows
+    a = sorted(
+        (r["d"], r["y"]) for r in rows if r["event_type"] == "click"
+    )
+    b = sorted(
+        (r["d"], r["y"]) for r in rows if r["event_type"] == "purchase"
+    )
+    ya = [y for _, y in a]
+    yb = [y for _, y in b]
+    if len(ya) > _DTW_MAX_N or len(yb) > _DTW_MAX_N:
+        raise ValueError(
+            f"series length {len(ya)}x{len(yb)} exceeds the DTW unroll "
+            f"bound {_DTW_MAX_N} — raise _DTW_MAX_N (and the oracle's "
+            "generated chain) together"
+        )
+    INF = 10**15
+    prev = [0] + [INF] * len(yb)  # D(0, j)
+    for i, va in enumerate(ya, start=1):
+        cur = [INF] * (len(yb) + 1)
+        for j, vb in enumerate(yb, start=1):
+            c = abs(va - vb)
+            best = min(prev[j], cur[j - 1], prev[j - 1])
+            cur[j] = c + best if best < INF else INF
+        prev = cur
+    return spark.createDataFrame(
+        [(len(ya), len(yb), prev[len(yb)])],
+        "n_a int, n_b int, dtw_cents long",
+    )
+
+
+@q("q_changepoint_binseg")
+def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split binary segmentation over the daily value series —
+    the OFFLINE changepoint locator next to q_cusum_changepoint's
+    online detector: the split t maximizing the between-segment
+    sum-of-squares S_L²/n_L + S_R²/n_R (the variance-reduction
+    objective).  Exactness: prefix sums via the distributed two-phase
+    cumsum on the calendar-bounded day grain, each candidate's
+    numerator/denominator kept as exact cross-multiplied integers
+    (S_L²·n_R + S_R²·n_L over n_L·n_R), ONE IEEE division per candidate
+    for the ranking (identical expression both engines), ties to the
+    earlier day; segment means emitted as single pinned divisions."""
+    ev = T(spark, sf_dir, "events").select(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    daily = ev.groupBy("d").agg(F.sum("vcents").cast("bigint").alias("y"))
+    wd = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # calendar-bounded day grain: the bounded-window exemption
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    pre = (
+        daily.select(
+            "d",
+            F.sum("y").over(wd).cast("bigint").alias("s_l"),
+            F.count(F.lit(1)).over(wd).cast("bigint").alias("n_l"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_l") < F.col("n"))  # split leaves a right side
+        .select(
+            "d",
+            "n_l",
+            "s_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            (F.col("s") - F.col("s_l")).alias("s_r"),
+        )
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    score_num = (
+        (d19(F.col("s_l")) * d19(F.col("s_l"))).cast("decimal(38,0)")
+        * F.col("n_r").cast("decimal(38,0)")
+        + (d19(F.col("s_r")) * d19(F.col("s_r"))).cast("decimal(38,0)")
+        * F.col("n_l").cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    scored = pre.select(
+        "d",
+        "n_l",
+        "n_r",
+        "s_l",
+        "s_r",
+        (
+            score_num.cast("double")
+            / (F.col("n_l") * F.col("n_r")).cast("double")
+        ).alias("score"),
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("d").asc())
+    best = scored.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        F.col("d").alias("split_day"),
+        "n_l",
+        "n_r",
+        pround(
+            F.col("s_l").cast("double") / F.col("n_l").cast("double"), 2
+        ).alias("mean_l_cents"),
+        pround(
+            F.col("s_r").cast("double") / F.col("n_r").cast("double"), 2
+        ).alias("mean_r_cents"),
+        pround(F.col("score"), 2).alias("score"),
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

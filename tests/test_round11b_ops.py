@@ -780,3 +780,79 @@ def test_price_index_bounds(spark, sf_dir):
     lo, hi = sorted([r["laspeyres"], r["paasche"]])
     assert 0 < lo <= hi
     assert lo - 1e-6 <= r["fisher"] <= hi + 1e-6
+
+
+def test_dtw_matches_textbook_dp(spark, sf_dir):
+    """The reported DTW must equal the classic O(n*m) DP recomputed in
+    Python from the same daily series, and must be <= the straight
+    pointwise L1 distance when lengths match (warping can only help)."""
+    reg = registry()
+    [r] = reg["q_dtw_distance"](spark, sf_dir).collect()
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vc").alias("y"))
+        .collect()
+    )
+    a = sorted((x["day"], x["y"]) for x in daily if x["event_type"] == "click")
+    b = sorted(
+        (x["day"], x["y"]) for x in daily if x["event_type"] == "purchase"
+    )
+    ya, yb = [y for _, y in a], [y for _, y in b]
+    assert (r["n_a"], r["n_b"]) == (len(ya), len(yb))
+    INF = 10**15
+    prev = [0] + [INF] * len(yb)
+    for va in ya:
+        cur = [INF] * (len(yb) + 1)
+        for j, vb in enumerate(yb, start=1):
+            cur[j] = abs(va - vb) + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    assert r["dtw_cents"] == prev[len(yb)]
+    if len(ya) == len(yb):
+        straight = sum(abs(x - y) for x, y in zip(ya, yb))
+        assert r["dtw_cents"] <= straight
+
+
+def test_binseg_split_maximizes_objective(spark, sf_dir):
+    """The chosen split must achieve the maximum between-segment
+    objective over all candidate days (recomputed exactly in Python)."""
+    from fractions import Fraction
+
+    reg = registry()
+    [r] = reg["q_changepoint_binseg"](spark, sf_dir).collect()
+    daily = sorted(
+        (x["d"], x["y"])
+        for x in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("d")
+        .agg(F.sum("vc").alias("y"))
+        .collect()
+    )
+    n = len(daily)
+    s = sum(y for _, y in daily)
+    best = None
+    s_l = 0
+    for idx, (d, y) in enumerate(daily[:-1], start=1):
+        s_l += y
+        n_l, n_r = idx, n - idx
+        s_r = s - s_l
+        obj = Fraction(s_l * s_l, n_l) + Fraction(s_r * s_r, n_r)
+        if best is None or obj > best[0]:
+            best = (obj, d, n_l, n_r)
+    assert r["split_day"] == best[1]
+    assert (r["n_l"], r["n_r"]) == (best[2], best[3])
