@@ -92,6 +92,7 @@ HEADLINE = [
     "q_geo_radius_join",     # grid-bucketed spatial radius join (round 11b)
     "q_ip_cidr_lpm",         # equi-join CIDR longest-prefix match (round 11b)
     "q_link_prediction",     # capped wedge-join common neighbors (round 11b)
+    "q_pca_power_iteration", # Arrow Gram core + integer power iteration (round 11e)
     # NOT q_pq_*: the declared PQ queries retrain their sub-quantizers
     # inline (train-once cost in production), which would dominate a
     # per-query headline — their scale behavior is covered by

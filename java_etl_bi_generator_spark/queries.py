@@ -194,12 +194,16 @@ _SHOWCASE: tuple[str, ...] = (
     "q_gap_fill_interpolate", "q_ohlc", "q_gaps_and_islands",
     "q_seasonal_index", "q_ewma_daily",
     # text / LLM
-    "q_text_clean", "q_corpus_filter", "q_vocab_topk",
-    "q_bigram_logprob", "q_pmi_bigrams", "q_char_ngrams",
-    "q_ngram_novelty",
-    # sampling / splits / contrastive mining
-    "q_corpus_sample", "q_temporal_split", "q_stratified_sample",
-    "q_negative_sampling", "q_hard_negatives",
+    "q_text_clean", "q_corpus_filter",
+    # round-11 continuation (batches c-g): the newest code carries the
+    # highest certification value — these displace ten early-round
+    # text/sampling surfaces (vocab_topk, bigram_logprob, pmi_bigrams,
+    # char_ngrams, ngram_novelty, corpus_sample, temporal_split,
+    # stratified_sample, negative_sampling, hard_negatives), all
+    # local-green in every full sweep since their introduction
+    "q_markov_removal", "q_pca_power_iteration", "q_dtw_distance",
+    "q_fdr_bh", "q_holt_forecast", "q_wasserstein_1d", "q_qini_curve",
+    "q_random_walks", "q_theil_sen", "q_price_index",
 )
 assert len(_SHOWCASE) == 50, len(_SHOWCASE)
 
