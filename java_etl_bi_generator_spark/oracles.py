@@ -12727,3 +12727,125 @@ ORACLES.update({
         FROM best WHERE rn = 1
     """,
 })
+
+
+ORACLES.update({
+    "q_attribution_time_decay": f"""
+        WITH fp AS (
+          SELECT user_id, ts AS fpts, event_id AS fpid FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase') x
+          WHERE rn = 1),
+        touches AS (
+          SELECT e.user_id, e.event_type AS channel,
+                 CAST(least(30,
+                   (epoch_us(fp.fpts) - epoch_us(e.ts)) // 86400000000)
+                   AS INT) AS age_days
+          FROM events e JOIN fp USING (user_id)
+          WHERE (e.ts < fp.fpts
+                 OR (e.ts = fp.fpts AND e.event_id <= fp.fpid))
+            AND e.event_type != 'purchase'),
+        weighted AS (
+          SELECT channel,
+                 1000000000 // CAST(power(2, age_days) AS BIGINT)
+                   AS weight_e9
+          FROM touches),
+        tot AS (SELECT CAST(sum(weight_e9) AS BIGINT) AS t
+                FROM weighted)
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS touches,
+               CAST(sum(weight_e9) AS BIGINT) AS weight_e9,
+               {pround_sql(
+                   'CAST(sum(weight_e9) AS DOUBLE) / CAST(t AS DOUBLE)',
+                   6)} AS share
+        FROM weighted, tot GROUP BY channel, t ORDER BY channel
+    """,
+    "q_runs_test": f"""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        ranked AS (
+          SELECT d, y,
+                 row_number() OVER (ORDER BY y, d) AS r,
+                 count(*) OVER () AS n
+          FROM daily),
+        m2t AS (
+          SELECT CAST(sum(y) * 2 / count(*) AS BIGINT) AS m2
+          FROM ranked
+          WHERE r * 2 = n OR r * 2 = n + 1 OR r * 2 = n + 2),
+        signs AS (
+          SELECT d,
+                 CASE WHEN y * 2 > m2t.m2 THEN 1 ELSE 0 END AS s
+          FROM daily, m2t),
+        runs_ AS (
+          SELECT s,
+                 CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                        OR lag(s) OVER (ORDER BY d) != s
+                      THEN 1 ELSE 0 END AS new_run
+          FROM signs),
+        agg AS (
+          SELECT CAST(sum(new_run) AS BIGINT) AS runs,
+                 CAST(sum(s) AS BIGINT) AS n1,
+                 CAST(sum(1 - s) AS BIGINT) AS n2
+          FROM runs_),
+        zed AS (
+          SELECT runs, n1, n2,
+                 CASE WHEN CAST(2.0 * n1 * n2 AS DOUBLE)
+                        * CAST(2.0 * n1 * n2 - (n1 + n2) AS DOUBLE)
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 - 1 AS DOUBLE)) > 0
+                 THEN (CAST(runs AS DOUBLE)
+                  - (1.0 + CAST(2.0 * n1 * n2 AS DOUBLE)
+                           / CAST(n1 + n2 AS DOUBLE)))
+                 / sqrt(CAST(2.0 * n1 * n2 AS DOUBLE)
+                        * CAST(2.0 * n1 * n2 - (n1 + n2) AS DOUBLE)
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 - 1 AS DOUBLE))) END AS z
+          FROM agg),
+        scored AS (
+          SELECT zed.*,
+                 CAST(least(599, floor(abs(z) * 100.0 + 0.5)) AS INT)
+                   AS zq
+          FROM zed)
+        SELECT runs, n1, n2, {pround_sql('z', 6)} AS z6, pt.p_e9
+        FROM scored LEFT JOIN {p_table_values_sql()}
+          ON pt.zq = scored.zq
+    """,
+    "q_mcnemar": f"""
+        WITH users AS (
+          SELECT user_id,
+                 max(CASE WHEN day(CAST(ts AS DATE)) <= 7
+                     THEN 1 ELSE 0 END) AS w1,
+                 max(CASE WHEN day(CAST(ts AS DATE)) >= 24
+                     THEN 1 ELSE 0 END) AS w4
+          FROM events GROUP BY user_id),
+        agg AS (
+          SELECT CAST(sum(CASE WHEN w1 = 1 AND w4 = 0 THEN 1 ELSE 0
+                          END) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN w1 = 0 AND w4 = 1 THEN 1 ELSE 0
+                          END) AS BIGINT) AS c,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM users),
+        scored AS (
+          SELECT n_users, b, c,
+                 CASE WHEN b + c > 0 THEN
+                   CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                   / CAST(b + c AS DOUBLE) END AS chi2
+          FROM agg),
+        q AS (
+          SELECT n_users, b, c,
+                 {pround_sql('chi2', 6)} AS chi2,
+                 CAST(least(599, floor(sqrt(chi2) * 100.0 + 0.5))
+                      AS INT) AS zq
+          FROM scored)
+        SELECT q.n_users, q.b, q.c, q.chi2, pt.p_e9
+        FROM q LEFT JOIN {p_table_values_sql()} ON pt.zq = q.zq
+    """,
+})

@@ -21418,5 +21418,230 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_attribution_time_decay")
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution — completes the attribution family
+    (last-touch, positional, Shapley, Markov removal): each touchpoint
+    before a user's first purchase earns credit halving per day of age
+    at conversion, the DYADIC exact form (weight_e9 = 1e9 div 2^k, k =
+    whole days before conversion, capped at 30 — q_decayed_engagement's
+    discipline, so every weight is an exact integer and the shares are
+    integer ratios into one pinned division).  Shape: the q_markov
+    journey filter (events ≤ first purchase), one window for the
+    conversion timestamp, channel-grain aggs."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    )
+    touches = (
+        ev.join(first_p, "user_id")
+        .filter(
+            (F.struct("ts", "event_id") <= F.col("fp"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.least(
+                F.lit(30),
+                # integer MICROSECONDS end to end: DuckDB's epoch()
+                # truncates fractional seconds while a double cast
+                # keeps them — epoch_us/unix_micros agree exactly
+                F.expr(
+                    "(unix_micros(fp.ts) - unix_micros(ts)) "
+                    "div 86400000000"
+                ),
+            )
+            .cast("int")
+            .alias("age_days"),
+        )
+        .withColumn(
+            "weight_e9",
+            F.expr("1000000000 div CAST(pow(2, age_days) AS BIGINT)"),
+        )
+    )
+    tot = touches.agg(
+        F.sum("weight_e9").cast("bigint").alias("t")
+    )
+    return (
+        touches.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("touches"),
+            F.sum("weight_e9").cast("bigint").alias("weight_e9"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "touches",
+            "weight_e9",
+            pround(
+                F.col("weight_e9").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+@q("q_runs_test")
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily value
+    series around its median — the nonparametric trend/clustering
+    guardrail next to q_mann_kendall: too FEW runs means regimes, too
+    MANY means oscillation.  Exactness: the median comparison is
+    cross-multiplied (2y vs the two middle values' sum), runs are
+    lag-counted integers on the calendar-bounded day grain, μ and σ²
+    are the textbook rationals evaluated as ONE fixed expression tree,
+    and the p-value comes from the literal Φ table."""
+    from .functions.normal import p_table_rows
+
+    ev = T(spark, sf_dir, "events").select(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    daily = ev.groupBy("d").agg(F.sum("vcents").cast("bigint").alias("y"))
+    wr = Window.orderBy("y", "d")  # bounded day grain
+    wd = Window.orderBy("d")
+    ranked = daily.withColumn("r", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    # middle rows for either parity: even n → 2r ∈ {n, n+2} (two rows),
+    # odd n → 2r = n+1 (one row); the other disjuncts are unsatisfiable
+    # for the opposite parity
+    mid = ranked.filter(
+        (F.col("r") * 2 == F.col("n"))
+        | (F.col("r") * 2 == F.col("n") + 1)
+        | (F.col("r") * 2 == F.col("n") + 2)
+    )
+    m2 = mid.agg(
+        (F.sum("y") * 2 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("m2")
+    )  # 2×median: sum of the two middles (even n) or 2×middle (odd)
+    signs = (
+        daily.crossJoin(F.broadcast(m2))
+        .select(
+            "d",
+            F.when(F.col("y") * 2 > F.col("m2"), 1)
+            .otherwise(0)
+            .alias("s"),
+        )
+        .withColumn("prev", F.lag("s").over(wd))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("s")), 1
+            ).otherwise(0),
+        )
+    )
+    agg = signs.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    mu = F.lit(1.0) + (F.lit(2.0) * n1 * n2).cast("double") / n.cast(
+        "double"
+    )
+    var = (
+        (F.lit(2.0) * n1 * n2).cast("double")
+        * (F.lit(2.0) * n1 * n2 - n).cast("double")
+        / (
+            n.cast("double")
+            * n.cast("double")
+            * (n - F.lit(1)).cast("double")
+        )
+    )
+    z = F.when(
+        var > 0, (F.col("runs").cast("double") - mu) / F.sqrt(var)
+    )  # NULL when the series is one-sided/constant (var degenerates)
+    scored = agg.select(
+        "runs",
+        "n1",
+        "n2",
+        z.alias("z"),
+        F.least(
+            F.lit(599),
+            F.floor(F.abs(z) * F.lit(100.0) + F.lit(0.5)),
+        )
+        .cast("int")
+        .alias("zq"),
+    )
+    ptab = F.broadcast(
+        spark.createDataFrame(p_table_rows(), "zq int, p_e9 long")
+    )
+    return scored.join(ptab, "zq", "left").select(
+        "runs", "n1", "n2", pround(F.col("z"), 6).alias("z6"), "p_e9"
+    )
+
+
+@q("q_mcnemar")
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired user activity (week 1 vs week 4 of the
+    fixture month) — the PAIRED companion to the two-sample tests: only
+    the discordant users (active→inactive vs inactive→active) carry
+    signal.  χ² with continuity correction = (|b−c|−1)²/(b+c), exact
+    integers into one division; the p-value uses χ²₁ = z², so the
+    literal Φ table applies at z = √χ² (IEEE-exact sqrt)."""
+    from .functions.normal import p_table_rows
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.dayofmonth(F.to_date("ts")).alias("dom"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("dom") <= 7, 1).otherwise(0)).alias("w1"),
+        F.max(F.when(F.col("dom") >= 24, 1).otherwise(0)).alias("w4"),
+    )
+    agg = users.agg(
+        F.sum(
+            F.when((F.col("w1") == 1) & (F.col("w4") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("w1") == 0) & (F.col("w4") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    chi2 = F.when(
+        F.col("b") + F.col("c") > 0,
+        (
+            (F.abs(F.col("b") - F.col("c")) - F.lit(1))
+            * (F.abs(F.col("b") - F.col("c")) - F.lit(1))
+        ).cast("double")
+        / (F.col("b") + F.col("c")).cast("double"),
+    )
+    scored = agg.select(
+        "n_users",
+        "b",
+        "c",
+        pround(chi2, 6).alias("chi2"),
+        F.least(
+            F.lit(599),
+            F.floor(F.sqrt(chi2) * F.lit(100.0) + F.lit(0.5)),
+        )
+        .cast("int")
+        .alias("zq"),
+    )
+    ptab = F.broadcast(
+        spark.createDataFrame(p_table_rows(), "zq int, p_e9 long")
+    )
+    return scored.join(ptab, "zq", "left").select(
+        "n_users", "b", "c", "chi2", "p_e9"
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

