@@ -12849,3 +12849,59 @@ ORACLES.update({
         FROM q LEFT JOIN {p_table_values_sql()} ON pt.zq = q.zq
     """,
 })
+
+
+ORACLES.update({
+    "q_cmh_test": f"""
+        WITH big AS (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_totalprice > 450000),
+        users AS (
+          SELECT c.c_mktsegment,
+                 {hash_units_sql("c.c_custkey", "arm", 2, _hex_bigint)}
+                   AS exposed,
+                 CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+                   AS outcome
+          FROM customer c LEFT JOIN big b ON c.c_custkey = b.o_custkey),
+        per AS (
+          SELECT c_mktsegment,
+                 CAST(sum(CASE WHEN exposed = 1 AND outcome = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(sum(exposed) AS BIGINT) AS r1,
+                 CAST(sum(outcome) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM users GROUP BY 1),
+        terms AS (
+          SELECT a,
+                 (r1 * c1 // n) * 1000000000
+                   + ((r1 * c1 % n) * 1000000000) // n AS e_e9,
+                 CAST(floor(CAST(r1 * (n - r1) AS DOUBLE)
+                   * CAST(c1 * (n - c1) AS DOUBLE) * 1000000000.0
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n - 1 AS DOUBLE)) + 0.5) AS BIGINT)
+                   AS v_e9
+          FROM per),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                 CAST(sum(a) AS BIGINT) AS sum_a,
+                 CAST(sum(e_e9) AS BIGINT) AS sum_e_e9,
+                 CAST(sum(v_e9) AS BIGINT) AS sum_v_e9
+          FROM terms),
+        zed AS (
+          SELECT agg.*,
+                 CASE WHEN sum_v_e9 > 0 THEN
+                   (abs(CAST(sum_a AS DOUBLE)
+                        - CAST(sum_e_e9 AS DOUBLE) / 1e9) - 0.5)
+                   / sqrt(CAST(sum_v_e9 AS DOUBLE) / 1e9) END AS z
+          FROM agg),
+        scored AS (
+          SELECT zed.*,
+                 CAST(least(599, floor(abs(z) * 100.0 + 0.5)) AS INT)
+                   AS zq
+          FROM zed)
+        SELECT n_strata, sum_a, sum_e_e9, sum_v_e9,
+               {pround_sql('z', 6)} AS z6, pt.p_e9
+        FROM scored LEFT JOIN {p_table_values_sql()}
+          ON pt.zq = scored.zq
+    """,
+})

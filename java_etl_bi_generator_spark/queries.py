@@ -21643,5 +21643,114 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_cmh_test")
+def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 test — the INFERENTIAL
+    twin of q_simpson_paradox's descriptive reversal table: does the
+    exposure→outcome association survive after controlling for market
+    segment?  Per stratum the 2x2 is (hash-split arm) × (customer has a
+    >$450k order — ~64% at the fixtures; a $150k threshold was true
+    for EVERY customer and zeroed the variance); the per-stratum
+    expectation E = r1·c1/n and variance
+    V = r1·r0·c1·c0/(n²(n−1)) are exact integer ratios PINNED to the
+    1e9 grid per stratum, so the cross-strata sums are order-free int64
+    adds (never a float sum over GROUP BY); the continuity-corrected z
+    uses IEEE-exact sqrt and the literal Φ p-table.  Shape: one
+    customer-grain agg, one 5-row stratum agg, one scalar readout."""
+    from .functions.geo import hash_units
+    from .functions.normal import p_table_rows
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    big = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450_000)
+        .select("o_custkey")
+        .distinct()
+    )
+    users = (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left")
+        .select(
+            "c_mktsegment",
+            hash_units(F.col("c_custkey"), "arm", 2).alias("exposed"),
+            F.when(F.col("o_custkey").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("outcome"),
+        )
+    )
+    per = users.groupBy("c_mktsegment").agg(
+        F.sum(
+            F.when(
+                (F.col("exposed") == 1) & (F.col("outcome") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.col("exposed")).cast("bigint").alias("r1"),
+        F.sum(F.col("outcome")).cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # E·1e9 exactly, split so the scaled product stays in int64:
+    # floor(a·1e9/n) = (a div n)·1e9 + ((a % n)·1e9) div n
+    e_e9 = F.expr(
+        "(r1 * c1 div n) * 1000000000 "
+        "+ ((r1 * c1 % n) * 1000000000) div n"
+    )
+    # V·1e9 pinned via one deterministic double expression (the exact
+    # int64 subproducts r1·r0 and c1·c0 stay under 2^53; the ×1e9 and
+    # the division round identically in both engines)
+    v_e9 = F.expr(
+        "CAST(floor(CAST(r1 * (n - r1) AS DOUBLE) "
+        "* CAST(c1 * (n - c1) AS DOUBLE) * 1000000000.0 "
+        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) "
+        "* CAST(n - 1 AS DOUBLE)) + 0.5) AS BIGINT)"
+    )
+    agg = per.select(
+        "c_mktsegment", "a", e_e9.alias("e_e9"), v_e9.alias("v_e9")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum("e_e9").cast("bigint").alias("sum_e_e9"),
+        F.sum("v_e9").cast("bigint").alias("sum_v_e9"),
+    )
+    z = F.when(
+        F.col("sum_v_e9") > 0,
+        (
+            F.abs(
+                F.col("sum_a").cast("double")
+                - F.col("sum_e_e9").cast("double") / F.lit(1e9)
+            )
+            - F.lit(0.5)
+        )
+        / F.sqrt(F.col("sum_v_e9").cast("double") / F.lit(1e9)),
+    )
+    scored = agg.select(
+        "n_strata",
+        "sum_a",
+        "sum_e_e9",
+        "sum_v_e9",
+        z.alias("z"),
+        F.least(
+            F.lit(599),
+            F.floor(F.abs(z) * F.lit(100.0) + F.lit(0.5)),
+        )
+        .cast("int")
+        .alias("zq"),
+    )
+    ptab = F.broadcast(
+        spark.createDataFrame(p_table_rows(), "zq int, p_e9 long")
+    )
+    return scored.join(ptab, "zq", "left").select(
+        "n_strata",
+        "sum_a",
+        "sum_e_e9",
+        "sum_v_e9",
+        pround(F.col("z"), 6).alias("z6"),
+        "p_e9",
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

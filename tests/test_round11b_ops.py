@@ -937,3 +937,31 @@ def test_mcnemar_discordant_counts(spark, sf_dir):
     if b + c:
         exp = (abs(b - c) - 1) ** 2 / (b + c)
         assert abs(r["chi2"] - math.floor(exp * 1e6 + 0.5) / 1e6) < 1e-9
+
+
+def test_cmh_accounting(spark, sf_dir):
+    """Stratum count must equal the segment count; sum_a must count
+    exposed+outcome customers exactly; E and V sums positive."""
+    from java_etl_bi_generator_spark.functions.geo import hash_units
+
+    reg = registry()
+    [r] = reg["q_cmh_test"](spark, sf_dir).collect()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    segs = cust.select("c_mktsegment").distinct().count()
+    assert r["n_strata"] == segs
+    big = {
+        x["o_custkey"]
+        for x in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 450_000)
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    rows = cust.select(
+        "c_custkey", hash_units(F.col("c_custkey"), "arm", 2).alias("e")
+    ).collect()
+    exp_a = sum(
+        1 for x in rows if x["e"] == 1 and x["c_custkey"] in big
+    )
+    assert r["sum_a"] == exp_a
+    assert r["sum_e_e9"] > 0 and r["sum_v_e9"] > 0
