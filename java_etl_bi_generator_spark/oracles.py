@@ -12905,3 +12905,104 @@ ORACLES.update({
           ON pt.zq = scored.zq
     """,
 })
+
+
+def _hurst_oracle(sizes=(5, 10, 15)) -> str:
+    """Per-size R/S CTEs mirroring q_hurst_exponent; the 3-point OLS
+    constants are computed with the SAME Python pinning as the query."""
+    import math as _m
+
+    lx = {s: _m.floor(_m.log(s) * 1e6 + 0.5) / 1e6 for s in sizes}
+    xbar = sum(lx.values()) / len(lx)
+    sxx = sum((v - xbar) ** 2 for v in lx.values())
+    ctes = []
+    for s in sizes:
+        ctes.append(f"""
+        ch{s} AS (SELECT t, y, (t - 1) // {s} AS chunk FROM seqq),
+        full{s} AS (SELECT chunk FROM ch{s} GROUP BY chunk
+                    HAVING count(*) = {s}),
+        cs{s} AS (
+          SELECT c.chunk, CAST(sum(c.y) AS BIGINT) AS sy
+          FROM ch{s} c JOIN full{s} USING (chunk) GROUP BY c.chunk),
+        dev{s} AS (
+          SELECT c.chunk, c.t, (c.y * {s} - cs.sy) AS a,
+                 sum(c.y * {s} - cs.sy) OVER (
+                   PARTITION BY c.chunk ORDER BY c.t
+                   ROWS UNBOUNDED PRECEDING) AS z
+          FROM ch{s} c JOIN cs{s} cs ON cs.chunk = c.chunk),
+        rs{s} AS (
+          SELECT chunk, CAST(max(z) - min(z) AS BIGINT) AS rp,
+                 sum(CAST(a AS HUGEINT) * a) AS d2
+          FROM dev{s} GROUP BY chunk
+          HAVING (max(z) - min(z)) > 0
+             AND sum(CAST(a AS HUGEINT) * a) > 0),
+        lnt{s} AS (
+          SELECT CAST(floor(ln(CAST(rp AS DOUBLE) * sqrt({s}.0)
+                   / sqrt(CAST(d2 AS DOUBLE))) * 1000000.0 + 0.5)
+                 AS BIGINT) AS ln_e6
+          FROM rs{s}),
+        m{s} AS (
+          SELECT CAST(count(*) AS BIGINT) AS n{s},
+                 CAST(sum(ln_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / 1000000.0 AS l{s}
+          FROM lnt{s})"""
+        )
+    slope = " + ".join(
+        f"({lx[s] - xbar!r}) * l{s}" for s in sizes
+    )
+    return (
+        """
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        seqq AS (SELECT y, row_number() OVER (ORDER BY d) AS t
+                 FROM daily),"""
+        + ",".join(ctes)
+        + f"""
+        SELECT n5, n10, n15,
+               {pround_sql('l5', 6)} AS ln_rs_5,
+               {pround_sql('l10', 6)} AS ln_rs_10,
+               {pround_sql('l15', 6)} AS ln_rs_15,
+               {pround_sql(f'(({slope}) / {sxx!r})', 6)} AS hurst
+        FROM m5, m10, m15"""
+    )
+
+
+ORACLES.update({
+    "q_spc_xbar": f"""
+        WITH ev AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS vcents
+          FROM events),
+        sub AS (
+          SELECT d,
+                 CAST(count(*) AS BIGINT) AS n_sub,
+                 CAST(sum(vcents) AS BIGINT) AS s,
+                 CAST(max(vcents) - min(vcents) AS BIGINT) AS r
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY d ORDER BY event_id) AS rn FROM ev) x
+          WHERE rn <= 5 GROUP BY d HAVING count(*) = 5),
+        grand AS (
+          SELECT CAST(sum(s) AS DOUBLE)
+                   / CAST(count(*) * 5 AS DOUBLE) AS cl,
+                 CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   * 0.577 AS a2rbar
+          FROM sub)
+        SELECT d,
+               {pround_sql('CAST(s AS DOUBLE) / 5.0', 2)} AS xbar_cents,
+               r,
+               {pround_sql('cl', 2)} AS cl_cents,
+               {pround_sql('cl + a2rbar', 2)} AS ucl_cents,
+               {pround_sql('cl - a2rbar', 2)} AS lcl_cents,
+               (CAST(s AS DOUBLE) / 5.0 > cl + a2rbar
+                OR CAST(s AS DOUBLE) / 5.0 < cl - a2rbar)
+                 AS out_of_control
+        FROM sub, grand ORDER BY d
+    """,
+    "q_hurst_exponent": _hurst_oracle(),
+})

@@ -21752,5 +21752,216 @@ def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shewhart X-bar/R chart constant A2 for subgroup size 5 (the classic
+#: SPC table value, shipped as a literal like the Φ/kernel tables).
+_SPC_A2_N5_E6 = 577_000  # 0.577 × 1e6
+
+
+@q("q_spc_xbar")
+def q_spc_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-bar/R control chart over daily 5-event subgroups —
+    statistical process control, the industrial monitoring family the
+    registry lacked: each day's subgroup is its 5 LOWEST-event_id
+    events (deterministic), the chart centerline is the grand mean of
+    subgroup means, and the control limits are CL ± A2·R̄ with the
+    textbook A2(n=5) constant shipped as an integer literal.
+    Exactness: subgroup sums and ranges are exact cents; means are
+    single divisions; the A2 product is one deterministic double
+    expression; out-of-control comparison is done on the SAME pinned
+    values both engines compute.  Output: per-day xbar/r/limits/flag on
+    the calendar-bounded day grain."""
+    ev = T(spark, sf_dir, "events").select(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    wday = Window.partitionBy("d").orderBy("event_id")
+    sub = (
+        ev.withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") <= 5)
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sub"),
+            F.sum("vcents").cast("bigint").alias("s"),
+            F.max("vcents").alias("mx"),
+            F.min("vcents").alias("mn"),
+        )
+        .filter(F.col("n_sub") == 5)  # full subgroups only
+        .select(
+            "d",
+            F.col("s"),
+            (F.col("s").cast("double") / F.lit(5.0)).alias("xbar"),
+            (F.col("mx") - F.col("mn")).cast("bigint").alias("r"),
+        )
+    )
+    # grand stats from EXACT integer sums (a float sum of per-day xbars
+    # would be summation-order sensitive): CL = Σs / (5k), one division
+    grand = sub.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum("r").cast("bigint").alias("sr"),
+    ).select(
+        (
+            F.col("ss").cast("double")
+            / (F.col("k") * F.lit(5)).cast("double")
+        ).alias("cl"),
+        (
+            F.col("sr").cast("double")
+            / F.col("k").cast("double")
+            * F.lit(_SPC_A2_N5_E6 / 1e6)
+        ).alias("a2rbar"),
+    )
+    return (
+        sub.crossJoin(F.broadcast(grand))
+        .select(
+            "d",
+            pround(F.col("xbar"), 2).alias("xbar_cents"),
+            "r",
+            pround(F.col("cl"), 2).alias("cl_cents"),
+            pround(F.col("cl") + F.col("a2rbar"), 2).alias("ucl_cents"),
+            pround(F.col("cl") - F.col("a2rbar"), 2).alias("lcl_cents"),
+            (
+                (F.col("xbar") > F.col("cl") + F.col("a2rbar"))
+                | (F.col("xbar") < F.col("cl") - F.col("a2rbar"))
+            ).alias("out_of_control"),
+        )
+        .orderBy("d")
+    )
+
+
+#: Hurst R/S window sizes (full chunks only; the day grain is ~30).
+_HURST_SIZES = (5, 10, 15)
+
+
+@q("q_hurst_exponent")
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis over the daily
+    value series — the long-memory diagnostic next to q_autocorr and
+    q_pacf_durbin (H>0.5 trending, H<0.5 mean-reverting).  Exactness:
+    within each size-s chunk the mean is cross-multiplied away (work in
+    units of 1/s: z_t = Σ(s·y − S_chunk) exact ints, R′ = max−min, D2 =
+    Σ(s·y − S_chunk)²), so R/S = R′·√s/√D2 uses only IEEE-exact sqrt
+    and deterministic products; each chunk's ln(R/S) is pinned to the
+    ×1e6 grid (the q_zipf_law discipline) before the order-free integer
+    mean, and the 3-point log-log OLS runs as fixed-order chains on the
+    pinned values.  Shape: one day-grain agg, per-size bounded-chunk
+    windows, a 3-row collect-free OLS."""
+    ev = T(spark, sf_dir, "events").select(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    daily = ev.groupBy("d").agg(F.sum("vcents").cast("bigint").alias("y"))
+    wseq = Window.orderBy("d")  # bounded day grain
+    seq = daily.withColumn("t", F.row_number().over(wseq))
+    per_size = []
+    for s_ in _HURST_SIZES:
+        chunks = (
+            seq.withColumn("chunk", F.expr(f"(t - 1) div {s_}"))
+            .withColumn(
+                "n_in",
+                F.count(F.lit(1)).over(Window.partitionBy("chunk")),
+            )
+            .filter(F.col("n_in") == s_)
+        )
+        cs = chunks.groupBy("chunk").agg(
+            F.sum("y").cast("bigint").alias("sy")
+        )
+        dev = (
+            chunks.join(cs, "chunk")
+            .withColumn("a", F.col("y") * s_ - F.col("sy"))
+            .withColumn(
+                "z",
+                F.sum("a").over(
+                    Window.partitionBy("chunk")
+                    .orderBy("t")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        )
+        rs = dev.groupBy("chunk").agg(
+            (F.max("z") - F.min("z")).cast("bigint").alias("rp"),
+            # DECIMAL(38,0) product+sum: bigint squares overflow int64
+            # once deviations reach ~3e9 (ANSI would fail loudly on the
+            # Spark side while DuckDB silently widens — keep them equal)
+            F.sum(
+                (
+                    F.col("a").cast("decimal(19,0)")
+                    * F.col("a").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("d2"),
+        ).filter(
+            (F.col("rp") > 0) & (F.col("d2") > 0)
+        )
+        ln_pin = rs.select(
+            F.floor(
+                F.log(
+                    F.col("rp").cast("double")
+                    * F.sqrt(F.lit(float(s_)))
+                    / F.sqrt(F.col("d2").cast("double"))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("ln_e6")
+        )
+        per_size.append(
+            ln_pin.agg(
+                F.lit(s_).cast("int").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                (
+                    F.sum("ln_e6").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    / F.lit(1e6)
+                ).alias("ln_rs"),
+            )
+        )
+    # one row per size, then a single-row crossJoin so the 3-term OLS
+    # runs as a FIXED-ORDER chain (an agg over the union would sum
+    # doubles in partition order)
+    import math as _math
+
+    lx = {
+        s_: _math.floor(_math.log(s_) * 1e6 + 0.5) / 1e6
+        for s_ in _HURST_SIZES
+    }
+    xbar = sum(lx.values()) / len(lx)
+    sxx = sum((v - xbar) ** 2 for v in lx.values())
+    r5 = per_size[0].select(
+        F.col("n_chunks").alias("n5"), F.col("ln_rs").alias("l5")
+    )
+    r10 = per_size[1].select(
+        F.col("n_chunks").alias("n10"), F.col("ln_rs").alias("l10")
+    )
+    r15 = per_size[2].select(
+        F.col("n_chunks").alias("n15"), F.col("ln_rs").alias("l15")
+    )
+    one = r5.crossJoin(r10).crossJoin(r15)
+    sxy = (
+        F.lit(lx[5] - xbar) * F.col("l5")
+        + F.lit(lx[10] - xbar) * F.col("l10")
+        + F.lit(lx[15] - xbar) * F.col("l15")
+    )
+    return one.select(
+        "n5",
+        "n10",
+        "n15",
+        pround(F.col("l5"), 6).alias("ln_rs_5"),
+        pround(F.col("l10"), 6).alias("ln_rs_10"),
+        pround(F.col("l15"), 6).alias("ln_rs_15"),
+        pround(sxy / F.lit(sxx), 6).alias("hurst"),
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

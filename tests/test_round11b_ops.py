@@ -965,3 +965,59 @@ def test_cmh_accounting(spark, sf_dir):
     )
     assert r["sum_a"] == exp_a
     assert r["sum_e_e9"] > 0 and r["sum_v_e9"] > 0
+
+
+def test_spc_xbar_chart_consistency(spark, sf_dir):
+    """Per-day xbar/r must match a Python recomputation of the 5-lowest
+    -event_id subgroups; limits symmetric around the centerline."""
+    import math
+
+    reg = registry()
+    rows = reg["q_spc_xbar"](spark, sf_dir).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .collect()
+    )
+    by_day: dict = {}
+    for r in ev:
+        by_day.setdefault(r["d"], []).append((r["event_id"], r["vc"]))
+    for r in rows:
+        grp = sorted(by_day[r["d"]])[:5]
+        assert len(grp) == 5
+        vals = [v for _, v in grp]
+        xbar = sum(vals) / 5.0
+        assert abs(
+            r["xbar_cents"] - math.floor(xbar * 100 + 0.5) / 100
+        ) < 1e-9
+        assert r["r"] == max(vals) - min(vals)
+        assert abs(
+            (r["ucl_cents"] - r["cl_cents"])
+            - (r["cl_cents"] - r["lcl_cents"])
+        ) < 0.02  # symmetric up to the 2dp pin
+
+
+def test_hurst_in_plausible_range(spark, sf_dir):
+    """One output row; chunk counts match floor(days/size); Hurst in a
+    sane (0, 1.5) band for a real series."""
+    reg = registry()
+    [r] = reg["q_hurst_exponent"](spark, sf_dir).collect()
+    days = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+        .count()
+    )
+    assert r["n5"] <= days // 5
+    assert r["n10"] <= days // 10
+    assert r["n15"] <= days // 15
+    assert 0.0 < r["hurst"] < 1.5
