@@ -13006,3 +13006,81 @@ ORACLES.update({
     """,
     "q_hurst_exponent": _hurst_oracle(),
 })
+
+
+ORACLES.update({
+    "q_cointegration": f"""
+        WITH daily AS (
+          SELECT d,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                          THEN vcents END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN vcents END) AS BIGINT) AS y
+          FROM (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) AS d,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS vcents
+            FROM events
+            WHERE event_type IN ('click', 'purchase')) e
+          GROUP BY d
+          HAVING sum(CASE WHEN event_type = 'click' THEN vcents END)
+                   IS NOT NULL
+             AND sum(CASE WHEN event_type = 'purchase' THEN vcents END)
+                   IS NOT NULL),
+        sums AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy
+          FROM daily),
+        ab AS (
+          SELECT n,
+                 CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                   AS beta,
+                 sx, sy
+          FROM sums),
+        ab2 AS (
+          SELECT n, beta,
+                 (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS alpha
+          FROM ab),
+        resid AS (
+          SELECT daily.d, ab2.n, ab2.beta, ab2.alpha,
+                 CAST(floor((CAST(daily.y AS DOUBLE) - ab2.alpha
+                             - ab2.beta * CAST(daily.x AS DOUBLE))
+                            * 100.0 + 0.5) AS BIGINT) AS ep
+          FROM daily, ab2),
+        lagd AS (
+          SELECT *, lag(ep) OVER (ORDER BY d) AS ep_prev FROM resid),
+        adf AS (
+          SELECT max(n) AS n, max(beta) AS beta, max(alpha) AS alpha,
+                 CAST(count(*) AS BIGINT) AS m,
+                 sum(CAST(ep_prev AS HUGEINT) * (ep - ep_prev)) AS spd,
+                 sum(CAST(ep_prev AS HUGEINT) * ep_prev) AS spp,
+                 sum(CAST(ep - ep_prev AS HUGEINT) * (ep - ep_prev))
+                   AS sdd
+          FROM lagd WHERE ep_prev IS NOT NULL),
+        tt AS (
+          SELECT n, m, beta, alpha,
+                 CAST(spd AS DOUBLE) / CAST(spp AS DOUBLE) AS g,
+                 (CAST(sdd AS DOUBLE)
+                  - (CAST(spd AS DOUBLE) / CAST(spp AS DOUBLE))
+                    * CAST(spd AS DOUBLE)) AS ssr,
+                 spp
+          FROM adf)
+        SELECT n, m,
+               {pround_sql('beta', 6)} AS beta,
+               {pround_sql('alpha', 2)} AS alpha_cents,
+               {pround_sql('g', 6)} AS gamma,
+               {pround_sql(
+                   'g / sqrt((ssr / CAST(m - 1 AS DOUBLE)) '
+                   '/ CAST(spp AS DOUBLE))', 6)} AS adf_t,
+               (g / sqrt((ssr / CAST(m - 1 AS DOUBLE))
+                         / CAST(spp AS DOUBLE)) < -3.37)
+                 AS cointegrated_5pct
+        FROM tt
+    """,
+})

@@ -21963,5 +21963,161 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Engle-Granger 5% critical value (2 variables, small sample) — a
+#: textbook literal, like the Φ table and SPC constants.
+_EG_CRIT_5PCT = -3.37
+
+
+@q("q_cointegration")
+def q_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration test between the daily click and
+    purchase value series — the econometrics capstone over the
+    time-series family: step 1 regresses y on x with EXACT integer
+    power sums (β and α from cross-multiplied sums, single divisions);
+    step 2 pins each day's residual to the centi-cent grid
+    (floor(e·100+0.5) — the zipf pinning discipline applied to OLS
+    residuals, making every later sum an ORDER-FREE integer add) and
+    runs the ADF(0) regression Δe_t = γ·e_{t−1}: γ̂, its t-statistic,
+    and the cointegration verdict against the literal 5% Engle-Granger
+    critical value.  Products that exceed int64 at volume run in
+    DECIMAL(38,0)/HUGEINT.  All comparisons happen on identically
+    computed doubles; the day grain is calendar-bounded."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("vcents"))
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("vcents"))
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    sums = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((d19(F.col("x")) * d19(F.col("x"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum((d19(F.col("x")) * d19(F.col("y"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    beta = (
+        (
+            F.col("n").cast("decimal(19,0)") * F.col("sxy")
+            - (d19(F.col("sx")) * d19(F.col("sy"))).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .cast("double")
+        / (
+            F.col("n").cast("decimal(19,0)") * F.col("sxx")
+            - (d19(F.col("sx")) * d19(F.col("sx"))).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .cast("double")
+    )
+    withb = daily.crossJoin(
+        F.broadcast(
+            sums.select(
+                "n",
+                beta.alias("beta"),
+                (
+                    (
+                        F.col("sy").cast("double")
+                        - beta * F.col("sx").cast("double")
+                    )
+                    / F.col("n").cast("double")
+                ).alias("alpha"),
+            )
+        )
+    )
+    resid = withb.select(
+        "d",
+        "n",
+        "beta",
+        "alpha",
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - F.col("alpha")
+                - F.col("beta") * F.col("x").cast("double")
+            )
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ep"),  # residual pinned to the centi-cent grid
+    )
+    wd = Window.orderBy("d")  # bounded day grain
+    lagd = resid.withColumn("ep_prev", F.lag("ep").over(wd)).filter(
+        F.col("ep_prev").isNotNull()
+    )
+    adf = lagd.select(
+        "n",
+        "beta",
+        "alpha",
+        (F.col("ep") - F.col("ep_prev")).alias("de"),
+        "ep_prev",
+    ).agg(
+        F.first("n").alias("n"),
+        F.first("beta").alias("beta"),
+        F.first("alpha").alias("alpha"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(
+            (d19(F.col("ep_prev")) * d19(F.col("de"))).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("spd"),
+        F.sum(
+            (d19(F.col("ep_prev")) * d19(F.col("ep_prev"))).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("spp"),
+        F.sum((d19(F.col("de")) * d19(F.col("de"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sdd"),
+    )
+    # γ̂ = Σ(e_prev·Δe)/Σ(e_prev²); SSR = Σ(Δe²) − γ̂·Σ(e_prev·Δe)
+    # (the closed form avoids re-walking residual rows with a float γ̂);
+    # t = γ̂ / sqrt( (SSR/(m−1)) / Σ(e_prev²) )
+    g = F.col("spd").cast("double") / F.col("spp").cast("double")
+    ssr = F.col("sdd").cast("double") - g * F.col("spd").cast("double")
+    t_stat = g / F.sqrt(
+        (ssr / (F.col("m") - F.lit(1)).cast("double"))
+        / F.col("spp").cast("double")
+    )
+    return adf.select(
+        "n",
+        "m",
+        pround(F.col("beta"), 6).alias("beta"),
+        pround(F.col("alpha"), 2).alias("alpha_cents"),
+        pround(g, 6).alias("gamma"),
+        pround(t_stat, 6).alias("adf_t"),
+        (t_stat < F.lit(_EG_CRIT_5PCT)).alias("cointegrated_5pct"),
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

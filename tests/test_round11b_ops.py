@@ -1021,3 +1021,49 @@ def test_hurst_in_plausible_range(spark, sf_dir):
     assert r["n10"] <= days // 10
     assert r["n15"] <= days // 15
     assert 0.0 < r["hurst"] < 1.5
+
+
+def test_cointegration_regression_is_ols(spark, sf_dir):
+    """Beta/alpha must match a numpy least-squares fit of the same
+    daily series, and gamma must equal the ADF(0) slope on the pinned
+    residuals."""
+    import numpy as np
+
+    reg = registry()
+    [r] = reg["q_cointegration"](spark, sf_dir).collect()
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("vc"))
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("vc"))
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .orderBy("d")
+        .collect()
+    )
+    x = np.array([p["x"] for p in daily], dtype=float)
+    y = np.array([p["y"] for p in daily], dtype=float)
+    beta, alpha = np.polyfit(x, y, 1)
+    assert abs(r["beta"] - beta) < 1e-4 * max(1.0, abs(beta))
+    assert abs(r["alpha_cents"] - alpha) < max(1.0, abs(alpha) * 1e-4)
+    e = np.floor((y - alpha - beta * x) * 100 + 0.5)
+    de = np.diff(e)
+    ep = e[:-1]
+    gamma = float((ep * de).sum() / (ep * ep).sum())
+    assert abs(r["gamma"] - gamma) < 1e-3
+    assert r["n"] == len(daily) and r["m"] == len(daily) - 1
