@@ -13084,3 +13084,61 @@ ORACLES.update({
         FROM tt
     """,
 })
+
+
+def _kruskal_oracle() -> str:
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    k = len(pris)
+    csel = ", ".join(
+        f"CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{j}"
+        for j, p in enumerate(pris)
+    )
+    tsum = " + ".join(f"c{j}" for j in range(k))
+    nsel = ", ".join(
+        f"CAST(sum(c{j}) AS BIGINT) AS n{j}" for j in range(k)
+    )
+    r2sel = ", ".join(
+        f"sum(CAST(c{j} AS HUGEINT) * (2 * b + t + 1)) AS r2_{j}"
+        for j in range(k)
+    )
+    ncols = " + ".join(f"n{j}" for j in range(k))
+    terms = " + ".join(
+        f"(CAST(r2_{j} AS DOUBLE) * CAST(r2_{j} AS DOUBLE))"
+        f" / (4.0 * CAST(n{j} AS DOUBLE))"
+        for j in range(k)
+    )
+    nlist = ", ".join(f"n{j}" for j in range(k))
+    return f"""
+        WITH g AS (
+          SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+                 {csel}
+          FROM orders GROUP BY 1),
+        g2 AS (SELECT *, {tsum} AS t FROM g),
+        cum AS (
+          SELECT *,
+                 CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) - t AS b
+          FROM g2),
+        agg AS (
+          SELECT {nsel}, {r2sel},
+                 sum(CAST(t AS HUGEINT) * t * t - t) AS tie3
+          FROM cum),
+        hh AS (
+          SELECT {nlist}, tie3,
+                 CAST({ncols} AS DOUBLE) AS nd,
+                 ({terms}) AS srn
+          FROM agg)
+        SELECT {nlist},
+               {pround_sql(
+                   '((12.0 / (nd * (nd + 1.0)) * srn - 3.0 * (nd + 1.0))'
+                   ' / (1.0 - CAST(tie3 AS DOUBLE)'
+                   ' / (nd * nd * nd - nd)))', 6)} AS h,
+               (((12.0 / (nd * (nd + 1.0)) * srn - 3.0 * (nd + 1.0))
+                 / (1.0 - CAST(tie3 AS DOUBLE) / (nd * nd * nd - nd)))
+                > 9.4877) AS significant_5pct
+        FROM hh
+    """
+
+
+ORACLES.update({"q_kruskal_wallis": _kruskal_oracle()})

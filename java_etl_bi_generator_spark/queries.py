@@ -22119,5 +22119,99 @@ def q_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: χ²(df=4) 5% critical value — textbook literal (the Φ-table family).
+_CHI2_DF4_5PCT = 9.4877
+
+
+@q("q_kruskal_wallis")
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order priorities — the k-sample
+    rank test completing q_mannwhitney_u (2 samples) and q_anova_f (the
+    parametric k-sample F): same exact machinery, generalized — value
+    grain with per-priority counts against the PINNED domain, ONE
+    range-partitioned cumsum for the exclusive prefix, doubled tied
+    rank sums R_j×2 = Σ c_j·(2B+t+1) in DECIMAL(38,0), and the
+    tie-corrected H assembled as FIXED-ORDER 5-term chains (the
+    q_anova_f discipline) with the verdict against the literal
+    χ²(4) 5% critical value."""
+    from .operators.rank import global_cumsum
+
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    od = T(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    k = len(pris)
+    g = (
+        od.select(
+            v.alias("v"),
+            *[
+                F.when(F.col("o_orderpriority") == p, 1)
+                .otherwise(0)
+                .alias(f"g{j}")
+                for j, p in enumerate(pris)
+            ],
+        )
+        .groupBy("v")
+        .agg(
+            *[
+                F.sum(f"g{j}").cast("bigint").alias(f"c{j}")
+                for j in range(k)
+            ]
+        )
+        .withColumn(
+            "t",
+            sum(F.col(f"c{j}") for j in range(k)),
+        )
+    )
+    cum = global_cumsum(g, [F.col("v")], "t", cum_col="cum")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b = F.col("cum") - F.col("t")
+    rank2 = 2 * b + F.col("t") + 1  # doubled tied average rank
+    agg = cum.agg(
+        *[
+            F.sum(F.col(f"c{j}")).cast("bigint").alias(f"n{j}")
+            for j in range(k)
+        ],
+        *[
+            F.sum(d38(F.col(f"c{j}")) * d38(rank2))
+            .cast("decimal(38,0)")
+            .alias(f"r2_{j}")
+            for j in range(k)
+        ],
+        F.sum(
+            d38(F.col("t")) * d38(F.col("t")) * d38(F.col("t"))
+            - d38(F.col("t"))
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    from functools import reduce
+
+    nd = reduce(
+        lambda a, bb: a + bb, [F.col(f"n{j}") for j in range(k)]
+    ).cast("double")
+    # Σ R_j²/n_j with R_j = r2_j/2: fixed-order 5-term chain
+    terms = [
+        (F.col(f"r2_{j}").cast("double") * F.col(f"r2_{j}").cast("double"))
+        / (F.lit(4.0) * F.col(f"n{j}").cast("double"))
+        for j in range(k)
+    ]
+    srn = reduce(lambda a, bb: a + bb, terms)
+    h_raw = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * srn
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (
+        nd * nd * nd - nd
+    )
+    h = h_raw / corr
+    return agg.select(
+        *[F.col(f"n{j}") for j in range(k)],
+        pround(h, 6).alias("h"),
+        (h > F.lit(_CHI2_DF4_5PCT)).alias("significant_5pct"),
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

@@ -1067,3 +1067,52 @@ def test_cointegration_regression_is_ols(spark, sf_dir):
     gamma = float((ep * de).sum() / (ep * ep).sum())
     assert abs(r["gamma"] - gamma) < 1e-3
     assert r["n"] == len(daily) and r["m"] == len(daily) - 1
+
+
+def test_kruskal_wallis_matches_scipy_free_reference(spark, sf_dir):
+    """H must match a direct Python computation with tie-corrected
+    average ranks over the same cent-grain values."""
+    reg = registry()
+    [r] = reg["q_kruskal_wallis"](spark, sf_dir).collect()
+    pris = [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ]
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .collect()
+    )
+    vals = sorted(x["v"] for x in rows)
+    # tie-corrected average rank per value
+    import itertools
+
+    avg_rank = {}
+    pos = 1
+    for val, grp in itertools.groupby(vals):
+        n = len(list(grp))
+        avg_rank[val] = pos + (n - 1) / 2
+        pos += n
+    N = len(vals)
+    groups = {p: [] for p in pris}
+    for x in rows:
+        groups[x["o_orderpriority"]].append(avg_rank[x["v"]])
+    srn = sum(
+        (sum(g) ** 2) / len(g) for g in groups.values() if g
+    )
+    h_raw = 12.0 / (N * (N + 1)) * srn - 3 * (N + 1)
+    from collections import Counter
+
+    tie3 = sum(t**3 - t for t in Counter(vals).values())
+    h = h_raw / (1 - tie3 / (N**3 - N))
+    assert abs(r["h"] - h) < 1e-4, (r["h"], h)
+    for j, p in enumerate(pris):
+        assert r[f"n{j}"] == len(groups[p])
