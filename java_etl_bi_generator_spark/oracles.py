@@ -13142,3 +13142,61 @@ def _kruskal_oracle() -> str:
 
 
 ORACLES.update({"q_kruskal_wallis": _kruskal_oracle()})
+
+
+ORACLES.update({
+    "q_burrows_delta": f"""
+        WITH tok AS (
+          SELECT source, unnest({_TOKENS}) AS w FROM documents),
+        top_words AS (
+          SELECT w FROM (
+            SELECT w, count(*) AS cnt FROM tok GROUP BY w
+            ORDER BY cnt DESC, w LIMIT 20)),
+        top_sources AS (
+          SELECT source FROM (
+            SELECT source, count(*) AS nd FROM documents GROUP BY source
+            ORDER BY nd DESC, source LIMIT 10)),
+        stok AS (SELECT t.* FROM tok t JOIN top_sources USING (source)),
+        n_s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+                FROM stok GROUP BY source),
+        swc AS (
+          SELECT s.source, s.w, CAST(count(*) AS BIGINT) AS c
+          FROM stok s JOIN top_words USING (w)
+          GROUP BY s.source, s.w),
+        grid AS (
+          SELECT ts.source, tw.w,
+                 (coalesce(swc.c, 0) * 1000000000) // n_s.n_tok AS f_e9
+          FROM top_sources ts
+          CROSS JOIN top_words tw
+          LEFT JOIN swc ON swc.source = ts.source AND swc.w = tw.w
+          JOIN n_s ON n_s.source = ts.source),
+        stats AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(f_e9) AS BIGINT) AS sf,
+                 sum(CAST(f_e9 AS HUGEINT) * f_e9) AS sff
+          FROM grid GROUP BY w),
+        zed AS (
+          SELECT g.source, g.w,
+                 CASE WHEN st.k * st.sff
+                        - CAST(st.sf AS HUGEINT) * st.sf > 0
+                 THEN CAST(floor(
+                   CAST(st.k * g.f_e9 - st.sf AS DOUBLE)
+                   / sqrt(CAST(st.k * st.sff
+                          - CAST(st.sf AS HUGEINT) * st.sf AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS z_e6
+          FROM grid g JOIN stats st ON st.w = g.w),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(abs(a.z_e6 - b.z_e6)) AS BIGINT) AS sdz
+          FROM zed a JOIN zed b
+            ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, n_words,
+               {pround_sql(
+                   'CAST(sdz AS DOUBLE) '
+                   '/ (CAST(n_words AS DOUBLE) * 1e6)', 6)} AS delta
+        FROM pairs ORDER BY delta, src_a, src_b LIMIT 10
+    """,
+})

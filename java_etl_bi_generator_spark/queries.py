@@ -22213,5 +22213,128 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_burrows_delta")
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry [Burrows 2002] — authorship/source
+    similarity from function-word usage, the classic attribution tool
+    the text family lacked: relative frequencies of the corpus's top-20
+    words across the top-10 sources (BOTH sets COUNT-bounded — the
+    _hub_probes discipline, so the pair matrix is O(45) at any corpus
+    size), z-scored per word, Delta(a,b) = mean |z_a − z_b|.
+    Exactness: frequencies land on the 1e9 grid via truncating integer
+    division; the per-word z uses the cross-multiplied form
+    (k·f − Σf)/√(k·Σf² − (Σf)²) over exact integers (σ=0 words pin to
+    z=0), re-pinned ×1e6; pair deltas are then order-free integer sums
+    with one final division.  Ten closest pairs."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = docs.select("source", F.explode(tokens("text")).alias("w"))
+    top_words = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(20)
+        .select("w")
+    )
+    top_sources = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .orderBy(F.desc("nd"), F.asc("source"))
+        .limit(10)
+        .select("source")
+    )
+    stok = tok.join(F.broadcast(top_sources), "source")
+    n_s = stok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    swc = (
+        stok.join(F.broadcast(top_words), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        top_sources.crossJoin(top_words)
+        .join(swc, ["source", "w"], "left")
+        .join(n_s, "source")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "coalesce(c, 0) * 1000000000 div n_tok"
+            ).alias("f_e9"),
+        )
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    stats = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("f_e9").cast("bigint").alias("sf"),
+        F.sum((d19(F.col("f_e9")) * d19(F.col("f_e9"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sff"),
+    )
+    zed = grid.join(F.broadcast(stats), "w").select(
+        "source",
+        "w",
+        F.when(
+            (
+                F.col("k").cast("decimal(19,0)") * F.col("sff")
+                - (d19(F.col("sf")) * d19(F.col("sf"))).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("decimal(38,0)")
+            > 0,
+            F.floor(
+                (F.col("k") * F.col("f_e9") - F.col("sf")).cast("double")
+                / F.sqrt(
+                    (
+                        F.col("k").cast("decimal(19,0)") * F.col("sff")
+                        - (d19(F.col("sf")) * d19(F.col("sf"))).cast(
+                            "decimal(38,0)"
+                        )
+                    )
+                    .cast("decimal(38,0)")
+                    .cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("z_e6"),
+    )
+    a = zed.alias("a")
+    b = zed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.abs(F.col("a.z_e6") - F.col("b.z_e6")).alias("dz"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("dz").cast("bigint").alias("sdz"),
+        )
+    )
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            "n_words",
+            pround(
+                F.col("sdz").cast("double")
+                / (F.col("n_words").cast("double") * F.lit(1e6)),
+                6,
+            ).alias("delta"),
+        )
+        .orderBy("delta", "src_a", "src_b")
+        .limit(10)
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

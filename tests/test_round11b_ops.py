@@ -1116,3 +1116,18 @@ def test_kruskal_wallis_matches_scipy_free_reference(spark, sf_dir):
     assert abs(r["h"] - h) < 1e-4, (r["h"], h)
     for j, p in enumerate(pris):
         assert r[f"n{j}"] == len(groups[p])
+
+
+def test_burrows_delta_properties(spark, sf_dir):
+    """Deltas are non-negative and symmetric by construction; every
+    pair covers the full 20-word panel; the source sets are the
+    count-bounded tops."""
+    reg = registry()
+    rows = reg["q_burrows_delta"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["n_words"] == 20
+        assert r["delta"] >= 0.0
+    deltas = [r["delta"] for r in rows]
+    assert deltas == sorted(deltas)
