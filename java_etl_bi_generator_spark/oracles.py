@@ -13200,3 +13200,65 @@ ORACLES.update({
         FROM pairs ORDER BY delta, src_a, src_b LIMIT 10
     """,
 })
+
+
+def _levene_oracle() -> str:
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    k = len(pris)
+    aggs = ", ".join(
+        f"CAST(sum(CASE WHEN g = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{j}, "
+        f"CAST(sum(CASE WHEN g = '{p}' THEN z ELSE 0 END) AS BIGINT)"
+        f" AS s_{j}, "
+        f"sum(CASE WHEN g = '{p}' THEN CAST(z AS HUGEINT) * z"
+        f" ELSE 0 END) AS q_{j}"
+        for j, p in enumerate(pris)
+    )
+    n_tot = " + ".join(f"n_{j}" for j in range(k))
+    s_tot = " + ".join(f"s_{j}" for j in range(k))
+    t_groups = " + ".join(
+        f"(CAST(CAST(s_{j} AS HUGEINT) * s_{j} AS DOUBLE)"
+        f" / CAST(n_{j} AS DOUBLE))"
+        for j in range(k)
+    )
+    q_tot = " + ".join(f"CAST(q_{j} AS DOUBLE)" for j in range(k))
+    nlist = ", ".join(f"n_{j}" for j in range(k))
+    return f"""
+        WITH od AS (
+          SELECT o_orderpriority AS g,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+          FROM orders),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY g ORDER BY y, g) AS r,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM od),
+        m2 AS (
+          SELECT g, CAST(sum(y) * 2 / count(*) AS BIGINT) AS m2
+          FROM ranked
+          WHERE r * 2 = n OR r * 2 = n + 1 OR r * 2 = n + 2
+          GROUP BY g),
+        zt AS (
+          SELECT od.g, abs(od.y * 2 - m2.m2) AS z
+          FROM od JOIN m2 ON m2.g = od.g),
+        one AS (SELECT {aggs} FROM zt),
+        w AS (
+          SELECT {nlist},
+                 ({n_tot}) AS ntot,
+                 (({t_groups})
+                  - CAST(CAST(({s_tot}) AS HUGEINT) * ({s_tot})
+                         AS DOUBLE) / CAST(({n_tot}) AS DOUBLE))
+                   AS between_,
+                 (({q_tot}) - ({t_groups})) AS within_
+          FROM one)
+        SELECT {nlist},
+               {pround_sql(
+                   'CAST(ntot - 5 AS DOUBLE) / 4.0 '
+                   '* between_ / within_', 6)} AS w_stat,
+               (CAST(ntot - 5 AS DOUBLE) / 4.0 * between_ / within_
+                > 2.372) AS heteroscedastic_5pct
+        FROM w
+    """
+
+
+ORACLES.update({"q_levene_bf": _levene_oracle()})

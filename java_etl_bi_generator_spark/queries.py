@@ -22336,5 +22336,110 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: F(4, ∞) 5% critical value — textbook literal (the Φ-table family);
+#: the fixture's within-group dfs are large enough that the asymptotic
+#: value is the operative threshold.
+_F4_INF_5PCT = 2.372
+
+
+@q("q_levene_bf")
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) variance-homogeneity
+    test across the five order priorities — the GATE one runs before
+    trusting q_anova_f's equal-variance assumption.  Exactness: each
+    group's exact doubled median comes from the distributed grouped
+    rank (the q_exact_median_rank machinery per group — never a
+    single-partition sort), the transformed values |2y − m2| are exact
+    integers at the ×2 scale, and the one-way F on them builds from
+    bigint/DECIMAL(38,0) power sums in fixed-order 5-term chains (the
+    q_anova_f discipline), with the verdict against the literal
+    F(4,∞) 5% critical value."""
+    from functools import reduce
+
+    from .operators.rank import grouped_rank
+
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    od = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    ranked = grouped_rank(
+        od,
+        ["g"],
+        [F.col("y"), F.col("g")],
+        rank_col="r",
+        total_col="n",
+    )
+    m2 = (
+        ranked.filter(
+            (F.col("r") * 2 == F.col("n"))
+            | (F.col("r") * 2 == F.col("n") + 1)
+            | (F.col("r") * 2 == F.col("n") + 2)
+        )
+        .groupBy("g")
+        .agg(
+            (F.sum("y") * 2 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("m2")
+        )
+    )
+    z = od.join(F.broadcast(m2), "g").select(
+        "g", F.abs(F.col("y") * 2 - F.col("m2")).alias("z")
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    aggs = []
+    for j, p in enumerate(pris):
+        hit = F.col("g") == p
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{j}"),
+            F.sum(F.when(hit, F.col("z")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s_{j}"),
+            F.sum(
+                F.when(
+                    hit, (d19(F.col("z")) * d19(F.col("z"))).cast(
+                        "decimal(38,0)"
+                    )
+                ).otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias(f"q_{j}"),
+        ]
+    one = z.agg(*aggs)
+    k = len(pris)
+    ns = [F.col(f"n_{j}") for j in range(k)]
+    ss = [F.col(f"s_{j}") for j in range(k)]
+    qs_ = [F.col(f"q_{j}") for j in range(k)]
+    n_tot = reduce(lambda a, bb: a + bb, ns)
+    s_tot = reduce(lambda a, bb: a + bb, ss)
+    terms = [
+        (d19(s_) * d19(s_)).cast("decimal(38,0)").cast("double")
+        / n_.cast("double")
+        for s_, n_ in zip(ss, ns)
+    ]
+    t_groups = reduce(lambda a, bb: a + bb, terms)
+    q_tot = reduce(lambda a, bb: a + bb, qs_)
+    grand = (d19(s_tot) * d19(s_tot)).cast("decimal(38,0)").cast(
+        "double"
+    ) / n_tot.cast("double")
+    between = t_groups - grand
+    within = q_tot.cast("double") - t_groups
+    w_stat = (
+        (n_tot - F.lit(k)).cast("double")
+        / F.lit(float(k - 1))
+        * between
+        / within
+    )
+    return one.select(
+        *[F.col(f"n_{j}") for j in range(k)],
+        pround(w_stat, 6).alias("w_stat"),
+        (w_stat > F.lit(_F4_INF_5PCT)).alias("heteroscedastic_5pct"),
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

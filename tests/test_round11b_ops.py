@@ -1131,3 +1131,49 @@ def test_burrows_delta_properties(spark, sf_dir):
         assert r["delta"] >= 0.0
     deltas = [r["delta"] for r in rows]
     assert deltas == sorted(deltas)
+
+
+def test_levene_bf_matches_direct_computation(spark, sf_dir):
+    """W must equal the Brown-Forsythe statistic recomputed in Python
+    with exact group medians over the same cent-grain values."""
+    import statistics
+
+    reg = registry()
+    [r] = reg["q_levene_bf"](spark, sf_dir).collect()
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for x in rows:
+        groups.setdefault(x["g"], []).append(x["y"])
+    pris = sorted(groups)
+    z = {}
+    for g, ys in groups.items():
+        ys.sort()
+        n = len(ys)
+        m2 = (
+            ys[n // 2 - 1] + ys[n // 2] if n % 2 == 0 else 2 * ys[n // 2]
+        )
+        z[g] = [abs(2 * y - m2) for y in ys]
+    N = sum(len(v) for v in z.values())
+    k = len(z)
+    zbar = sum(sum(v) for v in z.values()) / N
+    between = sum(
+        len(v) * (statistics.fmean(v) - zbar) ** 2 for v in z.values()
+    )
+    within = sum(
+        sum((x - statistics.fmean(v)) ** 2 for x in v)
+        for v in z.values()
+    )
+    w = (N - k) / (k - 1) * between / within
+    assert abs(r["w_stat"] - w) < max(1e-4, abs(w) * 1e-6), (
+        r["w_stat"],
+        w,
+    )
