@@ -13262,3 +13262,82 @@ def _levene_oracle() -> str:
 
 
 ORACLES.update({"q_levene_bf": _levene_oracle()})
+
+
+def _dunn_oracle() -> str:
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    k = len(pris)
+    m = k * (k - 1) // 2
+    csel = ", ".join(
+        f"CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{j}"
+        for j, p in enumerate(pris)
+    )
+    tsum = " + ".join(f"c{j}" for j in range(k))
+    nsel = ", ".join(
+        f"CAST(sum(c{j}) AS BIGINT) AS n{j}" for j in range(k)
+    )
+    r2sel = ", ".join(
+        f"sum(CAST(c{j} AS HUGEINT) * (2 * b + t + 1)) AS r2_{j}"
+        for j in range(k)
+    )
+    ncols = " + ".join(f"n{j}" for j in range(k))
+    base = (
+        f"(CAST({ncols} AS DOUBLE) * (CAST({ncols} AS DOUBLE) + 1.0)"
+        f" / 12.0 - CAST(tie3 AS DOUBLE)"
+        f" / (12.0 * (CAST({ncols} AS DOUBLE) - 1.0)))"
+    )
+    pair_sel = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            z = (
+                f"(CAST(r2_{i} AS DOUBLE) / (2.0 * CAST(n{i} AS DOUBLE))"
+                f" - CAST(r2_{j} AS DOUBLE) / (2.0 * CAST(n{j} AS DOUBLE)))"
+                f" / sqrt({base} * (1.0 / CAST(n{i} AS DOUBLE)"
+                f" + 1.0 / CAST(n{j} AS DOUBLE)))"
+            )
+            pair_sel.append(
+                f"SELECT '{pris[i]}' AS grp_a, '{pris[j]}' AS grp_b, "
+                f"{z} AS z FROM agg"
+            )
+    pairs_union = " UNION ALL ".join(pair_sel)
+    return f"""
+        WITH g AS (
+          SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+                 {csel}
+          FROM orders GROUP BY 1),
+        g2 AS (SELECT *, {tsum} AS t FROM g),
+        cum AS (
+          SELECT *,
+                 CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) - t AS b
+          FROM g2),
+        agg AS MATERIALIZED (
+          SELECT {nsel}, {r2sel},
+                 sum(CAST(t AS HUGEINT) * t * t - t) AS tie3
+          FROM cum),
+        pairs AS ({pairs_union}),
+        scored AS (
+          SELECT p.grp_a, p.grp_b, p.z, pt.p_e9
+          FROM (SELECT pairs.*,
+                       CAST(least(599, floor(abs(z) * 100.0 + 0.5))
+                            AS INT) AS zq
+                FROM pairs) p
+          JOIN {p_table_values_sql()} ON pt.zq = p.zq),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   ORDER BY p_e9, grp_a, grp_b) AS BIGINT) AS k
+          FROM scored),
+        ks AS (
+          SELECT CAST(coalesce(max(CASE
+                   WHEN CAST(p_e9 AS BIGINT) * {m} * 20
+                        <= k * 1000000000 THEN k
+                   ELSE 0 END), 0) AS BIGINT) AS kstar
+          FROM ranked)
+        SELECT grp_a, grp_b, {pround_sql('z', 6)} AS z6, p_e9, k,
+               (k <= kstar) AS rejected_5pct
+        FROM ranked CROSS JOIN ks ORDER BY k
+    """
+
+
+ORACLES.update({"q_dunn_posthoc": _dunn_oracle()})

@@ -22441,5 +22441,140 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_dunn_posthoc")
+def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after Kruskal-Wallis, with
+    Benjamini-Hochberg correction at q=0.05 — the follow-up that says
+    WHICH priorities differ once q_kruskal_wallis says SOME do.  Same
+    exact machinery: doubled tied rank sums per group from one
+    range-partitioned cumsum, pairwise z from mean-rank differences
+    with the tie-corrected variance as ONE fixed expression, p-values
+    from the literal Φ table, and the BH step-up in cross-multiplied
+    integers over the bounded 10-pair grain."""
+    from .functions.normal import p_table_rows
+    from .operators.rank import global_cumsum
+
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    od = T(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    k = len(pris)
+    g = (
+        od.select(
+            v.alias("v"),
+            *[
+                F.when(F.col("o_orderpriority") == p, 1)
+                .otherwise(0)
+                .alias(f"g{j}")
+                for j, p in enumerate(pris)
+            ],
+        )
+        .groupBy("v")
+        .agg(
+            *[
+                F.sum(f"g{j}").cast("bigint").alias(f"c{j}")
+                for j in range(k)
+            ]
+        )
+        .withColumn("t", sum(F.col(f"c{j}") for j in range(k)))
+    )
+    cum = global_cumsum(g, [F.col("v")], "t", cum_col="cum")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b = F.col("cum") - F.col("t")
+    rank2 = 2 * b + F.col("t") + 1
+    agg = cum.agg(
+        *[
+            F.sum(F.col(f"c{j}")).cast("bigint").alias(f"n{j}")
+            for j in range(k)
+        ],
+        *[
+            F.sum(d38(F.col(f"c{j}")) * d38(rank2))
+            .cast("decimal(38,0)")
+            .alias(f"r2_{j}")
+            for j in range(k)
+        ],
+        F.sum(
+            d38(F.col("t")) * d38(F.col("t")) * d38(F.col("t"))
+            - d38(F.col("t"))
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    # the 10 pair branches all read this 1-row frame — cut the lineage
+    # so the fact-scan aggregation isn't re-expanded per pair
+    agg = cut_lineage(agg)
+    from functools import reduce
+
+    nd = reduce(
+        lambda a_, b_: a_ + b_, [F.col(f"n{j}") for j in range(k)]
+    ).cast("double")
+    base_var = nd * (nd + F.lit(1.0)) / F.lit(12.0) - F.col(
+        "tie3"
+    ).cast("double") / (F.lit(12.0) * (nd - F.lit(1.0)))
+    pair_rows = []
+    for i_ in range(k):
+        for j_ in range(i_ + 1, k):
+            mean_i = F.col(f"r2_{i_}").cast("double") / (
+                F.lit(2.0) * F.col(f"n{i_}").cast("double")
+            )
+            mean_j = F.col(f"r2_{j_}").cast("double") / (
+                F.lit(2.0) * F.col(f"n{j_}").cast("double")
+            )
+            zz = (mean_i - mean_j) / F.sqrt(
+                base_var
+                * (
+                    F.lit(1.0) / F.col(f"n{i_}").cast("double")
+                    + F.lit(1.0) / F.col(f"n{j_}").cast("double")
+                )
+            )
+            pair_rows.append(
+                agg.select(
+                    F.lit(pris[i_]).alias("grp_a"),
+                    F.lit(pris[j_]).alias("grp_b"),
+                    zz.alias("z"),
+                )
+            )
+    pairs = pair_rows[0]
+    for p_ in pair_rows[1:]:
+        pairs = pairs.unionByName(p_)
+    ptab = F.broadcast(
+        spark.createDataFrame(p_table_rows(), "zq int, p_e9 long")
+    )
+    scored = pairs.withColumn(
+        "zq",
+        F.least(
+            F.lit(599),
+            F.floor(F.abs(F.col("z")) * F.lit(100.0) + F.lit(0.5)),
+        ).cast("int"),
+    ).join(ptab, "zq")
+    m = k * (k - 1) // 2
+    wk = Window.orderBy("p_e9", "grp_a", "grp_b")  # bounded: 10 pairs
+    ranked = scored.withColumn(
+        "k", F.row_number().over(wk).cast("bigint")
+    ).withColumn(
+        "bh_ok",
+        F.col("p_e9") * F.lit(m) * F.lit(20)
+        <= F.col("k") * F.lit(10**9),
+    )
+    kstar = ranked.agg(
+        F.max(F.when(F.col("bh_ok"), F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "grp_a",
+            "grp_b",
+            pround(F.col("z"), 6).alias("z6"),
+            "p_e9",
+            "k",
+            (F.col("k") <= F.col("kstar")).alias("rejected_5pct"),
+        )
+        .orderBy("k")
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

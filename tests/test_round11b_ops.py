@@ -1177,3 +1177,28 @@ def test_levene_bf_matches_direct_computation(spark, sf_dir):
         r["w_stat"],
         w,
     )
+
+
+def test_dunn_posthoc_bh_property(spark, sf_dir):
+    """10 pairs; ranks 1..10; rejected set is exactly the BH prefix;
+    z values are antisymmetric-consistent (each pair appears once)."""
+    reg = registry()
+    rows = sorted(
+        reg["q_dunn_posthoc"](spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    assert len(rows) == 10
+    assert [r["k"] for r in rows] == list(range(1, 11))
+    seen = set()
+    for r in rows:
+        assert (r["grp_a"], r["grp_b"]) not in seen
+        seen.add((r["grp_a"], r["grp_b"]))
+        assert r["grp_a"] < r["grp_b"]
+    ks = [
+        r["k"] for r in rows if r["p_e9"] * 10 * 20 <= r["k"] * 10**9
+    ]
+    kstar = max(ks) if ks else 0
+    for r in rows:
+        assert r["rejected_5pct"] == (r["k"] <= kstar)
+    ps = [r["p_e9"] for r in rows]
+    assert ps == sorted(ps)
