@@ -13341,3 +13341,57 @@ def _dunn_oracle() -> str:
 
 
 ORACLES.update({"q_dunn_posthoc": _dunn_oracle()})
+
+
+ORACLES.update({
+    "q_effect_sizes": f"""
+        WITH od AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        g AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN pri = '1-URGENT' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN pri = '5-LOW' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c2
+          FROM od GROUP BY v),
+        cum AS (
+          SELECT *,
+                 CAST(sum(c2) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+          FROM g),
+        agg AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2,
+                 sum(CAST(c1 AS HUGEINT) * v) AS s1,
+                 sum(CAST(c2 AS HUGEINT) * v) AS s2,
+                 sum(CAST(c1 AS HUGEINT) * v * v) AS q1,
+                 sum(CAST(c2 AS HUGEINT) * v * v) AS q2,
+                 sum(CAST(c1 AS HUGEINT) * (cum2 - c2)) AS gt,
+                 sum(CAST(c1 AS HUGEINT) * c2) AS ties
+          FROM cum),
+        m AS (
+          SELECT agg.*,
+                 CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                 CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                 (CAST(n1 AS HUGEINT) * n2 - gt - ties) AS lt
+          FROM agg)
+        SELECT n1, n2,
+               CAST(gt AS BIGINT) AS n_gt,
+               CAST(lt AS BIGINT) AS n_lt,
+               CAST(ties AS BIGINT) AS n_tie,
+               {pround_sql(
+                   '(m1 - m2) / sqrt(((CAST(q1 AS DOUBLE) '
+                   '- m1 * CAST(s1 AS DOUBLE)) '
+                   '+ (CAST(q2 AS DOUBLE) - m2 * CAST(s2 AS DOUBLE))) '
+                   '/ (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))',
+                   6)} AS cohens_d,
+               {pround_sql(
+                   'CAST(gt - lt AS DOUBLE) '
+                   '/ (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))', 6)}
+                 AS cliffs_delta
+        FROM m
+    """,
+})

@@ -22576,5 +22576,94 @@ def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_effect_sizes")
+def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect sizes for the URGENT-vs-LOW comparison — the magnitude
+    companion the test family (q_ttest_welch / q_mannwhitney_u) needs:
+    significance says a difference exists, Cohen's d and Cliff's delta
+    say how big it is.  Exactness: d from bigint/DECIMAL(38,0) power
+    sums in one fixed tree (pooled SD via IEEE-exact sqrt); Cliff's
+    delta from EXACT pair counts — at the value grain, #(x>y) =
+    Σ c₁(v)·cum₂(<v) and #(x<y) = Σ c₁(v)·(n₂ − cum₂(≤v)), both
+    DECIMAL(38,0) sums over one range-partitioned cumsum — with one
+    pinned division (never an all-pairs join)."""
+    from .operators.rank import global_cumsum
+
+    pri = F.col("o_orderpriority")
+    od = T(spark, sf_dir, "orders").filter(
+        pri.isin("1-URGENT", "5-LOW")
+    )
+    v = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    g = (
+        od.select(
+            v.alias("v"),
+            F.when(pri == "1-URGENT", 1).otherwise(0).alias("g1"),
+            F.when(pri == "5-LOW", 1).otherwise(0).alias("g2"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("g1").cast("bigint").alias("c1"),
+            F.sum("g2").cast("bigint").alias("c2"),
+        )
+    )
+    cum = global_cumsum(g, [F.col("v")], "c2", cum_col="cum2")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(d19(F.col("c1")) * d19(F.col("v")))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(d19(F.col("c2")) * d19(F.col("v")))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(
+            d38(F.col("c1"))
+            * (d19(F.col("v")) * d19(F.col("v"))).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.sum(
+            d38(F.col("c2"))
+            * (d19(F.col("v")) * d19(F.col("v"))).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("q2"),
+        F.sum(d38(F.col("c1")) * d38(F.col("cum2") - F.col("c2")))
+        .cast("decimal(38,0)")
+        .alias("gt"),  # pairs where the URGENT value is larger
+        F.sum(d38(F.col("c1")) * d38(F.col("c2")))
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1d
+    m2 = F.col("s2").cast("double") / n2d
+    ss1 = F.col("q1").cast("double") - m1 * F.col("s1").cast("double")
+    ss2 = F.col("q2").cast("double") - m2 * F.col("s2").cast("double")
+    sp = F.sqrt((ss1 + ss2) / (n1d + n2d - F.lit(2.0)))
+    lt = (
+        (d19(F.col("n1")) * d19(F.col("n2"))).cast("decimal(38,0)")
+        - F.col("gt")
+        - F.col("ties")
+    ).cast("decimal(38,0)")
+    delta = (F.col("gt") - lt).cast("double") / (
+        n1d * n2d
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("gt").cast("bigint").alias("n_gt"),
+        lt.cast("bigint").alias("n_lt"),
+        F.col("ties").cast("bigint").alias("n_tie"),
+        pround((m1 - m2) / sp, 6).alias("cohens_d"),
+        pround(delta, 6).alias("cliffs_delta"),
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

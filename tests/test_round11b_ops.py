@@ -1202,3 +1202,38 @@ def test_dunn_posthoc_bh_property(spark, sf_dir):
         assert r["rejected_5pct"] == (r["k"] <= kstar)
     ps = [r["p_e9"] for r in rows]
     assert ps == sorted(ps)
+
+
+def test_effect_sizes_match_bruteforce(spark, sf_dir):
+    """Pair counts and both effect sizes must match a direct Python
+    recomputation (all-pairs for Cliff's delta at sf0.001 scale)."""
+    import math
+    import statistics
+
+    reg = registry()
+    [r] = reg["q_effect_sizes"](spark, sf_dir).collect()
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .collect()
+    )
+    a = [x["v"] for x in rows if x["o_orderpriority"] == "1-URGENT"]
+    b = [x["v"] for x in rows if x["o_orderpriority"] == "5-LOW"]
+    assert (r["n1"], r["n2"]) == (len(a), len(b))
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    tie = len(a) * len(b) - gt - lt
+    assert (r["n_gt"], r["n_lt"], r["n_tie"]) == (gt, lt, tie)
+    delta = (gt - lt) / (len(a) * len(b))
+    assert abs(r["cliffs_delta"] - delta) < 1e-6
+    m1, m2 = statistics.fmean(a), statistics.fmean(b)
+    ss1 = sum((x - m1) ** 2 for x in a)
+    ss2 = sum((x - m2) ** 2 for x in b)
+    d = (m1 - m2) / math.sqrt((ss1 + ss2) / (len(a) + len(b) - 2))
+    assert abs(r["cohens_d"] - d) < 1e-4
