@@ -13395,3 +13395,73 @@ ORACLES.update({
         FROM m
     """,
 })
+
+
+ORACLES.update({
+    "q_anderson_darling": f"""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s,
+                 sum(CAST(y AS HUGEINT) * y) AS q
+          FROM daily),
+        zed AS (
+          SELECT daily.d, daily.y, tot.n,
+                 (CAST(daily.y AS DOUBLE)
+                  - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 / sqrt((CAST(tot.q AS DOUBLE)
+                         - (CAST(tot.s AS DOUBLE)
+                            / CAST(tot.n AS DOUBLE))
+                           * CAST(tot.s AS DOUBLE))
+                        / (CAST(tot.n AS DOUBLE) - 1.0)) AS z
+          FROM daily, tot),
+        ranked AS (
+          SELECT zed.*,
+                 CAST(row_number() OVER (ORDER BY y, d) AS BIGINT) AS i,
+                 CAST(least(599, floor(abs(z) * 100.0 + 0.5)) AS INT)
+                   AS zq
+          FROM zed),
+        withp AS (
+          SELECT r.*,
+                 CASE WHEN r.z >= 0
+                      THEN 1000000000 - (pt.p_e9 // 2)
+                      ELSE pt.p_e9 // 2 END AS phi_e9
+          FROM ranked r
+          JOIN {p_table_values_sql()} ON pt.zq = r.zq),
+        lns AS (
+          SELECT i, n,
+                 CAST(floor(ln(CAST(phi_e9 AS DOUBLE) / 1e9)
+                            * 1000000.0 + 0.5) AS BIGINT) AS lnp_e6,
+                 CAST(floor(ln(CAST(1000000000 - phi_e9 AS DOUBLE)
+                               / 1e9) * 1000000.0 + 0.5) AS BIGINT)
+                   AS lnq_e6
+          FROM withp),
+        paired AS (
+          SELECT a.i, a.n, a.lnp_e6, b.lnq_e6 AS lnq_rev_e6
+          FROM lns a JOIN lns b ON a.i + b.i = a.n + 1),
+        agg AS (
+          SELECT max(n) AS n,
+                 CAST(sum((2 * i - 1) * (lnp_e6 + lnq_rev_e6))
+                      AS BIGINT) AS wsum_e6
+          FROM paired),
+        fin AS (
+          SELECT n, wsum_e6,
+                 (-CAST(n AS DOUBLE)
+                  - CAST(wsum_e6 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * 1000000.0)) AS a2v,
+                 (1.0 + 0.75 / CAST(n AS DOUBLE)
+                  + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   AS adj
+          FROM agg)
+        SELECT n, wsum_e6,
+               {pround_sql('a2v', 6)} AS a2,
+               {pround_sql('a2v * adj', 6)} AS a2_star,
+               (a2v * adj > 0.752) AS non_normal_5pct
+        FROM fin
+    """,
+})

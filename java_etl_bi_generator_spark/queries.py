@@ -22665,5 +22665,128 @@ def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Anderson-Darling adjusted-statistic 5% critical value for normality
+#: (Stephens 1974) — textbook literal.
+_AD_CRIT_5PCT = 0.752
+
+
+@q("q_anderson_darling")
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality test on the daily value series — the
+    distribution-fit gate in front of every normal-theory query
+    (t/z/ANOVA/control charts), completing the nonparametric family
+    with a goodness-of-fit member.  Φ comes from the literal p-table
+    (Φ(z) = 1 − p/2 for z ≥ 0, p/2 otherwise — integer arithmetic on
+    table values); each ln Φ / ln(1−Φ) is pinned to the ×1e6 grid so
+    the (2i−1)-weighted A² sum is an ORDER-FREE integer add over the
+    calendar-bounded day grain (the rank pairing i ↔ n+1−i is one
+    bounded self-join); the small-sample adjustment and the verdict
+    against the literal 0.752 critical value are fixed-tree doubles."""
+    from .functions.normal import p_table_rows
+
+    ev = T(spark, sf_dir, "events").select(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vcents"),
+    )
+    daily = ev.groupBy("d").agg(F.sum("vcents").cast("bigint").alias("y"))
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum((d19(F.col("y")) * d19(F.col("y"))).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    sd = F.sqrt(
+        (F.col("q").cast("double") - mean * F.col("s").cast("double"))
+        / (nd - F.lit(1.0))
+    )
+    z = (F.col("y").cast("double") - mean) / sd
+    wr = Window.orderBy("y", "d")  # bounded day grain
+    ptab = F.broadcast(
+        spark.createDataFrame(p_table_rows(), "zq int, p_e9 long")
+    )
+    ranked = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "y",
+            "n",
+            z.alias("z"),
+            F.least(
+                F.lit(599),
+                F.floor(F.abs(z) * F.lit(100.0) + F.lit(0.5)),
+            )
+            .cast("int")
+            .alias("zq"),
+        )
+        .withColumn("i", F.row_number().over(wr).cast("bigint"))
+        .join(ptab, "zq")
+        .withColumn(
+            "phi_e9",
+            F.when(
+                F.col("z") >= 0,
+                F.lit(10**9) - F.expr("p_e9 div 2"),
+            ).otherwise(F.expr("p_e9 div 2")),
+        )
+        .withColumn(
+            "lnp_e6",
+            F.floor(
+                F.log(F.col("phi_e9").cast("double") / F.lit(1e9))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "lnq_e6",
+            F.floor(
+                F.log(
+                    (F.lit(10**9) - F.col("phi_e9")).cast("double")
+                    / F.lit(1e9)
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    rev = ranked.select(
+        F.col("i").alias("rev_i"), F.col("lnq_e6").alias("lnq_rev_e6")
+    )
+    paired = ranked.join(
+        rev, ranked.i + rev.rev_i == F.col("n") + 1
+    )
+    agg = paired.agg(
+        F.first("n").alias("n"),
+        F.sum(
+            (2 * F.col("i") - 1)
+            * (F.col("lnp_e6") + F.col("lnq_rev_e6"))
+        )
+        .cast("bigint")
+        .alias("wsum_e6"),
+    )
+    nd2 = F.col("n").cast("double")
+    a2 = -nd2 - (
+        F.col("wsum_e6").cast("double") / (nd2 * F.lit(1e6))
+    )
+    a2_star = a2 * (
+        F.lit(1.0)
+        + F.lit(0.75) / nd2
+        + F.lit(2.25) / (nd2 * nd2)
+    )
+    return agg.select(
+        "n",
+        "wsum_e6",
+        pround(a2, 6).alias("a2"),
+        pround(a2_star, 6).alias("a2_star"),
+        (a2_star > F.lit(_AD_CRIT_5PCT)).alias("non_normal_5pct"),
+    )
+
+
 # Register the TPC-H query set (module imports back into this registry).
 from . import tpch  # noqa: E402,F401  (import side effect: @q registration)

@@ -1237,3 +1237,46 @@ def test_effect_sizes_match_bruteforce(spark, sf_dir):
     ss2 = sum((x - m2) ** 2 for x in b)
     d = (m1 - m2) / math.sqrt((ss1 + ss2) / (len(a) + len(b) - 2))
     assert abs(r["cohens_d"] - d) < 1e-4
+
+
+def test_anderson_darling_matches_reference(spark, sf_dir):
+    """A2 must approximate the textbook statistic computed with full
+    erfc precision (the 0.01-z quantization bounds the difference), and
+    the weighted-sum accounting must be internally consistent."""
+    import math
+    import statistics
+
+    reg = registry()
+    [r] = reg["q_anderson_darling"](spark, sf_dir).collect()
+    daily = sorted(
+        x["y"]
+        for x in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("d")
+        .agg(F.sum("vc").alias("y"))
+        .collect()
+    )
+    n = len(daily)
+    assert r["n"] == n
+    m = statistics.fmean(daily)
+    sd = math.sqrt(sum((y - m) ** 2 for y in daily) / (n - 1))
+    zs = [(y - m) / sd for y in daily]
+
+    def phi(z):
+        return 0.5 * math.erfc(-z / math.sqrt(2))
+
+    a2_ref = -n - (1.0 / n) * sum(
+        (2 * (i + 1) - 1)
+        * (math.log(phi(zs[i])) + math.log(1 - phi(zs[n - 1 - i])))
+        for i in range(n)
+    )
+    # quantized-z + pinned-ln approximation: generous tolerance
+    assert abs(r["a2"] - a2_ref) < 0.05, (r["a2"], a2_ref)
+    assert r["a2_star"] > r["a2"] * 0.99
