@@ -82,7 +82,16 @@ def connected_components(
         # The neighbor-min result is PINNED first: the self-join consumes
         # it on both sides, and without the cut each round would execute
         # the edges-join + aggregation twice (lineage is not a CTE).
-        stepped = cut_lineage(new_labels)
+        # Both cuts are LAZY (eager=False): the convergence aggregate
+        # below is the round's one action and materializes both pinned
+        # RDDs as it runs — an eager cut would schedule two extra
+        # full-materialization jobs per round for the same blocks
+        # (profiled on q_grid_density_clusters: 72 jobs of <0.1 cpu-s
+        # each — the query was pure job-scheduling overhead; 3 jobs/round
+        # -> 1).  Lazy is safe here because every input is deterministic
+        # given the previous round's materialized labels, unlike
+        # _ranged_pinned's sampled range boundaries.
+        stepped = cut_lineage(new_labels, eager=False)
         roots = stepped.select(
             F.col("node").alias("__cnode"), F.col("component").alias("__ccomp")
         )
@@ -96,7 +105,7 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        labels = cut_lineage(jumped)
+        labels = cut_lineage(jumped, eager=False)
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -6199,8 +6199,15 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One md5 yields FOUR 32-bit uniforms (the 128-bit digest split into
     # 8-hex slices), so 41 replicates cost 11 hashes/row, not 41 — the
-    # hash is the whole per-row cost of the Poisson bootstrap.
-    rep = od.select(
+    # hash is the whole per-row cost of the Poisson bootstrap.  That cost
+    # must SPREAD: a small parquet file scans as one split, and without
+    # an exchange the 11 md5s/row all run in that one task (profiled:
+    # 3.5 cpu-s in a single task at sf0.1 = the whole query serialized).
+    # The deterministic hash repartition makes the hashing stage
+    # volume-independent parallel — the q_decontaminate_ngrams idiom; on
+    # a many-file cluster scan the exchange is ~free relative to 11
+    # md5s/row.
+    rep = od.repartition("o_orderkey").select(
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(10))).alias("chunk"),
         "o_orderkey",
@@ -6293,7 +6300,10 @@ def q_bootstrap_ci_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cu, "o_custkey")
     )
-    rep = od.select(
+    # same hashing-stage spread as q_bootstrap_ci: the segment join
+    # broadcasts customer, so without this exchange the ×11 md5 explode
+    # would run inside the single-split orders scan task
+    rep = od.repartition("o_orderkey").select(
         "segment",
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(10))).alias("chunk"),
@@ -19049,6 +19059,14 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
+    # Pair generation stays the orderkey self-join (ReusedExchange makes
+    # the (order, brand) frame shuffle once): the _pairs_from_baskets
+    # restructure (collect_list into a sorted array + generator i<j
+    # expansion) was prototyped this round and measured SLOWER on a
+    # quiet box (round-robin 3.44 s -> 4.0-4.2 s at sf0.1) — the
+    # collect_list object aggregation costs more than the SMJ probe
+    # saves at this basket size.  Kept as-is; evidence in
+    # OPTIMIZATION_r11.md.
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
@@ -22755,12 +22773,16 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
+    # The rank pairing i ↔ n+1−i is an EQUI join on a precomputed mirror
+    # key (n rides on every row via the broadcast tot, so n+1−i is a
+    # per-row expression): the original theta form `i + rev_i == n+1`
+    # planned a CartesianProduct — the structural ban of
+    # tests/test_plans.py::test_no_query_plans_a_cartesian_product.
     rev = ranked.select(
-        F.col("i").alias("rev_i"), F.col("lnq_e6").alias("lnq_rev_e6")
+        (F.col("n") + 1 - F.col("i")).alias("mirror_i"),
+        F.col("lnq_e6").alias("lnq_rev_e6"),
     )
-    paired = ranked.join(
-        rev, ranked.i + rev.rev_i == F.col("n") + 1
-    )
+    paired = ranked.join(rev, ranked.i == rev.mirror_i).drop("mirror_i")
     agg = paired.agg(
         F.first("n").alias("n"),
         F.sum(
