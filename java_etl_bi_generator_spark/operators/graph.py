@@ -159,7 +159,14 @@ def pagerank_integer(
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     # (src, dst, out_degree) — static per run, reused every iteration.
-    ed = cut_lineage(edges.join(deg, "src"))
+    # LAZY cut (the connected_components lesson): there is no per-round
+    # action in this loop — the terminal action materializes every
+    # pinned RDD as it runs, so an eager cut would only add a separate
+    # full-materialization job.  Safe: deterministic input, and the
+    # first materialization caches the blocks every iteration reuses.
+    # (A/B at sf0.1, min-of-6: lazy and eager are within the ±0.15 s
+    # noise band here; lazy is kept for the job-count reduction.)
+    ed = cut_lineage(edges.join(deg, "src"), eager=False)
     base = (100 - damping_pct) * scale // 100
     ranks = deg.select(F.col("src").alias("node"), F.lit(scale).alias("rank"))
     for it in range(iterations):
@@ -189,8 +196,14 @@ def pagerank_integer(
         # terminal action; materializing first would only add a job).
         # On a cluster each cut is a reliable checkpoint (see
         # cut_lineage), so failure recovery replays at most one round.
+        # LAZY: with no per-round action, the terminal action runs the
+        # whole chain as one job and persists each pinned RDD in
+        # passing — eager cuts were measured as pure job-scheduling
+        # overhead on the small-graph benchmarks (profiled via
+        # scripts/profile_query.py: q_pagerank 22 jobs, none above
+        # 0.2 cpu-s).
         if it % 2 == 1 and it != iterations - 1:
-            ranks = cut_lineage(ranks)
+            ranks = cut_lineage(ranks, eager=False)
     return ranks
 
 
@@ -289,8 +302,11 @@ def bellman_ford(
                 F.col("dist"), F.coalesce(F.col("__nd"), F.col("dist"))
             ).alias("dist"),
         )
+        # LAZY for the same reason as pagerank_integer's round cuts: no
+        # per-round action, so the terminal action materializes the
+        # pinned RDDs in one job instead of one eager job per cut.
         if it % 2 == 1 and it != iterations - 1:
-            dist = cut_lineage(dist)
+            dist = cut_lineage(dist, eager=False)
     return dist.filter(F.col("dist") < inf)
 
 
@@ -324,8 +340,12 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         e = e.join(keep, "src", "left_semi").join(
             keep.select(F.col("src").alias("dst")), "dst", "left_semi"
         )
+        # LAZY (see pagerank_integer): the terminal action materializes
+        # the pinned edge RDDs in passing; the peel's own keep-join
+        # consumes each round's edges twice, and the persisted blocks
+        # cover both consumers.
         if r % 2 == 1 and r != rounds - 1:
-            e = cut_lineage(e)
+            e = cut_lineage(e, eager=False)
     return (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -350,7 +370,11 @@ def label_propagation_mode(sym: DataFrame, rounds: int = 4) -> DataFrame:
     count + one per-node argmax window — all on the edge grain;
     ``cut_lineage`` per round stops plan replay (the connected_components
     lesson).  Returns (node, label)."""
-    edges = cut_lineage(sym.select("src", "dst"))
+    # LAZY cuts throughout (see pagerank_integer): the loop has no
+    # per-round action, so the terminal action materializes every
+    # pinned RDD in one job; each round's labels have a single consumer
+    # (the next round) and the mode-window tie-break is deterministic.
+    edges = cut_lineage(sym.select("src", "dst"), eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -369,6 +393,7 @@ def label_propagation_mode(sym: DataFrame, rounds: int = 4) -> DataFrame:
         labels = cut_lineage(
             counts.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select(F.col("__n").alias("node"), "label")
+            .select(F.col("__n").alias("node"), "label"),
+            eager=False,
         )
     return labels

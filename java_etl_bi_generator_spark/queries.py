@@ -218,6 +218,28 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic hash repartition PINNED to the session's configured
+    shuffle parallelism, for stages whose CPU cost per byte is far above
+    ordinary (md5 explosion, 5-gram shingling, sha2 windows over small
+    text files).
+
+    A plain ``repartition(key)`` exchange is re-sized by AQE from its
+    BYTE count (parallelism-first coalescing still floors partitions at
+    ``minPartitionSize``, 1m by default) — a 2-10 MB exchange that
+    carries seconds of downstream hashing collapses to 1-10 tasks and
+    serializes the cluster.  An EXPLICIT partition count is exempt from
+    AQE coalescing, and ``spark.sql.shuffle.partitions`` is the
+    deployment-sized parallelism knob (local: core count; at cluster
+    scale ops size it to ~2-3x total cores), so the stage spreads the
+    same way at every scale — a global ``minPartitionSize`` floor was
+    benched instead and regressed the non-compute-dense majority of the
+    headline set by more than these stages gained (OPTIMIZATION_r11.md).
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 # ---------------------------------------------------------------------------
 # §2.1 Sources / sinks
 # ---------------------------------------------------------------------------
@@ -6203,11 +6225,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must SPREAD: a small parquet file scans as one split, and without
     # an exchange the 11 md5s/row all run in that one task (profiled:
     # 3.5 cpu-s in a single task at sf0.1 = the whole query serialized).
-    # The deterministic hash repartition makes the hashing stage
-    # volume-independent parallel — the q_decontaminate_ngrams idiom; on
-    # a many-file cluster scan the exchange is ~free relative to 11
-    # md5s/row.
-    rep = od.repartition("o_orderkey").select(
+    # ``spread`` pins the exchange to the configured shuffle parallelism
+    # — a keyed repartition alone is AQE-coalesced right back to 1-2
+    # tasks from its byte count (~2 MB); on a many-file cluster scan the
+    # exchange is ~free relative to 11 md5s/row.
+    rep = spread(od, "o_orderkey").select(
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(10))).alias("chunk"),
         "o_orderkey",
@@ -6303,7 +6325,7 @@ def q_bootstrap_ci_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same hashing-stage spread as q_bootstrap_ci: the segment join
     # broadcasts customer, so without this exchange the ×11 md5 explode
     # would run inside the single-split orders scan task
-    rep = od.repartition("o_orderkey").select(
+    rep = spread(od, "o_orderkey").select(
         "segment",
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(10))).alias("chunk"),
@@ -15124,7 +15146,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-step, degree-bounded — the q_pagerank scale shape; the edge
     frame is lineage-cut because FOUR half-steps consume it (the
     re-expansion lesson)."""
-    e = cut_lineage(_copurchase_edges(spark, sf_dir))
+    e = cut_lineage(_copurchase_edges(spark, sf_dir), eager=False)
     a1 = e.groupBy("dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("a")
     )
@@ -15281,10 +15303,22 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("probe", F.col("dst").alias("node"))
             .distinct()
         )
-        new = nxt.join(state, ["probe", "node"], "left_anti").withColumn(
-            "dist", F.lit(k).cast("bigint")
+        # Cut NEW (lazily), not the union: ``new`` has TWO consumers —
+        # the accumulated state and the next round's frontier — and the
+        # old eager union cut left the frontier re-deriving the whole
+        # frontier⋈edges + distinct + anti-join from lineage each round
+        # (every BFS level executed twice), plus one materialization
+        # job per round.  With the pinned ``new``, state is a union of
+        # ≤4 cached-RDD scans and the terminal action computes each
+        # level exactly once (profiled: q_harmonic_centrality was the
+        # top cpu stage of the headline set, 46 cpu-s at sf0.1).
+        new = cut_lineage(
+            nxt.join(state, ["probe", "node"], "left_anti").withColumn(
+                "dist", F.lit(k).cast("bigint")
+            ),
+            eager=False,
         )
-        state = cut_lineage(state.unionByName(new))
+        state = state.unionByName(new)
         frontier = new.select("probe", "node")
     reached = state.filter(F.col("dist") > 0)
     return (
@@ -15340,12 +15374,16 @@ def q_graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("probe", F.col("dst").alias("node"))
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
         )
-        new = cand.join(state, ["probe", "node"], "left_anti").withColumn(
-            "dist", F.lit(k).cast("bigint")
+        # Same pinning as q_harmonic_centrality: cut NEW (two consumers
+        # — state union and next frontier), not the union, so each BFS
+        # level computes once and no eager per-round job is scheduled.
+        new = cut_lineage(
+            cand.join(state, ["probe", "node"], "left_anti").withColumn(
+                "dist", F.lit(k).cast("bigint")
+            ),
+            eager=False,
         )
-        state = cut_lineage(
-            state.unionByName(new.select("probe", "node", "dist", "sigma"))
-        )
+        state = state.unionByName(new.select("probe", "node", "dist", "sigma"))
         frontier = new.select("probe", "node", "sigma")
     return (
         state.filter(F.col("dist") > 0)
@@ -15773,8 +15811,12 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("bigint") % 100
     )
+    # ``spread``, not a bare keyed repartition: AQE coalesces the ~10 MB
+    # text exchange back to a handful of tasks from its byte count, and
+    # the 5-gram concat_ws is the dominant CPU of the query (measured
+    # 1.66 s -> 0.86 s at sf0.1 with the shingle stage at full width).
     tagged = cut_lineage(
-        docs.repartition("doc_id").select(
+        spread(docs, "doc_id").select(
             "doc_id",
             F.array_distinct(word_shingles("text", 5)).alias("grams"),
             F.when(bucket < 80, "train").otherwise("heldout").alias("split"),
@@ -16950,8 +16992,19 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle transform doubles the dominant cost), and the flag/shingle
     expressions evaluate after the dedup window's hash shuffle, so they
     run at full parallelism even when the scan is one small file."""
-    docs = T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    # ``spread`` on the content hash pins the dedup window's exchange to
+    # the configured shuffle parallelism (HashPartitioning on __sha
+    # satisfies the window's clustering, so no second exchange): AQE
+    # sizes the ~1.3 MB compressed text exchange by BYTES and would run
+    # the downstream flag/token codegen — the dominant CPU of the query
+    # — in a couple of tasks.
+    docs = spread(
+        T(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .withColumn("__sha", F.sha2(F.col("text"), 256)),
+        "__sha",
+    )
+    w = Window.partitionBy("__sha").orderBy("doc_id")
     toks = tokens("text")
     base = docs.select(
         "doc_id",
@@ -16979,19 +17032,28 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("bigint") % 100
     )
+    # The cut carries the RAW text, not the 5-gram array: profiled at
+    # sf0.1, the old grams-array cache was re-read and re-exploded by
+    # each of its three consumers (4.0 + 2.3 + 1.8 cpu-s of the
+    # query's ~16 — the explode ran twice, once per split filter).
+    # Shingling + explode now happen ONCE, in a second LAZY cut of the
+    # already-exploded narrow (doc_id, g, split) frame; both split
+    # filters scan those cached rows, and the flags consumer below
+    # never deserializes a gram.
     tagged = cut_lineage(
-        base.withColumn("quality_ok", quality_ok)
-        .withColumn(
+        base.withColumn("quality_ok", quality_ok).withColumn(
             "split", F.when(bucket < 80, "train").otherwise("heldout")
         )
-        .withColumn(
-            "grams", F.array_distinct(word_shingles("text", 5))
-        )
-        .drop("text")
     )
-    grams = tagged.select(
-        "doc_id", F.explode("grams").alias("g"), "split"
+    grams = cut_lineage(
+        tagged.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("text", 5))).alias("g"),
+            "split",
+        ),
+        eager=False,
     )
+    tagged = tagged.drop("text")
     train_grams = grams.filter(F.col("split") == "train").select("g").distinct()
     dirty = (
         grams.filter(F.col("split") == "heldout")

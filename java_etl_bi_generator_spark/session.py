@@ -29,18 +29,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # AQE's coalescing floor (default 1m) sizes partitions by BYTES, but
-    # many operators here are compute-dense per byte (md5/shingle/decimal
-    # codegen over narrow rows): a 2 MB exchange that carries 3+ cpu-sec
-    # of downstream hashing gets coalesced to 1-2 tasks and serializes a
-    # 32-core box (measured: q_bootstrap_ci's Poisson-md5 stage).  A 64k
-    # floor keeps parallelism-first coalescing actually parallelism-first
-    # for small-byte/high-CPU stages; at cluster scale post-shuffle
-    # partitions are advisory-size (64 MB+) and this floor is inert.
-    # Parameterized for deployments whose cost-per-byte is ordinary.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
-        "SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"
-    ),
+    # NOTE on AQE's coalescing floor (minPartitionSize): a global 64k
+    # floor was trialled this round to spread compute-dense small-byte
+    # stages (md5/shingle codegen) and measured a NET regression on the
+    # full headline bench (wins on 4 hash-heavy queries, losses spread
+    # across ~15 others — OPTIMIZATION_r11.md).  The conf stays at the
+    # Spark default; the few genuinely compute-dense-per-byte stages pin
+    # their parallelism explicitly instead (queries.spread — an explicit
+    # partition count is exempt from AQE coalescing).
 }
 
 
