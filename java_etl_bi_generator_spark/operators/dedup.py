@@ -725,6 +725,18 @@ def prefix_jaccard_pairs(
         )
         .distinct()
     )
+    # Pin the verification join's parallelism with an EXPLICIT count
+    # (exempt from AQE coalescing): the candidate-pair frame is a few
+    # hundred KB, so byte-based coalescing ran the whole
+    # candidates×shingles intersection count in a handful of tasks
+    # (profiled at sf0.1: 6.9 cpu-s on 8 tasks = the query's
+    # serialization tail; min-of-6 3.38 s -> 2.73 s with the pin).
+    # The count is the deployment-sized shuffle-parallelism conf, the
+    # same scale-adaptive rule as queries.spread.
+    cand = cand.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        "id_a",
+    )
     sa = sh.select(F.col(id_col).alias("id_a"), "s")
     sb = sh.select(F.col(id_col).alias("id_b"), "s")
     inter = (

@@ -2608,7 +2608,11 @@ def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     list; the only corpus-wide shuffles are the passage detector's own."""
     from .operators.dedup import cut_passages, duplicated_passages
 
-    docs = T(spark, sf_dir, "documents")
+    # ``spread``: the tokenize + k-token window posexplode otherwise runs
+    # inside the single-split scan task (profiled: 0.6 cpu-s serialized
+    # map side of the window-text shuffle); the explicit exchange also
+    # pre-partitions the doc side of cut_passages' span join.
+    docs = spread(T(spark, sf_dir, "documents"), "doc_id")
     spans = duplicated_passages(docs, "text", "doc_id", k=8, keep_canonical=True)
     cut = cut_passages(docs, spans, "text", "doc_id")
     return cut.select(
@@ -19110,8 +19114,19 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     S = 10_000
     li = T(spark, sf_dir, "lineitem")
     pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # ONE data-grain exchange serves the whole pair pipeline: the
+    # explicit hash repartition on l_orderkey satisfies both the
+    # (l_orderkey, p_brand) aggregation's clustering (grouping on a
+    # superset of the partition key) AND the self-join below (both
+    # sides co-partitioned on the join key) — the previous plan
+    # exchanged the data grain for the groupBy and then AQE
+    # BROADCAST the 260k-row (order, brand) frame for the self-join
+    # (a 32-40 MB build whose probe was the top cpu stage of the
+    # query, 40 cpu-s at sf0.1).  Measured on the games subquery:
+    # 1.87 -> 1.47 s min-of-6, identical rows.
     base = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        spread(li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey),
+               "l_orderkey")
         .groupBy("l_orderkey", "p_brand")
         .agg(
             F.max(
@@ -19121,13 +19136,12 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    # Pair generation stays the orderkey self-join (ReusedExchange makes
-    # the (order, brand) frame shuffle once): the _pairs_from_baskets
-    # restructure (collect_list into a sorted array + generator i<j
-    # expansion) was prototyped this round and measured SLOWER on a
-    # quiet box (round-robin 3.44 s -> 4.0-4.2 s at sf0.1) — the
-    # collect_list object aggregation costs more than the SMJ probe
-    # saves at this basket size.  Kept as-is; evidence in
+    # Pair generation stays the orderkey self-join: the
+    # _pairs_from_baskets restructure (collect_list into a sorted
+    # array + generator i<j expansion) was prototyped this round and
+    # measured SLOWER on a quiet box (round-robin 3.44 s -> 4.0-4.2 s
+    # at sf0.1) — the collect_list object aggregation costs more than
+    # the join probe saves at this basket size.  Evidence in
     # OPTIMIZATION_r11.md.
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
@@ -19219,7 +19233,13 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-DOC window (bounded grain — doc length, the documented
     exemption), then two token-grain aggregations with map-side
     combine; TakeOrderedAndProject for the top-k."""
-    docs = T(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    # ``spread`` pins the tokenize/posexplode map at full width (the
+    # single-split scan serialized it) and its hash(doc_id) partitioning
+    # satisfies BOTH windows below — no further exchange anywhere before
+    # the word aggregation.
+    docs = spread(
+        T(spark, sf_dir, "documents").filter(F.trim("text") != ""), "doc_id"
+    )
     tok = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "raw")
     ).withColumn(
@@ -19239,16 +19259,19 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("is_stop"))
         .select("doc_id", "phrase_id", "w")
     )
-    plen = words.groupBy("doc_id", "phrase_id").agg(
-        F.count(F.lit(1)).alias("plen")
+    # phrase length as a SECOND window over the same doc partitioning,
+    # not a groupBy + join-back: the join re-derived the whole
+    # tokenize+window subtree for the plen side (profiled as two
+    # serialized single-task map stages) and added an exchange pair;
+    # the window reuses the rows in place (min-of-6 interleaved A/B at
+    # sf0.1: 2.95 -> 2.26 s, identical rows).
+    words = words.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id")),
     )
-    stats = (
-        words.join(plen, ["doc_id", "phrase_id"])
-        .groupBy("w")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("freq"),
-            F.sum("plen").cast("bigint").alias("deg"),
-        )
+    stats = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
     )
     return (
         stats.orderBy(F.col("deg").desc(), "w")
@@ -19983,29 +20006,30 @@ def q_ip_cidr_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ip div 65536")
         ),
     )
+    # LEFT broadcast join + one event-grain aggregate, no join-back:
+    # the earlier shape re-scanned the fact and SHUFFLE-joined it back
+    # on event_id just to recover unmatched events — an event-grain
+    # exchange pair on the big table.  A left join keeps every event
+    # (both exploded rows null-matched for the unmatched octet-15
+    # path), max_by/max skip null plen, and the coalesce supplies the
+    # sentinel — one scan, zero event-grain join (2 Exchange -> 1;
+    # min-of-6 1.69 -> 1.45 s at sf0.1, identical rows).
     hits = cand.join(
         F.broadcast(dim),
         (cand.prefix_len == dim.prefix_len)
         & (cand.probe_key == dim.prefix_key),
+        "left",
     ).select(
         "event_id",
         "user_id",
-        cand.prefix_len.alias("plen"),
+        dim.prefix_len.alias("plen"),
         "net_name",
     )
-    best = hits.groupBy("event_id").agg(
-        F.max_by("net_name", "plen").alias("net_name"),
-        F.max("plen").alias("matched_len"),
-    )
-    attributed = (
-        fact.select("event_id", "user_id")
-        .join(best.select("event_id", "net_name", "matched_len"), "event_id", "left")
-        .select(
-            "event_id",
-            "user_id",
-            F.coalesce("net_name", F.lit("<unmatched>")).alias("net_name"),
-            F.coalesce("matched_len", F.lit(0)).cast("bigint").alias("matched_len"),
-        )
+    attributed = hits.groupBy("event_id", "user_id").agg(
+        F.coalesce(F.max_by("net_name", "plen"), F.lit("<unmatched>")).alias(
+            "net_name"
+        ),
+        F.coalesce(F.max("plen"), F.lit(0)).cast("bigint").alias("matched_len"),
     )
     return (
         attributed.groupBy("net_name", "matched_len")
