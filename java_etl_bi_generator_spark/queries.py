@@ -4228,10 +4228,16 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-4 volume sweep measured exactly this: degenerate near-identical
     names at 10x made the within-block join all-pairs."""
     pt = T(spark, sf_dir, "part")
-    a = pt.select(
-        F.col("p_partkey").alias("id_a"),
-        F.col("p_name").alias("name_a"),
-        "p_brand",
+    # ``spread`` the probe side: the part scan is one parquet split at
+    # bench scale, so the within-block levenshtein expansion ran in the
+    # scan task (see q_linkage_weights — same blocked-pair shape).
+    a = spread(
+        pt.select(
+            F.col("p_partkey").alias("id_a"),
+            F.col("p_name").alias("name_a"),
+            "p_brand",
+        ),
+        "id_a",
     )
     b = pt.select(
         F.col("p_partkey").alias("id_b"),
@@ -4275,10 +4281,18 @@ def q_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("ptype"),
     )
     cols = ["p_size", "name_adj", "name_noun", "ptype"]
-    a = pt.select(
-        F.col("p_partkey").alias("id_a"),
-        "p_brand",
-        *[F.col(c).alias(f"a_{i}") for i, c in enumerate(cols)],
+    # ``spread`` the probe side: the part scan is ONE parquet split at
+    # bench scale, so the broadcast pair join ran the whole Σ|block|²
+    # expansion + weight codegen serially in the scan task (profiled:
+    # the query's dominant stage).  An explicit-width exchange of the
+    # 20k-row probe frame is noise next to the pair work it spreads.
+    a = spread(
+        pt.select(
+            F.col("p_partkey").alias("id_a"),
+            "p_brand",
+            *[F.col(c).alias(f"a_{i}") for i, c in enumerate(cols)],
+        ),
+        "id_a",
     )
     b = pt.select(
         F.col("p_partkey").alias("id_b"),
@@ -4335,10 +4349,15 @@ def q_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("ptype"),
     )
     cols = ["p_size", "name_adj", "name_noun", "ptype"]
-    a = pt.select(
-        F.col("p_partkey").alias("id_a"),
-        "p_brand",
-        *[F.col(c).alias(f"a_{i}") for i, c in enumerate(cols)],
+    # ``spread`` the probe side — same blocked-pair shape and fix as
+    # q_linkage_weights (single-split scan serialized the expansion).
+    a = spread(
+        pt.select(
+            F.col("p_partkey").alias("id_a"),
+            "p_brand",
+            *[F.col(c).alias(f"a_{i}") for i, c in enumerate(cols)],
+        ),
+        "id_a",
     )
     b = pt.select(
         F.col("p_partkey").alias("id_b"),
@@ -7352,7 +7371,16 @@ def _baskets(li: DataFrame) -> DataFrame:
     """(order, part) rows -> (order, sorted distinct part array).
     ``collect_set`` folds the per-order dedup into the SAME shuffle that
     builds the basket — callers must NOT pre-``distinct()`` (that would
-    add a full extra exchange for nothing)."""
+    add a full extra exchange for nothing).
+
+    Width note: callers whose DOMINANT cost is the quadratic pair
+    expansion may pre-``spread`` li on l_orderkey (the groupBy reuses
+    the explicit exchange — same single shuffle, exempt from AQE byte
+    coalescing).  NOT done here globally: an A/B this round measured
+    the pinned width a net LOSS for the iterative graph consumers
+    (q_kcore 2.21 → 3.72 s — their per-round jobs are task-latency
+    bound) and flat for q_basket_pairs; only q_graph_assortativity's
+    S3 edge join won, so it spreads at its own call site."""
     return li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
@@ -7571,7 +7599,15 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the edge join back to degrees (AQE broadcasts them) computes
     only S3, one product per edge, one 1-row sum."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = cut_lineage(_basket_pair_rows(li).distinct())
+    # ``spread`` the basket build (the groupBy reuses the pinned
+    # exchange): AQE byte-coalescing ran the quadratic pair expansion +
+    # distinct map side in a handful of tasks.  Scoped HERE, not in
+    # _baskets — the same pin measured a net loss for the iterative
+    # graph consumers (see _baskets docstring).  A/B isolated min-of-6
+    # at sf0.1: 2.515 → 2.197 s.
+    edges = cut_lineage(
+        _basket_pair_rows(spread(li, "l_orderkey")).distinct()
+    )
     sym = edges.select(
         F.explode(
             F.array(
