@@ -682,13 +682,17 @@ def prefix_jaccard_pairs(
 
     sh = cut_lineage(sh, eager=False)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-    docs = (
+    # three consumers (the prefix index and both verification sides)
+    # would each replay the df-join + rarest-first sort; pin the
+    # doc-grain array frame once (same self-freeing RDD-block pin)
+    docs = cut_lineage(
         sh.join(dfreq, "s")
         .groupBy(id_col)
         .agg(
             F.array_sort(F.collect_list(F.struct("df_s", "s"))).alias("toks")
         )
-        .select(id_col, "toks", F.size("toks").alias("n_sh"))
+        .select(id_col, "toks", F.size("toks").alias("n_sh")),
+        eager=False,
     )
     # p = s - ceil(t*s) + 1, in exact integer arithmetic (n_sh is far
     # below 2^53 so the double division in floor() is exact).
@@ -727,30 +731,44 @@ def prefix_jaccard_pairs(
     )
     # Pin the verification join's parallelism with an EXPLICIT count
     # (exempt from AQE coalescing): the candidate-pair frame is a few
-    # hundred KB, so byte-based coalescing ran the whole
-    # candidates×shingles intersection count in a handful of tasks
-    # (profiled at sf0.1: 6.9 cpu-s on 8 tasks = the query's
-    # serialization tail; min-of-6 3.38 s -> 2.73 s with the pin).
-    # The count is the deployment-sized shuffle-parallelism conf, the
-    # same scale-adaptive rule as queries.spread.
+    # hundred KB, so byte-based coalescing ran the whole verification
+    # in a handful of tasks (profiled at sf0.1: 6.9 cpu-s on 8 tasks =
+    # the query's serialization tail; min-of-6 3.38 s -> 2.73 s with
+    # the pin).  The count is the deployment-sized shuffle-parallelism
+    # conf, the same scale-adaptive rule as queries.spread.
     cand = cand.repartition(
         int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
         "id_a",
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), "s")
-    sb = sh.select(F.col(id_col).alias("id_b"), "s")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Verification via array_intersect on the per-doc sorted shingle
+    # arrays ALREADY built for the prefix index: |A∩B| per candidate
+    # pair is one hash-set intersection in codegen.  The previous form
+    # re-exploded both sides to shingle grain (cand⋈sh on id_a, ⋈sh on
+    # (id_b, s), then a groupBy back to pair grain) — candidates×|A|
+    # rows through two joins and an exchange, profiled as the query's
+    # top cpu stage (17.3 cpu-s at sf0.1) for what is per-pair local
+    # set arithmetic.  Same exact result: toks holds each doc's
+    # DISTINCT shingles, so the intersection size equals the matched
+    # (id_a, id_b, s) row count.  The doc-grain array frame joins at
+    # pair grain (AQE broadcasts it at bench scale; at corpus scale
+    # both joins are id-keyed equi-joins — still linear, never
+    # shingle-grain).
+    ta = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.transform("toks", lambda st: st["s"]).alias("__ts_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    # set sizes ride along from the sorted-doc build — no extra scan
-    na = docs.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = docs.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    tb = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.transform("toks", lambda st: st["s"]).alias("__ts_b"),
+        F.col("n_sh").alias("n_b"),
+    )
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("__ts_a", "__ts_b"))
+        )
         # threshold test in exact integers BEFORE the pinned ratio:
         # n_inter / (n_a + n_b - n_inter) >= t_num/t_den
         .filter(
