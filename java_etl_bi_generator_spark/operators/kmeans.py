@@ -167,6 +167,47 @@ def _sq_dist_int(vec: Column, centroid: list[int]) -> Column:
     )
 
 
+def _centroid_table(centroids: list[list[int]]) -> Column:
+    """Literal array<array<bigint>> of the centroids, built from ONE
+    parsed SQL string.  The earlier unrolled form created every
+    component as its own ``F.lit(..).cast(..)`` Column — k×dim py4j
+    round-trips per call site and a k×dim-literal tree for the analyzer
+    to walk on EVERY job; for the PQ trainer (m·k·subdim literals
+    rebuilt each Lloyd round) that construction+analysis overhead was
+    the query's wall clock (q_pq_train_sampled: 12.5 s of a 14 s warm
+    run spent in pq_fit_int driving 3 tiny jobs — OPTIMIZATION_r11.md).
+    One ``F.expr`` parse hands the whole table to the JVM at once."""
+    body = ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in c) + ")" for c in centroids
+    )
+    return F.expr(f"array({body})")
+
+
+def _nearest_cands(vec: Column, centroids: list[list[int]]) -> Column:
+    """array<struct<d,i>> of (exact bigint squared L2, centroid index)
+    — the shared candidate builder: a ``transform`` loop over the
+    one-literal centroid table instead of k unrolled distance subtrees
+    (identical values, types and struct-min tie-break; the arithmetic
+    is the same zip_with/aggregate fold per centroid)."""
+    tbl = _centroid_table(centroids)
+    k = len(centroids)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda ci: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.element_at(tbl, ci + F.lit(1)),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            ci.alias("i"),
+        ),
+    )
+
+
 def nearest_cell_int(
     vec_col: Column | str, centroids: list[list[int]]
 ) -> Column:
@@ -175,13 +216,7 @@ def nearest_cell_int(
     raw embedding by NAME (quantized internally) or an
     already-quantized ``array<bigint>`` Column."""
     v = quantize_micro(vec_col) if isinstance(vec_col, str) else vec_col
-    cands = F.array(
-        *[
-            F.struct(_sq_dist_int(v, c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_min(cands)["i"]
+    return F.array_min(_nearest_cands(v, centroids))["i"]
 
 
 def nearest_cell_int_struct(
@@ -193,13 +228,7 @@ def nearest_cell_int_struct(
     consumes both fields: ``i`` is the code, ``d`` the per-subspace
     quantization error."""
     v = quantize_micro(vec_col) if isinstance(vec_col, str) else vec_col
-    cands = F.array(
-        *[
-            F.struct(_sq_dist_int(v, c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_min(cands)
+    return F.array_min(_nearest_cands(v, centroids))
 
 
 def kmeans_fit_int(

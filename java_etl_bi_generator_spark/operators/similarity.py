@@ -98,18 +98,35 @@ def _md5_signed_fold(v: F.Column, dim: int, key_prefix: str) -> F.Column:
     IEEE summation order so an oracle can reproduce it term-for-term."""
     import hashlib
 
-    acc = None
-    for d in range(dim):
-        sign = (
-            1
+    signs = [
+        (
+            1.0
             if int(hashlib.md5(f"{key_prefix}{d}".encode()).hexdigest(), 16)
             % 2
             == 0
-            else -1
+            else -1.0
         )
-        term = F.element_at(v, d + 1) * F.lit(float(sign))
-        acc = term if acc is None else acc + term
-    return acc
+        for d in range(dim)
+    ]
+    # One parsed literal sign array + a sequential ``aggregate`` fold
+    # instead of dim unrolled ``element_at * lit`` terms chained with
+    # ``+``: the unrolled form cost dim×planes py4j round-trips to
+    # BUILD and a same-sized tree to analyze on every job (the
+    # LSH/ANN family's wall clock was driver-side — OPTIMIZATION_r11.md).
+    # The fold is the identical left-assoc IEEE sequence: aggregate
+    # folds elements in order, ((0.0+t0)+t1)+…, and 0.0+t0 == t0 for
+    # every representable t0 except the sign of an exact -0.0 — which
+    # cannot change any consumer here (the signature compares acc >= 0,
+    # where ±0.0 agree, and a JL component only flips to -0.0 if EVERY
+    # term is ±0.0, i.e. an all-zeros vector).
+    terms = F.zip_with(
+        v,
+        F.expr(
+            "array(" + ",".join(f"{s:.1f}D" for s in signs) + ")"
+        ),
+        lambda x, s: x * s,
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def hyperplane_signature(

@@ -3805,9 +3805,16 @@ def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_shingles discipline); one explode to chunk grain, one
     chunk-hash aggregate.  Scale shape: linear maps + one shuffle on
     chunk_hash — the classic dedup-store ingest plan."""
+    # ``spread``: the documents scan is ONE parquet split at bench
+    # scale, and everything below (an md5 PER TOKEN plus an md5 per
+    # chunk) otherwise runs serially inside the scan task — profiled at
+    # 26.7 s warm min-of-3, the slowest query of the full-registry
+    # sweep, dropping to ~1.4 s with the pinned-width exchange.
     docs = (
-        T(spark, sf_dir, "documents")
-        .filter(F.trim(F.col("text")) != "")
+        spread(
+            T(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""),
+            "doc_id",
+        )
         .select("doc_id", tokens("text").alias("__toks"))
         .withColumn("__n", F.size("__toks"))
     )
@@ -3836,9 +3843,18 @@ def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND sp.e >= sp.s)"""
         ),
     )
+    # explode_OUTER, deliberately: for a plain explode the optimizer
+    # infers `size(__spans) > 0` (InferFiltersFromGenerate) and pushes
+    # it below the exchange — and because __spans is a projection, the
+    # pushed predicate re-expands to the ENTIRE per-token md5 chain,
+    # re-running the whole chunking serially inside the single-split
+    # scan task (profiled: a 27.5 cpu-s one-task stage, the query's
+    # 26.7 s wall).  Inference skips outer generators, and __spans is
+    # provably never empty or null (non-empty text ⇒ ≥1 token ⇒ the
+    # zip_with always emits the (1, __n) span) — identical rows.
     chunks = spans.select(
         "doc_id",
-        F.explode("__spans").alias("sp"),
+        F.explode_outer("__spans").alias("sp"),
         F.col("__toks").alias("__toks"),
     ).select(
         "doc_id",
