@@ -49,15 +49,34 @@ def nearest_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     """Index (0-based int) of the nearest centroid by squared L2.
 
     ``array_min`` over ``struct(dist, idx)`` compares field-by-field, so
-    equal distances deterministically pick the lower index."""
+    equal distances deterministically pick the lower index.
+
+    Same one-parse literal-table + ``transform`` loop as the integer
+    twin (``_nearest_cands``) — the unrolled per-centroid form cost
+    k×dim py4j round-trips per call and a same-sized tree per job
+    (see _centroid_table).  ``repr(float)`` round-trips, so the parsed
+    double literals are bit-identical to the F.lit form."""
     v = as_double_array(vec_col)
-    cands = F.array(
-        *[
-            F.struct(
-                _sq_dist(v, c).alias("d"), F.lit(i).alias("i")
-            )
-            for i, c in enumerate(centroids)
-        ]
+    body = ",".join(
+        "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
+        for c in centroids
+    )
+    tbl = F.expr(f"array({body})")
+    k = len(centroids)
+    cands = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda ci: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.element_at(tbl, ci + F.lit(1)),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            ci.alias("i"),
+        ),
     )
     return F.array_min(cands)["i"]
 

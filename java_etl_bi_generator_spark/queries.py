@@ -4509,7 +4509,12 @@ def q_fuzzy_ids_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array(F.col("tok")),
     )
-    var = cu.select("tok", F.explode(variants).alias("v"))
+    # ``spread`` on the variant key: the self-join's verify stage (every
+    # shared-key candidate through levenshtein) is compute-dense per
+    # byte — AQE byte-coalescing ran its 15.1 cpu-s on 2 tasks
+    # (profiled; the query's wall).  The explicit-width exchange is
+    # reused by BOTH sides of the self-join (co-partitioned on v).
+    var = spread(cu.select("tok", F.explode(variants).alias("v")), "v")
     # verify BEFORE the distinct, and join only the a<b half: the raw
     # variant join emits ~|vocab|·len·alphabet rows, most of them ed=2
     # rejects and duplicate orderings — shuffling only the verified
