@@ -31,86 +31,110 @@ def connected_components(
     """(id_a, id_b) edges -> (node, component) with component = min node id
     in the component.
 
-    The edge table is lineage-cut ONCE up front: ``pairs`` is usually the
-    tail of an expensive pipeline (LSH banding, fuzzy scoring), and
-    without the cut every iteration's two joins would replay that whole
-    subtree — measured 115 s -> 8 s on a 50k-doc near-dup clustering.
-    Convergence is detected from sum(component) on the already-
-    materialized labels (label propagation only ever lowers a node's
-    component, so an unchanged sum means a fixpoint) — one tiny aggregate
-    per round instead of an old-vs-new join.
+    ALTERNATING LARGE-STAR / SMALL-STAR [Kiveris, Lattanzi, Mirrokni,
+    Rastogi & Vassilvitskii 2014, "Connected Components in MapReduce
+    and Beyond"] — the round-11 optimization replacing the
+    propagate + pointer-jump label loop: on the LSH star-edge graph at
+    sf0.1 the label loop needed 16 rounds (long bucket chains), this
+    converges in 6 (measured 16.3 s -> 6.8 s, outputs bit-identical —
+    OPTIMIZATION_r11.md change 21).  Each round contracts the EDGE set:
 
-    Each round does neighbor-min propagation PLUS pointer jumping
-    (relabel every node through its component's own label) — the
-    label-doubling trick that turns O(diameter) rounds into
-    O(log diameter).  Plain neighbor-min alone needs as many rounds as
-    the longest min-to-node path: the sf0.1 LSH star-edge graph chains
-    boilerplate clusters into paths deeper than 20, which silently hit
-    the iteration cap and emitted unconverged labels (caught by the
-    sf0.1 differential sweep; the combined fixpoint provably equals the
-    per-component min everywhere)."""
-    edges = cut_lineage(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+      large-star: for every node u with m(u) = min(Γ(u) ∪ {u}), rewire
+        every larger neighbor v > u to (v, m(u)) — strictly decreasing
+        parents, halves chain depth;
+      small-star: for every parent a over its smaller neighbors
+        Γ⁻(a), rewire all of them plus a itself to min(Γ⁻(a)) — merges
+        sibling stars.
+
+    Both steps preserve the component partition (every rewire stays
+    inside a neighborhood), so when the edge set becomes a disjoint
+    min-rooted star forest each star IS one original component and the
+    root its minimum.  Termination is EXACT, not a fingerprint: one
+    aggregate per round counts nodes that are both parent and child
+    (chain) or children with two parents (unmerged siblings) — zero
+    violations  <=>  star forest.  Every endpoint of the current edge
+    set survives each round (a node appears as some child or some
+    parent in both rewires), so the final left-join from the original
+    node spine only coalesces true singletons (self-loop inputs).
+
+    The edge table is lineage-cut ONCE up front: ``pairs`` is usually
+    the tail of an expensive pipeline (LSH banding, fuzzy scoring), and
+    without the cut every round's rewires would replay that whole
+    subtree — measured 115 s -> 8 s on a 50k-doc near-dup clustering.
+    Per-round edge sets are pinned with LAZY cuts (the convergence
+    aggregate is the round's one action and materializes the pinned
+    RDD in passing — the round-11 job-count lesson)."""
+    E = cut_lineage(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    nodes = E.select(F.col("u").alias("node")).distinct()
+    stars = E.filter(F.col("u") > F.col("v")).select(
+        F.col("u").alias("s"), F.col("v").alias("t")
     )
-    prev_sum = None
-    for i in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+    for _ in range(max_iterations):
+        # large-star: (v, m(u)) for v in Γ(u), v > u; m ≤ u < v keeps
+        # every emitted edge strictly parent-pointing (a > b).
+        lm = (
+            E.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least(F.col("u"), F.col("__mn")).alias("__m"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+        ls = (
+            E.join(lm, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("__m").alias("b"))
+            .distinct()
+        )
+        # small-star: per parent a, rewire Γ⁻(a) ∪ {a} to min(Γ⁻(a)).
+        sm = ls.groupBy("a").agg(F.min("b").alias("__m"))
+        ss = (
+            ls.join(sm, "a")
+            .select(F.col("b").alias("x"), F.col("__m").alias("m"))
+            .unionAll(sm.select(F.col("a").alias("x"), F.col("__m").alias("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("s"), F.col("m").alias("t"))
+            .distinct()
+        )
+        stars = cut_lineage(ss, eager=False)
+        # Exact star-forest test (the round's one action): a node
+        # violating is either both parent and child (a chain survives)
+        # or a child with >1 parent (sibling stars not yet merged).
+        violations = (
+            stars.select(
+                F.col("t").alias("n"),
+                F.lit(1).alias("p"),
+                F.lit(0).alias("c"),
             )
-        )
-        # pointer jumping: follow the component's own (possibly smaller)
-        # label — component ids are node ids, so the self-join always
-        # resolves; labels only ever decrease, keeping the sum test valid.
-        # The neighbor-min result is PINNED first: the self-join consumes
-        # it on both sides, and without the cut each round would execute
-        # the edges-join + aggregation twice (lineage is not a CTE).
-        # Both cuts are LAZY (eager=False): the convergence aggregate
-        # below is the round's one action and materializes both pinned
-        # RDDs as it runs — an eager cut would schedule two extra
-        # full-materialization jobs per round for the same blocks
-        # (profiled on q_grid_density_clusters: 72 jobs of <0.1 cpu-s
-        # each — the query was pure job-scheduling overhead; 3 jobs/round
-        # -> 1).  Lazy is safe here because every input is deterministic
-        # given the previous round's materialized labels, unlike
-        # _ranged_pinned's sampled range boundaries.
-        stepped = cut_lineage(new_labels, eager=False)
-        roots = stepped.select(
-            F.col("node").alias("__cnode"), F.col("component").alias("__ccomp")
-        )
-        jumped = (
-            stepped.join(roots, stepped.component == roots.__cnode, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("__ccomp"), F.col("component")),
-                ).alias("component"),
+            .unionAll(
+                stars.select(
+                    F.col("s").alias("n"),
+                    F.lit(0).alias("p"),
+                    F.lit(1).alias("c"),
+                )
             )
+            .groupBy("n")
+            .agg(F.sum("p").alias("np"), F.sum("c").alias("nc"))
+            .filter(
+                ((F.col("np") > 0) & (F.col("nc") > 0)) | (F.col("nc") > 1)
+            )
+            .count()
         )
-        labels = cut_lineage(jumped, eager=False)
-        cur_sum = labels.agg(F.sum("component")).first()[0]
-        if cur_sum == prev_sum:
+        if violations == 0:
             break
-        prev_sum = cur_sum
-    return labels
+        E = stars.select(F.col("s").alias("u"), F.col("t").alias("v")).unionAll(
+            stars.select(F.col("t").alias("u"), F.col("s").alias("v"))
+        )
+    # min-parent extraction: a no-op at convergence (each child has
+    # exactly one parent in a star forest) that keeps the one-row-per-
+    # node contract even if the iteration cap is ever hit unconverged.
+    roots = stars.groupBy("s").agg(F.min("t").alias("__comp")).select(
+        F.col("s").alias("node"), "__comp"
+    )
+    return nodes.join(roots, "node", "left").select(
+        "node", F.coalesce(F.col("__comp"), F.col("node")).alias("component")
+    )
 
 
 def dedup_keep_representatives(

@@ -12996,8 +12996,9 @@ def q_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy down to cell counts; adjacency is the bounded ×9
     neighborhood explode + equi-join of q_knn_grid_join (never a
     point-pair or cell-theta join at data grain); components come from
-    `operators.graph.connected_components` (pointer-jumping min-label,
-    lineage-cut per round) on the bounded core-cell graph.  The DuckDB
+    `operators.graph.connected_components` (large-star/small-star
+    edge contraction, lineage-cut per round) on the bounded core-cell
+    graph.  The DuckDB
     oracle rebuilds the identical graph and closes it with a recursive
     CTE.  At tiny SFs no cell reaches density 5 and the result is
     legitimately empty — the driver-gate SF (0.01) yields a non-trivial

@@ -84,6 +84,58 @@ def test_connected_components_clusters(spark):
     assert kept == {0, 1, 4, 5, 7}  # one representative per cluster
 
 
+def test_connected_components_large_star_small_star(spark):
+    """r11 change 21: the large-star/small-star rewrite must converge to
+    the exact min-label partition on the topologies that stressed the
+    old label loop — deep chains (the LSH star-edge failure mode that
+    needed 16 rounds), cycles, self-loops — and keep the one-row-per-
+    node output contract."""
+    from java_etl_bi_generator_spark.operators.graph import (
+        connected_components,
+    )
+
+    def reference(pairs):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, list[int]] = {}
+        for x in list(parent):
+            comps.setdefault(find(x), []).append(x)
+        return sorted(
+            (x, min(members))
+            for members in comps.values()
+            for x in members
+        )
+
+    cases = {
+        # 60-deep chain: the old propagate+jump loop needed ~log-squared
+        # rounds here; LS/SS must still produce the exact min labels.
+        "deep_chain": [(i, i + 1) for i in range(60)],
+        "cycle": [(i, (i + 1) % 23) for i in range(23)],
+        "self_loops_and_edges": [(5, 5), (7, 8), (9, 9), (8, 11)],
+        "sibling_stars": [(100, i) for i in range(1, 8)]
+        + [(200, i) for i in range(4, 12)],
+    }
+    for name, pairs in cases.items():
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs], ["id_a", "id_b"]
+        )
+        rows = connected_components(df).collect()
+        got = sorted((r["node"], r["component"]) for r in rows)
+        assert got == reference(pairs), name
+        # one row per node, no duplicates from the star extraction
+        assert len({r["node"] for r in rows}) == len(rows), name
+
+
 def test_bellman_ford_hops_and_weights(spark):
     from java_etl_bi_generator_spark.operators.graph import bellman_ford
 
