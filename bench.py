@@ -93,10 +93,23 @@ HEADLINE = [
     "q_ip_cidr_lpm",         # equi-join CIDR longest-prefix match (round 11b)
     "q_link_prediction",     # capped wedge-join common neighbors (round 11b)
     "q_pca_power_iteration", # Arrow Gram core + integer power iteration (round 11e)
-    # NOT q_pq_*: the declared PQ queries retrain their sub-quantizers
-    # inline (train-once cost in production), which would dominate a
-    # per-query headline — their scale behavior is covered by
-    # volume_sweep.py and scripts/scale_probe.py instead.
+    # ---- round 12 additions (VERDICT r11 item 3: the headline set was
+    # overhead-bound at sf0.1 and excluded the registry's biggest
+    # movers, so the round-11 wins — cdc_chunking 26.7->2.65 s,
+    # fuzzy_match 12.8->0.97 s, the PQ/ANN family — were invisible to
+    # the measured board.  Additions-only: every pre-existing entry
+    # keeps its name and position, so round-over-round comparability
+    # survives.  q_pq_train_sampled / q_ivfpq_rerank retrain their
+    # sub-quantizers inline (train-once cost in production); they are
+    # benched here anyway per the verdict because the round-11 rewrite
+    # moved exactly that cost, with the caveat documented. ----
+    "q_cdc_chunking",        # content-defined chunking, md5 token chain (round 12)
+    "q_fuzzy_match",         # blocked levenshtein pair scoring (round 12)
+    "q_fuzzy_ids_fastss",    # FastSS deletion-neighborhood self-join (round 12)
+    "q_pq_train_sampled",    # PQ sub-quantizer Lloyd training (round 12)
+    "q_ivfpq_rerank",        # IVF-PQ ADC shortlist + exact rerank (round 12)
+    "q_dedup_near_clusters", # LSH star edges + connected components (round 12)
+    "q_dedup_cluster_quality",  # CC output P/R/F1 vs sampled exact truth (round 12)
 ]
 
 # The original 22-query set benched since round 1 — reported as its own

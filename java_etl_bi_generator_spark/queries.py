@@ -7508,10 +7508,20 @@ def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = cut_lineage(_baskets(li))
-    counts = (
+    # Pin the canonical pair counts ONCE (r12, VERDICT r11 item 5): the
+    # symmetrize union below consumes `counts` twice, and DataFrame
+    # lineage is not a CTE — without the cut each union arm re-runs the
+    # pair aggregation's post-shuffle pass (the exchange itself is
+    # AQE-reused, so the bench delta is small: same-position A/B
+    # 4.74 -> 4.20 s on one seat, tie on the other).  Kept for the
+    # structural dedup: at scale the duplicated final-agg pass is a
+    # full count-grain pass.  LAZY: the terminal action materializes
+    # it in passing.
+    counts = cut_lineage(
         _pairs_from_baskets(baskets)
         .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
+        eager=False,
     )
     sym = counts.select(
         F.col("p1").alias("a"), F.col("p2").alias("b"), "c"
@@ -15147,7 +15157,13 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (src < dst, distinct) co-purchase edges over the bounded
     part subset (l_partkey % 10 == 0) — node count scales with SF but the
-    within-basket expansion stays quadratic-per-basket, never corpus-wide."""
+    within-basket expansion stays quadratic-per-basket, never corpus-wide.
+    A basket-build ``spread`` was A/B'd here twice (r11 change 20, and
+    r12 in a quiet window: q_bfs_levels 2.56-2.66 s unpinned vs
+    3.14-4.56 s pinned; q_shortest_path_weighted 2.78-2.95 vs 3.43-3.44,
+    two fresh-process seats each) — the iterative consumers of this
+    frame are task-latency bound and the extra exchange LOSES; do not
+    re-add it."""
     li = (
         T(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % 10 == 0)

@@ -54,9 +54,26 @@ def test_rows_only_set_is_exactly_the_documented_one():
     assert rows_only == DOCUMENTED_ROWS_ONLY
 
 
-@pytest.mark.parametrize(
-    "name", sorted(set(registry()) - SKIP_EXPLAIN)
-)
+# Smoke/slow split (VERDICT r11 item 2, same rule as
+# tests/test_oracle_parity.py): the 478 per-query explains cost ~8 min;
+# the default run keeps the headline set + the same deterministic
+# md5-keyed 1-in-6 sample, the rest are `slow` (full suite: -m "").
+import hashlib as _hashlib
+
+from bench import HEADLINE as _HEADLINE
+
+_SMOKE = set(_HEADLINE) | {
+    n
+    for n in registry()
+    if int(_hashlib.md5(n.encode()).hexdigest(), 16) % 6 == 0
+}
+_PLAN_PARAMS = [
+    n if n in _SMOKE else pytest.param(n, marks=pytest.mark.slow)
+    for n in sorted(set(registry()) - SKIP_EXPLAIN)
+]
+
+
+@pytest.mark.parametrize("name", _PLAN_PARAMS)
 def test_plan_is_udf_free_and_cartesian_free(name, spark, sf_dir):
     plan = explain_simple(registry()[name](spark, sf_dir))
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"

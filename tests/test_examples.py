@@ -10,6 +10,10 @@ import tempfile
 
 import pytest
 
+# Each example runs in its own spark-submit subprocess (~25 s each,
+# ~7 min for the file) — round-close suite only (VERDICT r11 item 2).
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -3,6 +3,8 @@ localCheckpoint otherwise, value-identical either way."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import pyspark.sql.functions as F
@@ -100,6 +102,7 @@ def test_full_query_through_reliable_checkpoint_matches_oracle(
     assert got == want_n
 
 
+@pytest.mark.slow  # registry sweep (~35 s); round-close suite only
 def test_registry_query_hash_invariant_under_reliable_checkpoint(tmp_path):
     """VERDICT r10 task 5: drive a REGISTRY iterative query (q_pagerank,
     whose every round runs through cut_lineage) end-to-end on the

@@ -47,6 +47,7 @@ def _banned(dt: T.DataType, path: str) -> list[str]:
     return hits
 
 
+@pytest.mark.slow  # full-registry schema walk (~5.6 min); round-close suite only
 def test_no_decimal_or_timestamp_outputs(spark, sf_dir):
     failures = []
     errors = []

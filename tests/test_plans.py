@@ -4,6 +4,8 @@ star joins, TakeOrderedAndProject top-k, whole-stage codegen."""
 
 from __future__ import annotations
 
+import pytest
+
 from java_etl_bi_generator_spark.plans import (
     explain_formatted,
     explain_simple,
@@ -170,6 +172,7 @@ def test_pagerank_iteration_count_is_bounded(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") <= 3
 
 
+@pytest.mark.slow  # full-registry explain sweep (~4.2 min); round-close suite only
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
     """Registry-wide structural guard: no declared batch query may plan a
     CartesianProduct — an unconstrained pairwise blow-up at 100 TB.
