@@ -2392,22 +2392,35 @@ def q_blocking_quality(
     ``sampled_docs`` column makes the denominator honest.  RR stays
     full-corpus (the candidate count is cheap).  Full truth via
     ``truth_k=None``."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .operators.dedup import exact_dedup, minhash_lsh_candidates
 
     docs = cut_lineage(
         exact_dedup(T(spark, sf_dir, "documents"), "text", "doc_id")
     )
-    samp = cut_lineage(_truth_sample(docs, truth_k))
-    truth = cut_lineage(
-        prefix_jaccard_pairs(
-            samp, "text", "doc_id", n=3, t_num=1, t_den=2
-        ).select("id_a", "id_b")
-    )
-    cand = cut_lineage(
-        minhash_lsh_candidates(docs, "text", "doc_id").select(
-            "id_a", "id_b"
+
+    # Same driver-thread overlap as q_dedup_cluster_quality (guide
+    # §2.6): the sampled-truth chain and the LSH candidate chain are
+    # independent job-latency-bound pipelines; building them
+    # concurrently overlaps their job floors without touching results.
+    def _build_truth():
+        samp = cut_lineage(_truth_sample(docs, truth_k))
+        truth = cut_lineage(
+            prefix_jaccard_pairs(
+                samp, "text", "doc_id", n=3, t_num=1, t_den=2
+            ).select("id_a", "id_b")
         )
-    )
+        return samp, truth
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _truth_f = _pool.submit(_build_truth)
+        cand = cut_lineage(
+            minhash_lsh_candidates(docs, "text", "doc_id").select(
+                "id_a", "id_b"
+            )
+        )
+        samp, truth = _truth_f.result()
     n_row = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     s_row = samp.agg(
         F.count(F.lit(1)).cast("bigint").alias("sampled_docs")
@@ -2474,22 +2487,45 @@ def q_dedup_cluster_quality(
     like.  ``sampled_docs`` makes the denominator honest; full truth
     via ``truth_k=None``.  Clustering itself always runs on the full
     corpus — only the ground-truth side is sampled."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .operators.dedup import exact_dedup, minhash_lsh_dup_clusters
 
     docs = cut_lineage(
         exact_dedup(T(spark, sf_dir, "documents"), "text", "doc_id")
     )
-    samp = cut_lineage(_truth_sample(docs, truth_k))
-    truth = cut_lineage(
-        prefix_jaccard_pairs(
-            samp, "text", "doc_id", n=3, t_num=1, t_den=2
-        ).select("id_a", "id_b")
-    )
-    comp = cut_lineage(
-        minhash_lsh_dup_clusters(
-            docs.select("doc_id", "text"), "text", "doc_id"
+
+    # The truth side (sample -> exact prefix-Jaccard pairs) and the
+    # predicted side (LSH banding -> connected components) are
+    # INDEPENDENT until the final pair joins, and both are chains of
+    # small actions (lineage cuts, CC convergence checks) — the query's
+    # profile is ~50 sequential SQL executions with no stage above
+    # ~2 cpu-s, a pure job-latency floor.  Build them on two driver
+    # threads so their job floors overlap (guide §2.6: the scheduler
+    # runs concurrent jobs FIFO and back-fills idle cores; both
+    # branches are deterministic, so results are unaffected).  `docs`
+    # is cut EAGERLY above so the branches share materialized blocks
+    # instead of racing to compute them.
+    def _build_truth():
+        samp = cut_lineage(_truth_sample(docs, truth_k))
+        truth = cut_lineage(
+            prefix_jaccard_pairs(
+                samp, "text", "doc_id", n=3, t_num=1, t_den=2
+            ).select("id_a", "id_b")
         )
-    )
+        return samp, truth
+
+    def _build_comp():
+        return cut_lineage(
+            minhash_lsh_dup_clusters(
+                docs.select("doc_id", "text"), "text", "doc_id"
+            )
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _truth_f = _pool.submit(_build_truth)
+        comp = _build_comp()
+        samp, truth = _truth_f.result()
     samp_ids = samp.select(F.col("doc_id").alias("node"))
     pred_row = (
         comp.join(samp_ids, "node")

@@ -41,6 +41,7 @@ def _recall(approx_ids, exact_ids):
     return len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
 
 
+@pytest.mark.slow  # 32 s incl. fixture; round-close suite
 def test_ivf_recall_on_planted_cells(spark, emb):
     """IVF over the PLANTED cells, probing 2 of 8: the query's own
     cluster is always probed, so recall@10 should be near-perfect."""

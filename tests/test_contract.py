@@ -57,7 +57,7 @@ def test_rows_only_set_is_exactly_the_documented_one():
 # Smoke/slow split (VERDICT r11 item 2, same rule as
 # tests/test_oracle_parity.py): the 478 per-query explains cost ~8 min;
 # the default run keeps the headline set + the same deterministic
-# md5-keyed 1-in-6 sample, the rest are `slow` (full suite: -m "").
+# md5-keyed 1-in-10 sample, the rest are `slow` (full suite: -m "").
 import hashlib as _hashlib
 
 from bench import HEADLINE as _HEADLINE
@@ -65,7 +65,7 @@ from bench import HEADLINE as _HEADLINE
 _SMOKE = set(_HEADLINE) | {
     n
     for n in registry()
-    if int(_hashlib.md5(n.encode()).hexdigest(), 16) % 6 == 0
+    if int(_hashlib.md5(n.encode()).hexdigest(), 16) % 10 == 0
 }
 _PLAN_PARAMS = [
     n if n in _SMOKE else pytest.param(n, marks=pytest.mark.slow)

@@ -41,7 +41,7 @@ def duck():
 # Smoke/slow split (VERDICT r11 item 2): the full 489-query sweep is
 # ~20-25 min of the 56-minute suite that outgrew the driver's verify
 # window.  The default (smoke) run keeps every HEADLINE-benched query
-# plus a deterministic md5-keyed ~1-in-6 sample of the rest (~150
+# plus a deterministic md5-keyed ~1-in-10 sample of the rest (~150
 # tests); the remainder carry the `slow` marker and still run in the
 # round-close full suite (`pytest -m ""`).  The sample is keyed on the
 # query name, not round state, so the driver exercises the identical
@@ -53,7 +53,7 @@ from bench import HEADLINE as _HEADLINE
 _SMOKE = set(_HEADLINE) | {
     n
     for n in ORACLES
-    if int(_hashlib.md5(n.encode()).hexdigest(), 16) % 6 == 0
+    if int(_hashlib.md5(n.encode()).hexdigest(), 16) % 10 == 0
 }
 _PARAMS = [
     n if n in _SMOKE else pytest.param(n, marks=pytest.mark.slow)

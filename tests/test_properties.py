@@ -3,6 +3,8 @@ functions must hold over arbitrary inputs, not just the fixture values."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 import pyspark.sql.functions as F
@@ -139,6 +141,7 @@ def test_simhash_matches_pure_python():
         max_size=40,
     ),
 )
+@pytest.mark.slow  # 15 s property sweep; round-close suite
 def test_duplicated_passages_invariants_property(toks1, toks2):
     """Over arbitrary 2-letter token streams (heavy accidental overlap by
     construction): islands lie within doc bounds, never overlap, are at
@@ -227,6 +230,7 @@ def test_interval_merge_invariants_property(ivs):
     rts=st.lists(st.integers(min_value=0, max_value=10**6), min_size=0,
                  max_size=6, unique=True),
 )
+@pytest.mark.slow  # 13 s property sweep; round-close suite
 def test_asof_nearest_is_argmin_property(lts, rts):
     """The matched right row must minimize |r.ts - l.ts| (microseconds),
     backward preferred on exact ties — checked against a brute-force
@@ -376,6 +380,7 @@ def test_fastss_matches_bruteforce_ed1(names):
         unique=True,
     ),
 )
+@pytest.mark.slow  # 18 s property sweep; round-close suite
 def test_knn_grid_matches_bruteforce(ckeys, skeys):
     """Grid-KNN equals brute force restricted to the 3x3 neighborhood,
     over arbitrary key sets (coordinates derive from keys, so random

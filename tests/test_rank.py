@@ -7,6 +7,8 @@ the range-partition boundaries fall.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
@@ -157,6 +159,7 @@ def test_grouped_topk_matches_window_rank(spark):
     assert got == want
 
 
+@pytest.mark.slow  # 27 s property sweep; round-close suite
 def test_grouped_rank_property_random_inputs(spark):
     """Hypothesis sweep: grouped_rank must equal the naive partitioned
     window for arbitrary group/value multisets (ties broken by id)."""
