@@ -68,6 +68,18 @@ def minhash_signatures(
     mask = (1 << 60) - 1  # keep everything positive in bigint arithmetic
     # h1: 60 bits, h2: 48 bits — i*h2 + h1 stays far below 2^63 even for
     # large hash families (ANSI mode makes long overflow an error).
+    # Pin the shingle+md5 map at the configured shuffle width (r12): the
+    # doc scan is a single parquet split at bench scale, so the entire
+    # per-shingle digest work — the documented dominant cost — ran in
+    # ONE task (profiled: q_dedup_near_clusters execution 0 spent
+    # ~3 cpu-s in 1-2 tasks).  Same deterministic-key idiom as the
+    # landed r11 doc-table spreads (q_dedup_cut / q_rake_keywords /
+    # q_cdc_chunking); the id-keyed exchange is one bounded pass of the
+    # text bytes that buys full-width hashing at every scale.
+    df = df.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        F.col(id_col),
+    )
     shingled = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh"),
